@@ -1,0 +1,238 @@
+"""Deduplication kit: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Not present in the reference (its only dedup is row-level
+``drop_duplicates``, HTIPPLSITE/__init__.py:315 → P10); these are the
+large-scale training-data-pipeline operators the engine adds (BASELINE
+.json north star). Design rules for 100 TB:
+
+* content hashing and shingling are per-row expressions (no shuffle);
+* the only shuffles are the groupBys on doc_id / band-bucket keys;
+* candidate generation (LSH) is an equi-join on (band, bucket) — never
+  an all-pairs cross join; the exact all-pairs variants here exist as
+  small-scale oracles for the LSH path;
+* all hashes are Spark's deterministic ``xxhash64`` — stable across
+  runs/executors, no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the minimum-id row per normalized content hash.
+
+    ``sha2`` on normalized text then min-id per hash: one shuffle on
+    the 256-bit hash (uniform keys — no skew even if one document
+    repeats a billion times, because the groupBy pre-aggregates
+    map-side).
+    """
+    h = F.sha2(normalize_text(text_col), 256)
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) pairs of ``n``-word shingles, distinct per doc.
+
+    Built with array functions (``split`` + ``transform`` over a
+    ``sequence`` of start offsets) and a single ``explode`` — all
+    JVM-side; no Python tokenizer in the hot path.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, sim ≥ t).
+
+    Inverted-index join: explode shingles, self-join on the shingle,
+    count intersections, then |A∪B| = |A|+|B|−|A∩B|. The join key is
+    the shingle, so only documents sharing at least one shingle ever
+    meet — still quadratic in the worst case (every doc sharing a stop
+    shingle), which is why the scale path is :func:`minhash_lsh_pairs`;
+    this exact form is the oracle.
+    """
+    sh = word_shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document: array of ``num_hashes`` minima.
+
+    Each permutation is approximated by ``xxhash64(shingle, seed_i)``;
+    the signature is built in one groupBy over the exploded shingles —
+    ``min`` of each of the 64 hash columns, assembled into an array.
+    Shuffle: exactly one, on doc_id.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH.
+
+    Signatures are cut into ``bands`` bands of ``num_hashes/bands``
+    rows; a pair colliding in any band becomes a candidate (equi-join
+    on (band, bucket-hash) — linear shuffle, no cross join). Estimated
+    Jaccard = fraction of agreeing signature positions; ``threshold``
+    optionally filters on it. For verified-exact similarity feed the
+    candidates into :func:`ngram_jaccard_pairs` semantics on the pair
+    subset.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select(id_col, "signature", band_idx).withColumn(
+        "bucket",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
+                      "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    out = cands.withColumn("est_jaccard", est).select("id_a", "id_b", "est_jaccard")
+    if threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Per token: xxhash64 → for each bit, contribute ±1; fingerprint bit
+    = sign of the per-bit sum. Implemented as a per-token ±1 vector
+    (``transform`` over bit positions) elementwise-summed per document
+    — one groupBy shuffle on doc_id, all array ops JVM-side. Near-dups
+    are then pairs with small Hamming distance (compare via
+    ``bit_count(xor)`` downstream, or band the fingerprint bytes for
+    LSH-style blocking).
+    """
+    toks = F.explode(
+        F.array_distinct(F.split(normalize_text(text_col), " "))
+    ).alias("token")
+    tok_df = df.select(F.col(id_col), toks).filter(F.length("token") > 0)
+    h = F.xxhash64("token")
+    # per-token ±1 contribution per bit; shift amounts must be Python
+    # ints, so the bit axis is unrolled at plan-build time (64 terms in
+    # one codegen'd array expression — still zero Python at runtime)
+    contrib = F.array(
+        *[
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
+        ]
+    )
+    summed = (
+        tok_df.withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.collect_list("contrib"),
+                F.array_repeat(F.lit(0), bits),
+                lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y),
+            ).alias("bit_sums")
+        )
+    )
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        # bit 63 is the sign bit: 1<<63 doesn't fit signed long
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        fingerprint = fingerprint.bitwiseOR(
+            F.when(F.col("bit_sums")[b] > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return summed.select(id_col, fingerprint.alias("simhash"))

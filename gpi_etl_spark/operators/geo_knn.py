@@ -1,0 +1,111 @@
+"""Geo k-nearest-neighbor (the reference's J2 theta-join).
+
+Reference: SQL Server ``TOP 3 … ORDER BY geography::Point(...)
+.STDistance`` + ``ROW_NUMBER()`` per query point (HTIPPLSITE/__init__
+.py:105-121; clones HTIPNEXSITE:106-122, HTIPPLSITECR:104-120).
+
+kNN by distance is not an equi-join, so the scale strategy is tiered:
+
+1. few query points × big store table → broadcast the query points,
+   compute Haversine per (query, store) pair, window top-k — one pass
+   over the store table, no shuffle of the big side beyond the top-k
+   partial sort;
+2. many query points × many stores → geohash-band both sides first
+   (``bucketed_knn``): an equi-join on coarse cells + neighbor cells
+   bounds the candidate set, then exact Haversine + top-k. Cell size
+   must exceed the search radius so no true neighbor is missed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.geo import haversine_meters
+
+
+def knn_join(
+    queries: DataFrame,
+    stores: DataFrame,
+    k: int = 3,
+    query_id: str = "query_id",
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    s_lat: str = "LTT",
+    s_lon: str = "LGT",
+    distance_col: str = "mdist",
+    round_meters: bool = True,
+) -> DataFrame:
+    """Top-k nearest ``stores`` per ``queries`` row (broadcast path).
+
+    ``round_meters`` reproduces the reference's ``round(mdist, 0)``
+    display rounding (HTIPPLSITE/__init__.py:111) — note the reference
+    rounds *before* ranking, so ties at whole meters rank by input
+    order; here rounding happens after ranking (deterministic), which
+    can only differ on sub-meter ties.
+    """
+    pairs = stores.crossJoin(F.broadcast(queries))
+    dist = haversine_meters(F.col(q_lat), F.col(q_lon), F.col(s_lat), F.col(s_lon))
+    pairs = pairs.withColumn(distance_col, dist)
+    w = Window.partitionBy(query_id).orderBy(F.col(distance_col).asc())
+    out = (
+        pairs.withColumn("row_index", F.row_number().over(w))
+        .filter(F.col("row_index") <= k)
+    )
+    if round_meters:
+        out = out.withColumn(distance_col, F.round(F.col(distance_col), 0))
+    return out
+
+
+def bucketed_knn(
+    queries: DataFrame,
+    stores: DataFrame,
+    radius_m: float,
+    k: int = 3,
+    query_id: str = "query_id",
+    q_lat: str = "lat",
+    q_lon: str = "lon",
+    s_lat: str = "LTT",
+    s_lon: str = "LGT",
+    distance_col: str = "mdist",
+) -> DataFrame:
+    """Scale path: grid-cell band join then exact Haversine top-k.
+
+    Each store lands in one integer lat/lon cell of side ≥ radius; each
+    query expands to its 3×3 neighborhood, so the join is an equi-join
+    on the cell key and every true neighbor within ``radius_m`` is in
+    some matched cell. Candidates beyond the radius are filtered before
+    ranking. This replaces the O(Q×S) cross join with O(candidates).
+    """
+    # cell side in degrees: worst-case 1° latitude ≈ 111 km
+    cell_deg = max(radius_m / 111_000.0, 1e-4)
+
+    def cell(lat_col: str, lon_col: str) -> list:
+        return [
+            F.floor(F.col(lat_col) / cell_deg).cast("long").alias("_cx"),
+            F.floor(F.col(lon_col) / cell_deg).cast("long").alias("_cy"),
+        ]
+
+    s = stores.select("*", *cell(s_lat, s_lon))
+    dx = F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("_dx")
+    dy = F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("_dy")
+    q = (
+        queries.select("*", *cell(q_lat, q_lon))
+        .select("*", dx)
+        .select("*", dy)
+        .withColumn("_cx", F.col("_cx") + F.col("_dx"))
+        .withColumn("_cy", F.col("_cy") + F.col("_dy"))
+        .drop("_dx", "_dy")
+    )
+    pairs = s.join(q, on=["_cx", "_cy"]).drop("_cx", "_cy")
+    dist = haversine_meters(F.col(q_lat), F.col(q_lon), F.col(s_lat), F.col(s_lon))
+    pairs = pairs.withColumn(distance_col, dist).filter(
+        F.col(distance_col) <= radius_m
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col(distance_col).asc())
+    return (
+        pairs.withColumn("row_index", F.row_number().over(w))
+        .filter(F.col("row_index") <= k)
+    )

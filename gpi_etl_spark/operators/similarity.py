@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+exact baseline, and an LSH-bucketed variant as the scale path. All
+vector math is native array expressions (``zip_with`` dot products,
+``aggregate`` folds) — JVM-side, no Python per row.
+
+Scale notes: brute force is O(Q×N) — fine when Q (queries) is small and
+broadcast; for Q≈N use :func:`random_hyperplane_lsh` buckets (or an IVF
+coarse quantizer built from a sampled k-means) so the join is an
+equi-join on bucket keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a native fold (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors of each query vector (broadcast path).
+
+    One pass over ``vectors`` per partition; the window top-k uses
+    Spark's rank-limit pushdown so only k rows per query survive the
+    shuffle.
+    """
+    pairs = vectors.crossJoin(F.broadcast(queries))
+    if metric == "cosine":
+        score = cosine(F.col(vec_col), F.col(query_vec))
+    elif metric == "dot":
+        score = dot(F.col(vec_col), F.col(query_vec))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )
+
+
+def random_hyperplane_lsh(
+    vectors: DataFrame,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id per vector (cosine-preserving).
+
+    Hyperplanes are deterministic pseudo-random unit-free vectors
+    derived from ``xxhash64(seed, plane, coord)`` — generated inside
+    the expression, so executors need no broadcast side data. Bucket =
+    n_planes sign bits packed into a long; vectors in the same bucket
+    are cosine-near with the usual SRP-LSH probability, and candidate
+    pairs come from an equi-join on (bucket) instead of a cross join.
+    """
+    if dim is None:
+        raise ValueError("dim (embedding dimensionality) is required")
+    # plane p, coordinate c → pseudo-random ±1 weight
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda v, c: v
+                * F.when(
+                    F.xxhash64(F.lit(seed), F.lit(p), c).bitwiseAND(1) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket.bitwiseOR(b)
+    return vectors.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-LSH bucket equi-join, then exact cosine
+    rank within the bucket. Recall rises with fewer planes (bigger
+    buckets) — callers trade bucket size vs recall; multi-probe (flip
+    one bit) would be the next refinement.
+    """
+    v = random_hyperplane_lsh(vectors, n_planes, id_col, vec_col, seed, dim)
+    q = random_hyperplane_lsh(
+        queries.select(F.col(query_id), F.col(query_vec).alias(vec_col)),
+        n_planes, query_id, vec_col, seed, dim,
+    ).select(query_id, F.col(vec_col).alias(query_vec), "bucket")
+    pairs = v.join(q, "bucket")
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("score", cosine(F.col(vec_col), F.col(query_vec)))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )

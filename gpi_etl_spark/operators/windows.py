@@ -1,0 +1,144 @@
+"""Window kit: forward-fill, run flags, sessionization, top-k.
+
+Reference sites: carry-forward of geography names from the previous
+spreadsheet row (HTGPIWASDE/__init__.py:593-594,807-808,924-925 → W4),
+the ``Orden`` 1-if-new-run / 2-if-repeat flag via ``geoant`` state
+(:595-599,926-933 → W5), ``ROW_NUMBER() OVER (ORDER BY mdist)`` +
+``TOP 3`` pushed to SQL Server (HTIPPLSITE/__init__.py:105-121 → W1/W2),
+and the contiguous-run compression of day→symbol maps
+(HTGPIPROPHEDEX/__init__.py:174-194 — gaps-and-islands).
+
+All are single-window, single-shuffle transforms; at 100 TB each one
+shuffles exactly once on its partition keys (and not at all when the
+data is already hash-partitioned on them).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def forward_fill(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    out_col: str | None = None,
+) -> DataFrame:
+    """Last-non-null carry-forward (pandas ffill / W4).
+
+    ``last(col, ignorenulls=True)`` over an unbounded-preceding frame.
+    """
+    w = Window.orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    if partition_by:
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    return df.withColumn(out_col or col, F.last(col, ignorenulls=True).over(w))
+
+
+def run_change_flag(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] = (),
+    out_col: str = "orden",
+) -> DataFrame:
+    """The reference's ``Orden``: 1 on the first row of a value run,
+    2 when the value repeats the previous row's (W5).
+    """
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    prev = F.lag(col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(prev.isNotNull() & (prev == F.col(col)), F.lit(2)).otherwise(F.lit(1)),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "row_index",
+) -> DataFrame:
+    """W1+W2: ``row_number() ≤ k`` per group.
+
+    Spark's physical plan for this is a single shuffle on the group
+    keys + per-partition sort with a rank-limit pushdown
+    (WindowGroupLimit in Spark ≥3.5) — it never materializes the full
+    sorted group.
+    """
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gaps-and-islands sessionization (F-DT11 generalized).
+
+    ``lag`` change-detection + running sum of gap-breaks: one window,
+    one shuffle on the user key. The streaming twin is
+    ``session_window`` (streaming/windows.py).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+
+
+def compress_runs(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """Contiguous-run compression: (order, value) → (start, end, value).
+
+    Reference: ``get_expiration_symbols_ranges`` collapses a day→symbol
+    walk into query ranges (HTGPIPROPHEDEX/__init__.py:174-194). Classic
+    gaps-and-islands: run-id = running count of value changes, then
+    min/max per run.
+    """
+    w = (
+        Window.partitionBy(*partition_by).orderBy(order_col)
+        if partition_by
+        else Window.orderBy(order_col)
+    )
+    changed = F.when(
+        F.lag(value_col).over(w).isNull()
+        | (F.lag(value_col).over(w) != F.col(value_col)),
+        1,
+    ).otherwise(0)
+    with_run = df.withColumn(
+        "_run",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    keys = [*partition_by, "_run", value_col]
+    return (
+        with_run.groupBy(*keys)
+        .agg(F.min(order_col).alias("run_start"), F.max(order_col).alias("run_end"))
+        .drop("_run")
+    )

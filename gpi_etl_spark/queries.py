@@ -1,0 +1,1302 @@
+"""Query registry: every SURVEY.md §2 operator family as a (Spark
+DataFrame query, DuckDB oracle SQL) pair over the testdata tables.
+
+This is the engine's correctness contract (driver gate t2): each entry
+runs once through the Spark engine and once through DuckDB on the same
+parquet, and must hash-match. Conventions that make the match robust:
+
+* money/quantity sums go through exact ``decimal(18,2|6)`` per-row
+  casts so the aggregate is order-independent and bit-identical in both
+  engines, then cast back to double;
+* float expressions that drift at libm precision (haversine, cosine,
+  averages) are rounded to 6 dp on BOTH sides;
+* integer-typed outputs are cast on the oracle side to Spark's native
+  type (row_number → int, count → bigint, size → int);
+* every computed column is aliased identically in both dialects.
+
+Queries with no SQL-expressible oracle (xxhash64-based minhash/simhash/
+fingerprints, streaming) register ``oracle=None`` → the driver records
+a rows-only check.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.cleaning import clean_numeric_sentinels, horizontal_sum, safe_div
+from gpi_etl_spark.functions.dates import (
+    month_name_expr,
+    month_name_sql,
+    week_of_year_sunday,
+    week_of_year_sunday_sql,
+)
+from gpi_etl_spark.functions.geo import haversine_meters, haversine_meters_sql
+from gpi_etl_spark.functions.strings import (
+    fold_accents,
+    ticker_commodity_key,
+    ticker_commodity_key_sql,
+)
+from gpi_etl_spark.operators import dedup, similarity, textstats
+from gpi_etl_spark.operators.asof import asof_join_union
+from gpi_etl_spark.operators.classify import Rule, classify_expr, classify_sql
+from gpi_etl_spark.operators.featurize import geo_feature_vector
+from gpi_etl_spark.operators.geo_knn import knn_join
+from gpi_etl_spark.operators.reshape import transpose
+from gpi_etl_spark.operators.watermark import compute_watermarks, newer_than_watermark
+from gpi_etl_spark.operators.windows import (
+    forward_fill,
+    run_change_flag,
+    sessionize,
+    top_k_per_group,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+#: name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. The events table stores TIMESTAMP(NANOS)
+    which Spark's parquet reader rejects; read nanos as long and convert
+    to microsecond timestamps (DuckDB's ns→µs cast truncates the same
+    way, so both engines see identical values)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer div (not /, which goes through double and rounds at
+        # 1e18 ns magnitudes) — truncation matches DuckDB's ns→µs cast
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# exact decimal-sum helpers (see module docstring)
+def dsum(col: F.Column, scale: int = 2) -> F.Column:
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double)"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2/§2.4: filters, aggregates, derived columns)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('(l_extendedprice * (1 - l_discount))', 6)} AS sum_disc_price,
+           {dsum_sql('((l_extendedprice * (1 - l_discount)) * (1 + l_tax))', 6)} AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-aggregate with derived expressions.
+
+    Covers P4 (date filter), A2/A5 (group aggregates), F-M4/F-M6
+    (arithmetic). Filter + column pruning push into the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_revenue_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate,
+           {dsum_sql('(l.l_extendedprice * (1 - l.l_discount))', 6)} AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q02(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → top-k.
+
+    The customer side is small after the segment filter — Catalyst
+    broadcasts it (verified in .explain), so the only shuffle is the
+    final aggregation.
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(rev, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_nation_revenue",
+    f"""
+    SELECT n.n_name,
+           {dsum_sql('(l.l_extendedprice * (1 - l.l_discount))', 6)} AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+      JOIN nation n ON n.n_regionkey = r.r_regionkey
+      JOIN customer c ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q03(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake join chain, dims broadcast."""
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, 6).alias("revenue"), F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark / incremental (SURVEY §2.3 J1, §2.4 A1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_watermark_max_date",
+    """
+    SELECT o_custkey, max(o_orderdate) AS wm_o_orderdate
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q04(spark, sf_dir):
+    """A1: per-key high watermark (the reference's ST_* MAX(date) SQL,
+    HTGPIPROPHEDEX/__init__.py:78-87)."""
+    return compute_watermarks(t(spark, sf_dir, "orders"), ["o_custkey"], "o_orderdate")
+
+
+@query(
+    "q05_newer_than_watermark",
+    """
+    WITH loaded AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+         wm AS (SELECT user_id, max(ts) AS wm_ts FROM loaded GROUP BY user_id)
+    SELECT e.event_id, e.user_id, e.ts
+    FROM events e LEFT JOIN wm ON e.user_id = wm.user_id
+    WHERE e.ts > coalesce(wm.wm_ts, TIMESTAMP '1900-01-01')
+    """,
+)
+def q05(spark, sf_dir):
+    """J1: incremental anti-join — only rows newer than their key's
+    watermark survive (HTGPIYAHOO/__init__.py:74-96 semantics)."""
+    ev = t(spark, sf_dir, "events")
+    loaded = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    return newer_than_watermark(ev, loaded, ["user_id"], "ts").select(
+        "event_id", "user_id", "ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k / sessions (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q06_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, cast(rn as int) AS row_index
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q06(spark, sf_dir):
+    """W1/W2: top-3 per group via row_number (the knn SQL's shape,
+    HTIPPLSITE/__init__.py:105-121)."""
+    return top_k_per_group(
+        t(spark, sf_dir, "orders"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "row_index")
+
+
+@query(
+    "q07_pivot_event_type_daily",
+    f"""
+    SELECT cast(ts AS date) AS day,
+           cast(sum(cast(CASE WHEN event_type = 'click' THEN value END as decimal(18,2))) as double) AS evt_click,
+           cast(sum(cast(CASE WHEN event_type = 'error' THEN value END as decimal(18,2))) as double) AS evt_error,
+           cast(sum(cast(CASE WHEN event_type = 'purchase' THEN value END as decimal(18,2))) as double) AS evt_purchase,
+           cast(sum(cast(CASE WHEN event_type = 'signup' THEN value END as decimal(18,2))) as double) AS evt_signup,
+           cast(sum(cast(CASE WHEN event_type = 'view' THEN value END as decimal(18,2))) as double) AS evt_view
+    FROM events GROUP BY 1
+    """,
+)
+def q07(spark, sf_dir):
+    """R1: long→wide pivot (option-IV ladder shape,
+    HTGPIPROPHEDEX/__init__.py:392). Explicit value list pins the
+    schema and skips the distinct-values job."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    piv = (
+        ev.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")))
+    )
+    return piv.select(
+        "day", *[F.col(ty).cast("double").alias(f"evt_{ty}") for ty in types]
+    )
+
+
+@query(
+    "q08_unpivot_part_attrs",
+    """
+    SELECT p_partkey, 'p_size' AS attr, cast(p_size AS double) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def q08(spark, sf_dir):
+    """R3: wide→long melt (CPI grid shape, HTGPIINFLATUS/__init__.py:91)."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double"),
+        F.col("p_retailprice"),
+    )
+    return p.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
+
+
+@query(
+    "q09_forward_fill",
+    """
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def q09(spark, sf_dir):
+    """W4: last-non-null forward fill (WASDE geography carry-forward,
+    HTGPIWASDE/__init__.py:593-594)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    return forward_fill(
+        ev, "v", [F.col("ts"), F.col("event_id")], ["user_id"], "filled_value"
+    ).select("event_id", "user_id", "filled_value")
+
+
+@query(
+    "q10_run_change_flag",
+    """
+    SELECT event_id,
+           CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     = event_type THEN 2 ELSE 1 END AS orden
+    FROM events
+    """,
+)
+def q10(spark, sf_dir):
+    """W5: the WASDE `Orden` run flag (HTGPIWASDE/__init__.py:595-599)."""
+    return run_change_flag(
+        t(spark, sf_dir, "events"),
+        "event_type",
+        [F.col("ts"), F.col("event_id")],
+        ["user_id"],
+        "orden",
+    ).select("event_id", "orden")
+
+
+@query(
+    "q11_sessionize",
+    """
+    WITH e AS (SELECT user_id, ts, cast(floor(epoch(ts)) AS bigint) AS sec FROM events),
+    flags AS (SELECT user_id, ts, sec,
+              CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+                   THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (SELECT user_id,
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+             FROM flags)
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q11(spark, sf_dir):
+    """Gaps-and-islands sessionization (F-DT11 generalized): 30-min
+    inactivity gap → session ids → per-session rollup."""
+    s = sessionize(t(spark, sf_dir, "events"), "user_id", "ts", 1800)
+    return s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+# ---------------------------------------------------------------------------
+# Row-wise arithmetic & indicators (SURVEY §2.4 A4/A6, §2.8 F-M)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_horizontal_sum",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(coalesce(CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END, 0.0)
+               + coalesce(CASE WHEN l_discount > 0.05 THEN l_tax END, 0.0)
+               + coalesce(l_discount, 0.0), 6) AS hsum
+    FROM lineitem
+    """,
+)
+def q12(spark, sf_dir):
+    """A4: skipna horizontal sum (IV call/put sums,
+    HTGPIPROPHEDEX/__init__.py:426-427)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_quantity")).alias("a"),
+        F.when(F.col("l_discount") > 0.05, F.col("l_tax")).alias("b"),
+        F.col("l_discount").alias("c"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(horizontal_sum(["a", "b", "c"]), 6).alias("hsum"),
+    )
+
+
+@query(
+    "q13_stocks_to_use",
+    f"""
+    WITH g AS (
+      SELECT l_returnflag,
+             cast(sum(cast(CASE WHEN l_linestatus = 'F' THEN l_quantity END as decimal(18,2))) as double) AS ending_stocks,
+             cast(sum(cast(CASE WHEN l_shipdate >= TIMESTAMP '2000-06-01' THEN l_quantity END as decimal(18,2))) as double) AS total_use
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, coalesce(ending_stocks, 0.0) AS ending_stocks,
+           coalesce(total_use, 0.0) AS total_use,
+           CASE WHEN total_use IS NULL OR total_use = 0 THEN 0.0
+                ELSE round(ending_stocks * 100 / total_use, 6) END AS stocks_to_use
+    FROM g
+    """,
+)
+def q13(spark, sf_dir):
+    """F-M6: Stocks-to-Use ratio with divide-by-zero→0 guard
+    (HTGPIWASDE/__init__.py:500-506)."""
+    li = t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        dsum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+            "ending_stocks"
+        ),
+        dsum(
+            F.when(
+                F.col("l_shipdate") >= F.lit("2000-06-01").cast("timestamp"),
+                F.col("l_quantity"),
+            )
+        ).alias("total_use"),
+    )
+    stu = safe_div(F.col("ending_stocks") * 100, F.col("total_use"))
+    return g.select(
+        "l_returnflag",
+        F.coalesce(F.col("ending_stocks"), F.lit(0.0)).alias("ending_stocks"),
+        F.coalesce(F.col("total_use"), F.lit(0.0)).alias("total_use"),
+        F.when(stu == 0, F.lit(0.0)).otherwise(F.round(stu, 6)).alias("stocks_to_use"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / date scalar kits (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+_TICKER_SQL = (
+    "CASE WHEN p_size < 10 THEN substring(upper(p_name), 1, 5) "
+    "WHEN p_size < 25 THEN '@' || substring(upper(p_name), 1, 6) "
+    "WHEN p_size < 40 THEN '@' || substring(upper(p_name), 1, 3) "
+    "ELSE substring(upper(p_name), 1, 10) END"
+)
+
+
+@query(
+    "q14_ticker_key_extract",
+    f"""
+    WITH s AS (SELECT {_TICKER_SQL} AS symbol FROM part)
+    SELECT {ticker_commodity_key_sql('symbol')} AS commodity, count(*) AS n
+    FROM s GROUP BY 1
+    """,
+)
+def q14(spark, sf_dir):
+    """F-STR8: the watermark SQL's CASE-WHEN ticker→commodity key
+    (HTGPIPROPHEDEX/__init__.py:78-87), over synthesized symbols that
+    exercise all three arms (len∈{5,7}, @-prefix, default)."""
+    p = t(spark, sf_dir, "part")
+    up = F.upper(F.col("p_name"))
+    symbol = (
+        F.when(F.col("p_size") < 10, F.substring(up, 1, 5))
+        .when(F.col("p_size") < 25, F.concat(F.lit("@"), F.substring(up, 1, 6)))
+        .when(F.col("p_size") < 40, F.concat(F.lit("@"), F.substring(up, 1, 3)))
+        .otherwise(F.substring(up, 1, 10))
+    )
+    return (
+        p.select(symbol.alias("symbol"))
+        .select(ticker_commodity_key("symbol").alias("commodity"))
+        .groupBy("commodity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q15_month_name_map",
+    f"""
+    SELECT {month_name_sql('month(o_orderdate)')} AS month_name,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders GROUP BY 1
+    """,
+)
+def q15(spark, sf_dir):
+    """F-DT7: literal month-name map with the reference's nonstandard
+    June/July spellings (HTGPIINFLATUS/__init__.py:37-50)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(month_name_expr(F.month("o_orderdate")).alias("month_name"),
+                 "o_totalprice")
+        .groupBy("month_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q16_week_of_year_sunday",
+    f"""
+    SELECT {week_of_year_sunday_sql('cast(ts AS date)')} AS week_u, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q16(spark, sf_dir):
+    """F-DT8: Python strftime('%U') Sunday-start week parity
+    (HTGPICFT/__init__.py:50-60) — NOT ISO weekofyear."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(week_of_year_sunday(F.to_date("ts")).alias("week_u"))
+        .groupBy("week_u")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q17_epoch_roundtrip",
+    """
+    SELECT event_id,
+           cast(floor(epoch(ts)) AS bigint) AS epoch_s,
+           make_timestamp(cast(floor(epoch(ts)) AS bigint) * 1000000) AS ts_rt
+    FROM events
+    """,
+)
+def q17(spark, sf_dir):
+    """F-DT6: timestamp ↔ epoch-seconds bridge (HTGPIYAHOO/__init__.py:
+    86-90; truncation to whole seconds is the reference's semantics)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts"))).alias("ts_rt"),
+    )
+
+
+@query(
+    "q18_json_extract",
+    """
+    SELECT cast(json_extract_string(props, '$.k') AS int) % 10 AS k_bucket,
+           count(*) AS n,
+           cast(sum(cast(json_extract_string(props, '$.k') AS int)) AS bigint) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q18(spark, sf_dir):
+    """S8/F-J: JSON path extraction from a payload column
+    (HTGPISNP500 nested-JSON walk, HTGPISNP500/__init__.py:81-92)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+@query(
+    "q19_union_by_name",
+    """
+    SELECT o_orderkey AS id, o_totalprice AS amount, 'order' AS src FROM orders
+    UNION ALL BY NAME
+    SELECT 'customer' AS src, cast(c_custkey AS bigint) AS id, c_acctbal AS amount
+    FROM customer
+    """,
+)
+def q19(spark, sf_dir):
+    """J4: append/concat as unionByName with differing column order
+    (HTGPIWASDE/__init__.py:195-196)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("order").alias("src"),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").cast("bigint").alias("id"),
+        F.col("c_acctbal").alias("amount"),
+    )
+    return o.unionByName(c)
+
+
+@query(
+    "q20_distinct_segments",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+)
+def q20(spark, sf_dir):
+    """P10/P11: distinct (HTIPPLSITE/__init__.py:315,325)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "q21_sentinel_cleaning",
+    f"""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN value < 20 THEN '---' WHEN value < 40 THEN 'NA'
+                  WHEN value < 60 THEN '' ELSE cast(value AS varchar) END AS s
+      FROM events),
+    cleaned AS (
+      SELECT event_type,
+             CASE WHEN trim(s) IN ('', 'NA', '---') THEN 0.0
+                  WHEN trim(s) = '–' THEN NULL
+                  ELSE try_cast(trim(s) AS double) END AS v
+      FROM raw)
+    SELECT event_type, {dsum_sql('v')} AS total, count(CASE WHEN v = 0 THEN 1 END) AS n_zero
+    FROM cleaned GROUP BY event_type
+    """,
+)
+def q21(spark, sf_dir):
+    """P9/F-M4: the sentinel zoo — '---'/'NA'/'' → 0 then cast
+    (SURVEY §1.2; HTGPIPROPHEDEX/__init__.py:556,
+    HTGPIWASDE/__init__.py:1204-1207)."""
+    ev = t(spark, sf_dir, "events")
+    s = (
+        F.when(F.col("value") < 20, F.lit("---"))
+        .when(F.col("value") < 40, F.lit("NA"))
+        .when(F.col("value") < 60, F.lit(""))
+        .otherwise(F.col("value").cast("string"))
+    )
+    cleaned = clean_numeric_sentinels(s)
+    return (
+        ev.select("event_type", cleaned.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            dsum(F.col("v")).alias("total"),
+            F.count(F.when(F.col("v") == 0, 1)).alias("n_zero"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo (SURVEY §2.3 J2/J3, §2.8 F-GEO)
+# ---------------------------------------------------------------------------
+
+# deterministic synthetic coordinates derived from c_custkey (the test
+# tables carry no lat/lon); same arithmetic on both sides.
+_LAT_SQL = "(((c_custkey * 37) % 6000) / 100.0 - 30.0)"
+_LON_SQL = "(((c_custkey * 91) % 18000) / 100.0 - 90.0)"
+
+
+def _customer_stores(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 6000) / 100.0 - 30.0
+    lon = ((F.col("c_custkey") * 91) % 18000) / 100.0 - 90.0
+    return c.select(
+        F.col("c_name").alias("POS_NM"),
+        lat.alias("LTT"),
+        lon.alias("LGT"),
+        F.col("c_mktsegment").alias("CTGRY_NM"),
+    )
+
+
+@query(
+    "q22_geo_knn_top3",
+    f"""
+    WITH stores AS (
+      SELECT c_name AS POS_NM, {_LAT_SQL} AS LTT, {_LON_SQL} AS LGT,
+             c_mktsegment AS CTGRY_NM
+      FROM customer),
+    q(query_id, lat, lon) AS (VALUES (1, 0.0, 0.0), (2, 10.0, -45.0)),
+    d AS (
+      SELECT q.query_id, s.POS_NM,
+             {haversine_meters_sql('q.lat', 'q.lon', 's.LTT', 's.LGT')} AS mdist
+      FROM stores s CROSS JOIN q WHERE s.CTGRY_NM = 'BUILDING'),
+    r AS (SELECT query_id, POS_NM, round(mdist, 0) AS mdist,
+                 cast(row_number() OVER (PARTITION BY query_id ORDER BY mdist, POS_NM) AS int)
+                 AS row_index
+          FROM d)
+    SELECT * FROM r WHERE row_index <= 3
+    """,
+)
+def q22(spark, sf_dir):
+    """J2: geo k-nearest-neighbor — Haversine + window top-3, the Spark
+    re-expression of the SQL Server STDistance TOP 3 query
+    (HTIPPLSITE/__init__.py:105-121)."""
+    stores = _customer_stores(spark, sf_dir).filter(F.col("CTGRY_NM") == "BUILDING")
+    queries = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, -45.0)], "query_id int, lat double, lon double"
+    )
+    # rank on rounded meters (+ name tiebreak) for cross-engine stability
+    pairs = stores.crossJoin(F.broadcast(queries)).withColumn(
+        "mdist", F.round(haversine_meters("lat", "lon", "LTT", "LGT"), 0)
+    )
+    out = top_k_per_group(
+        pairs, ["query_id"], [F.col("mdist").asc(), F.col("POS_NM").asc()], 3
+    )
+    return out.select("query_id", "POS_NM", "mdist", "row_index")
+
+
+@query(
+    "q23_haversine_threshold",
+    f"""
+    WITH d AS (
+      SELECT c_mktsegment,
+             {haversine_meters_sql('0.0', '0.0', _LAT_SQL, _LON_SQL)} AS dist_m
+      FROM customer)
+    SELECT c_mktsegment, count(*) AS n_within,
+           round(min(dist_m), 0) AS min_dist_m, round(max(dist_m), 0) AS max_dist_m
+    FROM d WHERE dist_m <= 3000000 GROUP BY c_mktsegment
+    """,
+)
+def q23(spark, sf_dir):
+    """F-GEO1/P6: distance column + threshold filter (the 100 m POI
+    filter shape, HTIPPLSITE/__init__.py:336,353)."""
+    c = t(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 6000) / 100.0 - 30.0
+    lon = ((F.col("c_custkey") * 91) % 18000) / 100.0 - 90.0
+    d = haversine_meters(F.lit(0.0), F.lit(0.0), lat, lon)
+    return (
+        c.select("c_mktsegment", d.alias("dist_m"))
+        .filter(F.col("dist_m") <= 3000000)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.round(F.min("dist_m"), 0).alias("min_dist_m"),
+            F.round(F.max("dist_m"), 0).alias("max_dist_m"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classify + featurize (SURVEY §2.8 F-STR9, §2.4 A3, §2.7 R2)
+# ---------------------------------------------------------------------------
+
+_DOC_RULES = [
+    Rule("spark", "CAT_SPARK", "text"),
+    Rule("join", "CAT_JOIN", "text"),
+    Rule("window", "CAT_WINDOW", "text"),
+    Rule("stream", "CAT_STREAM", "text"),
+    Rule("vector", "CAT_VECTOR", "text"),
+]
+
+
+@query(
+    "q24_classify_chain",
+    f"""
+    SELECT doc_id, {classify_sql(_DOC_RULES)} AS category FROM documents
+    """,
+)
+def q24(spark, sf_dir):
+    """F-STR9: ordered regex classification with LAST-match-wins — the
+    imperative overwrite loop (HTIPPLSITE/__init__.py:175-312) compiled
+    to one reversed CASE chain. Docs matching several rules prove the
+    ordering semantics."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", classify_expr(_DOC_RULES).alias("category"))
+
+
+@query(
+    "q25_accent_fold",
+    """
+    SELECT p_partkey,
+           regexp_replace(translate(upper(p_name), 'ÁÉÍÓÚ', 'AEIOU'),
+                          '[''",.]', '', 'g') AS clean_name
+    FROM part
+    """,
+)
+def q25(spark, sf_dir):
+    """F-STR4: accent folding + punctuation strip — one translate + one
+    regexp_replace instead of nine re.sub passes
+    (HTIPPLSITE/__init__.py:163-171)."""
+    p = t(spark, sf_dir, "part")
+    return p.select("p_partkey", fold_accents("p_name").alias("clean_name"))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _widen_sql() -> str:
+    cols = []
+    for ty in _EVENT_TYPES:
+        f = f"FILTER (WHERE event_type = '{ty}')"
+        cols.append(f"coalesce(cast(count(*) {f} AS double), 0.0) AS VAL_{ty}_300M_CNT")
+        cols.append(
+            f"coalesce(cast(count(CASE WHEN value <= 50 THEN 1 END) {f} AS double), 0.0)"
+            f" AS VAL_{ty}_100M_CNT"
+        )
+        cols.append(f"coalesce(min(value) {f}, 10000.0) AS VAL_{ty}_MIN_DIST")
+        cols.append(f"coalesce(max(value) {f}, 0.0) AS VAL_{ty}_MAX_DIST")
+        cols.append(f"coalesce(round(avg(value) {f}, 6), 0.0) AS VAL_{ty}_MEAN_DIST")
+    return ",\n           ".join(cols)
+
+
+@query(
+    "q26_feature_widening",
+    f"""
+    SELECT user_id,
+           {_widen_sql()}
+    FROM events GROUP BY user_id
+    """,
+)
+def q26(spark, sf_dir):
+    """A3+R2: per-category stats widened to a feature vector — the
+    GEO_<CAT>_<STAT> construction (HTIPPLSITE/__init__.py:329-396) with
+    the HTIPNEXSITE missing-min→10000 variant (:348) as one
+    groupBy().pivot().agg()."""
+    ev = t(spark, sf_dir, "events")
+    wide = geo_feature_vector(
+        ev,
+        site_cols=["user_id"],
+        category_col="event_type",
+        distance_col="value",
+        categories=_EVENT_TYPES,
+        near_threshold=50.0,
+        missing_min=10000.0,
+        prefix="VAL_",
+    )
+    rounded = [
+        F.round(F.col(c), 6).alias(c) if c.endswith("MEAN_DIST") else F.col(c)
+        for c in wide.columns
+    ]
+    return wide.select(*rounded)
+
+
+@query(
+    "q27_transpose",
+    f"""
+    SELECT 'sum_qty' AS metric,
+           cast(sum(cast(CASE WHEN l_returnflag = 'A' THEN l_quantity END as decimal(18,2))) as double) AS A,
+           cast(sum(cast(CASE WHEN l_returnflag = 'N' THEN l_quantity END as decimal(18,2))) as double) AS N,
+           cast(sum(cast(CASE WHEN l_returnflag = 'R' THEN l_quantity END as decimal(18,2))) as double) AS R
+    FROM lineitem
+    UNION ALL
+    SELECT 'cnt', cast(count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS double),
+           cast(count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS double),
+           cast(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS double)
+    FROM lineitem
+    UNION ALL
+    SELECT 'avg_disc', round(avg(CASE WHEN l_returnflag = 'A' THEN l_discount END), 6),
+           round(avg(CASE WHEN l_returnflag = 'N' THEN l_discount END), 6),
+           round(avg(CASE WHEN l_returnflag = 'R' THEN l_discount END), 6)
+    FROM lineitem
+    """,
+)
+def q27(spark, sf_dir):
+    """R4: transpose as unpivot→pivot composite (the WASDE wheat-class
+    sheet `.T`, HTGPIWASDE/__init__.py:358,369) — bounded width
+    asserted inside the operator."""
+    li = t(spark, sf_dir, "lineitem")
+    summary = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return transpose(summary, "l_returnflag", ["sum_qty", "cnt", "avg_disc"])
+
+
+@query(
+    "q28_strike_ladder",
+    """
+    WITH atm AS (
+      SELECT l_returnflag,
+             floor(max(l_extendedprice) / 100 * 10 + 0.5) / 10 * 1000 AS atm_strike
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, cast(k AS int) AS k, atm_strike + k * 100.0 AS strike
+    FROM atm CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS k)
+    """,
+)
+def q28(spark, sf_dir):
+    """F-M3: ATM±k·step strike-ladder generation via explode(sequence)
+    — distributed, vs the reference's iterrows loop
+    (HTGPIPROPHEDEX/__init__.py:362-371). The ATM rounding here uses a
+    floor-based half-up (identical cross-engine); the banker's-rounding
+    `bround` parity of F-M2 is unit-tested separately."""
+    li = t(spark, sf_dir, "lineitem")
+    atm = li.groupBy("l_returnflag").agg(
+        (F.floor(F.max("l_extendedprice") / 100 * 10 + 0.5) / 10 * 1000).alias(
+            "atm_strike"
+        )
+    )
+    k = F.explode(F.sequence(F.lit(-5), F.lit(5))).alias("k")
+    return atm.select("*", k).select(
+        "l_returnflag",
+        F.col("k"),
+        (F.col("atm_strike") + F.col("k") * 100.0).alias("strike"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling windows + as-of (SURVEY §2.9 streaming twins)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q29_tumbling_window",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q29(spark, sf_dir):
+    """Tumbling 1h window aggregation — the batch twin of the
+    Structured Streaming plan in streaming/windows.py (same groupBy
+    window expression works under readStream + watermark)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q30_asof_join",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           (SELECT c.value FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+            ORDER BY c.ts DESC LIMIT 1) AS asof_value
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q30(spark, sf_dir):
+    """As-of join (backward): each purchase decorated with the latest
+    prior click's value per user — union + forward-fill plan, one
+    shuffle, no range explosion (operators/asof.py)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_union(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["value"]
+    ).select("event_id", "user_id", "ts", "value", F.col("asof_value"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text analysis (north-star ops, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q31_dedup_exact",
+    """
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q31(spark, sf_dir):
+    """Exact dedup by normalized-content hash (north-star op)."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q32_ngram_jaccard",
+    """
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS shingle FROM norm),
+    tok2 AS (SELECT doc_id, shingle FROM tok WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM tok2 a JOIN tok2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q32(spark, sf_dir):
+    """Unigram-Jaccard near-dup pairs via inverted-index join (exact
+    oracle for the MinHash path). Subset (doc_id%10=0) bounds the
+    candidate blowup the LSH variant exists to avoid."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query("q33_minhash_lsh", None)
+def q33(spark, sf_dir):
+    """MinHash+LSH banded candidate pairs (xxhash64 — no SQL oracle;
+    recall vs the exact q32 oracle is asserted in tests)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.minhash_lsh_pairs(docs, n=1, num_hashes=64, bands=16, threshold=0.5)
+
+
+@query("q34_simhash", None)
+def q34(spark, sf_dir):
+    """SimHash 64-bit fingerprints (xxhash64 — no SQL oracle)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return dedup.simhash(docs)
+
+
+_COSINE_SQL = (
+    "list_dot_product(e, qe) / "
+    "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe)))"
+)
+
+
+@query(
+    "q35_embedding_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 3),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 3),
+    s AS (SELECT query_id, vec_id, {_COSINE_SQL} AS score FROM v CROSS JOIN q),
+    r AS (SELECT query_id, vec_id, score,
+                 cast(row_number() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, vec_id) AS int) AS rank
+          FROM s)
+    SELECT query_id, vec_id, round(score, 6) AS score, rank FROM r WHERE rank <= 5
+    """,
+)
+def q35(spark, sf_dir):
+    """Brute-force cosine top-k similarity search (exact ANN baseline;
+    the LSH-bucketed scale path is operators/similarity.lsh_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.filter(F.col("vec_id") >= 3).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    out = similarity.brute_force_topk(vectors, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+@query(
+    "q36_embedding_norms",
+    """
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+               AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def q36(spark, sf_dir):
+    """Vector-math smoke: L2 norms via native array folds, aggregated
+    per label."""
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.select("label", similarity.l2_norm(to_double).alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 6).alias("avg_norm"))
+    )
+
+
+_NORM_SQL = "trim(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> len(x) > 0)"
+_SW_EN = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+
+
+@query(
+    "q37_text_profile",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             cast(len({_TOKS_SQL}) AS int) AS n_tokens,
+             cast(length(text) AS int) AS n_chars,
+             CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_EN}, x)))
+                       / len({_TOKS_SQL}) END AS sw_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens, n_chars, round(sw_ratio, 6) AS stopword_ratio_en,
+           round(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * 1.0
+               + 0.3 * least(sw_ratio * 4.0, 1.0), 6) AS quality
+    FROM s
+    """,
+)
+def q37(spark, sf_dir):
+    """Text quality scoring: token counts, stopword ratio, composite
+    quality (north-star text-analysis op). The corpus has no
+    punctuation so the punct term is constant 1.0 on both sides."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(textstats.stopword_ratio("text"), 6).alias("stopword_ratio_en"),
+        F.round(textstats.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@query(
+    "q38_lang_guess",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+        CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0 ELSE
+          len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_EN}, x)))
+          / len({_TOKS_SQL}) END AS r_en,
+        CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0 ELSE
+          len(list_filter({_TOKS_SQL}, x -> list_contains(['el','la','de','y','que','en','un'], x)))
+          / len({_TOKS_SQL}) END AS r_es,
+        CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0 ELSE
+          len(list_filter({_TOKS_SQL}, x -> list_contains(['der','die','das','und','ist','ein','zu'], x)))
+          / len({_TOKS_SQL}) END AS r_de
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(r_en, r_es, r_de) = 0 THEN 'und'
+                WHEN r_en >= r_es AND r_en >= r_de THEN 'en'
+                WHEN r_es >= r_de THEN 'es' ELSE 'de' END AS lang_guess
+    FROM r
+    """,
+)
+def q38(spark, sf_dir):
+    """Language-ID heuristic by stopword ratio (ties: en > es > de)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", textstats.language_guess("text").alias("lang_guess"))
+
+
+@query("q39_doc_fingerprint", None)
+def q39(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprints (xxhash64 — rows-only
+    check)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.rolling_fingerprint("text").alias("fingerprint")
+    )
+
+
+@query(
+    "q40_multimodal_meta",
+    """
+    SELECT doc_id, cast(octet_length(encode(text)) AS int) AS n_bytes,
+           sha256(text) AS payload_sha256
+    FROM documents
+    """,
+)
+def q40(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload + cheap metadata
+    (byte length, content hash) — the no-decode half of
+    operators/multimodal.py, oracle-checkable."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.col("text").cast("binary")
+    )
+    from gpi_etl_spark.operators.multimodal import attach_binary_meta
+
+    return attach_binary_meta(docs).select(
+        "doc_id", F.col("n_bytes").cast("int").alias("n_bytes"), "payload_sha256"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops, rollup, semi/anti, robust stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "q41_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, {dsum_sql('l_quantity')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q41(spark, sf_dir):
+    """Grouping sets / rollup — subtotal rows with NULL group keys
+    (not in the reference; Spark built-in, SURVEY §2.4 note)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q42_semi_anti_join",
+    """
+    WITH w AS (SELECT c_mktsegment, count(*) AS n_with FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               GROUP BY 1),
+         a AS (SELECT c_mktsegment, count(*) AS n_without FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               GROUP BY 1)
+    SELECT c_mktsegment, coalesce(n_with, 0) AS n_with, coalesce(n_without, 0) AS n_without
+    FROM w FULL JOIN a USING (c_mktsegment)
+    """,
+)
+def q42(spark, sf_dir):
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) joins, rolled up per
+    segment (the engine's J1 anti-join building blocks)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    on = c.c_custkey == o.o_custkey
+    w = (
+        c.join(o, on, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    a = (
+        c.join(o, on, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return (
+        w.join(a, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+@query(
+    "q43_robust_stats",
+    """
+    SELECT event_type, count(*) AS n,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(median(value), 4) AS median_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q43(spark, sf_dir):
+    """Distribution stats: sample stddev + exact interpolated median
+    (superset of anything in the reference; rounded to absorb
+    accumulation-order drift)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+    )
+
+
+@query(
+    "q44_fixed_width_roundtrip",
+    """
+    WITH lines AS (
+      SELECT p_partkey,
+             printf('%-25s%8d%12.2f', substring(p_name, 1, 25), p_size, p_retailprice)
+                 AS line
+      FROM part)
+    SELECT p_partkey,
+           trim(substring(line, 1, 25)) AS fw_name,
+           cast(trim(substring(line, 26, 8)) AS int) AS fw_size,
+           cast(trim(substring(line, 34, 12)) AS double) AS fw_price
+    FROM lines
+    """,
+)
+def q44(spark, sf_dir):
+    """S4: fixed-width encode→parse round-trip — the distributed
+    substring-projection scan (sources/fixed_width.py) applied to
+    synthesized FWF lines (NOAA ENSO shape, HTGPIENSO/__init__.py:
+    74-78)."""
+    from gpi_etl_spark.sources.fixed_width import parse_fixed_width
+
+    p = t(spark, sf_dir, "part")
+    lines = p.select(
+        "p_partkey",
+        F.format_string(
+            "%-25s%8d%12.2f",
+            F.substring("p_name", 1, 25),
+            F.col("p_size"),
+            F.col("p_retailprice"),
+        ).alias("line"),
+    )
+    parsed = parse_fixed_width(
+        lines,
+        widths=[25, 8, 12],
+        names=["fw_name", "fw_size", "fw_price"],
+        value_col="line",
+        keep_cols=["p_partkey"],
+    )
+    return parsed.select(
+        "p_partkey",
+        "fw_name",
+        F.col("fw_size").try_cast("int").alias("fw_size"),
+        F.col("fw_price").try_cast("double").alias("fw_price"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,159 @@
+"""Driver-side connectors with injectable fetchers (SURVEY.md §2.1).
+
+Each reference source is a small external payload (KB-MB) fetched over
+HTTP — that part is inherently driver-side and is NOT where Spark adds
+value; the connector's contract is "fetch → parse → ``createDataFrame``
+conforming to a declared schema". Every connector takes a ``fetch``
+callable (url → bytes/str) so tests inject recorded fixtures and no
+code path touches the network in CI. Credentials come from a config
+mapping, never source literals (the reference hard-codes them —
+SURVEY.md §0 anti-patterns, e.g. HTGPIWASDE/__init__.py:39,95-99).
+
+Rate limiting replaces the reference's hard ``time.sleep(2)``/``(3)``
+constants (HTGPIPROPHEDEX/__init__.py:199 etc., HTIPPLSITE/__init__.py
+:148) with a configurable ``min_interval_s`` on the connector.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import json
+import time
+import zipfile
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+Fetch = Callable[[str], bytes]
+
+
+class RateLimiter:
+    """Minimal token-interval limiter (replaces the sleep constants)."""
+
+    def __init__(self, min_interval_s: float = 0.0):
+        self.min_interval_s = min_interval_s
+        self._last = 0.0
+
+    def wait(self) -> None:
+        if self.min_interval_s <= 0:
+            return
+        now = time.monotonic()
+        delta = now - self._last
+        if delta < self.min_interval_s:
+            time.sleep(self.min_interval_s - delta)
+        self._last = time.monotonic()
+
+
+def _rows_from_csv(payload: bytes, encoding: str = "utf-8") -> tuple[list[str], list[list[str]]]:
+    text = payload.decode(encoding)
+    reader = csv.reader(io.StringIO(text))
+    rows = list(reader)
+    if not rows:
+        return [], []
+    return rows[0], rows[1:]
+
+
+def http_csv(
+    spark: SparkSession,
+    url: str,
+    fetch: Fetch,
+    schema=None,
+    columns: Sequence[str] | None = None,
+    limiter: RateLimiter | None = None,
+) -> DataFrame:
+    """S1/S10: CSV-over-HTTP → DataFrame.
+
+    For landed multi-GB CSV datasets use ``spark.read.csv(path,
+    schema=...)`` instead — this connector is for small live feeds.
+    """
+    (limiter or RateLimiter()).wait()
+    header, rows = _rows_from_csv(fetch(url))
+    cols = list(columns) if columns else header
+    idx = [header.index(c) for c in cols]
+    data = [[r[i] if i < len(r) else None for i in idx] for r in rows]
+    return spark.createDataFrame(data, schema=schema or cols)
+
+
+def zipped_member(payload: bytes, suffix: str = ".xls") -> bytes:
+    """S3: pick the first archive member matching ``suffix``
+    (HTGPICFT/__init__.py:92-100)."""
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        for name in zf.namelist():
+            if name.lower().endswith(suffix):
+                return zf.read(name)
+    raise FileNotFoundError(f"no member matching {suffix!r} in archive")
+
+
+def json_api(
+    spark: SparkSession,
+    url: str,
+    fetch: Fetch,
+    record_path: Sequence[str | int] = (),
+    schema=None,
+    limiter: RateLimiter | None = None,
+) -> DataFrame:
+    """S7/S8: JSON REST → DataFrame, descending ``record_path`` into the
+    document (the reference's nested ``spark.result[0].response[0]...``
+    walk, HTGPISNP500/__init__.py:81-92). For large JSON *datasets* use
+    ``spark.read.json`` with an explicit schema + ``from_json``/
+    ``explode`` instead.
+    """
+    (limiter or RateLimiter()).wait()
+    doc = json.loads(fetch(url))
+    for step in record_path:
+        doc = doc[step]
+    if isinstance(doc, dict):
+        doc = [doc]
+    return spark.createDataFrame(doc, schema=schema)
+
+
+def paginated(
+    fetch_page: Callable[[str | None], tuple[list[dict], str | None]],
+    limiter: RateLimiter | None = None,
+    max_pages: int = 100,
+) -> list[dict]:
+    """S9: generic next-page-token pagination loop (Google Places shape,
+    HTIPPLSITE/__init__.py:45-73,143-150). Sequential per stream by
+    protocol; parallelism belongs across categories/keys, not pages.
+    """
+    out: list[dict] = []
+    token: str | None = None
+    for _ in range(max_pages):
+        (limiter or RateLimiter()).wait()
+        rows, token = fetch_page(token)
+        out.extend(rows)
+        if not token:
+            break
+    return out
+
+
+def excel_cells(
+    payload: bytes,
+    sheet_name: str,
+) -> list[list]:
+    """S2: .xls/.xlsx sheet → cell grid (list of row lists).
+
+    The reference uses xlrd with merged-cell expansion and date-cell
+    coercion (HTGPIWASDE/__init__.py:203-245). Neither xlrd nor
+    openpyxl is installed in this container, so the byte-parsing step
+    is stubbed; the downstream grid→table extraction (the actual engine
+    logic) is pure and tested against fixture grids.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "excel parsing needs openpyxl/xlrd (not in this container); "
+            "feed fixture cell grids to the extract transforms instead"
+        ) from exc
+    wb = openpyxl.load_workbook(io.BytesIO(payload), data_only=True)
+    ws = wb[sheet_name]
+    grid = [[c.value for c in row] for row in ws.iter_rows()]
+    # expand merged ranges so every covered cell holds the anchor value
+    for rng in ws.merged_cells.ranges:
+        anchor = grid[rng.min_row - 1][rng.min_col - 1]
+        for r in range(rng.min_row - 1, rng.max_row):
+            for c in range(rng.min_col - 1, rng.max_col):
+                grid[r][c] = anchor
+    return grid
