@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end and forces full materialization
+through Spark's noop sink (no driver-side collect — the plan executes
+exactly as it would writing to a real sink). Prints ONE JSON line:
+
+    {"metric": "total_runtime", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+#: headline set: the queries a user of the reference would actually run
+#: at scale, spanning scan-agg, joins, windows, sessions, dedup,
+#: similarity and text analysis.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_region_nation_revenue",
+    "q05_newer_than_watermark",
+    "q06_topk_orders_per_customer",
+    "q09_forward_fill",
+    "q11_sessionize",
+    "q12_horizontal_sum",
+    "q26_feature_widening",
+    "q29_tumbling_window",
+    "q31_dedup_exact",
+    "q32_ngram_jaccard",
+    "q33_minhash_lsh",
+    "q35_embedding_topk",
+    "q37_text_profile",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from gpi_etl_spark import queries as Q
+    from gpi_etl_spark.session import get_spark
+
+    spark = get_spark("gpi_bench")
+    # warm the JVM + parquet footers so per-query times measure the
+    # queries, not session startup
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name][0]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

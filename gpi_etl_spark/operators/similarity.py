@@ -126,18 +126,27 @@ def lsh_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     seed: int = 42,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH bucket equi-join, then exact cosine
-    rank within the bucket. Recall rises with fewer planes (bigger
-    buckets) — callers trade bucket size vs recall; multi-probe (flip
-    one bit) would be the next refinement.
+    rank within the bucket. ``probes=1`` is multi-probe: each query
+    also searches every 1-bit-flip neighbor bucket (n_planes+1 buckets
+    total) — recall rises steeply for the cost of a wider (still
+    equi-join) candidate set; 0 probes = exact-bucket only.
     """
     v = random_hyperplane_lsh(vectors, n_planes, id_col, vec_col, seed, dim)
     q = random_hyperplane_lsh(
         queries.select(F.col(query_id), F.col(query_vec).alias(vec_col)),
         n_planes, query_id, vec_col, seed, dim,
     ).select(query_id, F.col(vec_col).alias(query_vec), "bucket")
-    pairs = v.join(q, "bucket")
+    if probes >= 1:
+        neighbor_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long"))
+              for p in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(neighbor_buckets))
+    pairs = v.join(q, "bucket").dropDuplicates([query_id, id_col])
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         pairs.withColumn("score", cosine(F.col(vec_col), F.col(query_vec)))

@@ -1,0 +1,67 @@
+"""Dedup kit: exact, Jaccard oracle, MinHash accuracy, SimHash locality."""
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "THE  quick brown fox jumps over the lazy dog"),  # exact dup of 0 after norm
+    (3, "completely different words entirely here now"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark))
+    assert out.count() == 3  # 0 and 2 collapse
+    collapsed = out.filter(F.col("dup_count") == 2).first()
+    assert collapsed.doc_id == 0
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # 0-2 identical (j=1.0); 0-1 and 1-2 share most shingles; 3 pairs with nobody
+    assert (0, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_minhash_estimates_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(docs, n=3, num_hashes=128, bands=64).collect()
+    }
+    assert (0, 2) in est and est[(0, 2)] == 1.0
+    for pair, e in est.items():
+        assert abs(e - exact.get(pair, 0.0)) < 0.25  # 128 hashes ⇒ σ≈0.044
+
+
+def test_minhash_signature_shape(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=16).first()
+    assert len(sig.signature) == 16
+
+
+def test_simhash_locality(spark):
+    fp = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert fp[0] == fp[2]  # identical after normalization
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(fp[0], fp[1]) < hamming(fp[0], fp[3])

@@ -1,0 +1,60 @@
+"""Haversine + kNN: known distances, broadcast vs banded equivalence."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.geo import EARTH_RADIUS_M, haversine_meters
+from gpi_etl_spark.operators.geo_knn import bucketed_knn, knn_join
+
+
+def test_haversine_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0.0, 0.0, 0.0, 1.0),    # 1° lon at equator
+            (0.0, 0.0, 1.0, 0.0),    # 1° lat
+            (0.0, 0.0, 0.0, 0.0),    # same point
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    out = [
+        r.d
+        for r in df.select(
+            haversine_meters("lat1", "lon1", "lat2", "lon2").alias("d")
+        ).collect()
+    ]
+    one_degree = EARTH_RADIUS_M * math.pi / 180  # ≈ 111.195 km
+    assert abs(out[0] - one_degree) < 1.0
+    assert abs(out[1] - one_degree) < 1.0
+    assert out[2] == 0.0
+
+
+def _stores(spark, n=200):
+    rows = [
+        (f"s{i}", (i * 37 % 600) / 10.0 - 30.0, (i * 91 % 1800) / 10.0 - 90.0, "X")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "POS_NM string, LTT double, LGT double, CTGRY_NM string")
+
+
+def test_knn_join_top3(spark):
+    stores = _stores(spark)
+    queries = spark.createDataFrame([(1, 0.0, 0.0)], "query_id int, lat double, lon double")
+    out = knn_join(queries, stores, k=3)
+    assert out.count() == 3
+    dists = [r.mdist for r in out.orderBy("row_index").collect()]
+    assert dists == sorted(dists)
+
+
+def test_bucketed_knn_matches_broadcast_within_radius(spark):
+    """The grid-banded scale path must agree with the exact broadcast
+    path whenever true neighbors fall inside the radius."""
+    stores = _stores(spark)
+    queries = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 20.0, 40.0)], "query_id int, lat double, lon double"
+    )
+    exact = knn_join(queries, stores, k=3, round_meters=False)
+    banded = bucketed_knn(queries, stores, radius_m=2_000_000, k=3)
+    e = {(r.query_id, r.POS_NM) for r in exact.filter(F.col("mdist") <= 2_000_000).collect()}
+    b = {(r.query_id, r.POS_NM) for r in banded.collect()}
+    assert b == e

@@ -1,0 +1,50 @@
+"""Text analysis: token counts, language guess, fingerprint stability."""
+
+from gpi_etl_spark.operators import textstats
+
+
+def _profile(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return textstats.text_profile(df).first()
+
+
+def test_token_counts(spark):
+    p = _profile(spark, "  the quick  brown fox ")
+    assert p.n_tokens == 4
+    assert p.n_subtokens == 4
+
+
+def test_bpe_ish_splits_digit_boundaries(spark):
+    p = _profile(spark, "ab12cd x9")
+    assert p.n_tokens == 2
+    assert p.n_subtokens == 5  # ab|12|cd + x|9
+
+
+def test_punct_ratio(spark):
+    p = _profile(spark, "a,b,c")
+    assert abs(p.punct_ratio - 2 / 5) < 1e-9
+
+
+def test_language_guess(spark):
+    assert _profile(spark, "the cat is in the house").lang_guess == "en"
+    assert _profile(spark, "el perro y la casa que es un gato").lang_guess == "es"
+    assert _profile(spark, "der hund und die katze ist ein tier").lang_guess == "de"
+    assert _profile(spark, "xyzzy plugh").lang_guess == "und"
+
+
+def test_fingerprint_stable_under_small_edit(spark):
+    base = "w" + " w".join(str(i) for i in range(50))
+    edited = base + " extra"
+    different = "z" + " z".join(str(i) for i in range(50))
+    fp_base = _profile(spark, base).fingerprint
+    fp_edit = _profile(spark, edited).fingerprint
+    fp_diff = _profile(spark, different).fingerprint
+    # winnowing min-hash: append rarely changes the minimum piece hash
+    assert fp_base == fp_edit
+    assert fp_base != fp_diff
+
+
+def test_quality_monotonic_in_length(spark):
+    short = _profile(spark, "the a of")
+    long = _profile(spark, " ".join(["the quick brown fox"] * 30))
+    assert long.quality > short.quality

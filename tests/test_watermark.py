@@ -1,0 +1,63 @@
+"""Incremental high-watermark loading (J1/K4)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.watermark import (
+    compute_watermarks,
+    merge_incremental,
+    newer_than_watermark,
+    replace_partition,
+)
+
+
+def _day(d):
+    return dt.date(2024, 1, d)
+
+
+def test_newer_than_watermark_per_key(spark):
+    loaded = spark.createDataFrame(
+        [("A", _day(1)), ("A", _day(5)), ("B", _day(3))], "k string, d date"
+    )
+    incoming = spark.createDataFrame(
+        [("A", _day(4)), ("A", _day(6)), ("B", _day(3)), ("C", _day(1))],
+        "k string, d date",
+    )
+    out = {(r.k, r.d) for r in newer_than_watermark(incoming, loaded, ["k"], "d").collect()}
+    # A@4 ≤ wm(5) dropped, B@3 = wm dropped, A@6 and new key C kept
+    assert out == {("A", _day(6)), ("C", _day(1))}
+
+
+def test_global_watermark_no_keys(spark):
+    loaded = spark.createDataFrame([( _day(5),)], "d date")
+    incoming = spark.createDataFrame([(_day(4),), (_day(7),)], "d date")
+    out = [r.d for r in newer_than_watermark(incoming, loaded, [], "d").collect()]
+    assert out == [_day(7)]
+
+
+def test_merge_is_idempotent(spark):
+    """Second run with the same incoming batch must be a no-op —
+    the reference's re-fetch safety (HTGPISNP500/__init__.py:96-99)."""
+    loaded = spark.createDataFrame([("A", _day(1))], "k string, d date")
+    incoming = spark.createDataFrame([("A", _day(2)), ("A", _day(3))], "k string, d date")
+    once = merge_incremental(incoming, loaded, ["k"], "d")
+    twice = merge_incremental(incoming, once, ["k"], "d")
+    assert once.count() == 3
+    assert twice.count() == 3
+
+
+def test_replace_partition(spark):
+    sink = spark.createDataFrame(
+        [("2024-01", 1.0), ("2024-01", 2.0), ("2024-02", 3.0)], "month string, v double"
+    )
+    fresh = spark.createDataFrame([("2024-01", 9.0)], "month string, v double")
+    out = replace_partition(sink, fresh, F.col("month") == "2024-01")
+    assert {(r.month, r.v) for r in out.collect()} == {("2024-01", 9.0), ("2024-02", 3.0)}
+
+
+def test_compute_watermarks_shape(spark):
+    loaded = spark.createDataFrame([("A", _day(1)), ("A", _day(2))], "k string, d date")
+    wm = compute_watermarks(loaded, ["k"], "d")
+    assert wm.columns == ["k", "wm_d"]
+    assert wm.first().wm_d == _day(2)

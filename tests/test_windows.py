@@ -1,0 +1,65 @@
+"""Window kit: ffill, run flags, sessionize, top-k, run compression."""
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.windows import (
+    compress_runs,
+    forward_fill,
+    run_change_flag,
+    sessionize,
+    top_k_per_group,
+)
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b"), (5, None)], "i long, v string"
+    )
+    out = [r.v for r in forward_fill(df, "v", ["i"]).orderBy("i").collect()]
+    assert out == ["a", "a", "a", "b", "b"]
+
+
+def test_forward_fill_partitioned(spark):
+    df = spark.createDataFrame(
+        [("x", 1, "a"), ("x", 2, None), ("y", 1, None)], "p string, i long, v string"
+    )
+    out = {(r.p, r.i): r.v for r in forward_fill(df, "v", ["i"], ["p"]).collect()}
+    assert out == {("x", 1): "a", ("x", 2): "a", ("y", 1): None}
+
+
+def test_run_change_flag_matches_reference_orden(spark):
+    """geoant-state semantics: 1 on run start, 2 on repeat
+    (HTGPIWASDE/__init__.py:595-599)."""
+    df = spark.createDataFrame(
+        [(1, "US"), (2, "US"), (3, "BR"), (4, "US"), (5, "US")], "i long, geo string"
+    )
+    out = [r.orden for r in run_change_flag(df, "geo", ["i"]).orderBy("i").collect()]
+    assert out == [1, 2, 1, 1, 2]
+
+
+def test_sessionize_gap(spark):
+    rows = [(1, 0), (1, 100), (1, 2000), (2, 0)]  # user, epoch-sec
+    df = spark.createDataFrame(rows, "u long, sec long").withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = {(r.u, r.sec): r.session_id for r in sessionize(df, "u", "ts", 1800).collect()}
+    assert out == {(1, 0): 1, (1, 100): 1, (1, 2000): 2, (2, 0): 1}
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10)], "g string, i long, v double"
+    )
+    out = top_k_per_group(df, ["g"], [F.col("v").desc()], 3).collect()
+    assert sorted(r.i for r in out) == [7, 8, 9]
+    assert sorted(r.row_index for r in out) == [1, 2, 3]
+
+
+def test_compress_runs(spark):
+    """Gaps-and-islands ranges (get_expiration_symbols_ranges,
+    HTGPIPROPHEDEX/__init__.py:174-194)."""
+    df = spark.createDataFrame(
+        [(1, "H25"), (2, "H25"), (3, "K25"), (4, "H25")], "day long, sym string"
+    )
+    out = {(r.sym, r.run_start, r.run_end) for r in compress_runs(df, "sym", "day").collect()}
+    assert out == {("H25", 1, 2), ("K25", 3, 3), ("H25", 4, 4)}
