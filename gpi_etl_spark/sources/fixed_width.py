@@ -34,9 +34,18 @@ def parse_fixed_width(
         raise ValueError("widths and names must align")
     df = lines
     if skip_rows:
+        # monotonically_increasing_id alone is NOT row-ordered across
+        # partitions; it is ordered *within* a partition and partition
+        # ids follow file offsets, so a per-file row_number over it
+        # reproduces pandas' skiprows semantics (per input file).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
         df = (
-            df.withColumn("_line", F.monotonically_increasing_id())
-            .filter(F.col("_line") >= skip_rows)
+            df.withColumn("_line", F.row_number().over(w))
+            .filter(F.col("_line") > skip_rows)
             .drop("_line")
         )
     cols = [F.col(c) for c in keep_cols]
