@@ -1,0 +1,72 @@
+"""Batch model scoring via broadcast + pandas_udf (U1).
+
+The reference deserializes a scikit-learn RandomForest from blob
+storage and calls ``rf.predict`` on a one-row feature frame
+(HTIPNEXSITE/__init__.py:354-358; HTIPPLSITE/__init__.py:388-399). At
+scale the same call becomes: broadcast the fitted model once, select
+the ``GEO_*`` feature columns, and run an Arrow-batched pandas_udf so
+every executor scores its partitions locally — no driver round-trips,
+no per-row Python.
+
+The model only needs a sklearn-style ``predict(ndarray) -> ndarray``;
+sklearn itself is optional (not present in this container — tests use
+a hand-rolled stand-in).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ThresholdModel:
+    """Minimal sklearn-style model (``predict(ndarray) -> ndarray``):
+    1.0 when the selected feature exceeds ``threshold``. Used as the
+    broadcastable stand-in where sklearn isn't installed; a real
+    RandomForest drops in unchanged."""
+
+    def __init__(self, feature_index: int, threshold: float = 0.0):
+        self.feature_index = feature_index
+        self.threshold = threshold
+
+    def predict(self, X):
+        return (X[:, self.feature_index] > self.threshold).astype(float)
+
+
+def feature_columns(df: DataFrame, prefix: str = "GEO_") -> list[str]:
+    """The reference's regex feature selection (`GEO_.` match,
+    HTIPPLSITE/__init__.py:392-394), order-stable."""
+    return [c for c in df.columns if c.startswith(prefix)]
+
+
+def score_with_model(
+    df: DataFrame,
+    model,
+    feature_cols: Sequence[str] | None = None,
+    prefix: str = "GEO_",
+    out_col: str = "forecast",
+    out_type: T.DataType = T.DoubleType(),
+) -> DataFrame:
+    """Append ``model.predict`` output as a column.
+
+    The model is broadcast once per job (Spark pickles the closure per
+    task otherwise — the classic re-serialization trap); each Arrow
+    batch scores vectorized.
+    """
+    cols = list(feature_cols or feature_columns(df, prefix))
+    if not cols:
+        raise ValueError(f"no feature columns with prefix {prefix!r}")
+    bc_model = df.sparkSession.sparkContext.broadcast(model)
+
+    @F.pandas_udf(out_type)
+    def predict(*series: pd.Series) -> pd.Series:
+        features = pd.concat(series, axis=1)
+        features.columns = cols
+        return pd.Series(bc_model.value.predict(features.values)).astype(float)
+
+    return df.withColumn(out_col, predict(*[F.col(f"`{c}`") for c in cols]))

@@ -1,0 +1,150 @@
+"""WASDE supply-and-use sheet extraction (the reference's richest
+pipeline, HTGPIWASDE/__init__.py:136-1196).
+
+Input: the ``wasde_cells`` grid (sheet, row_idx, col_idx, value) —
+what ``read_xls_with_sheetname`` emits (:203-245). The reference then
+runs eight near-identical imperative parsers (process_data_p*,
+:248-1196); here ONE declarative plan covers the supply/use table
+family:
+
+* landmark cells (``WASDE-NNN`` report number, title, units row) are
+  picked with conditional aggregates and broadcast back onto the data
+  rows — one lazy plan end-to-end, no driver collect;
+* the two ``Beginning Stocks`` header rows split the sheet into the
+  EST. / PROJ. blocks (:360-384) — a running count of header rows;
+* geography names forward-fill across blank continuation rows
+  (:593-594 → W4) after footnote-marker stripping (:1198-1202);
+* ``Orden`` is the 1-on-new/2-on-repeat run flag (:595-599 → W5);
+* group headers (``Major Exporters``/``Major Importers``/``World``)
+  forward-fill into a ``Grupo`` column;
+* note/skip rows (``Selected Other``, ``1/ Aggregate…``, blanks) are
+  filtered (:318,466-471 → P7);
+* value columns clean through the ''/'NA'→0 sentinel rules
+  (:1204-1207) and derive Total Use / Stocks to Use (:500-506).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.cleaning import (
+    clean_numeric_sentinels,
+    safe_div,
+    strip_footnote_markers,
+)
+from gpi_etl_spark.operators.windows import forward_fill, run_change_flag
+
+#: numeric columns in sheet order (cols 1..7 of the supply/use table)
+VALUE_COLS = [
+    "Beginning stocks", "Production", "Imports", "Domestic Feed",
+    "Domestic total", "Exports", "Ending stocks",
+]
+GROUP_HEADERS = ["World", "Major Exporters", "Major Importers", "Selected Other"]
+SKIP_MARKERS = ["Selected Other"]
+
+
+def extract_supply_use(
+    cells: DataFrame,
+    sheet: str,
+    daterelease: str,
+    commodity: str,
+    clock: dt.datetime | None = None,
+) -> DataFrame:
+    """Cell grid of one sheet → long-format 22-col supply/use rows."""
+    c = cells.filter(F.col("sheet") == sheet)
+
+    # one row per sheet line: map col_idx → value
+    rows = c.groupBy("row_idx").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("col_idx", "value")))
+        ).alias("m")
+    )
+    col = lambda i: F.col("m").getItem(i)  # noqa: E731
+
+    # landmark cells, broadcast back as a 1-row frame
+    landmarks = c.agg(
+        F.first(F.when(F.col("value").rlike(r"^WASDE-\d+"), F.col("value")), True)
+        .alias("Wasde"),
+        F.first(
+            F.when(F.col("value").rlike("Supply and Use"), F.col("value")), True
+        ).alias("Datos"),
+        F.first(
+            F.when(F.col("value").rlike("Million Metric Tons"), F.col("value")), True
+        ).alias("Medida"),
+    )
+
+    is_header = col(0).rlike("Beginning")  # the 'Beginning Stocks' header rows
+    w = Window.orderBy("row_idx")
+    blocks = rows.withColumn(
+        "block",
+        F.sum(F.when(is_header, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("mes", F.when(is_header, F.trim(col(1))))
+    blocks = forward_fill(blocks, "mes", ["row_idx"])
+
+    geo_raw = F.trim(col(0))
+    is_group = geo_raw.isin(GROUP_HEADERS)
+    data = (
+        blocks.filter(F.col("block") >= 1)
+        .withColumn("geo", strip_footnote_markers(geo_raw))
+        .withColumn("grupo_hdr", F.when(is_group, F.trim(geo_raw)))
+    )
+    data = forward_fill(data, "grupo_hdr", ["row_idx"], out_col="Grupo")
+
+    # row filters (P7): header rows themselves, note rows, skip markers,
+    # rows with no numeric payload at all
+    has_payload = None
+    for i in range(1, len(VALUE_COLS) + 1):
+        cond = F.length(F.trim(F.coalesce(col(i), F.lit("")))) > 0
+        has_payload = cond if has_payload is None else (has_payload | cond)
+    is_header_col = F.col("m").getItem(0).rlike("Beginning")
+    data = data.filter(
+        ~is_header_col
+        & ~F.col("geo").rlike(r"^\d+/")
+        & ~F.trim(F.coalesce(F.col("geo"), F.lit(""))).isin(*SKIP_MARKERS)
+        & has_payload
+    )
+
+    # blank-geography continuation rows carry the previous geography
+    data = data.withColumn(
+        "geo", F.when(F.length("geo") > 0, F.col("geo"))
+    )
+    data = forward_fill(data, "geo", ["row_idx"])
+    data = run_change_flag(data, "geo", ["row_idx"], out_col="Orden")
+
+    for i, name in enumerate(VALUE_COLS, start=1):
+        data = data.withColumn(name, clean_numeric_sentinels(col(i), fill=0))
+
+    total = F.col("Domestic total") + F.col("Exports")
+    data = data.withColumn("Total Use", total).withColumn(
+        "Stocks to Use", safe_div(F.col("Ending stocks") * 100, F.col("Total Use"))
+    )
+
+    stamp = F.lit(clock).cast("timestamp") if clock else F.current_timestamp()
+    return (
+        data.crossJoin(F.broadcast(landmarks))
+        .select(
+            F.lit("WASDE").alias("Origen"),
+            F.lit(f"WASDE_{daterelease}.xls").alias("Archivo"),
+            F.col("Wasde"),
+            F.col("Datos"),
+            F.lit(commodity).alias("Commoditie"),
+            F.col("Medida"),
+            F.col("row_idx").cast("string").alias("DateN"),
+            F.col("mes").alias("HarvestDate"),
+            F.when(F.col("block") == 1, "EST.").otherwise("PROJ.").alias("Tipo"),
+            F.col("Grupo"),
+            F.col("geo").alias("Geography"),
+            F.col("Orden"),
+            F.col("mes").alias("Mes"),
+            *[F.col(n) for n in VALUE_COLS],
+            F.col("Total Use"),
+            F.col("Stocks to Use"),
+            stamp.alias("actualizacion"),
+            F.lit(daterelease).alias("DATERELEASE"),
+        )
+    )
