@@ -50,9 +50,12 @@ def main() -> None:
     from gpi_etl_spark.session import get_spark
 
     spark = get_spark("gpi_bench")
-    # warm the JVM + parquet footers so per-query times measure the
-    # queries, not session startup
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the JVM (codegen/JIT, parquet reader, shuffle machinery) with
+    # one untimed full query so per-query times measure steady state,
+    # not first-stage compilation
+    Q.REGISTRY["q01_pricing_summary"][0](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0

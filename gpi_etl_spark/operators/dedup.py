@@ -51,10 +51,14 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     JVM-side; no Python tokenizer in the hot path.
     """
     toks = F.split(normalize_text(text_col), " ")
-    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    shingles = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    if n == 1:
+        # fast path: no window slicing, just distinct tokens
+        shingles = toks
+    else:
+        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        shingles = F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
         .filter(F.length("shingle") > 0)
