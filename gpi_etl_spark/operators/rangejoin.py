@@ -1,0 +1,79 @@
+"""Banded range (interval) join — the scale path for theta joins.
+
+The reference's only non-equi join is the geo knn pushed to SQL Server
+(``HTIPPLSITE/__init__.py:105-121``); the general shape — "match rows
+whose timestamp falls inside another row's interval" — has no equi key,
+so a naive Spark plan is a broadcast-nested-loop cross join: O(N×M)
+comparisons that will not survive 100 TB.
+
+``band_range_join`` turns it into an equi-join: both sides are hashed
+onto fixed-width time bands (``band_seconds``). A point lands in
+exactly one band; an interval is exploded across every band it
+overlaps. Joining on (optional equi keys ++ band) then re-applying the
+exact predicate gives identical semantics with shuffle-partitionable
+keys. Each point appears in one band, so no dedup is needed.
+
+Cost model: interval fan-out = ceil(interval_len / band) + 1, so pick
+``band_seconds`` ≈ the typical interval length — fan-out stays ~2 while
+each band's candidate set shrinks by N/bands.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BAND = "__band"
+
+
+def band_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    band_seconds: int,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join each interval ``[start_col, end_col)`` to the points whose
+    ``ts_col`` falls inside it (half-open), banding both sides so the
+    physical plan is a shuffled/broadcast equi-join instead of a
+    nested-loop cross join.
+
+    ``keys`` are extra equi-join columns present on BOTH sides (e.g. a
+    user id); they tighten the bands further and must not collide with
+    other column names. All other column names must be disjoint between
+    the two inputs (alias before calling).
+
+    ``how='inner'`` keeps only matched (interval, point) rows;
+    ``how='left'`` keeps unmatched intervals with null point columns
+    (implemented as inner + anti-union so the banding stays an
+    equi-join on both branches).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    def band_of(col: str) -> F.Column:
+        # floor (not int-cast) so pre-1970 timestamps band correctly
+        return F.floor(F.unix_timestamp(F.col(col)) / band_seconds).cast("long")
+
+    i_band = F.explode(F.sequence(band_of(start_col), band_of(end_col))).alias(BAND)
+    p_band = band_of(ts_col)
+
+    lhs = intervals.select("*", i_band)
+    rhs = points.withColumn(BAND, p_band)
+    cond = [*keys, BAND]
+    matched = (
+        lhs.join(rhs, cond)
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop(BAND)
+    )
+    if how == "inner":
+        return matched
+    point_cols = [c for c in points.columns if c not in keys]
+    unmatched = intervals.join(
+        matched.select(*intervals.columns), intervals.columns, "left_anti"
+    ).select("*", *[F.lit(None).alias(c) for c in point_cols])
+    return matched.unionByName(unmatched)

@@ -1294,6 +1294,192 @@ def q44(spark, sf_dir):
     )
 
 
+@query(
+    "q45_date_arithmetic",
+    f"""
+    SELECT o_orderkey,
+           cast(o_orderdate as date) + 30 AS due_date,
+           cast(cast(o_orderdate as date) + INTERVAL 6 MONTH AS date) AS review_date,
+           last_day(cast(o_orderdate as date)) AS month_end,
+           strftime(o_orderdate, '%m-%d-%Y') AS us_fmt,
+           strftime(o_orderdate, '%Y%m%d') AS compact_fmt,
+           cast(quarter(o_orderdate) AS int) AS qtr,
+           {week_of_year_sunday_sql('cast(o_orderdate as date)')} AS wk_sunday,
+           cast(date '1998-12-31' - cast(o_orderdate as date) AS int) AS days_to_eoy,
+           cast(epoch(o_orderdate) AS bigint) AS epoch_s
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def q45(spark, sf_dir):
+    """Date/time arithmetic kit (F-DT2/3/4/5/8 + epoch F-DT6): day and
+    month offsets, month-end, the reference's strftime formats
+    (HTGPIPROPHEDEX/__init__.py:77,133; HTGPIOILWTI/__init__.py:36-37),
+    Sunday-start week-of-year (%U, HTGPICFT/__init__.py:50-60) and epoch
+    seconds — all native expressions, no UDF."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).alias("due_date"),
+        F.add_months("o_orderdate", 6).alias("review_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_format("o_orderdate", "MM-dd-yyyy").alias("us_fmt"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("compact_fmt"),
+        F.quarter("o_orderdate").alias("qtr"),
+        week_of_year_sunday(F.col("o_orderdate").cast("date")).alias("wk_sunday"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q46_streaming_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q46(spark, sf_dir):
+    """True Structured Streaming run of the q29 plan: readStream over
+    the events parquet with a 1-hour watermark, tumbling-window counts,
+    Trigger.AvailableNow into a memory sink — the streaming engine
+    (incremental state store, watermark tracking) executes for real and
+    the final table must equal the batch/DuckDB answer. This is the
+    Spark-native replacement for the reference's batch high-watermark
+    incrementality (SURVEY §2.9)."""
+    import tempfile
+
+    # Land a µs-typed copy first: the file-stream source's schema check
+    # rejects TIMESTAMP(NANOS) parquet even with an explicit schema (the
+    # legacy nanosAsLong conf isn't honored on that path), and a typed
+    # landing zone is the real-world ingestion pattern anyway.
+    landing = os.path.join(tempfile.gettempdir(), "gpi_q46_events_landing")
+    ev = t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    sink = "gpi_stream_q46"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(sink)
+
+
+@query(
+    "q47_band_range_join",
+    """
+    SELECT p.event_id, count(c.event_id) AS n_clicks_30m
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click'
+     AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q47(spark, sf_dir):
+    """Banded range join (operators/rangejoin.py): clicks landing in
+    each purchase's 30-minute follow-up window. The band turns the
+    interval predicate into an equi-join on (user_id, time band) —
+    shuffle-partitionable at 100 TB, no nested-loop cross join."""
+    from gpi_etl_spark.operators.rangejoin import band_range_join
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    hits = band_range_join(
+        purchases,
+        clicks,
+        start_col="start_ts",
+        end_col="end_ts",
+        ts_col="click_ts",
+        band_seconds=1800,
+        keys=["user_id"],
+    )
+    counts = hits.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks_30m"))
+    return purchases.select("event_id").join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_clicks_30m", F.lit(0)).alias("n_clicks_30m")
+    )
+
+
+@query(
+    "q48_embedding_near_dup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.e, b.e)
+                       / (sqrt(list_dot_product(a.e, a.e))
+                          * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+          FROM v a JOIN v b ON a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.4
+    """,
+)
+def q48(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (north-star dedup family):
+    all pairs with cosine ≥ 0.4, thresholded after 6-dp rounding so
+    both engines agree at the boundary. Exact all-pairs is the oracle
+    baseline; the scale path is the same predicate inside SRP-LSH
+    buckets (similarity.lsh_topk) or IVF cells (similarity.ivf_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = emb.select(F.col("vec_id").alias("id_a"), to_double.alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), to_double.alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(similarity.cosine(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.withColumn("cos_sim", sim)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+@query("q49_ivf_topk")  # approximate ANN — rows-only check (no SQL oracle)
+def q49(spark, sf_dir):
+    """IVF approximate nearest neighbors: k-means coarse quantizer →
+    cell equi-join → exact cosine within probed cells. Recall vs the
+    exact baseline is asserted in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.filter(F.col("vec_id") >= 3).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    cents = similarity.train_ivf_centroids(vectors, n_cells=8, sample_rows=512)
+    out = similarity.ivf_topk(
+        vectors, qs, cents, k=5, nprobe=3,
+        query_id="query_id", query_vec="query_vec",
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -1,0 +1,89 @@
+"""band_range_join must equal a naive theta-join on tiny frames."""
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.rangejoin import band_range_join
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    intervals = spark.createDataFrame(
+        [
+            (1, "u1", base, base + dt.timedelta(minutes=30)),
+            (2, "u1", base + dt.timedelta(minutes=45), base + dt.timedelta(minutes=75)),
+            (3, "u2", base, base + dt.timedelta(hours=3)),
+            (4, "u3", base, base + dt.timedelta(minutes=1)),  # never matches
+        ],
+        "iv_id int, user_id string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            ("u1", base, 100),                                 # == start → in
+            ("u1", base + dt.timedelta(minutes=30), 101),      # == end → out (half-open)
+            ("u1", base + dt.timedelta(minutes=50), 102),      # iv 2
+            ("u2", base + dt.timedelta(hours=2, minutes=59), 103),  # iv 3, 2 bands away
+            ("u9", base, 104),                                 # wrong key
+        ],
+        "user_id string, ts timestamp, point_id int",
+    )
+    return intervals, points
+
+
+def naive(intervals, points):
+    return (
+        intervals.alias("i")
+        .join(points.alias("p"), F.expr(
+            "i.user_id = p.user_id AND p.ts >= i.start_ts AND p.ts < i.end_ts"
+        ))
+        .select("iv_id", "point_id")
+    )
+
+
+@pytest.mark.parametrize("band", [60, 600, 3600, 86400])
+def test_matches_naive_all_band_widths(spark, frames, band):
+    intervals, points = frames
+    got = band_range_join(
+        intervals, points, "start_ts", "end_ts", "ts", band, keys=["user_id"]
+    ).select("iv_id", "point_id")
+    want = naive(intervals, points)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert sorted(map(tuple, got.collect())) == [(1, 100), (2, 102), (3, 103)]
+
+
+def test_left_join_keeps_unmatched_intervals(spark, frames):
+    intervals, points = frames
+    got = band_range_join(
+        intervals, points, "start_ts", "end_ts", "ts", 1800,
+        keys=["user_id"], how="left",
+    )
+    rows = {r.iv_id: r.point_id for r in got.collect()}
+    assert rows == {1: 100, 2: 102, 3: 103, 4: None}
+
+
+def test_no_keys_pure_time_band(spark, frames):
+    intervals, points = frames
+    got = band_range_join(
+        intervals.drop("user_id"), points.drop("user_id"),
+        "start_ts", "end_ts", "ts", 900,
+    ).select("iv_id", "point_id")
+    want = (
+        intervals.alias("i")
+        .join(points.alias("p"),
+              F.expr("p.ts >= i.start_ts AND p.ts < i.end_ts"))
+        .select("iv_id", "point_id")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_plan_is_equi_join_not_nested_loop(spark, frames):
+    intervals, points = frames
+    got = band_range_join(
+        intervals, points, "start_ts", "end_ts", "ts", 1800, keys=["user_id"]
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan

