@@ -1480,6 +1480,78 @@ def q49(spark, sf_dir):
     )
 
 
+@query(
+    "q50_distinct_aggs",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q50(spark, sf_dir):
+    """Multiple distinct aggregates in one pass (SURVEY §2.4 notes the
+    reference lacks them; Catalyst's expand-based rewrite covers the
+    gap natively — no manual dedup-then-count staging)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("q51_approx_sketches")  # sketch internals differ per engine — rows-only
+def q51(spark, sf_dir):
+    """Approximate aggregates for 100 TB profiling: HyperLogLog++
+    distinct counts and t-digest-style quantiles per event type. No SQL
+    oracle (DuckDB's HLL/quantile sketches differ by construction);
+    tests bound the error vs exact instead."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q52_salted_join",
+    """
+    SELECT n_name, count(*) AS n_orders,
+           round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+)
+def q52(spark, sf_dir):
+    """Skew-mitigated fact→dim join (operators/skew.py): orders salted
+    across 8 sub-keys of the customer dimension, then nation rollup.
+    Result is identical to the plain join — the salt only reshapes the
+    shuffle — so the oracle is the plain SQL join."""
+    from gpi_etl_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = t(spark, sf_dir, "nation")
+    joined = salted_join(o, c, on="o_custkey", n_salts=8)
+    return (
+        joined.join(
+            F.broadcast(n), joined.c_nationkey == n.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -1,0 +1,63 @@
+"""applyInPandasWithState: state must accumulate across micro-batches."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from gpi_etl_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture(scope="module")
+def two_file_events(spark):
+    """Two parquet files so maxFilesPerTrigger=1 forces two micro-batches."""
+    base = dt.datetime(2024, 1, 1)
+    d = tempfile.mkdtemp()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    batch1 = [(i, base + dt.timedelta(minutes=i), i % 2, float(i)) for i in range(10)]
+    batch2 = [
+        (100 + i, base + dt.timedelta(hours=1, minutes=i), i % 2, float(10 * i))
+        for i in range(6)
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(d)
+    yield d, batch1 + batch2
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_totals_accumulate_across_batches(spark, two_file_events):
+    events_dir, rows = two_file_events
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = running_user_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_running")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+
+    emitted = spark.sql("SELECT * FROM t_running").collect()
+    # update mode appends one row per (user, batch-with-activity) to the
+    # memory sink; the LAST row per user is the final running total
+    assert n_batches >= 2, "maxFilesPerTrigger=1 should force ≥2 micro-batches"
+    assert len(emitted) > len({r.user_id for r in emitted}), (
+        "each user should emit more than once across micro-batches"
+    )
+    final = {}
+    for r in emitted:  # memory sink preserves batch order
+        final[r.user_id] = (r.n_events, r.total_value)
+    want = {}
+    for _eid, _ts, uid, val in rows:
+        n, tot = want.get(uid, (0, 0.0))
+        want[uid] = (n + 1, tot + val)
+    assert final == want
