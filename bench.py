@@ -39,6 +39,9 @@ HEADLINE = [
     "q33_minhash_lsh",
     "q35_embedding_topk",
     "q37_text_profile",
+    "q47_band_range_join",
+    "q50_distinct_aggs",
+    "q52_salted_join",
 ]
 
 
