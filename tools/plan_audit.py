@@ -1,0 +1,59 @@
+"""Physical-plan audit: one line per registry query.
+
+Flags the plan smells that matter at 100 TB:
+  BNL   — BroadcastNestedLoopJoin / CartesianProduct present
+  NOPUSH— parquet scan with no PushedFilters while the query filters
+  PYUDF — Python row-at-a-time UDF (BatchEvalPython) in the plan
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# queries where a cross/BNL join is the declared algorithm (exact
+# all-pairs baselines with a broadcast side), not an accident
+EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_topk",
+                "q48_embedding_near_dup"}
+
+
+def main() -> int:
+    from __spark_entry__ import queries
+    from gpi_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit")
+    bad = 0
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        flags = []
+        if ("BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan):
+            flags.append("BNL" if name in EXPECTED_BNL else "BNL!")
+        if "BatchEvalPython" in plan:
+            flags.append("PYUDF")
+        n_scan = plan.count("FileScan parquet")
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        n_ex = plan.count("Exchange")
+        n_codegen = plan.count("WholeStageCodegen")
+        mark = " ".join(flags) or "ok"
+        if "!" in mark or "PYUDF" in mark:
+            bad += 1
+        print(
+            f"{mark:6s} {name}: scans={n_scan} pushedFilterScans={pushed} "
+            f"exchanges={n_ex} codegenSpans={n_codegen}"
+        )
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
