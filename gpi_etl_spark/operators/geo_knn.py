@@ -70,17 +70,32 @@ def bucketed_knn(
     s_lat: str = "LTT",
     s_lon: str = "LGT",
     distance_col: str = "mdist",
+    round_rank_to: int | None = None,
+    tiebreak: str | None = None,
+    max_abs_lat_deg: float = 75.0,
 ) -> DataFrame:
     """Scale path: grid-cell band join then exact Haversine top-k.
 
-    Each store lands in one integer lat/lon cell of side ≥ radius; each
-    query expands to its 3×3 neighborhood, so the join is an equi-join
-    on the cell key and every true neighbor within ``radius_m`` is in
-    some matched cell. Candidates beyond the radius are filtered before
-    ranking. This replaces the O(Q×S) cross join with O(candidates).
+    ``round_rank_to``/``tiebreak`` make the ranking deterministic across
+    engines (rank on meters rounded to N digits, then the tiebreak
+    column) — needed when the result is hash-compared to an oracle.
+
+    Each store lands in one integer lat/lon cell whose side is ≥ the
+    radius in latitude degrees; each query probes ±1 cell of latitude
+    and ±``lon_reach`` cells of longitude, where lon_reach compensates
+    for longitude degrees shrinking by cos(lat) — sized for the worst
+    latitude the data can reach (``max_abs_lat_deg``; polar data needs
+    a different scheme). Every true neighbor within ``radius_m`` is
+    therefore in some probed cell; candidates beyond the radius are
+    filtered before ranking. This replaces the O(Q×S) cross join with
+    O(candidates) on an equi-join key.
     """
+    import math
+
     # cell side in degrees: worst-case 1° latitude ≈ 111 km
     cell_deg = max(radius_m / 111_000.0, 1e-4)
+    lat_cap = min(abs(max_abs_lat_deg), 89.0)
+    lon_reach = max(1, math.ceil(1.0 / math.cos(math.radians(lat_cap))))
 
     def cell(lat_col: str, lon_col: str) -> list:
         return [
@@ -90,7 +105,7 @@ def bucketed_knn(
 
     s = stores.select("*", *cell(s_lat, s_lon))
     dx = F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("_dx")
-    dy = F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("_dy")
+    dy = F.explode(F.sequence(F.lit(-lon_reach), F.lit(lon_reach))).alias("_dy")
     q = (
         queries.select("*", *cell(q_lat, q_lon))
         .select("*", dx)
@@ -104,7 +119,14 @@ def bucketed_knn(
     pairs = pairs.withColumn(distance_col, dist).filter(
         F.col(distance_col) <= radius_m
     )
-    w = Window.partitionBy(query_id).orderBy(F.col(distance_col).asc())
+    if round_rank_to is not None:
+        pairs = pairs.withColumn(
+            distance_col, F.round(F.col(distance_col), round_rank_to)
+        )
+    order = [F.col(distance_col).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
         pairs.withColumn("row_index", F.row_number().over(w))
         .filter(F.col("row_index") <= k)

@@ -1552,6 +1552,44 @@ def q52(spark, sf_dir):
     )
 
 
+@query(
+    "q53_bucketed_knn",
+    f"""
+    WITH stores AS (
+      SELECT c_name AS POS_NM, {_LAT_SQL} AS LTT, {_LON_SQL} AS LGT
+      FROM customer),
+    q(query_id, lat, lon) AS (VALUES (1, 0.0, 0.0), (2, 10.0, -45.0), (3, -20.0, 60.0)),
+    d AS (
+      SELECT q.query_id, s.POS_NM,
+             {haversine_meters_sql('q.lat', 'q.lon', 's.LTT', 's.LGT')} AS mdist
+      FROM stores s CROSS JOIN q),
+    r AS (SELECT query_id, POS_NM, round(mdist, 0) AS mdist,
+                 cast(row_number() OVER (PARTITION BY query_id
+                      ORDER BY round(mdist, 0), POS_NM) AS int) AS row_index
+          FROM d WHERE mdist <= 2000000)
+    SELECT * FROM r WHERE row_index <= 3
+    """,
+)
+def q53(spark, sf_dir):
+    """J2 scale path: grid-cell banded knn (operators/geo_knn.
+    bucketed_knn) — stores hash to one lat/lon cell, queries probe
+    their 3×3 neighborhood, so the plan is an equi-join on cell keys
+    instead of a cross join. Same answer as the exact radius-bounded
+    knn (the oracle computes it by brute force)."""
+    from gpi_etl_spark.operators.geo_knn import bucketed_knn
+
+    stores = _customer_stores(spark, sf_dir).drop("CTGRY_NM")
+    qdf = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 10.0, -45.0), (3, -20.0, 60.0)],
+        "query_id int, lat double, lon double",
+    )
+    out = bucketed_knn(
+        qdf, stores, radius_m=2_000_000, k=3,
+        round_rank_to=0, tiebreak="POS_NM",
+    )
+    return out.select("query_id", "POS_NM", "mdist", "row_index")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

