@@ -21,6 +21,7 @@ import io
 import json
 import time
 import zipfile
+from html.parser import HTMLParser
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,3 +158,108 @@ def excel_cells(
             for c in range(rng.min_col - 1, rng.max_col):
                 grid[r][c] = anchor
     return grid
+
+
+class _TableParser(HTMLParser):
+    """Minimal stdlib HTML <table> extractor (no bs4/lxml dependency).
+
+    Collects every table as a list of rows of cell strings; colspan
+    repeats the value so downstream header alignment holds (the CPI
+    grid the reference scrapes uses plain cells —
+    HTGPIINFLATUS/__init__.py:80-87).
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.tables: list[list[list[str]]] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._span = 1
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "table":
+            self.tables.append([])
+        elif tag == "tr" and self.tables:
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+            self._span = max(1, int(dict(attrs).get("colspan", 1) or 1))
+
+    def handle_endtag(self, tag):
+        if tag in ("td", "th") and self._cell is not None and self._row is not None:
+            value = "".join(self._cell).strip()
+            self._row.extend([value] * self._span)
+            self._cell = None
+        elif tag == "tr" and self._row is not None and self.tables:
+            if self._row:
+                self.tables[-1].append(self._row)
+            self._row = None
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def html_table(
+    spark: SparkSession,
+    url: str,
+    fetch: Fetch,
+    table_index: int = 0,
+    header_row: int = 0,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """S5: HTML table scan → DataFrame (``pd.read_html(url, header=1)``
+    at HTGPIINFLATUS/__init__.py:80-87, rebuilt on the stdlib parser so
+    the engine carries no scraping dependency)."""
+    parser = _TableParser()
+    parser.feed(fetch(url).decode(encoding))
+    if table_index >= len(parser.tables):
+        raise ValueError(f"page has {len(parser.tables)} tables, wanted {table_index}")
+    rows = parser.tables[table_index]
+    header = [h if h else f"col_{i}" for i, h in enumerate(rows[header_row])]
+    width = len(header)
+    data = [
+        (r + [""] * width)[:width] for r in rows[header_row + 1 :] if any(r)
+    ]
+    return spark.createDataFrame(data, schema=_dedupe(header))
+
+
+def _dedupe(names: Sequence[str]) -> list[str]:
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        k = seen.get(n, 0)
+        out.append(n if k == 0 else f"{n}_{k}")
+        seen[n] = k + 1
+    return out
+
+
+class _LinkParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__()
+        self.links: list[tuple[str, dict]] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            d = dict(attrs)
+            if "href" in d:
+                self.links.append((d["href"], d))
+
+
+def discover_links(
+    html: str,
+    href_contains: str = "",
+    attr: str | None = None,
+) -> list[tuple[str, str | None]]:
+    """S6: link discovery — hrefs (optionally filtered by substring)
+    with one extra attribute pulled per link (the reference scrapes the
+    latest WASDE row's href + ``data-release-date`` —
+    HTGPIWASDE/__init__.py:54-68). Returns newest-first page order."""
+    parser = _LinkParser()
+    parser.feed(html)
+    out = []
+    for href, attrs in parser.links:
+        if href_contains and href_contains not in href:
+            continue
+        out.append((href, attrs.get(attr) if attr else None))
+    return out

@@ -75,3 +75,41 @@ def test_extract_features_deterministic_fake(spark):
 def test_real_decode_paths_are_flagged_stubs(spark):
     with pytest.raises(NotImplementedError):
         resize_images(_media(spark), 64, 64)
+
+
+_CPI_HTML = """
+<html><body>
+<table>
+  <tr><th>Year</th><th>Jan</th><th>Feb</th><th colspan="2">H1</th></tr>
+  <tr><td>2023</td><td>6.4</td><td>6.0</td><td>a</td><td>b</td></tr>
+  <tr><td>2024</td><td>3.1</td><td>–</td><td>c</td><td>d</td></tr>
+</table>
+</body></html>
+"""
+
+_WASDE_INDEX_HTML = """
+<html><body>
+<a href="/release/wasde-0824.xls" data-release-date="2024-08-12">Aug</a>
+<a href="/other/notes.pdf" data-release-date="2024-08-01">notes</a>
+<a href="/release/wasde-0724.xls" data-release-date="2024-07-12">Jul</a>
+</body></html>
+"""
+
+
+def test_html_table_scan(spark):
+    from gpi_etl_spark.sources.connectors import html_table
+
+    df = html_table(spark, "http://x/cpi", fetch=lambda u: _CPI_HTML.encode())
+    assert df.columns == ["Year", "Jan", "Feb", "H1", "H1_1"]
+    rows = {r.Year: r.Feb for r in df.collect()}
+    assert rows == {"2023": "6.0", "2024": "–"}  # sentinel survives to cleaning
+
+
+def test_discover_links_latest_release(spark):
+    from gpi_etl_spark.sources.connectors import discover_links
+
+    links = discover_links(
+        _WASDE_INDEX_HTML, href_contains=".xls", attr="data-release-date"
+    )
+    assert links[0] == ("/release/wasde-0824.xls", "2024-08-12")
+    assert len(links) == 2
