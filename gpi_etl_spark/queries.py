@@ -1590,6 +1590,99 @@ def q53(spark, sf_dir):
     return out.select("query_id", "POS_NM", "mdist", "row_index")
 
 
+@query(
+    "q54_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q54(spark, sf_dir):
+    """CUBE: all grouping-set combinations incl. grand total (SURVEY
+    §2.4 notes grouping sets as built-in Spark surface the reference
+    lacks; complements q41's rollup)."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total")
+    )
+
+
+@query(
+    "q55_running_total",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double)
+               AS running_spend,
+           cast(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS int)
+               AS order_seq
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+)
+def q55(spark, sf_dir):
+    """Window frame specs (rowsBetween running totals) — per-customer
+    cumulative spend in order sequence. Frames are greenfield vs the
+    reference (SURVEY §2.5 note); decimal per-row casts keep the
+    running sum bit-identical to the oracle."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q56_lag_lead_ntile",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             lag(value) OVER w AS prev_value,
+             lead(value) OVER w AS next_value,
+             cast(ntile(4) OVER (PARTITION BY user_id ORDER BY value, ts) AS int)
+                 AS value_quartile
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, ts, value,
+           round(value - coalesce(prev_value, value), 6) AS delta_prev,
+           round(coalesce(next_value, value) - value, 6) AS delta_next,
+           value_quartile
+    FROM s
+    """,
+)
+def q56(spark, sf_dir):
+    """lag/lead/ntile analytics (SURVEY §2.5 notes these as built-in
+    surface beyond the reference): per-user purchase-to-purchase value
+    deltas and within-user value quartiles."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    wq = Window.partitionBy("user_id").orderBy("value", "ts")
+    return ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 6
+        ).alias("delta_prev"),
+        F.round(
+            F.coalesce(F.lead("value").over(w), F.col("value")) - F.col("value"), 6
+        ).alias("delta_next"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
