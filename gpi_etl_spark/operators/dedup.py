@@ -120,8 +120,13 @@ def minhash_signatures(
     Shuffle: exactly one, on doc_id.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    # Hash the variable-length shingle string ONCE, then derive the 64
+    # permutations by hashing the fixed-width 8-byte base long per seed
+    # — far less hashing work per row than 64 string hashes, and wrap-
+    # safe under ANSI mode (unlike multiply-add permutations).
+    sh = sh.withColumn("_base", F.xxhash64(F.col("shingle")))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+        F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"_h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -164,15 +169,26 @@ def minhash_lsh_pairs(
             )
         ),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"),
-                      "band", "bucket")
-    b = banded.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"),
-                      "band", "bucket")
-    cands = (
+    # Band-join on ids only (signatures are 64×8 bytes and would be
+    # duplicated per band through the shuffle); attach each signature
+    # once per surviving pair afterwards.
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pair_ids = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cands = (
+        pair_ids.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")),
+            "id_b",
+        )
     )
     est = (
         F.size(
