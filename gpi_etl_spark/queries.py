@@ -1683,6 +1683,38 @@ def q56(spark, sf_dir):
     )
 
 
+@query(
+    "q57_fuzzy_block_match",
+    """
+    WITH s AS (SELECT p_partkey, upper(trim(p_name)) AS name FROM part),
+    b AS (SELECT p_partkey, name, substring(name, 1, 8) AS blk FROM s)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           cast(levenshtein(a.name, b.name) AS int) AS edit_dist
+    FROM b a JOIN b b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q57(spark, sf_dir):
+    """Blocked fuzzy matching: normalize → block on a name prefix →
+    edit-distance pairs within blocks only. The blocking key turns the
+    all-pairs comparison into an equi-join (same pattern as MinHash
+    bands / IVF cells) — the classic entity-resolution shape for a
+    dedup pipeline at scale; skewed blocks fall to AQE/salting."""
+    s = t(spark, sf_dir, "part").select(
+        "p_partkey", F.upper(F.trim("p_name")).alias("name")
+    )
+    b = s.withColumn("blk", F.substring("name", 1, 8))
+    a2 = b.select(F.col("p_partkey").alias("id_a"), F.col("name").alias("na"), "blk")
+    b2 = b.select(F.col("p_partkey").alias("id_b"), F.col("name").alias("nb"), "blk")
+    return (
+        a2.join(b2, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("na", "nb"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
