@@ -1,0 +1,39 @@
+"""Grouped-map pandas operators (applyInPandas).
+
+The sanctioned escape hatch (SURVEY §2.10) for per-group logic that
+native expressions can't reach: each group arrives as ONE Arrow-backed
+pandas frame on an executor. Everything here is also expressible
+natively (window aggregates) — these exist to keep the UDF path
+exercised and oracle-checked, so real custom logic (model scoring,
+iterative per-group fits) has a proven template. Keep groups bounded:
+one group must fit in one executor's memory — partition-count the keys
+at 100 TB accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def group_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score via applyInPandas (sample stddev, ddof=1);
+    groups with stddev 0/undefined get z=0. Native equivalent: value
+    minus avg-over-window divided by stddev_samp-over-window."""
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out_col} double"
+
+    def fn(pdf):
+        sd = pdf[value_col].std(ddof=1)
+        mu = pdf[value_col].mean()
+        z = (pdf[value_col] - mu) / sd if sd and sd == sd else 0.0
+        return pdf.assign(**{out_col: z})
+
+    return df.groupBy(*group_cols).applyInPandas(fn, out_schema)

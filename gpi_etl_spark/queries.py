@@ -1715,6 +1715,32 @@ def q57(spark, sf_dir):
     )
 
 
+@query(
+    "q58_group_zscore",
+    """
+    SELECT event_id, event_type, value,
+           round(CASE WHEN stddev_samp(value) OVER w IS NULL
+                        OR stddev_samp(value) OVER w = 0 THEN 0.0
+                      ELSE (value - avg(value) OVER w) / stddev_samp(value) OVER w
+                 END, 6) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def q58(spark, sf_dir):
+    """Grouped-map pandas UDF (applyInPandas) oracle-checked against
+    the equivalent SQL window expression: per-event-type z-scores. The
+    UDF path is the engine's extension template (SURVEY §2.10) — this
+    query proves its Arrow batch semantics give bit-stable results."""
+    from gpi_etl_spark.operators.groupedmap import group_zscore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = group_zscore(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", "value", F.round("z", 6).alias("z")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

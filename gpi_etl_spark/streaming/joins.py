@@ -1,0 +1,41 @@
+"""Stream-stream interval joins with watermark-bounded state.
+
+Spark buffers both sides in the state store; the watermark plus the
+time-range condition bound how much it keeps, so state is O(window)
+instead of O(stream). This is the streaming twin of the batch banded
+range join (operators/rangejoin.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """right rows within ``(left_ts - lookback, left_ts]`` per key.
+
+    Both inputs may be streaming; each gets the same event-time
+    watermark so Spark can evict matched/expired state. Column names
+    (beyond ``keys``) must be disjoint.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = F.expr(
+        " AND ".join(
+            [f"l.{k} = r.{k}" for k in keys]
+            + [
+                f"r.{right_ts} > l.{left_ts} - INTERVAL {lookback}",
+                f"r.{right_ts} <= l.{left_ts}",
+            ]
+        )
+    )
+    return lw.alias("l").join(rw.alias("r"), cond, "inner")
