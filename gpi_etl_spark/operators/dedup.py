@@ -256,3 +256,59 @@ def simhash(
             )
         )
     return summed.select(id_col, fingerprint.alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node,
+    component) where component = min node id reachable. This collapses
+    near-dup PAIRS (minhash/simhash/jaccard output) into duplicate
+    CLUSTERS so a pipeline can keep one canonical doc per cluster.
+
+    Iterative min-label propagation: each round every node takes the
+    min label among itself and its neighbors; converges in O(diameter)
+    rounds (near-dup clusters are small, so a handful). Each round is
+    one shuffle (join + groupBy min); the loop is driver-orchestrated
+    with early exit on convergence — the sanctioned pattern for
+    iterative algorithms (SURVEY §3.2: driver orchestrates, each step
+    is one Spark plan). Caches each generation and localCheckpoints
+    every few rounds to keep lineage bounded.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.expr("n.lbl < o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("lbl").alias("component"))

@@ -1741,6 +1741,49 @@ def q58(spark, sf_dir):
     )
 
 
+@query(
+    "q59_dup_clusters",
+    """
+    WITH RECURSIVE norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id % 10 = 0),
+    tok2 AS (SELECT doc_id, shingle
+             FROM (SELECT doc_id,
+                          unnest(list_distinct(string_split(t, ' '))) AS shingle
+                   FROM norm)
+             WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM tok2 a JOIN tok2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b
+              WHERE n_common / (sa.n + sb.n - n_common) >= 0.5),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node, min(lbl) AS component FROM reach GROUP BY node
+    """,
+)
+def q59(spark, sf_dir):
+    """Duplicate clustering: connected components over near-dup pairs
+    (min-label propagation, driver-orchestrated iterations — SURVEY
+    §3.2 pattern: each round is one Spark plan). Pairs are q32's exact
+    unigram-Jaccard ≥ 0.5 set; the oracle computes the same components
+    via a recursive transitive closure. Pipeline use: keep the min
+    doc_id per cluster after any pair-producing dedup stage."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    return dedup.connected_components(pairs)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

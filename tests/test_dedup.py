@@ -65,3 +65,26 @@ def test_simhash_locality(spark):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
     assert hamming(fp[0], fp[1]) < hamming(fp[0], fp[3])
+
+
+def test_connected_components_known_graph(spark):
+    from gpi_etl_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    from gpi_etl_spark.operators.dedup import connected_components
+
+    n = 12  # diameter > a couple of rounds: exercises the iteration loop
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
