@@ -1784,6 +1784,65 @@ def q59(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@query(
+    "q60_histogram",
+    """
+    SELECT event_type,
+           cast(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 1000.0 THEN 21
+                     ELSE floor(value / 50.0) + 1 END AS int) AS bucket,
+           count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q60(spark, sf_dir):
+    """Equi-width histogram per event type (width_bucket) — the data-
+    profiling op a training-data pipeline runs before filtering on a
+    quality score; one shuffle, map-side partial aggregation."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@query(
+    "q61_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, count(*) AS n_events,
+             {dsum} AS total_value
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT *, cast(row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY n_events DESC, user_id) AS int) AS rnk
+          FROM c)
+    SELECT event_type, user_id, n_events, total_value, rnk
+    FROM r WHERE rnk <= 5
+    """.format(dsum=dsum_sql("value")),
+)
+def q61(spark, sf_dir):
+    """Heavy hitters: top-5 most active users per event type — the
+    exact skew-detection pass that feeds operators/skew.top_keys;
+    rank-limit pushdown keeps only k rows per group past the shuffle."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+    out = top_k_per_group(
+        c, ["event_type"], [F.col("n_events").desc(), F.col("user_id").asc()], 5,
+        rank_col="rnk",
+    )
+    return out.select("event_type", "user_id", "n_events", "total_value", "rnk")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
