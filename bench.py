@@ -42,6 +42,7 @@ HEADLINE = [
     "q47_band_range_join",
     "q50_distinct_aggs",
     "q52_salted_join",
+    "q62_corpus_curation",
 ]
 
 

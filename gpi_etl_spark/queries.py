@@ -1843,6 +1843,66 @@ def q61(spark, sf_dir):
     return out.select("event_type", "user_id", "n_events", "total_value", "rnk")
 
 
+_Q62_TOKS = _TOKS_SQL
+_Q62_NORM = _NORM_SQL
+
+
+@query(
+    "q62_corpus_curation",
+    f"""
+    WITH prof AS (
+      SELECT doc_id, lang, text,
+             cast(len({_Q62_TOKS}) AS int) AS n_tokens,
+             CASE WHEN len({_Q62_TOKS}) = 0 THEN 0.0
+                  ELSE len(list_filter({_Q62_TOKS}, x -> list_contains({_SW_EN}, x)))
+                       / len({_Q62_TOKS}) END AS sw_ratio
+      FROM documents),
+    kept AS (SELECT * FROM prof WHERE n_tokens >= 5 AND sw_ratio <= 0.6),
+    hashed AS (SELECT doc_id, lang, n_tokens,
+                      sha256({_Q62_NORM}) AS content_hash
+               FROM kept),
+    dedup AS (SELECT content_hash, min(doc_id) AS doc_id,
+                     count(*) AS dup_count
+              FROM hashed GROUP BY 1)
+    SELECT h.lang, count(*) AS n_docs,
+           {dsum_sql('h.n_tokens', 0)} AS total_tokens,
+           sum(d.dup_count) - count(*) AS n_dropped_dups
+    FROM dedup d JOIN hashed h ON h.doc_id = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q62(spark, sf_dir):
+    """End-to-end corpus curation (the north-star pipeline in one lazy
+    plan): profile → quality filter → normalize-hash exact dedup →
+    per-language token accounting. Every stage is a native expression;
+    Catalyst fuses the profile+filter+hash into the scan projection and
+    the only shuffles are the dedup groupBy and final rollup."""
+    docs = t(spark, sf_dir, "documents")
+    toks = textstats.tokens("text")
+    n_tokens = F.size(toks)
+    sw_ratio = textstats.stopword_ratio("text")
+    kept = docs.select(
+        "doc_id", "lang", "text", n_tokens.alias("n_tokens"),
+        sw_ratio.alias("sw_ratio"),
+    ).filter((F.col("n_tokens") >= 5) & (F.col("sw_ratio") <= 0.6))
+    hashed = kept.select(
+        "doc_id", "lang", "n_tokens",
+        F.sha2(dedup.normalize_text("text"), 256).alias("content_hash"),
+    )
+    deduped = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return (
+        deduped.join(hashed, ["doc_id"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dsum(F.col("n_tokens"), 0).alias("total_tokens"),
+            (F.sum("dup_count") - F.count(F.lit(1))).alias("n_dropped_dups"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
