@@ -38,6 +38,42 @@ class ThresholdModel:
         return (X[:, self.feature_index] > self.threshold).astype(float)
 
 
+class LinearModel:
+    """sklearn-style linear scorer: ``predict(X) = X @ w + b``. Exactly
+    SQL-expressible, so the pandas_udf scoring path can be hash-checked
+    against a dot-product oracle (a RandomForest can't be)."""
+
+    def __init__(self, weights, bias: float = 0.0):
+        import numpy as np
+
+        self.w = np.asarray(weights, dtype=float)
+        self.b = float(bias)
+
+    def predict(self, X):
+        return X @ self.w + self.b
+
+
+def score_vector_column(
+    df: DataFrame,
+    model,
+    vec_col: str = "embedding",
+    out_col: str = "forecast",
+) -> DataFrame:
+    """U1 scoring over an ``array<double>`` feature column (embedding
+    models, featurized vectors): broadcast model + Arrow-batched
+    pandas_udf, one ndarray per batch."""
+    bc_model = df.sparkSession.sparkContext.broadcast(model)
+
+    @F.pandas_udf(T.DoubleType())
+    def predict(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        X = np.vstack(vecs.to_numpy())
+        return pd.Series(bc_model.value.predict(X)).astype(float)
+
+    return df.withColumn(out_col, predict(F.col(vec_col)))
+
+
 def feature_columns(df: DataFrame, prefix: str = "GEO_") -> list[str]:
     """The reference's regex feature selection (`GEO_.` match,
     HTIPPLSITE/__init__.py:392-394), order-stable."""

@@ -1903,6 +1903,35 @@ def q62(spark, sf_dir):
     )
 
 
+_Q63_W = [(((j * 37) % 21) - 10) / 10.0 for j in range(64)]
+_Q63_B = 0.25
+
+
+@query(
+    "q63_model_scoring",
+    f"""
+    SELECT vec_id, label,
+           round(list_dot_product(embedding::DOUBLE[],
+                 [{", ".join(str(w) for w in _Q63_W)}]::DOUBLE[]) + {_Q63_B}, 6)
+               AS forecast
+    FROM embeddings
+    """,
+)
+def q63(spark, sf_dir):
+    """U1 batch model scoring through the REAL udf path (broadcast
+    model + Arrow pandas_udf, operators/score.py) — the model is linear
+    so the oracle recomputes it as a dot product; proves the pandas
+    scoring route bit-stable at 6 dp. A RandomForest drops into the
+    same call unchanged (HTIPNEXSITE/__init__.py:354-358)."""
+    from gpi_etl_spark.operators.score import LinearModel, score_vector_column
+
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = emb.select("vec_id", "label", to_double.alias("embedding"))
+    out = score_vector_column(df, LinearModel(_Q63_W, _Q63_B))
+    return out.select("vec_id", "label", F.round("forecast", 6).alias("forecast"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -120,3 +120,15 @@ def test_wasde_extract_supply_use(spark):
     assert pw.Tipo == "PROJ."
     # note row and group-header rows filtered
     assert not any("Aggregate" in (r.Geography or "") for r in out)
+
+
+def test_linear_model_vector_scoring(spark):
+    from gpi_etl_spark.operators.score import LinearModel, score_vector_column
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = score_vector_column(df, LinearModel([0.5, 1.0, -1.0], bias=2.0))
+    got = {r.vec_id: r.forecast for r in out.collect()}
+    assert got == {1: 0.5 + 2.0 - 3.0 + 2.0, 2: 2.0}
