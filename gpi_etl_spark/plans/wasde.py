@@ -148,3 +148,74 @@ def extract_supply_use(
             F.lit(daterelease).alias("DATERELEASE"),
         )
     )
+
+
+def extract_wheat_classes(
+    cells: DataFrame,
+    sheet: str,
+    daterelease: str,
+    clock: dt.datetime | None = None,
+) -> DataFrame:
+    """P11 wheat-by-class sheet: metrics as rows × classes as columns,
+    flipped to one row per (class, block) with metric columns — the
+    reference's numpy ``.T`` transpose (HTGPIWASDE/__init__.py:358-369,
+    R4) re-expressed as the unpivot→pivot composite (reshape.transpose)
+    plus the EST./PROJ block split (:360-384).
+
+    The class-name header row is collected driver-side (ONE bounded
+    row — the sheet is ~10×7) because transposed column names must be
+    known to build the plan; everything else stays distributed.
+    """
+    from gpi_etl_spark.operators.reshape import transpose
+
+    c = cells.filter(F.col("sheet") == sheet)
+    rows = c.groupBy("row_idx").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("col_idx", "value")))
+        ).alias("m")
+    )
+    col = lambda i: F.col("m").getItem(i)  # noqa: E731
+
+    is_header = col(0).isNull() | (F.trim(col(0)) == "")
+    w = Window.orderBy("row_idx")
+    blocks = rows.withColumn(
+        "block",
+        F.sum(F.when(is_header, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    header = (
+        blocks.filter(is_header).orderBy("row_idx").limit(1).select("m").first()
+    )
+    if header is None:
+        raise ValueError(f"sheet {sheet!r} has no class-header row")
+    classes = []
+    i = 1
+    while header.m.get(i) not in (None, ""):
+        classes.append(header.m[i])
+        i += 1
+
+    out = None
+    for block_no, tipo in ((1, "EST."), (2, "PROJ.")):
+        metrics = (
+            blocks.filter((F.col("block") == block_no) & ~is_header)
+            .select(
+                F.trim(col(0)).alias("metric_name"),
+                *[
+                    clean_numeric_sentinels(col(j + 1), fill=0).alias(cls)
+                    for j, cls in enumerate(classes)
+                ],
+            )
+            .filter(F.length("metric_name") > 0)
+        )
+        flipped = transpose(metrics, "metric_name", classes).withColumnRenamed(
+            "metric", "Class"
+        )
+        flipped = flipped.withColumn("Tipo", F.lit(tipo))
+        out = flipped if out is None else out.unionByName(flipped)
+
+    stamp = F.lit(clock).cast("timestamp") if clock else F.current_timestamp()
+    return out.withColumn("DATERELEASE", F.lit(daterelease)).withColumn(
+        "actualizacion", stamp
+    )

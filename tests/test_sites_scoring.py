@@ -132,3 +132,29 @@ def test_linear_model_vector_scoring(spark):
     out = score_vector_column(df, LinearModel([0.5, 1.0, -1.0], bias=2.0))
     got = {r.vec_id: r.forecast for r in out.collect()}
     assert got == {1: 0.5 + 2.0 - 3.0 + 2.0, 2: 2.0}
+
+
+def test_wasde_extract_wheat_classes(spark):
+    from gpi_etl_spark.plans.wasde import extract_wheat_classes
+
+    grid = [
+        # EST. block: header row (blank corner + class names)
+        (0, 0, ""), (0, 1, "Hard Red Winter"), (0, 2, "Durum"), (0, 3, "White"),
+        (1, 0, "Production"), (1, 1, "20"), (1, 2, "5"), (1, 3, "NA"),
+        (2, 0, "Exports"), (2, 1, "8"), (2, 2, "1"), (2, 3, "2"),
+        # PROJ. block
+        (3, 0, ""), (3, 1, "Hard Red Winter"), (3, 2, "Durum"), (3, 3, "White"),
+        (4, 0, "Production"), (4, 1, "22"), (4, 2, "6"), (4, 3, "7"),
+        (5, 0, "Exports"), (5, 1, "9"), (5, 2, "2"), (5, 3, "3"),
+    ]
+    rows = [("p11", r, c, v) for r, c, v in grid]
+    cells = spark.createDataFrame(
+        rows, "sheet string, row_idx int, col_idx int, value string"
+    )
+    out = extract_wheat_classes(cells, "p11", "2026-01-12", clock=CLOCK).collect()
+    by_key = {(r.Class, r.Tipo): r for r in out}
+    assert len(out) == 6  # 3 classes × 2 blocks
+    assert by_key[("Hard Red Winter", "EST.")].Production == 20.0
+    assert by_key[("White", "EST.")].Production == 0.0  # 'NA' → 0
+    assert by_key[("Durum", "PROJ.")].Exports == 2.0
+    assert all(r.DATERELEASE == "2026-01-12" for r in out)
