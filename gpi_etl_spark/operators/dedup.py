@@ -158,15 +158,11 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(id_col, "signature", band_idx).withColumn(
+        # hash the signature slice (array<long>) directly — no per-band
+        # string materialization
         "bucket",
         F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            )
+            F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band)
         ),
     )
     # Band-join on ids only (signatures are 64×8 bytes and would be
