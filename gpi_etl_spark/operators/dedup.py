@@ -307,4 +307,9 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "— a cluster's diameter exceeds max_iter; raise it"
+        )
     return labels.select(F.col("node"), F.col("lbl").alias("component"))

@@ -95,23 +95,44 @@ def bucketed_knn(
     # cell side in degrees: worst-case 1° latitude ≈ 111 km
     cell_deg = max(radius_m / 111_000.0, 1e-4)
     lat_cap = min(abs(max_abs_lat_deg), 89.0)
-    lon_reach = max(1, math.ceil(1.0 / math.cos(math.radians(lat_cap))))
+    # true longitude half-span of a great-circle disk of radius r at
+    # latitude φ: asin(sin(r/R) / cos φ) — NOT the planar 1/cos φ
+    # (which under-covers at high latitude / large radius)
+    r_deg = math.degrees(radius_m / 6_371_008.8)
+    if lat_cap + r_deg >= 90.0:
+        # the disk can reach the pole: every longitude may hold a
+        # neighbor — probe the full circle (correct, just wider; the
+        # ±1 latitude reach still holds because |Δφ| ≤ r ≤ cell side)
+        lon_span_deg = 180.0
+    else:
+        sin_ratio = math.sin(math.radians(r_deg)) / math.cos(math.radians(lat_cap))
+        lon_span_deg = math.degrees(math.asin(min(1.0, sin_ratio)))
+    lon_reach = max(1, math.ceil(lon_span_deg / cell_deg))
+    # longitude cells are modular so ±180° wraparound neighbors land in
+    # adjacent cell ids (a query at lon 179.9° must see stores at −179.9°)
+    n_lon_cells = max(1, math.ceil(360.0 / cell_deg))
+
+    def lon_cell(col: F.Column) -> F.Column:
+        return F.pmod(F.floor(col / cell_deg).cast("long"), F.lit(n_lon_cells))
 
     def cell(lat_col: str, lon_col: str) -> list:
         return [
             F.floor(F.col(lat_col) / cell_deg).cast("long").alias("_cx"),
-            F.floor(F.col(lon_col) / cell_deg).cast("long").alias("_cy"),
+            lon_cell(F.col(lon_col)).alias("_cy"),
         ]
 
     s = stores.select("*", *cell(s_lat, s_lon))
     dx = F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("_dx")
-    dy = F.explode(F.sequence(F.lit(-lon_reach), F.lit(lon_reach))).alias("_dy")
+    dy = F.explode(
+        F.sequence(F.lit(-min(lon_reach, n_lon_cells // 2)),
+                   F.lit(min(lon_reach, (n_lon_cells - 1) // 2)))
+    ).alias("_dy")
     q = (
         queries.select("*", *cell(q_lat, q_lon))
         .select("*", dx)
         .select("*", dy)
         .withColumn("_cx", F.col("_cx") + F.col("_dx"))
-        .withColumn("_cy", F.col("_cy") + F.col("_dy"))
+        .withColumn("_cy", F.pmod(F.col("_cy") + F.col("_dy"), F.lit(n_lon_cells)))
         .drop("_dx", "_dy")
     )
     pairs = s.join(q, on=["_cx", "_cy"]).drop("_cx", "_cy")

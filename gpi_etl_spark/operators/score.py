@@ -68,8 +68,12 @@ def score_vector_column(
     def predict(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        X = np.vstack(vecs.to_numpy())
-        return pd.Series(bc_model.value.predict(X)).astype(float)
+        mask = vecs.notna()
+        out = pd.Series(np.nan, index=vecs.index, dtype=float)
+        if mask.any():  # score non-null rows; NULL vectors → NULL score
+            X = np.vstack(vecs[mask].to_numpy())
+            out[mask] = bc_model.value.predict(X)
+        return out
 
     return df.withColumn(out_col, predict(F.col(vec_col)))
 

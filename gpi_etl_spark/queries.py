@@ -1843,23 +1843,19 @@ def q61(spark, sf_dir):
     return out.select("event_type", "user_id", "n_events", "total_value", "rnk")
 
 
-_Q62_TOKS = _TOKS_SQL
-_Q62_NORM = _NORM_SQL
-
-
 @query(
     "q62_corpus_curation",
     f"""
     WITH prof AS (
       SELECT doc_id, lang, text,
-             cast(len({_Q62_TOKS}) AS int) AS n_tokens,
-             CASE WHEN len({_Q62_TOKS}) = 0 THEN 0.0
-                  ELSE len(list_filter({_Q62_TOKS}, x -> list_contains({_SW_EN}, x)))
-                       / len({_Q62_TOKS}) END AS sw_ratio
+             cast(len({_TOKS_SQL}) AS int) AS n_tokens,
+             CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_EN}, x)))
+                       / len({_TOKS_SQL}) END AS sw_ratio
       FROM documents),
     kept AS (SELECT * FROM prof WHERE n_tokens >= 5 AND sw_ratio <= 0.6),
     hashed AS (SELECT doc_id, lang, n_tokens,
-                      sha256({_Q62_NORM}) AS content_hash
+                      sha256({_NORM_SQL}) AS content_hash
                FROM kept),
     dedup AS (SELECT content_hash, min(doc_id) AS doc_id,
                      count(*) AS dup_count

@@ -176,24 +176,42 @@ class _TableParser(HTMLParser):
         self._cell: list[str] | None = None
         self._span = 1
 
+    def _flush_cell(self):
+        if self._cell is not None and self._row is not None:
+            value = "".join(self._cell).strip()
+            self._row.extend([value] * self._span)
+            self._cell = None
+
+    def _flush_row(self):
+        self._flush_cell()
+        if self._row is not None and self.tables:
+            if self._row:
+                self.tables[-1].append(self._row)
+            self._row = None
+
     def handle_starttag(self, tag, attrs):
+        # HTML5 allows omitted </td>/</tr>: a new cell/row start tag
+        # implicitly closes the open one — flush, don't discard
         if tag == "table":
+            self._flush_row()
             self.tables.append([])
         elif tag == "tr" and self.tables:
+            self._flush_row()
             self._row = []
         elif tag in ("td", "th") and self._row is not None:
+            self._flush_cell()
             self._cell = []
             self._span = max(1, int(dict(attrs).get("colspan", 1) or 1))
 
     def handle_endtag(self, tag):
-        if tag in ("td", "th") and self._cell is not None and self._row is not None:
-            value = "".join(self._cell).strip()
-            self._row.extend([value] * self._span)
-            self._cell = None
-        elif tag == "tr" and self._row is not None and self.tables:
-            if self._row:
-                self.tables[-1].append(self._row)
-            self._row = None
+        if tag in ("td", "th"):
+            self._flush_cell()
+        elif tag in ("tr", "table"):
+            self._flush_row()
+
+    def close(self):
+        self._flush_row()  # unterminated markup at EOF
+        super().close()
 
     def handle_data(self, data):
         if self._cell is not None:
@@ -213,15 +231,23 @@ def html_table(
     the engine carries no scraping dependency)."""
     parser = _TableParser()
     parser.feed(fetch(url).decode(encoding))
+    parser.close()
     if table_index >= len(parser.tables):
         raise ValueError(f"page has {len(parser.tables)} tables, wanted {table_index}")
     rows = parser.tables[table_index]
+    if len(rows) <= header_row:
+        raise ValueError(
+            f"table {table_index} has {len(rows)} rows, no header row {header_row}"
+        )
     header = [h if h else f"col_{i}" for i, h in enumerate(rows[header_row])]
     width = len(header)
     data = [
         (r + [""] * width)[:width] for r in rows[header_row + 1 :] if any(r)
     ]
-    return spark.createDataFrame(data, schema=_dedupe(header))
+    # explicit all-string schema so a header-only table yields an empty
+    # DataFrame instead of a schema-inference error
+    schema = ", ".join(f"`{c}` string" for c in _dedupe(header))
+    return spark.createDataFrame(data, schema=schema)
 
 
 def _dedupe(names: Sequence[str]) -> list[str]:

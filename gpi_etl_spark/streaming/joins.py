@@ -38,4 +38,7 @@ def interval_join(
             ]
         )
     )
-    return lw.alias("l").join(rw.alias("r"), cond, "inner")
+    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    # keep ONE copy of each key (expression joins retain both sides,
+    # which would make the keys ambiguous downstream)
+    return joined.drop(*[rw[k] for k in keys])

@@ -11,7 +11,6 @@ transactionally per batch id.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -26,16 +25,25 @@ def upsert_batch(
     ts_col: str,
 ) -> None:
     """Merge one batch into the parquet table at ``path``: per key keep
-    the row with the highest ``ts_col`` (incoming wins ties). Rewrite
-    is staged to a sibling dir then swapped in, so a crash mid-write
-    leaves the previous table intact."""
+    the row with the highest ``ts_col`` (incoming wins ties).
+
+    The merged result is materialized to a staging dir BEFORE the live
+    table is overwritten (the merge plan reads the live table, so it
+    cannot write over it in one pass). The final overwrite is not
+    atomic on plain parquet — a crash between its delete and commit
+    can lose the table (recover from ``__staging``); a lakehouse
+    format's ``MERGE INTO`` replaces this whole function with a
+    transactional commit.
+    """
     keys = list(keys)
-    if os.path.exists(path):
+    # existence via the Spark filesystem, not os.path — the path may be
+    # an object store (s3a://…) the driver's local FS cannot see
+    try:
         current = spark.read.parquet(path)
         merged = current.withColumn("__src", F.lit(0)).unionByName(
             batch.select(*current.columns).withColumn("__src", F.lit(1))
         )
-    else:
+    except Exception:  # AnalysisException PATH_NOT_FOUND on first batch
         merged = batch.withColumn("__src", F.lit(1))
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).desc(), F.col("__src").desc()
@@ -47,8 +55,11 @@ def upsert_batch(
     )
     staged = path.rstrip("/") + "__staging"
     winner.write.mode("overwrite").parquet(staged)
-    final = spark.read.parquet(staged)
-    final.write.mode("overwrite").parquet(path)
+    spark.read.parquet(staged).write.mode("overwrite").parquet(path)
+    # best-effort staging cleanup (local FS; object stores age it out)
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 def stream_upsert(

@@ -88,3 +88,15 @@ def test_connected_components_converges_on_long_chain(spark):
     )
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    from gpi_etl_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)

@@ -74,3 +74,41 @@ def test_bucketed_knn_high_latitude_no_missed_neighbors(spark):
     got = bucketed_knn(queries, stores, radius_m=100_000, k=3)
     names = {r.POS_NM for r in got.collect()}
     assert names == {"near", "far_east"}
+
+
+def test_bucketed_knn_finds_across_pole_neighbor(spark):
+    """Disk reaching the pole → full-longitude probe: a store on the
+    opposite meridian but within radius via the pole must be found."""
+    q = spark.createDataFrame([(1, 80.0, 0.0)], "query_id int, lat double, lon double")
+    s = spark.createDataFrame(
+        [("overpole", 85.0, 180.0), ("far", 60.0, 90.0)],
+        "POS_NM string, LTT double, LGT double",
+    )
+    got = bucketed_knn(q, s, radius_m=2_000_000, k=3, max_abs_lat_deg=85.0).collect()
+    assert [r.POS_NM for r in got] == ["overpole"]
+
+
+def test_bucketed_knn_antimeridian_wraparound(spark):
+    q = spark.createDataFrame([(1, 0.0, 179.5)], "query_id int, lat double, lon double")
+    s = spark.createDataFrame(
+        [("wrap", 0.0, -179.5)], "POS_NM string, LTT double, LGT double"
+    )
+    got = bucketed_knn(q, s, radius_m=200_000, k=1).collect()
+    assert [r.POS_NM for r in got] == ["wrap"]  # ~111 km across ±180°
+
+
+def test_bucketed_knn_true_lon_span_at_high_latitude(spark):
+    """lat 72°, radius 2000 km: the disk's true longitude span is
+    ~88.2° ≈ 4.9 cells, so a query near its cell's east edge needs a
+    5-cell probe — the planar 1/cos approximation gave only 4 and
+    silently dropped this neighbor (1994 km away, 5 cells east)."""
+    queries = spark.createDataFrame(
+        [(1, 72.0, 17.9)], "query_id int, lat double, lon double"
+    )
+    stores = spark.createDataFrame(
+        [("edge", 88.38, 102.9)], "POS_NM string, LTT double, LGT double"
+    )
+    got = bucketed_knn(
+        queries, stores, radius_m=2_000_000, k=1, max_abs_lat_deg=72.0
+    ).collect()
+    assert [r.POS_NM for r in got] == ["edge"]

@@ -158,3 +158,15 @@ def test_wasde_extract_wheat_classes(spark):
     assert by_key[("White", "EST.")].Production == 0.0  # 'NA' → 0
     assert by_key[("Durum", "PROJ.")].Exports == 2.0
     assert all(r.DATERELEASE == "2026-01-12" for r in out)
+
+
+def test_vector_scoring_null_embedding_gives_null(spark):
+    from gpi_etl_spark.operators.score import LinearModel, score_vector_column
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 1.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    out = score_vector_column(df, LinearModel([2.0, 3.0], bias=1.0))
+    got = {r.vec_id: r.forecast for r in out.collect()}
+    assert got[1] == 6.0
+    assert got[2] is None or got[2] != got[2]  # NULL or NaN, no crash

@@ -113,3 +113,21 @@ def test_discover_links_latest_release(spark):
     )
     assert links[0] == ("/release/wasde-0824.xls", "2024-08-12")
     assert len(links) == 2
+
+
+def test_html_table_omitted_close_tags(spark):
+    """HTML5-valid markup with omitted </td>/</tr> must not lose cells."""
+    from gpi_etl_spark.sources.connectors import html_table
+
+    html = b"<table><tr><th>Year<th>Jan<tr><td>2023<td>6.4<tr><td>2024<td>3.1</table>"
+    df = html_table(spark, "http://x", fetch=lambda u: html)
+    assert df.columns == ["Year", "Jan"]
+    assert {tuple(r) for r in df.collect()} == {("2023", "6.4"), ("2024", "3.1")}
+
+
+def test_html_table_header_only_returns_empty(spark):
+    from gpi_etl_spark.sources.connectors import html_table
+
+    html = b"<table><tr><th>A</th><th>B</th></tr></table>"
+    df = html_table(spark, "http://x", fetch=lambda u: html)
+    assert df.columns == ["A", "B"] and df.count() == 0

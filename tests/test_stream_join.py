@@ -70,3 +70,17 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
     got = {tuple(r) for r in spark.sql("SELECT * FROM t_sj").collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_interval_join_keys_not_ambiguous(spark, events_dir):
+    """Selecting/grouping the join key must work on the result (one key
+    copy survives the expression join)."""
+    df = spark.read.parquet(events_dir)
+    bp, bc = _split(df)
+    out = interval_join(
+        bp, bc, keys=["user_id"], left_ts="p_ts", right_ts="c_ts",
+        lookback="15 minutes",
+    )
+    assert out.columns.count("user_id") == 1
+    agg = out.groupBy("user_id").count().collect()  # no AMBIGUOUS_REFERENCE
+    assert len(agg) > 0
