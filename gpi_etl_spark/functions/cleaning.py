@@ -44,7 +44,9 @@ def clean_numeric_sentinels(
         .otherwise(c.try_cast("double"))  # try_cast: garbage → NULL under ANSI
     )
     if fill is not None:
-        out = F.coalesce(out, F.lit(float(fill)))
+        # nanvl first: try_cast('nan') yields double NaN, which is NOT
+        # NULL — the reference's fillna(0) replaces it, so must we
+        out = F.coalesce(F.nanvl(out, F.lit(None).cast("double")), F.lit(float(fill)))
     return out
 
 

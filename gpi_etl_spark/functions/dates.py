@@ -77,6 +77,9 @@ def epoch_seconds(ts: Column | str) -> Column:
 
 
 def from_epoch_seconds(sec: Column | str) -> Column:
-    """epoch seconds → timestamp (``pd.to_datetime(unit='s')``)."""
+    """epoch seconds → timestamp (``pd.to_datetime(unit='s')``).
+
+    Direct ``timestamp_seconds`` — one conversion, no round-trip
+    through a session-timezone string format/parse."""
     c = F.col(sec) if isinstance(sec, str) else sec
-    return F.to_timestamp(F.from_unixtime(c))
+    return F.timestamp_seconds(c)

@@ -38,7 +38,9 @@ def haversine_meters(
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * F.pow(F.sin(dlon / 2), 2)
     )
-    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # clamp: float error near antipodes can push a to 1 + ulp, and
+    # asin(sqrt(>1)) is NaN — clamp on BOTH engines (see the SQL twin)
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def haversine_meters_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -48,8 +50,8 @@ def haversine_meters_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     DuckDB evaluate bit-comparable doubles.
     """
     return (
-        f"2 * {EARTH_RADIUS_M} * asin(sqrt("
+        f"2 * {EARTH_RADIUS_M} * asin(sqrt(least(1.0, "
         f"pow(sin(radians({lat2} - {lat1}) / 2), 2) + "
         f"cos(radians({lat1})) * cos(radians({lat2})) * "
-        f"pow(sin(radians({lon2} - {lon1}) / 2), 2)))"
+        f"pow(sin(radians({lon2} - {lon1}) / 2), 2))))"
     )

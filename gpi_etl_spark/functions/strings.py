@@ -55,16 +55,18 @@ def case_when_chain(
 def ticker_commodity_key(symbol: Column | str) -> Column:
     """Commodity key from a futures ticker symbol.
 
-    Reproduces the watermark SQL's CASE (HTGPIPROPHEDEX/__init__.py:
-    78-87): symbols of length 5 or 7 (e.g. ``QCLF26``-style with
-    exchange prefix) take their first two characters; ``@``-prefixed
-    symbols (``@CU25``) take the two characters after the ``@``; other
-    symbols take their first three characters.
+    Reproduces the watermark SQL's CASE exactly (HTGPIPROPHEDEX/
+    __init__.py:78-87): symbols of length 5 or 7 take ``RIGHT(LEFT(s,
+    2), 1)`` — the SECOND character only (so ``@CU25`` → ``C``);
+    otherwise ``@``-prefixed symbols take the two characters after the
+    ``@`` (``RIGHT(LEFT(s, 3), 2)``); other symbols take their first
+    three characters. Note the length rule fires before the ``@`` rule,
+    as in the reference.
     """
     s = F.upper(F.trim(F.col(symbol) if isinstance(symbol, str) else symbol))
     return case_when_chain(
         [
-            (F.length(s).isin(5, 7), F.substring(s, 1, 2)),
+            (F.length(s).isin(5, 7), F.substring(s, 2, 1)),
             (F.substring(s, 1, 1) == "@", F.substring(s, 2, 2)),
         ],
         F.substring(s, 1, 3),
@@ -75,7 +77,7 @@ def ticker_commodity_key_sql(symbol_sql: str) -> str:
     """ANSI-SQL text equivalent of :func:`ticker_commodity_key`."""
     s = f"upper(trim({symbol_sql}))"
     return (
-        f"CASE WHEN length({s}) IN (5, 7) THEN substring({s}, 1, 2) "
+        f"CASE WHEN length({s}) IN (5, 7) THEN substring({s}, 2, 1) "
         f"WHEN substring({s}, 1, 1) = '@' THEN substring({s}, 2, 2) "
         f"ELSE substring({s}, 1, 3) END"
     )

@@ -90,7 +90,15 @@ def asof_join_pandas(
         kwargs = {}
         if tolerance_ms is not None:
             kwargs["tolerance"] = pd.Timedelta(milliseconds=tolerance_ms)
-        return pd.merge_asof(l_pdf, r_pdf, on=on, by=list(by), **kwargs)
+        out = pd.merge_asof(l_pdf, r_pdf, on=on, by=list(by), **kwargs)
+        # merge_asof emits float NaN for unmatched rows even in int
+        # columns; hand Arrow None-backed objects so the declared
+        # integer schema stays valid (NULL, not a garbage cast)
+        for c in value_cols:
+            ac = f"asof_{c}"
+            if out[ac].isna().any():
+                out[ac] = out[ac].astype(object).where(out[ac].notna(), None)
+        return out
 
     return left.groupBy(*by).cogroup(right.groupBy(*by)).applyInPandas(
         lambda l, r: merge(l, r), schema=out_schema

@@ -12,7 +12,8 @@ expression — no UDF, no shuffle, linear scan at any scale.
 Rules are data: ``Rule(pattern, category, field)``. The reference's
 shipped rule list includes two latent bugs (rules written against
 ``poi_type`` but looped over ``poi_name`` values, HTIPPLSITE/__init__
-.py:181,234,239); ``compat=True`` reproduces them, default fixes them.
+.py:181,234,239); ``plans.sites.default_rules(compat=True)`` reproduces
+them, the default list fixes them.
 """
 
 from __future__ import annotations
@@ -70,14 +71,16 @@ def classify_sql(
 ) -> str:
     """ANSI-SQL CASE text equivalent of :func:`classify_expr` (for the
     DuckDB oracle). Uses ``regexp_matches``-compatible syntax."""
+    def q(s: str) -> str:  # SQL string literal (quotes escaped)
+        return "'" + s.replace("'", "''") + "'"
+
     parts = ["CASE"]
     for rule in reversed(list(rules)):
         src = (columns or {}).get(rule.field, rule.field)
-        pat = rule.pattern.replace("'", "''")
         parts.append(
-            f"WHEN regexp_matches({src}, '{pat}') THEN '{rule.category}'"
+            f"WHEN regexp_matches({src}, {q(rule.pattern)}) THEN {q(rule.category)}"
         )
-    parts.append(f"ELSE '{default}' END")
+    parts.append(f"ELSE {q(default)} END")
     return " ".join(parts)
 
 

@@ -26,10 +26,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: date far enough in the past to admit every first-load row
-EPOCH_FLOOR = "1900-01-01"
-
-
 def compute_watermarks(loaded: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
     """Per-key high watermark: ``SELECT keys, MAX(ts) FROM loaded``.
 
@@ -61,9 +57,10 @@ def newer_than_watermark(
         joined = incoming.join(F.broadcast(wm), on=list(keys), how="left")
     else:
         joined = incoming.crossJoin(F.broadcast(wm))
-    floor = F.lit(EPOCH_FLOOR).cast(dict(incoming.dtypes)[ts_col])
+    # NULL watermark (first load / new key) keeps the row — no floor
+    # literal, so numeric/epoch ts columns work the same as timestamps
     return joined.filter(
-        F.col(ts_col) > F.coalesce(F.col(wm_col), floor)
+        F.col(wm_col).isNull() | (F.col(ts_col) > F.col(wm_col))
     ).drop(wm_col)
 
 
@@ -97,4 +94,8 @@ def replace_partition(
     ``sink.filter(~pred) ∪ incoming``; with Delta this is the
     ``replaceWhere`` write option.
     """
-    return sink.filter(~partition_pred).unionByName(incoming.select(*sink.columns))
+    # NULL predicate rows (e.g. NULL partition key) are OUTSIDE the
+    # replaced partition and must be kept — ~NULL is NULL and would
+    # silently drop them without the coalesce
+    keep = ~F.coalesce(partition_pred, F.lit(False))
+    return sink.filter(keep).unionByName(incoming.select(*sink.columns))

@@ -127,11 +127,13 @@ def compress_runs(
         if partition_by
         else Window.orderBy(order_col)
     )
+    # null-safe change detection: <=> keeps contiguous NULL values in
+    # one run and still starts a run on the true partition-first row
     changed = F.when(
-        F.lag(value_col).over(w).isNull()
-        | (F.lag(value_col).over(w) != F.col(value_col)),
-        1,
-    ).otherwise(0)
+        F.row_number().over(w) == 1, 1
+    ).otherwise(
+        (~F.lag(value_col).over(w).eqNullSafe(F.col(value_col))).cast("int")
+    )
     with_run = df.withColumn(
         "_run",
         F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),

@@ -42,6 +42,21 @@ DEFAULT_RULES = [
 ]
 
 
+def default_rules(compat: bool = False) -> list[Rule]:
+    """The shipped rule list. ``compat=True`` reproduces the reference's
+    field-crossover bugs (type-pattern rules applied to the NAME column,
+    HTIPPLSITE/__init__.py:181,234,239) for bug-for-bug parity; the
+    default applies them to ``poi_type`` as intended."""
+    if not compat:
+        return list(DEFAULT_RULES)
+    return [
+        Rule(r.pattern, r.category, field="poi_name")
+        if r.field == "poi_type"
+        else r
+        for r in DEFAULT_RULES
+    ]
+
+
 def classify_pois(pois: DataFrame, rules: Sequence[Rule] = DEFAULT_RULES) -> DataFrame:
     """Accent-fold + punctuation-strip both match fields (:163-171),
     then the ordered rule chain (F-STR9)."""

@@ -56,3 +56,25 @@ def test_pandas_plan_matches_merge_asof(spark):
     )
     got = {(r.k, r.ts): r.asof_rv for r in out.collect()}
     assert got == _expected(left, right)
+
+
+def test_asof_pandas_unmatched_integer_value_is_null(spark):
+    """merge_asof yields NaN for unmatched rows; an int-typed value col
+    must surface as NULL, not crash Arrow or cast garbage."""
+    import datetime as dt
+
+    from gpi_etl_spark.operators.asof import asof_join_pandas
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [("A", base), ("A", base + dt.timedelta(hours=2))],
+        "sym string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", base + dt.timedelta(hours=1), 42)],
+        "sym string, ts timestamp, qty long",
+    )
+    got = {r.ts: r.asof_qty for r in asof_join_pandas(
+        left, right, on="ts", by=["sym"], value_cols=["qty"]).collect()}
+    assert got[base] is None                       # before any right row
+    assert got[base + dt.timedelta(hours=2)] == 42

@@ -64,3 +64,24 @@ def test_multi_field_rules(spark):
     out = {r.poi_name: r.poi_category for r in apply_classifier(df, rules).collect()}
     assert out == {"SUSHI GO": "SUSHI BARS", "TACO": "RESTAURANTES",
                    "SHOP": UNMATCHED}
+
+
+def test_classify_sql_escapes_quotes_in_category(spark):
+    import duckdb
+
+    from gpi_etl_spark.operators.classify import Rule, classify_sql
+
+    sql = classify_sql([Rule("BANK", "D'ONOFRIO")], default="N'A")
+    got = duckdb.sql(f"SELECT {sql.replace('poi_name', chr(39)+'BANK X'+chr(39))} AS c").fetchone()[0]
+    assert got == "D'ONOFRIO"
+
+
+def test_default_rules_compat_reproduces_field_crossover(spark):
+    from gpi_etl_spark.plans.sites import DEFAULT_RULES, default_rules
+
+    fixed = default_rules()
+    compat = default_rules(compat=True)
+    assert [r.field for r in fixed] == [r.field for r in DEFAULT_RULES]
+    crossed = [r for r in compat if r.field == "poi_type"]
+    assert crossed == []  # every type-rule now (buggily) reads poi_name
+    assert len(compat) == len(fixed)

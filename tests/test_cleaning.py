@@ -70,9 +70,6 @@ def test_property_sentinels_match_pandas_reference(spark):
                 clean_numeric_sentinels("raw", fill=0.0).alias("x")
             ).collect()
         ]
-        # pandas to_numeric parses 'nan' as NaN → fillna(0); Spark
-        # try_cast('nan') yields double NaN, which coalesce keeps.
-        got = [0.0 if v != v else v for v in got]
         assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
 
     prop()
@@ -83,3 +80,25 @@ def test_horizontal_sum_skipna(spark):
                                "a double, b double, c double")
     out = [r.v for r in df.select(horizontal_sum(["a", "b", "c"]).alias("v")).collect()]
     assert out == [4.0, 0.0]
+
+
+def test_nan_string_fills_to_zero(spark):
+    """try_cast('nan') yields double NaN (not NULL); fill must replace
+    it, matching pandas to_numeric + fillna(0)."""
+    df = spark.createDataFrame([("nan",), ("2",)], "raw string")
+    got = [r.x for r in df.select(
+        clean_numeric_sentinels("raw", fill=0.0).alias("x")).collect()]
+    assert got == [0.0, 2.0]
+
+
+def test_ticker_key_matches_reference_case(spark):
+    """Reference CASE: len∈(5,7) → 2nd char; @… → 2 chars after @;
+    else first 3 (HTGPIPROPHEDEX/__init__.py:78)."""
+    from gpi_etl_spark.functions.strings import ticker_commodity_key
+
+    df = spark.createDataFrame(
+        [("@CU25",), ("@CUZ25",), ("QCLF26X",), ("CORN",)], "s string"
+    )
+    got = [r.k for r in df.select(ticker_commodity_key("s").alias("k")).collect()]
+    #        len5→'C'   @+6→'CU'   len7→'C'    else→'COR'
+    assert got == ["C", "CU", "C", "COR"]

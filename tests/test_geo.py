@@ -112,3 +112,13 @@ def test_bucketed_knn_true_lon_span_at_high_latitude(spark):
         queries, stores, radius_m=2_000_000, k=1, max_abs_lat_deg=72.0
     ).collect()
     assert [r.POS_NM for r in got] == ["edge"]
+
+
+def test_haversine_antipodes_not_nan(spark):
+    import math
+
+    df = spark.createDataFrame([(30.0, 10.0, -30.0, -170.0)],
+                               "lat1 double, lon1 double, lat2 double, lon2 double")
+    d = df.select(haversine_meters("lat1", "lon1", "lat2", "lon2").alias("d")).first().d
+    assert d == d  # not NaN
+    assert abs(d - math.pi * EARTH_RADIUS_M) < 1000  # half circumference

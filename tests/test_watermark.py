@@ -61,3 +61,30 @@ def test_compute_watermarks_shape(spark):
     wm = compute_watermarks(loaded, ["k"], "d")
     assert wm.columns == ["k", "wm_d"]
     assert wm.first().wm_d == _day(2)
+
+
+def test_numeric_epoch_ts_first_load_kept(spark):
+    """New keys (NULL watermark) must pass even for bigint epoch ts."""
+    from gpi_etl_spark.operators.watermark import newer_than_watermark
+
+    loaded = spark.createDataFrame([("A", 100)], "sym string, ts long")
+    incoming = spark.createDataFrame(
+        [("A", 100), ("A", 101), ("B", 50)], "sym string, ts long"
+    )
+    got = {(r.sym, r.ts) for r in
+           newer_than_watermark(incoming, loaded, ["sym"], "ts").collect()}
+    assert got == {("A", 101), ("B", 50)}  # B is a new key → kept
+
+
+def test_replace_partition_keeps_null_key_rows(spark):
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.watermark import replace_partition
+
+    sink = spark.createDataFrame(
+        [("2024-01", 1.0), (None, 2.0), ("2024-02", 3.0)], "month string, v double"
+    )
+    fresh = spark.createDataFrame([("2024-01", 9.0)], "month string, v double")
+    got = {(r.month, r.v) for r in
+           replace_partition(sink, fresh, F.col("month") == "2024-01").collect()}
+    assert got == {("2024-01", 9.0), (None, 2.0), ("2024-02", 3.0)}

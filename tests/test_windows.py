@@ -63,3 +63,13 @@ def test_compress_runs(spark):
     )
     out = {(r.sym, r.run_start, r.run_end) for r in compress_runs(df, "sym", "day").collect()}
     assert out == {("H25", 1, 2), ("K25", 3, 3), ("H25", 4, 4)}
+
+
+def test_compress_runs_null_values_stay_one_run(spark):
+    from gpi_etl_spark.operators.windows import compress_runs
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, None), (4, "A")], "ord int, sym string"
+    )
+    runs = compress_runs(df, "sym", "ord").orderBy("run_start").collect()
+    assert len(runs) == 3  # A | NULL,NULL | A — NULLs compress together
