@@ -43,6 +43,8 @@ HEADLINE = [
     "q50_distinct_aggs",
     "q52_salted_join",
     "q62_corpus_curation",
+    "q65_sequence_packing",
+    "q68_tfidf_topterms",
 ]
 
 

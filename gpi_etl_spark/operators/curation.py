@@ -1,0 +1,200 @@
+"""Training-data curation operators: deterministic splits, per-group
+sampling, token-budget packing, quantile filtering, decontamination.
+
+These are the corpus-management steps a 100 TB pretraining pipeline runs
+between the raw scan and tokenization. The reference app has no corpus
+stage (its largest load is one spreadsheet — SURVEY.md §6), so this
+module is north-star greenfield; every operator is a narrow composition
+of native column expressions + window functions so Catalyst keeps the
+whole plan in WholeStageCodegen with exactly the shuffles the semantics
+require (one per window/group key).
+
+Design note — cross-engine determinism: sampling and splitting MUST be
+reproducible run-over-run and verifiable against the DuckDB oracle, so
+randomness comes from :func:`mix_hash_sql`, a pure-int64 mixing hash
+both engines evaluate bit-identically, never from ``rand()`` or from
+engine hashes with no cross-engine twin (xxhash64, murmur3). At cluster
+scale this also means a re-run after a lost executor reproduces the
+same split — no RNG state to lose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# LCG constants (Numerical Recipes / glibc) over two 31-bit limbs.
+_MOD = 2_147_483_648  # 2^31: limb and output modulus
+_MIX_A = 1_103_515_245
+_MIX_B = 12_345
+_MIX_C = 1_013_904_223
+
+
+def mix_hash_sql(expr: str, dialect: str = "spark") -> str:
+    """31-bit deterministic mixing hash of a non-negative bigint, as a
+    SQL string valid in both Spark SQL and DuckDB.
+
+    The input is split into two limbs (low 31 bits via ``%``, high bits
+    via an arithmetic right shift — exact in both engines for
+    non-negative inputs) and LCG-combined. Every intermediate stays
+    below 2^62, so the arithmetic never overflows int64 in either
+    engine (DuckDB raises on bigint overflow; Spark would silently
+    wrap) and the two engines agree bit-for-bit — which is exactly what
+    engine-native hashes (xxhash64/murmur) cannot give us for the
+    oracle gate.
+    """
+    lo = f"(({expr}) % {_MOD})"
+    if dialect == "spark":
+        hi = f"shiftright(({expr}), 31)"
+    else:
+        hi = f"(({expr}) >> 31)"
+    return f"(({lo} * {_MIX_A} + {hi} * {_MIX_B} + {_MIX_C}) % {_MOD})"
+
+
+def mix_hash(col: Column | str) -> Column:
+    """Column form of :func:`mix_hash_sql` (same bits)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("long")
+    lo = F.pmod(c, F.lit(_MOD))
+    hi = F.shiftright(c, 31)
+    return F.pmod(lo * _MIX_A + hi * _MIX_B + _MIX_C, F.lit(_MOD))
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed id.
+
+    ``weights`` maps split name → fraction (must sum to ≤ 1; any
+    remainder goes to the last split). Assignment is a pure function of
+    the id — stable across runs, executors, and engines — and is a
+    narrow projection (no shuffle). Cutoffs are compared as integers
+    (``hash < floor(cum_weight * 2^31)``) so there is no float-boundary
+    ambiguity between engines.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = mix_hash(df[id_col])
+    expr = None
+    names = list(weights)
+    for name, cut in zip(names[:-1], split_cutoffs(weights)):
+        branch = F.when(h < cut, name)
+        expr = branch if expr is None else expr.when(h < cut, name)
+    expr = (F.lit(names[-1]) if expr is None else expr.otherwise(names[-1]))
+    return df.withColumn(split_col, expr)
+
+
+def split_cutoffs(weights: dict[str, float]) -> list[int]:
+    """Integer hash cutoffs for all but the last split (shared by the
+    Column path and any SQL oracle so both compare identical ints)."""
+    cuts, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name]
+        cuts.append(int(cum * _MOD))
+    return cuts
+
+
+def group_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows within each group by
+    their mixing hash (tie-broken by id) and keep the first ``k``.
+
+    One shuffle on the group key; at 100 TB this is the scalable
+    replacement for ``sampleBy`` when reproducibility matters more than
+    exact Bernoulli semantics (hash order is uniform, so the sample is
+    unbiased within each group).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        mix_hash(df[id_col]).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def pack_budget_bins(
+    df: DataFrame,
+    size_col: Column | str,
+    partition_col: str,
+    order_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign consecutive documents to fixed-budget bins (sequence
+    packing for training batches).
+
+    Within each ``partition_col`` group, documents are taken in
+    ``order_col`` order and a bin boundary is placed each time the
+    running size total crosses a multiple of ``budget`` — i.e. bin =
+    floor(exclusive-prefix-sum / budget). A document straddling a
+    boundary stays in the bin it started in, so bins can overflow by at
+    most one document (the usual greedy-fill-with-overflow packing; an
+    exact-capacity packer needs stateful iteration — see
+    operators/groupedmap.py for the applyInPandas escape hatch).
+
+    One shuffle (window partition); the prefix sum is a single-pass
+    running aggregate, so the op scales linearly per partition.
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(s).over(w), F.lit(0))
+    return df.withColumn("bin", F.floor(cum_before / budget).cast("int"))
+
+
+def quantile_filter(
+    df: DataFrame,
+    metric: Column | str,
+    group_col: str,
+    keep_top: float = 0.1,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_top`` fraction of each group by ``metric``
+    (exact percentile via window ``percent_rank``, ties broken by
+    ``order_col`` so the cutoff is deterministic).
+
+    This is quality-threshold filtering ("keep the best decile per
+    language"): one shuffle on the group key. For 100 TB, swap the
+    exact window for ``approx_percentile`` cutoffs computed in a first
+    pass and broadcast back (two scans, no giant sort) — same API.
+    """
+    m = F.col(metric) if isinstance(metric, str) else metric
+    w = Window.partitionBy(group_col).orderBy(m.desc(), F.col(order_col).asc())
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .filter(F.col("_pr") < keep_top)
+        .drop("_pr")
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Ids of corpus documents sharing any ``n``-word shingle with the
+    held-out set (benchmark decontamination).
+
+    Inverted-index equi-join on the shingle string: both sides explode
+    to (id, shingle) pairs, join on shingle, distinct corpus ids. The
+    held-out side is typically tiny (an eval benchmark) so Catalyst/AQE
+    broadcasts it; the corpus side streams. At extreme scale, hash the
+    shingles first (``xxhash64``) to shrink shuffle width — equality of
+    hashes is equality of shingles up to collision.
+    """
+    from gpi_etl_spark.operators.dedup import word_shingles
+
+    c = word_shingles(corpus, text_col, id_col, n=n)
+    h = word_shingles(heldout, text_col, id_col, n=n).select("shingle").distinct()
+    return c.join(h, "shingle").select(id_col).distinct()

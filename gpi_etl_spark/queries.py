@@ -40,7 +40,7 @@ from gpi_etl_spark.functions.strings import (
     ticker_commodity_key,
     ticker_commodity_key_sql,
 )
-from gpi_etl_spark.operators import dedup, similarity, textstats
+from gpi_etl_spark.operators import curation, dedup, similarity, textstats
 from gpi_etl_spark.operators.asof import asof_join_union
 from gpi_etl_spark.operators.classify import Rule, classify_expr, classify_sql
 from gpi_etl_spark.operators.featurize import geo_feature_vector
@@ -1926,6 +1926,284 @@ def q63(spark, sf_dir):
     df = emb.select("vec_id", "label", to_double.alias("embedding"))
     out = score_vector_column(df, LinearModel(_Q63_W, _Q63_B))
     return out.select("vec_id", "label", F.round("forecast", 6).alias("forecast"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation kit (north star: deterministic splits, sampling, packing,
+# quality quantiles, TF-IDF, decontamination, PII redaction, sliding windows)
+# ---------------------------------------------------------------------------
+
+#: cross-engine deterministic hash of doc_id (operators/curation.py) —
+#: the DuckDB spelling used by the oracles below.
+_HASH_DK = curation.mix_hash_sql("doc_id", "duckdb")
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_CUT_TRAIN, _CUT_VAL = curation.split_cutoffs(_SPLIT_W)
+
+
+@query(
+    "q64_split_assign",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN {_HASH_DK} < {_CUT_TRAIN} THEN 'train'
+                  WHEN {_HASH_DK} < {_CUT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+    FROM s GROUP BY split, lang
+    """,
+)
+def q64(spark, sf_dir):
+    """Deterministic train/val/test corpus split (curation.split_assign):
+    a pure function of the id via a cross-engine int64 mixing hash, so
+    the split is reproducible across runs, executors, and engines with
+    no RNG state — the scalable replacement for ``randomSplit`` in a
+    pretraining pipeline. Narrow projection, zero shuffle before the
+    reporting aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    out = curation.split_assign(docs, weights=_SPLIT_W)
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "q65_sequence_packing",
+    f"""
+    WITH s AS (SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tok
+               FROM documents),
+    b AS (SELECT lang, n_tok,
+                 cast(floor(cast(coalesce(sum(n_tok) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS bigint) / 512) AS int) AS bin
+          FROM s)
+    SELECT lang, bin, count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS sum_tokens
+    FROM b GROUP BY lang, bin
+    """,
+)
+def q65(spark, sf_dir):
+    """Sequence packing for training batches (curation.pack_budget_bins):
+    running token-count prefix sum per language assigns consecutive docs
+    to fixed-budget bins — one window shuffle, linear per partition."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", textstats.token_count("text")
+    )
+    packed = curation.pack_budget_bins(docs, "n_tok", "lang", "doc_id", budget=512)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )
+
+
+@query(
+    "q66_group_sample",
+    f"""
+    WITH h AS (SELECT doc_id, lang, n_chars, {_HASH_DK} AS hh FROM documents),
+    r AS (SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+    """,
+)
+def q66(spark, sf_dir):
+    """Deterministic k-per-group sampling (curation.group_sample): rank
+    by mixing hash within each language, keep first k. Reproducible
+    unbiased per-group sample — what ``sampleBy`` can't give across
+    engines/retries. One shuffle on the group key."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return curation.group_sample(docs, "lang", "doc_id", k=20)
+
+
+@query(
+    "q67_quality_quantile",
+    f"""
+    WITH s AS (SELECT doc_id, lang, n_chars,
+                      cast(len({_TOKS_SQL}) AS int) AS n_tok FROM documents),
+    p AS (SELECT *, percent_rank() OVER (
+              PARTITION BY lang ORDER BY n_tok DESC, doc_id ASC) AS pr FROM s)
+    SELECT lang, count(*) AS n_kept, min(n_tok) AS min_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM p WHERE pr < 0.1 GROUP BY lang
+    """,
+)
+def q67(spark, sf_dir):
+    """Quality-quantile filtering (curation.quantile_filter): keep the
+    top decile of each language by token count via exact window
+    percent_rank (deterministic tie-break on doc_id). At 100 TB the
+    same API swaps in approx_percentile cutoffs (two scans, no global
+    sort)."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "n_tok", textstats.token_count("text")
+    )
+    kept = curation.quantile_filter(docs, "n_tok", "lang", keep_top=0.1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("n_tok").alias("min_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+@query(
+    "q68_tfidf_topterms",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id % 20 = 0),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM d),
+    scored AS (SELECT doc_id, term, tf, df,
+                      round(tf * ln(n_docs / cast(df AS double)), 6) AS tfidf
+               FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+               FROM scored)
+    SELECT doc_id, term, cast(tf AS bigint) AS tf, cast(df AS bigint) AS df,
+           tfidf, cast(rn AS int) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q68(spark, sf_dir):
+    """TF-IDF top terms per document: explode tokens, term frequency per
+    doc, document frequency per term (shuffle on term), idf broadcast
+    scalar, window top-3 per doc ordered by the 6-dp-rounded score so
+    cross-engine float ulps can't flip ranks. All native expressions —
+    the canonical text-analysis shuffle pattern at corpus scale."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tok = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rn")
+    )
+
+
+@query(
+    "q69_sliding_window",
+    f"""
+    WITH e AS (SELECT ts, event_type, value,
+                      cast(floor(epoch(ts) / 300) AS bigint) * 300 AS s1
+               FROM events),
+    x AS (SELECT make_timestamp((s1 - k.k * 300) * 1000000) AS window_start,
+                 event_type, value
+          FROM e, (VALUES (0), (1)) AS k(k))
+    SELECT window_start, event_type, count(*) AS n, {dsum_sql('value')} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+)
+def q69(spark, sf_dir):
+    """Sliding-window aggregation (batch twin of streaming/windows.py
+    sliding_avg): 10-minute windows sliding every 5 — Spark's ``window``
+    expands each event into width/slide rows then partial-aggregates
+    map-side, so the shuffle carries one row per (window, type), not
+    per event. Oracle replays the expansion with an explicit 2-row
+    unnest."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q70_decontamination",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                 FROM documents),
+    sh AS (SELECT doc_id,
+                  array_to_string(list_slice(toks, u.i + 1, u.i + 3), ' ') AS shingle
+           FROM tok, unnest(generate_series(0, greatest(len(toks) - 3, 0))) AS u(i)),
+    held AS (SELECT DISTINCT shingle FROM sh
+             WHERE doc_id % 97 = 0 AND len(shingle) > 0),
+    hits AS (SELECT DISTINCT s.doc_id FROM sh s JOIN held USING (shingle)
+             WHERE s.doc_id % 97 <> 0)
+    SELECT d.lang, count(*) AS n_contaminated
+    FROM hits JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def q70(spark, sf_dir):
+    """Benchmark decontamination (curation.contaminated_ids): corpus
+    docs sharing any 3-word shingle with a held-out set (ids % 97 = 0).
+    Inverted-index equi-join on the shingle — the held-out side is tiny
+    so AQE broadcasts it; no cross join anywhere."""
+    docs = t(spark, sf_dir, "documents")
+    heldout = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bad = curation.contaminated_ids(corpus, heldout, n=3)
+    return (
+        bad.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "q71_pii_redaction",
+    """
+    WITH s AS (SELECT doc_id,
+                      text || ' contact user' || cast(doc_id AS varchar)
+                           || '@example.com or call +1-555-'
+                           || lpad(cast(doc_id % 10000 AS varchar), 4, '0') AS raw
+               FROM documents),
+    r AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(raw,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+          FROM s)
+    SELECT doc_id, cast(length(red) AS int) AS len_redacted,
+           CASE WHEN red LIKE '%<EMAIL>%' THEN 1 ELSE 0 END AS has_email,
+           CASE WHEN red LIKE '%<PHONE>%' THEN 1 ELSE 0 END AS has_phone
+    FROM r
+    """,
+)
+def q71(spark, sf_dir):
+    """PII redaction over a synthesized contact line (the corpus fixture
+    is PII-free, so the query appends a deterministic email+phone per
+    doc, then strips both with the same regexes in both engines). Pure
+    ``regexp_replace`` — JVM-side, codegen'd, no UDF."""
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.length(red).alias("len_redacted"),
+        F.when(red.contains("<EMAIL>"), 1).otherwise(0).alias("has_email"),
+        F.when(red.contains("<PHONE>"), 1).otherwise(0).alias("has_phone"),
+    )
 
 
 def queries() -> dict[str, QueryFn]:

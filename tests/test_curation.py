@@ -1,0 +1,129 @@
+"""Curation operators: deterministic splits, sampling, packing,
+quantile filtering, decontamination (operators/curation.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (doc_id, lang, n_tok) — sizes chosen to exercise bin overflow
+        (i, "en" if i % 3 else "es", 10 + (i * 7) % 90)
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, lang string, n_tok int")
+
+
+def test_mix_hash_matches_duckdb(spark):
+    ids = list(range(50)) + [2**31 - 1, 2**31, 2**40 + 123, 2**53 + 7, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", curation.mix_hash("doc_id").alias("h")).collect()
+    }
+    sql = curation.mix_hash_sql("doc_id", "duckdb")
+    want = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {sql} AS h FROM (SELECT unnest({ids}) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+    # 31-bit range, not constant
+    assert all(0 <= h < 2**31 for h in got.values())
+    assert len(set(got.values())) > len(ids) - 3
+
+
+def test_split_assign_partitions_everything(docs):
+    out = docs.select("doc_id", "lang").transform(curation.split_assign)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 200
+    assert set(counts) <= {"train", "val", "test"}
+    # 80/10/10 within loose tolerance on 200 ids
+    assert counts["train"] > 120
+    # deterministic across invocations
+    again = docs.select("doc_id", "lang").transform(curation.split_assign)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_group_sample_k_per_group(docs):
+    out = curation.group_sample(docs, "lang", "doc_id", k=5)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 5 for n in sizes.values())
+    assert sizes["en"] == 5 and sizes["es"] == 5
+    # sample is a subset of the input and stable
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids <= set(range(200))
+    again = {r["doc_id"] for r in curation.group_sample(docs, "lang", "doc_id", k=5).collect()}
+    assert ids == again
+
+
+def test_pack_budget_bins_contiguous_and_bounded(docs):
+    budget = 256
+    out = curation.pack_budget_bins(docs, "n_tok", "lang", "doc_id", budget=budget)
+    rows = sorted(
+        out.select("lang", "doc_id", "n_tok", "bin").collect(),
+        key=lambda r: (r["lang"], r["doc_id"]),
+    )
+    max_doc = max(r["n_tok"] for r in rows)
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        # bins start at 0 and never decrease in doc order
+        assert rs[0]["bin"] == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b["bin"] >= a["bin"]
+        # each bin's total ≤ budget + (largest doc - 1): greedy fill
+        # with boundary overflow, never two docs past the boundary
+        totals: dict[int, int] = {}
+        for r in rs:
+            totals[r["bin"]] = totals.get(r["bin"], 0) + r["n_tok"]
+        assert all(v < budget + max_doc for v in totals.values())
+        # bin k ends exactly when the running total crosses (k+1)*budget:
+        # cumulative size through each non-final bin reaches its boundary
+        last = max(totals)
+        running = 0
+        for b in sorted(totals):
+            running += totals[b]
+            if b != last:
+                assert running >= (b + 1) * budget
+
+
+def test_quantile_filter_keeps_top_fraction(docs):
+    out = curation.quantile_filter(docs, "n_tok", "lang", keep_top=0.25)
+    per_lang_in = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    kept = out.collect()
+    per_lang_out: dict[str, list] = {}
+    for r in kept:
+        per_lang_out.setdefault(r["lang"], []).append(r["n_tok"])
+    full = {r["lang"]: [x["n_tok"] for x in docs.collect() if x["lang"] == r["lang"]]
+            for r in kept}
+    for lang, vals in per_lang_out.items():
+        assert len(vals) <= 0.25 * per_lang_in[lang] + 1
+        # everything kept is ≥ everything dropped
+        dropped = sorted(full[lang], reverse=True)[len(vals):]
+        assert not dropped or min(vals) >= max(dropped)
+
+
+def test_contaminated_ids_flags_only_sharers(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # shares "alpha beta gamma"
+            (2, "epsilon zeta eta theta"),      # no overlap
+            (3, "x alpha beta gamma"),          # shares (offset position)
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "alpha beta gamma iota kappa")], "doc_id long, text string"
+    )
+    bad = {r["doc_id"] for r in
+           curation.contaminated_ids(corpus, heldout, n=3).collect()}
+    assert bad == {1, 3}

@@ -15,9 +15,11 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 # queries where a cross/BNL join is the declared algorithm (exact
-# all-pairs baselines with a broadcast side), not an accident
+# all-pairs baselines with a broadcast side), not an accident.
+# q68: crossJoin against a ONE-ROW full aggregate (corpus doc count) —
+# the scalar-subquery broadcast pattern; the "loop" side is 1 row.
 EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_topk",
-                "q48_embedding_near_dup"}
+                "q48_embedding_near_dup", "q68_tfidf_topterms"}
 
 
 def main() -> int:
