@@ -1,0 +1,99 @@
+"""Sink layout control: partitioned writes, range-sorted files, compaction.
+
+The reference's only layout decision is delete-then-reload of a month
+prefix in SQL Server (HTGPIWASDE/__init__.py:74-77,124-134 — K4 in
+SURVEY §2.1). At 100 TB the sink layout IS the query plan for every
+downstream reader, so the engine owns it explicitly:
+
+* **Hive partitioning** by low-cardinality keys (date, symbol) gives
+  partition pruning — a reader filtering one month touches one
+  directory, not the table.
+* **Range-sorted files** on a high-cardinality key give parquet
+  row-group min/max skipping within partitions (the poor man's index).
+* **Compaction** bounds file counts: a daily incremental load that
+  appends 32 task-files/day turns into millions of small files in a
+  year unless someone rewrites them; small files kill scan parallelism
+  economics (driver listing, task-per-file overhead).
+
+All helpers are pure DataFrame-API so they run identically on a laptop
+and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str] = (),
+    files_per_partition: int = 1,
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet with a bounded file count.
+
+    Without the pre-``repartition``, every one of N upstream tasks
+    writes a file into every one of P partition directories — N×P
+    small files. Repartitioning on the partition keys first routes each
+    partition's rows to ``files_per_partition`` tasks, so the layout is
+    P×files_per_partition regardless of upstream parallelism. Within
+    each file, ``sort_cols`` orders rows so parquet run-length/dict
+    encoding and row-group min/max stats actually bite.
+    """
+    parts = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        # salt the router so one hot partition key can still fan out
+        parts = [*parts, F.pmod(F.spark_partition_id(), files_per_partition)]
+    out = df.repartition(*parts)
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    range_cols: Sequence[str],
+    num_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write globally range-ordered parquet: file k holds keys ≤ file
+    k+1's keys, rows sorted inside each file.
+
+    ``repartitionByRange`` samples the key distribution to cut
+    ``num_files`` balanced ranges (skew-resistant, unlike hash), then
+    each task writes one sorted file. Readers filtering on the range
+    key skip whole files/row-groups via parquet min/max — the scalable
+    substitute for an index on a 100 TB fact table, and the layout a
+    sort-merge join can exploit without re-sorting.
+    """
+    out = df.repartitionByRange(num_files, *[F.col(c) for c in range_cols])
+    out = out.sortWithinPartitions(*range_cols)
+    out.write.mode(mode).parquet(path)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_files: int,
+    sort_cols: Sequence[str] = (),
+) -> None:
+    """Rewrite a small-file-fragmented dataset into ``target_files``
+    files (optionally re-sorted). Reads and writes are distributed;
+    nothing flows through the driver. Use a distinct ``dst_path`` and
+    swap atomically at the catalog/manifest layer — overwriting the
+    directory being read is not safe on object stores.
+    """
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(target_files)
+    out.write.mode("overwrite").parquet(dst_path)

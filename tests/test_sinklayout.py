@@ -1,0 +1,72 @@
+"""Sink layout helpers: partitioned writes, range-sorted files,
+compaction (operators/sinklayout.py)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators import sinklayout
+
+
+def _data_files(path: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.basename(f).startswith("part-")
+    ]
+
+
+def test_write_partitioned_one_file_per_partition(spark, tmp_path):
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("day"),
+        (F.col("id") * 3 % 7).alias("v"),
+    ).repartition(8)  # fragmented upstream: naive write => 8 files/partition
+    out = str(tmp_path / "t")
+    sinklayout.write_partitioned(df, out, ["day"], sort_cols=["v"])
+    for d in range(4):
+        files = _data_files(os.path.join(out, f"day={d}"))
+        assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # partition pruning: the day filter lands in PartitionFilters
+    pruned = back.filter(F.col("day") == "2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(day" in plan.split("PartitionFilters", 1)[1][:80]
+    # rows inside the file are sorted by v
+    vals = [r["v"] for r in pq.read_table(_data_files(os.path.join(out, "day=2"))[0]).to_pylist()]
+    assert vals == sorted(vals)
+
+
+def test_write_range_sorted_files_cover_disjoint_ranges(spark, tmp_path):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    ).repartition(16)
+    out = str(tmp_path / "r")
+    sinklayout.write_range_sorted(df, out, ["k"], num_files=4)
+    files = _data_files(out)
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        ks = [r["k"] for r in pq.read_table(f, columns=["k"]).to_pylist()]
+        assert ks == sorted(ks)  # sorted within file
+        spans.append((min(ks), max(ks)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo  # globally disjoint: min/max skipping works
+    assert spark.read.parquet(out).count() == 10_000
+
+
+def test_compact_bounds_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(0, 5000).withColumn("v", F.col("id") % 5).repartition(
+        12
+    ).write.parquet(src)
+    assert len(_data_files(src)) == 12
+    sinklayout.compact(spark, src, dst, target_files=2, sort_cols=["id"])
+    assert len(_data_files(dst)) == 2
+    a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == list(range(5000))
