@@ -2206,6 +2206,46 @@ def q71(spark, sf_dir):
     )
 
 
+@query(
+    "q72_greedy_pack",
+    f"""
+    WITH RECURSIVE ordered AS (
+      SELECT lang, doc_id, cast(len({_TOKS_SQL}) AS int) AS n_tok,
+             cast(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS int) AS rn
+      FROM documents),
+    packed AS (
+      SELECT lang, doc_id, n_tok, rn, n_tok AS cum, 0 AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.lang, o.doc_id, o.n_tok, o.rn,
+             CASE WHEN p.cum + o.n_tok > 512 THEN o.n_tok
+                  ELSE p.cum + o.n_tok END AS cum,
+             CASE WHEN p.cum + o.n_tok > 512 THEN p.bin + 1
+                  ELSE p.bin END AS bin
+      FROM packed p JOIN ordered o ON o.lang = p.lang AND o.rn = p.rn + 1)
+    SELECT lang, bin, count(*) AS n_docs, cast(sum(n_tok) AS bigint) AS sum_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def q72(spark, sf_dir):
+    """Exact-capacity greedy packing (groupedmap.greedy_pack): the
+    iterative running-state-with-reset op that window functions can't
+    express, through the REAL applyInPandas path — and still
+    hash-checked, via a recursive-CTE oracle that replays the same walk
+    row by row. Bins never exceed the budget unless one doc alone does
+    (contrast q65's window-only boundary-overflow packing)."""
+    from gpi_etl_spark.operators.groupedmap import greedy_pack
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", textstats.token_count("text").alias("n_tok")
+    )
+    packed = greedy_pack(docs, "n_tok", "lang", "doc_id", budget=512)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

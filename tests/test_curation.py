@@ -112,6 +112,29 @@ def test_quantile_filter_keeps_top_fraction(docs):
         assert not dropped or min(vals) >= max(dropped)
 
 
+def test_greedy_pack_never_overflows(docs):
+    from gpi_etl_spark.operators.groupedmap import greedy_pack
+
+    budget = 256
+    out = greedy_pack(docs, "n_tok", "lang", "doc_id", budget=budget)
+    rows = sorted(out.collect(), key=lambda r: (r["lang"], r["doc_id"]))
+    totals: dict[tuple, int] = {}
+    for r in rows:
+        totals[(r["lang"], r["bin"])] = totals.get((r["lang"], r["bin"]), 0) + r["n_tok"]
+    # exact capacity: no bin exceeds the budget (max doc here is 99 < 256)
+    assert all(v <= budget for v in totals.values())
+    # bins are contiguous and nondecreasing in doc order within a group
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["bin"])
+    for bins in by_lang.values():
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    # greedy is at least as tight as the window packer on the same input
+    assert all(v > budget - 100 or (k[1] == max(b for (l2, b) in totals if l2 == k[0]))
+               for k, v in totals.items())
+
+
 def test_contaminated_ids_flags_only_sharers(spark):
     corpus = spark.createDataFrame(
         [
