@@ -120,18 +120,100 @@ def extract_features(
     return src.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int, **kwargs) -> DataFrame:
-    """STUB — image resize needs PIL; the distributed shape is the same
-    mapInPandas pipeline as :func:`extract_features`."""
-    raise NotImplementedError(
-        "image resize requires PIL (not in this container); "
-        "implement via mapInPandas exactly like extract_features"
+_RESIZE_SCHEMA = (
+    "media_id long, payload binary, "
+    "meta struct<media_type:string,format:string,width:int,height:int,"
+    "duration_ms:bigint,sample_rate:int>"
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int,
+                 deterministic_fake: bool) -> bytes:
+    """STUB: real resize needs PIL. The fake emits a deterministic
+    payload whose length scales with the target area so batch-size
+    accounting downstream stays realistic."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resize requires PIL (not in this container); "
+            "wire Image.open(BytesIO(payload)).resize((w, h)) here."
+        )
+    if payload is None:
+        return b""
+    seed = (payload[:8] or b"\0") * ((width * height) // max(len(payload[:8]), 1) + 1)
+    return bytes(seed[: width * height])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Image resize with the REAL distributed plumbing (mapInPandas,
+    1:1 rows, payload replaced, meta dims rewritten) and a stubbed
+    codec (see :func:`_resize_stub`). Output schema equals the media
+    schema, so resize composes with any downstream media op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize_stub(p, width, height, deterministic_fake)
+                for p in out["payload"]
+            ]
+            out["meta"] = [
+                None if m is None else {**m, "width": width, "height": height}
+                for m in out["meta"]
+            ]
+            yield out
+
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        run, schema=_RESIZE_SCHEMA
     )
 
 
-def sample_video_frames(df: DataFrame, every_ms: int, **kwargs) -> DataFrame:
-    """STUB — video frame sampling needs PyAV/ffmpeg."""
-    raise NotImplementedError(
-        "video frame sampling requires PyAV/ffmpeg (not in this container); "
-        "implement via mapInPandas exactly like extract_features"
+_FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms bigint, frame_hash string"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: ONE media row fans out to one row per sampled
+    timestamp (the one-to-many mapInPandas shape — a Python UDTF in
+    effect). The frame *grid* comes from real metadata
+    (``meta.duration_ms``); only the pixel decode is stubbed (real
+    impl: PyAV seek + decode per grid point). Emitting per-frame rows
+    rather than arrays keeps each output row narrow, so Spark can
+    repartition frames independently of their source videos — at scale
+    a 2-hour video fans out to thousands of rows that downstream
+    feature extraction processes in parallel."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, hashes = [], [], [], []
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                dur = (meta or {}).get("duration_ms") or 0
+                for k, ts in enumerate(range(0, int(dur), every_ms)):
+                    if not deterministic_fake:
+                        raise NotImplementedError(
+                            "video frame decode requires PyAV/ffmpeg "
+                            "(not in this container)."
+                        )
+                    frame_key = (payload or b"") + ts.to_bytes(8, "big")
+                    ids.append(mid)
+                    idxs.append(k)
+                    tss.append(ts)
+                    hashes.append(hashlib.sha256(frame_key).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "ts_ms": tss,
+                 "frame_hash": hashes}
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(
+        run, schema=_FRAME_SCHEMA
     )

@@ -2246,6 +2246,47 @@ def q72(spark, sf_dir):
     )
 
 
+@query(
+    "q73_frame_grid",
+    """
+    WITH m AS (SELECT doc_id AS media_id, n_chars * 10 AS dur
+               FROM documents WHERE doc_id % 25 = 0),
+    f AS (SELECT media_id, cast(u.i AS int) AS frame_idx,
+                 cast(u.i * 100 AS bigint) AS ts_ms
+          FROM m, unnest(generate_series(0,
+                   cast(floor((dur - 1) / 100.0) AS bigint))) AS u(i)
+          WHERE dur > 0)
+    SELECT media_id, frame_idx, ts_ms FROM f
+    """,
+)
+def q73(spark, sf_dir):
+    """Video frame-sampling fan-out (multimodal.sample_video_frames)
+    through the REAL one-to-many mapInPandas path: synthesized media
+    rows (payload = text bytes, duration = 10 ms/char) fan out to one
+    row per 100 ms grid point. The frame grid derives from genuine
+    metadata, so the oracle replays it with generate_series — the
+    codec-dependent frame_hash column is dropped from the compared
+    output (decode itself stays stubbed; SURVEY §2.10 multimodal)."""
+    from gpi_etl_spark.operators.multimodal import sample_video_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+    return sample_video_frames(media, every_ms=100).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

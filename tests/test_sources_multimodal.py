@@ -73,8 +73,36 @@ def test_extract_features_deterministic_fake(spark):
 
 
 def test_real_decode_paths_are_flagged_stubs(spark):
-    with pytest.raises(NotImplementedError):
-        resize_images(_media(spark), 64, 64)
+    # strict mode defers the raise to the executor codec step
+    strict = resize_images(_media(spark), 64, 64, deterministic_fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        strict.collect()
+
+
+def test_resize_plumbing_rewrites_payload_and_dims(spark):
+    out = resize_images(_media(spark), 8, 4).orderBy("media_id").collect()
+    assert len(out) == 2
+    for r in out:
+        assert len(r.payload) == 8 * 4
+        assert r.meta.width == 8 and r.meta.height == 4
+    # deterministic: same input, same fake payload
+    again = resize_images(_media(spark), 8, 4).orderBy("media_id").collect()
+    assert [bytes(r.payload) for r in out] == [bytes(r.payload) for r in again]
+
+
+def test_sample_video_frames_fans_out_on_duration(spark):
+    from gpi_etl_spark.operators.multimodal import sample_video_frames
+
+    # media 2 has duration 1000 ms → frames at 0, 250, 500, 750
+    out = sample_video_frames(_media(spark), every_ms=250).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert 1 not in by_id  # image: no duration → no frames
+    frames = sorted(by_id[2], key=lambda r: r.frame_idx)
+    assert [f.ts_ms for f in frames] == [0, 250, 500, 750]
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert len({f.frame_hash for f in frames}) == 4  # per-ts distinct hashes
 
 
 _CPI_HTML = """
