@@ -143,6 +143,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float | None = None,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
@@ -153,9 +154,21 @@ def minhash_lsh_pairs(
     optionally filters on it. For verified-exact similarity feed the
     candidates into :func:`ngram_jaccard_pairs` semantics on the pair
     subset.
+
+    The signature table feeds three consumers (banding + both sides of
+    the pair attach), so by default it is persisted MEMORY_AND_DISK
+    rather than recomputed per consumer — signatures cost
+    ``num_hashes × 8`` bytes/doc (≈0.5 TB per billion docs at 64
+    hashes: cluster-cacheable, spills gracefully). Pass
+    ``persist_signatures=False`` to trade two extra corpus passes for
+    zero cache footprint.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    if persist_signatures:
+        from pyspark.storagelevel import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(id_col, "signature", band_idx).withColumn(
         # hash the signature slice (array<long>) directly — no per-band
