@@ -2287,6 +2287,57 @@ def q73(spark, sf_dir):
     )
 
 
+@query(
+    "q74_streaming_session",
+    """
+    WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+    flags AS (SELECT user_id, ts, us,
+              CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (SELECT user_id, ts,
+             cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS sid
+             FROM flags)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q74(spark, sf_dir):
+    """True Structured Streaming session windows (streaming/windows.py
+    session_counts): readStream over events, ``session_window`` with a
+    30-minute gap and watermark, Trigger.AvailableNow into a memory
+    sink. The oracle replays the merge rule exactly — sessions break on
+    gap ≥ 30 min computed in integer MICROSECONDS (epoch_us), matching
+    Spark's end-exclusive interval arithmetic with no float ambiguity;
+    session_end = last event + gap. Streaming state (session merge
+    store) executes for real, and the final table must equal the batch
+    gaps-and-islands answer (q11's family)."""
+    import tempfile
+
+    landing = os.path.join(tempfile.gettempdir(), "gpi_q74_events_landing")
+    ev = t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    from gpi_etl_spark.streaming.windows import session_counts
+
+    agg = session_counts(stream, ts_col="ts", gap="30 minutes",
+                         watermark="30 minutes", user_col="user_id")
+    sink = "gpi_stream_q74"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(sink)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
