@@ -135,6 +135,12 @@ def minhash_signatures(
     )
 
 
+#: at most one LSH signature cache stays pinned per process (see
+#: minhash_lsh_pairs); callers running two LSH jobs truly concurrently
+#: should pass persist_signatures=False on one of them.
+_LIVE_SIG_CACHES: list[DataFrame] = []
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -168,7 +174,13 @@ def minhash_lsh_pairs(
     if persist_signatures:
         from pyspark.storagelevel import StorageLevel
 
+        # Bound cache growth across repeated calls in one session:
+        # drop the previous call's signature cache before pinning this
+        # one (unpersist never breaks lazy plans — they just recompute).
+        while _LIVE_SIG_CACHES:
+            _LIVE_SIG_CACHES.pop().unpersist()
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_SIG_CACHES.append(sig)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(id_col, "signature", band_idx).withColumn(
         # hash the signature slice (array<long>) directly — no per-band

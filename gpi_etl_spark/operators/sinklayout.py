@@ -47,8 +47,13 @@ def write_partitioned(
     """
     parts = [F.col(c) for c in partition_cols]
     if files_per_partition > 1:
-        # salt the router so one hot partition key can still fan out
-        parts = [*parts, F.pmod(F.spark_partition_id(), files_per_partition)]
+        # salt the router with a row-content hash so a hot partition
+        # key fans out to k tasks regardless of the upstream layout
+        # (spark_partition_id-style salts collapse when the input
+        # arrives in fewer partitions than k)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                      F.lit(files_per_partition))
+        parts = [*parts, salt]
     out = df.repartition(*parts)
     if sort_cols:
         out = out.sortWithinPartitions(*partition_cols, *sort_cols)
@@ -95,5 +100,9 @@ def compact(
         out = df.repartitionByRange(target_files, *[F.col(c) for c in sort_cols])
         out = out.sortWithinPartitions(*sort_cols)
     else:
-        out = df.coalesce(target_files)
+        # repartition, not coalesce: coalesce would propagate up and
+        # run the whole fragmented scan in target_files tasks — the
+        # shuffle is worth full read parallelism on exactly the
+        # many-small-files input compaction exists for
+        out = df.repartition(target_files)
     out.write.mode("overwrite").parquet(dst_path)

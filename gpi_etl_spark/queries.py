@@ -85,6 +85,39 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def stream_events(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Open the events table as a real file stream. Lands a µs-typed
+    parquet copy first — the file-stream source rejects TIMESTAMP(NANOS)
+    even with an explicit schema (the legacy nanosAsLong conf isn't
+    honored on that path), and a typed landing zone is the real-world
+    ingestion pattern anyway. The landing dir is keyed by (query name,
+    sf_dir) so concurrent runs against different scale factors don't
+    overwrite each other's listed files mid-stream."""
+    import re
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    landing = os.path.join(tempfile.gettempdir(), f"gpi_{name}_{key}")
+    ev.write.mode("overwrite").parquet(landing)
+    return spark.readStream.schema(ev.schema).parquet(landing)
+
+
+def run_stream_to_table(spark: SparkSession, agg: DataFrame, sink: str) -> DataFrame:
+    """Execute a streaming aggregation to completion (AvailableNow →
+    memory sink, complete mode) and return the final table."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(sink)
+
+
 # exact decimal-sum helpers (see module docstring)
 def dsum(col: F.Column, scale: int = 2) -> F.Column:
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
@@ -1349,16 +1382,7 @@ def q46(spark, sf_dir):
     the final table must equal the batch/DuckDB answer. This is the
     Spark-native replacement for the reference's batch high-watermark
     incrementality (SURVEY §2.9)."""
-    import tempfile
-
-    # Land a µs-typed copy first: the file-stream source's schema check
-    # rejects TIMESTAMP(NANOS) parquet even with an explicit schema (the
-    # legacy nanosAsLong conf isn't honored on that path), and a typed
-    # landing zone is the real-world ingestion pattern anyway.
-    landing = os.path.join(tempfile.gettempdir(), "gpi_q46_events_landing")
-    ev = t(spark, sf_dir, "events")
-    ev.write.mode("overwrite").parquet(landing)
-    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    stream = stream_events(spark, sf_dir, "q46")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -1370,17 +1394,7 @@ def q46(spark, sf_dir):
             "total_value",
         )
     )
-    sink = "gpi_stream_q46"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(sink)
+    return run_stream_to_table(spark, agg, "gpi_stream_q46")
 
 
 @query(
@@ -2074,7 +2088,10 @@ def q68(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     tok = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already holds exactly one row per (doc, term), so document
+    # frequency is a plain count over tf — no second tokenize/explode
+    # pass and no distinct aggregation over the raw token stream
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
@@ -2315,27 +2332,12 @@ def q74(spark, sf_dir):
     session_end = last event + gap. Streaming state (session merge
     store) executes for real, and the final table must equal the batch
     gaps-and-islands answer (q11's family)."""
-    import tempfile
-
-    landing = os.path.join(tempfile.gettempdir(), "gpi_q74_events_landing")
-    ev = t(spark, sf_dir, "events")
-    ev.write.mode("overwrite").parquet(landing)
-    stream = spark.readStream.schema(ev.schema).parquet(landing)
     from gpi_etl_spark.streaming.windows import session_counts
 
+    stream = stream_events(spark, sf_dir, "q74")
     agg = session_counts(stream, ts_col="ts", gap="30 minutes",
                          watermark="30 minutes", user_col="user_id")
-    sink = "gpi_stream_q74"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(sink)
+    return run_stream_to_table(spark, agg, "gpi_stream_q74")
 
 
 def queries() -> dict[str, QueryFn]:
