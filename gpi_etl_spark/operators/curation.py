@@ -176,6 +176,30 @@ def quantile_filter(
     )
 
 
+def shuffle_deterministic(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global shuffle: order the corpus by the mixing hash
+    of the id (ties broken by id).
+
+    Pretraining pipelines must randomize document order, but
+    ``orderBy(rand())`` is neither reproducible nor resumable. Hashing
+    the id gives a permutation that is stable across runs, engines, and
+    partial re-runs — and because ``repartitionByRange`` on the hash
+    both distributes AND orders, the "shuffle" costs exactly one
+    shuffle. Feed the result straight to a writer (file k < file k+1 in
+    hash order) so readers stream the corpus in shuffled order with no
+    further sort.
+    """
+    h = mix_hash(df[id_col]).alias("_shuffle_key")
+    out = df.withColumn("_shuffle_key", h)
+    n = num_partitions or out.rdd.getNumPartitions()
+    out = out.repartitionByRange(n, F.col("_shuffle_key"), F.col(id_col))
+    return out.sortWithinPartitions("_shuffle_key", id_col).drop("_shuffle_key")
+
+
 def contaminated_ids(
     corpus: DataFrame,
     heldout: DataFrame,

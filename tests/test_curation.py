@@ -135,6 +135,20 @@ def test_greedy_pack_never_overflows(docs):
                for k, v in totals.items())
 
 
+def test_shuffle_deterministic_is_a_stable_permutation(docs):
+    out1 = curation.shuffle_deterministic(docs, "doc_id", num_partitions=4)
+    order1 = [r["doc_id"] for r in out1.toLocalIterator()]
+    order2 = [r["doc_id"] for r in
+              curation.shuffle_deterministic(docs, "doc_id", num_partitions=4).toLocalIterator()]
+    assert order1 == order2                      # reproducible
+    assert sorted(order1) == list(range(200))    # a permutation
+    assert order1 != list(range(200))            # actually reordered
+    # hash order, not input order: consecutive ids land far apart
+    pos = {d: i for i, d in enumerate(order1)}
+    adjacent = sum(1 for d in range(199) if abs(pos[d] - pos[d + 1]) == 1)
+    assert adjacent < 20
+
+
 def test_contaminated_ids_flags_only_sharers(spark):
     corpus = spark.createDataFrame(
         [
