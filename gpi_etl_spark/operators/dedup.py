@@ -42,6 +42,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of ``batch`` that are new against BOTH the already-ingested
+    ``history`` and the batch itself (first occurrence by min id).
+
+    The incremental-ingest twin of :func:`exact_dedup`: history is
+    reduced to its distinct content hashes (at 100 TB this is the
+    sink's stored hash column, not a re-scan), the batch keeps its
+    first row per hash via a window, and a left-anti join on the
+    256-bit hash drops everything seen before. Two shuffles (window +
+    anti-join), both on uniform hash keys — no skew.
+    """
+    from pyspark.sql import Window
+
+    h = F.sha2(normalize_text(text_col), 256)
+    hist = history.select(h.alias("content_hash")).distinct()
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    firsts = (
+        batch.withColumn("content_hash", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return firsts.join(hist, "content_hash", "left_anti").drop("content_hash")
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3) -> DataFrame:
     """(id, shingle) pairs of ``n``-word shingles, distinct per doc.

@@ -2340,6 +2340,71 @@ def q74(spark, sf_dir):
     return run_stream_to_table(spark, agg, "gpi_stream_q74")
 
 
+@query(
+    "q75_incremental_dedup",
+    f"""
+    WITH d AS (SELECT doc_id, lang, sha256({_NORM_SQL}) AS h FROM documents),
+    hist AS (SELECT DISTINCT h FROM d WHERE doc_id % 3 = 0),
+    batch AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+    firsts AS (SELECT doc_id, lang, h FROM (
+        SELECT batch.*, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM batch) WHERE rn = 1),
+    new AS (SELECT f.doc_id, f.lang FROM firsts f
+            WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = f.h))
+    SELECT lang, count(*) AS n_new, cast(min(doc_id) AS bigint) AS first_id
+    FROM new GROUP BY lang
+    """,
+)
+def q75(spark, sf_dir):
+    """Incremental exact dedup (dedup.incremental_dedup): a new batch
+    is deduped within itself (first occurrence per sha256 of normalized
+    content) and anti-joined against the already-ingested corpus's
+    hashes — the content-level twin of the watermark pattern (J1), and
+    the op every continuously-fed training corpus runs per ingest.
+    sha256 hex is bit-identical in Spark and DuckDB, so the oracle
+    checks the real hash join, not a simplification."""
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    new = dedup.incremental_dedup(batch, history)
+    return new.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("doc_id").alias("first_id"),
+    )
+
+
+@query(
+    "q76_vocabulary",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+                 WHERE doc_id % 10 = 0),
+    stats AS (SELECT term, count(*) AS n_total, count(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term),
+    kept AS (SELECT * FROM stats WHERE df >= 2)
+    SELECT term, cast(n_total AS bigint) AS n_total, cast(df AS bigint) AS df,
+           cast(row_number() OVER (ORDER BY n_total DESC, term ASC) - 1 AS int)
+               AS vocab_id
+    FROM kept
+    """,
+)
+def q76(spark, sf_dir):
+    """Vocabulary build (tokenizer prep): token totals + document
+    frequency, min-df pruning, then deterministic id assignment by
+    (count desc, term asc). The global row_number runs on the PRUNED
+    vocabulary — an aggregate result orders of magnitude smaller than
+    the corpus — so the single-partition enumeration window is fine at
+    any corpus scale (the corpus-wide work is the one groupBy)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tok = docs.select("doc_id", F.explode(textstats.tokens("text")).alias("term"))
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    kept = stats.filter(F.col("df") >= 2)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("term").asc())
+    return kept.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("int"))
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

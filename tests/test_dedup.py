@@ -100,3 +100,22 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+
+
+def test_incremental_dedup_excludes_history_and_batch_dups(spark):
+    from gpi_etl_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(1, "seen before")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Seen   BEFORE"),   # dup of history after normalization
+            (11, "fresh one"),
+            (12, "fresh one"),       # within-batch dup, keep min id
+            (13, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in incremental_dedup(batch, history).collect())
+    assert got == [11, 13]
