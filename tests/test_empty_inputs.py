@@ -49,3 +49,30 @@ def test_salted_join_empty_facts(spark, empty):
     dims = spark.createDataFrame([(1, "a")], "k int, name string")
     assert salted_join(facts, dims, "k", n_salts=4).count() == 0
     assert salted_join(facts, dims, "k", n_salts=4, hot_keys=[1]).count() == 0
+
+
+def test_curation_ops_on_empty_corpus(spark):
+    from gpi_etl_spark.operators.curation import (
+        contaminated_ids,
+        group_sample,
+        pack_budget_bins,
+        quantile_filter,
+        shuffle_deterministic,
+        split_assign,
+    )
+    from gpi_etl_spark.operators.dedup import incremental_dedup
+    from gpi_etl_spark.operators.groupedmap import greedy_pack
+
+    e = spark.createDataFrame([], "doc_id long, lang string, text string, n_tok int")
+    assert split_assign(e).count() == 0
+    assert group_sample(e, "lang").count() == 0
+    assert pack_budget_bins(e, "n_tok", "lang").count() == 0
+    assert quantile_filter(e, "n_tok", "lang").count() == 0
+    assert shuffle_deterministic(e).count() == 0
+    assert greedy_pack(e, "n_tok", "lang").count() == 0
+    assert contaminated_ids(e, e).count() == 0
+    assert incremental_dedup(e, e).count() == 0
+    # non-empty batch against empty history passes everything through
+    b = spark.createDataFrame([(1, "en", "x", 1)],
+                              "doc_id long, lang string, text string, n_tok int")
+    assert incremental_dedup(b, e).count() == 1
