@@ -176,6 +176,41 @@ def quantile_filter(
     )
 
 
+def quantile_filter_approx(
+    df: DataFrame,
+    metric: Column | str,
+    group_col: str,
+    keep_top: float = 0.1,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB variant of :func:`quantile_filter`: instead of a full
+    per-group sort (window ``percent_rank``), compute each group's
+    cutoff with ``approx_percentile`` in one aggregate pass, broadcast
+    the tiny per-group cutoff table back, and filter.
+
+    Two scans, zero sorts, memory O(groups × accuracy-sketch). The kept
+    fraction is approximate at the cutoff boundary (±1/accuracy
+    quantile error — at accuracy=10k that's ±0.01% of each group);
+    rows strictly above the cutoff are always kept, ties at the cutoff
+    are all kept (deterministic, unlike sampling the boundary).
+    """
+    m = (F.col(metric) if isinstance(metric, str) else metric).alias("_m")
+    cuts = (
+        df.select(F.col(group_col), m)
+        .groupBy(group_col)
+        .agg(
+            F.expr(
+                f"approx_percentile(_m, {1.0 - keep_top}, {accuracy})"
+            ).alias("_cut")
+        )
+    )
+    return (
+        df.join(F.broadcast(cuts), group_col)
+        .filter((F.col(metric) if isinstance(metric, str) else metric) >= F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 def shuffle_deterministic(
     df: DataFrame,
     id_col: str = "doc_id",

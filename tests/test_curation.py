@@ -135,6 +135,20 @@ def test_greedy_pack_never_overflows(docs):
                for k, v in totals.items())
 
 
+def test_quantile_filter_approx_agrees_with_exact(docs):
+    exact = curation.quantile_filter(docs, "n_tok", "lang", keep_top=0.25)
+    approx = curation.quantile_filter_approx(docs, "n_tok", "lang", keep_top=0.25)
+    e = {(r["lang"], r["doc_id"]) for r in exact.collect()}
+    a = {(r["lang"], r["doc_id"]) for r in approx.collect()}
+    # at full accuracy on small groups the cutoff is exact up to ties:
+    # approx keeps a superset bounded by tie-expansion at the boundary
+    assert e <= a
+    assert len(a) <= len(e) + 12  # ties at the cutoff value only
+    # and no sort/window in the approx plan
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+
+
 def test_shuffle_deterministic_is_a_stable_permutation(docs):
     out1 = curation.shuffle_deterministic(docs, "doc_id", num_partitions=4)
     order1 = [r["doc_id"] for r in out1.toLocalIterator()]
