@@ -1,0 +1,90 @@
+"""Data-quality constraint checking: declarative rules → one-pass report.
+
+The reference validates nothing (SURVEY §5 — its only guards are
+``data.empty`` checks and an existence probe, P12/S-sites). A 100 TB
+ingest needs contract enforcement at the boundary: this module turns a
+rule list into ONE aggregate pass over the table (every rule becomes a
+conditional count in the same projection — no per-rule scans), plus an
+optional referential check that compiles to a broadcast anti-join
+count. Fail-closed semantics: a rule whose predicate evaluates to NULL
+on a row counts that row as failing (unknown ≠ pass), so nullable
+columns must be handled explicitly in the predicate (`x IS NULL OR …`
+to allow nulls).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: ``name`` labels the report row; ``predicate`` is
+    a SQL boolean expression over the table's columns — TRUE passes."""
+
+    name: str
+    predicate: str
+
+
+def quality_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate all checks in one scan.
+
+    Returns one row per check: (check_name, n_rows, n_fail, fail_rate 6dp).
+    All conditional counts ride the same partial-aggregate, so the cost
+    is one table pass regardless of how many rules run.
+    """
+    n_rows = F.count(F.lit(1)).alias("n_rows")
+    fails = [
+        F.sum(F.when(F.expr(c.predicate), 0).otherwise(1)).alias(c.name)
+        for c in checks
+    ]
+    wide = df.agg(n_rows, *fails)
+    # unpivot the single wide row to (check, n_fail)
+    stacked = wide.select(
+        "n_rows",
+        F.expr(
+            "stack({n}, {pairs}) as (check_name, n_fail)".format(
+                n=len(checks),
+                pairs=", ".join(f"'{c.name}', {c.name}" for c in checks),
+            )
+        ),
+    )
+    return stacked.select(
+        "check_name",
+        "n_rows",
+        "n_fail",
+        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+    )
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str = "referential",
+) -> DataFrame:
+    """Orphan count: child rows whose key has no parent (left anti join
+    — broadcast when the parent's distinct keys are small, shuffle-hash
+    otherwise; AQE decides). Same report schema as
+    :func:`quality_report`, so the two union into one report. Fully
+    lazy — both counts are aggregates in the plan, no driver action."""
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    orphans = (
+        child.select(F.col(child_key))
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_fail"))
+    )
+    return total.crossJoin(orphans).select(
+        F.lit(name).alias("check_name"),
+        "n_rows",
+        "n_fail",
+        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+    )

@@ -2405,6 +2405,58 @@ def q76(spark, sf_dir):
     return kept.withColumn("vocab_id", (F.row_number().over(w) - 1).cast("int"))
 
 
+@query(
+    "q77_data_quality",
+    """
+    WITH w AS (
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS positive_quantity,
+             sum(CASE WHEN l_discount BETWEEN 0 AND 1 THEN 0 ELSE 1 END) AS discount_in_unit_range,
+             sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS shipdate_present,
+             sum(CASE WHEN l_extendedprice >= 0 THEN 0 ELSE 1 END) AS nonnegative_price,
+             sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS returnflag_domain
+      FROM lineitem),
+    long AS (
+      SELECT 'positive_quantity' AS check_name, n_rows, positive_quantity AS n_fail FROM w
+      UNION ALL SELECT 'discount_in_unit_range', n_rows, discount_in_unit_range FROM w
+      UNION ALL SELECT 'shipdate_present', n_rows, shipdate_present FROM w
+      UNION ALL SELECT 'nonnegative_price', n_rows, nonnegative_price FROM w
+      UNION ALL SELECT 'returnflag_domain', n_rows, returnflag_domain FROM w),
+    ref AS (
+      SELECT 'orders_exist' AS check_name,
+             (SELECT count(*) FROM lineitem) AS n_rows,
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_fail)
+    SELECT check_name, cast(n_rows AS bigint) AS n_rows, cast(n_fail AS bigint) AS n_fail,
+           round(n_fail / cast(n_rows AS double), 6) AS fail_rate
+    FROM (SELECT * FROM long UNION ALL SELECT * FROM ref)
+    """,
+)
+def q77(spark, sf_dir):
+    """Declarative data-quality report (operators/quality.py): five
+    column constraints evaluated in ONE scan (all conditional counts
+    share the same partial aggregate) plus a referential orphan check
+    (anti-join count), unioned into one report. The contract
+    enforcement the reference never had (SURVEY §5) and a 100 TB ingest
+    boundary can't skip."""
+    from gpi_etl_spark.operators.quality import Check, quality_report, referential_check
+
+    li = t(spark, sf_dir, "lineitem")
+    checks = [
+        Check("positive_quantity", "l_quantity > 0"),
+        Check("discount_in_unit_range", "l_discount BETWEEN 0 AND 1"),
+        Check("shipdate_present", "l_shipdate IS NOT NULL"),
+        Check("nonnegative_price", "l_extendedprice >= 0"),
+        Check("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ]
+    report = quality_report(li, checks)
+    ref = referential_check(
+        li, t(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey", "orders_exist"
+    )
+    return report.unionByName(ref)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -1,0 +1,39 @@
+"""Data-quality constraint reports (operators/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.quality import Check, quality_report, referential_check
+
+
+def test_quality_report_counts_and_fail_closed_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -1.0), (3, None), (4, 5.0)],
+        "id long, v double",
+    )
+    rep = quality_report(df, [
+        Check("v_positive", "v > 0"),
+        Check("v_positive_or_null", "v IS NULL OR v > 0"),
+    ])
+    rows = {r["check_name"]: r for r in rep.collect()}
+    # NULL predicate result counts as failing (fail-closed)
+    assert rows["v_positive"]["n_fail"] == 2
+    assert rows["v_positive"]["n_rows"] == 4
+    assert rows["v_positive"]["fail_rate"] == 0.5
+    # explicit null-allowance in the predicate passes the null row
+    assert rows["v_positive_or_null"]["n_fail"] == 1
+
+
+def test_quality_report_single_scan(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    rep = quality_report(df, [Check(f"c{i}", "v > 0") for i in range(20)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # twenty rules, one aggregate over one source
+    assert plan.count("HashAggregate") <= 4  # partial+final, no per-rule scans
+
+
+def test_referential_check_counts_orphans_lazily(spark):
+    child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = referential_check(child, parent, "k", "pk").first()
+    assert (r["n_rows"], r["n_fail"]) == (3, 1)
+    assert abs(r["fail_rate"] - round(1 / 3, 6)) < 1e-9
