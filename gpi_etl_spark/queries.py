@@ -2457,6 +2457,108 @@ def q77(spark, sf_dir):
     return report.unionByName(ref)
 
 
+@query(
+    "q78_ohlc_resample",
+    f"""
+    WITH e AS (SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+                      ts, event_id, value FROM events),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks, {dsum_sql('value', 6)} AS volume
+    FROM r GROUP BY event_type, day
+    """,
+)
+def q78(spark, sf_dir):
+    """OHLC resampling — the daily→bar aggregation every market
+    time-series pipeline runs (the reference consumes daily OHLC feeds,
+    HTGPIPROPHEDEX/__init__.py:72; this op BUILDS bars from ticks).
+    First/last per bar via window row_number with a deterministic
+    (ts, event_id) tie-break — portable to any engine, unlike
+    min_by/arg_min whose tie behavior is unspecified. Two windows and
+    the final groupBy share one shuffle on (event_type, day) — Spark
+    reuses the exchange, so the whole query is one wide stage."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "ts", "event_id", "value",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd))
+    return r.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        dsum(F.col("value"), 6).alias("volume"),
+    )
+
+
+@query(
+    "q79_date_spine_ffill",
+    """
+    WITH daily AS (SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
+                          round(avg(value), 6) AS avg_value
+                   FROM events WHERE event_type IN ('view', 'click')
+                   GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY 1),
+    spine AS (SELECT event_type, cast(u.d AS date) AS day
+              FROM bounds, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS u(d)),
+    joined AS (SELECT s.event_type, s.day, d.avg_value
+               FROM spine s LEFT JOIN daily d USING (event_type, day))
+    SELECT event_type, day, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM joined
+    """,
+)
+def q79(spark, sf_dir):
+    """Calendar alignment: regularize an irregular daily series onto a
+    complete date spine (sequence+explode per key — no driver-side
+    calendar) and forward-fill the gaps (last-non-null window, W4's
+    machinery). The resample-and-fill every reference feed needs before
+    indicators (inflation monthly grid HTGPIINFLATUS/__init__.py:91-117,
+    ENSO weekly). Spine generation is per-key bounded arithmetic; the
+    fill is one window shuffle on the key."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click"))
+    daily = (
+        ev.groupBy("event_type",
+                   F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    joined = spine.join(daily, ["event_type", "day"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type", "day", "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
