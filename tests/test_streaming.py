@@ -72,3 +72,46 @@ def test_streaming_dedup(spark, events_dir):
     got = _run_stream(spark, stream, "t_dedup")
     ids = [r.event_id for r in got.collect()]
     assert len(ids) == len(set(ids)) == 41 - 1  # duplicate dropped
+
+
+def test_multi_microbatch_state_equals_batch(spark, events_dir):
+    """Force MANY micro-batches (one file per trigger) so the state
+    store must carry window state ACROSS batches — a single
+    AvailableNow batch never exercises cross-batch merge."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    d = _tf.mkdtemp()
+    try:
+        # split the fixture into 5 single-row-group files
+        spark.read.parquet(events_dir).repartition(5).write.mode(
+            "overwrite"
+        ).parquet(d)
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        agg = tumbling_counts(stream, window_len="15 minutes")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_multibatch")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+        q.stop()
+        got = {tuple(r) for r in spark.sql("SELECT * FROM t_multibatch").collect()}
+        batch = {
+            tuple(r)
+            for r in tumbling_counts(
+                spark.read.parquet(d), window_len="15 minutes"
+            ).collect()
+        }
+        assert got == batch and len(batch) > 0
+        assert n_batches >= 5  # state really merged across micro-batches
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
