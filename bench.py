@@ -45,6 +45,7 @@ HEADLINE = [
     "q62_corpus_curation",
     "q65_sequence_packing",
     "q68_tfidf_topterms",
+    "q78_ohlc_resample",
 ]
 
 
