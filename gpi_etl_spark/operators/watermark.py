@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 def compute_watermarks(loaded: DataFrame, keys: Sequence[str], ts_col: str) -> DataFrame:
@@ -80,6 +80,37 @@ def merge_incremental(
     """
     fresh = newer_than_watermark(incoming, loaded, keys, ts_col)
     return loaded.unionByName(fresh.select(*loaded.columns))
+
+
+def upsert_by_key(
+    loaded: DataFrame,
+    incoming: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """MERGE upsert: per key keep the newest row; ``incoming`` wins
+    timestamp ties (re-delivered or revised rows replace earlier ones).
+
+    The third member of the incremental family — ``merge_incremental``
+    appends strictly-newer rows, ``replace_partition`` reloads a whole
+    partition, and this updates-else-inserts per key: union both sides
+    with a source flag, window row_number per key ordered by
+    (ts desc, source desc), keep rank 1. One shuffle on the key. On a
+    lakehouse the same semantics are ``MERGE INTO … WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT``; the streaming foreachBatch sink
+    (streaming/sinks.py) applies exactly this per micro-batch.
+    """
+    merged = loaded.withColumn("__src", F.lit(0)).unionByName(
+        incoming.select(*loaded.columns).withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*list(keys)).orderBy(
+        F.col(ts_col).desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
 
 
 def replace_partition(

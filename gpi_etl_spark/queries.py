@@ -2559,6 +2559,38 @@ def q79(spark, sf_dir):
     )
 
 
+@query(
+    "q80_upsert_by_key",
+    """
+    WITH loaded AS (SELECT o_orderkey, o_orderdate, o_totalprice, 0 AS src
+                    FROM orders),
+    incoming AS (SELECT o_orderkey, o_orderdate,
+                        o_totalprice + 1000.0 AS o_totalprice, 1 AS src
+                 FROM orders WHERE o_orderkey % 5 = 0),
+    m AS (SELECT * FROM loaded UNION ALL SELECT * FROM incoming),
+    r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+              ORDER BY o_orderdate DESC, src DESC) AS rn FROM m)
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM r WHERE rn = 1
+    """,
+)
+def q80(spark, sf_dir):
+    """Keyed MERGE upsert (watermark.upsert_by_key): a revision batch
+    (every 5th order, price bumped, same timestamp) replaces the loaded
+    rows — incoming wins timestamp ties, everything else passes
+    through. The update-else-insert member of the incremental family
+    (J1/K4); the streaming foreachBatch sink applies the same
+    combinator per micro-batch."""
+    from gpi_etl_spark.operators.watermark import upsert_by_key
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    incoming = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    return upsert_by_key(orders, incoming, ["o_orderkey"], "o_orderdate")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

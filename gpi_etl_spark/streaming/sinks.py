@@ -35,24 +35,21 @@ def upsert_batch(
     format's ``MERGE INTO`` replaces this whole function with a
     transactional commit.
     """
+    from gpi_etl_spark.operators.watermark import upsert_by_key
+
     keys = list(keys)
     # existence via the Spark filesystem, not os.path — the path may be
     # an object store (s3a://…) the driver's local FS cannot see
     try:
         current = spark.read.parquet(path)
-        merged = current.withColumn("__src", F.lit(0)).unionByName(
-            batch.select(*current.columns).withColumn("__src", F.lit(1))
-        )
+        winner = upsert_by_key(current, batch, keys, ts_col)
     except Exception:  # AnalysisException PATH_NOT_FOUND on first batch
-        merged = batch.withColumn("__src", F.lit(1))
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(ts_col).desc(), F.col("__src").desc()
-    )
-    winner = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
+        w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+        winner = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     staged = path.rstrip("/") + "__staging"
     winner.write.mode("overwrite").parquet(staged)
     spark.read.parquet(staged).write.mode("overwrite").parquet(path)
