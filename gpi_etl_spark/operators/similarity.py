@@ -108,6 +108,63 @@ def train_ivf_centroids(
     return cents
 
 
+def distributed_kmeans(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Full-corpus Lloyd k-means with DISTRIBUTED assign and update
+    steps (the MLlib pattern, vs :func:`train_ivf_centroids`'s bounded
+    driver-side sample).
+
+    Per iteration: assignment is a narrow projection against the
+    inlined centroid literal (no join), and the centroid update is one
+    shuffle of (cell, dim_pos, partial-sum) — ``posexplode`` then
+    groupBy, so the wire carries k×dim aggregates, not vectors. Only
+    the k×dim centroid matrix (model state, not data) ever reaches the
+    driver, exactly like MLlib's per-iteration aggregate. Deterministic
+    init: the vectors with the k smallest ids, normalized.
+
+    Returns (centroids ndarray, assigned DataFrame with ``cell``).
+    """
+    import numpy as np
+
+    init = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .toPandas()[vec_col]
+    )
+    cents = np.asarray([np.asarray(v, dtype=np.float64) for v in init])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(id_col, to_double.alias(vec_col))
+    for _ in range(iters):
+        assigned = base.withColumn("cell", _nearest_cells(vec_col, cents, 1)[0])
+        sums = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        agg: dict[int, dict[int, tuple]] = {}
+        for r in sums:
+            agg.setdefault(r["cell"], {})[r["pos"]] = (r["s"], r["n"])
+        for c, dims in agg.items():
+            vec = np.array([dims[p][0] / dims[p][1] for p in sorted(dims)])
+            new[c] = vec
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+    return cents, base.withColumn("cell", _nearest_cells(vec_col, cents, 1)[0])
+
+
 def _nearest_cells(vec_col: str, centroids, n: int) -> Column:
     """Array of the ``n`` centroid ids nearest (by dot product) to the
     vector — native expressions over an inlined centroid literal, so

@@ -2591,6 +2591,26 @@ def q80(spark, sf_dir):
     return upsert_by_key(orders, incoming, ["o_orderkey"], "o_orderdate")
 
 
+@query("q81_kmeans_clusters", None)
+def q81(spark, sf_dir):
+    """Distributed Lloyd k-means over the embeddings table
+    (similarity.distributed_kmeans): assignment is a narrow projection
+    against the inlined centroids, the update shuffles k×dim partial
+    sums (posexplode + groupBy), and only the centroid matrix touches
+    the driver — the MLlib pattern. Iterative with driver-side model
+    state, so no SQL oracle (rows-only check); correctness is pinned by
+    the blob-recovery + determinism test in test_similarity.py."""
+    from gpi_etl_spark.operators.similarity import distributed_kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    _cents, assigned = distributed_kmeans(emb, k=8, iters=4)
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -85,3 +85,31 @@ def test_ivf_topk_recall(spark):
     # every returned neighbor's score must be exact cosine (spot check rank 1)
     top1 = {r.query_id: r.vec_id for r in approx_df.collect() if r.rank == 1}
     assert all(qid in top1 for qid in range(5))
+
+
+def test_distributed_kmeans_recovers_blobs(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import distributed_kmeans
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # three well-separated unit-norm blobs in 8-d
+    for b, center_dim in enumerate([0, 3, 6]):
+        c = np.zeros(8); c[center_dim] = 1.0
+        for i in range(40):
+            v = c + rng.normal(0, 0.05, 8)
+            rows.append((b * 40 + i, [float(x) for x in v], b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    cents, assigned = distributed_kmeans(df, k=3, iters=6)
+    got = assigned.join(df.select("vec_id", "label"), "vec_id").collect()
+    # every cluster maps to exactly one true label (purity 1.0 on
+    # well-separated blobs) and all three labels are recovered
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r["cell"], set()).add(r["label"])
+    assert len(by_cell) == 3
+    assert all(len(labels) == 1 for labels in by_cell.values())
+    # determinism: same input -> same centroids
+    cents2, _ = distributed_kmeans(df, k=3, iters=6)
+    assert np.allclose(cents, cents2)
