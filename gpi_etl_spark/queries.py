@@ -2611,6 +2611,176 @@ def q81(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end reference-pipeline parity: the COMPLETE pipeline jobs from
+# plans/pipelines.py on deterministic inline fixtures, hash-matched against
+# VALUES-based oracles — a reference user's actual workloads, end to end.
+# ---------------------------------------------------------------------------
+
+_INFL_ROWS = [
+    (2023, "6.4", "6.0", "5.0", "4.9", "4.0", "3.0",
+     "3.2", "3.7", "3.7", "3.2", "3.1", "3.4"),
+    (2024, "3.1", "3.2", "3.5", "", "–", "2.9",
+     None, "2.5", "", "–", "", ""),
+]
+_INFL_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "June",
+                "July", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _sql_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _values_sql(rows):
+    return ", ".join(
+        "(" + ", ".join(_sql_val(v) for v in row) + ")" for row in rows
+    )
+
+
+@query(
+    "q82_pipeline_inflation",
+    f"""
+    WITH grid (Year, {', '.join(_INFL_MONTHS)}) AS (
+      VALUES {_values_sql(_INFL_ROWS)}),
+    melted AS (
+      {' UNION ALL '.join(
+          f"SELECT Year, '{m}' AS Month, {i + 1} AS mnum, {m} AS v FROM grid"
+          for i, m in enumerate(_INFL_MONTHS))}),
+    clean AS (SELECT Year, Month, mnum,
+                     try_cast(CASE WHEN trim(v) IN ('–', '') THEN NULL ELSE v END
+                              AS double) AS Inflation
+              FROM melted)
+    SELECT Year, Month, round(Inflation, 6) AS Inflation,
+           last_day(make_date(Year, mnum, 1)) AS date,
+           TIMESTAMP '2024-06-01 12:00:00' AS actualizacion
+    FROM clean
+    WHERE Inflation IS NOT NULL AND last_day(make_date(Year, mnum, 1)) > DATE '2023-06-30'
+    """,
+)
+def q82(spark, sf_dir):
+    """END-TO-END HTGPIINFLATUS parity (plans/pipelines.py
+    inflation_long): the complete CPI job — en-dash/empty sentinel
+    cleaning, wide→long melt, the reference's nonstandard 'June'/'July'
+    month map, end-of-month date assembly, watermark filter, injected
+    audit clock — on an inline fixture grid, vs a VALUES oracle
+    replaying every step (HTGPIINFLATUS/__init__.py:80-117)."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans import pipelines as P
+    from gpi_etl_spark.schemas import INFLATION_GRID
+
+    grid = spark.createDataFrame(_INFL_ROWS, INFLATION_GRID)
+    out = P.inflation_long(
+        grid,
+        watermark_date=_dt.date(2023, 6, 30),
+        clock=_dt.datetime(2024, 6, 1, 12, 0, 0),
+    )
+    return out.select(
+        "Year", "Month", F.round("Inflation", 6).alias("Inflation"),
+        "date", "actualizacion",
+    )
+
+
+_IV_ROWS = [
+    ("2024-01-02", "WK25C500.IV", 10.0),
+    ("2024-01-02", "WK25C600.IV", 11.0),
+    ("2024-01-02", "WK25P500.IV", 9.0),
+    ("2024-01-02", "WK25P600.IV", 8.5),
+    ("2024-01-03", "WK25C500.IV", 12.0),
+    ("2024-01-03", "WK25P500.IV", 7.25),
+    ("2024-01-04", "WK25C600.IV", 13.5),
+]
+_IV_SYMBOLS = sorted({r[1] for r in _IV_ROWS})
+
+
+@query(
+    "q83_pipeline_iv_skew",
+    f"""
+    WITH quotes (Date, TickerSymbol, Close) AS (VALUES {_values_sql(_IV_ROWS)})
+    SELECT Date,
+           {', '.join(
+               f'max(CASE WHEN TickerSymbol = {_sql_val(s)} THEN Close END) '
+               f'AS "{s}"' for s in _IV_SYMBOLS)},
+           sum(CASE WHEN regexp_matches(TickerSymbol, 'C[0-9]+\\.IV$')
+                    THEN Close ELSE 0.0 END) AS call_sum,
+           sum(CASE WHEN regexp_matches(TickerSymbol, 'P[0-9]+\\.IV$')
+                    THEN Close ELSE 0.0 END) AS put_sum,
+           sum(CASE WHEN regexp_matches(TickerSymbol, 'C[0-9]+\\.IV$')
+                    THEN Close ELSE 0.0 END)
+             - sum(CASE WHEN regexp_matches(TickerSymbol, 'P[0-9]+\\.IV$')
+                        THEN Close ELSE 0.0 END) AS Skew
+    FROM quotes GROUP BY Date
+    """,
+)
+def q83(spark, sf_dir):
+    """END-TO-END HTGPIPROPHEDEX option-IV parity (plans/pipelines.py
+    prophetx_iv_wide): long quotes → one wide row per date (pivot, R1),
+    call/put horizontal sums by the C/P marker in the option symbol,
+    Skew = Σcall − Σput (F-M8) — the reference's
+    COMMODITIES_VI output shape (HTGPIPROPHEDEX/__init__.py:392,426-428)."""
+    from gpi_etl_spark.plans import pipelines as P
+
+    quotes = spark.createDataFrame(
+        _IV_ROWS, "Date string, TickerSymbol string, Close double"
+    )
+    out = P.prophetx_iv_wide(quotes)
+    sym_cols = [F.col(f"`{s}`").alias(s) for s in _IV_SYMBOLS]
+    return out.select("Date", *sym_cols, "call_sum", "put_sum", "Skew")
+
+
+_CFTC_ROWS = [
+    ("2024-01-02", "WHEAT-SRW", 90.0, 50.0, 1.0, None),
+    ("2024-01-09", "WHEAT-SRW", 100.0, 30.0, None, 5.0),
+    ("2024-01-09", "CORN", 200.0, 260.0, 10.0, 2.0),
+    ("2024-01-16", "CORN", None, 40.0, None, None),
+]
+
+
+@query(
+    "q84_pipeline_cftc",
+    f"""
+    WITH cot (d, Market_and_Exchange_Names, lng, sht, oi, tot) AS (
+      VALUES {_values_sql(_CFTC_ROWS)})
+    SELECT cast(d AS date) AS Report_Date_as_MM_DD_YYYY,
+           Market_and_Exchange_Names,
+           coalesce(lng, 0) AS M_Money_Positions_Long_ALL,
+           coalesce(sht, 0) AS M_Money_Positions_Short_ALL,
+           coalesce(oi, 0) AS Open_Interest_All,
+           coalesce(tot, 0) AS Tot_Rept_Positions_Long_All,
+           coalesce(lng, 0) - coalesce(sht, 0) AS calculo,
+           2024 AS "año"
+    FROM cot WHERE cast(d AS date) > DATE '2024-01-02'
+    """,
+)
+def q84(spark, sf_dir):
+    """END-TO-END HTGPICFT parity (plans/pipelines.py
+    cftc_net_positions): fillna(0), managed-money net calculo = Long −
+    Short (F-M7), year constant, watermark filter
+    (HTGPICFT/__init__.py:101-104) on an inline COT fixture."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans import pipelines as P
+    from gpi_etl_spark.schemas import CFTC_DISAGG
+
+    rows = [
+        (_dt.date.fromisoformat(d), mkt, a, b, c, e)
+        for d, mkt, a, b, c, e in _CFTC_ROWS
+    ]
+    cot = spark.createDataFrame(rows, CFTC_DISAGG)
+    out = P.cftc_net_positions(
+        cot, watermark_date=_dt.date(2024, 1, 2), year=2024
+    )
+    return out.select(
+        "Report_Date_as_MM_DD_YYYY", "Market_and_Exchange_Names",
+        "M_Money_Positions_Long_ALL", "M_Money_Positions_Short_ALL",
+        "Open_Interest_All", "Tot_Rept_Positions_Long_All", "calculo", "año",
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
