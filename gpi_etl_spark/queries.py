@@ -2781,6 +2781,124 @@ def q84(spark, sf_dir):
     )
 
 
+_WASDE_GRID = [
+    (0, 0, "WASDE-668"), (0, 1, ""),
+    (1, 0, "World Corn Supply and Use 1/"), (1, 1, ""),
+    (2, 0, "Million Metric Tons"), (2, 1, ""),
+    (3, 0, "Beginning Stocks"), (3, 1, "2024/25 Est."),
+    (4, 0, "World 3/"), (4, 1, "310.1"), (4, 2, "1200"), (4, 3, "5"),
+    (4, 4, "750"), (4, 5, "1150"), (4, 6, "180"), (4, 7, "300"),
+    (5, 0, "Major Exporters"), (5, 1, ""),
+    (6, 0, "United States"), (6, 1, "35"), (6, 2, "380"), (6, 3, "NA"),
+    (6, 4, "140"), (6, 5, "310"), (6, 6, "55"), (6, 7, "45"),
+    (7, 0, ""), (7, 1, "2"), (7, 2, "10"), (7, 3, ""),
+    (7, 4, "4"), (7, 5, "8"), (7, 6, "1"), (7, 7, "2"),
+    (8, 0, "1/ Aggregate of local marketing years."), (8, 1, ""),
+    (9, 0, "Beginning Stocks"), (9, 1, "2025/26 Proj."),
+    (10, 0, "World 3/"), (10, 1, "300"), (10, 2, "1250"), (10, 3, "6"),
+    (10, 4, "760"), (10, 5, "1170"), (10, 6, "185"), (10, 7, "0"),
+]
+
+_WVC = ["Beginning stocks", "Production", "Imports", "Domestic Feed",
+        "Domestic total", "Exports", "Ending stocks"]
+
+
+def _wasde_oracle() -> str:
+    vals = _values_sql([("p22", r, c, v) for r, c, v in _WASDE_GRID])
+    cleaned = ", ".join(
+        f"""CASE WHEN trim(coalesce(c{i}, '')) IN ('', 'NA', '---') THEN 0.0
+                 WHEN trim(c{i}) = '–' THEN 0.0
+                 ELSE coalesce(try_cast(trim(c{i}) AS double), 0.0)
+            END AS "{name}\"""" for i, name in enumerate(_WVC, start=1)
+    )
+    payload = " OR ".join(
+        f"length(trim(coalesce(c{i}, ''))) > 0" for i in range(1, 8)
+    )
+    return f"""
+    WITH cells (sheet, row_idx, col_idx, value) AS (VALUES {vals}),
+    lines AS (
+      SELECT row_idx,
+             {', '.join(
+                 f"max(CASE WHEN col_idx = {i} THEN value END) AS c{i}"
+                 for i in range(8))}
+      FROM cells WHERE sheet = 'p22' GROUP BY row_idx),
+    landmarks AS (
+      SELECT min(CASE WHEN regexp_matches(value, '^WASDE-[0-9]+') THEN value END) AS Wasde,
+             min(CASE WHEN regexp_matches(value, 'Supply and Use') THEN value END) AS Datos,
+             min(CASE WHEN regexp_matches(value, 'Million Metric Tons') THEN value END) AS Medida
+      FROM cells WHERE sheet = 'p22'),
+    blk AS (
+      SELECT *, sum(CASE WHEN regexp_matches(coalesce(c0, ''), 'Beginning')
+                         THEN 1 ELSE 0 END)
+                OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS block,
+             CASE WHEN regexp_matches(coalesce(c0, ''), 'Beginning')
+                  THEN trim(c1) END AS mes_raw
+      FROM lines),
+    b2 AS (SELECT *, last_value(mes_raw IGNORE NULLS)
+                     OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS mes FROM blk),
+    d1 AS (SELECT *, trim(regexp_replace(trim(c0), '[0-9]+/', '')) AS geo0,
+                  CASE WHEN trim(c0) IN ('World', 'Major Exporters',
+                                         'Major Importers', 'Selected Other')
+                       THEN trim(c0) END AS grupo_hdr
+           FROM b2 WHERE block >= 1),
+    d2 AS (SELECT *, last_value(grupo_hdr IGNORE NULLS)
+                     OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS Grupo FROM d1),
+    d3 AS (SELECT * FROM d2
+           WHERE NOT regexp_matches(coalesce(c0, ''), 'Beginning')
+             AND NOT regexp_matches(geo0, '^[0-9]+/')
+             AND trim(coalesce(geo0, '')) <> 'Selected Other'
+             AND ({payload})),
+    d4 AS (SELECT *, last_value(CASE WHEN length(geo0) > 0 THEN geo0 END
+                                IGNORE NULLS)
+                     OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS geo FROM d3),
+    d5 AS (SELECT *, CASE WHEN lag(geo) OVER (ORDER BY row_idx) = geo
+                          THEN 2 ELSE 1 END AS Orden,
+                  {cleaned}
+           FROM d4),
+    d6 AS (SELECT *, ("Domestic total" + "Exports") AS total_use FROM d5)
+    SELECT 'WASDE' AS Origen, 'WASDE_2026-01-12.xls' AS Archivo,
+           l.Wasde, l.Datos, 'Corn' AS Commoditie, l.Medida,
+           cast(row_idx AS varchar) AS DateN, mes AS HarvestDate,
+           CASE WHEN block = 1 THEN 'EST.' ELSE 'PROJ.' END AS Tipo,
+           Grupo, geo AS Geography, cast(Orden AS int) AS Orden, mes AS Mes,
+           {', '.join(f'"{n}"' for n in _WVC)},
+           total_use AS "Total Use",
+           CASE WHEN total_use IS NULL OR total_use = 0 THEN 0.0
+                ELSE ("Ending stocks" * 100) / total_use END AS "Stocks to Use",
+           TIMESTAMP '2026-01-12 08:00:00' AS actualizacion,
+           '2026-01-12' AS DATERELEASE
+    FROM d6 CROSS JOIN landmarks l
+    """
+
+
+@query("q85_pipeline_wasde", _wasde_oracle())
+def q85(spark, sf_dir):
+    """END-TO-END HTGPIWASDE parity — the flagship M1 transform
+    (plans/wasde.py extract_supply_use): cell grid → landmark capture,
+    block detection (running sum over header rows), harvest-month and
+    group forward-fills (W4), P7 row filters, geography footnote strip
+    + continuation-row fill, Orden run flags (W5), sentinel cleaning,
+    Total Use / Stocks-to-Use derives (F-M6) — all replayed step by
+    step in the DuckDB oracle (HTGPIWASDE/__init__.py:136-201,248-1196)."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans.wasde import extract_supply_use
+
+    cells = spark.createDataFrame(
+        [("p22", r, c, v) for r, c, v in _WASDE_GRID],
+        "sheet string, row_idx int, col_idx int, value string",
+    )
+    out = extract_supply_use(
+        cells, "p22", "2026-01-12", "Corn",
+        clock=_dt.datetime(2026, 1, 12, 8, 0, 0),
+    )
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
