@@ -2899,6 +2899,67 @@ def q85(spark, sf_dir):
     return out
 
 
+def _enso_line(week: str, *vals) -> str:
+    widths = [5, 4, 4, 5, 4, 4, 5, 4, 4, 5, 4, 4]
+    return week.ljust(10) + "".join(str(v).rjust(w) for v, w in zip(vals, widths))
+
+
+_ENSO_LINES = [
+    "Weekly SST", "header2", "header3", "header4",
+    _enso_line("04JAN2026", 25.1, 0.5, "x", 25.2, 0.6, "y",
+               26.0, 0.1, "z", 27.1, -0.2, "w"),
+    _enso_line("11JAN2026", 25.3, 0.7, "x", 25.4, 0.8, "y",
+               26.2, 0.3, "z", 27.0, -0.1, "w"),
+    _enso_line("28DEC2025", 24.0, 0.1, "x", 24.2, 0.2, "y",
+               25.0, 0.0, "z", 26.1, 0.3, "w"),
+]
+
+_ENSO_KEEP = ["SST_NINO12", "SSTA_NINO12", "SST_NINO3", "SSTA_NINO3",
+              "SST_NINO34", "SSTA_NINO34", "SST_NINO4", "SSTA_NINO4"]
+# (name, 1-based start, width) for the kept columns, per the reference
+# widths [10,5,4,4, 5,4,4, 5,4,4, 5,4,4] with DEL columns dropped
+_ENSO_SPANS = [
+    ("WEEK", 1, 10), ("SST_NINO12", 11, 5), ("SSTA_NINO12", 16, 4),
+    ("SST_NINO3", 24, 5), ("SSTA_NINO3", 29, 4),
+    ("SST_NINO34", 37, 5), ("SSTA_NINO34", 42, 4),
+    ("SST_NINO4", 50, 5), ("SSTA_NINO4", 55, 4),
+]
+
+
+@query(
+    "q86_pipeline_enso",
+    f"""
+    WITH raw (idx, line) AS (VALUES {_values_sql(list(enumerate(_ENSO_LINES)))}),
+    carved AS (
+      SELECT trim(substr(line, 1, 10)) AS WEEK,
+             {', '.join(
+                 f"try_cast(trim(substr(line, {start}, {w})) AS double) AS {n}"
+                 for n, start, w in _ENSO_SPANS[1:])}
+      FROM raw WHERE idx >= 4),
+    dated AS (SELECT *, cast(strptime(WEEK, '%d%b%Y') AS date) AS week_date
+              FROM carved)
+    SELECT WEEK, {', '.join(_ENSO_KEEP)}, week_date,
+           TIMESTAMP '2026-01-15 06:00:00' AS actualizacion
+    FROM dated WHERE extract(year FROM week_date) = 2026
+    """,
+)
+def q86(spark, sf_dir):
+    """END-TO-END HTGPIENSO parity (plans/pipelines.py enso_weekly):
+    fixed-width decode at the reference widths via distributed
+    substring carving (S4 — sources/fixed_width.py), DEL columns
+    dropped, ddMONyyyy week parsed to a date, year filter
+    (HTGPIENSO/__init__.py:68-89). The oracle carves the same lines
+    with substr arithmetic."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans import pipelines as P
+
+    lines = spark.createDataFrame([(ln,) for ln in _ENSO_LINES], "value string")
+    out = P.enso_weekly(lines, year=2026,
+                        clock=_dt.datetime(2026, 1, 15, 6, 0, 0))
+    return out.select("WEEK", *_ENSO_KEEP, "week_date", "actualizacion")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
