@@ -192,7 +192,9 @@ def quantile_filter_approx(
     fraction is approximate at the cutoff boundary (±1/accuracy
     quantile error — at accuracy=10k that's ±0.01% of each group);
     rows strictly above the cutoff are always kept, ties at the cutoff
-    are all kept (deterministic, unlike sampling the boundary).
+    are all kept (deterministic, unlike sampling the boundary). A NULL
+    group key forms its own group, exactly as the exact variant's
+    window partition does (the cutoff join is null-safe).
     """
     m = (F.col(metric) if isinstance(metric, str) else metric).alias("_m")
     cuts = (
@@ -203,11 +205,16 @@ def quantile_filter_approx(
                 f"approx_percentile(_m, {1.0 - keep_top}, {accuracy})"
             ).alias("_cut")
         )
+        .withColumnRenamed(group_col, "_grp")
+    )
+    joined = df.join(
+        F.broadcast(cuts), df[group_col].eqNullSafe(F.col("_grp"))
     )
     return (
-        df.join(F.broadcast(cuts), group_col)
-        .filter((F.col(metric) if isinstance(metric, str) else metric) >= F.col("_cut"))
-        .drop("_cut")
+        joined.filter(
+            (F.col(metric) if isinstance(metric, str) else metric) >= F.col("_cut")
+        )
+        .drop("_cut", "_grp")
     )
 
 

@@ -36,21 +36,26 @@ def quality_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     All conditional counts ride the same partial-aggregate, so the cost
     is one table pass regardless of how many rules run.
     """
-    n_rows = F.count(F.lit(1)).alias("n_rows")
+    if not checks:  # an empty contract is an empty report, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "check_name string, n_rows bigint, n_fail bigint, fail_rate double"
+        )
+    # internal positional aliases keep arbitrary check names (spaces,
+    # quotes, reserved words, 'n_rows') out of the identifier namespace;
+    # the display name appears only as an escaped string literal
+    n_rows = F.count(F.lit(1)).alias("__n_rows")
     fails = [
-        F.sum(F.when(F.expr(c.predicate), 0).otherwise(1)).alias(c.name)
-        for c in checks
+        F.sum(F.when(F.expr(c.predicate), 0).otherwise(1)).alias(f"__chk{i}")
+        for i, c in enumerate(checks)
     ]
     wide = df.agg(n_rows, *fails)
-    # unpivot the single wide row to (check, n_fail)
+    pairs = ", ".join(
+        "'{name}', __chk{i}".format(name=c.name.replace("'", "''"), i=i)
+        for i, c in enumerate(checks)
+    )
     stacked = wide.select(
-        "n_rows",
-        F.expr(
-            "stack({n}, {pairs}) as (check_name, n_fail)".format(
-                n=len(checks),
-                pairs=", ".join(f"'{c.name}', {c.name}" for c in checks),
-            )
-        ),
+        F.col("__n_rows").alias("n_rows"),
+        F.expr(f"stack({len(checks)}, {pairs}) as (check_name, n_fail)"),
     )
     return stacked.select(
         "check_name",

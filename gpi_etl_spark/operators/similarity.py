@@ -108,6 +108,11 @@ def train_ivf_centroids(
     return cents
 
 
+#: at most one k-means input cache stays pinned per process (see
+#: distributed_kmeans; same policy as dedup._LIVE_SIG_CACHES)
+_LIVE_KMEANS_CACHES: list[DataFrame] = []
+
+
 def distributed_kmeans(
     vectors: DataFrame,
     k: int = 8,
@@ -125,23 +130,39 @@ def distributed_kmeans(
     groupBy, so the wire carries k×dim aggregates, not vectors. Only
     the k×dim centroid matrix (model state, not data) ever reaches the
     driver, exactly like MLlib's per-iteration aggregate. Deterministic
-    init: the vectors with the k smallest ids, normalized.
+    init: the k DISTINCT vectors with the smallest ids (dedup first —
+    duplicate inits would pin an identical centroid pair and strand an
+    empty cluster), normalized. If fewer than k distinct vectors exist,
+    k shrinks to that count.
+
+    The input is persisted MEMORY_AND_DISK for the iteration loop
+    (iters+1 passes otherwise re-scan the corpus each round — the MLlib
+    pattern caches before iterating); like the LSH signature cache, at
+    most one k-means input stays pinned per process.
 
     Returns (centroids ndarray, assigned DataFrame with ``cell``).
     """
     import numpy as np
 
+    from pyspark.storagelevel import StorageLevel
+
+    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(id_col, to_double.alias(vec_col))
+    while _LIVE_KMEANS_CACHES:
+        _LIVE_KMEANS_CACHES.pop().unpersist()
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_KMEANS_CACHES.append(base)
+
     init = (
-        vectors.select(id_col, vec_col)
-        .orderBy(id_col)
+        base.groupBy(vec_col)
+        .agg(F.min(id_col).alias("_mid"))
+        .orderBy("_mid")
         .limit(k)
         .toPandas()[vec_col]
     )
     cents = np.asarray([np.asarray(v, dtype=np.float64) for v in init])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
-    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = vectors.select(id_col, to_double.alias(vec_col))
     for _ in range(iters):
         assigned = base.withColumn("cell", _nearest_cells(vec_col, cents, 1)[0])
         sums = (

@@ -2847,7 +2847,10 @@ def _wasde_oracle() -> str:
                      OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) AS Grupo FROM d1),
     d3 AS (SELECT * FROM d2
-           WHERE NOT regexp_matches(coalesce(c0, ''), 'Beginning')
+           -- no coalesce on c0/geo0 here: the Spark filter's NULL
+           -- propagates through ~rlike and drops absent-cell rows, so
+           -- the oracle must too (sparse grids behave identically)
+           WHERE NOT regexp_matches(c0, 'Beginning')
              AND NOT regexp_matches(geo0, '^[0-9]+/')
              AND trim(coalesce(geo0, '')) <> 'Selected Other'
              AND ({payload})),

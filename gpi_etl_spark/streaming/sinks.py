@@ -37,13 +37,24 @@ def upsert_batch(
     """
     from gpi_etl_spark.operators.watermark import upsert_by_key
 
+    from pyspark.errors import AnalysisException
+
     keys = list(keys)
     # existence via the Spark filesystem, not os.path — the path may be
-    # an object store (s3a://…) the driver's local FS cannot see
+    # an object store (s3a://…) the driver's local FS cannot see.
+    # ONLY a missing path may take the first-batch branch: any other
+    # failure (schema drift in upsert_by_key, corrupt footer, transient
+    # FS error) must raise, because falling through would overwrite the
+    # whole table with just this micro-batch — silent history loss.
+    current = None
     try:
         current = spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+    if current is not None:
         winner = upsert_by_key(current, batch, keys, ts_col)
-    except Exception:  # AnalysisException PATH_NOT_FOUND on first batch
+    else:
         w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
         winner = (
             batch.withColumn("__rn", F.row_number().over(w))

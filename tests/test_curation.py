@@ -178,3 +178,15 @@ def test_contaminated_ids_flags_only_sharers(spark):
     bad = {r["doc_id"] for r in
            curation.contaminated_ids(corpus, heldout, n=3).collect()}
     assert bad == {1, 3}
+
+
+def test_quantile_filter_approx_keeps_null_group(spark):
+    df = spark.createDataFrame(
+        [(i, None if i < 10 else "en", i) for i in range(30)],
+        "doc_id long, lang string, n_tok int",
+    )
+    out = curation.quantile_filter_approx(df, "n_tok", "lang", keep_top=0.5)
+    langs = {r["lang"] for r in out.collect()}
+    assert None in langs  # NULL group filtered within itself, not dropped
+    null_kept = [r["doc_id"] for r in out.collect() if r["lang"] is None]
+    assert 0 < len(null_kept) < 10

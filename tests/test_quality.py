@@ -37,3 +37,15 @@ def test_referential_check_counts_orphans_lazily(spark):
     r = referential_check(child, parent, "k", "pk").first()
     assert (r["n_rows"], r["n_fail"]) == (3, 1)
     assert abs(r["fail_rate"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_quality_report_empty_rules_and_hostile_names(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    assert quality_report(df, []).count() == 0
+    rep = quality_report(df, [
+        Check("has space", "v > 0"),
+        Check("it's quoted", "v > 100"),
+        Check("n_rows", "v IS NOT NULL"),   # collides with report column
+    ])
+    rows = {r["check_name"]: r["n_fail"] for r in rep.collect()}
+    assert rows == {"has space": 0, "it's quoted": 1, "n_rows": 0}

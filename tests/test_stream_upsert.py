@@ -65,3 +65,20 @@ def test_stream_upsert_across_micro_batches(spark, dirs):
     assert n_batches >= 2
     got = {r.sym: r.close for r in spark.read.parquet(sink + "/t").collect()}
     assert got == {"CU": 101.0, "SB": 20.0}
+
+
+def test_upsert_batch_schema_drift_raises_instead_of_overwriting(spark, tmp_path):
+    import pytest as _pt
+
+    from gpi_etl_spark.streaming.sinks import upsert_batch
+
+    path = str(tmp_path / "t")
+    full = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0)], "k long, ts string, v double"
+    )
+    upsert_batch(spark, full, path, ["k"], "ts")
+    bad = spark.createDataFrame([(2, "2024-01-02")], "k long, ts string")
+    with _pt.raises(Exception):
+        upsert_batch(spark, bad, path, ["k"], "ts")  # missing column v
+    # table history survives the failed merge
+    assert spark.read.parquet(path).count() == 1

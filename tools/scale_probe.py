@@ -34,7 +34,6 @@ def queries(spark, li):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    li.createOrReplaceTempView("li")
     agg = li.filter(F.col("l_shipdate") <= "2000-09-02").groupBy(
         "l_returnflag", "l_linestatus"
     ).agg(
