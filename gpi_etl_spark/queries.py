@@ -2963,6 +2963,231 @@ def q86(spark, sf_dir):
     return out.select("WEEK", *_ENSO_KEEP, "week_date", "actualizacion")
 
 
+_SITE_POIS = [
+    # (rst_cd, place_ltt, place_lgt, poi_name, poi_type, poi_ltt, poi_lgt)
+    ("A", 9.9300, -84.0800, "Café 'La Esquina'", "restaurant", 9.9305, -84.0803),
+    ("A", 9.9300, -84.0800, "Banco Nacional", "bank", 9.9310, -84.0790),
+    ("A", 9.9300, -84.0800, "Escuela María", "school", 9.9340, -84.0830),
+    ("A", 9.9300, -84.0800, "Súper Pollo", "restaurant", 9.9301, -84.0801),
+    ("B", 9.8000, -84.0000, "Farmacia Sucre", "pharmacy", 9.8004, -84.0002),
+    ("B", 9.8000, -84.0000, "Hotel Colón", "lodging", 9.8050, -84.0100),
+]
+_SITE_CATS = ["BANCOS", "ESCUELAS", "FARMACIAS", "OTROS SIN CLASIFICACION",
+              "RESTAURANTES"]
+_SITE_STATS = ("300M_CNT", "100M_CNT", "MIN_DIST", "MAX_DIST", "MEAN_DIST")
+_SITE_FEATS = [f"GEO_{c.replace(' ', '_')}_{s}" for c in _SITE_CATS
+               for s in _SITE_STATS]
+_SITE_W = [((i * 37) % 11) / 10.0 for i in range(len(_SITE_FEATS))]
+_SITE_B = 1.5
+
+
+def _site_rules():
+    from gpi_etl_spark.operators.classify import Rule
+
+    # small last-match-wins chain exercising both match fields; the full
+    # 40-rule default chain is oracle-checked on its own in q24
+    return [
+        Rule("BANCO|BANK", "BANCOS", "poi_name"),
+        Rule("FARMACIA", "FARMACIAS", "poi_name"),
+        Rule("POLLO", "RESTAURANTE POLLO", "poi_name"),
+        Rule("RESTAURANT", "RESTAURANTES", "poi_type"),
+        Rule("SCHOOL", "ESCUELAS", "poi_type"),
+    ]
+
+
+def _site_oracle() -> str:
+    from gpi_etl_spark.operators.classify import classify_sql
+
+    fold = (
+        "regexp_replace(translate(upper({c}), 'ÁÉÍÓÚ', 'AEIOU'), "
+        "'['',\",.]', '', 'g')"
+    )
+    dist = haversine_meters_sql("place_ltt", "place_lgt", "poi_ltt", "poi_lgt")
+    cat_case = classify_sql(
+        _site_rules(), columns={"poi_name": "name_f", "poi_type": "type_f"}
+    )
+    feats, scores = [], [str(_SITE_B)]
+    for ci, cat in enumerate(_SITE_CATS):
+        cond = f"poi_category = '{cat}'"
+        d = "distance_mtrs"
+        exprs = [
+            f"cast(count(CASE WHEN {cond} THEN 1 END) AS double)",
+            f"cast(count(CASE WHEN {cond} AND {d} <= 100 THEN 1 END) AS double)",
+            f"coalesce(min(CASE WHEN {cond} THEN {d} END), 0.0)",
+            f"coalesce(max(CASE WHEN {cond} THEN {d} END), 0.0)",
+            f"coalesce(avg(CASE WHEN {cond} THEN {d} END), 0.0)",
+        ]
+        for si, e in enumerate(exprs):
+            name = _SITE_FEATS[ci * len(_SITE_STATS) + si]
+            feats.append(f'{e} AS "{name}"')
+            w = _SITE_W[ci * len(_SITE_STATS) + si]
+            scores.append(f'{w} * "{name}"')
+    return f"""
+    WITH pois (rst_cd, place_ltt, place_lgt, poi_name, poi_type,
+               poi_ltt, poi_lgt) AS (VALUES {_values_sql(_SITE_POIS)}),
+    clean AS (SELECT *, {fold.format(c='poi_name')} AS name_f,
+                     {fold.format(c='poi_type')} AS type_f FROM pois),
+    classified AS (SELECT *, {cat_case} AS poi_category FROM clean),
+    dist AS (SELECT DISTINCT rst_cd, poi_category, {dist} AS distance_mtrs
+             FROM classified),
+    feat AS (SELECT rst_cd, {', '.join(feats)} FROM dist GROUP BY rst_cd)
+    SELECT rst_cd, round({' + '.join(scores)}, 6) AS forecast,
+           "GEO_BANCOS_300M_CNT", "GEO_RESTAURANTES_300M_CNT",
+           round("GEO_RESTAURANTES_MIN_DIST", 6) AS restaurantes_min_dist
+    FROM feat
+    """
+
+
+@query("q87_pipeline_site", _site_oracle())
+def q87(spark, sf_dir):
+    """END-TO-END site-scoring parity (plans/sites.py score_sites — the
+    HTIPNEXSITE/HTIPPLSITE/PGSITE family): accent-fold + punctuation
+    strip, last-match-wins regex classification, native Haversine
+    distances, per-category GEO_* feature widening, broadcast-model
+    pandas_udf scoring — one plan from raw POIs to forecast, with the
+    oracle replaying fold, CASE chain, distance, conditional aggs, and
+    the dot product (HTIPNEXSITE/__init__.py:133-375)."""
+    from gpi_etl_spark.operators.score import LinearModel
+    from gpi_etl_spark.plans.sites import score_sites
+
+    pois = spark.createDataFrame(
+        _SITE_POIS,
+        "rst_cd string, place_ltt double, place_lgt double, "
+        "poi_name string, poi_type string, poi_ltt double, poi_lgt double",
+    )
+    out = score_sites(
+        pois, LinearModel(_SITE_W, _SITE_B), rules=_site_rules(),
+        categories=_SITE_CATS,
+    )
+    return out.select(
+        "rst_cd",
+        F.round("forecast", 6).alias("forecast"),
+        "GEO_BANCOS_300M_CNT",
+        "GEO_RESTAURANTES_300M_CNT",
+        F.round("GEO_RESTAURANTES_MIN_DIST", 6).alias("restaurantes_min_dist"),
+    )
+
+
+_YAHOO_BARS = [
+    ("2024-01-02", 1.0, 2.0, 0.5, 1.5, 1.4, 100, "ADM"),
+    ("2024-01-03", 1.0, 2.0, 0.5, None, None, 100, "ADM"),
+    ("2024-01-01", 1.0, 2.0, 0.5, 1.2, 1.1, 100, "ADM"),
+    ("2024-01-04", 1.1, 2.1, 0.6, 1.7, 1.6, 120, "ADM"),
+    ("2024-01-01", 9.0, 9.5, 8.5, 9.2, 9.1, 10, "GC=F"),
+    ("2024-01-02", 9.1, 9.6, 8.6, None, 9.2, 11, "GC=F"),
+]
+_YAHOO_LOADED = [
+    ("2024-01-01", 1.0, 2.0, 0.5, 1.2, 1.1, 100, "ADM"),
+    ("2024-01-02", 1.0, 2.0, 0.5, 1.5, 1.4, 100, "ADM"),
+]
+
+
+@query(
+    "q88_pipeline_yahoo",
+    f"""
+    WITH bars (Date, Open, High, Low, Close, adj_close, Volume, Symbol)
+         AS (VALUES {_values_sql(_YAHOO_BARS)}),
+    loaded (Date, Open, High, Low, Close, adj_close, Volume, Symbol)
+         AS (VALUES {_values_sql(_YAHOO_LOADED)}),
+    wm AS (SELECT Symbol, max(Date) AS wm_date FROM loaded GROUP BY Symbol),
+    kept AS (SELECT b.* FROM bars b LEFT JOIN wm USING (Symbol)
+             WHERE b.Close IS NOT NULL
+               AND (wm.wm_date IS NULL OR b.Date > wm.wm_date))
+    SELECT Symbol, Date, cast(Open AS double) AS Open,
+           cast(High AS double) AS High, cast(Low AS double) AS Low,
+           cast(Close AS double) AS Close,
+           cast(adj_close AS double) AS "Adj Close",
+           cast(Volume AS bigint) AS Volume
+    FROM kept
+    """,
+)
+def q88(spark, sf_dir):
+    """END-TO-END HTGPIYAHOO parity (plans/pipelines.py yahoo_history):
+    empty-Close rows dropped, then the per-symbol high-watermark
+    anti-filter against the already-loaded table — J1 exactly as the
+    reference runs it per symbol (HTGPIYAHOO/__init__.py:52-53,74-96)."""
+    from gpi_etl_spark.plans import pipelines as P
+    from gpi_etl_spark.schemas import YAHOO_HISTORICAL
+
+    bars = spark.createDataFrame(_YAHOO_BARS, YAHOO_HISTORICAL)
+    loaded = spark.createDataFrame(_YAHOO_LOADED, YAHOO_HISTORICAL)
+    out = P.yahoo_history(bars, loaded)
+    return out.select(
+        "Symbol", "Date", "Open", "High", "Low", "Close",
+        F.col("`Adj Close`").alias("Adj Close"),
+        F.col("Volume").cast("bigint").alias("Volume"),
+    )
+
+
+_SNP_TS = [1704067200, 1704153600, 1704240000, 1704326400]
+_SNP_CLOSE = ["4700.0", "NULL", "4750.0", "4760.5"]
+
+
+@query(
+    "q89_pipeline_snp500",
+    f"""
+    WITH z (ts, close) AS (
+      SELECT unnest([{', '.join(str(t) for t in _SNP_TS)}]::bigint[]),
+             unnest([{', '.join(_SNP_CLOSE)}]::double[])),
+    rows_ AS (SELECT cast(make_timestamp(ts * 1000000) AS date) AS Date,
+                     close AS Close
+              FROM z WHERE close IS NOT NULL)
+    SELECT Date, Close FROM rows_
+    WHERE Date > DATE '2024-01-01' AND Date <= DATE '2024-01-03'
+    """,
+)
+def q89(spark, sf_dir):
+    """END-TO-END HTGPISNP500 parity (plans/pipelines.py
+    snp500_from_arrays): the chart-API's parallel timestamp/close
+    arrays zip-exploded to rows (F-J / S8), epoch seconds → UTC date,
+    null closes dropped, two-sided refetch-window filter
+    (HTGPISNP500/__init__.py:81-99)."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans import pipelines as P
+    from gpi_etl_spark.schemas import SNP500_ARRAYS
+
+    closes = [None if c == "NULL" else float(c) for c in _SNP_CLOSE]
+    arrays = spark.createDataFrame([(_SNP_TS, closes)], SNP500_ARRAYS)
+    out = P.snp500_from_arrays(
+        arrays, start=_dt.date(2024, 1, 1), end=_dt.date(2024, 1, 3)
+    )
+    return out.select("Date", "Close")
+
+
+_OI_ROWS = [
+    ("2024-01-02", "100", "5000"), ("2024-01-02", "---", "250"),
+    ("2024-01-03", "80", "---"), ("2024-01-03", "", "NA"),
+    ("2024-01-04", "60", "1200"),
+]
+
+
+@query(
+    "q90_pipeline_oi_rollup",
+    f"""
+    WITH raw (Date, OI, Volume) AS (VALUES {_values_sql(_OI_ROWS)}),
+    clean AS (SELECT Date,
+        CASE WHEN trim(OI) IN ('', 'NA', '---') THEN 0.0
+             ELSE coalesce(try_cast(trim(OI) AS double), 0.0) END AS OI,
+        CASE WHEN trim(Volume) IN ('', 'NA', '---') THEN 0.0
+             ELSE coalesce(try_cast(trim(Volume) AS double), 0.0) END AS Volume
+      FROM raw)
+    SELECT Date, sum(OI) AS OI, sum(Volume) AS Volume
+    FROM clean GROUP BY Date
+    """,
+)
+def q90(spark, sf_dir):
+    """END-TO-END HTGPIPROPHEDEX open-interest/volume parity
+    (plans/pipelines.py prophetx_oi_vol_rollup): '---'/''/'NA' sentinel
+    cleaning then the per-date sum rollup (A2,
+    HTGPIPROPHEDEX/__init__.py:499-505)."""
+    from gpi_etl_spark.plans import pipelines as P
+
+    raw = spark.createDataFrame(_OI_ROWS, "Date string, OI string, Volume string")
+    out = P.prophetx_oi_vol_rollup(raw)
+    return out.select("Date", "OI", "Volume")
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
