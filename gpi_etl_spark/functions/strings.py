@@ -34,6 +34,16 @@ def fold_accents(col: Column | str, strip_punct: bool = True) -> Column:
     return c
 
 
+def fold_accents_sql(expr: str, strip_punct: bool = True) -> str:
+    """ANSI-SQL twin of :func:`fold_accents` (for DuckDB oracles) —
+    kept textually parallel so both engines fold identically; extend
+    ``_ACCENT_SRC``/``_PUNCT_PATTERN`` and both sides move together."""
+    out = f"translate(upper({expr}), '{_ACCENT_SRC}', '{_ACCENT_DST}')"
+    if strip_punct:
+        out = f"regexp_replace({out}, '['',\",.]', '', 'g')"
+    return out
+
+
 def case_when_chain(
     rules: Sequence[tuple[Column, Column | str]],
     default: Column | str,

@@ -37,6 +37,7 @@ from gpi_etl_spark.functions.dates import (
 from gpi_etl_spark.functions.geo import haversine_meters, haversine_meters_sql
 from gpi_etl_spark.functions.strings import (
     fold_accents,
+    fold_accents_sql,
     ticker_commodity_key,
     ticker_commodity_key_sql,
 )
@@ -802,10 +803,8 @@ def q24(spark, sf_dir):
 
 @query(
     "q25_accent_fold",
-    """
-    SELECT p_partkey,
-           regexp_replace(translate(upper(p_name), 'ÁÉÍÓÚ', 'AEIOU'),
-                          '[''",.]', '', 'g') AS clean_name
+    f"""
+    SELECT p_partkey, {fold_accents_sql('p_name')} AS clean_name
     FROM part
     """,
 )
@@ -2641,6 +2640,20 @@ def _values_sql(rows):
     )
 
 
+def _clean_num_sql(expr: str) -> str:
+    """DuckDB twin of ``clean_numeric_sentinels(fill=0)`` INCLUDING the
+    NaN arm: try_cast('nan') yields double NaN (not NULL), which Spark's
+    nanvl replaces with the fill — the oracle must too, or NaN poisons
+    downstream sums."""
+    cast = f"try_cast(trim({expr}) AS double)"
+    return (
+        f"CASE WHEN trim(coalesce({expr}, '')) IN ('', 'NA', '---') THEN 0.0 "
+        f"WHEN trim({expr}) = '–' THEN 0.0 "
+        f"ELSE coalesce(CASE WHEN isnan({cast}) THEN 0.0 ELSE {cast} END, 0.0) "
+        f"END"
+    )
+
+
 @query(
     "q82_pipeline_inflation",
     f"""
@@ -2806,10 +2819,8 @@ _WVC = ["Beginning stocks", "Production", "Imports", "Domestic Feed",
 def _wasde_oracle() -> str:
     vals = _values_sql([("p22", r, c, v) for r, c, v in _WASDE_GRID])
     cleaned = ", ".join(
-        f"""CASE WHEN trim(coalesce(c{i}, '')) IN ('', 'NA', '---') THEN 0.0
-                 WHEN trim(c{i}) = '–' THEN 0.0
-                 ELSE coalesce(try_cast(trim(c{i}) AS double), 0.0)
-            END AS "{name}\"""" for i, name in enumerate(_WVC, start=1)
+        f'{_clean_num_sql(f"c{i}")} AS "{name}"'
+        for i, name in enumerate(_WVC, start=1)
     )
     payload = " OR ".join(
         f"length(trim(coalesce(c{i}, ''))) > 0" for i in range(1, 8)
@@ -2974,7 +2985,9 @@ _SITE_POIS = [
 ]
 _SITE_CATS = ["BANCOS", "ESCUELAS", "FARMACIAS", "OTROS SIN CLASIFICACION",
               "RESTAURANTES"]
-_SITE_STATS = ("300M_CNT", "100M_CNT", "MIN_DIST", "MAX_DIST", "MEAN_DIST")
+# the stat order IS featurize's pivot column order — import, don't copy
+from gpi_etl_spark.operators.featurize import STATS as _SITE_STATS  # noqa: E402
+
 _SITE_FEATS = [f"GEO_{c.replace(' ', '_')}_{s}" for c in _SITE_CATS
                for s in _SITE_STATS]
 _SITE_W = [((i * 37) % 11) / 10.0 for i in range(len(_SITE_FEATS))]
@@ -2998,10 +3011,7 @@ def _site_rules():
 def _site_oracle() -> str:
     from gpi_etl_spark.operators.classify import classify_sql
 
-    fold = (
-        "regexp_replace(translate(upper({c}), 'ÁÉÍÓÚ', 'AEIOU'), "
-        "'['',\",.]', '', 'g')"
-    )
+    fold = fold_accents_sql("{c}")
     dist = haversine_meters_sql("place_ltt", "place_lgt", "poi_ltt", "poi_lgt")
     cat_case = classify_sql(
         _site_rules(), columns={"poi_name": "name_f", "poi_type": "type_f"}
@@ -3028,7 +3038,10 @@ def _site_oracle() -> str:
     clean AS (SELECT *, {fold.format(c='poi_name')} AS name_f,
                      {fold.format(c='poi_type')} AS type_f FROM pois),
     classified AS (SELECT *, {cat_case} AS poi_category FROM clean),
-    dist AS (SELECT DISTINCT rst_cd, poi_category, {dist} AS distance_mtrs
+    -- full-row dedupe, exactly like the pipeline's dropDuplicates():
+    -- distinct co-located same-category POIs must both survive
+    dist AS (SELECT DISTINCT rst_cd, place_ltt, place_lgt, name_f, type_f,
+                    poi_ltt, poi_lgt, poi_category, {dist} AS distance_mtrs
              FROM classified),
     feat AS (SELECT rst_cd, {', '.join(feats)} FROM dist GROUP BY rst_cd)
     SELECT rst_cd, round({' + '.join(scores)}, 6) AS forecast,
@@ -3091,7 +3104,8 @@ _YAHOO_LOADED = [
          AS (VALUES {_values_sql(_YAHOO_LOADED)}),
     wm AS (SELECT Symbol, max(Date) AS wm_date FROM loaded GROUP BY Symbol),
     kept AS (SELECT b.* FROM bars b LEFT JOIN wm USING (Symbol)
-             WHERE b.Close IS NOT NULL
+             -- na.drop treats NaN as missing too, not just NULL
+             WHERE b.Close IS NOT NULL AND NOT isnan(cast(b.Close AS double))
                AND (wm.wm_date IS NULL OR b.Date > wm.wm_date))
     SELECT Symbol, Date, cast(Open AS double) AS Open,
            cast(High AS double) AS High, cast(Low AS double) AS Low,
@@ -3167,10 +3181,8 @@ _OI_ROWS = [
     f"""
     WITH raw (Date, OI, Volume) AS (VALUES {_values_sql(_OI_ROWS)}),
     clean AS (SELECT Date,
-        CASE WHEN trim(OI) IN ('', 'NA', '---') THEN 0.0
-             ELSE coalesce(try_cast(trim(OI) AS double), 0.0) END AS OI,
-        CASE WHEN trim(Volume) IN ('', 'NA', '---') THEN 0.0
-             ELSE coalesce(try_cast(trim(Volume) AS double), 0.0) END AS Volume
+        {_clean_num_sql('OI')} AS OI,
+        {_clean_num_sql('Volume')} AS Volume
       FROM raw)
     SELECT Date, sum(OI) AS OI, sum(Volume) AS Volume
     FROM clean GROUP BY Date
