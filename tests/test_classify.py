@@ -85,3 +85,19 @@ def test_default_rules_compat_reproduces_field_crossover(spark):
     crossed = [r for r in compat if r.field == "poi_type"]
     assert crossed == []  # every type-rule now (buggily) reads poi_name
     assert len(compat) == len(fixed)
+
+
+def test_fold_accents_sql_matches_spark(spark):
+    import duckdb
+
+    from gpi_etl_spark.functions.strings import fold_accents, fold_accents_sql
+
+    samples = ["Café 'La Esquina'", "BANCO NACIONAL, S.A.", 'a"b.c', "ÁÉÍÓÚ x"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r["f"] for r in df.select(fold_accents("s").alias("f")).collect()]
+    want = [
+        duckdb.sql(f"SELECT {fold_accents_sql('s')} AS f FROM (SELECT ? AS s)",
+                   params=[s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
