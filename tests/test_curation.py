@@ -190,3 +190,38 @@ def test_quantile_filter_approx_keeps_null_group(spark):
     assert None in langs  # NULL group filtered within itself, not dropped
     null_kept = [r["doc_id"] for r in out.collect() if r["lang"] is None]
     assert 0 < len(null_kept) < 10
+
+
+def test_pack_invariants_property(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gpi_etl_spark.operators.groupedmap import greedy_pack
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=700), min_size=1,
+                    max_size=40))
+    def run(sizes):
+        budget = 512
+        df = spark.createDataFrame(
+            [(i, "g", s) for i, s in enumerate(sizes)],
+            "doc_id long, lang string, n_tok int",
+        )
+        g = sorted(greedy_pack(df, "n_tok", "lang", "doc_id", budget=budget)
+                   .collect(), key=lambda r: r["doc_id"])
+        w = sorted(curation.pack_budget_bins(df, "n_tok", "lang", "doc_id",
+                                             budget=budget).collect(),
+                   key=lambda r: r["doc_id"])
+        assert len(g) == len(w) == len(sizes)          # nothing lost
+        for rows in (g, w):                            # contiguous bins
+            assert rows[0]["bin"] == 0
+            assert all(b["bin"] - a["bin"] in (0, 1)
+                       for a, b in zip(rows, rows[1:]))
+        # greedy: a bin only exceeds budget if one doc alone does
+        totals: dict[int, list] = {}
+        for r in g:
+            totals.setdefault(r["bin"], []).append(r["n_tok"])
+        for members in totals.values():
+            assert sum(members) <= budget or len(members) == 1
+
+    run()
