@@ -213,10 +213,12 @@ def test_pack_invariants_property(spark):
                                              budget=budget).collect(),
                    key=lambda r: r["doc_id"])
         assert len(g) == len(w) == len(sizes)          # nothing lost
-        for rows in (g, w):                            # contiguous bins
-            assert rows[0]["bin"] == 0
-            assert all(b["bin"] - a["bin"] in (0, 1)
-                       for a, b in zip(rows, rows[1:]))
+        # greedy bins are contiguous (steps of 0/1); the window packer
+        # may SKIP indices when one doc spans multiple budgets (its bin
+        # is floor(cum/budget)), so it only guarantees nondecreasing
+        assert g[0]["bin"] == 0 and w[0]["bin"] == 0
+        assert all(b["bin"] - a["bin"] in (0, 1) for a, b in zip(g, g[1:]))
+        assert all(b["bin"] >= a["bin"] for a, b in zip(w, w[1:]))
         # greedy: a bin only exceeds budget if one doc alone does
         totals: dict[int, list] = {}
         for r in g:
