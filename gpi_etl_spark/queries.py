@@ -3200,6 +3200,79 @@ def q90(spark, sf_dir):
     return out.select("Date", "OI", "Volume")
 
 
+@query(
+    "q91_grouping_sets",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS bigint)
+               AS gid,
+           count(*) AS n, {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def q91(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation — the
+    third member of the multi-level aggregate family (q41 rollup, q54
+    cube): one Expand + one aggregate, NULL group cells distinguished
+    from real NULLs by the grouping bits."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q91_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n,
+               {dsum_sql('o_totalprice')} AS total
+        FROM q91_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q92_correlation",
+    """
+    WITH daily AS (
+      SELECT cast(date_trunc('day', ts) AS date) AS day,
+             sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS v,
+             sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS c,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS p
+      FROM events GROUP BY 1)
+    SELECT round(corr(v, c), 6) AS corr_view_click,
+           round(corr(v, p), 6) AS corr_view_purchase,
+           round(covar_samp(v, c), 6) AS covar_view_click,
+           round(stddev_samp(v), 6) AS sd_view,
+           cast(count(*) AS bigint) AS n_days
+    FROM daily
+    """,
+)
+def q92(spark, sf_dir):
+    """Correlation/covariance aggregates over daily series — the
+    cross-indicator statistics a market pipeline derives from the
+    reference's ingested feeds (e.g. WTI vs S&P closes). One pre-agg
+    shuffle to daily grain, then single-pass corr/covar — both engines
+    use numerically stable one-pass formulas; 6-dp rounding absorbs
+    the summation-order ulps."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)).alias("v"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("value")).otherwise(0.0)).alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("p"),
+    )
+    return daily.agg(
+        F.round(F.corr("v", "c"), 6).alias("corr_view_click"),
+        F.round(F.corr("v", "p"), 6).alias("corr_view_purchase"),
+        F.round(F.covar_samp("v", "c"), 6).alias("covar_view_click"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_view"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
