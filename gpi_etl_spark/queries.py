@@ -3273,6 +3273,50 @@ def q92(spark, sf_dir):
     )
 
 
+@query(
+    "q93_array_kit",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> cast(x AS double)) AS v
+               FROM embeddings WHERE vec_id % 50 = 0),
+    k AS (SELECT vec_id, label,
+                 cast(len(v) AS int) AS dim,
+                 cast(len(list_filter(v, x -> x > 0)) AS int) AS n_pos,
+                 round(list_aggregate(list_transform(v, x -> x * x), 'sum'), 6)
+                     AS sum_sq,
+                 round(list_aggregate(
+                     list_transform(list_zip(v, list_reverse_sort(v)),
+                                    p -> p[1] * p[2]), 'sum'), 6) AS dot_desc
+          FROM e)
+    SELECT vec_id, label, dim, n_pos, sum_sq, dot_desc FROM k
+    """,
+)
+def q93(spark, sf_dir):
+    """Higher-order array-function parity (F-J superset): transform,
+    filter, zip_with, aggregate, sort_array — the primitives the
+    embedding/shingle kits are built on, pinned one-for-one against
+    DuckDB's list_* family (dot of the vector with its own descending
+    sort exercises zip ordering)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 50 == 0)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+    dot_desc = F.aggregate(
+        F.zip_with(F.col("v"), F.sort_array(F.col("v"), asc=False),
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id", "label",
+        F.size("v").alias("dim"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                        F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_sq"),
+        F.round(dot_desc, 6).alias("dot_desc"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
