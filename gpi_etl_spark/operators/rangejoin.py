@@ -21,6 +21,7 @@ each band's candidate set shrinks by N/bands.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -73,7 +74,16 @@ def band_range_join(
     if how == "inner":
         return matched
     point_cols = [c for c in points.columns if c not in keys]
-    unmatched = intervals.join(
-        matched.select(*intervals.columns), intervals.columns, "left_anti"
-    ).select("*", *[F.lit(None).alias(c) for c in point_cols])
+    # null-safe anti-join: plain column equality is null-unsafe, so an
+    # interval carrying a NULL attribute would never equal itself and
+    # be emitted twice (matched AND null-padded). eqNullSafe per column
+    # keeps NULL-attributed matched intervals out of the unmatched branch.
+    iv = intervals.alias("__iv")
+    mt = matched.select(*intervals.columns).alias("__mt")
+    anti_cond = reduce(
+        lambda a, b: a & b, [iv[c].eqNullSafe(mt[c]) for c in intervals.columns]
+    )
+    unmatched = iv.join(mt, anti_cond, "left_anti").select(
+        "*", *[F.lit(None).alias(c) for c in point_cols]
+    )
     return matched.unionByName(unmatched)

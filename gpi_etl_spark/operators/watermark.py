@@ -12,11 +12,15 @@ Here the watermark is computed from the engine's own sink — no external
 state database — and the merge is expressed so Catalyst broadcasts the
 (tiny) watermark side:
 
-* watermark side = ``groupBy(keys).agg(max(ts))`` → a few rows per key,
-  always broadcastable;
-* incoming side = arbitrarily large; the filter after the broadcast
-  left join is a per-row predicate, so the whole incremental selection
-  is one shuffle-free stage at any scale.
+* watermark side = ``groupBy(keys).agg(max(ts))`` → one row per
+  distinct key. For the reference's workloads (tens of tickers /
+  commodities) that is trivially broadcastable, but at the 100 TB
+  design target a per-document key could make it huge — so the
+  broadcast hint is opt-in (``hint_broadcast``), and by default the
+  planner/AQE picks the strategy from the measured size;
+* incoming side = arbitrarily large; the filter after the left join is
+  a per-row predicate, so with a broadcast watermark the whole
+  incremental selection is one shuffle-free stage.
 """
 
 from __future__ import annotations
@@ -43,18 +47,28 @@ def newer_than_watermark(
     loaded: DataFrame,
     keys: Sequence[str],
     ts_col: str,
+    hint_broadcast: bool | None = None,
 ) -> DataFrame:
     """Rows of ``incoming`` strictly newer than their key's watermark.
 
     Equivalent to the reference's per-key fetch loop with
     ``start = last + 1 day`` — i.e. a left anti join against already-
-    loaded (key, ts≤wm) space. Implemented as broadcast left join +
-    filter so the big side never shuffles.
+    loaded (key, ts≤wm) space.
+
+    ``hint_broadcast`` forces the watermark side to broadcast so the
+    big side never shuffles — set it when the caller KNOWS key
+    cardinality is small (the reference's case: ~dozens of tickers).
+    Default (None) adds no hint: a forced broadcast of a high-
+    cardinality per-key aggregate would bypass
+    ``autoBroadcastJoinThreshold`` and OOM, while AQE already converts
+    to broadcast at runtime when the measured size allows. The scalar
+    (no-keys) watermark is a single row and always broadcasts.
     """
     wm_col = f"wm_{ts_col}"
     wm = compute_watermarks(loaded, keys, ts_col)
     if keys:
-        joined = incoming.join(F.broadcast(wm), on=list(keys), how="left")
+        wm_side = F.broadcast(wm) if hint_broadcast else wm
+        joined = incoming.join(wm_side, on=list(keys), how="left")
     else:
         joined = incoming.crossJoin(F.broadcast(wm))
     # NULL watermark (first load / new key) keeps the row — no floor

@@ -37,6 +37,11 @@ def get_spark(
         .master(master)
         # -- determinism vs the DuckDB oracle --------------------------
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS), which the
+        # parquet reader rejects by default; reading nanos as long up
+        # front (queries.t converts to µs timestamps) avoids a
+        # deliberately-failed probe job per session
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # -- adaptive execution: runtime re-plan, skew handling --------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

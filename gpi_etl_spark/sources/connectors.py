@@ -25,6 +25,7 @@ from html.parser import HTMLParser
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 Fetch = Callable[[str], bytes]
 
@@ -245,8 +246,12 @@ def html_table(
         (r + [""] * width)[:width] for r in rows[header_row + 1 :] if any(r)
     ]
     # explicit all-string schema so a header-only table yields an empty
-    # DataFrame instead of a schema-inference error
-    schema = ", ".join(f"`{c}` string" for c in _dedupe(header))
+    # DataFrame instead of a schema-inference error; built as a
+    # StructType (not a DDL string) so untrusted header text — backticks,
+    # commas, anything — can't break or shift the schema
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in _dedupe(header)]
+    )
     return spark.createDataFrame(data, schema=schema)
 
 

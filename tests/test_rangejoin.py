@@ -65,6 +65,27 @@ def test_left_join_keeps_unmatched_intervals(spark, frames):
     assert rows == {1: 100, 2: 102, 3: 103, 4: None}
 
 
+def test_left_join_null_attribute_not_duplicated(spark, frames):
+    """A matched interval carrying a NULL attribute must NOT reappear as
+    a null-padded 'unmatched' row (the anti-join is null-safe)."""
+    intervals, points = frames
+    iv = intervals.withColumn(
+        "note",
+        F.when(F.col("iv_id") == 1, F.lit(None).cast("string")).otherwise(F.lit("x")),
+    )
+    got = band_range_join(
+        iv, points, "start_ts", "end_ts", "ts", 1800,
+        keys=["user_id"], how="left",
+    )
+    by_iv = {}
+    for r in got.collect():
+        by_iv.setdefault(r.iv_id, []).append(r.point_id)
+    # iv 1 matched (point 100) despite its NULL note — exactly once
+    assert by_iv[1] == [100]
+    assert by_iv[4] == [None]
+    assert sum(len(v) for v in by_iv.values()) == 4
+
+
 def test_no_keys_pure_time_band(spark, frames):
     intervals, points = frames
     got = band_range_join(
