@@ -24,37 +24,129 @@ from gpi_etl_spark.operators.featurize import geo_feature_vector
 from gpi_etl_spark.operators.geo_knn import knn_join
 from gpi_etl_spark.operators.score import score_with_model
 
-#: a representative slice of the reference's ~40-rule chain
-#: (HTIPPLSITE/__init__.py:175-312) — rules are data; deployments load
-#: the full list. Order matters (last match wins).
-DEFAULT_RULES = [
-    Rule("RESTAURANT|COMIDA", "OTROS RESTAURANTE", field="poi_type"),
-    Rule("BANK|BANCO", "BANCOS"),
-    Rule("ATM|CAJERO", "CAJEROS"),
-    Rule("CHURCH|IGLESIA", "IGLESIAS"),
-    Rule("SCHOOL|ESCUELA|COLEGIO", "ESCUELAS"),
-    Rule("PHARMACY|FARMACIA", "FARMACIAS"),
-    Rule("SUPERMARKET|SUPER", "SUPERMERCADOS"),
-    Rule("GAS|GASOLINERA", "GASOLINERAS"),
-    Rule("HOSPITAL|CLINICA", "HOSPITALES"),
-    Rule("PIZZA", "PIZZERIAS"),
-    Rule("POLLO", "RESTAURANTES DE POLLO"),
+#: The reference's FULL classification chain as data, in source order
+#: (HTIPPLSITE/__init__.py:175-312; clones in HTIPNEXSITE/PGSITE/
+#: HTIPPLSITECR). Order is semantics: later rules overwrite earlier
+#: matches (last-match-wins). Field spec per rule:
+#:   "name"     — matched against the cleaned poi_name (the common case)
+#:   "type"     — matched against the cleaned poi_type
+#:   "type_bug" — WRITTEN against poi_type but the reference loop
+#:                iterates poi_name values (:181, :234, :239), so the
+#:                shipped behavior matches the NAME column. compat mode
+#:                reproduces that; fixed mode applies the declared field.
+#: The :227 duplicate TIENDA DE CONVENIENCIA rule is kept so rule
+#: indexes line up with the reference chain.
+_FULL_RULES_SPEC: list[tuple[str, str, str]] = [
+    (r"(?:RESTAURANT|MEAL_DELIVERY)", "OTROS RESTAURANTE", "type"),          # :175
+    (r"\b(?:RESTAURANTE?)\b", "OTROS RESTAURANTE", "name"),                  # :177
+    (r"(?:CALZADO|ZAPATERIA|ALMACEN|COMERCIAL|LA BODEGONA|DISTRIBUIDORA)",
+     "ALMACEN", "type_bug"),                                                 # :180
+    (r"(?:CLOTHING_STORE|DEPARTMENT_STORE)", "ALMACEN", "type"),             # :182
+    (r"(?:BARBER|BEAUTY|BELLEZA|PELUQUER|NAILS)", "BARBERÍA/BELLEZA", "name"),  # :185
+    (r"(?:IGLESIA|TEMPLO|PARROQUIA|ASAMBLEA DE DIOS|TESTIGOS?.+JEHOV)",
+     "IGLESIA", "name"),                                                     # :188
+    (r"(?:HOSPITAL|IGSS|IGGS|CENTRO MEDICO|APROFAM|CENTRO DE SALUD"
+     r"|PUESTO DE SALUD|SANATORIO|HEALTH CENTER|EMERGENCIA|CIRUGIA"
+     r"|PEDIATRICO|SANATORIUM)", "HOSPITAL", "name"),                        # :191
+    (r"(?:CLINIC|MEDI|OPTIC|ODONTO|LABORATORIO|DR )", "CLINICA DE SALUD", "name"),  # :194
+    (r"(?:BUS |TRANSMETRO|TRANSURBANO|BUS STATION|AUTOBUSES|TERMINAL"
+     r"|ESTACION DE BUS|PARADA DE |BUSES|LITEGUA)", "PARADA DE BUS", "name"),  # :197
+    (r"(?:MANUALIDADES|LIBRERIA|PAPELERIA)", "LIBRERIA", "name"),            # :200
+    (r"(?:PARQUEO|ESTACIONAMIENTO|PARKING)", "PARQUEO", "name"),             # :203
+    (r"(?:USAC|UNIVERSIDAD|UMG|FACULTAD|UPANA)", "UNIVERSIDAD", "name"),     # :206
+    (r"(?:HOTEL|PENSION|HOSPEDAJE)", "HOTEL", "name"),                       # :209
+    (r"(?:GASOLINERA|GASOLINA|ESTACION DE SERVICIO|\bGAS\b)", "GASOLINERA", "name"),  # :212
+    (r"(?:MINI MUNI|MINISTRY PUBLIC|MUNICIPALITY|SECRETARIA DE"
+     r"|MUNICIPALIDAD|JUZGADO|TRIBUNAL|INACIF|RENAP|MAYCOM"
+     r"|ORGANISMO JUDICIAL|MINISTERIO PUBLICO|MUNICIPALIDAD)",
+     "OFICINAS GUBERNAMENTALES", "name"),                                    # :215
+    (r"(?:POLICE|PNC|COMISARIA|POLICIA)", "ESTACION POLICIAL", "name"),      # :218
+    (r"(?:ESTACION DE BOMBEROS)", "ESTACION DE BOMBEROS", "name"),           # :221
+    (r"(?:SUPER 24|SUPER PUMA|CONVENIENCIA|GASO MARKET|TIENDAS? MASS)",
+     "TIENDA DE CONVENIENCIA", "name"),                                      # :224
+    (r"(?:SUPER 24|SUPER PUMA|CONVENIENCIA|GASO MARKET|TIENDAS? MASS)",
+     "TIENDA DE CONVENIENCIA", "name"),                                      # :227 (dup)
+    (r"(?:CARNICERIA|POLLERIA|CASA DEL POLLO)", "VENTA DE CARNES", "name"),  # :230
+    (r"(?:BANRURAL|CREDOMATIC|AGROMERCANTIL|BANCO|\bBAC\b|\bBAM\b|BANTRAB"
+     r"|GYT|G&T|COOPERATIVA|WESTERN UNION)", "BANCO", "type_bug"),           # :233
+    (r"(?:BANK)", "BANCO", "type"),                                          # :235
+    (r"\b(?:ATM|CAJERO)\b", "CAJERO", "type_bug"),                           # :238
+    (r"(?:ATM)", "CAJERO", "type"),                                          # :240
+    (r"(?:PARQUE|CANCHA|ESTADIO|CAMPOS)", "PARQUE", "name"),                 # :243
+    (r"(?:COLEGIO|INSTITUTO|LICEO|SEMINARIO|CENTRO EDUCATIVO|ESCUELA"
+     r"|CENTRO DE ESTUDIOS|\bINEB|\bINTECAP)", "COLEGIO", "name"),           # :246
+    (r"(?:COLEGIO|ACADEMIA|ESCUELA)(?:BAILE|FUTBOL|MUSICA)", "ACADEMIA", "name"),  # :249
+    (r"(?:ALMACENES TROPIGAS|AGENCIAS? WAY|GALLO MAS GALLO|ELEKTRA|ELECKTRA"
+     r"|CURACAO|ALMACENES JAPON|LA CHAPINITA|TECNO FACIL|TIENDAS MAX"
+     r"|RADIOSHACK|INTELAF|ELECTRONICA PANAMERICANA|PANAMERICAN ELECTRONIC"
+     r"|ABM|EL DUENDE)", "ALMACEN DE ELECTRODOMESTICOS", "name"),            # :252
+    (r"(?:POLLO CAMPERO|BURGER KING|MCDONALDS|PIZZA HUT|DOMINOS PIZZA"
+     r"|PAPA JOHNS|TACO BELL|HAMBURGUESAS BERLIN|HAMBURGUESAS DEL PUENTE"
+     r"|POLLO BUJO|LITTLE CAESARS|LITTLE CEASERS)", "CADENA QSR", "name"),   # :255
+    (r"(?:AL MACARONE|LOS GAUCHITOS|PINULITO|POLLOLANDIA|POLLO LANDIA"
+     r"|QUEDELY|GUATEBURGER|GUATE BURGER|POLLO GRANJERO|POLLO EXPRESS)",
+     "CADENA QSR POPULAR", "name"),                                          # :258
+    (r"(?:ANTOJITOS|CAFETERIA|ASADOS|CHURRASCOS|HAMBURGUESAS|BURGER"
+     r"|PUPUSERIA|PUPUSAS|CARNITA|CEVICHE|SEVICHE|CHICHARRONE|TACOS? "
+     r"|SHUCO|HOT DOG|TAQUERIA|COMEDOR|ALMUERZOS|LICUADOS|CHURRASQU"
+     r"|CAFETERIA)", "RESTAURANTE POPULAR", "name"),                         # :261
+    (r"(?:\bCAFE\b|EL CAFETALITO|BARISTA|STARBUCKS|COFFEE|COFFE|KAPE|PATSY"
+     r"|BAGEL|CAFFE|DUNKIN DONUTS|AMERICAN DOU)", "COFFEE SHOP", "name"),    # :264
+    (r"(?:LA NEVERIA|HELADERIA|HELADO|POPS)", "HELADERIA", "name"),          # :267
+    (r"(?:CANELLA|YAMAHA|HONDA|MOTOS |MOTOCICLETAS|MASESA|TIENDA UMA"
+     r"|MOVESA|ITALIKA|HAOJUE|BAJAJ|SUZUKI)", "TIENDA MOTOCICLETAS", "name"),  # :270
+    (r"(?:AGENCIA TIGO|\bTIGO\b|\bCLARO\b|AGENCIA CLARO|MOVISTAR)",
+     "AGENCIA TELEFONIA", "name"),                                           # :273
+    (r"(?:SUPERMERCADO|SUPER MERCADO|WALMART|DESPENSA FAMILIAR|LA TORRE"
+     r"|PAIZ|MAXI BODEGA|SUPER DEL BARRIO|LA BARATA)", "SUPERMERCADO", "name"),  # :276
+    (r"(?:\bMERCADO )", "MERCADO CANTONAL", "name"),                         # :279
+    (r"(?:TIENDA|ABARROTERIA|ABARROTES|DEPOSITO|MAYOREO|TDA)",
+     "TIENDA DE BARRIO", "name"),                                            # :282
+    (r"(?:TORTILLERIA|TORTILLA)", "TORTILLERIA", "name"),                    # :285
+    (r"(?:PANADERIA|PANIFICADORA|PASTELERIA|\bPAN |\bPASTELES)", "PANADERIA", "name"),  # :288
+    (r"\b(?:CENTRO COMERCIAL|PLAZA|PASEO|CC|C\.C\.|C\. C\.|MALL|GRAN VIA"
+     r"|GRAN CENTRO|GALERIAS|MEGA CENTRO|METRO NORTE|PRADERA)\b",
+     "CENTRO COMERCIAL", "name"),                                            # :291
+    (r"\b(?:TALLER|MOTO|MOTOPARTES|MOTOSERVICIOS|MOTOREPUESTOS|FIGUEPARTES"
+     r"|AQUARONI|KARS|HUESERA|REPUESTOS|AUTO\s?REPUESTOS|AUTO\s?PIEZAS"
+     r"|AUTO\s?PARTES|TALLER DE |ACEITERA|MOTOCENTRO|AUTOS|LUBRI|LLANTA"
+     r"|BATERIAS|COPHER)\b", "REPUESTOS VEHICULOS", "name"),                 # :294
+    (r"(?:FERRE|CELASA|CONSTRUCC|FERRO|FERETERIA)", "FERRETERIA", "name"),   # :297
+    (r"(?:AGROVET|AGRO|AGRIC)", "AGROPECUARIA", "name"),                     # :300
+    (r"(?:FARMACIA|CRUZ VERDE|PHARMACY|FARMAZUL)", "FARMACIA", "name"),      # :303
+    (r"(?:LOCAL_GOVERNMENT_OFFICE)", "OFICINAS GUBERNAMENTALES", "type"),    # :306
+    (r"(?:CHURCH)", "IGLESIA", "type"),                                      # :309
 ]
+
+_FIELD_OF = {"name": "poi_name", "type": "poi_type"}
+
+
+def full_rules(compat: bool = False) -> list[Rule]:
+    """The reference's full ~40-rule chain (order preserved).
+
+    ``compat=True`` reproduces the reference's three field-crossover
+    bugs — rules written against ``poi_type`` whose loop actually
+    iterates ``poi_name`` (HTIPPLSITE/__init__.py:181,234,239) — by
+    matching those rules on the NAME column, bug-for-bug. The default
+    (fixed) mode applies each rule to its declared field.
+    """
+    out = []
+    for pattern, category, spec in _FULL_RULES_SPEC:
+        if spec == "type_bug":
+            field = "poi_name" if compat else "poi_type"
+        else:
+            field = _FIELD_OF[spec]
+        out.append(Rule(pattern, category, field=field))
+    return out
+
+
+#: default chain used by the site-scoring plans (fixed-field mode)
+DEFAULT_RULES = full_rules()
 
 
 def default_rules(compat: bool = False) -> list[Rule]:
-    """The shipped rule list. ``compat=True`` reproduces the reference's
-    field-crossover bugs (type-pattern rules applied to the NAME column,
-    HTIPPLSITE/__init__.py:181,234,239) for bug-for-bug parity; the
-    default applies them to ``poi_type`` as intended."""
-    if not compat:
-        return list(DEFAULT_RULES)
-    return [
-        Rule(r.pattern, r.category, field="poi_name")
-        if r.field == "poi_type"
-        else r
-        for r in DEFAULT_RULES
-    ]
+    """Back-compat alias for :func:`full_rules`."""
+    return full_rules(compat=compat)
 
 
 def classify_pois(pois: DataFrame, rules: Sequence[Rule] = DEFAULT_RULES) -> DataFrame:

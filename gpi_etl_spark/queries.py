@@ -3317,6 +3317,138 @@ def q93(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Full POI classification chain (F-STR9 at reference breadth)
+# ---------------------------------------------------------------------------
+
+#: (poi_name, poi_type) fixture covering every rule family of the full
+#: chain, the three field-crossover sites, last-match-wins overrides
+#: (PAIZ beats LABORATORIO, TIENDA beats ELEKTRA, MALL beats STARBUCKS)
+#: and accent/punctuation folding.
+_POI_FULL_FIXTURE = [
+    ("Restaurante Doña María", "restaurant"),
+    ("Pollo Campero Zona 1", "restaurant"),
+    ("Cafetería El Portal", "cafe"),
+    ("Café Barista", "cafe"),
+    ("Café 'El Injerto'", "cafe"),
+    ("Zapatería La Moderna", "shoe_store"),        # crossover :180
+    ("Almacén La Ganga", "department_store"),
+    ("Barbería Don Juan", "hair_care"),
+    ("Iglesia de Dios Central", "church"),
+    ("Templo Evangélico Horeb", "place_of_worship"),
+    ("Testigos de Jehová Salón del Reino", "church"),
+    ("Hospital General San Juan", "hospital"),
+    ("IGSS Zona 9", "health"),
+    ("Clínica Dental Sonrisa", "dentist"),
+    ("Laboratorio Clínico Paiz", "health"),        # PAIZ (:276) overrides :194
+    ("Terminal de Buses del Norte", "bus_station"),
+    ("Librería y Papelería Central", "book_store"),
+    ("Parqueo Público La Pradera", "parking"),     # PRADERA (:291) overrides :203
+    ("Universidad de San Carlos USAC", "university"),
+    ("Hotel Posada del Sol", "lodging"),
+    ("Gasolinera Shell Las Américas", "gas_station"),
+    ("Texaco Gas Express", "gas_station"),
+    ("Municipalidad de Mixco", "local_government_office"),
+    ("RENAP Agencia Central", "local_government_office"),
+    ("Comisaría PNC 13", "police"),
+    ("Estación de Bomberos Voluntarios", "fire_station"),
+    ("Super 24 Zona 10", "convenience_store"),
+    ("Carnicería La Res Dorada", "butcher"),
+    ("Banrural Agencia Mixco", "bank"),
+    ("Cooperativa El Progreso", "finance"),        # crossover :233
+    ("Cajero 5B", "atm"),
+    ("Cajero Express", "finance"),                 # crossover :238
+    ("Parque Central", "park"),
+    ("Colegio San Sebastián", "school"),
+    ("EscuelaFutbol Tecamp", "school"),            # :249 matches only literal adjacency
+    ("Elektra Mega Tienda", "electronics_store"),  # TIENDA (:282) overrides :252
+    ("Curacao Guatemala", "electronics_store"),
+    ("McDonalds Obelisco", "restaurant"),
+    ("Pollolandia Villa Nueva", "restaurant"),
+    ("Comedor Lupita", "restaurant"),
+    ("Heladería Sarita", "food"),
+    ("Motos Honda Center", "store"),
+    ("Agencia Tigo Zona 4", "store"),
+    ("Despensa Familiar Boca del Monte", "supermarket"),
+    ("Mercado La Terminal", "market"),             # MERCADO (:279) overrides :197
+    ("Tienda Doña Chonita", "convenience_store"),
+    ("Abarrotería El Baratillo", "grocery"),
+    ("Tortillería San Martín", "food"),
+    ("Panadería San Martín", "bakery"),
+    ("Centro Comercial Miraflores", "shopping_mall"),
+    ("Taller Mecánico El Rayo", "car_repair"),
+    ("Repuestos Genuinos GT", "car_parts"),
+    ("Ferretería EPA", "hardware_store"),
+    ("Agroservicio El Campo", "store"),
+    ("Farmacia Galeno", "pharmacy"),
+    ("Farmacias Cruz Verde", "pharmacy"),
+    ("Pizzería Vesuvio", "restaurant"),
+    ("Oficina Desconocida", "office"),
+    ("Walmart Calzada Roosevelt", "supermarket"),
+    ("Western Union Xela", "finance"),             # crossover :233
+    ("Gallo más Gallo", "electronics_store"),
+    ("Pupusería La Bendición", "restaurant"),
+    ("Distribuidora Mariposa", "store"),           # crossover :180
+    ("La Bodegona Central", "department_store"),
+    ("Hospedaje El Viajero", "lodging"),
+    ("Estación de Servicio Puma", "gas_station"),
+    ("Dr Molina Odontología", "dentist"),
+    ("Ceviches El Coco", "restaurant"),
+    ("Starbucks Oakland Mall", "cafe"),            # MALL (:291) overrides :264
+    ("Pastelería Palace", "bakery"),
+    ("Antigua Meal Express", "meal_delivery"),
+    ("Banco Industrial Zona 1", "bank"),
+    ("G&T Continental Portal", "bank"),
+    ("Litegua Oficina Central", "bus_station"),
+    ("Cancha Sintética Los Pinos", "stadium"),
+    ("INTECAP Centro Capacitación", "school"),
+    ("Óptica Visión Plus", "health"),
+    ("Tacos El Güero", "restaurant"),
+]
+
+
+def _classify_full_oracle() -> str:
+    from gpi_etl_spark.plans.sites import full_rules
+
+    rows = [(i, n, ty) for i, (n, ty) in enumerate(_POI_FULL_FIXTURE)]
+    fold = fold_accents_sql("{c}")
+    cols = {"poi_name": "name_f", "poi_type": "type_f"}
+    fixed = classify_sql(full_rules(), columns=cols)
+    compat = classify_sql(full_rules(compat=True), columns=cols)
+    return f"""
+    WITH pois (poi_id, poi_name, poi_type) AS (VALUES {_values_sql(rows)}),
+    clean AS (SELECT poi_id, {fold.format(c='poi_name')} AS name_f,
+                     {fold.format(c='poi_type')} AS type_f FROM pois)
+    SELECT poi_id, {fixed} AS category_fixed, {compat} AS category_compat
+    FROM clean
+    """
+
+
+@query("q94_classify_full", _classify_full_oracle())
+def q94(spark, sf_dir):
+    """F-STR9 at full reference breadth: the complete ~40-rule
+    last-match-wins chain (HTIPPLSITE/__init__.py:175-312) as data, in
+    BOTH modes — ``category_compat`` reproduces the three field-crossover
+    bugs (:181,234,239) bug-for-bug, ``category_fixed`` applies each
+    rule to its declared field. One reversed CASE chain per mode, fully
+    codegen'd; the oracle replays fold + both CASE chains in DuckDB."""
+    from gpi_etl_spark.plans.sites import full_rules
+
+    rows = [(i, n, ty) for i, (n, ty) in enumerate(_POI_FULL_FIXTURE)]
+    pois = spark.createDataFrame(
+        rows, "poi_id int, poi_name string, poi_type string"
+    )
+    cols = {
+        "poi_name": fold_accents("poi_name"),
+        "poi_type": fold_accents("poi_type"),
+    }
+    return pois.select(
+        "poi_id",
+        classify_expr(full_rules(), cols).alias("category_fixed"),
+        classify_expr(full_rules(compat=True), cols).alias("category_compat"),
+    )
+
+
 def _qnum(name: str) -> int:
     return int(name[1:3]) if name[1:3].isdigit() else 999
 

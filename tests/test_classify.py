@@ -76,15 +76,63 @@ def test_classify_sql_escapes_quotes_in_category(spark):
     assert got == "D'ONOFRIO"
 
 
-def test_default_rules_compat_reproduces_field_crossover(spark):
-    from gpi_etl_spark.plans.sites import DEFAULT_RULES, default_rules
+def test_full_rules_compat_flips_only_crossover_rules(spark):
+    from gpi_etl_spark.plans.sites import DEFAULT_RULES, full_rules
 
-    fixed = default_rules()
-    compat = default_rules(compat=True)
-    assert [r.field for r in fixed] == [r.field for r in DEFAULT_RULES]
-    crossed = [r for r in compat if r.field == "poi_type"]
-    assert crossed == []  # every type-rule now (buggily) reads poi_name
-    assert len(compat) == len(fixed)
+    fixed = full_rules()
+    compat = full_rules(compat=True)
+    assert fixed == DEFAULT_RULES
+    assert len(fixed) == len(compat) == 47  # the reference chain incl. :227 dup
+    flipped = [
+        i for i, (f, c) in enumerate(zip(fixed, compat)) if f.field != c.field
+    ]
+    # exactly the three reference crossover sites (:181, :234, :239)
+    assert len(flipped) == 3
+    for i in flipped:
+        assert fixed[i].field == "poi_type" and compat[i].field == "poi_name"
+        assert fixed[i].pattern == compat[i].pattern
+    # genuinely-type rules (RESTAURANT/BANK/ATM/CHURCH/GOV) stay on type
+    assert sum(1 for r in compat if r.field == "poi_type") == 6
+
+
+def _reference_chain_loop(name: str, typ: str, rules) -> str:
+    """The reference's imperative overwrite loop over the full chain
+    (HTIPPLSITE/__init__.py:175-312), reimplemented with ``re`` as the
+    oracle for the compiled CASE expression."""
+    import re
+
+    cat = UNMATCHED
+    for rule in rules:
+        value = name if rule.field == "poi_name" else typ
+        if re.search(rule.pattern, value):
+            cat = rule.category
+    return cat
+
+
+_CHAIN_TOKENS = [
+    "BANCO", "BANRURAL", "CAJERO", "ATM", "TIENDA", "FARMACIA", "PLAZA",
+    "RESTAURANTE", "POLLO CAMPERO", "CAFE", "CAFETERIA", "MERCADO",
+    "ESCUELA", "COLEGIO", "TALLER", "SUPER 24", "PAIZ", "TERMINAL",
+    "HOSPITAL", "IGLESIA", "GASOLINERA", "HOTEL", "PARQUE", "X9",
+]
+_CHAIN_TYPES = ["RESTAURANT", "BANK", "ATM", "CHURCH", "DEPARTMENT_STORE",
+                "LOCAL_GOVERNMENT_OFFICE", "STORE", ""]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.sampled_from(_CHAIN_TOKENS), min_size=1, max_size=3),
+    st.sampled_from(_CHAIN_TYPES),
+    st.booleans(),
+)
+def test_property_full_chain_matches_reference_loop(spark, parts, typ, compat):
+    from gpi_etl_spark.plans.sites import full_rules
+
+    rules = full_rules(compat=compat)
+    name = " ".join(parts)
+    df = spark.createDataFrame([(name, typ)], "poi_name string, poi_type string")
+    got = apply_classifier(df, rules).first().poi_category
+    assert got == _reference_chain_loop(name, typ, rules)
 
 
 def test_fold_accents_sql_matches_spark(spark):

@@ -26,31 +26,35 @@ from gpi_etl_spark.operators.score import ThresholdModel
 
 
 def test_classify_last_match_and_accents(spark):
+    """Categories come from the reference's FULL chain now: BANK type →
+    BANCO (:235), accents folded so PANADERÍA matches PANADERIA (:288),
+    PIZZA HUT → CADENA QSR (:255) overriding the RESTAURANT type rule,
+    POLLOLANDIA → CADENA QSR POPULAR (:258)."""
     out = {r.poi_id: r.poi_category for r in sites.classify_pois(_pois(spark)).collect()}
-    assert out["p1"] == "BANCOS"
-    assert out["p2"] == sites.UNMATCHED if hasattr(sites, "UNMATCHED") else True
-    assert out["p3"] == "PIZZERIAS"        # RESTAURANT rule then PIZZA overrides
-    assert out["p4"] == "RESTAURANTES DE POLLO"
+    assert out["p1"] == "BANCO"
+    assert out["p2"] == "PANADERIA"
+    assert out["p3"] == "CADENA QSR"
+    assert out["p4"] == "CADENA QSR POPULAR"
 
 
 def test_poi_features_dedupes_and_widens(spark):
     feats = sites.poi_features(
         sites.classify_pois(_pois(spark)),
-        categories=["BANCOS", "PIZZERIAS", "RESTAURANTES DE POLLO"],
+        categories=["BANCO", "CADENA QSR", "CADENA QSR POPULAR"],
     )
     r = feats.first()
     assert r.rst_cd == "NEW_POINT_1"
-    assert r.GEO_PIZZERIAS_300M_CNT == 1.0  # exact duplicate dropped
-    assert r.GEO_BANCOS_300M_CNT == 1.0
-    assert r.GEO_BANCOS_MIN_DIST > 0
+    assert r.GEO_CADENA_QSR_300M_CNT == 1.0  # exact duplicate dropped
+    assert r.GEO_BANCO_300M_CNT == 1.0
+    assert r.GEO_BANCO_MIN_DIST > 0
 
 
 def test_score_sites_with_broadcast_model(spark):
-    cats = ["BANCOS", "PIZZERIAS", "RESTAURANTES DE POLLO"]
+    cats = ["BANCO", "CADENA QSR", "CADENA QSR POPULAR"]
     feats = sites.poi_features(sites.classify_pois(_pois(spark)), categories=cats)
     geo_cols = [c for c in feats.columns if c.startswith("GEO_")]
     # predict 1 when the site has any nearby bank
-    model = ThresholdModel(geo_cols.index("GEO_BANCOS_300M_CNT"))
+    model = ThresholdModel(geo_cols.index("GEO_BANCO_300M_CNT"))
     scored = sites.score_sites(_pois(spark), model, categories=cats)
     assert scored.first().forecast == 1.0
 
