@@ -52,8 +52,25 @@ def extract_supply_use(
     daterelease: str,
     commodity: str,
     clock: dt.datetime | None = None,
+    grupo_mode: str = "headers",
 ) -> DataFrame:
-    """Cell grid of one sheet → long-format 22-col supply/use rows."""
+    """Cell grid of one sheet → long-format 22-col supply/use rows.
+
+    ``grupo_mode`` controls group attribution:
+
+    * ``"headers"`` (default): exact group-header rows (``World`` /
+      ``Major Exporters`` / ``Major Importers`` / ``Selected Other``)
+      forward-fill into ``Grupo`` under their literal names.
+    * ``"compat"``: the reference's substring semantics (:466-480) —
+      a cell CONTAINING ``World`` sets ``Grupo='Resumen'``, ``Major
+      Exporters``/``Major Importers`` set themselves (so footnoted
+      headers like ``Major Exporters 3/`` still register), and
+      ``Selected Other`` updates nothing, so countries under it
+      inherit the previous group; the skip test is also a substring
+      match.
+    """
+    if grupo_mode not in ("headers", "compat"):
+        raise ValueError(f"grupo_mode must be 'headers' or 'compat', got {grupo_mode!r}")
     c = cells.filter(F.col("sheet") == sheet)
 
     # one row per sheet line: map col_idx → value
@@ -87,11 +104,18 @@ def extract_supply_use(
     blocks = forward_fill(blocks, "mes", ["row_idx"])
 
     geo_raw = F.trim(col(0))
-    is_group = geo_raw.isin(GROUP_HEADERS)
+    if grupo_mode == "compat":
+        grupo_hdr = (
+            F.when(geo_raw.contains("World"), F.lit("Resumen"))
+            .when(geo_raw.contains("Major Exporters"), F.lit("Major Exporters"))
+            .when(geo_raw.contains("Major Importers"), F.lit("Major Importers"))
+        )
+    else:
+        grupo_hdr = F.when(geo_raw.isin(GROUP_HEADERS), F.trim(geo_raw))
     data = (
         blocks.filter(F.col("block") >= 1)
         .withColumn("geo", strip_footnote_markers(geo_raw))
-        .withColumn("grupo_hdr", F.when(is_group, F.trim(geo_raw)))
+        .withColumn("grupo_hdr", grupo_hdr)
     )
     data = forward_fill(data, "grupo_hdr", ["row_idx"], out_col="Grupo")
 
@@ -102,10 +126,14 @@ def extract_supply_use(
         cond = F.length(F.trim(F.coalesce(col(i), F.lit("")))) > 0
         has_payload = cond if has_payload is None else (has_payload | cond)
     is_header_col = F.col("m").getItem(0).rlike("Beginning")
+    if grupo_mode == "compat":
+        is_skip = F.coalesce(geo_raw, F.lit("")).contains("Selected Other")
+    else:
+        is_skip = F.trim(F.coalesce(F.col("geo"), F.lit(""))).isin(*SKIP_MARKERS)
     data = data.filter(
         ~is_header_col
         & ~F.col("geo").rlike(r"^\d+/")
-        & ~F.trim(F.coalesce(F.col("geo"), F.lit(""))).isin(*SKIP_MARKERS)
+        & ~is_skip
         & has_payload
     )
 

@@ -2816,8 +2816,18 @@ _WVC = ["Beginning stocks", "Production", "Imports", "Domestic Feed",
         "Domestic total", "Exports", "Ending stocks"]
 
 
-def _wasde_oracle() -> str:
-    vals = _values_sql([("p22", r, c, v) for r, c, v in _WASDE_GRID])
+def _wasde_oracle(
+    grid,
+    sheet: str = "p22",
+    daterelease: str = "2026-01-12",
+    commodity: str = "Corn",
+    ts: str = "2026-01-12 08:00:00",
+    compat: bool = False,
+) -> str:
+    """DuckDB replay of ``extract_supply_use``. ``compat=True`` mirrors
+    ``grupo_mode='compat'`` (substring group attribution, World →
+    Resumen, Selected Other inherits — HTGPIWASDE/__init__.py:466-480)."""
+    vals = _values_sql([(sheet, r, c, v) for r, c, v in grid])
     cleaned = ", ".join(
         f'{_clean_num_sql(f"c{i}")} AS "{name}"'
         for i, name in enumerate(_WVC, start=1)
@@ -2825,6 +2835,19 @@ def _wasde_oracle() -> str:
     payload = " OR ".join(
         f"length(trim(coalesce(c{i}, ''))) > 0" for i in range(1, 8)
     )
+    if compat:
+        grupo_hdr = """CASE
+                       WHEN coalesce(trim(c0), '') LIKE '%World%' THEN 'Resumen'
+                       WHEN coalesce(trim(c0), '') LIKE '%Major Exporters%'
+                            THEN 'Major Exporters'
+                       WHEN coalesce(trim(c0), '') LIKE '%Major Importers%'
+                            THEN 'Major Importers' END"""
+        skip = "NOT (coalesce(trim(c0), '') LIKE '%Selected Other%')"
+    else:
+        grupo_hdr = """CASE WHEN trim(c0) IN ('World', 'Major Exporters',
+                                         'Major Importers', 'Selected Other')
+                       THEN trim(c0) END"""
+        skip = "trim(coalesce(geo0, '')) <> 'Selected Other'"
     return f"""
     WITH cells (sheet, row_idx, col_idx, value) AS (VALUES {vals}),
     lines AS (
@@ -2832,12 +2855,12 @@ def _wasde_oracle() -> str:
              {', '.join(
                  f"max(CASE WHEN col_idx = {i} THEN value END) AS c{i}"
                  for i in range(8))}
-      FROM cells WHERE sheet = 'p22' GROUP BY row_idx),
+      FROM cells WHERE sheet = '{sheet}' GROUP BY row_idx),
     landmarks AS (
       SELECT min(CASE WHEN regexp_matches(value, '^WASDE-[0-9]+') THEN value END) AS Wasde,
              min(CASE WHEN regexp_matches(value, 'Supply and Use') THEN value END) AS Datos,
              min(CASE WHEN regexp_matches(value, 'Million Metric Tons') THEN value END) AS Medida
-      FROM cells WHERE sheet = 'p22'),
+      FROM cells WHERE sheet = '{sheet}'),
     blk AS (
       SELECT *, sum(CASE WHEN regexp_matches(coalesce(c0, ''), 'Beginning')
                          THEN 1 ELSE 0 END)
@@ -2850,9 +2873,7 @@ def _wasde_oracle() -> str:
                      OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
                            AND CURRENT ROW) AS mes FROM blk),
     d1 AS (SELECT *, trim(regexp_replace(trim(c0), '[0-9]+/', '')) AS geo0,
-                  CASE WHEN trim(c0) IN ('World', 'Major Exporters',
-                                         'Major Importers', 'Selected Other')
-                       THEN trim(c0) END AS grupo_hdr
+                  {grupo_hdr} AS grupo_hdr
            FROM b2 WHERE block >= 1),
     d2 AS (SELECT *, last_value(grupo_hdr IGNORE NULLS)
                      OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
@@ -2863,7 +2884,7 @@ def _wasde_oracle() -> str:
            -- the oracle must too (sparse grids behave identically)
            WHERE NOT regexp_matches(c0, 'Beginning')
              AND NOT regexp_matches(geo0, '^[0-9]+/')
-             AND trim(coalesce(geo0, '')) <> 'Selected Other'
+             AND {skip}
              AND ({payload})),
     d4 AS (SELECT *, last_value(CASE WHEN length(geo0) > 0 THEN geo0 END
                                 IGNORE NULLS)
@@ -2874,8 +2895,8 @@ def _wasde_oracle() -> str:
                   {cleaned}
            FROM d4),
     d6 AS (SELECT *, ("Domestic total" + "Exports") AS total_use FROM d5)
-    SELECT 'WASDE' AS Origen, 'WASDE_2026-01-12.xls' AS Archivo,
-           l.Wasde, l.Datos, 'Corn' AS Commoditie, l.Medida,
+    SELECT 'WASDE' AS Origen, 'WASDE_{daterelease}.xls' AS Archivo,
+           l.Wasde, l.Datos, '{commodity}' AS Commoditie, l.Medida,
            cast(row_idx AS varchar) AS DateN, mes AS HarvestDate,
            CASE WHEN block = 1 THEN 'EST.' ELSE 'PROJ.' END AS Tipo,
            Grupo, geo AS Geography, cast(Orden AS int) AS Orden, mes AS Mes,
@@ -2883,13 +2904,13 @@ def _wasde_oracle() -> str:
            total_use AS "Total Use",
            CASE WHEN total_use IS NULL OR total_use = 0 THEN 0.0
                 ELSE ("Ending stocks" * 100) / total_use END AS "Stocks to Use",
-           TIMESTAMP '2026-01-12 08:00:00' AS actualizacion,
-           '2026-01-12' AS DATERELEASE
+           TIMESTAMP '{ts}' AS actualizacion,
+           '{daterelease}' AS DATERELEASE
     FROM d6 CROSS JOIN landmarks l
     """
 
 
-@query("q85_pipeline_wasde", _wasde_oracle())
+@query("q85_pipeline_wasde", _wasde_oracle(_WASDE_GRID))
 def q85(spark, sf_dir):
     """END-TO-END HTGPIWASDE parity — the flagship M1 transform
     (plans/wasde.py extract_supply_use): cell grid → landmark capture,
@@ -3446,6 +3467,156 @@ def q94(spark, sf_dir):
         "poi_id",
         classify_expr(full_rules(), cols).alias("category_fixed"),
         classify_expr(full_rules(compat=True), cols).alias("category_compat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WASDE family breadth: second grid (compat Grupo semantics) + wheat
+# transpose (R4) under oracle
+# ---------------------------------------------------------------------------
+
+#: a second, gnarlier supply/use sheet (wheat family): footnoted group
+#: headers (``Major Exporters 3/``), a ``Selected Other`` section whose
+#: members inherit the previous group (reference :466-480), a
+#: footnote-only note row, a row with a name but no payload, a sparse
+#: row missing cells 3-7 entirely, en-dash/'---'/'NA' sentinels, and a
+#: blank-geography continuation row.
+_WASDE_GRID2 = [
+    (0, 0, "WASDE-670"),
+    (1, 0, "World Wheat Supply and Use 1/"),
+    (2, 0, "Million Metric Tons"),
+    (3, 0, "Beginning Stocks"), (3, 1, "2024/25 Est."),
+    (4, 0, "World 2/"), (4, 1, "265.5"), (4, 2, "790"), (4, 3, "3"),
+    (4, 4, "550"), (4, 5, "795"), (4, 6, "210"), (4, 7, "260"),
+    (5, 0, "Major Exporters 3/"), (5, 1, ""),
+    (6, 0, "Argentina"), (6, 1, "3"), (6, 2, "18"), (6, 3, "NA"),
+    (6, 4, "6"), (6, 5, "7"), (6, 6, "12"), (6, 7, "2"),
+    (7, 0, "European Union"), (7, 1, "12"), (7, 2, "134"), (7, 3, "5"),
+    (7, 4, "–"), (7, 5, "108"), (7, 6, "35"), (7, 7, "8"),
+    (8, 0, "Major Importers 3/"), (8, 1, ""),
+    (9, 0, "Egypt"), (9, 1, "5"), (9, 2, "9"), (9, 3, "12"),
+    (9, 4, "---"), (9, 5, "20"), (9, 6, "1"), (9, 7, "5"),
+    (10, 0, "Selected Other"), (10, 1, ""),
+    (11, 0, "Brazil 4/"), (11, 1, "1"), (11, 2, "8"), (11, 3, "6"),
+    (11, 4, "2"), (11, 5, "12"), (11, 6, "1"), (11, 7, "2"),
+    (12, 0, "India"), (12, 1, "10"), (12, 2, "104"),  # sparse: cols 3-7 absent
+    (13, 0, "2/ Marketing year beginning June 1."),   # footnote-only row
+    (14, 0, "Turkey"), (14, 1, ""),                   # name but no payload
+    (15, 0, "Beginning Stocks"), (15, 1, "2025/26 Proj."),
+    (16, 0, "World 2/"), (16, 1, "260"), (16, 2, "800"), (16, 3, "4"),
+    (16, 4, "555"), (16, 5, "800"), (16, 6, "215"), (16, 7, "0"),
+    (17, 0, "Major Exporters 3/"), (17, 1, ""),
+    (18, 0, "Argentina"), (18, 1, "2"), (18, 2, "19"), (18, 3, "1"),
+    (18, 4, "6"), (18, 5, "7"), (18, 6, "13"), (18, 7, "2"),
+    (19, 0, ""), (19, 1, "1"), (19, 2, "2"), (19, 3, "0"),  # continuation
+    (19, 4, "1"), (19, 5, "1"), (19, 6, "1"), (19, 7, "1"),
+]
+
+
+@query(
+    "q95_pipeline_wasde2",
+    _wasde_oracle(_WASDE_GRID2, sheet="p10", daterelease="2026-02-10",
+                  commodity="Wheat", ts="2026-02-10 08:00:00", compat=True),
+)
+def q95(spark, sf_dir):
+    """Second WASDE sheet family under oracle: the wheat grid with
+    footnoted group headers, a Selected Other section (members inherit
+    the previous group — compat Grupo semantics, World → Resumen,
+    HTGPIWASDE/__init__.py:466-480), footnote-only and payload-less
+    rows, sparse cells, en-dash/'---'/'NA' sentinels, and a
+    continuation row (Orden=2)."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans.wasde import extract_supply_use
+
+    cells = spark.createDataFrame(
+        [("p10", r, c, v) for r, c, v in _WASDE_GRID2],
+        "sheet string, row_idx int, col_idx int, value string",
+    )
+    return extract_supply_use(
+        cells, "p10", "2026-02-10", "Wheat",
+        clock=_dt.datetime(2026, 2, 10, 8, 0, 0), grupo_mode="compat",
+    )
+
+
+_WHEAT_GRID = [
+    (0, 0, ""), (0, 1, "Hard Red Winter"), (0, 2, "Durum"), (0, 3, "White"),
+    (1, 0, "Production"), (1, 1, "20"), (1, 2, "5"), (1, 3, "NA"),
+    (2, 0, "Domestic Use"), (2, 1, "12"), (2, 2, "3"), (2, 3, "1.5"),
+    (3, 0, "Exports"), (3, 1, "8"), (3, 2, "---"), (3, 3, "2"),
+    (4, 0, ""), (4, 1, "Hard Red Winter"), (4, 2, "Durum"), (4, 3, "White"),
+    (5, 0, "Production"), (5, 1, "22"), (5, 2, "6"), (5, 3, "7"),
+    (6, 0, "Domestic Use"), (6, 1, "13"), (6, 2, "4"), (6, 3, "2"),
+    (7, 0, "Exports"), (7, 1, "9"), (7, 2, "2"), (7, 3, "3"),
+]
+
+_WHEAT_CLASSES = ["Hard Red Winter", "Durum", "White"]
+_WHEAT_METRICS = ["Production", "Domestic Use", "Exports"]
+
+
+def _wheat_oracle() -> str:
+    """Replay of ``extract_wheat_classes``: the unpivot→pivot transpose
+    (R4) as per-(class, block) conditional aggregation."""
+    vals = _values_sql([("p11", r, c, v) for r, c, v in _WHEAT_GRID])
+    branches = []
+    for b, tipo in ((1, "EST."), (2, "PROJ.")):
+        for j, cls in enumerate(_WHEAT_CLASSES, start=1):
+            ms = ", ".join(
+                f"max(CASE WHEN metric_name = '{m}' THEN v{j} END) AS \"{m}\""
+                for m in _WHEAT_METRICS
+            )
+            branches.append(
+                f"SELECT '{cls}' AS Class, {ms}, '{tipo}' AS Tipo "
+                f"FROM data WHERE block = {b}"
+            )
+    union = " UNION ALL ".join(branches)
+    cleaned = ", ".join(
+        f"{_clean_num_sql(f'c{j}')} AS v{j}"
+        for j in range(1, len(_WHEAT_CLASSES) + 1)
+    )
+    return f"""
+    WITH cells (sheet, row_idx, col_idx, value) AS (VALUES {vals}),
+    lines AS (
+      SELECT row_idx,
+             {', '.join(
+                 f"max(CASE WHEN col_idx = {i} THEN value END) AS c{i}"
+                 for i in range(4))}
+      FROM cells WHERE sheet = 'p11' GROUP BY row_idx),
+    blk AS (
+      SELECT *, sum(CASE WHEN length(trim(coalesce(c0, ''))) = 0
+                         THEN 1 ELSE 0 END)
+                OVER (ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS block
+      FROM lines),
+    data AS (
+      SELECT block, trim(c0) AS metric_name, {cleaned}
+      FROM blk WHERE length(trim(coalesce(c0, ''))) > 0),
+    sel AS ({union})
+    SELECT Class, {', '.join(f'"{m}"' for m in _WHEAT_METRICS)}, Tipo,
+           '2026-02-10' AS DATERELEASE,
+           TIMESTAMP '2026-02-10 08:00:00' AS actualizacion
+    FROM sel
+    """
+
+
+@query("q96_wheat_classes", _wheat_oracle())
+def q96(spark, sf_dir):
+    """R4 transpose under oracle: the wheat-by-class sheet (metrics as
+    rows × classes as columns) flipped to one row per (class, block)
+    with metric columns — the reference's numpy ``.T``
+    (HTGPIWASDE/__init__.py:358-369) as the unpivot→pivot composite,
+    with sentinel cleaning and the EST./PROJ. block split, all
+    hash-checked against conditional-aggregation SQL."""
+    import datetime as _dt
+
+    from gpi_etl_spark.plans.wasde import extract_wheat_classes
+
+    cells = spark.createDataFrame(
+        [("p11", r, c, v) for r, c, v in _WHEAT_GRID],
+        "sheet string, row_idx int, col_idx int, value string",
+    )
+    return extract_wheat_classes(
+        cells, "p11", "2026-02-10", clock=_dt.datetime(2026, 2, 10, 8, 0, 0)
     )
 
 
