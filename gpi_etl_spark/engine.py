@@ -181,8 +181,14 @@ def _site_endpoint(country: str, category: str):
         categories: Sequence[str] | None = None,
         k: int = 3,
     ):
+        # model may be a fitted object, raw artifact bytes, a stream,
+        # or a path — the reference streams a pickled model from blob
+        # storage (HTIPNEXSITE/__init__.py:72-90) before predicting
+        from gpi_etl_spark.operators.score import ensure_model
+
         scored = S.score_sites(
-            pois, model, rules=rules or S.DEFAULT_RULES, categories=categories
+            pois, ensure_model(model), rules=rules or S.DEFAULT_RULES,
+            categories=categories,
         )
         if stores is None:
             return scored

@@ -53,6 +53,44 @@ class LinearModel:
         return X @ self.w + self.b
 
 
+def load_model(source):
+    """S12: bytes → fitted model (the reference's blob-artifact path:
+    ``get_blob_to_stream`` into a ``BytesIO`` then ``joblib.load``,
+    HTIPNEXSITE/__init__.py:72-90,354-358).
+
+    ``source`` may be raw ``bytes``, a binary file-like (the stream the
+    reference passes), or a filesystem path. Tries joblib first (the
+    reference's serializer; sklearn artifacts need it) and falls back
+    to stdlib pickle when joblib isn't installed. Only load artifacts
+    you trust — pickle executes code on deserialization.
+    """
+    import io
+    import os
+    import pickle
+
+    try:
+        import joblib  # not in this container; present on real deployments
+        loader = joblib.load
+    except ImportError:
+        loader = pickle.load
+
+    if isinstance(source, (bytes, bytearray)):
+        stream = io.BytesIO(source)
+    elif isinstance(source, (str, os.PathLike)):
+        with open(source, "rb") as fh:
+            return loader(fh)
+    else:
+        stream = source
+        stream.seek(0)
+    return loader(stream)
+
+
+def ensure_model(model):
+    """Accept a fitted model, raw artifact bytes, a stream, or a path —
+    anything without a ``predict`` goes through :func:`load_model`."""
+    return model if hasattr(model, "predict") else load_model(model)
+
+
 def score_vector_column(
     df: DataFrame,
     model,

@@ -265,6 +265,38 @@ def _dedupe(names: Sequence[str]) -> list[str]:
     return out
 
 
+def raw_binary_put(path: str, data: bytes) -> None:
+    """K2: raw binary object put (the reference's
+    ``create_blob_from_stream`` of the fetched WASDE .xls and the
+    pickled model artifacts, HTGPIWASDE/__init__.py:80-86). Expressed
+    against the filesystem abstraction: written to a temp name in the
+    target directory then atomically renamed, so readers never observe
+    a half-written object (on real object stores the store's own
+    single-shot PUT provides the same guarantee)."""
+    import os
+    import tempfile
+
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".put-")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def raw_binary_get(path: str) -> bytes:
+    """S12 fetch side: object → bytes (``get_blob_to_stream``,
+    HTIPNEXSITE/__init__.py:87-90). Feed the result to
+    ``operators.score.load_model`` for model artifacts."""
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
 class _LinkParser(HTMLParser):
     def __init__(self) -> None:
         super().__init__()

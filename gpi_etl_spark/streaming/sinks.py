@@ -17,6 +17,44 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path class, Path) for ``path``'s scheme — the
+    Hadoop FS API sees whatever store the executors see (s3a://, hdfs://,
+    file:), unlike driver-local ``os.path``."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path, jpath
+
+
+def _is_committed(fs, Path, d) -> bool:
+    """A staging dir is promotable only when its write committed (the
+    parquet job's ``_SUCCESS`` marker is present)."""
+    return bool(fs.exists(d)) and bool(fs.exists(Path(d.toString() + "/_SUCCESS")))
+
+
+def _recover(fs, Path, live, staged, old) -> None:
+    """Heal a crash that happened mid-swap: if the live dir is missing,
+    promote a committed staging dir (it holds the complete merged
+    table), else restore the retired previous table."""
+    if fs.exists(live):
+        return
+    if _is_committed(fs, Path, staged):
+        fs.rename(staged, live)
+    elif fs.exists(old):
+        fs.rename(old, live)
+
+
+def _retire_live(fs, live, old) -> None:
+    if not fs.rename(live, old):
+        raise IOError(f"could not retire live table {live} -> {old}")
+
+
+def _promote_staged(fs, staged, live) -> None:
+    if not fs.rename(staged, live):
+        raise IOError(f"could not promote staged table {staged} -> {live}")
+
+
 def upsert_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -28,31 +66,33 @@ def upsert_batch(
     the row with the highest ``ts_col`` (incoming wins ties).
 
     The merged result is materialized to a staging dir BEFORE the live
-    table is overwritten (the merge plan reads the live table, so it
-    cannot write over it in one pass). The final overwrite is not
-    atomic on plain parquet — a crash between its delete and commit
-    can lose the table (recover from ``__staging``); a lakehouse
-    format's ``MERGE INTO`` replaces this whole function with a
-    transactional commit.
+    table is replaced (the merge plan reads the live table, so it
+    cannot write over it in one pass). The replace is a rename-based
+    swap — retire live to ``__old``, promote ``__staging`` to live —
+    and every entry first runs crash recovery: a committed staging dir
+    (``_SUCCESS`` present) or the retired previous table is promoted
+    back if a prior run died mid-swap, so no crash point loses data.
+    Dir rename is atomic on local/HDFS filesystems; on S3-like object
+    stores rename is copy+delete — use a lakehouse format's
+    transactional ``MERGE INTO`` there instead.
+
+    First-batch detection probes existence through the Hadoop
+    FileSystem API for the path's scheme — no error-message matching —
+    so ONLY a genuinely missing table takes the first-batch branch;
+    any read/merge failure (schema drift, corrupt footer, transient FS
+    error) raises rather than overwriting history with one micro-batch.
     """
     from gpi_etl_spark.operators.watermark import upsert_by_key
 
-    from pyspark.errors import AnalysisException
-
     keys = list(keys)
-    # existence via the Spark filesystem, not os.path — the path may be
-    # an object store (s3a://…) the driver's local FS cannot see.
-    # ONLY a missing path may take the first-batch branch: any other
-    # failure (schema drift in upsert_by_key, corrupt footer, transient
-    # FS error) must raise, because falling through would overwrite the
-    # whole table with just this micro-batch — silent history loss.
-    current = None
-    try:
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+
+    _recover(fs, Path, live, staged, old)
+
+    if fs.exists(live):
         current = spark.read.parquet(path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-    if current is not None:
         winner = upsert_by_key(current, batch, keys, ts_col)
     else:
         w = Window.partitionBy(*keys).orderBy(F.col(ts_col).desc())
@@ -61,13 +101,20 @@ def upsert_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    staged = path.rstrip("/") + "__staging"
-    winner.write.mode("overwrite").parquet(staged)
-    spark.read.parquet(staged).write.mode("overwrite").parquet(path)
-    # best-effort staging cleanup (local FS; object stores age it out)
-    import shutil
+    winner.write.mode("overwrite").parquet(base + "__staging")
 
-    shutil.rmtree(staged, ignore_errors=True)
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_live = fs.exists(live)
+    if had_live:
+        _retire_live(fs, live, old)
+    try:
+        _promote_staged(fs, staged, live)
+    except BaseException:
+        if had_live:
+            fs.rename(old, live)  # put the previous table back
+        raise
+    fs.delete(old, True)
 
 
 def stream_upsert(

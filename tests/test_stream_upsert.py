@@ -67,6 +67,61 @@ def test_stream_upsert_across_micro_batches(spark, dirs):
     assert got == {"CU": 101.0, "SB": 20.0}
 
 
+def test_upsert_batch_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """Kill the swap between retiring the live table and promoting the
+    staged one — the worst crash point. The next upsert_batch run must
+    self-heal (promote the committed staging dir) with NO lost rows."""
+    from gpi_etl_spark.streaming import sinks
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame([("CU", T0, 100.0), ("SB", T0, 20.0)], SCHEMA)
+    upsert_batch(spark, b1, path, ["sym"], "ts")
+
+    def boom(fs, staged, live):
+        raise RuntimeError("crash between renames")
+
+    b2 = spark.createDataFrame(
+        [("CU", T0 + dt.timedelta(days=1), 101.0)], SCHEMA
+    )
+    real_promote = sinks._promote_staged
+    monkeypatch.setattr(sinks, "_promote_staged", boom)
+    with pytest.raises(RuntimeError, match="crash between renames"):
+        upsert_batch(spark, b2, path, ["sym"], "ts")
+    # the rollback restored the previous table — readable, no data loss
+    assert {r.sym: r.close for r in spark.read.parquet(path).collect()} == {
+        "CU": 100.0, "SB": 20.0,
+    }
+
+    # crash harder: the rollback itself also died (live dir gone)
+    monkeypatch.setattr(sinks, "_promote_staged", real_promote)
+    fs, Path, live = sinks._hadoop_fs(spark, path)
+    fs.rename(live, Path(path + "__old"))
+    assert not fs.exists(live)
+    # next batch heals from the committed staging dir, then merges
+    b3 = spark.createDataFrame([("WH", T0, 55.0)], SCHEMA)
+    upsert_batch(spark, b3, path, ["sym"], "ts")
+    got = {r.sym: r.close for r in spark.read.parquet(path).collect()}
+    assert got == {"CU": 101.0, "SB": 20.0, "WH": 55.0}
+
+
+def test_upsert_batch_recovers_from_retired_old_dir(spark, tmp_path):
+    """No staging dir (or an uncommitted one): recovery falls back to
+    the retired ``__old`` table."""
+    from gpi_etl_spark.streaming import sinks
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame([("CU", T0, 100.0)], SCHEMA)
+    upsert_batch(spark, b1, path, ["sym"], "ts")
+    fs, Path, live = sinks._hadoop_fs(spark, path)
+    fs.rename(live, Path(path + "__old"))
+    # an uncommitted staging dir (no _SUCCESS) must NOT be promoted
+    fs.mkdirs(Path(path + "__staging"))
+    b2 = spark.createDataFrame([("SB", T0, 20.0)], SCHEMA)
+    upsert_batch(spark, b2, path, ["sym"], "ts")
+    got = {r.sym: r.close for r in spark.read.parquet(path).collect()}
+    assert got == {"CU": 100.0, "SB": 20.0}
+
+
 def test_upsert_batch_schema_drift_raises_instead_of_overwriting(spark, tmp_path):
     import pytest as _pt
 
