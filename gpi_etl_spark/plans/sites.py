@@ -163,12 +163,24 @@ def poi_features(
     site_cols: Sequence[str] = ("rst_cd",),
     categories: Sequence[str] | None = None,
     missing_min: float = 0.0,
+    distance: str = "haversine",
 ) -> DataFrame:
     """Distance column (J3 as a pure expression — no iterrows loop)
-    then the GEO_<CAT>_<STAT> widening (A3+R2)."""
+    then the GEO_<CAT>_<STAT> widening (A3+R2).
+
+    ``distance='geodesic'`` swaps in the WGS-84 pandas_udf
+    (functions.geo.geodesic_meters) for exact parity with the
+    reference's geopy loop (:318-322); the codegen'd Haversine default
+    differs by <0.6% and is the right choice at scale."""
+    if distance == "geodesic":
+        from gpi_etl_spark.functions.geo import geodesic_meters
+        dist_col = geodesic_meters("place_ltt", "place_lgt", "poi_ltt", "poi_lgt")
+    elif distance == "haversine":
+        dist_col = haversine_meters("place_ltt", "place_lgt", "poi_ltt", "poi_lgt")
+    else:
+        raise ValueError(f"distance must be 'haversine' or 'geodesic', got {distance!r}")
     with_dist = pois_classified.withColumn(
-        "distance_mtrs",
-        haversine_meters("place_ltt", "place_lgt", "poi_ltt", "poi_lgt"),
+        "distance_mtrs", dist_col
     ).dropDuplicates()  # the reference dedupes POIs before featurizing (:315)
     return geo_feature_vector(
         with_dist,

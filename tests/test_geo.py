@@ -122,3 +122,63 @@ def test_haversine_antipodes_not_nan(spark):
     d = df.select(haversine_meters("lat1", "lon1", "lat2", "lon2").alias("d")).first().d
     assert d == d  # not NaN
     assert abs(d - math.pi * EARTH_RADIUS_M) < 1000  # half circumference
+
+
+# -- WGS-84 geodesic (J3 exact-parity path) ---------------------------------
+
+def test_vincenty_known_ellipsoid_arcs():
+    """Public WGS-84 constants: 1° of longitude along the equator is
+    a·π/180 = 111319.491 m exactly (equatorial arc); 1° of latitude
+    from the equator is ≈110574.4 m (meridional arc)."""
+    from gpi_etl_spark.functions.geo import _vincenty_inverse
+
+    d_lon = _vincenty_inverse([0.0], [0.0], [0.0], [1.0])[0]
+    assert abs(d_lon - 111319.491) < 0.01
+    d_lat = _vincenty_inverse([0.0], [0.0], [1.0], [0.0])[0]
+    assert abs(d_lat - 110574.4) < 5.0
+    # symmetric, zero at coincident points
+    assert _vincenty_inverse([14.5], [-90.6], [14.5], [-90.6])[0] == 0.0
+    a = _vincenty_inverse([14.497], [-90.59], [15.5], [-88.0])[0]
+    b = _vincenty_inverse([15.5], [-88.0], [14.497], [-90.59])[0]
+    assert abs(a - b) < 1e-6
+
+
+def test_geodesic_vs_haversine_delta_at_reference_coords(spark):
+    """At the reference's own coordinates (Guatemala City POIs,
+    HTIPPLSITE/__init__.py:380) the sphere-vs-ellipsoid drift peaks
+    at ~0.56% for meridional legs; the geodesic pandas_udf must sit
+    inside that documented bound."""
+    from gpi_etl_spark.functions.geo import geodesic_meters
+
+    rows = [
+        (14.4970899, -90.5900806, 14.5063, -90.5852),   # ~1 km city hop
+        (14.4970899, -90.5900806, 15.7835, -88.7832),   # ~230 km cross-country
+        (9.93, -84.08, 9.9305, -84.0803),               # the test-site block
+    ]
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    out = df.select(
+        geodesic_meters("lat1", "lon1", "lat2", "lon2").alias("geo"),
+        haversine_meters("lat1", "lon1", "lat2", "lon2").alias("hav"),
+    ).collect()
+    for r in out:
+        assert r.geo > 0
+        assert abs(r.geo - r.hav) / r.geo < 0.006
+
+
+def test_poi_features_geodesic_mode(spark):
+    from gpi_etl_spark.plans import sites
+    from gpi_etl_spark.schemas import POIS
+
+    pois = spark.createDataFrame(
+        [("N1", 9.93, -84.08, "p1", "BANCO NACIONAL", "BANK", 9.9305, -84.08)],
+        POIS,
+    )
+    hav = sites.poi_features(sites.classify_pois(pois), categories=["BANCO"])
+    geo = sites.poi_features(
+        sites.classify_pois(pois), categories=["BANCO"], distance="geodesic"
+    )
+    d_h = hav.first().GEO_BANCO_MIN_DIST
+    d_g = geo.first().GEO_BANCO_MIN_DIST
+    assert d_g > 0 and abs(d_g - d_h) / d_g < 0.006
