@@ -46,6 +46,9 @@ HEADLINE = [
     "q65_sequence_packing",
     "q68_tfidf_topterms",
     "q78_ohlc_resample",
+    "q85_pipeline_wasde",   # end-to-end WASDE sheet extraction
+    "q87_pipeline_site",    # end-to-end site scoring (classify→score)
+    "q94_classify_full",    # full 47-rule CASE chain, both modes
 ]
 
 

