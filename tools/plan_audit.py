@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 # scalar-subquery broadcast pattern; the "loop" side is 1 row.
 EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_topk",
                 "q48_embedding_near_dup", "q68_tfidf_topterms", "q77_data_quality",
-                "q85_pipeline_wasde"}
+                "q85_pipeline_wasde", "q95_pipeline_wasde2"}
 
 
 def main() -> int:
