@@ -133,21 +133,35 @@ def prophetx(command: str, **kwargs) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def wasde(
-    cells: DataFrame,
+    cells,
     sheet: str,
     daterelease: str,
     commodity: str = "Corn",
     sink: DataFrame | None = None,
     family: str = "supply_use",
     clock: dt.datetime | None = None,
+    spark=None,
 ) -> DataFrame:
     """Sheet cell-grid → tidy rows; with ``sink`` given, the month
     partition reload (delete-then-insert, :74-77,124-134) is applied so
     re-released months replace their prior version.
 
+    ``cells`` is the ``(sheet, row_idx, col_idx, value)`` frame — or
+    the raw .xlsx workbook bytes (the reference's fetched payload,
+    :80-86), parsed natively via ``sources.xlsx``.
+
     ``family='supply_use'`` covers the 8 near-identical supply/use
     parsers (:248-1196); ``family='wheat_classes'`` the transposed
     wheat-class sheet (:358-369)."""
+    if isinstance(cells, (bytes, bytearray)):
+        from pyspark.sql import SparkSession
+
+        from gpi_etl_spark.sources.xlsx import xlsx_cells_df
+
+        sp = spark or SparkSession.getActiveSession()
+        if sp is None:
+            raise ValueError("pass spark= when supplying raw workbook bytes")
+        cells = xlsx_cells_df(sp, bytes(cells), sheet)
     if family == "supply_use":
         out = W.extract_supply_use(cells, sheet, daterelease, commodity, clock=clock)
     elif family == "wheat_classes":

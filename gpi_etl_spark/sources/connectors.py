@@ -134,31 +134,37 @@ def excel_cells(
     payload: bytes,
     sheet_name: str,
 ) -> list[list]:
-    """S2: .xls/.xlsx sheet → cell grid (list of row lists).
+    """S2: .xls/.xlsx sheet → cell grid (list of row lists) with
+    merged-cell expansion (HTGPIWASDE/__init__.py:203-245).
 
-    The reference uses xlrd with merged-cell expansion and date-cell
-    coercion (HTGPIWASDE/__init__.py:203-245). Neither xlrd nor
-    openpyxl is installed in this container, so the byte-parsing step
-    is stubbed; the downstream grid→table extraction (the actual engine
-    logic) is pure and tested against fixture grids.
+    .xlsx (zip container, ``PK`` magic) parses natively via
+    ``sources.xlsx`` — stdlib only, no openpyxl/xlrd needed. openpyxl
+    is preferred when installed (style-aware date coercion). Legacy
+    binary .xls (BIFF) still needs xlrd and raises without it.
     """
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "excel parsing needs openpyxl/xlrd (not in this container); "
-            "feed fixture cell grids to the extract transforms instead"
-        ) from exc
-    wb = openpyxl.load_workbook(io.BytesIO(payload), data_only=True)
-    ws = wb[sheet_name]
-    grid = [[c.value for c in row] for row in ws.iter_rows()]
-    # expand merged ranges so every covered cell holds the anchor value
-    for rng in ws.merged_cells.ranges:
-        anchor = grid[rng.min_row - 1][rng.min_col - 1]
-        for r in range(rng.min_row - 1, rng.max_row):
-            for c in range(rng.min_col - 1, rng.max_col):
-                grid[r][c] = anchor
-    return grid
+    except ImportError:
+        openpyxl = None
+    if openpyxl is not None:
+        wb = openpyxl.load_workbook(io.BytesIO(payload), data_only=True)
+        ws = wb[sheet_name]
+        grid = [[c.value for c in row] for row in ws.iter_rows()]
+        # expand merged ranges so every covered cell holds the anchor value
+        for rng in ws.merged_cells.ranges:
+            anchor = grid[rng.min_row - 1][rng.min_col - 1]
+            for r in range(rng.min_row - 1, rng.max_row):
+                for c in range(rng.min_col - 1, rng.max_col):
+                    grid[r][c] = anchor
+        return grid
+    if payload[:2] == b"PK":  # zip container → SpreadsheetML
+        from gpi_etl_spark.sources.xlsx import parse_xlsx_cells
+
+        return parse_xlsx_cells(payload, sheet_name)
+    raise NotImplementedError(
+        "legacy binary .xls needs xlrd (not in this container); "
+        ".xlsx parses natively via sources.xlsx"
+    )
 
 
 class _TableParser(HTMLParser):
