@@ -112,3 +112,64 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         language_guess(text_col).alias("lang_guess"),
         rolling_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def ngram_repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams within the document — the
+    Gopher-style duplicate-text signal used to filter boilerplate and
+    looping generations from LLM training corpora. 0 when the doc has
+    fewer than ``n`` tokens.
+
+    Pure array expressions (sequence → transform → array_distinct), so
+    the whole signal stays in one codegen stage: no explode, no
+    shuffle, linear in tokens per row at any scale.
+    """
+    toks = tokens(col)
+    k = F.size(toks)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        )
+
+    # guard BEFORE sequence(): Spark's sequence(0, stop) runs DESCENDING
+    # for stop < 0 and would fabricate grams for short docs
+    grams = F.when(
+        k >= n, F.transform(F.sequence(F.lit(0), k - n), gram)
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams)
+    return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+            6,
+        )
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical unigram model — the cheap perplexity proxy for quality
+    filtering (very low = gibberish/rare-token soup, very high =
+    repetitive boilerplate).
+
+    Shape at scale: one exploded-token pass feeds BOTH the vocabulary
+    aggregate (map-side combinable) and the per-doc score; the token →
+    frequency join is an equi-join on the term (broadcastable while
+    the vocabulary is bounded), and the corpus total is a one-row
+    aggregate broadcast, not a driver collect.
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(vocab, "term").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

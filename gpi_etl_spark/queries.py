@@ -3620,6 +3620,64 @@ def q96(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus-quality signals: unigram LM + intra-doc repetition
+# ---------------------------------------------------------------------------
+
+@query(
+    "q97_unigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT sum(cnt) AS total FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(ln(cnt / cast(total AS double))), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q97(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's own
+    empirical unigram model — the perplexity-proxy quality filter of an
+    LLM data pipeline. One exploded-token pass feeds both the
+    vocabulary aggregate and the per-doc score; term join is an
+    equi-join, corpus total a broadcast one-row aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    return textstats.unigram_logprob(docs)
+
+
+@query(
+    "q98_repetition_ratio",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) AS k,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+                 ELSE [] END AS grams
+          FROM d)
+    SELECT doc_id, cast(k AS int) AS n_tokens,
+           CASE WHEN len(grams) <= 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(grams))
+                           / cast(len(grams) AS double), 6)
+           END AS rep_ratio
+    FROM g
+    """,
+)
+def q98(spark, sf_dir):
+    """Intra-document trigram repetition ratio (the Gopher-style
+    duplicate-text signal): fraction of repeated word trigrams, all as
+    codegen'd array expressions — no explode, no shuffle, linear per
+    row. Short docs (<3 tokens) score 0."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.ngram_repetition_ratio("text", n=3).alias("rep_ratio"),
+    )
+
+
 def _qnum(name: str) -> int:
     return int(name[1:3]) if name[1:3].isdigit() else 999
 

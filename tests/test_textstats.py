@@ -48,3 +48,36 @@ def test_quality_monotonic_in_length(spark):
     short = _profile(spark, "the a of")
     long = _profile(spark, " ".join(["the quick brown fox"] * 30))
     assert long.quality > short.quality
+
+
+def test_ngram_repetition_ratio_known_values(spark):
+    from gpi_etl_spark.operators.textstats import ngram_repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct → 1 - 3/7
+            (2, "all unique words here now"),  # 3 trigrams, all distinct → 0
+            (3, "too short"),            # < 3 tokens → 0
+            (4, ""),                     # empty → 0
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.r for r in df.select(
+        "doc_id", ngram_repetition_ratio("text").alias("r")).collect()}
+    assert abs(got[1] - round(1 - 3 / 7, 6)) < 1e-9
+    assert got[2] == 0.0 and got[3] == 0.0 and got[4] == 0.0
+
+
+def test_unigram_logprob_known_model(spark):
+    import math
+
+    from gpi_etl_spark.operators.textstats import unigram_logprob
+
+    # corpus: 4 tokens total — 'a' freq 3 (p=3/4), 'b' freq 1 (p=1/4)
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob)
+           for r in unigram_logprob(df).collect()}
+    assert got[1] == (3, round(math.log(0.75), 6))
+    assert got[2] == (1, round(math.log(0.25), 6))

@@ -16,12 +16,14 @@ sys.path.insert(0, "/root/repo")
 
 # queries where a cross/BNL join is the declared algorithm (exact
 # all-pairs baselines with a broadcast side), not an accident.
-# q68/q77/q85: crossJoin of ONE-ROW full aggregates (corpus doc count /
-# total-vs-orphan report counts / WASDE landmark cells) — the
-# scalar-subquery broadcast pattern; the "loop" side is 1 row.
+# q68/q77/q85/q95/q97: crossJoin of ONE-ROW full aggregates (corpus doc
+# count / total-vs-orphan report counts / WASDE landmark cells / corpus
+# token total) — the scalar-subquery broadcast pattern; the "loop" side
+# is 1 row.
 EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_topk",
                 "q48_embedding_near_dup", "q68_tfidf_topterms", "q77_data_quality",
-                "q85_pipeline_wasde", "q95_pipeline_wasde2"}
+                "q85_pipeline_wasde", "q95_pipeline_wasde2",
+                "q97_unigram_logprob"}
 
 
 def main() -> int:
