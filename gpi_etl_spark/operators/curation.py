@@ -264,3 +264,112 @@ def contaminated_ids(
     c = word_shingles(corpus, text_col, id_col, n=n)
     h = word_shingles(heldout, text_col, id_col, n=n).select("shingle").distinct()
     return c.join(h, "shingle").select(id_col).distinct()
+
+
+def _shingle_hash_array(text_col: str, n: int) -> Column:
+    """xxhash64 of every distinct ``n``-word shingle of a document, as
+    an array column — the no-explode twin of ``dedup.word_shingles``
+    (identical normalization, slicing and empty filter, so hash
+    equality here means shingle equality there)."""
+    from gpi_etl_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    if n == 1:
+        shingles = toks
+    else:
+        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        shingles = F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        )
+    clean = F.filter(F.array_distinct(shingles), lambda s: F.length(s) > 0)
+    return F.transform(clean, lambda s: F.xxhash64(s))
+
+
+def _build_bloom(hashes, num_bits: int, num_hashes: int):
+    """Bit array with ``num_hashes`` double-hashed positions set per
+    input hash (Kirsch–Mitzenmacher: pos_j = h1 + j·h2 mod m)."""
+    import numpy as np
+
+    bits = np.zeros(num_bits // 8, dtype=np.uint8)
+    if len(hashes):
+        h1 = hashes.astype(np.uint64, copy=False)
+        h2 = (h1 >> np.uint64(33)) | np.uint64(1)  # odd → full-period stride
+        for j in range(num_hashes):
+            pos = (h1 + np.uint64(j) * h2) % np.uint64(num_bits)
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8),
+            )
+    return bits
+
+
+def bloom_contaminated_ids(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination — the 100 TB path.
+
+    :func:`contaminated_ids` (the exact oracle) explodes the CORPUS
+    side to (id, shingle) pairs and equi-joins: correct, but the big
+    side shuffles. Here the held-out set (an eval benchmark — bounded
+    by definition) is hashed into a driver-built Bloom bit array,
+    broadcast once, and each corpus document tests its shingle-hash
+    array against it inside one Arrow-batched pandas_udf: ZERO shuffle
+    of the corpus, no explode, linear scan.
+
+    Bloom guarantee: no false negatives — the returned id set is a
+    SUPERSET of the exact result (recall 100%). False-positive rate is
+    ~(1-e^(-k·s/m))^k for s held-out shingles; size ``num_bits``
+    accordingly (the default 8M bits ≈ 1MB broadcast holds ~500k
+    shingles at <1% FP). Chain the exact join AFTER the bloom pass on
+    the surviving sliver when exactness matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    h_rows = (
+        heldout.select(
+            F.explode(_shingle_hash_array(text_col, n)).alias("h")
+        ).distinct().collect()
+    )  # bounded model state (the eval set), not a data-path collect
+    hashes = (
+        np.array([r.h for r in h_rows], dtype=np.int64).view(np.uint64)
+        if h_rows else np.zeros(0, dtype=np.uint64)
+    )
+    bits = _build_bloom(hashes, num_bits, num_hashes)
+    bc = corpus.sparkSession.sparkContext.broadcast((bits, num_bits, num_hashes))
+
+    @F.pandas_udf("boolean")
+    def any_hit(arrs: pd.Series) -> pd.Series:
+        bbits, m, k = bc.value
+        lens = arrs.map(len).to_numpy()
+        if lens.sum() == 0:
+            return pd.Series(False, index=arrs.index)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in arrs]
+        ).view(np.uint64)
+        h2 = (flat >> np.uint64(33)) | np.uint64(1)
+        contained = np.ones(len(flat), dtype=bool)
+        for j in range(k):
+            pos = (flat + np.uint64(j) * h2) % np.uint64(m)
+            contained &= (
+                bbits[(pos >> np.uint64(3)).astype(np.int64)]
+                >> (pos & np.uint64(7)).astype(np.int64)
+            ).astype(np.uint8) & 1 > 0
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        out = [bool(contained[s:e].any()) for s, e in zip(starts, ends)]
+        return pd.Series(out, index=arrs.index)
+
+    return (
+        corpus.select(
+            F.col(id_col), _shingle_hash_array(text_col, n).alias("__hs")
+        )
+        .filter(any_hit(F.col("__hs")))
+        .select(id_col)
+    )
