@@ -20,6 +20,9 @@ same split — no RNG state to lose.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type
+import numpy as np  # hints (PEP 563) against module globals at decoration
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -329,9 +332,6 @@ def bloom_contaminated_ids(
     shingles at <1% FP). Chain the exact join AFTER the bloom pass on
     the surviving sliver when exactness matters.
     """
-    import numpy as np
-    import pandas as pd
-
     h_rows = (
         heldout.select(
             F.explode(_shingle_hash_array(text_col, n)).alias("h")
@@ -347,6 +347,7 @@ def bloom_contaminated_ids(
     @F.pandas_udf("boolean")
     def any_hit(arrs: pd.Series) -> pd.Series:
         bbits, m, k = bc.value
+        arrs = arrs.map(lambda a: a if a is not None else [])
         lens = arrs.map(len).to_numpy()
         if lens.sum() == 0:
             return pd.Series(False, index=arrs.index)
@@ -366,10 +367,11 @@ def bloom_contaminated_ids(
         out = [bool(contained[s:e].any()) for s, e in zip(starts, ends)]
         return pd.Series(out, index=arrs.index)
 
+    hs = F.coalesce(
+        _shingle_hash_array(text_col, n), F.array().cast("array<bigint>")
+    )  # NULL text → empty shingle set (matches the exact path: no rows)
     return (
-        corpus.select(
-            F.col(id_col), _shingle_hash_array(text_col, n).alias("__hs")
-        )
+        corpus.select(F.col(id_col), hs.alias("__hs"))
         .filter(any_hit(F.col("__hs")))
         .select(id_col)
     )

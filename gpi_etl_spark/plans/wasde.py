@@ -26,6 +26,7 @@ family:
 from __future__ import annotations
 
 import datetime as dt
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,13 +49,20 @@ SKIP_MARKERS = ["Selected Other"]
 
 def extract_supply_use(
     cells: DataFrame,
-    sheet: str,
+    sheet: str | Sequence[str],
     daterelease: str,
-    commodity: str,
+    commodity: str | dict[str, str],
     clock: dt.datetime | None = None,
     grupo_mode: str = "headers",
 ) -> DataFrame:
-    """Cell grid of one sheet → long-format 22-col supply/use rows.
+    """Cell grid → long-format 22-col supply/use rows.
+
+    ``sheet`` may be one sheet name or a sequence of them; every window
+    in the extract partitions by ``sheet`` so a frame holding many
+    sheets/workbooks parallelizes per-sheet instead of funnelling into
+    a single task (the round-2 "No Partition Defined for Window" flag).
+    With multiple sheets, pass ``commodity`` as a ``{sheet: commodity}``
+    mapping (a plain string is fine for a single sheet).
 
     ``grupo_mode`` controls group attribution:
 
@@ -71,18 +79,24 @@ def extract_supply_use(
     """
     if grupo_mode not in ("headers", "compat"):
         raise ValueError(f"grupo_mode must be 'headers' or 'compat', got {grupo_mode!r}")
-    c = cells.filter(F.col("sheet") == sheet)
+    sheets = [sheet] if isinstance(sheet, str) else list(sheet)
+    if isinstance(commodity, str):
+        commodity = {s: commodity for s in sheets}
+    missing = [s for s in sheets if s not in commodity]
+    if missing:
+        raise ValueError(f"no commodity mapping for sheets {missing!r}")
+    c = cells.filter(F.col("sheet").isin(sheets))
 
     # one row per sheet line: map col_idx → value
-    rows = c.groupBy("row_idx").agg(
+    rows = c.groupBy("sheet", "row_idx").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("col_idx", "value")))
         ).alias("m")
     )
     col = lambda i: F.col("m").getItem(i)  # noqa: E731
 
-    # landmark cells, broadcast back as a 1-row frame
-    landmarks = c.agg(
+    # landmark cells: one row per sheet, broadcast back onto its rows
+    landmarks = c.groupBy("sheet").agg(
         F.first(F.when(F.col("value").rlike(r"^WASDE-\d+"), F.col("value")), True)
         .alias("Wasde"),
         F.first(
@@ -94,14 +108,14 @@ def extract_supply_use(
     )
 
     is_header = col(0).rlike("Beginning")  # the 'Beginning Stocks' header rows
-    w = Window.orderBy("row_idx")
+    w = Window.partitionBy("sheet").orderBy("row_idx")
     blocks = rows.withColumn(
         "block",
         F.sum(F.when(is_header, 1).otherwise(0)).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     ).withColumn("mes", F.when(is_header, F.trim(col(1))))
-    blocks = forward_fill(blocks, "mes", ["row_idx"])
+    blocks = forward_fill(blocks, "mes", ["row_idx"], partition_by=["sheet"])
 
     geo_raw = F.trim(col(0))
     if grupo_mode == "compat":
@@ -117,7 +131,9 @@ def extract_supply_use(
         .withColumn("geo", strip_footnote_markers(geo_raw))
         .withColumn("grupo_hdr", grupo_hdr)
     )
-    data = forward_fill(data, "grupo_hdr", ["row_idx"], out_col="Grupo")
+    data = forward_fill(
+        data, "grupo_hdr", ["row_idx"], partition_by=["sheet"], out_col="Grupo"
+    )
 
     # row filters (P7): header rows themselves, note rows, skip markers,
     # rows with no numeric payload at all
@@ -141,8 +157,10 @@ def extract_supply_use(
     data = data.withColumn(
         "geo", F.when(F.length("geo") > 0, F.col("geo"))
     )
-    data = forward_fill(data, "geo", ["row_idx"])
-    data = run_change_flag(data, "geo", ["row_idx"], out_col="Orden")
+    data = forward_fill(data, "geo", ["row_idx"], partition_by=["sheet"])
+    data = run_change_flag(
+        data, "geo", ["row_idx"], partition_by=["sheet"], out_col="Orden"
+    )
 
     for i, name in enumerate(VALUE_COLS, start=1):
         data = data.withColumn(name, clean_numeric_sentinels(col(i), fill=0))
@@ -153,14 +171,22 @@ def extract_supply_use(
     )
 
     stamp = F.lit(clock).cast("timestamp") if clock else F.current_timestamp()
+    commodity_col = F.lit(commodity[sheets[0]])
+    if len(sheets) > 1:
+        commodity_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for s in sheets for x in (s, commodity[s])]
+            ),
+            F.col("sheet"),
+        )
     return (
-        data.crossJoin(F.broadcast(landmarks))
+        data.join(F.broadcast(landmarks), "sheet")
         .select(
             F.lit("WASDE").alias("Origen"),
             F.lit(f"WASDE_{daterelease}.xls").alias("Archivo"),
             F.col("Wasde"),
             F.col("Datos"),
-            F.lit(commodity).alias("Commoditie"),
+            commodity_col.alias("Commoditie"),
             F.col("Medida"),
             F.col("row_idx").cast("string").alias("DateN"),
             F.col("mes").alias("HarvestDate"),
@@ -197,7 +223,7 @@ def extract_wheat_classes(
     from gpi_etl_spark.operators.reshape import transpose
 
     c = cells.filter(F.col("sheet") == sheet)
-    rows = c.groupBy("row_idx").agg(
+    rows = c.groupBy("sheet", "row_idx").agg(
         F.map_from_entries(
             F.array_sort(F.collect_list(F.struct("col_idx", "value")))
         ).alias("m")
@@ -205,7 +231,9 @@ def extract_wheat_classes(
     col = lambda i: F.col("m").getItem(i)  # noqa: E731
 
     is_header = col(0).isNull() | (F.trim(col(0)) == "")
-    w = Window.orderBy("row_idx")
+    # single-sheet extract, but partition anyway: a partition-less
+    # running sum is the anti-pattern plan_audit now flags
+    w = Window.partitionBy("sheet").orderBy("row_idx")
     blocks = rows.withColumn(
         "block",
         F.sum(F.when(is_header, 1).otherwise(0)).over(

@@ -79,11 +79,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "SparkSession"]:
         "documents",
         "embeddings",
     ]
+    from pyspark.sql import functions as F
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events":
+                # normalize ts across generator variants (see queries.t)
+                ts_type = dict(df.dtypes).get("ts")
+                if ts_type == "bigint":
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                elif ts_type == "timestamp_ntz":
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

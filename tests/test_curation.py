@@ -180,6 +180,32 @@ def test_contaminated_ids_flags_only_sharers(spark):
     assert bad == {1, 3}
 
 
+def test_bloom_contaminated_superset_of_exact(spark):
+    """Bloom pass has zero false negatives: its id set is a superset of
+    the exact inverted-index join, and on this tiny fixture (sparse bit
+    array) it should be exactly equal. Includes a NULL-text corpus row,
+    which must flow through (treated as an empty shingle set)."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta eta theta"),
+            (3, "x alpha beta gamma"),
+            (4, None),                           # NULL text: no shingles
+            (5, ""),                             # empty text: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "alpha beta gamma iota kappa")], "doc_id long, text string"
+    )
+    exact = {r["doc_id"] for r in
+             curation.contaminated_ids(corpus, heldout, n=3).collect()}
+    bloom = {r["doc_id"] for r in
+             curation.bloom_contaminated_ids(corpus, heldout, n=3).collect()}
+    assert bloom >= exact          # no false negatives, ever
+    assert bloom == {1, 3}         # tiny fixture: no false positives either
+
+
 def test_quantile_filter_approx_keeps_null_group(spark):
     df = spark.createDataFrame(
         [(i, None if i < 10 else "en", i) for i in range(30)],

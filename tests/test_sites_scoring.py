@@ -126,6 +126,36 @@ def test_wasde_extract_supply_use(spark):
     assert not any("Aggregate" in (r.Geography or "") for r in out)
 
 
+def test_wasde_extract_two_sheets_one_call(spark):
+    """Multi-sheet extract in ONE plan: windows partition by sheet, so
+    landmarks/blocks/forward-fills never bleed across sheets and the
+    per-sheet commodity map applies."""
+    corn = _wasde_cells(spark)
+    wheat = corn.withColumn(
+        "sheet", F.lit("p12")
+    ).withColumn(
+        "value",
+        F.when(F.col("value") == "WASDE-668", "WASDE-669").otherwise(
+            F.col("value")
+        ),
+    )
+    out = extract_supply_use(
+        corn.unionByName(wheat),
+        ["p22", "p12"],
+        "2026-01-12",
+        {"p22": "Corn", "p12": "Wheat"},
+        clock=CLOCK,
+    ).collect()
+    corn_rows = [r for r in out if r.Commoditie == "Corn"]
+    wheat_rows = [r for r in out if r.Commoditie == "Wheat"]
+    assert len(corn_rows) == len(wheat_rows) > 0
+    assert all(r.Wasde == "WASDE-668" for r in corn_rows)
+    assert all(r.Wasde == "WASDE-669" for r in wheat_rows)
+    # per-sheet block/window state: identical shape on both sheets
+    key = lambda rows: sorted((r.Geography, r.Tipo, r.Orden) for r in rows)
+    assert key(corn_rows) == key(wheat_rows)
+
+
 def test_linear_model_vector_scoring(spark):
     from gpi_etl_spark.operators.score import LinearModel, score_vector_column
 

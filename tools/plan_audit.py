@@ -4,6 +4,8 @@ Flags the plan smells that matter at 100 TB:
   BNL   — BroadcastNestedLoopJoin / CartesianProduct present
   NOPUSH— parquet scan with no PushedFilters while the query filters
   PYUDF — Python row-at-a-time UDF (BatchEvalPython) in the plan
+  WIN   — partition-less Window (global sort funnel) outside the
+          whitelist of declared-global sites
 Usage: python tools/plan_audit.py [sf_dir]
 """
 
@@ -24,6 +26,40 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 "q48_embedding_near_dup", "q68_tfidf_topterms", "q77_data_quality",
                 "q85_pipeline_wasde", "q95_pipeline_wasde2",
                 "q97_unigram_logprob"}
+
+# queries where a GLOBAL (partition-less) window is the declared
+# semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
+# an already-reduced result — not a scale bug. Keep this list justified.
+# q76: vocab-id enumeration (row_number) over the min-df-PRUNED
+#      vocabulary — an aggregate result, not the corpus (see docstring).
+EXPECTED_GLOBAL_WIN: set[str] = {"q76_vocabulary"}
+
+
+def global_windows(plan: str) -> int:
+    """Count partition-less Window execs in a physical-plan string.
+
+    A `Window` line prints `Window [exprs], [partition], [order]`;
+    without a partition spec only two top-level bracket groups appear.
+    Bracket groups are parsed by depth so commas inside
+    windowspecdefinition(...) don't fool the count.
+    """
+    n = 0
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+\-*()]*(?:Running)?Window(?:Exec)?\s+\[", line)
+        if not m:
+            continue
+        depth = 0
+        groups = 0
+        for ch in line[m.end() - 1:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n
 
 
 def main() -> int:
@@ -46,6 +82,9 @@ def main() -> int:
             flags.append("BNL" if name in EXPECTED_BNL else "BNL!")
         if "BatchEvalPython" in plan:
             flags.append("PYUDF")
+        gwin = global_windows(plan)
+        if gwin:
+            flags.append("WIN" if name in EXPECTED_GLOBAL_WIN else "WIN!")
         n_scan = plan.count("FileScan parquet")
         pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
         n_ex = plan.count("Exchange")
