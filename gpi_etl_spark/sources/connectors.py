@@ -137,11 +137,16 @@ def excel_cells(
     """S2: .xls/.xlsx sheet → cell grid (list of row lists) with
     merged-cell expansion (HTGPIWASDE/__init__.py:203-245).
 
-    .xlsx (zip container, ``PK`` magic) parses natively via
-    ``sources.xlsx`` — stdlib only, no openpyxl/xlrd needed. openpyxl
-    is preferred when installed (style-aware date coercion). Legacy
-    binary .xls (BIFF) still needs xlrd and raises without it.
+    Both container formats parse natively, stdlib only: ``PK`` magic →
+    SpreadsheetML zip via ``sources.xlsx``; the OLE2 magic → legacy
+    BIFF8 via ``sources.xls`` (the reference's actual WASDE payload
+    format, which it read with xlrd). openpyxl is preferred for .xlsx
+    when installed (style-aware date coercion for exotic formats).
     """
+    if payload[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # OLE2 → BIFF8
+        from gpi_etl_spark.sources.xls import parse_xls_cells
+
+        return parse_xls_cells(payload, sheet_name)
     try:
         import openpyxl  # noqa: F401
     except ImportError:
@@ -161,9 +166,8 @@ def excel_cells(
         from gpi_etl_spark.sources.xlsx import parse_xlsx_cells
 
         return parse_xlsx_cells(payload, sheet_name)
-    raise NotImplementedError(
-        "legacy binary .xls needs xlrd (not in this container); "
-        ".xlsx parses natively via sources.xlsx"
+    raise ValueError(
+        "unrecognized spreadsheet payload (expected OLE2 .xls or zip .xlsx)"
     )
 
 

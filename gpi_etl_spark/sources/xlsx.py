@@ -10,13 +10,15 @@ each worksheet lists ``<c r="B3" t="s"><v>…</v></c>`` cells.
 Scope and limits (documented, not silent):
 
 * values come back as the raw stored strings (numbers as written in
-  the XML, shared/inline strings resolved, booleans as TRUE/FALSE).
-  Date cells are stored as serial numbers in xlsx; coercing them needs
-  the style table, which the WASDE pipeline doesn't need — callers that
-  do can map serials downstream;
+  the XML, shared/inline strings resolved, booleans as TRUE/FALSE) —
+  EXCEPT date-formatted serials, which coerce to ISO strings via the
+  styles table (``xl/styles.xml`` cellXfs → numFmtId → builtin date
+  ids or a date-lettered custom formatCode), matching the reference's
+  xlrd ``XL_CELL_DATE`` handling (HTGPIWASDE/__init__.py:224-232) and
+  honoring the workbook's ``date1904`` flag;
 * formula cells yield their cached ``<v>`` result (what xlrd returns);
-* legacy binary .xls (BIFF) is NOT parsed here — that format predates
-  the zip container; use a deployment with xlrd for it.
+* legacy binary .xls (BIFF) parses in the sibling
+  :mod:`gpi_etl_spark.sources.xls` module.
 
 Parsing runs driver-side per workbook — the reference ingests ONE
 bounded workbook per release, fetched as bytes. For a lake of many
@@ -101,6 +103,43 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return [_text_of(si) for si in root.iter() if _strip(si.tag) == "si"]
 
 
+def _date_styles(zf: zipfile.ZipFile) -> set[int]:
+    """Indexes into cellXfs whose number format renders as a date/time
+    (builtin date ids or a custom formatCode with date letters)."""
+    from gpi_etl_spark.sources.xls import _BUILTIN_DATE_FMTS, _fmt_is_date
+
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return set()
+    custom: dict[int, str] = {}
+    for el in root.iter():
+        if _strip(el.tag) == "numFmt":
+            custom[int(el.get("numFmtId", "0"))] = el.get("formatCode", "")
+    out: set[int] = set()
+    cellxfs = next(
+        (el for el in root.iter() if _strip(el.tag) == "cellXfs"), None
+    )
+    if cellxfs is None:
+        return out
+    for i, xf in enumerate(el for el in cellxfs if _strip(el.tag) == "xf"):
+        ifmt = int(xf.get("numFmtId", "0"))
+        if ifmt in custom:
+            if _fmt_is_date(custom[ifmt]):
+                out.add(i)
+        elif ifmt in _BUILTIN_DATE_FMTS:
+            out.add(i)
+    return out
+
+
+def _date1904(zf: zipfile.ZipFile) -> int:
+    root = ET.fromstring(zf.read("xl/workbook.xml"))
+    for el in root.iter():
+        if _strip(el.tag) == "workbookPr":
+            return 1 if el.get("date1904") in ("1", "true") else 0
+    return 0
+
+
 def parse_xlsx_cells(
     payload: bytes,
     sheet_name: str | None = None,
@@ -113,6 +152,8 @@ def parse_xlsx_cells(
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:
         part = _sheet_part(zf, sheet_name)
         shared = _shared_strings(zf)
+        date_styles = _date_styles(zf)
+        datemode = _date1904(zf) if date_styles else 0
         root = ET.fromstring(zf.read(part))
 
     cells: dict[tuple[int, int], str] = {}
@@ -138,6 +179,19 @@ def parse_xlsx_cells(
                         value = "TRUE" if v.text.strip() == "1" else "FALSE"
                     else:  # n, str (cached formula result), e
                         value = v.text
+                        if ctype == "n" and date_styles:
+                            style = int(el.get("s", "-1"))
+                            if style in date_styles:
+                                from gpi_etl_spark.sources.xls import (
+                                    _serial_to_iso,
+                                )
+
+                                try:
+                                    value = _serial_to_iso(
+                                        float(v.text), datemode
+                                    )
+                                except ValueError:
+                                    pass  # non-numeric in a date style
             if value is not None:
                 cells[(r, c)] = value
         elif tag == "mergeCell":

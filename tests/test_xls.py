@@ -1,0 +1,131 @@
+"""Legacy BIFF8 .xls reader (sources/xls.py) against hand-built
+fixtures (tests/xls_fixture.py) — closes SURVEY §2 S2 (the reference's
+WASDE workbooks are .xls read via xlrd, HTGPIWASDE/__init__.py:203-245).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from gpi_etl_spark.sources import xls
+from gpi_etl_spark.sources.connectors import excel_cells
+from tests import xls_fixture as fx
+
+
+def _basic_sheet() -> list[bytes]:
+    return [
+        fx.label_sst(0, 0, 0),                 # "WASDE-668"
+        fx.label(0, 1, "inline label"),
+        fx.number(1, 0, 310.1),
+        fx.rk_int(1, 1, 300),
+        fx.rk_float(1, 2, 0.5),
+        fx.mulrk(2, 0, [5, 750, 1150]),
+        fx.formula_num(3, 0, 1330.0),
+        fx.boolerr(3, 1, True),
+        fx.number(4, 0, 45658.0, xf=16),       # builtin date fmt (2025-01-01)
+    ]
+
+
+def test_xls_mini_stream_roundtrip():
+    payload = fx.build_xls({"p22": _basic_sheet()}, ["WASDE-668"])
+    assert len(payload) < 8192  # small → exercised the mini-FAT path
+    assert xls.sheet_names(payload) == ["p22"]
+    grid = xls.parse_xls_cells(payload, "p22")
+    assert grid[0][0] == "WASDE-668"
+    assert grid[0][1] == "inline label"
+    assert grid[1][0] == "310.1"     # NUMBER float renders like the xlsx scan
+    assert grid[1][1] == "300"       # RK 30-bit int
+    assert grid[1][2] == "0.5"       # RK truncated float
+    assert grid[2][:3] == ["5", "750", "1150"]  # MULRK run
+    assert grid[3][0] == "1330"      # FORMULA cached numeric result
+    assert grid[3][1] == "TRUE"
+    assert grid[4][0] == "2025-01-01"  # serial 45657, 1900 system
+
+
+def test_xls_regular_fat_stream():
+    """Pad the workbook stream past the 4096 mini cutoff → regular FAT
+    chain across multiple sectors."""
+    sheet = _basic_sheet() + [
+        fx.label(10 + i, 0, f"row {i}") for i in range(200)
+    ]
+    payload = fx.build_xls({"big": sheet}, ["WASDE-668"])
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == "WASDE-668"
+    assert grid[209][0] == "row 199"
+
+
+def test_xls_sst_continue_split():
+    """A shared string split across SST→CONTINUE with the restated
+    grbit byte must reassemble exactly."""
+    long = "x" * 5000
+    sheet = [fx.label_sst(0, 0, 0), fx.label_sst(0, 1, 1)]
+    payload = fx.build_xls(
+        {"s": sheet}, ["short", long], sst_split_at=1200
+    )
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == "short"
+    assert grid[0][1] == long
+
+
+def test_xls_custom_date_format_and_1904():
+    sheet = [fx.number(0, 0, 100.25, xf=18)]  # custom fmt "yyyy-mm-dd hh:mm"
+    payload = fx.build_xls(
+        {"d": sheet}, ["pad"],
+        custom_formats={164: "yyyy\\-mm\\-dd hh:mm"}, datemode=1,
+    )
+    grid = xls.parse_xls_cells(payload)
+    # 1904 system: serial 100.25 = 1904-04-10 06:00:00
+    assert grid[0][0] == "1904-04-10 06:00:00"
+
+
+def test_xls_multiple_sheets_and_selection():
+    payload = fx.build_xls(
+        {"one": [fx.label(0, 0, "first")], "two": [fx.label(0, 0, "second")]},
+        ["pad"],
+    )
+    assert xls.sheet_names(payload) == ["one", "two"]
+    assert xls.parse_xls_cells(payload, "two")[0][0] == "second"
+    assert xls.parse_xls_cells(payload)[0][0] == "first"  # default: first
+    with pytest.raises(ValueError, match="not in"):
+        xls.parse_xls_cells(payload, "nope")
+
+
+def test_excel_cells_dispatches_on_ole2_magic():
+    payload = fx.build_xls({"p22": [fx.label(0, 0, "hello")]}, ["pad"])
+    assert excel_cells(payload, "p22")[0][0] == "hello"
+
+
+def test_xls_feeds_wasde_extract(spark):
+    """End-to-end S2 closure: a BIFF8 workbook flows through
+    xls_cells_df into the WASDE supply/use extract."""
+    import datetime as dt
+
+    from gpi_etl_spark.plans.wasde import extract_supply_use
+
+    rows = {
+        0: ["WASDE-668"],
+        1: ["World Corn Supply and Use 1/"],
+        2: ["Million Metric Tons"],
+        3: ["Beginning Stocks", "2024/25 Est."],
+        4: ["World 3/", 310.1, 1200, 5, 750, 1150, 180, 300],
+        5: ["Major Exporters"],
+        6: ["United States", 35, 380, 0, 140, 310, 55, 45],
+    }
+    strings: list[str] = []
+    recs: list[bytes] = []
+    for r, vals in rows.items():
+        for c, v in enumerate(vals):
+            if isinstance(v, str):
+                strings.append(v)
+                recs.append(fx.label_sst(r, c, len(strings) - 1))
+            else:
+                recs.append(fx.number(r, c, float(v)))
+    payload = fx.build_xls({"p22": recs}, strings)
+    cells = xls.xls_cells_df(spark, payload, "p22")
+    out = extract_supply_use(
+        cells, "p22", "2026-01-12", "Corn", clock=dt.datetime(2026, 1, 12)
+    ).collect()
+    by_geo = {r.Geography: r for r in out}
+    assert by_geo["World"].Wasde == "WASDE-668"
+    assert by_geo["World"]["Total Use"] == 1150 + 180
+    assert by_geo["United States"].Grupo == "Major Exporters"

@@ -13,20 +13,28 @@ NS_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 NS_PKG = "http://schemas.openxmlformats.org/package/2006/relationships"
 
 
-def _make_xlsx(sheets: dict[str, str], shared: list[str] = ()) -> bytes:
+def _make_xlsx(
+    sheets: dict[str, str],
+    shared: list[str] = (),
+    styles_xml: str | None = None,
+    date1904: bool = False,
+) -> bytes:
     """Assemble a minimal SpreadsheetML package from worksheet XML."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         names = list(sheets)
+        pr = '<workbookPr date1904="1"/>' if date1904 else ""
         zf.writestr(
             "xl/workbook.xml",
-            f'<workbook xmlns="{NS_MAIN}" xmlns:r="{NS_R}"><sheets>'
+            f'<workbook xmlns="{NS_MAIN}" xmlns:r="{NS_R}">{pr}<sheets>'
             + "".join(
                 f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
                 for i, n in enumerate(names)
             )
             + "</sheets></workbook>",
         )
+        if styles_xml is not None:
+            zf.writestr("xl/styles.xml", styles_xml)
         zf.writestr(
             "xl/_rels/workbook.xml.rels",
             f'<Relationships xmlns="{NS_PKG}">'
@@ -88,12 +96,58 @@ def test_sheet_names_and_selection():
         parse_xlsx_cells(payload, "nope")
 
 
+def test_date_serial_coercion_via_styles():
+    """Numeric cells whose cellXfs style is a date format come back as
+    ISO strings (xlrd XL_CELL_DATE parity); plain numerics don't."""
+    styles = (
+        f'<styleSheet xmlns="{NS_MAIN}">'
+        '<numFmts count="1">'
+        '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm"/>'
+        "</numFmts>"
+        '<cellXfs count="3">'
+        '<xf numFmtId="0"/>'     # style 0: general
+        '<xf numFmtId="14"/>'    # style 1: builtin date m/d/yy
+        '<xf numFmtId="164"/>'   # style 2: custom datetime
+        "</cellXfs></styleSheet>"
+    )
+    sheet = _sheet_xml(
+        "<sheetData>"
+        '<row r="1">'
+        '<c r="A1"><v>45658</v></c>'            # no style → raw number
+        '<c r="B1" s="1"><v>45658</v></c>'      # builtin date
+        '<c r="C1" s="2"><v>45658.5</v></c>'    # custom datetime
+        '<c r="D1" s="1" t="s"><v>0</v></c>'    # string in date style: kept
+        "</row></sheetData>"
+    )
+    grid = parse_xlsx_cells(
+        _make_xlsx({"d": sheet}, shared=["note"], styles_xml=styles)
+    )
+    assert grid[0] == ["45658", "2025-01-01", "2025-01-01 12:00:00", "note"]
+
+
+def test_date_serial_respects_date1904():
+    styles = (
+        f'<styleSheet xmlns="{NS_MAIN}">'
+        '<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>'
+        "</styleSheet>"
+    )
+    sheet = _sheet_xml(
+        '<sheetData><row r="1"><c r="A1" s="1"><v>100</v></c></row></sheetData>'
+    )
+    grid = parse_xlsx_cells(
+        _make_xlsx({"d": sheet}, styles_xml=styles, date1904=True)
+    )
+    assert grid[0][0] == "1904-04-10"
+
+
 def test_excel_cells_falls_back_to_native_parser():
     s1 = _sheet_xml('<sheetData><row r="1"><c r="A1"><v>42</v></c></row></sheetData>')
     payload = _make_xlsx({"only": s1})
     assert excel_cells(payload, "only") == [["42"]]
-    with pytest.raises(NotImplementedError, match="xls"):
-        excel_cells(b"\xd0\xcf\x11\xe0legacy-biff", "x")  # .xls magic
+    # neither OLE2 nor zip magic → loud error, not a silent empty grid
+    # (real .xls dispatch is covered in test_xls.py)
+    with pytest.raises(ValueError, match="unrecognized"):
+        excel_cells(b"not-a-spreadsheet", "x")
 
 
 def test_wide_column_letters():
