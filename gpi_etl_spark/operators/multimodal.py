@@ -2,19 +2,16 @@
 
 North-star operator family (BASELINE.json). The design treats media as
 ``binary`` columns with a metadata struct; all Spark-side plumbing
-(schema, partition sizing, Arrow batch shape) is real and tested, while
-the actual codec work (image decode, audio resample, video frame
-extraction) is stubbed — the decode libraries are not in this
-container. Stubs either raise ``NotImplementedError`` (strict) or
-produce a deterministic fake (testing), clearly flagged.
+(schema, partition sizing, Arrow batch shape) is real and tested.
 
-SCOPE DECISION (final): pixel/audio codecs are OUT OF SCOPE for this
-repo. PIL/ffmpeg are not installed here, and the engine's contract is
-the distributed plumbing, not codec bindings — a deployment drops its
-decoder into ``decode_image_udf``/``extract_frames`` (the signatures,
-batch shapes and partition-budget handling are what this module
-guarantees and tests). No future round should treat the codec gap as
-unfinished work.
+Codecs: formats decodable with the stdlib are decoded FOR REAL —
+**WAV** (PCM, via ``wave`` + numpy: sample rate, duration, RMS/peak/
+zero-crossing features), **BMP** (24-bit uncompressed, pure ``struct``:
+dimensions + per-channel means) and **PPM** (P6). Formats that need
+external codec libraries (JPEG/PNG/MP3/MP4 — PIL/librosa/PyAV are not
+in this container) either raise ``NotImplementedError`` (strict) or
+produce a deterministic fake (testing), clearly flagged; a deployment
+drops its decoder into :func:`decode_media`'s dispatch table.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``spark.sql.files.maxPartitionBytes`` and explicit ``repartition`` by
@@ -25,8 +22,12 @@ at once.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -53,7 +54,10 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-_FEATURE_SCHEMA = "media_id long, n_bytes long, payload_hash string, feature array<float>"
+#: feature is double, not float: real-codec stats (RMS, channel means)
+#: are oracle-checked at 6 dp, and a float32 round-trip can perturb the
+#: 6th decimal on boundary values
+_FEATURE_SCHEMA = "media_id long, n_bytes long, payload_hash string, feature array<double>"
 
 
 def attach_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -63,17 +67,155 @@ def attach_binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
     )
 
 
-def _decode_stub(payload: bytes, media_type: str, deterministic_fake: bool):
-    """STUB: decoding requires PIL/librosa/av — not in this container.
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (WAV / BMP / PPM)
+# ---------------------------------------------------------------------------
 
-    ``deterministic_fake`` yields a 4-float pseudo-feature derived from
-    payload bytes so the distributed plumbing is testable end-to-end.
+def decode_wav(payload: bytes) -> dict:
+    """PCM WAV → metadata + audio features, stdlib ``wave`` + numpy.
+
+    Features (on samples normalized to [-1, 1], first channel):
+    ``[rms, peak, zcr, mean]`` — the cheap corpus-quality signals an
+    audio curation pass filters on (silence, clipping, DC offset).
     """
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    if n_ch > 1:
+        x = x[::n_ch]  # first channel
+    if len(x) == 0:
+        feats = [0.0, 0.0, 0.0, 0.0]
+    else:
+        crossings = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        feats = [
+            float(np.sqrt(np.mean(x * x))),
+            float(np.max(np.abs(x))),
+            crossings / (len(x) - 1) if len(x) > 1 else 0.0,
+            float(np.mean(x)),
+        ]
+    return {
+        "media_type": "audio", "format": "wav", "sample_rate": rate,
+        "duration_ms": int(n * 1000 // rate) if rate else 0,
+        "width": None, "height": None, "feature": feats,
+    }
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """24-bit uncompressed BMP → dims + per-channel means, pure struct.
+
+    Rows are stored bottom-up, padded to 4-byte boundaries, pixels BGR.
+    Returns ``feature = [mean_r, mean_g, mean_b, std_gray]`` on the
+    0-255 scale.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only 24-bit uncompressed BMP (got {bpp}bpp)")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for r in range(h):
+        line = payload[off + r * stride: off + r * stride + w * 3]
+        row = np.frombuffer(line, dtype=np.uint8).reshape(w, 3)
+        px[r if top_down else h - 1 - r] = row[:, ::-1]  # BGR → RGB
+    gray = px.astype(np.float64).mean(axis=2)
+    return {
+        "media_type": "image", "format": "bmp", "width": w, "height": h,
+        "duration_ms": None, "sample_rate": None,
+        "feature": [
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()), float(gray.std()),
+        ],
+        "pixels": px,
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) → dims + per-channel means."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end: end + 1].isspace():
+            end += 1
+        fields.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = fields
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+    gray = px.astype(np.float64).mean(axis=2)
+    return {
+        "media_type": "image", "format": "ppm", "width": w, "height": h,
+        "duration_ms": None, "sample_rate": None,
+        "feature": [
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()), float(gray.std()),
+        ],
+        "pixels": px,
+    }
+
+
+def encode_bmp(px: "np.ndarray") -> bytes:
+    """RGB uint8 array (h, w, 3) → 24-bit uncompressed BMP bytes."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        line = px[r, :, ::-1].tobytes()  # RGB → BGR
+        body += line + b"\x00" * (stride - len(line))
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + body)
+
+
+def decode_media(payload: bytes, deterministic_fake: bool = False) -> dict:
+    """Dispatch on magic bytes to a real stdlib codec; unknown formats
+    raise (strict) or produce the flagged deterministic fake."""
+    if payload:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            f"{media_type} decode needs codec libraries not present in this "
-            "environment; wire a real decoder here (PIL/librosa/PyAV)."
+            "payload is not WAV/BMP/PPM; decoding other formats needs codec "
+            "libraries not present in this environment (PIL/librosa/PyAV)."
         )
+    return {"feature": _fake_feature(payload)}
+
+
+def _fake_feature(payload: bytes | None) -> list[float]:
+    """Deterministic pseudo-feature for formats with no stdlib codec —
+    keeps the distributed plumbing testable end-to-end; clearly NOT a
+    decode."""
     if payload is None:
         return [0.0, 0.0, 0.0, 0.0]
     n = len(payload)
@@ -110,8 +252,8 @@ def extract_features(
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 feats = [
-                    _decode_stub(p, mt, deterministic_fake)
-                    for p, mt in zip(chunk["payload"], chunk["media_type"])
+                    decode_media(p, deterministic_fake)["feature"]
+                    for p in chunk["payload"]
                 ]
                 yield pd.DataFrame(
                     {
@@ -135,15 +277,23 @@ _RESIZE_SCHEMA = (
 )
 
 
-def _resize_stub(payload: bytes, width: int, height: int,
-                 deterministic_fake: bool) -> bytes:
-    """STUB: real resize needs PIL. The fake emits a deterministic
-    payload whose length scales with the target area so batch-size
-    accounting downstream stays realistic."""
+def _resize_payload(payload: bytes, width: int, height: int,
+                    deterministic_fake: bool) -> bytes:
+    """REAL nearest-neighbor resample for BMP/PPM payloads (decode →
+    index-map → re-encode as BMP). Formats without a stdlib codec need
+    PIL: raise (strict) or emit the flagged deterministic fake whose
+    length scales with target area so batch-size accounting stays
+    realistic."""
+    if payload and (payload[:2] in (b"BM", b"P6")):
+        d = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+        px = d["pixels"]
+        rows = (np.arange(height) * d["height"] // height).astype(np.int64)
+        cols = (np.arange(width) * d["width"] // width).astype(np.int64)
+        return encode_bmp(px[rows][:, cols])
     if not deterministic_fake:
         raise NotImplementedError(
-            "image resize requires PIL (not in this container); "
-            "wire Image.open(BytesIO(payload)).resize((w, h)) here."
+            "payload is not BMP/PPM; resizing other formats requires PIL "
+            "(not in this container)."
         )
     if payload is None:
         return b""
@@ -158,15 +308,16 @@ def resize_images(
     deterministic_fake: bool = True,
 ) -> DataFrame:
     """Image resize with the REAL distributed plumbing (mapInPandas,
-    1:1 rows, payload replaced, meta dims rewritten) and a stubbed
-    codec (see :func:`_resize_stub`). Output schema equals the media
-    schema, so resize composes with any downstream media op."""
+    1:1 rows, payload replaced, meta dims rewritten); BMP/PPM payloads
+    resample for real, other formats per ``deterministic_fake`` (see
+    :func:`_resize_payload`). Output schema equals the media schema, so
+    resize composes with any downstream media op."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             out["payload"] = [
-                _resize_stub(p, width, height, deterministic_fake)
+                _resize_payload(p, width, height, deterministic_fake)
                 for p in out["payload"]
             ]
             out["meta"] = [

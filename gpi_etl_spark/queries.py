@@ -22,6 +22,7 @@ a rows-only check.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -3760,8 +3761,149 @@ def q98(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Real multimodal codecs (WAV / BMP — operators/multimodal.py): payloads
+# synthesized deterministically from doc_id, decoded by the REAL stdlib
+# codec path, checked against closed-form oracles. This is a value-level
+# check of the decoder itself, not a plumbing rows-only check.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q99_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             ((doc_id % 5) + 1) * 4000 AS amp,
+             ((doc_id % 3) + 1) * 4 AS half,
+             1600 + (doc_id % 10) * 160 AS n
+      FROM documents WHERE doc_id % 20 = 0)
+    SELECT media_id,
+           round(amp / 32768.0, 6) AS rms,
+           round(amp / 32768.0, 6) AS peak,
+           round(((n - 1) // half) / cast(n - 1 AS double), 6) AS zcr
+    FROM p
+    """,
+)
+def q99(spark, sf_dir):
+    """Audio curation signals from GENUINE WAV decode: a PCM square
+    wave (amplitude/period/length derived from doc_id) is wave-encoded
+    in Python, decoded by multimodal.decode_wav (stdlib wave + numpy),
+    and its RMS / peak / zero-crossing-rate checked against the
+    closed forms (RMS = peak = amp/32768 for a square wave; ZCR =
+    floor((n-1)/half)/(n-1) sign flips at block boundaries)."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+
+    def synth(batches):
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                amp = (int(did) % 5 + 1) * 4000
+                half = (int(did) % 3 + 1) * 4
+                n = 1600 + (int(did) % 10) * 160
+                block = _np.r_[_np.full(half, amp), _np.full(half, -amp)]
+                sig = _np.tile(block, n // (2 * half) + 1)[:n].astype("<i2")
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(sig.tobytes())
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("media_type", F.lit("audio"))
+    feats = extract_features(
+        media, media_type_col="media_type", deterministic_fake=False
+    )
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[0].cast("double"), 6).alias("rms"),
+        F.round(f[1].cast("double"), 6).alias("peak"),
+        F.round(f[2].cast("double"), 6).alias("zcr"),
+    )
+
+
+@query(
+    "q100_image_stats",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id, doc_id % 100 AS base,
+             (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h
+      FROM documents WHERE doc_id % 25 = 0)
+    SELECT media_id,
+           cast(54 + h * ((3 * w + 3) - (3 * w + 3) % 4) AS bigint) AS n_bytes,
+           round(base + (w * h - 1) / 2.0, 6) AS mean_r,
+           round(base + 1 + (w * h - 1) / 2.0, 6) AS mean_g,
+           round(base + 2 + (w * h - 1) / 2.0, 6) AS mean_b,
+           round(sqrt((cast(w * h AS double) * (w * h) - 1) / 12.0), 6) AS std_gray
+    FROM p
+    """,
+)
+def q100(spark, sf_dir):
+    """Image stats from GENUINE BMP decode: a gradient image (pixel
+    value base+idx+channel, dims from doc_id) is struct-encoded as
+    24-bit BMP, decoded by multimodal.decode_bmp, and per-channel means
+    + gray std + encoded size checked against closed forms (mean of
+    0..m-1 is (m-1)/2; population std is sqrt((m²-1)/12); BMP size is
+    54 + h·stride with 4-byte row padding)."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.multimodal import encode_bmp, extract_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 100
+                w = int(did) % 7 + 2
+                h = int(did) % 5 + 2
+                idx = _np.arange(w * h, dtype=_np.uint16).reshape(h, w)
+                px = _np.stack(
+                    [(base + idx + ch) % 256 for ch in range(3)], axis=2
+                ).astype(_np.uint8)
+                payloads.append(encode_bmp(px))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("media_type", F.lit("image"))
+    feats = extract_features(
+        media, media_type_col="media_type", deterministic_fake=False
+    )
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(f[0].cast("double"), 6).alias("mean_r"),
+        F.round(f[1].cast("double"), 6).alias("mean_g"),
+        F.round(f[2].cast("double"), 6).alias("mean_b"),
+        F.round(f[3].cast("double"), 6).alias("std_gray"),
+    )
+
+
 def _qnum(name: str) -> int:
-    return int(name[1:3]) if name[1:3].isdigit() else 999
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 999
 
 
 #: queries changed (or behavior-affected) in round 3, emitted first so a
@@ -3772,6 +3914,7 @@ def _qnum(name: str) -> int:
 #: TIMESTAMP_NTZ testdata).
 _R3_CHANGED = [
     "q51_approx_sketches", "q62_corpus_curation", "q81_kmeans_clusters",
+    "q99_audio_features", "q100_image_stats",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
     "q04_watermark_max_date", "q05_newer_than_watermark", "q11_sessionize",
     "q29_tumbling_window", "q46_streaming_tumbling",

@@ -72,11 +72,94 @@ def test_extract_features_deterministic_fake(spark):
     assert out1[0].n_bytes == 6
 
 
-def test_real_decode_paths_are_flagged_stubs(spark):
-    # strict mode defers the raise to the executor codec step
+def test_unsupported_formats_raise_in_strict_mode(spark):
+    # non-BMP/PPM payloads still defer the raise to the executor step
     strict = resize_images(_media(spark), 64, 64, deterministic_fake=False)
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         strict.collect()
+
+
+def _wav_bytes(amp=8192, half=4, n=1600, rate=8000):
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    block = np.r_[np.full(half, amp), np.full(half, -amp)]
+    sig = np.tile(block, n // (2 * half) + 1)[:n].astype("<i2")
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(sig.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_wav_real():
+    from gpi_etl_spark.operators.multimodal import decode_wav
+
+    d = decode_wav(_wav_bytes())
+    assert d["sample_rate"] == 8000
+    assert d["duration_ms"] == 200
+    rms, peak, zcr, mean = d["feature"]
+    assert abs(rms - 8192 / 32768) < 1e-12
+    assert abs(peak - 8192 / 32768) < 1e-12
+    assert abs(zcr - (1599 // 4) / 1599) < 1e-12
+    assert abs(mean) < 1e-12
+
+
+def test_decode_bmp_ppm_roundtrip():
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    d = decode_bmp(encode_bmp(px))
+    assert (d["width"], d["height"]) == (4, 5)
+    assert (d["pixels"] == px).all()
+    assert d["feature"][0] == px[:, :, 0].mean()
+    ppm = b"P6\n# comment\n4 5\n255\n" + px.tobytes()
+    d2 = decode_ppm(ppm)
+    assert (d2["pixels"] == px).all()
+
+
+def test_extract_features_real_wav(spark):
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(), "audio")],
+        "media_id long, payload binary, media_type string",
+    )
+    out = extract_features(
+        df, media_type_col="media_type", deterministic_fake=False
+    ).collect()
+    assert len(out) == 1
+    assert abs(out[0].feature[0] - 0.25) < 1e-12  # real RMS, not a fake
+
+
+def test_resize_bmp_real(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, encode_bmp(px), {"media_type": "image", "format": "bmp",
+                              "width": 8, "height": 8,
+                              "duration_ms": None, "sample_rate": None})],
+        _media(spark).schema,
+    )
+    out = resize_images(df, 4, 2, deterministic_fake=False).collect()
+    d = decode_bmp(bytes(out[0].payload))
+    assert (d["width"], d["height"]) == (4, 2)
+    # nearest-neighbor: resampled pixels come from the source grid
+    rows = (np.arange(2) * 8 // 2)
+    cols = (np.arange(4) * 8 // 4)
+    assert (d["pixels"] == px[rows][:, cols]).all()
+    assert out[0].meta.width == 4 and out[0].meta.height == 2
 
 
 def test_resize_plumbing_rewrites_payload_and_dims(spark):
