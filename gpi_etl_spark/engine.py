@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime as dt
 from collections.abc import Callable, Sequence
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -180,13 +181,28 @@ def wasde(
 # Site-scoring family (HTIPNEXSITE / HTIPPLSITE / HTIPPLSITECR / PGSITE)
 # ---------------------------------------------------------------------------
 
+class SiteScoring(NamedTuple):
+    """Consistent return shape of the four site endpoints: ``scored``
+    always; ``near`` (top-k nearest existing stores) only when a store
+    table was supplied, else ``None``."""
+
+    scored: DataFrame
+    near: DataFrame | None = None
+
+
 def _site_endpoint(country: str, category: str):
     """One site-scoring entry point: POIs → classify → distance →
     GEO_* widening → model forecast (NEX_MAIN), with the top-3 nearest
     existing stores when a store table is supplied (close_points,
     HTIPPLSITE/__init__.py:91-130). ``country``/``category`` are the
     endpoint's hard-wired close_points filters (e.g. HONDURAS/
-    POLLOLANDIA at HTIPPLSITE/__init__.py:405)."""
+    POLLOLANDIA at HTIPPLSITE/__init__.py:405).
+
+    ``compat=True`` selects the reference's bug-for-bug classifier
+    chain (``full_rules(compat=True)`` — the three :181/:234/:239
+    crossover rules read ``poi_type``), mirroring wasde's
+    ``grupo_mode`` switch so parity mode is reachable through
+    ``engine.run`` without importing plans.sites."""
     def job(
         pois: DataFrame,
         model,
@@ -194,23 +210,25 @@ def _site_endpoint(country: str, category: str):
         rules: Sequence[S.Rule] | None = None,
         categories: Sequence[str] | None = None,
         k: int = 3,
-    ):
+        compat: bool = False,
+    ) -> SiteScoring:
         # model may be a fitted object, raw artifact bytes, a stream,
         # or a path — the reference streams a pickled model from blob
         # storage (HTIPNEXSITE/__init__.py:72-90) before predicting
         from gpi_etl_spark.operators.score import ensure_model
 
+        if rules is None:
+            rules = S.full_rules(compat=True) if compat else S.DEFAULT_RULES
         scored = S.score_sites(
-            pois, ensure_model(model), rules=rules or S.DEFAULT_RULES,
-            categories=categories,
+            pois, ensure_model(model), rules=rules, categories=categories,
         )
         if stores is None:
-            return scored
+            return SiteScoring(scored)
         near = S.close_points(
             pois.select("rst_cd", "place_ltt", "place_lgt").distinct(),
             stores, category=category, country=country, k=k,
         )
-        return scored, near
+        return SiteScoring(scored, near)
     return job
 
 
@@ -218,7 +236,7 @@ def _site_endpoint(country: str, category: str):
 # The 13 endpoints
 # ---------------------------------------------------------------------------
 
-ENDPOINTS: dict[str, Callable[..., DataFrame]] = {
+ENDPOINTS: dict[str, Callable[..., "DataFrame | SiteScoring"]] = {
     # fixed-width NOAA SST feed (HTGPIENSO/__init__.py:68-89)
     "HTGPIENSO": P.enso_weekly,
     # CPI year×month grid → long (HTGPIINFLATUS/__init__.py:80-117)

@@ -132,16 +132,120 @@ def _vincenty_inverse(lat1, lon1, lat2, lon2):
     )
     dist = WGS84_B * A * (sigma - dsigma)
 
-    # coincident points → 0; non-converged (near-antipodal) → Haversine
+    # coincident points → 0; non-converged (near-antipodal ±0.5° band)
+    # → solve the inverse by SHOOTING the always-convergent direct
+    # problem with 2-D Newton (_antipodal_inverse) — near-exact (tested
+    # to ~2e-5 m on the classic antipodal example), vs the ~tens-of-km
+    # error a spherical or Lambert fallback carries in this band
     coincident = (np.abs(lat1 - lat2) < 1e-12) & (np.abs(lon1 - lon2) < 1e-12)
     if not converged.all():
-        dlat = np.radians(lat2 - lat1)
-        dlon = np.radians(lon2 - lon1)
-        a = (np.sin(dlat / 2) ** 2
-             + np.cos(phi1) * np.cos(phi2) * np.sin(dlon / 2) ** 2)
-        hav = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
-        dist = np.where(converged, dist, hav)
+        b1, b2, b3, b4 = np.broadcast_arrays(lat1, lon1, lat2, lon2)
+        idx = np.flatnonzero(~converged)
+        fixed = np.array([
+            _antipodal_inverse(
+                float(b1.flat[i]), float(b2.flat[i]),
+                float(b3.flat[i]), float(b4.flat[i]),
+            )
+            for i in idx
+        ])
+        dist = dist.copy()
+        dist.flat[idx] = fixed
     return np.where(coincident, 0.0, dist)
+
+
+def _vincenty_direct(lat1: float, lon1: float, alpha1: float, s: float):
+    """Vincenty DIRECT problem (always convergent): start point +
+    azimuth + distance → end point, scalar numpy."""
+    import numpy as np
+
+    phi1 = np.radians(lat1)
+    U1 = np.arctan((1 - WGS84_F) * np.tan(phi1))
+    sigma1 = np.arctan2(np.tan(U1), np.cos(alpha1))
+    sin_alpha = np.cos(U1) * np.sin(alpha1)
+    cos2_alpha = 1 - sin_alpha ** 2
+    u2 = cos2_alpha * (WGS84_A ** 2 - WGS84_B ** 2) / WGS84_B ** 2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    Bc = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    sigma = s / (WGS84_B * A)
+    for _ in range(200):
+        two_sm = 2 * sigma1 + sigma
+        dsig = Bc * np.sin(sigma) * (
+            np.cos(two_sm) + Bc / 4 * (
+                np.cos(sigma) * (-1 + 2 * np.cos(two_sm) ** 2)
+                - Bc / 6 * np.cos(two_sm) * (-3 + 4 * np.sin(sigma) ** 2)
+                * (-3 + 4 * np.cos(two_sm) ** 2)
+            )
+        )
+        new = s / (WGS84_B * A) + dsig
+        if abs(new - sigma) < 1e-14:
+            sigma = new
+            break
+        sigma = new
+    ss, cs = np.sin(sigma), np.cos(sigma)
+    sU1, cU1 = np.sin(U1), np.cos(U1)
+    ca1 = np.cos(alpha1)
+    phi2 = np.arctan2(
+        sU1 * cs + cU1 * ss * ca1,
+        (1 - WGS84_F) * np.sqrt(
+            sin_alpha ** 2 + (sU1 * ss - cU1 * cs * ca1) ** 2
+        ),
+    )
+    lam = np.arctan2(ss * np.sin(alpha1), cU1 * cs - sU1 * ss * ca1)
+    C = WGS84_F / 16 * cos2_alpha * (4 + WGS84_F * (4 - 3 * cos2_alpha))
+    two_sm = 2 * sigma1 + sigma
+    L = lam - (1 - C) * WGS84_F * sin_alpha * (
+        sigma + C * ss * (np.cos(two_sm) + C * cs * (-1 + 2 * np.cos(two_sm) ** 2))
+    )
+    return float(np.degrees(phi2)), float(lon1 + np.degrees(L))
+
+
+def _antipodal_inverse(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Geodesic distance where Vincenty's inverse won't converge
+    (within ~0.5° of the antipode): 2-D Newton on (azimuth, distance)
+    against the direct problem, from several azimuth starts (antipodal
+    pairs have many stationary paths — keep the SHORTEST that lands on
+    the target). Haversine only as the last resort."""
+    import numpy as np
+
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(lon2 - lon1)
+    a = (np.sin((p2 - p1) / 2) ** 2
+         + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2)
+    s0 = 2 * EARTH_RADIUS_M * float(np.arcsin(min(np.sqrt(a), 1.0)))
+    az0 = float(np.arctan2(
+        np.sin(dl) * np.cos(p2),
+        np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+    ))
+    best = None
+    # spherical azimuth + near-meridional starts: the equatorial
+    # near-antipodal geodesic flees toward a pole, which the spherical
+    # initial guess (due east/west) cannot see
+    for az_init in (az0, 0.05 * np.pi, 0.95 * np.pi, -0.05 * np.pi, -0.95 * np.pi):
+        x = np.array([az_init, s0])
+        ok = False
+        for _ in range(50):
+            la, lo = _vincenty_direct(lat1, lon1, x[0], x[1])
+            r = np.array([lat2 - la, (lon2 - lo + 180.0) % 360.0 - 180.0])
+            if np.abs(r).max() < 1e-10:
+                ok = True
+                break
+            J = np.zeros((2, 2))
+            for j, h in enumerate((1e-7, 1.0)):
+                xp = x.copy()
+                xp[j] += h
+                la2, lo2 = _vincenty_direct(lat1, lon1, xp[0], xp[1])
+                J[0, j] = (la2 - la) / h
+                J[1, j] = ((lo2 - lo + 180.0) % 360.0 - 180.0) / h
+            try:
+                step = np.linalg.solve(J, r)
+            except np.linalg.LinAlgError:
+                break
+            x = x + step
+            if not np.isfinite(x).all() or x[1] <= 0 or x[1] > 2.1e7:
+                break
+        if ok and (best is None or x[1] < best):
+            best = float(x[1])
+    return best if best is not None else s0
 
 
 def geodesic_meters(

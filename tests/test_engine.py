@@ -206,8 +206,9 @@ def test_site_family_endpoints(spark):
         GEO_POINTS,
     )
     for name in ("HTIPNEXSITE", "HTIPPLSITE", "HTIPPLSITECR", "PGSITE"):
-        scored = engine.run(name, pois=pois, model=model, categories=cats)
-        assert scored.first().forecast == 1.0
+        result = engine.run(name, pois=pois, model=model, categories=cats)
+        assert result.near is None  # consistent SiteScoring shape
+        assert result.scored.first().forecast == 1.0
     scored, near = engine.run(
         "HTIPNEXSITE", pois=pois, model=model, categories=cats, stores=stores
     )
@@ -217,3 +218,29 @@ def test_site_family_endpoints(spark):
         "HTIPPLSITE", pois=pois, model=model, categories=cats, stores=stores
     )
     assert [r.POS_NM for r in near_hn.collect()] == ["S2"]
+
+
+def test_site_endpoint_compat_flag_selects_reference_rules(spark):
+    """``compat=True`` reaches the bug-for-bug classifier through
+    engine.run (ADVICE r2): the :238 CAJERO rule is WRITTEN against
+    poi_type but the reference loop matches poi_name — so a POI *named*
+    CAJERO with a non-ATM type counts toward GEO_CAJERO only in compat
+    mode."""
+    from gpi_etl_spark import engine
+    from gpi_etl_spark.operators.score import ThresholdModel
+    from gpi_etl_spark.schemas import POIS
+
+    pois = spark.createDataFrame(
+        [("N1", 9.93, -84.08, "p1", "CAJERO EXPRESO", "OTHER", 9.9302, -84.0801)],
+        POIS,
+    )
+    model = ThresholdModel(0)
+    fixed = engine.run(
+        "HTIPNEXSITE", pois=pois, model=model, categories=["CAJERO"]
+    )
+    compat = engine.run(
+        "HTIPNEXSITE", pois=pois, model=model, categories=["CAJERO"],
+        compat=True,
+    )
+    assert fixed.scored.first().forecast == 0.0
+    assert compat.scored.first().forecast == 1.0

@@ -143,6 +143,36 @@ def test_vincenty_known_ellipsoid_arcs():
     assert abs(a - b) < 1e-6
 
 
+def test_vincenty_antipodal_band():
+    """The non-convergent ±0.5° antipodal band resolves via the
+    direct-problem shooting fallback, not Haversine:
+
+    * the classic antipodal inverse example (0,0)→(0.5,179.5) is
+      19 936 288.579 m (GeographicLib's documented value) — matched to
+      centimeters;
+    * the exactly-antipodal equatorial pair takes the over-the-pole
+      geodesic (≈ half the meridian ellipse, 20 003 931.46 m), NOT the
+      longer equatorial path π·a = 20 037 508 m;
+    * a grid across the band yields finite values in the geodesic
+      range.
+    """
+    import numpy as np
+
+    from gpi_etl_spark.functions.geo import _vincenty_inverse
+
+    d = _vincenty_inverse([0.0], [0.0], [0.5], [179.5])[0]
+    assert abs(d - 19936288.579) < 0.05
+    d_eq = _vincenty_inverse([0.0], [0.0], [0.0], [180.0])[0]
+    assert abs(d_eq - 20003931.46) < 50.0
+    d_pole = _vincenty_inverse([90.0], [0.0], [-90.0], [0.0])[0]
+    assert abs(d_pole - 20003931.46) < 50.0
+    lats = np.linspace(-0.5, 0.5, 5)
+    lons = np.full_like(lats, 179.7)
+    ds = _vincenty_inverse(np.zeros_like(lats), np.zeros_like(lats), lats, lons)
+    assert np.isfinite(ds).all()
+    assert ((ds > 1.99e7) & (ds < 2.005e7)).all()
+
+
 def test_geodesic_vs_haversine_delta_at_reference_coords(spark):
     """At the reference's own coordinates (Guatemala City POIs,
     HTIPPLSITE/__init__.py:380) the sphere-vs-ellipsoid drift peaks

@@ -67,4 +67,4 @@ def test_site_endpoint_accepts_artifact_bytes(spark, artifact):
     out = engine.run(
         "HTIPNEXSITE", pois=pois, model=model, categories=["BANCO", "HOTEL"]
     )
-    assert out.first().forecast == 1.0
+    assert out.scored.first().forecast == 1.0
