@@ -49,6 +49,8 @@ HEADLINE = [
     "q85_pipeline_wasde",   # end-to-end WASDE sheet extraction
     "q87_pipeline_site",    # end-to-end site scoring (classify→score)
     "q94_classify_full",    # full 47-rule CASE chain, both modes
+    "q99_audio_features",   # real WAV decode through mapInPandas (r3)
+    "q100_image_stats",     # real BMP decode through mapInPandas (r3)
 ]
 
 

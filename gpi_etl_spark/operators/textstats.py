@@ -173,3 +173,77 @@ def unigram_logprob(
             ),
         )
     )
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Boilerplate-strip an HTML payload to visible text — the first
+    stage of a web-crawl → training-corpus pipeline, as a pure regexp
+    chain (codegen'd, no parser object per row, linear per document).
+
+    Order matters: script/style blocks (with their content) first,
+    then comments, then remaining tags, then the half-dozen common
+    entities, then whitespace collapse. The patterns avoid
+    backreferences so the same chain runs verbatim on RE2 engines
+    (DuckDB) for the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`html_to_text` (identical chain)."""
+    out = f"regexp_replace({expr}, '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
+    out = f"regexp_replace({out}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def chunk_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    tokenize-and-chunk stage before sequence packing in a pretraining
+    pipeline. Chunks start every ``chunk_tokens - overlap`` tokens; the
+    final chunk may be short; empty docs yield no chunks.
+
+    Shape at scale: tokens stay an array inside the row until ONE
+    posexplode of the (bounded) start-offset list — no per-token
+    explode, no shuffle; downstream repartitions by (doc, chunk) only
+    if the caller asks.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias(
+            "chunk_idx", "start"
+        )
+    )
+    piece = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
+    return base.select(
+        id_col,
+        "chunk_idx",
+        F.col("start").alias("start_token"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

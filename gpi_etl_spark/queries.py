@@ -3901,6 +3901,77 @@ def q100(spark, sf_dir):
     )
 
 
+_HTML_PRE = (
+    "<html><head><style>p{color:red}</style>"
+    "<script>var x = 1 < 2;</script></head><body><h1>Title &amp; More</h1><p>"
+)
+_HTML_POST = "</p><!-- footer --></body></html>"
+
+
+@query(
+    "q101_html_extract",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE}' || text || '{_HTML_POST}' AS html
+      FROM documents WHERE doc_id % 9 = 0),
+    x AS (SELECT doc_id, {textstats.html_to_text_sql('html')} AS extracted
+          FROM h)
+    SELECT doc_id, extracted,
+           cast(len({_TOKS_SQL.replace('text', 'extracted')}) AS int) AS n_tokens
+    FROM x
+    """,
+)
+def q101(spark, sf_dir):
+    """Web-crawl boilerplate stripping (textstats.html_to_text): each
+    document is wrapped in an HTML template (script/style/comments/
+    entities included) and the visible text re-extracted by the pure
+    regexp chain — codegen'd, no parser object per row, the first stage
+    of a crawl → corpus pipeline. Oracle runs the identical chain in
+    DuckDB (patterns avoid backreferences so RE2 accepts them)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    out = docs.select(
+        "doc_id", textstats.html_to_text(html).alias("extracted")
+    )
+    return out.select(
+        "doc_id", "extracted",
+        F.size(textstats.tokens("extracted")).alias("n_tokens"),
+    )
+
+
+@query(
+    "q102_chunk_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE doc_id % 7 = 0),
+    s AS (
+      SELECT doc_id, toks, cast(u.s AS int) AS start_token,
+             cast(u.s // 30 AS int) AS chunk_idx
+      FROM d, unnest(generate_series(0, len(toks) - 1, 30)) AS u(s)
+      WHERE len(toks) > 0),
+    c AS (
+      SELECT doc_id, chunk_idx, start_token,
+             list_slice(toks, start_token + 1, start_token + 40) AS piece
+      FROM s)
+    SELECT doc_id, chunk_idx, start_token,
+           cast(len(piece) AS int) AS n_chunk_tokens,
+           array_to_string(piece, ' ') AS chunk_text
+    FROM c
+    """,
+)
+def q102(spark, sf_dir):
+    """Tokenize-and-chunk with overlap (textstats.chunk_texts): 40-token
+    windows every 30 tokens (10-token overlap) — the chunking stage
+    before sequence packing in a pretraining pipeline. One posexplode
+    of the bounded start-offset list per document; no per-token explode,
+    no shuffle. Oracle replays the windows with generate_series +
+    list_slice."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return textstats.chunk_texts(docs, chunk_tokens=40, overlap=10)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -3915,6 +3986,7 @@ def _qnum(name: str) -> int:
 _R3_CHANGED = [
     "q51_approx_sketches", "q62_corpus_curation", "q81_kmeans_clusters",
     "q99_audio_features", "q100_image_stats",
+    "q101_html_extract", "q102_chunk_documents",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
     "q04_watermark_max_date", "q05_newer_than_watermark", "q11_sessionize",
     "q29_tumbling_window", "q46_streaming_tumbling",

@@ -81,3 +81,47 @@ def test_unigram_logprob_known_model(spark):
            for r in unigram_logprob(df).collect()}
     assert got[1] == (3, round(math.log(0.75), 6))
     assert got[2] == (1, round(math.log(0.25), 6))
+
+
+def test_html_to_text_strips_boilerplate(spark):
+    from gpi_etl_spark.operators.textstats import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<html><head><style>p{x:1}</style><script>if (a<b) { go() }"
+             "</script></head><body><h1>Hi &amp; bye</h1>"
+             "<p class='x'>body&nbsp;text</p><!-- note --></body></html>"),
+         (2, "no markup at all"),
+         (3, "<p>unclosed")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.t for r in
+           df.select("doc_id", html_to_text("text").alias("t")).collect()}
+    assert got[1] == "Hi & bye body text"
+    assert got[2] == "no markup at all"
+    assert got[3] == "unclosed"
+
+
+def test_chunk_texts_overlapping_windows(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.textstats import chunk_texts
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only two"), (3, ""), (4, None)],
+        "doc_id int, text string",
+    )
+    out = chunk_texts(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 3: starts 0,3,6,9 — last chunk short
+    assert [r.start_token for r in c1] == [0, 3, 6, 9]
+    assert c1[0].chunk_text == "w0 w1 w2 w3"
+    assert c1[1].chunk_text == "w3 w4 w5 w6"   # 1-token overlap
+    assert c1[-1].chunk_text == "w9" and c1[-1].n_chunk_tokens == 1
+    assert [r.chunk_text for r in by_doc[2]] == ["only two"]
+    assert 3 not in by_doc and 4 not in by_doc  # empty/null → no chunks
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_texts(df, chunk_tokens=4, overlap=4)

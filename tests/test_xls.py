@@ -95,6 +95,31 @@ def test_excel_cells_dispatches_on_ole2_magic():
     assert excel_cells(payload, "p22")[0][0] == "hello"
 
 
+def test_wasde_endpoint_accepts_xls_bytes(spark):
+    """engine.run('HTGPIWASDE', cells=<raw .xls bytes>) dispatches on
+    the OLE2 magic to the BIFF8 parser — the reference's actual payload
+    format flows through the facade unchanged."""
+    import datetime as dt
+
+    from gpi_etl_spark import engine
+
+    strings = ["WASDE-668", "World Corn Supply and Use 1/",
+               "Million Metric Tons", "Beginning Stocks", "2024/25 Est.",
+               "World 3/"]
+    recs = [fx.label_sst(0, 0, 0), fx.label_sst(1, 0, 1), fx.label_sst(2, 0, 2),
+            fx.label_sst(3, 0, 3), fx.label_sst(3, 1, 4), fx.label_sst(4, 0, 5)]
+    for c, v in enumerate([310.1, 1200, 5, 750, 1150, 180, 300], start=1):
+        recs.append(fx.number(4, c, float(v)))
+    payload = fx.build_xls({"p22": recs}, strings)
+    out = engine.run(
+        "HTGPIWASDE", cells=payload, sheet="p22", daterelease="2026-01-12",
+        commodity="Corn", clock=dt.datetime(2026, 1, 12, 8, 0, 0), spark=spark,
+    )
+    r = out.first()
+    assert r.Geography == "World" and r.Production == 1200.0
+    assert r.Wasde == "WASDE-668"
+
+
 def test_xls_feeds_wasde_extract(spark):
     """End-to-end S2 closure: a BIFF8 workbook flows through
     xls_cells_df into the WASDE supply/use extract."""
