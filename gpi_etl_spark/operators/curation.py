@@ -375,3 +375,40 @@ def bloom_contaminated_ids(
         .filter(any_hit(F.col("__hs")))
         .select(id_col)
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budget corpus mixing: within each group,
+    walk documents in :func:`mix_hash` order (a reproducible shuffle)
+    and keep them while the running token total stays within the
+    group's budget — the "sample each source down to its target token
+    share" stage of assembling a pretraining mixture.
+
+    Groups without a budget entry are dropped (explicit mixture only).
+    One window shuffle on the group key; the hash order makes the kept
+    set independent of input partitioning, re-runnable after executor
+    loss, and replayable in the DuckDB oracle — no RNG state anywhere.
+    The greedy prefix rule (keep while cumsum <= budget) can undershoot
+    by at most one document's tokens.
+    """
+    entries = [x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))]
+    budget = F.element_at(F.create_map(*entries), F.col(group_col))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(mix_hash(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("_budget", budget)
+        .filter(F.col("_budget").isNotNull())
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .drop("_budget")
+    )

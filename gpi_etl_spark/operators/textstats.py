@@ -7,6 +7,8 @@ scans at parquet speed with zero Python in the loop.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -215,6 +217,7 @@ def chunk_texts(
     id_col: str = "doc_id",
     chunk_tokens: int = 128,
     overlap: int = 32,
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Split documents into overlapping token windows — the
     tokenize-and-chunk stage before sequence packing in a pretraining
@@ -235,15 +238,36 @@ def chunk_texts(
         F.array().cast("array<int>")
     )
     base = df.select(
-        F.col(id_col), toks.alias("__toks"), F.posexplode(starts).alias(
-            "chunk_idx", "start"
-        )
+        F.col(id_col), *[F.col(c) for c in keep_cols],
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
     )
     piece = F.slice(F.col("__toks"), F.col("start") + 1, chunk_tokens)
     return base.select(
         id_col,
+        *keep_cols,
         "chunk_idx",
         F.col("start").alias("start_token"),
         F.size(piece).alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def dedup_lines(col: Column | str, sep: str = "\n") -> Column:
+    """C4-style within-document exact line dedup: drop every repeat of
+    an already-seen line, keeping first occurrences in order, and
+    rejoin. Catches boilerplate headers/footers and navigation chrome
+    repeated inside one page.
+
+    Array-only (split → indexed filter on first-occurrence position →
+    rejoin): fully codegen'd, no explode, no shuffle. Quadratic in the
+    LINE count per document (array_position scans), which is fine —
+    documents have tens of lines; for pathological inputs switch to the
+    posexplode + min(pos) shuffle form.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, re.escape(sep))
+    kept = F.filter(
+        lines, lambda line, i: F.array_position(lines, line) == i + 1
+    )
+    return F.array_join(kept, sep)

@@ -3972,6 +3972,186 @@ def q102(spark, sf_dir):
     return textstats.chunk_texts(docs, chunk_tokens=40, overlap=10)
 
 
+@query(
+    "q103_line_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks
+      FROM documents WHERE doc_id % 11 = 0 AND len({_TOKS_SQL}) >= 4),
+    l AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, cast(ceil(len(toks) / 4.0) AS bigint) - 1),
+               i -> array_to_string(list_slice(toks, i*4 + 1, i*4 + 4), ' ')
+             ) AS lines
+      FROM d),
+    b AS (SELECT doc_id,
+                 list_concat(list_concat([lines[1]], lines), [lines[1]]) AS wl
+          FROM l),
+    k AS (SELECT doc_id, len(wl) AS n_in,
+                 list_filter(wl, (x, i) -> list_position(wl, x) = i) AS kept
+          FROM b)
+    SELECT doc_id, cast(n_in AS int) AS n_lines_in,
+           cast(len(kept) AS int) AS n_lines_out,
+           array_to_string(kept, chr(10)) AS cleaned
+    FROM k
+    """,
+)
+def q103(spark, sf_dir):
+    """C4-style within-document line dedup (textstats.dedup_lines):
+    each document is linearized into 4-token lines with its first line
+    repeated top and bottom (the boilerplate header/footer pattern);
+    the operator drops every repeat keeping first occurrences in order.
+    Array-only — no explode, no shuffle; the oracle replays the indexed
+    first-occurrence filter with DuckDB list lambdas."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    toks = textstats.tokens("text")
+    n = F.size(toks)
+    lines = F.transform(
+        F.sequence(F.lit(0), F.ceil(n / F.lit(4.0)).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 4 + 1, 4)),
+    )
+    base = docs.filter(n >= 4).select("doc_id", lines.alias("lines"))
+    wl = F.concat(
+        F.array(F.element_at("lines", 1)),
+        F.col("lines"),
+        F.array(F.element_at("lines", 1)),
+    )
+    with_boiler = base.select(
+        "doc_id",
+        F.size(wl).alias("n_lines_in"),
+        F.array_join(wl, "\n").alias("wl_text"),
+    )
+    cleaned = textstats.dedup_lines("wl_text")
+    return with_boiler.select(
+        "doc_id",
+        "n_lines_in",
+        (F.size(F.split(cleaned, r"\n")) ).alias("n_lines_out"),
+        cleaned.alias("cleaned"),
+    )
+
+
+_MIX_BUDGETS = {"en": 4000, "es": 1500, "de": 1500}
+
+
+@query(
+    "q104_token_budget_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tokens
+      FROM documents),
+    b(lang, budget) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_BUDGETS.items())}),
+    j AS (SELECT d.doc_id, d.lang, d.n_tokens, b.budget,
+                 {curation.mix_hash_sql('doc_id', 'duckdb')} AS h
+          FROM d JOIN b USING (lang)),
+    c AS (SELECT doc_id, lang, n_tokens, budget,
+                 sum(cast(n_tokens AS bigint)) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens
+          FROM j)
+    SELECT doc_id, lang, n_tokens, cast(cum_tokens AS bigint) AS cum_tokens
+    FROM c WHERE cum_tokens <= budget
+    """,
+)
+def q104(spark, sf_dir):
+    """Token-budget corpus mixing (curation.token_budget_sample): keep
+    a deterministic hash-ordered prefix of each language until its
+    token budget fills — the "sample each source to its target share"
+    stage of assembling a pretraining mixture. One window shuffle on
+    the group key; the mixing hash replays bit-identically in DuckDB,
+    so the kept set itself (not just counts) is the oracle check."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(textstats.tokens("text")).alias("n_tokens")
+    )
+    out = curation.token_budget_sample(d, _MIX_BUDGETS)
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+@query(
+    "q105_curation_dag",
+    f"""
+    WITH prof AS (
+      SELECT doc_id, lang, text, {_TOKS_SQL} AS toks,
+             cast(len({_TOKS_SQL}) AS int) AS n_tokens,
+             cast(len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_EN}, x)))
+                  AS int) AS n_sw
+      FROM documents),
+    rep AS (
+      SELECT *,
+             CASE WHEN n_tokens < 3 THEN 0.0 ELSE
+               round(1.0 - len(list_distinct(
+                 list_transform(generate_series(1, n_tokens - 2),
+                   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))
+                 / cast(n_tokens - 2 AS double), 6)
+             END AS rep_ratio
+      FROM prof),
+    kept AS (SELECT * FROM rep
+             WHERE n_tokens >= 5 AND 5 * n_sw <= 3 * n_tokens
+               AND rep_ratio <= 0.5),
+    hashed AS (SELECT *, sha256({_NORM_SQL}) AS h FROM kept),
+    uniq AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    docs2 AS (SELECT k.doc_id, k.lang, k.toks, k.n_tokens
+              FROM hashed k JOIN uniq u ON u.h = k.h AND u.doc_id = k.doc_id),
+    chunks AS (
+      SELECT doc_id, lang, cast(u.s // 30 AS int) AS chunk_idx,
+             cast(len(list_slice(toks, cast(u.s AS int) + 1,
+                                 cast(u.s AS int) + 40)) AS int) AS n_ct
+      FROM docs2, unnest(generate_series(0, n_tokens - 1, 30)) AS u(s)),
+    packed AS (
+      SELECT lang, n_ct,
+             cast(floor(cast(coalesce(sum(n_ct) OVER (
+                 PARTITION BY lang ORDER BY doc_id * 1024 + chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bigint) / 512) AS int) AS bin
+      FROM chunks)
+    SELECT lang, bin, count(*) AS n_chunks,
+           cast(sum(n_ct) AS bigint) AS sum_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def q105(spark, sf_dir):
+    """The FLAGSHIP curation DAG — every pretraining-corpus stage
+    composed in ONE lazy plan: profile (tokens, integer-exact stopword
+    gate, trigram repetition gate) → normalize-hash exact dedup →
+    overlapping 40/30 token chunking → 512-token sequence packing →
+    per-(lang, bin) accounting. Catalyst fuses the profile+gates into
+    the scan projection; the shuffles are exactly the four the
+    semantics require (dedup groupBy, dedup join, pack window, final
+    rollup). The DuckDB oracle replays all five stages, so the whole
+    composition — not just each operator — is value-checked."""
+    from gpi_etl_spark.operators.curation import pack_budget_bins
+
+    docs = t(spark, sf_dir, "documents")
+    toks = textstats.tokens("text")
+    sw = F.array(*[F.lit(w) for w in textstats.STOPWORDS["en"]])
+    prof = docs.select(
+        "doc_id", "lang", "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda tk: F.array_contains(sw, tk))).alias("n_sw"),
+        textstats.ngram_repetition_ratio("text", n=3).alias("rep_ratio"),
+    )
+    kept = prof.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_sw") * 5 <= F.col("n_tokens") * 3)
+        & (F.col("rep_ratio") <= 0.5)
+    )
+    hashed = kept.withColumn(
+        "h", F.sha2(dedup.normalize_text("text"), 256)
+    )
+    uniq = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    docs2 = hashed.join(uniq, ["h", "doc_id"]).select("doc_id", "lang", "text")
+    chunks = textstats.chunk_texts(
+        docs2, chunk_tokens=40, overlap=10, keep_cols=("lang",)
+    ).withColumn("_ck", F.col("doc_id") * 1024 + F.col("chunk_idx"))
+    packed = pack_budget_bins(chunks, "n_chunk_tokens", "lang", "_ck", budget=512)
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -3987,6 +4167,7 @@ _R3_CHANGED = [
     "q51_approx_sketches", "q62_corpus_curation", "q81_kmeans_clusters",
     "q99_audio_features", "q100_image_stats",
     "q101_html_extract", "q102_chunk_documents",
+    "q103_line_dedup", "q104_token_budget_mix", "q105_curation_dag",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
     "q04_watermark_max_date", "q05_newer_than_watermark", "q11_sessionize",
     "q29_tumbling_window", "q46_streaming_tumbling",

@@ -253,3 +253,26 @@ def test_pack_invariants_property(spark):
             assert sum(members) <= budget or len(members) == 1
 
     run()
+
+
+def test_token_budget_sample_deterministic_prefix(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "es", 10 + i % 3) for i in range(40)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    out = curation.token_budget_sample(df, {"en": 60, "es": 35}).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # budgets respected: cumulative totals stay within each budget
+    assert max(r.cum_tokens for r in by_lang["en"]) <= 60
+    assert max(r.cum_tokens for r in by_lang["es"]) <= 35
+    # greedy prefix: adding any one more doc would overflow (undershoot
+    # bounded by one document)
+    assert max(r.cum_tokens for r in by_lang["en"]) > 60 - 13
+    # unbudgeted groups would be dropped; all kept rows have budgets
+    assert set(by_lang) == {"en", "es"}
+    # deterministic: same input -> same kept set
+    again = {r.doc_id for r in
+             curation.token_budget_sample(df, {"en": 60, "es": 35}).collect()}
+    assert again == {r.doc_id for r in out}

@@ -125,3 +125,19 @@ def test_chunk_texts_overlapping_windows(spark):
     assert 3 not in by_doc and 4 not in by_doc  # empty/null → no chunks
     with pytest.raises(ValueError, match="overlap"):
         chunk_texts(df, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_lines_keeps_first_occurrences(spark):
+    from gpi_etl_spark.operators.textstats import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, "header\nbody one\nbody two\nheader\nbody one"),
+         (2, "a\nb\nc"),
+         (3, "same\nsame\nsame")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.t for r in
+           df.select("doc_id", dedup_lines("text").alias("t")).collect()}
+    assert got[1] == "header\nbody one\nbody two"
+    assert got[2] == "a\nb\nc"
+    assert got[3] == "same"
