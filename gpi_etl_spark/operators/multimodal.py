@@ -7,11 +7,14 @@ North-star operator family (BASELINE.json). The design treats media as
 Codecs: formats decodable with the stdlib are decoded FOR REAL —
 **WAV** (PCM, via ``wave`` + numpy: sample rate, duration, RMS/peak/
 zero-crossing features), **BMP** (24-bit uncompressed, pure ``struct``:
-dimensions + per-channel means) and **PPM** (P6). Formats that need
-external codec libraries (JPEG/PNG/MP3/MP4 — PIL/librosa/PyAV are not
-in this container) either raise ``NotImplementedError`` (strict) or
-produce a deterministic fake (testing), clearly flagged; a deployment
-drops its decoder into :func:`decode_media`'s dispatch table.
+dimensions + per-channel means), **PPM** (P6), and **PNG** (``zlib``
+inflate + per-row unfiltering: 8-bit gray/RGB/palette/alpha, filters
+0-4). Formats that need external codec libraries (JPEG/MP3/MP4 —
+PIL/librosa/PyAV are not in this container) either raise
+``NotImplementedError`` (strict, the default) or produce a
+deterministic fake (explicit opt-in for plumbing tests), clearly
+flagged; a deployment drops its decoder into :func:`decode_media`'s
+dispatch table.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``spark.sql.files.maxPartitionBytes`` and explicit ``repartition`` by
@@ -25,6 +28,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -163,6 +167,12 @@ def decode_ppm(payload: bytes) -> dict:
         pos = end
     pos += 1  # single whitespace after maxval
     w, h, _maxval = fields
+    if _maxval > 255:
+        # maxval > 255 means two bytes per sample ([netpbm] P6); reading it
+        # as uint8 would silently misparse — strict-raise like the BMP guard
+        raise NotImplementedError(
+            f"PPM maxval {_maxval} > 255 (16-bit samples) not supported"
+        )
     px = (
         np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
         .reshape(h, w, 3)
@@ -178,6 +188,121 @@ def decode_ppm(payload: bytes) -> dict:
         ],
         "pixels": px,
     }
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: samples per pixel by PNG color type ([PNG] 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG → dims + per-channel means, stdlib ``zlib`` + numpy.
+
+    Real decode: chunk walk (IHDR/PLTE/IDAT), one inflate, then per-row
+    unfiltering of filter types 0-4 (None/Sub/Up/Average/Paeth).
+    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); alpha is dropped, gray replicated, so the
+    output ``feature`` matches a BMP/PPM twin of the same pixels.
+    Interlaced (Adam7) and 16-bit images strict-raise.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = b""
+    plte = b""
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # data + 4-byte CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    bpp = _PNG_CHANNELS[ctype]  # bytes per pixel at depth 8
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG: truncated image data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    off = 0
+    for r in range(h):
+        ft = raw[off]
+        line = bytearray(raw[off + 1: off + 1 + stride])
+        off += 1 + stride
+        if ft == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                line[i] = (line[i] + (a if pa <= pb and pa <= pc
+                                      else b if pb <= pc else cc)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    arr = out.reshape(h, w, bpp)
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        px = pal[arr[:, :, 0]]
+    elif ctype == 0:
+        px = np.repeat(arr, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # 2 (RGB) or 6 (RGBA, alpha dropped)
+        px = arr[:, :, :3]
+    px = np.ascontiguousarray(px)
+    gray = px.astype(np.float64).mean(axis=2)
+    return {
+        "media_type": "image", "format": "png", "width": int(w), "height": int(h),
+        "duration_ms": None, "sample_rate": None,
+        "feature": [
+            float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+            float(px[:, :, 2].mean()), float(gray.std()),
+        ],
+        "pixels": px,
+    }
+
+
+def encode_png(px: "np.ndarray") -> bytes:
+    """RGB uint8 array (h, w, 3) → 8-bit truecolor PNG bytes
+    (filter 0 rows; round-trips through :func:`decode_png`)."""
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
 
 
 def encode_bmp(px: "np.ndarray") -> bytes:
@@ -204,10 +329,13 @@ def decode_media(payload: bytes, deterministic_fake: bool = False) -> dict:
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not WAV/BMP/PPM; decoding other formats needs codec "
-            "libraries not present in this environment (PIL/librosa/PyAV)."
+            "payload is not WAV/BMP/PPM/PNG; decoding other formats needs "
+            "codec libraries not present in this environment "
+            "(PIL/librosa/PyAV)."
         )
     return {"feature": _fake_feature(payload)}
 
@@ -230,7 +358,7 @@ def extract_features(
     media_type_col: str = "meta.media_type",
     id_col: str = "media_id",
     batch_rows: int = 64,
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """Per-payload feature extraction via ``mapInPandas``.
 
@@ -279,21 +407,26 @@ _RESIZE_SCHEMA = (
 
 def _resize_payload(payload: bytes, width: int, height: int,
                     deterministic_fake: bool) -> bytes:
-    """REAL nearest-neighbor resample for BMP/PPM payloads (decode →
+    """REAL nearest-neighbor resample for BMP/PPM/PNG payloads (decode →
     index-map → re-encode as BMP). Formats without a stdlib codec need
     PIL: raise (strict) or emit the flagged deterministic fake whose
     length scales with target area so batch-size accounting stays
     realistic."""
-    if payload and (payload[:2] in (b"BM", b"P6")):
-        d = decode_bmp(payload) if payload[:2] == b"BM" else decode_ppm(payload)
+    if payload and (payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG):
+        if payload[:2] == b"BM":
+            d = decode_bmp(payload)
+        elif payload[:2] == b"P6":
+            d = decode_ppm(payload)
+        else:
+            d = decode_png(payload)
         px = d["pixels"]
         rows = (np.arange(height) * d["height"] // height).astype(np.int64)
         cols = (np.arange(width) * d["width"] // width).astype(np.int64)
         return encode_bmp(px[rows][:, cols])
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not BMP/PPM; resizing other formats requires PIL "
-            "(not in this container)."
+            "payload is not BMP/PPM/PNG; resizing other formats requires "
+            "PIL (not in this container)."
         )
     if payload is None:
         return b""
@@ -305,7 +438,7 @@ def resize_images(
     df: DataFrame,
     width: int,
     height: int,
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """Image resize with the REAL distributed plumbing (mapInPandas,
     1:1 rows, payload replaced, meta dims rewritten); BMP/PPM payloads

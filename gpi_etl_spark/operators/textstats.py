@@ -184,8 +184,10 @@ def html_to_text(col: Column | str) -> Column:
 
     Order matters: script/style blocks (with their content) first,
     then comments, then remaining tags, then the half-dozen common
-    entities, then whitespace collapse. The patterns avoid
-    backreferences so the same chain runs verbatim on RE2 engines
+    entities (``&amp;`` last, so double-escaped markup like
+    ``&amp;lt;`` yields the literal text ``&lt;`` rather than
+    double-unescaping to ``<``), then whitespace collapse. The patterns
+    avoid backreferences so the same chain runs verbatim on RE2 engines
     (DuckDB) for the oracle.
     """
     c = F.col(col) if isinstance(col, str) else col
@@ -193,8 +195,8 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
-    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")):
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
@@ -205,8 +207,8 @@ def html_to_text_sql(expr: str) -> str:
     out = f"regexp_replace({out}, '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     out = f"regexp_replace({out}, '(?s)<!--.*?-->', ' ', 'g')"
     out = f"regexp_replace({out}, '<[^>]+>', ' ', 'g')"
-    for ent, ch in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "''")):
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
         out = f"replace({out}, '{ent}', '{ch}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
 

@@ -4152,47 +4152,149 @@ def q105(spark, sf_dir):
     )
 
 
+@query(
+    "q106_png_stats",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id, doc_id % 100 AS base,
+             (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h
+      FROM documents WHERE doc_id % 25 = 0)
+    SELECT media_id,
+           round(base + (w * h - 1) / 2.0, 6) AS mean_r,
+           round(base + 1 + (w * h - 1) / 2.0, 6) AS mean_g,
+           round(base + 2 + (w * h - 1) / 2.0, 6) AS mean_b,
+           round(sqrt((cast(w * h AS double) * (w * h) - 1) / 12.0), 6) AS std_gray
+    FROM p
+    """,
+)
+def q106(spark, sf_dir):
+    """Image stats from GENUINE PNG decode (q100's twin): the same
+    gradient pixels are zlib-deflate PNG-encoded in Python, decoded by
+    multimodal.decode_png (stdlib zlib inflate + per-row unfiltering),
+    and per-channel means + gray std checked against the q100 closed
+    forms — proving the PNG path yields bit-identical stats to its BMP
+    twin. Runs through extract_features' strict default (no
+    deterministic_fake flag): the real codec IS the default path."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.multimodal import encode_png, extract_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 100
+                w = int(did) % 7 + 2
+                h = int(did) % 5 + 2
+                idx = _np.arange(w * h, dtype=_np.uint16).reshape(h, w)
+                px = _np.stack(
+                    [(base + idx + ch) % 256 for ch in range(3)], axis=2
+                ).astype(_np.uint8)
+                payloads.append(encode_png(px))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("media_type", F.lit("image"))
+    feats = extract_features(media, media_type_col="media_type")
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[0].cast("double"), 6).alias("mean_r"),
+        F.round(f[1].cast("double"), 6).alias("mean_g"),
+        F.round(f[2].cast("double"), 6).alias("mean_b"),
+        F.round(f[3].cast("double"), 6).alias("std_gray"),
+    )
+
+
+@query(
+    "q107_exact_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q107(spark, sf_dir):
+    """EXACT percentiles per event type — q51's hash-green twin. q51's
+    sketch outputs (HLL++/GK) can never hash-match another engine, so
+    this query puts the percentile *semantics* under the hash gate:
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation definition, leaving q51 to cover only the
+    sketch machinery. Exact percentile is a full sort per group — fine
+    for bounded group counts; at 100 TB the q51 sketches are the
+    scale path and this is the auditor."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("p50"),
+        F.round(F.percentile("value", 0.95), 6).alias("p95"),
+        F.round(F.percentile("value", 0.99), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
 
 
-#: queries changed (or behavior-affected) in round 3, emitted first so a
-#: prefix-sampling driver re-verifies exactly what moved: q51 (array
-#: column flattened), q62 (tie-safe quality gate), q81 (new Lloyd-replay
-#: oracle), the wasde family (sheet-partitioned windows), and every
-#: events-table query (ts normalization now handles the regenerated
-#: TIMESTAMP_NTZ testdata).
-_R3_CHANGED = [
-    "q51_approx_sketches", "q62_corpus_curation", "q81_kmeans_clusters",
-    "q99_audio_features", "q100_image_stats",
-    "q101_html_extract", "q102_chunk_documents",
-    "q103_line_dedup", "q104_token_budget_mix", "q105_curation_dag",
+#: queries new or behavior-touched in round 4, emitted first so a
+#: prefix-sampling driver re-verifies exactly what moved: q106/q107 are
+#: new (PNG decode twin, exact-percentile twin), q101 changed its HTML
+#: entity unescape order (&amp; now last), and the wasde family sits on
+#: the .xls reader that gained v4-CFB addressing, string-formula and
+#: MERGEDCELLS handling.
+_R4_CHANGED = [
+    "q106_png_stats", "q107_exact_percentiles", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
-    "q04_watermark_max_date", "q05_newer_than_watermark", "q11_sessionize",
-    "q29_tumbling_window", "q46_streaming_tumbling",
-    "q74_streaming_session", "q78_ohlc_resample", "q79_date_spine_ffill",
-    "q80_upsert_by_key", "q88_pipeline_yahoo",
 ]
+
+#: the queries CORRECTNESS_r03 did NOT sample (the driver prefix-samples
+#: 50) — the longest-unchecked half of the registry, re-verified this
+#: round per the r3 verdict ask. Rows-only-by-design entries (q33, q34,
+#: q39, q49 — xxhash64/sketch-based, no DuckDB twin) are pushed to the
+#: back of this group since a driver row adds less evidence for them
+#: than their pinned pytest fixtures do.
+_ROWS_ONLY = {"q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
+              "q49_ivf_topk", "q51_approx_sketches"}
 
 
 def _ordered_names() -> list[str]:
     """Registry names, highest-evidence-value first.
 
-    Round-3 order: queries changed this round lead (so the driver's
-    prefix sampling re-verifies exactly what moved), then the round-2
-    order — pipeline-parity/new queries (q82+), then q51–q81, then the
-    longest-green q01–q50. Execution semantics are unaffected; this is
-    purely dict ordering.
+    Round-4 order: queries changed this round lead (so the driver's
+    prefix sampling re-verifies exactly what moved), then everything
+    r03 didn't sample (stalest first — q01–q50 plus the q67–q77 band),
+    hash-checkable before rows-only, then the freshly-green r03 set.
+    Execution semantics are unaffected; this is purely dict ordering.
     """
-    names = list(REGISTRY)
-    changed = {n: i for i, n in enumerate(_R3_CHANGED)}
+    import json
 
-    def group(n: str) -> tuple[int, int]:
+    names = list(REGISTRY)
+    changed = {n: i for i, n in enumerate(_R4_CHANGED)}
+    r3_seen: set[str] = set()
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "CORRECTNESS_r03.json")) as fh:
+            r3_seen = set(json.load(fh))
+    except OSError:
+        pass
+
+    def group(n: str) -> tuple[int, int, int]:
         if n in changed:
-            return (0, changed[n])
-        g = 1 if _qnum(n) >= 82 else (2 if _qnum(n) >= 51 else 3)
-        return (g, names.index(n))
+            return (0, 0, changed[n])
+        if n not in r3_seen:
+            return (1, 1 if n in _ROWS_ONLY else 0, names.index(n))
+        return (2, 0, names.index(n))
 
     return sorted(names, key=group)
 

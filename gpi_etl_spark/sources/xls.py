@@ -12,9 +12,12 @@ minimal reader for the two PUBLIC formats involved:
   ``Workbook`` (or legacy ``Book``) stream.
 * **BIFF8 records** ([MS-XLS]): BOUNDSHEET sheet directory, SST shared
   strings (including CONTINUE splits, where a fresh grbit byte restates
-  the char width at the boundary), FORMAT/XF for date detection, and
+  the char width at the boundary), MERGEDCELLS (anchor-value expansion
+  behind ``fill_merged``, like the ``.xlsx`` scan),
+  FORMAT/XF for date detection, and
   the cell records NUMBER / RK / MULRK / LABELSST / LABEL / FORMULA
-  (cached numeric result) / BOOLERR.
+  (cached numeric, boolean, and string results — the latter read from
+  the trailing STRING record) / BOOLERR.
 
 Parity notes vs the xlrd path it replaces:
 
@@ -56,7 +59,9 @@ _MULRK = 0x00BD
 _LABELSST = 0x00FD
 _LABEL = 0x0204
 _FORMULA = 0x0006
+_STRING = 0x0207
 _BOOLERR = 0x0205
+_MERGEDCELLS = 0x00E5
 
 #: builtin number-format ids that render as dates/times ([MS-XLS] 2.4.126)
 _BUILTIN_DATE_FMTS = (
@@ -92,10 +97,13 @@ def _cfb_workbook_stream(payload: bytes) -> bytes:
     difat_start = _u32(payload, 68)
     n_difat = _u32(payload, 72)
 
+    # Sector n lives at byte (n + 1) * ssz: the header occupies exactly one
+    # sector, so this holds for both 512-byte (version 3) and 4096-byte
+    # (version 4) compound files ([MS-CFB] 2.1).
     difat = list(struct.unpack_from("<109I", payload, 76))
     s = difat_start
     for _ in range(n_difat):
-        ents = struct.unpack_from(f"<{ssz // 4}I", payload, 512 + s * ssz)
+        ents = struct.unpack_from(f"<{ssz // 4}I", payload, (s + 1) * ssz)
         difat += list(ents[:-1])
         s = ents[-1]
 
@@ -105,7 +113,7 @@ def _cfb_workbook_stream(payload: bytes) -> bytes:
             continue
         if len(fat) >= n_fat * (ssz // 4):
             break
-        fat += list(struct.unpack_from(f"<{ssz // 4}I", payload, 512 + fs * ssz))
+        fat += list(struct.unpack_from(f"<{ssz // 4}I", payload, (fs + 1) * ssz))
 
     def chain(start: int) -> list[int]:
         out, s, seen = [], start, set()
@@ -117,7 +125,7 @@ def _cfb_workbook_stream(payload: bytes) -> bytes:
 
     def read_chain(start: int) -> bytes:
         return b"".join(
-            payload[512 + s * ssz: 512 + (s + 1) * ssz] for s in chain(start)
+            payload[(s + 1) * ssz: (s + 2) * ssz] for s in chain(start)
         )
 
     dirdata = read_chain(dir_start)
@@ -140,7 +148,7 @@ def _cfb_workbook_stream(payload: bytes) -> bytes:
     if n_minifat:
         for s in chain(minifat_start):
             minifat += list(
-                struct.unpack_from(f"<{ssz // 4}I", payload, 512 + s * ssz)
+                struct.unpack_from(f"<{ssz // 4}I", payload, (s + 1) * ssz)
             )
 
     def read_mini(start: int, size: int) -> bytes:
@@ -210,15 +218,22 @@ class _Chunks:
             n -= take
         return out
 
-    def read_chars(self, cch: int, high: bool) -> str:
+    def read_chars(self, cch: int, high: bool, grbit_chunk: int | None = None) -> str:
+        # ``grbit_chunk`` is the chunk index where the current grbit byte was
+        # read; any transition to a later chunk before/inside the char array
+        # restates a fresh grbit at the continuation start — including a
+        # split falling exactly between the string header and its first
+        # character.
+        if grbit_chunk is None:
+            grbit_chunk = self.i
         out = []
         while cch > 0:
             self._advance()
             if self._avail() == 0:
                 raise ValueError("SST: truncated string")
-            if out and self.off == 0:
-                # continuation split inside the char array: fresh grbit
+            if self.i != grbit_chunk:
                 high = bool(self.read(1)[0] & 1)
+                grbit_chunk = self.i
             width = 2 if high else 1
             take_chars = min(cch, self._avail() // width)
             if take_chars == 0:
@@ -234,7 +249,7 @@ class _Chunks:
         high = bool(flags & 1)
         n_rich = struct.unpack("<H", self.read(2))[0] if flags & 8 else 0
         n_ext = struct.unpack("<i", self.read(4))[0] if flags & 4 else 0
-        s = self.read_chars(cch, high)
+        s = self.read_chars(cch, high, grbit_chunk=self.i)
         if n_rich:
             self.read(4 * n_rich)
         if n_ext:
@@ -359,7 +374,9 @@ class _Workbook:
             return _serial_to_iso(v, self.datemode)
         return _num_text(v)
 
-    def cells(self, sheet_name: str | None = None) -> dict[tuple[int, int], str]:
+    def cells(
+        self, sheet_name: str | None = None, fill_merged: bool = True
+    ) -> dict[tuple[int, int], str]:
         if not self.sheets:
             raise ValueError("workbook has no sheets")
         if sheet_name is None:
@@ -372,7 +389,9 @@ class _Workbook:
                 )
             name, start = match[0]
         out: dict[tuple[int, int], str] = {}
+        merges: list[tuple[int, int, int, int]] = []
         depth = 0
+        pending_str: tuple[int, int] | None = None  # FORMULA awaiting STRING
         for op, _off, data in _records(self.stream, start):
             if op == _BOF:
                 depth += 1
@@ -382,6 +401,10 @@ class _Workbook:
                     break
             elif depth > 1:
                 continue  # embedded chart substream
+            elif op == _STRING and pending_str is not None:
+                # cached text of the preceding string-result FORMULA
+                out[pending_str] = _unicode_string(data, 0)
+                pending_str = None
             elif op == _NUMBER:
                 r, c, xf = _u16(data, 0), _u16(data, 2), _u16(data, 4)
                 out[(r, c)] = self._number(
@@ -410,10 +433,38 @@ class _Workbook:
                     out[(r, c)] = self._number(
                         struct.unpack("<d", res)[0], xf
                     )
+                elif res[0] == 0:  # string result: text in the next STRING
+                    pending_str = (r, c)
+                elif res[0] == 1:  # cached boolean
+                    out[(r, c)] = "TRUE" if res[2] else "FALSE"
+                elif res[0] == 3:  # cached empty string
+                    out[(r, c)] = ""
+                # res[0] == 2 (error cell) is skipped, like BOOLERR errors
             elif op == _BOOLERR:
                 r, c = _u16(data, 0), _u16(data, 2)
                 if data[7] == 0:  # boolean (1 = error cell, skipped)
                     out[(r, c)] = "TRUE" if data[6] else "FALSE"
+            elif op == _MERGEDCELLS:
+                # Ref8 list: (row_first, row_last, col_first, col_last).
+                # MERGEDCELLS may repeat when a sheet has > 1026 ranges.
+                n = _u16(data, 0)
+                for j in range(n):
+                    rf, rl, cf, cl = struct.unpack_from("<HHHH", data, 2 + 8 * j)
+                    merges.append((rf, rl, cf, cl))
+        if fill_merged:
+            # Replicate each range's anchor value across the range — same
+            # expansion as sources.xlsx. (The reference's own merged-range
+            # replay is dead code: HTGPIWASDE/__init__.py:219-222 writes
+            # merges into an openpyxl workbook it never reads back, so its
+            # emitted values come from the raw xlrd sheet; both repo scans
+            # offer the expansion behind the same flag instead.)
+            for rf, rl, cf, cl in merges:
+                anchor = out.get((rf, cf))
+                if anchor is None:
+                    continue
+                for r in range(rf, rl + 1):
+                    for c in range(cf, cl + 1):
+                        out[(r, c)] = anchor
         return out
 
 
@@ -427,11 +478,13 @@ def sheet_names(payload: bytes) -> list[str]:
 
 
 def parse_xls_cells(
-    payload: bytes, sheet_name: str | None = None
+    payload: bytes, sheet_name: str | None = None, fill_merged: bool = True
 ) -> list[list]:
     """One sheet → rectangular cell grid (row lists, ``None`` for
-    absent cells), values as strings with date serials coerced to ISO."""
-    cells = _Workbook(payload).cells(sheet_name)
+    absent cells), values as strings with date serials coerced to ISO.
+    ``fill_merged`` replicates each MERGEDCELLS range's anchor value
+    across the range, matching :func:`..xlsx.parse_xlsx_cells`."""
+    cells = _Workbook(payload).cells(sheet_name, fill_merged=fill_merged)
     if not cells:
         return []
     nrows = max(r for r, _ in cells) + 1
@@ -442,13 +495,17 @@ def parse_xls_cells(
     return grid
 
 
-def xls_cells_df(spark, payload: bytes, sheet_name: str | None = None):
+def xls_cells_df(
+    spark, payload: bytes, sheet_name: str | None = None,
+    fill_merged: bool = True,
+):
     """Sheet → the engine's ``wasde_cells`` shape
     ``(sheet, row_idx, col_idx, value)``."""
     wb = _Workbook(payload)
     name = sheet_name or wb.sheets[0][0]
     rows = [
-        (name, r, c, v) for (r, c), v in sorted(wb.cells(sheet_name).items())
+        (name, r, c, v)
+        for (r, c), v in sorted(wb.cells(sheet_name, fill_merged).items())
     ]
     return spark.createDataFrame(
         rows, "sheet string, row_idx int, col_idx int, value string"

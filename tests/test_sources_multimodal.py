@@ -65,18 +65,27 @@ def test_attach_binary_meta(spark):
 
 
 def test_extract_features_deterministic_fake(spark):
-    out1 = extract_features(_media(spark)).orderBy("media_id").collect()
-    out2 = extract_features(_media(spark)).orderBy("media_id").collect()
+    # fake path is explicit opt-in (strict decode is the default)
+    out1 = extract_features(
+        _media(spark), deterministic_fake=True
+    ).orderBy("media_id").collect()
+    out2 = extract_features(
+        _media(spark), deterministic_fake=True
+    ).orderBy("media_id").collect()
     assert [r.feature for r in out1] == [r.feature for r in out2]
     assert all(len(r.feature) == 4 for r in out1)
     assert out1[0].n_bytes == 6
 
 
-def test_unsupported_formats_raise_in_strict_mode(spark):
-    # non-BMP/PPM payloads still defer the raise to the executor step
-    strict = resize_images(_media(spark), 64, 64, deterministic_fake=False)
+def test_unsupported_formats_raise_by_default(spark):
+    # non-decodable payloads defer the raise to the executor step; strict
+    # mode is now the DEFAULT (no deterministic_fake flag needed)
+    strict = resize_images(_media(spark), 64, 64)
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         strict.collect()
+    strict2 = extract_features(_media(spark))
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        strict2.collect()
 
 
 def _wav_bytes(amp=8192, half=4, n=1600, rate=8000):
@@ -128,6 +137,147 @@ def test_decode_bmp_ppm_roundtrip():
     assert (d2["pixels"] == px).all()
 
 
+def test_decode_ppm_16bit_raises():
+    from gpi_etl_spark.operators.multimodal import decode_ppm
+
+    payload = b"P6\n2 2\n65535\n" + b"\x00" * 24
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(payload)
+
+
+def _png_filtered(px, filt):
+    """PNG-encode (h, w, 3) pixels with one filter type on every row —
+    forward-applies the filter so decode must invert it."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    bpp = 3
+    stride = w * bpp
+    prev = np.zeros(stride, dtype=np.int32)
+    raw = bytearray()
+    for r in range(h):
+        line = px[r].reshape(-1).astype(np.int32)
+        if filt == 0:
+            enc = line
+        elif filt == 1:  # Sub
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - a) % 256
+        elif filt == 2:  # Up
+            enc = (line - prev) % 256
+        elif filt == 3:  # Average
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - ((a + prev) >> 1)) % 256
+        else:  # Paeth
+            a = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
+            enc = (line - pred) % 256
+        raw += bytes([filt]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_decode_png_roundtrip_and_filters():
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    d = decode_png(encode_png(px))
+    assert (d["width"], d["height"]) == (5, 6)
+    assert (d["pixels"] == px).all()
+    for filt in (1, 2, 3, 4):
+        d2 = decode_png(_png_filtered(px, filt))
+        assert (d2["pixels"] == px).all(), f"filter {filt} unfilter mismatch"
+
+
+def test_decode_png_matches_bmp_twin():
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    px = np.arange(7 * 3 * 3, dtype=np.uint8).reshape(7, 3, 3)
+    dp = decode_png(encode_png(px))
+    db = decode_bmp(encode_bmp(px))
+    assert dp["feature"] == db["feature"]
+    assert (dp["pixels"] == db["pixels"]).all()
+
+
+def test_decode_png_gray_and_unsupported():
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import decode_png
+
+    def chunk(typ, data):
+        return (_struct.pack(">I", len(data)) + typ + data
+                + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    # 2x2 grayscale (color type 0): channels replicate to RGB
+    g = np.array([[0, 64], [128, 255]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + g[r].tobytes() for r in range(2))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b""))
+    d = decode_png(payload)
+    assert (d["pixels"][:, :, 0] == g).all()
+    assert (d["pixels"][:, :, 1] == g).all()
+
+    # 16-bit and interlaced strict-raise
+    p16 = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+           + chunk(b"IDAT", _zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(p16)
+    pint = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+            + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(pint)
+
+
+def test_resize_png_real(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.multimodal import (
+        decode_bmp,
+        encode_png,
+    )
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame(
+        [(1, encode_png(px), {"media_type": "image", "format": "png",
+                              "width": 8, "height": 8,
+                              "duration_ms": None, "sample_rate": None})],
+        _media(spark).schema,
+    )
+    out = resize_images(df, 4, 2).collect()
+    d = decode_bmp(bytes(out[0].payload))
+    rows = (np.arange(2) * 8 // 2)
+    cols = (np.arange(4) * 8 // 4)
+    assert (d["pixels"] == px[rows][:, cols]).all()
+
+
 def test_extract_features_real_wav(spark):
     df = spark.createDataFrame(
         [(1, _wav_bytes(), "audio")],
@@ -163,13 +313,17 @@ def test_resize_bmp_real(spark):
 
 
 def test_resize_plumbing_rewrites_payload_and_dims(spark):
-    out = resize_images(_media(spark), 8, 4).orderBy("media_id").collect()
+    out = resize_images(
+        _media(spark), 8, 4, deterministic_fake=True
+    ).orderBy("media_id").collect()
     assert len(out) == 2
     for r in out:
         assert len(r.payload) == 8 * 4
         assert r.meta.width == 8 and r.meta.height == 4
     # deterministic: same input, same fake payload
-    again = resize_images(_media(spark), 8, 4).orderBy("media_id").collect()
+    again = resize_images(
+        _media(spark), 8, 4, deterministic_fake=True
+    ).orderBy("media_id").collect()
     assert [bytes(r.payload) for r in out] == [bytes(r.payload) for r in again]
 
 

@@ -67,6 +67,82 @@ def test_xls_sst_continue_split():
     assert grid[0][1] == long
 
 
+def test_xls_sst_split_between_header_and_first_char():
+    """A CONTINUE boundary falling exactly between a string's header and
+    its first character restates grbit too — the option byte must not be
+    consumed as character data (ADVICE r3)."""
+    long = "y" * 800
+    sheet = [fx.label_sst(0, 0, 0), fx.label_sst(0, 1, 1)]
+    payload = fx.build_xls({"s": sheet}, ["short", long], sst_split_at=0)
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == "short"
+    assert grid[0][1] == long
+
+
+def test_xls_formula_string_bool_and_empty_results():
+    """FORMULA cells with cached string/boolean/empty results: the text
+    lives in the trailing STRING record (reference xlrd path returns it;
+    ADVICE r3)."""
+    sheet = [
+        fx.formula_str(0, 0, "World 3/"),
+        fx.formula_bool(0, 1, True),
+        fx.formula_empty_str(0, 2),
+        fx.number(1, 0, 7.0),
+    ]
+    payload = fx.build_xls({"f": sheet}, ["pad"])
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == "World 3/"
+    assert grid[0][1] == "TRUE"
+    assert grid[0][2] == ""
+    assert grid[1][0] == "7"
+
+
+def test_xls_v4_4096_byte_sectors():
+    """Version-4 compound files put sector n at byte (n+1)*4096; the
+    reader must not assume a 512-byte header offset (ADVICE r3)."""
+    sheet = _basic_sheet() + [
+        fx.label(10 + i, 0, f"row {i}") for i in range(300)
+    ]
+    payload = fx.build_xls({"big": sheet}, ["WASDE-668"], ssz=4096)
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == "WASDE-668"
+    assert grid[1][1] == "300"
+    assert grid[309][0] == "row 299"
+
+
+def test_xls_merged_cells_fill_matches_xlsx_twin():
+    """MERGEDCELLS anchor expansion mirrors the .xlsx scan: same
+    workbook content through both readers yields identical grids.
+    (The reference's own merged-range replay is dead code — it writes
+    merges into an openpyxl workbook it never reads back — so the
+    expansion is opt-out via fill_merged in both scans.)"""
+    from gpi_etl_spark.sources.xlsx import parse_xlsx_cells
+    from tests.test_xlsx import _make_xlsx, _sheet_xml
+
+    sheet = [
+        fx.label(0, 1, "Header"),      # B1 anchor of B1:C2
+        fx.number(0, 3, 42.0),         # D1
+        fx.label(1, 0, "row2"),
+        fx.merged_cells([(0, 1, 1, 2)]),
+    ]
+    payload = fx.build_xls({"m": sheet}, ["pad"])
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][1] == "Header" and grid[0][2] == "Header"
+    assert grid[1][1] == "Header" and grid[1][2] == "Header"
+    raw = xls.parse_xls_cells(payload, fill_merged=False)
+    assert raw[0][2] is None and raw[1][1] is None
+
+    xlsx_payload = _make_xlsx({"m": _sheet_xml(
+        "<sheetData>"
+        '<row r="1"><c r="B1" t="inlineStr"><is><t>Header</t></is></c>'
+        '<c r="D1"><v>42</v></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>row2</t></is></c></row>'
+        "</sheetData>"
+        '<mergeCells count="1"><mergeCell ref="B1:C2"/></mergeCells>'
+    )})
+    assert parse_xlsx_cells(xlsx_payload) == grid
+
+
 def test_xls_custom_date_format_and_1904():
     sheet = [fx.number(0, 0, 100.25, xf=18)]  # custom fmt "yyyy-mm-dd hh:mm"
     payload = fx.build_xls(

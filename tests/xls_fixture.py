@@ -147,6 +147,34 @@ def formula_num(r: int, c: int, v: float, xf: int = 17) -> bytes:
     return _rec(0x0006, body)
 
 
+def formula_str(r: int, c: int, s: str, xf: int = 17) -> bytes:
+    """FORMULA with a cached string result + its trailing STRING record."""
+    res = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+    body = struct.pack("<HHH", r, c, xf) + res + struct.pack("<HIH", 0, 0, 0)
+    return _rec(0x0006, body) + _rec(0x0207, _ustr(s))
+
+
+def formula_bool(r: int, c: int, b: bool, xf: int = 17) -> bytes:
+    res = bytes([1, 0, 1 if b else 0, 0, 0, 0, 0xFF, 0xFF])
+    body = struct.pack("<HHH", r, c, xf) + res + struct.pack("<HIH", 0, 0, 0)
+    return _rec(0x0006, body)
+
+
+def formula_empty_str(r: int, c: int, xf: int = 17) -> bytes:
+    res = bytes([3, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+    body = struct.pack("<HHH", r, c, xf) + res + struct.pack("<HIH", 0, 0, 0)
+    return _rec(0x0006, body)
+
+
+def merged_cells(ranges: list[tuple[int, int, int, int]]) -> bytes:
+    """MERGEDCELLS (0x00E5): list of (row_first, row_last, col_first,
+    col_last) inclusive Ref8 ranges."""
+    body = struct.pack("<H", len(ranges))
+    for rf, rl, cf, cl in ranges:
+        body += struct.pack("<HHHH", rf, rl, cf, cl)
+    return _rec(0x00E5, body)
+
+
 def boolerr(r: int, c: int, b: bool, xf: int = 17) -> bytes:
     return _rec(0x0205, struct.pack("<HHHBB", r, c, xf, 1 if b else 0, 0))
 
@@ -171,10 +199,16 @@ def _pad(b: bytes, m: int) -> bytes:
     return b + b"\x00" * (-len(b) % m)
 
 
-def build_cfb(stream: bytes, stream_name: str = "Workbook") -> bytes:
-    """Wrap one stream in a v3 compound file. Streams under the 4096
+def build_cfb(
+    stream: bytes, stream_name: str = "Workbook", ssz: int = 512
+) -> bytes:
+    """Wrap one stream in a compound file. Streams under the 4096
     cutoff go through the mini-stream/mini-FAT path; larger ones chain
-    regular 512-byte sectors."""
+    regular sectors. ``ssz=4096`` builds a version-4 file (4096-byte
+    sectors, sector n at byte (n+1)*4096) — requires a stream ≥ 4096
+    bytes since the reader routes smaller streams via the mini-FAT."""
+    if ssz == 4096:
+        return _build_cfb_v4(stream, stream_name)
     use_mini = len(stream) < 4096
     if use_mini:
         mini = _pad(stream, 64)
@@ -219,9 +253,39 @@ def build_cfb(stream: bytes, stream_name: str = "Workbook") -> bytes:
     return header + struct.pack("<128I", *fat) + directory + data_sectors
 
 
+def _build_cfb_v4(stream: bytes, stream_name: str = "Workbook") -> bytes:
+    """Version-4 compound file: 4096-byte sectors, 512-byte header padded
+    to one full sector, regular FAT chain only (no mini stream)."""
+    assert len(stream) >= 4096, "v4 fixture needs a stream past the mini cutoff"
+    ssz = 4096
+    body = _pad(stream, ssz)
+    n_s = len(body) // ssz
+    # sectors: 0=FAT, 1=directory, 2..=stream
+    fat = [FATSECT, END]
+    for i in range(n_s):
+        fat.append(2 + i + 1 if i < n_s - 1 else END)
+    fat += [FREE] * (ssz // 4 - len(fat))
+    root = _dir_entry("Root Entry", 5, END, 0, child=1)
+    wb = _dir_entry(stream_name, 2, 2, len(stream))
+    directory = _pad(root + wb + _dir_entry("", 0, FREE, 0) * 2, ssz)
+
+    header = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+    header += struct.pack("<HHHHH", 0x3E, 0x0004, 0xFFFE, 12, 6)
+    header += b"\x00" * 6
+    header += struct.pack("<IIII", 1, 1, 1, 0)  # ndir, nfat, dir_start, trans
+    header += struct.pack("<III", 4096, END, 0)  # mini cutoff, minifat
+    header += struct.pack("<II", END, 0)  # difat start/count
+    header += struct.pack("<109I", *([0] + [FREE] * 108))
+    assert len(header) == 512
+    header = _pad(header, ssz)  # v4: header padded to a full sector
+
+    return header + _pad(struct.pack(f"<{ssz // 4}I", *fat), ssz) + directory + body
+
+
 def build_xls(
     sheets: dict[str, list[tuple[int, int, bytes]]],
     strings: list[str],
+    ssz: int = 512,
     **kw,
 ) -> bytes:
-    return build_cfb(build_workbook_stream(sheets, strings, **kw))
+    return build_cfb(build_workbook_stream(sheets, strings, **kw), ssz=ssz)
