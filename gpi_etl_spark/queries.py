@@ -4242,6 +4242,87 @@ def q107(spark, sf_dir):
     )
 
 
+@query(
+    "q108_excel_lake",
+    """
+    SELECT doc_id AS workbook_id,
+           'doc-' || cast(doc_id AS varchar) AS anchor,
+           cast(doc_id AS double) AS v_a2,
+           cast(doc_id % 7 AS double) AS v_b2,
+           cast(3 AS bigint) AS n_cells
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def q108(spark, sf_dir):
+    """Distributed Excel-lake scan (sources/excel_lake.py): one
+    SpreadsheetML workbook per selected document is zip-assembled
+    executor-side, the whole lake parses to cell rows through ONE
+    mapInPandas (no payload ever reaches the driver — the 100× path
+    for the reference's one-workbook-per-release WASDE/CFT loads), and
+    the cells reshape back to per-workbook columns checked against the
+    closed form."""
+    import pandas as _pd
+
+    from gpi_etl_spark.sources.excel_lake import excel_lake_cells
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+
+    def synth(batches):
+        import io as _io
+        import zipfile as _zip
+
+        NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        NSR = ("http://schemas.openxmlformats.org/officeDocument/2006/"
+               "relationships")
+        NSP = "http://schemas.openxmlformats.org/package/2006/relationships"
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                buf = _io.BytesIO()
+                with _zip.ZipFile(buf, "w") as zf:
+                    zf.writestr(
+                        "xl/workbook.xml",
+                        f'<workbook xmlns="{NS}" xmlns:r="{NSR}"><sheets>'
+                        '<sheet name="s" sheetId="1" r:id="rId1"/>'
+                        "</sheets></workbook>",
+                    )
+                    zf.writestr(
+                        "xl/_rels/workbook.xml.rels",
+                        f'<Relationships xmlns="{NSP}"><Relationship '
+                        'Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+                        "</Relationships>",
+                    )
+                    zf.writestr(
+                        "xl/worksheets/sheet1.xml",
+                        f'<worksheet xmlns="{NS}"><sheetData>'
+                        f'<row r="1"><c r="A1" t="inlineStr"><is>'
+                        f"<t>doc-{did}</t></is></c></row>"
+                        f'<row r="2"><c r="A2"><v>{did}</v></c>'
+                        f'<c r="B2"><v>{did % 7}</v></c></row>'
+                        "</sheetData></worksheet>",
+                    )
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame(
+                {"workbook_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    lake = docs.select("doc_id").mapInPandas(
+        synth, schema="workbook_id long, payload binary"
+    )
+    cells = excel_lake_cells(lake)
+    at = lambda r, c: F.max(  # noqa: E731
+        F.when((F.col("row_idx") == r) & (F.col("col_idx") == c),
+               F.col("value"))
+    )
+    return cells.groupBy("workbook_id").agg(
+        at(0, 0).alias("anchor"),
+        at(1, 0).try_cast("double").alias("v_a2"),
+        at(1, 1).try_cast("double").alias("v_b2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -4254,7 +4335,8 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
-    "q106_png_stats", "q107_exact_percentiles", "q101_html_extract",
+    "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
+    "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -28,8 +28,9 @@ Parity notes vs the xlrd path it replaces:
   "300.0") so downstream sentinel cleaning sees identical text;
 * like :mod:`gpi_etl_spark.sources.xlsx`, parsing is a pure
   bytes→rows function, driver-side for the reference's one-workbook
-  loads and trivially distributable via ``mapInPandas`` for a lake of
-  payload rows.
+  loads; for a lake of payload rows use
+  :func:`gpi_etl_spark.sources.excel_lake.excel_lake_cells`, which
+  distributes this parser via ``mapInPandas``.
 """
 
 from __future__ import annotations

@@ -22,9 +22,10 @@ Scope and limits (documented, not silent):
 
 Parsing runs driver-side per workbook — the reference ingests ONE
 bounded workbook per release, fetched as bytes. For a lake of many
-workbooks, distribute by wrapping :func:`parse_xlsx_cells` in
-``mapInPandas`` over a DataFrame of file payloads: the parser is pure
-bytes→rows, so it partitions trivially.
+workbooks use :func:`gpi_etl_spark.sources.excel_lake.excel_lake_cells`
+(or ``excel_lake_from_files`` for a filesystem lake), which distributes
+this parser via ``mapInPandas``: the parser is pure bytes→rows, so it
+partitions trivially.
 """
 
 from __future__ import annotations
