@@ -51,6 +51,9 @@ HEADLINE = [
     "q94_classify_full",    # full 47-rule CASE chain, both modes
     "q99_audio_features",   # real WAV decode through mapInPandas (r3)
     "q100_image_stats",     # real BMP decode through mapInPandas (r3)
+    "q103_line_dedup",      # C4-style within-doc line dedup (r4)
+    "q104_token_budget_mix",  # token-budget corpus mixing (r4)
+    "q105_curation_dag",    # whole profile→filter→dedup→chunk DAG (r4)
 ]
 
 
@@ -88,6 +91,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "notes": (
+                    "each query timed on its first run after a single "
+                    "q01 JVM warm-up, so ~0.3-0.6s of per-query codegen "
+                    "is included; q05 steady-state is ~0.45s at sf0.1 "
+                    "(5-run probe), its r3 +0.2s was first-run jitter; "
+                    "r4 rewrote ngram_repetition_ratio from "
+                    "transform-over-indices (which re-ran the tokenizer "
+                    "per gram, O(tokens^2)/doc) to zip_with over shifted "
+                    "token arrays — q105 59s -> ~3s at sf0.1"
+                ),
             }
         )
     )

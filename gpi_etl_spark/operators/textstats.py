@@ -122,23 +122,31 @@ def ngram_repetition_ratio(col: Column | str, n: int = 3) -> Column:
     looping generations from LLM training corpora. 0 when the doc has
     fewer than ``n`` tokens.
 
-    Pure array expressions (sequence → transform → array_distinct), so
-    the whole signal stays in one codegen stage: no explode, no
+    Pure array expressions (zip_with shifted copies → array_distinct),
+    so the whole signal stays in one codegen stage: no explode, no
     shuffle, linear in tokens per row at any scale.
+
+    Why zip_with and not transform-over-indices: a lambda body is
+    re-evaluated per element, and any expression it closes over — like
+    the tokenization split — re-runs each time, turning the ratio
+    O(tokens²) per document (measured 28 s for 5k docs at sf0.1). The
+    argument ARRAYS of a higher-order function are evaluated once, so
+    zipping the token array with its shifted copies tokenizes n times
+    total and builds every gram in one linear pass; the null padding
+    zip_with adds past the shorter array propagates through ``concat``
+    and marks the (n-1) incomplete tail grams for one filter.
     """
-    toks = tokens(col)
-    k = F.size(toks)
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+    grams_or_null = tokens(col)
+    for j in range(1, n):
+        # slice length is a fixed big literal: passing size(toks) here
+        # would re-run the tokenization just to bound an already-bounded
+        # slice
+        grams_or_null = F.zip_with(
+            grams_or_null,
+            F.slice(tokens(col), j + 1, 1 << 30),
+            lambda g, nxt: F.concat(g, F.lit(" "), nxt),
         )
-
-    # guard BEFORE sequence(): Spark's sequence(0, stop) runs DESCENDING
-    # for stop < 0 and would fabricate grams for short docs
-    grams = F.when(
-        k >= n, F.transform(F.sequence(F.lit(0), k - n), gram)
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.filter(grams_or_null, lambda g: g.isNotNull())
     n_grams = F.size(grams)
     return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
         F.round(
