@@ -280,9 +280,25 @@ def _shingle_hash_array(text_col: str, n: int) -> Column:
     if n == 1:
         shingles = toks
     else:
-        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        shingles = F.transform(
-            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        # Complete n-grams via zip_with over shifted slices — FLAT
+        # lambdas only. This expression feeds a pandas_udf argument
+        # (bloom_contaminated_ids), and a nested-lambda let_ binding
+        # there can defeat Spark's Python-UDF extraction (see
+        # functions/hof.py caveat); zip_with argument arrays still
+        # evaluate the split once per row, not once per offset. The
+        # produced shingle STRINGS are identical to the transform form:
+        # complete grams when size >= n, one clamped partial gram
+        # otherwise (matching slice()'s clamping in the old spelling).
+        g = toks
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(toks, j + 1, 1 << 30),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        full = F.filter(g, lambda x: x.isNotNull())
+        shingles = F.when(F.size(toks) >= n, full).otherwise(
+            F.array(F.concat_ws(" ", toks))
         )
     clean = F.filter(F.array_distinct(shingles), lambda s: F.length(s) > 0)
     return F.transform(clean, lambda s: F.xxhash64(s))

@@ -78,16 +78,23 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Built with array functions (``split`` + ``transform`` over a
     ``sequence`` of start offsets) and a single ``explode`` — all
-    JVM-side; no Python tokenizer in the hot path.
+    JVM-side; no Python tokenizer in the hot path. The token array is
+    let-bound (:func:`gpi_etl_spark.functions.hof.let_`) so the split
+    runs once per row, not once per shingle offset.
     """
+    from gpi_etl_spark.functions.hof import let_
+
     toks = F.split(normalize_text(text_col), " ")
     if n == 1:
         # fast path: no window slicing, just distinct tokens
         shingles = toks
     else:
-        starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        shingles = F.transform(
-            starts, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+        shingles = let_(
+            toks,
+            lambda tk: F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            ),
         )
     return (
         df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))

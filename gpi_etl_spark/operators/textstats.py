@@ -90,15 +90,20 @@ def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
     """Deterministic document fingerprint: min of xxhash64 over rolling
     ``window``-token pieces (a winnowing-style selector: stable under
     small edits, unlike a whole-document hash)."""
-    toks = tokens(col)
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))
+    from gpi_etl_spark.functions.hof import let_
+
+    # let-bound: tokenize once per row, not once per window offset
+    return let_(
+        tokens(col),
+        lambda tk: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - window, F.lit(0))),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(tk, i + 1, window))
+                ),
+            )
+        ),
     )
-    piece_hashes = F.transform(
-        starts,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))),
-    )
-    return F.array_min(piece_hashes)
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -273,11 +278,19 @@ def dedup_lines(col: Column | str, sep: str = "\n") -> Column:
     rejoin): fully codegen'd, no explode, no shuffle. Quadratic in the
     LINE count per document (array_position scans), which is fine —
     documents have tens of lines; for pathological inputs switch to the
-    posexplode + min(pos) shuffle form.
+    posexplode + min(pos) shuffle form. The line array is let-bound so
+    the split runs once per row, not once per line.
     """
+    from gpi_etl_spark.functions.hof import let_
+
     c = F.col(col) if isinstance(col, str) else col
-    lines = F.split(c, re.escape(sep))
-    kept = F.filter(
-        lines, lambda line, i: F.array_position(lines, line) == i + 1
+    return let_(
+        F.split(c, re.escape(sep)),
+        lambda lines: F.array_join(
+            F.filter(
+                lines,
+                lambda line, i: F.array_position(lines, line) == i + 1,
+            ),
+            sep,
+        ),
     )
-    return F.array_join(kept, sep)

@@ -4004,12 +4004,18 @@ def q103(spark, sf_dir):
     the operator drops every repeat keeping first occurrences in order.
     Array-only — no explode, no shuffle; the oracle replays the indexed
     first-occurrence filter with DuckDB list lambdas."""
+    from gpi_etl_spark.functions.hof import let_
+
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
     toks = textstats.tokens("text")
     n = F.size(toks)
-    lines = F.transform(
-        F.sequence(F.lit(0), F.ceil(n / F.lit(4.0)).cast("int") - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * 4 + 1, 4)),
+    # let-bound: tokenize once per row, not once per emitted line
+    lines = let_(
+        toks,
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size(tk) / F.lit(4.0)).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * 4 + 1, 4)),
+        ),
     )
     base = docs.filter(n >= 4).select("doc_id", lines.alias("lines"))
     wl = F.concat(
