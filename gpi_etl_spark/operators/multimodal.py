@@ -7,14 +7,15 @@ North-star operator family (BASELINE.json). The design treats media as
 Codecs: formats decodable with the stdlib are decoded FOR REAL —
 **WAV** (PCM, via ``wave`` + numpy: sample rate, duration, RMS/peak/
 zero-crossing features), **BMP** (24-bit uncompressed, pure ``struct``:
-dimensions + per-channel means), **PPM** (P6), and **PNG** (``zlib``
+dimensions + per-channel means), **PPM** (P6), **PNG** (``zlib``
 inflate + per-row unfiltering: 8-bit gray/RGB/palette/alpha, filters
-0-4). Formats that need external codec libraries (JPEG/MP3/MP4 —
-PIL/librosa/PyAV are not in this container) either raise
-``NotImplementedError`` (strict, the default) or produce a
-deterministic fake (explicit opt-in for plumbing tests), clearly
-flagged; a deployment drops its decoder into :func:`decode_media`'s
-dispatch table.
+0-4) and **baseline JPEG** (:mod:`gpi_etl_spark.operators.jpeg`: T.81
+Huffman + IDCT, 4:4:4/grayscale). Formats that need external codec
+libraries (progressive/subsampled JPEG, MP3/MP4 — PIL/librosa/PyAV are
+not in this container) either raise ``NotImplementedError`` (strict,
+the default) or produce a deterministic fake (explicit opt-in for
+plumbing tests), clearly flagged; a deployment drops its decoder into
+:func:`decode_media`'s dispatch table.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``spark.sql.files.maxPartitionBytes`` and explicit ``repartition`` by
@@ -331,6 +332,10 @@ def decode_media(payload: bytes, deterministic_fake: bool = False) -> dict:
             return decode_ppm(payload)
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from gpi_etl_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
     if not deterministic_fake:
         raise NotImplementedError(
             "payload is not WAV/BMP/PPM/PNG; decoding other formats needs "
@@ -407,18 +412,24 @@ _RESIZE_SCHEMA = (
 
 def _resize_payload(payload: bytes, width: int, height: int,
                     deterministic_fake: bool) -> bytes:
-    """REAL nearest-neighbor resample for BMP/PPM/PNG payloads (decode →
-    index-map → re-encode as BMP). Formats without a stdlib codec need
-    PIL: raise (strict) or emit the flagged deterministic fake whose
-    length scales with target area so batch-size accounting stays
-    realistic."""
-    if payload and (payload[:2] in (b"BM", b"P6") or payload[:8] == _PNG_SIG):
+    """REAL nearest-neighbor resample for BMP/PPM/PNG/JPEG payloads
+    (decode → index-map → re-encode as BMP). Formats without a codec
+    here need PIL: raise (strict) or emit the flagged deterministic
+    fake whose length scales with target area so batch-size accounting
+    stays realistic."""
+    if payload and (payload[:2] in (b"BM", b"P6")
+                    or payload[:8] == _PNG_SIG
+                    or payload[:3] == b"\xff\xd8\xff"):
         if payload[:2] == b"BM":
             d = decode_bmp(payload)
         elif payload[:2] == b"P6":
             d = decode_ppm(payload)
-        else:
+        elif payload[:8] == _PNG_SIG:
             d = decode_png(payload)
+        else:
+            from gpi_etl_spark.operators.jpeg import decode_jpeg
+
+            d = decode_jpeg(payload)
         px = d["pixels"]
         rows = (np.arange(height) * d["height"] // height).astype(np.int64)
         cols = (np.arange(width) * d["width"] // width).astype(np.int64)

@@ -4329,6 +4329,66 @@ def q108(spark, sf_dir):
     )
 
 
+@query(
+    "q109_jpeg_stats",
+    """
+    SELECT doc_id AS media_id,
+           cast((doc_id % 7) + 9 AS int) AS width,
+           cast((doc_id % 5) + 9 AS int) AS height,
+           cast(doc_id % 200 + 28 AS double) AS mean_gray,
+           cast(0.0 AS double) AS std_gray
+    FROM documents WHERE doc_id % 40 = 0
+    """,
+)
+def q109(spark, sf_dir):
+    """Image stats from GENUINE baseline-JPEG decode (operators/jpeg.py
+    — from-scratch T.81 Huffman + IDCT, no PIL): flat gray images are
+    JPEG-encoded at quality 100 executor-side and decoded through
+    extract_features' strict default. Flat gray at q100 round-trips
+    EXACTLY (equal channels map to Y=v with zero rounding, every block
+    is DC-only, and the q100 quant table is all ones), so the oracle is
+    a pure closed form — the one JPEG configuration where a lossy codec
+    admits a hash gate. Dims are non-8-aligned on purpose: edge-block
+    padding is under the gate too."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.jpeg import encode_jpeg
+    from gpi_etl_spark.operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 40 == 0)
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 7 + 9, did % 5 + 9
+                v = did % 200 + 28
+                payloads.append(
+                    encode_jpeg(_np.full((h, w), v, _np.uint8), quality=100)
+                )
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("media_type", F.lit("image"))
+    feats = extract_features(media, media_type_col="media_type")
+    f = F.col("feature")
+    # dims are a pure function of the id — recompute instead of joining
+    # the synth branch a second time
+    return feats.select(
+        "media_id",
+        (F.col("media_id") % 7 + 9).cast("int").alias("width"),
+        (F.col("media_id") % 5 + 9).cast("int").alias("height"),
+        f[0].cast("double").alias("mean_gray"),
+        f[3].cast("double").alias("std_gray"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -4342,7 +4402,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
-    "q101_html_extract",
+    "q109_jpeg_stats", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -204,6 +204,15 @@ def test_bloom_contaminated_superset_of_exact(spark):
              curation.bloom_contaminated_ids(corpus, heldout, n=3).collect()}
     assert bloom >= exact          # no false negatives, ever
     assert bloom == {1, 3}         # tiny fixture: no false positives either
+    # regression (functions/hof.py caveat): the shingle expression feeds
+    # a pandas_udf; with nested lambda variables in the argument Spark
+    # can fail to lift the UDF out of FilterExec (session-history-
+    # dependent INTERNAL_ERROR). Pin that extraction happened.
+    plan = (
+        curation.bloom_contaminated_ids(corpus, heldout, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" in plan
 
 
 def test_quantile_filter_approx_keeps_null_group(spark):
