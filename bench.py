@@ -54,6 +54,8 @@ HEADLINE = [
     "q103_line_dedup",      # C4-style within-doc line dedup (r4)
     "q104_token_budget_mix",  # token-budget corpus mixing (r4)
     "q105_curation_dag",    # whole profile→filter→dedup→chunk DAG (r4)
+    "q108_excel_lake",      # distributed workbook-lake parse (r4)
+    "q109_jpeg_stats",      # from-scratch baseline JPEG decode (r4)
 ]
 
 
