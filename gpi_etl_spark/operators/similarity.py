@@ -321,3 +321,52 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "score", "rank")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate pruning at corpus scale.
+
+    All-pairs cosine over a corpus is O(N²) and impossible at 100 TB;
+    the published recipe (SemDeDup, arXiv:2303.09540) k-means-buckets
+    the embeddings first and compares WITHIN clusters only, making the
+    quadratic term O(Σ|cluster|²) — tunable via k. Composition here:
+
+    1. :func:`distributed_kmeans` (deterministic init, so the whole op
+       replays in DuckDB for the oracle) buckets every vector;
+    2. a cell equi-join forms within-cluster candidate pairs — the only
+       shuffle that grows with corpus size, and it carries no
+       cross-cluster pairs;
+    3. a vector is marked duplicate iff a SMALLER-id vector in its
+       cluster has cosine ≥ ``threshold`` (rounded to 6 dp so the
+       boundary is engine-stable) — min-id representatives survive,
+       deterministically.
+
+    Returns (id, cell, is_dup); callers keep ``~is_dup`` rows or join
+    back to documents by id.
+    """
+    _cents, assigned = distributed_kmeans(vectors, k, iters, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    dropped = (
+        pairs.filter(sim >= threshold)
+        .select(F.col("id_b").alias("_dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped, assigned[id_col] == dropped._dup_id, "left"
+    ).select(
+        id_col, "cell", F.col("_dup_id").isNotNull().alias("is_dup")
+    )

@@ -2617,15 +2617,16 @@ def q80(spark, sf_dir):
     return upsert_by_key(orders, incoming, ["o_orderkey"], "o_orderdate")
 
 
-def _kmeans_oracle_sql(k: int, iters: int) -> str:
-    """DuckDB replay of ``similarity.distributed_kmeans``: deterministic
-    init (k distinct vectors with smallest ids, L2-normalized) then
-    ``iters`` unrolled Lloyd iterations as chained CTEs — assignment by
-    max dot product (ties → higher cell, matching the reverse(array_sort)
-    tie-break), update = per-(cell, dim) sum/count, empty cells keep
-    their centroid. The early convergence break in the Spark loop is
-    safe to ignore here: once assignments are stable, extra iterations
-    are fixed points."""
+def _kmeans_ctes(k: int, iters: int) -> list[str]:
+    """Shared CTE chain replaying ``similarity.distributed_kmeans`` in
+    DuckDB: deterministic init (k distinct vectors with smallest ids,
+    L2-normalized) then ``iters`` unrolled Lloyd iterations —
+    assignment by max dot product (ties → higher cell, matching the
+    reverse(array_sort) tie-break), update = per-(cell, dim) sum/count,
+    empty cells keep their centroid. The early convergence break in the
+    Spark loop is safe to ignore here: once assignments are stable,
+    extra iterations are fixed points. The final ``fin`` CTE carries
+    (vec_id, v, cell, rn); filter ``rn = 1`` for the assignment."""
     norm = lambda lv: (  # noqa: E731
         f"list_transform({lv}, x -> x / greatest(sqrt(list_sum("
         f"list_transform({lv}, y -> y*y))), 1e-12))"
@@ -2660,15 +2661,50 @@ def _kmeans_oracle_sql(k: int, iters: int) -> str:
         ]
     parts.append(
         f"""fin AS (
-      SELECT b.vec_id, c.cell,
+      SELECT b.vec_id, b.v, c.cell,
              row_number() OVER (PARTITION BY b.vec_id
                  ORDER BY list_dot_product(b.v, c.cv) DESC, c.cell DESC) AS rn
       FROM base b CROSS JOIN c{iters} c)"""
     )
+    return parts
+
+
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + ",\n".join(_kmeans_ctes(k, iters))
         + "\nSELECT cell, count(*) AS n_vectors FROM fin WHERE rn = 1 "
         "GROUP BY cell ORDER BY cell"
+    )
+
+
+def _semantic_dedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
+    """Extends the Lloyd replay with the SemDeDup drop rule: within each
+    cluster, a vector is a duplicate iff a smaller-id member has cosine
+    ≥ threshold (rounded to 6 dp on both engines)."""
+    cos = (
+        "list_dot_product(a.v, b2.v) / greatest("
+        "sqrt(list_sum(list_transform(a.v, x -> x*x))) * "
+        "sqrt(list_sum(list_transform(b2.v, x -> x*x))), 1e-300)"
+    )
+    parts = _kmeans_ctes(k, iters) + [
+        "asg AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        f"""pairs AS (
+      SELECT b2.vec_id AS dup_id
+      FROM asg a JOIN asg b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+      WHERE round({cos}, 6) >= {threshold})""",
+        "dropped AS (SELECT DISTINCT dup_id FROM pairs)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT a.cell,
+       count(*) AS n_vectors,
+       cast(sum(CASE WHEN d.dup_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_dropped,
+       cast(coalesce(min(CASE WHEN d.dup_id IS NOT NULL THEN a.vec_id END), -1)
+           AS bigint) AS first_dropped_id
+FROM asg a LEFT JOIN dropped d ON d.dup_id = a.vec_id
+GROUP BY a.cell ORDER BY a.cell"""
     )
 
 
@@ -4159,6 +4195,36 @@ def q105(spark, sf_dir):
 
 
 @query(
+    "q110_semantic_dedup",
+    _semantic_dedup_oracle_sql(k=8, iters=4, threshold=0.4),
+)
+def q110(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup):
+    k-means buckets the embedding corpus, within-cluster cosine pairs
+    mark every vector with a smaller-id neighbor at ≥ 0.4 as a
+    duplicate, min-id representatives survive. The quadratic pairwise
+    term runs inside clusters only — the published recipe for pruning
+    semantic near-dups from pretraining corpora at scale. Deterministic
+    k-means init lets DuckDB replay the ENTIRE composition (Lloyd
+    unroll + drop rule) for a full hash gate."""
+    from gpi_etl_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    marked = semantic_dedup(emb, k=8, iters=4, threshold=0.4)
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dropped"),
+            F.coalesce(
+                F.min(F.when(F.col("is_dup"), F.col("vec_id"))), F.lit(-1)
+            ).cast("bigint").alias("first_dropped_id"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
     "q106_png_stats",
     """
     WITH p AS (
@@ -4402,7 +4468,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
-    "q109_jpeg_stats", "q101_html_extract",
+    "q109_jpeg_stats", "q110_semantic_dedup", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

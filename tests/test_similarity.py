@@ -113,3 +113,34 @@ def test_distributed_kmeans_recovers_blobs(spark):
     # determinism: same input -> same centroids
     cents2, _ = distributed_kmeans(df, k=3, iters=6)
     assert np.allclose(cents, cents2)
+
+
+def test_semantic_dedup_drops_near_dups_keeps_min_id(spark):
+    """SemDeDup composition: near-identical vectors in the same cluster
+    collapse to the min-id representative; distinct directions survive."""
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    rows = []
+    # two separated blob centers; ids 0/1/2 are three copies of center A
+    # (near-dups), id 3 is center A + big orthogonal offset, ids 10/11
+    # duplicate center B
+    a = np.zeros(8); a[0] = 1.0
+    b = np.zeros(8); b[4] = 1.0
+    for i in (0, 1, 2):
+        rows.append((i, [float(x) for x in a + rng.normal(0, 0.01, 8)]))
+    ortho = a.copy(); ortho[7] = 1.5
+    rows.append((3, [float(x) for x in ortho]))
+    for i in (10, 11):
+        rows.append((i, [float(x) for x in b + rng.normal(0, 0.01, 8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: (r.cell, r.is_dup)
+           for r in semantic_dedup(df, k=2, iters=4, threshold=0.95).collect()}
+    assert len(out) == 6
+    assert not out[0][1]            # min-id representative survives
+    assert out[1][1] and out[2][1]  # its copies are duplicates
+    assert not out[3][1]            # cos(a, ortho) ≈ 0.55 < 0.95: kept
+    assert not out[10][1] and out[11][1]  # second blob: keep 10, drop 11
