@@ -375,3 +375,73 @@ def connected_components(
             "— a cluster's diameter exceeds max_iter; raise it"
         )
     return labels.select(F.col("node"), F.col("lbl").alias("component"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 32,
+    stride: int = 16,
+    hash_spans: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the token-window
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes verbatim 50-token repeats that full suffix arrays find).
+
+    Each document emits stride-``stride`` windows of ``span_tokens``
+    tokens (complete windows; short docs emit their single clamped
+    window); a window text seen in ≥ 2 DISTINCT documents is a
+    duplicated span. Returns per-document
+    ``(id, n_spans, n_dup_spans, dup_ratio)`` — the curation signal a
+    pipeline thresholds on before chunking.
+
+    Scale shape: ONE explode + one groupBy on the span key + one join
+    back. With ``hash_spans=True`` (default) the shuffle key is the
+    8-byte ``xxhash64`` of the window, never the window text — at 100 TB
+    the explode output is ~(tokens/stride)·8 bytes/doc. Text mode
+    exists for engines that must replay the grouping on raw strings
+    (the DuckDB oracle); marking decisions are identical up to xxhash64
+    collisions (~2⁻⁶⁴ per pair).
+    """
+    from gpi_etl_spark.functions.hof import let_
+    from gpi_etl_spark.operators.textstats import tokens
+
+    m = lambda tk: F.greatest(  # noqa: E731
+        F.floor((F.size(tk) - span_tokens) / F.lit(float(stride))),
+        F.lit(0),
+    ).cast("int")
+    spans_arr = let_(
+        tokens(text_col),
+        lambda tk: F.transform(
+            F.sequence(F.lit(0), m(tk)),
+            lambda i: F.concat_ws(
+                " ", F.slice(tk, i * stride + 1, span_tokens)
+            ),
+        ),
+    )
+    ex = (
+        df.select(F.col(id_col), F.explode(spans_arr).alias("span"))
+        .filter(F.length("span") > 0)
+    )
+    if hash_spans:
+        ex = ex.select(id_col, F.xxhash64("span").alias("span"))
+    dup = (
+        ex.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("span", F.lit(True).alias("_dup"))
+    )
+    flagged = ex.join(dup, "span", "left")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_dup").isNotNull().cast("int")).cast("bigint").alias(
+            "n_dup_spans"
+        ),
+        F.round(
+            F.sum(F.col("_dup").isNotNull().cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dup_ratio"),
+    )

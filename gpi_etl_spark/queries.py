@@ -4225,6 +4225,46 @@ def q110(spark, sf_dir):
 
 
 @query(
+    "q111_duplicate_spans",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0,
+                 greatest(cast(floor((len(t) - 16) / 8.0) AS int), 0)),
+               i -> array_to_string(list_slice(t, i*8 + 1, i*8 + 16), ' ')))
+             AS span
+      FROM tk),
+    sp AS (SELECT doc_id, span FROM spans WHERE len(span) > 0),
+    dup AS (SELECT span FROM
+              (SELECT span, count(DISTINCT doc_id) AS nd FROM sp GROUP BY span)
+            WHERE nd >= 2)
+    SELECT doc_id,
+           count(*) AS n_spans,
+           cast(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_dup_spans,
+           round(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double), 6) AS dup_ratio
+    FROM sp LEFT JOIN dup d USING (span)
+    GROUP BY doc_id
+    """,
+)
+def q111(spark, sf_dir):
+    """Cross-document repeated-span detection (dedup.duplicate_spans) —
+    the token-window approximation of exact-substring dedup (Lee et
+    al. 2022): 16-token stride-8 windows, a window seen in ≥ 2 distinct
+    documents marks every occurrence, per-document dup ratio out. Text
+    keys here so DuckDB replays the grouping verbatim; the default
+    hash_spans=True production path shuffles 8-byte xxhash64 keys
+    instead and is asserted equivalent in tests/test_dedup.py."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(
+        docs, span_tokens=16, stride=8, hash_spans=False
+    )
+
+
+@query(
     "q106_png_stats",
     """
     WITH p AS (
@@ -4468,7 +4508,8 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
-    "q109_jpeg_stats", "q110_semantic_dedup", "q101_html_extract",
+    "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
+    "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -119,3 +119,31 @@ def test_incremental_dedup_excludes_history_and_batch_dups(spark):
     )
     got = sorted(r["doc_id"] for r in incremental_dedup(batch, history).collect())
     assert got == [11, 13]
+
+
+def test_duplicate_spans_hash_and_text_modes_agree(spark):
+    """The production path shuffles xxhash64 span keys; the oracle path
+    shuffles span text. Marking decisions must be identical."""
+    from gpi_etl_spark.operators.dedup import duplicate_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, boiler + " alpha ending one two three four five six seven"),
+        (2, boiler + " totally different tail with its own words here"),
+        (3, "an unrelated document about nothing shared at all " * 2),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(span_tokens=8, stride=4)
+    text_mode = {r.doc_id: (r.n_spans, r.n_dup_spans)
+                 for r in duplicate_spans(df, hash_spans=False, **kw).collect()}
+    hash_mode = {r.doc_id: (r.n_spans, r.n_dup_spans)
+                 for r in duplicate_spans(df, hash_spans=True, **kw).collect()}
+    assert text_mode == hash_mode
+    # docs 1 and 2 share the 8+-token boilerplate prefix: flagged
+    assert text_mode[1][1] > 0 and text_mode[2][1] > 0
+    # doc 3's repetition is WITHIN one document: cross-doc rule skips it
+    assert text_mode[3][1] == 0
+    # null/empty docs emit no spans at all
+    assert 4 not in text_mode and 5 not in text_mode
