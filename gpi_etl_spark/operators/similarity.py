@@ -352,14 +352,28 @@ def semantic_dedup(
     back to documents by id.
     """
     _cents, assigned = distributed_kmeans(vectors, k, iters, id_col, vec_col)
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), "cell", F.col(vec_col).alias("va")
+    # normalize ONCE per vector before the pair join: cosine per pair is
+    # then a single dot fold instead of dot + two norm folds recomputed
+    # for every pair the vector appears in (the norm column is a plain
+    # attribute, so the divide lambda reads it per element for free)
+    normed = (
+        assigned.withColumn("_n", l2_norm(F.col(vec_col)))
+        .withColumn(
+            "_nv",
+            F.transform(
+                F.col(vec_col),
+                lambda x: x / F.greatest(F.col("_n"), F.lit(1e-300)),
+            ),
+        )
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), "cell", F.col(vec_col).alias("vb")
+    a = normed.select(
+        F.col(id_col).alias("id_a"), "cell", F.col("_nv").alias("va")
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), "cell", F.col("_nv").alias("vb")
     )
     pairs = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    sim = F.round(dot(F.col("va"), F.col("vb")), 6)
     dropped = (
         pairs.filter(sim >= threshold)
         .select(F.col("id_b").alias("_dup_id"))

@@ -2681,17 +2681,16 @@ def _semantic_dedup_oracle_sql(k: int, iters: int, threshold: float) -> str:
     """Extends the Lloyd replay with the SemDeDup drop rule: within each
     cluster, a vector is a duplicate iff a smaller-id member has cosine
     ≥ threshold (rounded to 6 dp on both engines)."""
-    cos = (
-        "list_dot_product(a.v, b2.v) / greatest("
-        "sqrt(list_sum(list_transform(a.v, x -> x*x))) * "
-        "sqrt(list_sum(list_transform(b2.v, x -> x*x))), 1e-300)"
+    nv = (
+        "list_transform(v, x -> x / greatest("
+        "sqrt(list_sum(list_transform(v, y -> y*y))), 1e-300))"
     )
     parts = _kmeans_ctes(k, iters) + [
-        "asg AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        f"asg AS (SELECT vec_id, {nv} AS nv, cell FROM fin WHERE rn = 1)",
         f"""pairs AS (
       SELECT b2.vec_id AS dup_id
       FROM asg a JOIN asg b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
-      WHERE round({cos}, 6) >= {threshold})""",
+      WHERE round(list_dot_product(a.nv, b2.nv), 6) >= {threshold})""",
         "dropped AS (SELECT DISTINCT dup_id FROM pairs)",
     ]
     return (
