@@ -4264,6 +4264,73 @@ def q111(spark, sf_dir):
 
 
 @query(
+    "q112_warc_pipeline",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             'http://crawl.test/' || cast(doc_id AS varchar) AS url,
+             '{_HTML_PRE}' || text || '{_HTML_POST}' AS html
+      FROM documents WHERE doc_id % 13 = 0),
+    x AS (SELECT doc_id, url, {textstats.html_to_text_sql('html')} AS extracted
+          FROM h)
+    SELECT url, extracted,
+           cast(len({_TOKS_SQL.replace('text', 'extracted')}) AS int) AS n_tokens,
+           cast(200 AS int) AS http_status
+    FROM x
+    """,
+)
+def q112(spark, sf_dir):
+    """Web-crawl ingestion end-to-end (sources/warc.py): each selected
+    document is wrapped in the q101 HTML template inside an HTTP 200
+    response inside a per-record-gzip-member .warc.gz archive — the
+    exact Common Crawl layout — then the archive lake parses through
+    ONE mapInPandas (warc_lake_records), the HTTP envelope is stripped
+    executor-side, and the visible text re-extracts through the same
+    boilerplate chain DuckDB replays. The oracle sees only documents →
+    template → strip, so every byte of WARC/gzip/HTTP framing must
+    round-trip exactly for the hash to match."""
+    import pandas as _pd
+
+    from gpi_etl_spark.sources.warc import build_warc, warc_lake_records
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 13 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                payloads.append(build_warc(
+                    [{
+                        "record_type": "response",
+                        "url": f"http://crawl.test/{did}",
+                        "html": _HTML_PRE + (text or "") + _HTML_POST,
+                    }],
+                    gzip_members=True,
+                ))
+            yield _pd.DataFrame(
+                {"archive_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    lake = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="archive_id long, payload binary"
+    )
+    recs = warc_lake_records(lake)
+    out = recs.select(
+        "url",
+        textstats.html_to_text(
+            F.col("body").cast("string")
+        ).alias("extracted"),
+        "http_status",
+    )
+    return out.select(
+        "url", "extracted",
+        F.size(textstats.tokens("extracted")).alias("n_tokens"),
+        "http_status",
+    )
+
+
+@query(
     "q106_png_stats",
     """
     WITH p AS (
@@ -4508,7 +4575,7 @@ def _qnum(name: str) -> int:
 _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
-    "q101_html_extract",
+    "q112_warc_pipeline", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 
