@@ -428,3 +428,57 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .drop("_budget")
     )
+
+
+def url_domain(col: Column | str) -> Column:
+    """Host extraction from a URL: strip scheme, userinfo, port, and
+    path, lowercase, drop a leading ``www.`` — the join/cap key of
+    every URL-level curation rule (C4 blocklists, RefinedWeb per-domain
+    caps). Pure regexp: no parser object, scans at codegen speed."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.regexp_extract(
+        F.lower(c), r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1
+    )
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: "Sequence[str]",
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose URL host is a blocked domain or any subdomain of
+    one (``ads.example.com`` matches a blocked ``example.com``). The
+    blocklist is a bounded literal array (broadcast-free: it inlines
+    into the predicate), so the filter pushes into the scan."""
+    dom = url_domain(url_col)
+    hit = F.lit(False)
+    for b in blocked_domains:
+        b = b.lower()
+        hit = hit | (dom == b) | dom.endswith("." + b)
+    return df.filter(~hit)
+
+
+def domain_frequency_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the RefinedWeb-style
+    guard against a single site dominating the corpus. Selection is
+    deterministic: rows rank by the cross-engine :func:`mix_hash` of
+    the id (ties by id), so a re-run — or the DuckDB oracle — keeps
+    exactly the same rows. One shuffle, on the domain key; a skewed
+    mega-domain is bounded by the cap itself (the window stops ranking
+    after the partition, and AQE splits oversized partitions)."""
+    w = Window.partitionBy("_dom").orderBy(
+        mix_hash(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_dom", url_domain(url_col))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cap)
+        .drop("_rk")
+        .withColumnRenamed("_dom", "domain")
+    )

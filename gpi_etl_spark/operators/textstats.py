@@ -294,3 +294,115 @@ def dedup_lines(col: Column | str, sep: str = "\n") -> Column:
             sep,
         ),
     )
+
+
+#: the stopword list Gopher's "required words" rule checks (Rae et al.
+#: 2021, Table A1 — public)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1) as one pass of pure column expressions —
+    the standard pre-filter stack of every major pretraining corpus
+    since. Per document, boolean per rule + ``pass_gopher``:
+
+    * ``ok_word_count``    — 50 ≤ tokens ≤ 100 000
+    * ``ok_mean_word_len`` — mean token length in [3, 10] chars
+    * ``ok_symbol_ratio``  — (# + …) occurrences ≤ 0.1 per word
+    * ``ok_bullet_lines``  — ≤ 90% of lines start with a bullet
+    * ``ok_ellipsis_lines``— ≤ 30% of lines end with an ellipsis
+    * ``ok_alpha_words``   — ≥ 80% of words contain a letter
+    * ``ok_stopwords``     — ≥ 2 of Gopher's 8 required stopwords
+
+    Every ratio compares via integer cross-multiplication
+    (``10·n_sym ≤ n_words`` instead of ``n_sym/n_words ≤ 0.1``), so
+    the booleans are bit-stable across engines — no float boundaries
+    for the DuckDB oracle to disagree on. Zero shuffles: the whole
+    bundle fuses into the scan projection.
+    """
+    from gpi_etl_spark.functions.hof import let_
+
+    c = F.col(text_col)
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    n_ell = n_ell.cast("long")
+
+    tok_stats = let_(
+        tokens(text_col),
+        lambda tk: F.struct(
+            F.size(tk).alias("n_words"),
+            F.aggregate(
+                tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).alias("n_word_chars"),
+            F.size(
+                F.filter(tk, lambda t: t.rlike("[a-z]"))
+            ).alias("n_alpha_words"),
+            F.size(
+                F.filter(
+                    tk,
+                    lambda t: F.array_contains(
+                        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]), t
+                    ),
+                )
+            ).alias("n_required_sw"),
+        ),
+    )
+    line_stats = let_(
+        F.filter(
+            F.transform(F.split(c, r"\n"), lambda ln: F.trim(ln)),
+            lambda ln: F.length(ln) > 0,
+        ),
+        lambda lines: F.struct(
+            F.size(lines).alias("n_lines"),
+            F.size(
+                F.filter(
+                    lines,
+                    lambda ln: (
+                        ln.startswith("- ")
+                        | ln.startswith("* ")
+                        | ln.startswith("•")
+                    ),
+                )
+            ).alias("n_bullet"),
+            F.size(
+                F.filter(lines, lambda ln: ln.endswith("..."))
+            ).alias("n_ell_lines"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        tok_stats.alias("_t"),
+        line_stats.alias("_l"),
+        n_hash.alias("_nh"),
+        n_ell.alias("_ne"),
+    )
+    t = F.col("_t")
+    li = F.col("_l")
+    nw = t["n_words"]
+    nl = li["n_lines"]
+    return base.select(
+        id_col,
+        nw.alias("n_words"),
+        ((nw >= 50) & (nw <= 100000)).alias("ok_word_count"),
+        # 3 ≤ chars/words ≤ 10  ⇔  3·words ≤ chars AND chars ≤ 10·words
+        ((nw > 0) & (3 * nw <= t["n_word_chars"])
+         & (t["n_word_chars"] <= 10 * nw)).alias("ok_mean_word_len"),
+        ((F.col("_nh") + F.col("_ne")) * 10 <= nw).alias("ok_symbol_ratio"),
+        (li["n_bullet"] * 10 <= 9 * nl).alias("ok_bullet_lines"),
+        (li["n_ell_lines"] * 10 <= 3 * nl).alias("ok_ellipsis_lines"),
+        ((nw > 0) & (t["n_alpha_words"] * 5 >= 4 * nw)).alias(
+            "ok_alpha_words"
+        ),
+        (t["n_required_sw"] >= 2).alias("ok_stopwords"),
+    ).withColumn(
+        "pass_gopher",
+        F.col("ok_word_count") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )

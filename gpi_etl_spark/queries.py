@@ -4331,6 +4331,117 @@ def q112(spark, sf_dir):
 
 
 @query(
+    "q114_url_curation",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'site' || cast(doc_id % 23 AS varchar) || '.' ||
+               (['com','org','net'])[(doc_id % 3) + 1] AS domain
+      FROM documents),
+    kept AS (SELECT * FROM u
+             WHERE domain NOT IN ('site5.com', 'site11.org', 'site7.net')),
+    ranked AS (
+      SELECT doc_id, domain,
+             row_number() OVER (PARTITION BY domain
+                 ORDER BY {curation.mix_hash_sql('doc_id', 'duck')}, doc_id)
+                 AS rk
+      FROM kept)
+    SELECT domain,
+           count(*) AS n_kept,
+           cast(min(doc_id) AS bigint) AS min_doc,
+           cast(sum(doc_id) AS bigint) AS sum_doc
+    FROM ranked WHERE rk <= 5 GROUP BY domain
+    """,
+)
+def q114(spark, sf_dir):
+    """URL-level corpus curation (curation.url_domain / blocklist_filter
+    / domain_frequency_cap): C4-style domain blocklisting then a
+    RefinedWeb-style ≤5-docs-per-domain cap, selection ranked by the
+    cross-engine mixing hash so BOTH engines keep exactly the same
+    rows. URLs are synthesized from doc_id (scheme + userinfo + port +
+    path + a www. prefix on every third doc) so the host-extraction
+    regexp is under the gate too; the oracle starts from the bare
+    domain closed form."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (F.col("doc_id") % 23).cast("string"),
+        F.lit("."), tld,
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/path/"), F.col("doc_id").cast("string"), F.lit("?q=1"),
+    )
+    with_urls = docs.withColumn("url", url)
+    kept = curation.blocklist_filter(
+        with_urls, ["site5.com", "site11.org", "site7.net"]
+    )
+    capped = curation.domain_frequency_cap(kept, cap=5)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc"),
+    )
+
+
+_GOPHER_SW_SQL = "['the','be','to','of','and','that','have','with']"
+
+
+@query(
+    "q113_gopher_rules",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
+    s AS (SELECT doc_id,
+            len(toks) AS n_words,
+            cast(list_sum(list_transform(toks, t -> len(t))) AS bigint) AS nwc,
+            len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+            len(list_filter(toks, t -> list_contains({_GOPHER_SW_SQL}, t)))
+                AS n_sw,
+            len(text) - len(replace(text, '#', '')) AS nh,
+            (len(text) - len(replace(text, '...', ''))) // 3 AS ne,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       x -> trim(x)), x -> len(x) > 0) AS lines
+          FROM tk),
+    l AS (SELECT *, len(lines) AS n_lines,
+            len(list_filter(lines, x -> starts_with(x, '- ')
+                OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+            len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
+          FROM s)
+    SELECT doc_id, cast(n_words AS int) AS n_words,
+      (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+      (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+          AS ok_mean_word_len,
+      ((nh + ne) * 10 <= n_words) AS ok_symbol_ratio,
+      (n_bullet * 10 <= 9 * n_lines) AS ok_bullet_lines,
+      (n_ell_lines * 10 <= 3 * n_lines) AS ok_ellipsis_lines,
+      (n_words > 0 AND n_alpha * 5 >= 4 * n_words) AS ok_alpha_words,
+      (n_sw >= 2) AS ok_stopwords,
+      ((n_words >= 50 AND n_words <= 100000)
+       AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+       AND ((nh + ne) * 10 <= n_words)
+       AND (n_bullet * 10 <= 9 * n_lines)
+       AND (n_ell_lines * 10 <= 3 * n_lines)
+       AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
+       AND (n_sw >= 2)) AS pass_gopher
+    FROM l
+    """,
+)
+def q113(spark, sf_dir):
+    """The published Gopher quality rules (textstats
+    .gopher_quality_flags) over the documents table — the standard
+    pre-filter stack of modern pretraining corpora, one boolean per
+    rule + the conjunction. Every ratio compares via integer
+    cross-multiplication, so the oracle's booleans are bit-stable (no
+    float boundary can disagree between engines)."""
+    docs = t(spark, sf_dir, "documents")
+    return textstats.gopher_quality_flags(docs)
+
+
+@query(
     "q106_png_stats",
     """
     WITH p AS (
@@ -4575,7 +4686,8 @@ def _qnum(name: str) -> int:
 _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
-    "q112_warc_pipeline", "q101_html_extract",
+    "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
+    "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -285,3 +285,48 @@ def test_token_budget_sample_deterministic_prefix(spark):
     again = {r.doc_id for r in
              curation.token_budget_sample(df, {"en": 60, "es": 35}).collect()}
     assert again == {r.doc_id for r in out}
+
+
+def test_url_domain_extraction(spark):
+    from gpi_etl_spark.operators.curation import url_domain
+
+    cases = [
+        ("https://WWW.Example.COM/path?q=1", "example.com"),
+        ("http://user:pw@sub.site.org:8080/x", "sub.site.org"),
+        ("https://plain.net", "plain.net"),
+        ("ftp://www.files.example.co.uk/a/b", "files.example.co.uk"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    out = df.select(url_domain("url").alias("got"), "want").collect()
+    for r in out:
+        assert r.got == r.want
+
+
+def test_blocklist_filter_matches_subdomains(spark):
+    from gpi_etl_spark.operators.curation import blocklist_filter
+
+    rows = [
+        (1, "https://ok.com/a"),
+        (2, "https://bad.com/a"),
+        (3, "https://ads.bad.com/a"),        # subdomain of blocked
+        (4, "https://notbad.com/a"),         # suffix but NOT a subdomain
+        (5, "https://www.bad.com/a"),        # www. strips to the blocked host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r.doc_id for r in blocklist_filter(df, ["bad.com"]).collect()}
+    assert kept == {1, 4}
+
+
+def test_domain_frequency_cap_deterministic(spark):
+    from gpi_etl_spark.operators.curation import domain_frequency_cap
+
+    rows = [(i, f"https://only.com/{i}") for i in range(20)]
+    rows += [(100 + i, f"https://rare.org/{i}") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out1 = domain_frequency_cap(df, cap=3)
+    got1 = {(r.domain, r.doc_id) for r in out1.collect()}
+    assert sum(1 for d, _ in got1 if d == "only.com") == 3
+    assert sum(1 for d, _ in got1 if d == "rare.org") == 2  # under cap
+    # deterministic: a second run keeps the same rows
+    got2 = {(r.domain, r.doc_id) for r in domain_frequency_cap(df, cap=3).collect()}
+    assert got1 == got2

@@ -141,3 +141,28 @@ def test_dedup_lines_keeps_first_occurrences(spark):
     assert got[1] == "header\nbody one\nbody two"
     assert got[2] == "a\nb\nc"
     assert got[3] == "same"
+
+
+def test_gopher_quality_flags_rules(spark):
+    from gpi_etl_spark.operators.textstats import gopher_quality_flags
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks back home with a bag of apples that they have found "
+            "near the old mill which was built long ago by people "
+            "living in the valley beside the river full of fish and "
+            "birds singing from tall trees while the evening light "
+            "slowly fades away over the quiet hills")
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipsis = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = "token " * 60 + "#" * 30
+    shorty = "too short"
+    rows = [(1, good), (2, bullets), (3, ellipsis), (4, symbols), (5, shorty)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+
+    assert out[1].pass_gopher            # the well-formed doc passes all
+    assert not out[2].ok_bullet_lines    # 100% bulleted lines
+    assert not out[3].ok_ellipsis_lines  # 100% ellipsis endings
+    assert not out[4].ok_symbol_ratio    # 30 hashes on 61 words
+    assert not out[5].ok_word_count      # 2 words < 50
+    assert out[5].ok_mean_word_len       # but its words are normal length
