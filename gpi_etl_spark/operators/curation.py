@@ -436,8 +436,11 @@ def url_domain(col: Column | str) -> Column:
     every URL-level curation rule (C4 blocklists, RefinedWeb per-domain
     caps). Pure regexp: no parser object, scans at codegen speed."""
     c = F.col(col) if isinstance(col, str) else col
+    # userinfo class excludes '?' and '#' too: otherwise a query string
+    # containing '@' ("https://bad.com?x@y") would be consumed as
+    # userinfo and the fake host 'y' extracted — bypassing blocklists
     host = F.regexp_extract(
-        F.lower(c), r"^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1
+        F.lower(c), r"^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
     )
     return F.regexp_replace(host, r"^www\.", "")
 
@@ -471,14 +474,22 @@ def domain_frequency_cap(
     the id (ties by id), so a re-run — or the DuckDB oracle — keeps
     exactly the same rows. One shuffle, on the domain key; a skewed
     mega-domain is bounded by the cap itself (the window stops ranking
-    after the partition, and AQE splits oversized partitions)."""
+    after the partition, and AQE splits oversized partitions).
+
+    Rows whose URL yields no host (scheme-less, malformed) BYPASS the
+    cap with ``domain = ''`` rather than all competing in one giant
+    empty-domain partition — capping "unparseable" to ``cap`` rows
+    would be silent corpus-wide data loss, and the union keeps the
+    empty key out of the window shuffle entirely."""
+    with_dom = df.withColumn("_dom", url_domain(url_col))
+    ok = with_dom.filter(F.length("_dom") > 0)
+    no_host = with_dom.filter(F.length("_dom") == 0)
     w = Window.partitionBy("_dom").orderBy(
         mix_hash(F.col(id_col)), F.col(id_col)
     )
-    return (
-        df.withColumn("_dom", url_domain(url_col))
-        .withColumn("_rk", F.row_number().over(w))
+    capped = (
+        ok.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= cap)
         .drop("_rk")
-        .withColumnRenamed("_dom", "domain")
     )
+    return capped.unionByName(no_host).withColumnRenamed("_dom", "domain")

@@ -319,6 +319,8 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("JPEG: truncated entropy-coded stream")
         b = self.data[self.pos]
         if b == 0xFF:
             nxt = self.data[self.pos + 1]
@@ -389,8 +391,12 @@ def decode_jpeg(payload: bytes) -> dict:
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated marker segment")
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4: pos + 2 + ln]
+        if len(body) < ln - 2:
+            raise ValueError("JPEG: truncated marker segment")
         pos += 2 + ln
         if marker == 0xDB:  # DQT
             off = 0
@@ -462,8 +468,12 @@ def _decode_scan(data, pos, h, w, comps, scan_tables, qt, huff,
                 r.acc = 0
                 r.nbits = 0
                 # skip to the RST marker (may be byte-aligned already)
-                while not (data[r.pos] == 0xFF and 0xD0 <= data[r.pos + 1] <= 0xD7):
+                while r.pos + 1 < len(data) and not (
+                    data[r.pos] == 0xFF and 0xD0 <= data[r.pos + 1] <= 0xD7
+                ):
                     r.pos += 1
+                if r.pos + 1 >= len(data):
+                    raise ValueError("JPEG: missing restart marker")
                 r.pos += 2
                 dc_prev = [0] * len(comps)
             for ci, (cid, tq) in enumerate(comps):

@@ -338,9 +338,9 @@ def decode_media(payload: bytes, deterministic_fake: bool = False) -> dict:
             return decode_jpeg(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not WAV/BMP/PPM/PNG; decoding other formats needs "
-            "codec libraries not present in this environment "
-            "(PIL/librosa/PyAV)."
+            "payload is not WAV/BMP/PPM/PNG/baseline-JPEG; decoding other "
+            "formats needs codec libraries not present in this "
+            "environment (PIL/librosa/PyAV)."
         )
     return {"feature": _fake_feature(payload)}
 
@@ -412,32 +412,29 @@ _RESIZE_SCHEMA = (
 
 def _resize_payload(payload: bytes, width: int, height: int,
                     deterministic_fake: bool) -> bytes:
-    """REAL nearest-neighbor resample for BMP/PPM/PNG/JPEG payloads
-    (decode → index-map → re-encode as BMP). Formats without a codec
-    here need PIL: raise (strict) or emit the flagged deterministic
-    fake whose length scales with target area so batch-size accounting
-    stays realistic."""
-    if payload and (payload[:2] in (b"BM", b"P6")
-                    or payload[:8] == _PNG_SIG
-                    or payload[:3] == b"\xff\xd8\xff"):
-        if payload[:2] == b"BM":
-            d = decode_bmp(payload)
-        elif payload[:2] == b"P6":
-            d = decode_ppm(payload)
-        elif payload[:8] == _PNG_SIG:
-            d = decode_png(payload)
-        else:
-            from gpi_etl_spark.operators.jpeg import decode_jpeg
-
-            d = decode_jpeg(payload)
+    """REAL nearest-neighbor resample for any payload
+    :func:`decode_media` can decode to pixels (BMP/PPM/PNG/baseline
+    JPEG; decode → index-map → re-encode as BMP). One dispatch table:
+    adding a codec to decode_media makes it resizable here for free.
+    Formats without a codec need PIL: raise (strict) or emit the
+    flagged deterministic fake whose length scales with target area so
+    batch-size accounting stays realistic."""
+    d = None
+    if payload:
+        try:
+            d = decode_media(payload)
+        except NotImplementedError:
+            d = None
+    if d is not None and d.get("pixels") is not None:
         px = d["pixels"]
         rows = (np.arange(height) * d["height"] // height).astype(np.int64)
         cols = (np.arange(width) * d["width"] // width).astype(np.int64)
         return encode_bmp(px[rows][:, cols])
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not BMP/PPM/PNG; resizing other formats requires "
-            "PIL (not in this container)."
+            "payload is not a decodable image (BMP/PPM/PNG/baseline "
+            "JPEG); resizing other formats requires PIL (not in this "
+            "container)."
         )
     if payload is None:
         return b""

@@ -153,11 +153,18 @@ def ngram_repetition_ratio(col: Column | str, n: int = 3) -> Column:
         )
     grams = F.filter(grams_or_null, lambda g: g.isNotNull())
     n_grams = F.size(grams)
-    return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
-            6,
-        )
+    # coalesce restores 0.0 for NULL text (tokens → null propagates all
+    # the way through the zip_with chain), matching the q98 oracle's
+    # CASE branch and the pre-rewrite behavior
+    return F.coalesce(
+        F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
+                6,
+            )
+        ),
+        F.lit(0.0),
     )
 
 

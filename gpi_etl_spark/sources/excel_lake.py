@@ -95,22 +95,28 @@ def excel_lake_cells(
         for pdf in batches:
             ids, sheets, rows, cols, vals = [], [], [], [], []
             for wid, payload in zip(pdf[id_col], pdf[payload_col]):
+                # buffer per workbook so a payload that fails MID-parse
+                # (e.g. sheet 2 of an all_sheets scan is corrupt) is
+                # dropped whole in skip mode — never half-emitted
+                wb_cells: list[tuple] = []
                 try:
                     if payload is None:
                         raise ValueError("null workbook payload")
-                    for name, r, c, v in _workbook_cells(
+                    wb_cells = list(_workbook_cells(
                         bytes(payload), sheet_name, all_sheets, fill_merged
-                    ):
-                        ids.append(wid)
-                        sheets.append(name)
-                        rows.append(r)
-                        cols.append(c)
-                        vals.append(v)
+                    ))
                 except Exception as exc:
                     if on_error == "raise":
                         raise ValueError(
                             f"workbook {wid!r} failed to parse: {exc}"
                         ) from exc
+                    continue
+                for name, r, c, v in wb_cells:
+                    ids.append(wid)
+                    sheets.append(name)
+                    rows.append(r)
+                    cols.append(c)
+                    vals.append(v)
             yield pd.DataFrame(
                 {id_col: ids, "sheet": sheets, "row_idx": rows,
                  "col_idx": cols, "value": vals}

@@ -393,7 +393,18 @@ class _Workbook:
         merges: list[tuple[int, int, int, int]] = []
         depth = 0
         pending_str: tuple[int, int] | None = None  # FORMULA awaiting STRING
+        str_chunks: list[bytes] | None = None  # STRING (+CONTINUE) payloads
         for op, _off, data in _records(self.stream, start):
+            if op == _CONTINUE and str_chunks is not None:
+                str_chunks.append(data)
+                continue
+            if str_chunks is not None:
+                # a long cached formula string spans CONTINUE records —
+                # finalize via the same chunk cursor the SST path uses
+                # (grbit restated at chunk boundaries)
+                out[pending_str] = _Chunks(str_chunks).read_string()
+                str_chunks = None
+                pending_str = None
             if op == _BOF:
                 depth += 1
             elif op == _EOF:
@@ -404,8 +415,7 @@ class _Workbook:
                 continue  # embedded chart substream
             elif op == _STRING and pending_str is not None:
                 # cached text of the preceding string-result FORMULA
-                out[pending_str] = _unicode_string(data, 0)
-                pending_str = None
+                str_chunks = [data]
             elif op == _NUMBER:
                 r, c, xf = _u16(data, 0), _u16(data, 2), _u16(data, 4)
                 out[(r, c)] = self._number(

@@ -330,3 +330,36 @@ def test_domain_frequency_cap_deterministic(spark):
     # deterministic: a second run keeps the same rows
     got2 = {(r.domain, r.doc_id) for r in domain_frequency_cap(df, cap=3).collect()}
     assert got1 == got2
+
+
+def test_url_domain_resists_query_string_at_sign(spark):
+    """Regression: '@' in the query string must not be parsed as
+    userinfo (that extracted a fake host and bypassed blocklists)."""
+    from gpi_etl_spark.operators.curation import blocklist_filter, url_domain
+
+    rows = [
+        (1, "https://bad.com?x@y"),
+        (2, "https://bad.com#frag@y"),
+        (3, "https://user@bad.com/path"),     # genuine userinfo still strips
+        (4, "nohost.com/x"),                  # scheme-less: no host
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r.d for r in df.select("doc_id", url_domain("url").alias("d")).collect()}
+    assert got[1] == "bad.com" and got[2] == "bad.com" and got[3] == "bad.com"
+    assert got[4] == ""
+    kept = {r.doc_id for r in blocklist_filter(df, ["bad.com"]).collect()}
+    assert kept == {4}
+
+
+def test_domain_frequency_cap_passes_hostless_rows_through(spark):
+    from gpi_etl_spark.operators.curation import domain_frequency_cap
+
+    rows = [(i, f"https://one.com/{i}") for i in range(10)]
+    rows += [(100 + i, f"relative/path/{i}") for i in range(10)]  # no host
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_frequency_cap(df, cap=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.domain, set()).add(r.doc_id)
+    assert len(got["one.com"]) == 3            # capped
+    assert len(got[""]) == 10                  # hostless rows all survive

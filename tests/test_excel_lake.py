@@ -152,3 +152,29 @@ def test_lake_feeds_wasde_extract(spark):
         world = next(r for r in out if r.Geography == "World")
         assert world.Production == 1200.0 + m
         assert world.Wasde == f"WASDE-{600 + m}"
+
+
+def test_lake_skip_mode_drops_mid_parse_failures_whole(spark):
+    """Regression: a workbook failing MID-parse (second sheet of an
+    all_sheets scan corrupt) must contribute zero rows in skip mode —
+    never a half-emitted workbook."""
+    good = fx.build_xls(
+        {"one": [fx.label(0, 0, "g1")], "two": [fx.label(0, 0, "g2")]}, ["pad"]
+    )
+    # corrupt the SECOND sheet's substream: truncate the payload so the
+    # first sheet parses but the second raises
+    wb_stream = fx.build_workbook_stream(
+        {"one": [fx.label(0, 0, "b1")],
+         "two": [fx.label(0, 0, "b2"), fx.label_sst(1, 0, 99)]},  # bad isst
+        ["pad"],
+    )
+    bad = fx.build_cfb(wb_stream)
+    lake = spark.createDataFrame(
+        [(1, good), (2, bad)], "workbook_id long, payload binary"
+    )
+    out = excel_lake_cells(lake, all_sheets=True, on_error="skip").collect()
+    by_wb = {}
+    for r in out:
+        by_wb.setdefault(r.workbook_id, []).append(r.value)
+    assert sorted(by_wb[1]) == ["g1", "g2"]
+    assert 2 not in by_wb  # nothing, not just sheet one

@@ -88,3 +88,10 @@ def test_dispatch_and_resize_through_media_ops():
     out = _resize_payload(payload, 4, 4, deterministic_fake=False)
     db = decode_bmp(out)
     assert (db["pixels"] == 90).all()
+
+
+def test_truncated_payload_raises_value_error():
+    g = np.full((32, 32), 50, dtype=np.uint8)
+    payload = encode_jpeg(g)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        decode_jpeg(payload[: len(payload) // 2])

@@ -166,3 +166,18 @@ def test_gopher_quality_flags_rules(spark):
     assert not out[4].ok_symbol_ratio    # 30 hashes on 61 words
     assert not out[5].ok_word_count      # 2 words < 50
     assert out[5].ok_mean_word_len       # but its words are normal length
+
+
+def test_repetition_ratio_null_and_empty_text(spark):
+    """Regression: NULL text must score 0.0 (the DuckDB oracle's CASE
+    branch), not propagate NULL through the zip_with chain."""
+    from gpi_etl_spark.operators.textstats import ngram_repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "x y z x y z x y z")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.rep for r in df.select(
+        "doc_id", ngram_repetition_ratio("text").alias("rep")).collect()}
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+    assert got[4] > 0.5  # heavy trigram repetition detected

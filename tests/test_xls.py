@@ -230,3 +230,25 @@ def test_xls_feeds_wasde_extract(spark):
     assert by_geo["World"].Wasde == "WASDE-668"
     assert by_geo["World"]["Total Use"] == 1150 + 180
     assert by_geo["United States"].Grupo == "Major Exporters"
+
+
+def test_xls_formula_string_spanning_continue():
+    """A cached formula string longer than one record spills into
+    CONTINUE records; the reader must reassemble, not truncate."""
+    import struct as _struct
+
+    long = "z" * 9000
+    # FORMULA with string result, then STRING split into two chunks
+    res = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+    formula = fx._rec(
+        0x0006,
+        _struct.pack("<HHH", 0, 0, 17) + res + _struct.pack("<HIH", 0, 0, 0),
+    )
+    head = _struct.pack("<HB", len(long), 0) + long[:4000].encode("latin-1")
+    cont = b"\x00" + long[4000:].encode("latin-1")  # grbit restated
+    string_rec = fx._rec(0x0207, head) + fx._rec(0x003C, cont)
+    payload = fx.build_cfb(
+        fx.build_workbook_stream({"s": [formula + string_rec]}, ["pad"])
+    )
+    grid = xls.parse_xls_cells(payload)
+    assert grid[0][0] == long
