@@ -4330,6 +4330,27 @@ def q112(spark, sf_dir):
     )
 
 
+@query("q115_bpe_merges")  # iterative merge loop — rows-only (no SQL twin);
+def q115(spark, sf_dir):  # exact value check: pinned fixture + Python replay
+    """Distributed BPE merge training (operators/bpe.py): the first 8
+    byte-pair merges learned from the documents corpus, driver-
+    orchestrated like k-means — every iteration is one vocabulary-scale
+    shuffle (pair count over word TYPES), never a corpus scan. No SQL
+    oracle can replay the loop (same class as q51/q81's sketches), so
+    the value gate is tests/test_bpe.py's pure-Python replay plus the
+    committed fixture in tests/fixtures/."""
+    from gpi_etl_spark.operators.bpe import bpe_train
+
+    docs = t(spark, sf_dir, "documents")
+    merges, _words = bpe_train(docs, num_merges=8)
+    rows = [
+        (i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string"
+    )
+
+
 @query(
     "q114_url_curation",
     f"""
@@ -4687,7 +4708,7 @@ _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
-    "q101_html_extract",
+    "q115_bpe_merges", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -27,6 +27,7 @@ PINNED = [
     "q39_doc_fingerprint",
     "q49_ivf_topk",
     "q51_approx_sketches",
+    "q115_bpe_merges",
 ]
 
 pytestmark = pytest.mark.skipif(

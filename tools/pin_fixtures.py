@@ -32,6 +32,7 @@ PINNED = [
     "q39_doc_fingerprint",
     "q49_ivf_topk",
     "q51_approx_sketches",
+    "q115_bpe_merges",
 ]
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
