@@ -309,7 +309,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """The published Gopher document-quality rules (Rae et al. 2021,
     arXiv:2112.11446 §A.1.1) as one pass of pure column expressions —
@@ -383,6 +386,7 @@ def gopher_quality_flags(
     )
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         tok_stats.alias("_t"),
         line_stats.alias("_l"),
         n_hash.alias("_nh"),
@@ -394,6 +398,7 @@ def gopher_quality_flags(
     nl = li["n_lines"]
     return base.select(
         id_col,
+        *keep_cols,
         nw.alias("n_words"),
         ((nw >= 50) & (nw <= 100000)).alias("ok_word_count"),
         # 3 ≤ chars/words ≤ 10  ⇔  3·words ≤ chars AND chars ≤ 10·words

@@ -4330,6 +4330,64 @@ def q112(spark, sf_dir):
     )
 
 
+@query(
+    "q116_streaming_curation",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks, text FROM documents),
+    s AS (SELECT doc_id, lang,
+            len(toks) AS n_words,
+            cast(list_sum(list_transform(toks, t -> len(t))) AS bigint) AS nwc,
+            len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+            len(list_filter(toks, t -> list_contains({{GSW}}, t))) AS n_sw,
+            len(text) - len(replace(text, '#', '')) AS nh,
+            (len(text) - len(replace(text, '...', ''))) // 3 AS ne,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       x -> trim(x)), x -> len(x) > 0) AS lines
+          FROM tk),
+    l AS (SELECT *, len(lines) AS n_lines,
+            len(list_filter(lines, x -> starts_with(x, '- ')
+                OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+            len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
+          FROM s)
+    SELECT lang, count(*) AS n_docs,
+           cast(sum(CASE WHEN
+             (n_words >= 50 AND n_words <= 100000)
+             AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+             AND ((nh + ne) * 10 <= n_words)
+             AND (n_bullet * 10 <= 9 * n_lines)
+             AND (n_ell_lines * 10 <= 3 * n_lines)
+             AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
+             AND (n_sw >= 2)
+           THEN 1 ELSE 0 END) AS bigint) AS n_pass
+    FROM l GROUP BY lang
+    """.replace("{GSW}", "['the','be','to','of','and','that','have','with']"),
+)
+def q116(spark, sf_dir):
+    """The Gopher quality gate running as a REAL Structured Streaming
+    job: documents land as a file stream, gopher_quality_flags fuses
+    into the per-microbatch projection, and a complete-mode per-lang
+    aggregate accumulates pass counts across batches — the
+    stream-ingest twin of q113, proving the curation operators compose
+    with readStream unchanged. The memory-sink result must equal the
+    batch/DuckDB answer (same pattern as q46/q74)."""
+    import re as _re
+    import tempfile as _tmp
+
+    from gpi_etl_spark.operators.textstats import gopher_quality_flags
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    landing = os.path.join(_tmp.gettempdir(), f"gpi_q116_{key}")
+    docs.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(docs.schema).parquet(landing)
+    flags = gopher_quality_flags(stream, keep_cols=("lang",))
+    agg = flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_gopher").cast("int")).cast("bigint").alias("n_pass"),
+    )
+    return run_stream_to_table(spark, agg, "gpi_stream_q116")
+
+
 @query("q115_bpe_merges")  # iterative merge loop — rows-only (no SQL twin);
 def q115(spark, sf_dir):  # exact value check: pinned fixture + Python replay
     """Distributed BPE merge training (operators/bpe.py): the first 8
@@ -4708,7 +4766,7 @@ _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
-    "q115_bpe_merges", "q101_html_extract",
+    "q115_bpe_merges", "q116_streaming_curation", "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 
