@@ -445,3 +445,33 @@ def duplicate_spans(
             6,
         ).alias("dup_ratio"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-version diff: per document id, whether it was ``added``,
+    ``removed``, ``changed`` (same id, different normalized content
+    hash) or ``unchanged`` between two snapshots — the audit a curation
+    pipeline runs between dataset releases ("what did this filter
+    change?").
+
+    Full outer join on the id with 256-bit content hashes on both
+    sides: one shuffle each side, carrying (id, hash) — never text.
+    At 100 TB both hash projections are scan-fused, and the join output
+    is id-sized; downstream usually aggregates to status counts.
+    """
+    h = F.sha2(normalize_text(text_col), 256)
+    o = old.select(F.col(id_col), h.alias("_h_old"))
+    n = new.select(F.col(id_col), h.alias("_h_new"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") == F.col("_h_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(id_col, status.alias("status"))

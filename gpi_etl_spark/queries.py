@@ -4388,6 +4388,53 @@ def q116(spark, sf_dir):
     return run_stream_to_table(spark, agg, "gpi_stream_q116")
 
 
+@query(
+    "q117_snapshot_diff",
+    """
+    WITH olds AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0),
+    news AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 7 != 1),
+    oh AS (SELECT doc_id, sha256(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g'))) AS h FROM olds),
+    nh AS (SELECT doc_id, sha256(trim(regexp_replace(lower(text),
+             '\\s+', ' ', 'g'))) AS h FROM news),
+    d AS (
+      SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+             CASE WHEN oh.h IS NULL THEN 'added'
+                  WHEN nh.h IS NULL THEN 'removed'
+                  WHEN oh.h = nh.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id)
+    SELECT status, count(*) AS n,
+           cast(min(doc_id) AS bigint) AS min_doc
+    FROM d GROUP BY status
+    """,
+)
+def q117(spark, sf_dir):
+    """Corpus-version diff (dedup.snapshot_diff): two synthetic
+    snapshots of the documents table (different id subsets, every
+    fifth doc's text amended) full-outer-join on id with normalized
+    content hashes — per-status counts out. The release-over-release
+    audit a curation pipeline runs ("what did this filter change?");
+    the shuffle carries (id, hash), never text."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 1).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" amended"))
+        ).otherwise(F.col("text")),
+    )
+    diff = dedup.snapshot_diff(old, new)
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+    )
+
+
 @query("q115_bpe_merges")  # iterative merge loop — rows-only (no SQL twin);
 def q115(spark, sf_dir):  # exact value check: pinned fixture + Python replay
     """Distributed BPE merge training (operators/bpe.py): the first 8
@@ -4766,7 +4813,8 @@ _R4_CHANGED = [
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
-    "q115_bpe_merges", "q116_streaming_curation", "q101_html_extract",
+    "q115_bpe_merges", "q116_streaming_curation", "q117_snapshot_diff",
+    "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
 ]
 

@@ -147,3 +147,21 @@ def test_duplicate_spans_hash_and_text_modes_agree(spark):
     assert text_mode[3][1] == 0
     # null/empty docs emit no spans at all
     assert 4 not in text_mode and 5 not in text_mode
+
+
+def test_snapshot_diff_statuses(spark):
+    from gpi_etl_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish"),
+         (4, "Whitespace   Normalized")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "whitespace normalized")],  # same after normalization
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   5: "added", 4: "unchanged"}
