@@ -9,10 +9,14 @@ Codecs: formats decodable with the stdlib are decoded FOR REAL —
 zero-crossing features), **BMP** (24-bit uncompressed, pure ``struct``:
 dimensions + per-channel means), **PPM** (P6), **PNG** (``zlib``
 inflate + per-row unfiltering: 8-bit gray/RGB/palette/alpha, filters
-0-4) and **baseline JPEG** (:mod:`gpi_etl_spark.operators.jpeg`: T.81
-Huffman + IDCT, 4:4:4/grayscale). Formats that need external codec
-libraries (progressive/subsampled JPEG, MP3/MP4 — PIL/librosa/PyAV are
-not in this container) either raise ``NotImplementedError`` (strict,
+0-4), **GIF** (from-scratch LZW incl. interlace + clear-code resets)
+and **baseline JPEG** (:mod:`gpi_etl_spark.operators.jpeg`: T.81
+Huffman + IDCT, 4:4:4/grayscale). MP4/MP3 get real *container*
+metadata (:mod:`gpi_etl_spark.operators.containers`) — sample decode
+for those needs ffmpeg-class codecs. Formats that need external codec
+libraries (progressive/subsampled JPEG, MP3/MP4 samples — PIL/librosa/
+PyAV are not in this container) either raise ``NotImplementedError``
+(strict,
 the default) or produce a deterministic fake (explicit opt-in for
 plumbing tests), clearly flagged; a deployment drops its decoder into
 :func:`decode_media`'s dispatch table.
@@ -149,8 +153,8 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Binary PPM (P6) → dims + per-channel means."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse the P6 header → (width, height, maxval, pixel_offset)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     fields: list[int] = []
@@ -167,7 +171,12 @@ def decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[pos:end]))
         pos = end
     pos += 1  # single whitespace after maxval
-    w, h, _maxval = fields
+    return fields[0], fields[1], fields[2], pos
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6) → dims + per-channel means."""
+    w, h, _maxval, pos = _ppm_header(payload)
     if _maxval > 255:
         # maxval > 255 means two bytes per sample ([netpbm] P6); reading it
         # as uint8 would silently misparse — strict-raise like the BMP guard
@@ -306,6 +315,179 @@ def encode_png(px: "np.ndarray") -> bytes:
             + chunk(b"IEND", b""))
 
 
+def decode_gif(payload: bytes) -> dict:
+    """GIF87a/89a → dims + per-channel means, from-scratch LZW.
+
+    Real decode of the FIRST image block: logical-screen descriptor,
+    global/local color table, GIF-variant LZW (LSB-first bit stream,
+    clear/EOI codes, 12-bit cap) and 4-pass deinterlace. Animated GIFs
+    decode their first frame (full-canvas frames only; a sub-rectangle
+    first frame strict-raises rather than guessing the canvas fill).
+    """
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos]:
+                pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated extension block")
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ip = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 7)
+                pal = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF: no color table for image")
+            if (left, top, w, h) != (0, 0, sw, sh):
+                raise NotImplementedError(
+                    "GIF sub-rectangle first frame not supported")
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated image block")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1: pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated image data")
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            rows = np.asarray(idx, dtype=np.int32).reshape(h, w)
+            if ip & 0x40:  # 4-pass interlace
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2)])
+                out = np.empty_like(rows)
+                out[order] = rows
+                rows = out
+            px = pal[rows]
+            gray = px.astype(np.float64).mean(axis=2)
+            return {
+                "media_type": "image", "format": "gif",
+                "width": int(w), "height": int(h),
+                "duration_ms": None, "sample_rate": None,
+                "feature": [
+                    float(px[:, :, 0].mean()), float(px[:, :, 1].mean()),
+                    float(px[:, :, 2].mean()), float(gray.std()),
+                ],
+                "pixels": px,
+            }
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image block found")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_px: int) -> list[int]:
+    """GIF LZW: LSB-first variable-width codes, CLEAR=2^min, EOI=CLEAR+1,
+    table capped at 4096 entries ([GIF89a] appendix F)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: list[bytes] = []
+    code_size = min_code + 1
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = 0
+    pos = 0
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < n_px:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_px:
+        raise ValueError("GIF: LZW output short of pixel count")
+    return list(out[:n_px])
+
+
+def encode_gif(px: "np.ndarray") -> bytes:
+    """RGB uint8 array (h, w, 3) → GIF89a bytes (≤256 distinct colors).
+
+    The LZW stream emits a CLEAR code before every pixel so the decoder
+    table never grows — bulky but spec-valid, and it exercises the
+    clear-code reset path of any decoder reading the fixture.
+    """
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF fixture: {len(pal)} colors > 256")
+    min_code = max(2, int(len(pal) - 1).bit_length())
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc = nbits = 0
+    stream = bytearray()
+    for code in [clear] + [c for i in inv for c in (int(i), clear)][:-1] + [eoi]:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    n_pal = 1 << min_code  # palette block is a power of two
+    table = pal.tobytes() + b"\x00" * 3 * (n_pal - len(pal))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (min_code - 1), 0, 0)
+    out += table
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i: i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
 def encode_bmp(px: "np.ndarray") -> bytes:
     """RGB uint8 array (h, w, 3) → 24-bit uncompressed BMP bytes."""
     h, w = px.shape[:2]
@@ -332,14 +514,16 @@ def decode_media(payload: bytes, deterministic_fake: bool = False) -> dict:
             return decode_ppm(payload)
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(payload)
         if payload[:3] == b"\xff\xd8\xff":
             from gpi_etl_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not WAV/BMP/PPM/PNG/baseline-JPEG; decoding other "
-            "formats needs codec libraries not present in this "
+            "payload is not WAV/BMP/PPM/PNG/GIF/baseline-JPEG; decoding "
+            "other formats needs codec libraries not present in this "
             "environment (PIL/librosa/PyAV)."
         )
     return {"feature": _fake_feature(payload)}
@@ -432,7 +616,7 @@ def _resize_payload(payload: bytes, width: int, height: int,
         return encode_bmp(px[rows][:, cols])
     if not deterministic_fake:
         raise NotImplementedError(
-            "payload is not a decodable image (BMP/PPM/PNG/baseline "
+            "payload is not a decodable image (BMP/PPM/PNG/GIF/baseline "
             "JPEG); resizing other formats requires PIL (not in this "
             "container)."
         )

@@ -4798,6 +4798,171 @@ def q109(spark, sf_dir):
     )
 
 
+@query(
+    "q118_media_probe",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3'
+                           WHEN 2 THEN 'wav' ELSE 'gif' END AS format,
+           CASE doc_id % 4 WHEN 0 THEN 'video' WHEN 3 THEN 'image'
+                           ELSE 'audio' END AS media_type,
+           cast(CASE doc_id % 4 WHEN 0 THEN 320 + (doc_id % 16) * 16
+                                WHEN 3 THEN (doc_id % 7) + 2 END AS int)
+             AS width,
+           cast(CASE doc_id % 4 WHEN 0 THEN 240 + (doc_id % 9) * 16
+                                WHEN 3 THEN (doc_id % 5) + 2 END AS int)
+             AS height,
+           cast(CASE doc_id % 4
+             WHEN 0 THEN 2000 + (doc_id % 7) * 500
+             WHEN 1 THEN ((20 + doc_id % 30) * 1152 * 1000) // 44100
+             WHEN 2 THEN (1600 + (doc_id % 10) * 160) // 8
+           END AS bigint) AS duration_ms,
+           cast(CASE doc_id % 4 WHEN 1 THEN 44100 WHEN 2 THEN 8000
+           END AS int) AS sample_rate,
+           cast(CASE doc_id % 4
+             WHEN 1 THEN CASE doc_id % 3 WHEN 0 THEN 64 WHEN 1 THEN 128
+                                         ELSE 192 END
+             WHEN 2 THEN 128
+           END AS int) AS bitrate_kbps,
+           cast(CASE doc_id % 4
+             WHEN 0 THEN (2000 + (doc_id % 7) * 500) * 25 // 1000
+             WHEN 1 THEN 20 + doc_id % 30
+             WHEN 2 THEN 1600 + (doc_id % 10) * 160
+           END AS bigint) AS n_frames,
+           CASE doc_id % 4 WHEN 0 THEN 'avc1' END AS codec
+    FROM documents WHERE doc_id % 15 = 0
+    """,
+)
+def q118(spark, sf_dir):
+    """Typed-metadata probe over a MIXED media lake (operators/
+    containers.py): MP4 (real ISO-BMFF box walk — ftyp/mvhd/tkhd/mdhd/
+    hdlr/stsd/stts), MP3 (real frame-header scan incl. ID3v2 skip),
+    WAV (fmt/data chunk walk) and GIF (screen descriptor) payloads are
+    synthesized per doc_id and probed by ONE header-only mapInPandas —
+    O(container-structure) per object, never O(samples), the cheap
+    first pass that lets a 100 TB media curation run filter on
+    dims/duration/codec before any full decode. Every metadata column
+    is checked against the per-format closed form."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.containers import (
+        build_mp3,
+        build_mp4,
+        probe_media_meta,
+    )
+    from gpi_etl_spark.operators.multimodal import encode_gif
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 15 == 0)
+
+    def synth(batches):
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 4
+                if kind == 0:
+                    p = build_mp4(320 + did % 16 * 16, 240 + did % 9 * 16,
+                                  2000 + did % 7 * 500, 25)
+                elif kind == 1:
+                    p = build_mp3(20 + did % 30,
+                                  kbps=(64, 128, 192)[did % 3],
+                                  rate=44100, id3_bytes=did % 100)
+                elif kind == 2:
+                    n = 1600 + did % 10 * 160
+                    buf = _io.BytesIO()
+                    with _wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(8000)
+                        w.writeframes(_np.zeros(n, "<i2").tobytes())
+                    p = buf.getvalue()
+                else:
+                    w_, h_ = did % 7 + 2, did % 5 + 2
+                    idx = _np.arange(w_ * h_, dtype=_np.uint16).reshape(h_, w_)
+                    px = _np.stack(
+                        [(did % 100 + idx + ch) % 256 for ch in range(3)],
+                        axis=2).astype(_np.uint8)
+                    p = encode_gif(px)
+                payloads.append(p)
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    lake = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    return probe_media_meta(lake).select(
+        "media_id", "format", "media_type", "width", "height",
+        "duration_ms", "sample_rate", "bitrate_kbps", "n_frames", "codec",
+    )
+
+
+@query(
+    "q119_gif_stats",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id, doc_id % 100 AS base,
+             (doc_id % 7) + 2 AS w, (doc_id % 5) + 2 AS h
+      FROM documents WHERE doc_id % 25 = 0)
+    SELECT media_id,
+           round(base + (w * h - 1) / 2.0, 6) AS mean_r,
+           round(base + 1 + (w * h - 1) / 2.0, 6) AS mean_g,
+           round(base + 2 + (w * h - 1) / 2.0, 6) AS mean_b,
+           round(sqrt((cast(w * h AS double) * (w * h) - 1) / 12.0), 6) AS std_gray
+    FROM p
+    """,
+)
+def q119(spark, sf_dir):
+    """Image stats from GENUINE GIF decode (q100/q106's third twin):
+    the same gradient pixels are palette-quantized and LZW-encoded as
+    GIF89a executor-side, decoded by multimodal.decode_gif (from-
+    scratch LZW incl. clear-code resets), and per-channel means + gray
+    std checked against the q100 closed forms — BMP, PNG and GIF now
+    provably yield bit-identical stats for identical pixels, through
+    extract_features' strict default."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.multimodal import encode_gif, extract_features
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 100
+                w = int(did) % 7 + 2
+                h = int(did) % 5 + 2
+                idx = _np.arange(w * h, dtype=_np.uint16).reshape(h, w)
+                px = _np.stack(
+                    [(base + idx + ch) % 256 for ch in range(3)], axis=2
+                ).astype(_np.uint8)
+                payloads.append(encode_gif(px))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    ).withColumn("media_type", F.lit("image"))
+    feats = extract_features(media, media_type_col="media_type")
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        F.round(f[0].cast("double"), 6).alias("mean_r"),
+        F.round(f[1].cast("double"), 6).alias("mean_g"),
+        F.round(f[2].cast("double"), 6).alias("mean_b"),
+        F.round(f[3].cast("double"), 6).alias("std_gray"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -4810,6 +4975,7 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
+    "q118_media_probe", "q119_gif_stats",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
