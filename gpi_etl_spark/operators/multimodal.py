@@ -205,50 +205,19 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(payload: bytes) -> dict:
-    """PNG → dims + per-channel means, stdlib ``zlib`` + numpy.
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass ([PNG] 8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    Real decode: chunk walk (IHDR/PLTE/IDAT), one inflate, then per-row
-    unfiltering of filter types 0-4 (None/Sub/Up/Average/Paeth).
-    Supported: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA); alpha is dropped, gray replicated, so the
-    output ``feature`` matches a BMP/PPM twin of the same pixels.
-    Interlaced (Adam7) and 16-bit images strict-raise.
-    """
-    if payload[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    ihdr = b""
-    plte = b""
-    idat: list[bytes] = []
-    pos = 8
-    while pos + 8 <= len(payload):
-        ln = struct.unpack_from(">I", payload, pos)[0]
-        typ = payload[pos + 4: pos + 8]
-        data = payload[pos + 8: pos + 8 + ln]
-        pos += 12 + ln  # data + 4-byte CRC
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"PLTE":
-            plte = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
-    if ctype not in _PNG_CHANNELS:
-        raise ValueError(f"bad PNG color type {ctype}")
-    bpp = _PNG_CHANNELS[ctype]  # bytes per pixel at depth 8
-    stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
+
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  bpp: int) -> tuple["np.ndarray", int]:
+    """Unfilter h scanlines of `stride` bytes starting at raw[off]
+    (filter types 0-4); returns the byte matrix and the new offset."""
+    if len(raw) - off < h * (stride + 1):
         raise ValueError("PNG: truncated image data")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = bytearray(stride)
-    off = 0
     for r in range(h):
         ft = raw[off]
         line = bytearray(raw[off + 1: off + 1 + stride])
@@ -276,7 +245,73 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"bad PNG filter type {ft}")
         out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
         prev = line
-    arr = out.reshape(h, w, bpp)
+    return out, off
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG → dims + per-channel means, stdlib ``zlib`` + numpy.
+
+    Real decode: chunk walk (IHDR/PLTE/IDAT), one inflate, then per-row
+    unfiltering of filter types 0-4 (None/Sub/Up/Average/Paeth).
+    Supported: 8- and 16-bit depth, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), both progressive orders
+    (sequential and Adam7 interlace — each of the 7 passes is its own
+    filtered sub-image, scattered onto the canvas). Alpha is dropped,
+    gray replicated, and 16-bit samples quantized to 8 bits
+    (round(v/257)), so the output ``feature`` matches a BMP/PPM twin of
+    the same pixels. Bit depths 1/2/4 strict-raise.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = b""
+    plte = b""
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        pos += 12 + ln  # data + 4-byte CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"{depth}-bit PNG not supported (8/16-bit only)")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise ValueError("PNG: 16-bit palette images are not legal")
+    ch = _PNG_CHANNELS[ctype]
+    sb = depth // 8  # bytes per sample
+    bpp = ch * sb  # filter distance = bytes per pixel
+    raw = zlib.decompress(b"".join(idat))
+    if not interlace:
+        mat, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
+    else:  # Adam7: 7 independently-filtered sub-images
+        mat = np.zeros((h, w * bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            canvas = mat.reshape(h, w, bpp)
+            canvas[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if depth == 16:
+        wide = mat.reshape(h, w, ch, sb).astype(np.uint16)
+        samples = (wide[..., 0] << 8) | wide[..., 1]
+        # quantize to the 8-bit feature scale: 65535 → 255 exactly
+        arr = np.round(samples / 257.0).astype(np.uint8)
+    else:
+        arr = mat.reshape(h, w, ch)
     if ctype == 3:
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         px = pal[arr[:, :, 0]]
@@ -299,17 +334,34 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def encode_png(px: "np.ndarray") -> bytes:
-    """RGB uint8 array (h, w, 3) → 8-bit truecolor PNG bytes
-    (filter 0 rows; round-trips through :func:`decode_png`)."""
+def encode_png(px: "np.ndarray", interlace: bool = False) -> bytes:
+    """RGB array (h, w, 3) → truecolor PNG bytes; round-trips through
+    :func:`decode_png`. uint8 input → 8-bit; uint16 input → 16-bit
+    (big-endian samples). ``interlace=True`` writes Adam7 order (each
+    pass its own filter-0 sub-image)."""
     h, w = px.shape[:2]
-    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+    depth = 16 if px.dtype == np.uint16 else 8
+
+    def rows_bytes(img: "np.ndarray") -> bytes:
+        if depth == 16:
+            img = img.astype(">u2")
+        return b"".join(b"\x00" + img[r].tobytes() for r in range(img.shape[0]))
+
+    if not interlace:
+        raw = rows_bytes(px)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(rows_bytes(sub))
+        raw = b"".join(parts)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

@@ -4588,8 +4588,12 @@ def q106(spark, sf_dir):
     multimodal.decode_png (stdlib zlib inflate + per-row unfiltering),
     and per-channel means + gray std checked against the q100 closed
     forms — proving the PNG path yields bit-identical stats to its BMP
-    twin. Runs through extract_features' strict default (no
-    deterministic_fake flag): the real codec IS the default path."""
+    twin. The encoding VARIANT rotates per doc_id — sequential 8-bit,
+    Adam7-interlaced, 16-bit (samples ×257, quantized back exactly),
+    and 16-bit Adam7 — so every progressive/deep-color decode path
+    sits under the same hash gate. Runs through extract_features'
+    strict default (no deterministic_fake flag): the real codec IS the
+    default path."""
     import pandas as _pd
 
     from gpi_etl_spark.operators.multimodal import encode_png, extract_features
@@ -4609,7 +4613,9 @@ def q106(spark, sf_dir):
                 px = _np.stack(
                     [(base + idx + ch) % 256 for ch in range(3)], axis=2
                 ).astype(_np.uint8)
-                payloads.append(encode_png(px))
+                variant = int(did) // 25 % 4
+                src = px.astype(_np.uint16) * 257 if variant >= 2 else px
+                payloads.append(encode_png(src, interlace=variant % 2 == 1))
             yield _pd.DataFrame(
                 {"media_id": pdf["doc_id"].values, "payload": payloads}
             )

@@ -34,6 +34,41 @@ def test_png_roundtrip_exact(h, w, seed):
     assert (d["pixels"] == px).all()
 
 
+@given(h=st.integers(1, 20), w=st.integers(1, 20), seed=st.integers(0, 10**6),
+       depth16=st.booleans())
+@settings(max_examples=30, deadline=None)
+def test_png_adam7_roundtrip_exact(h, w, seed, depth16):
+    """Adam7 pass extraction/scatter is exact for every canvas size
+    (incl. sizes where entire passes are empty), at both bit depths."""
+    px = _pixels(h, w, seed)
+    src = px.astype(np.uint16) * 257 if depth16 else px
+    d = decode_png(encode_png(src, interlace=True))
+    assert (d["pixels"] == px).all()
+
+
+@given(h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 10**6))
+@settings(max_examples=30, deadline=None)
+def test_png_16bit_quantizes_round_div257(h, w, seed):
+    raw = np.random.RandomState(seed).randint(
+        0, 65536, size=(h, w, 3)).astype(np.uint16)
+    d = decode_png(encode_png(raw))
+    assert (d["pixels"] == np.round(raw / 257.0).astype(np.uint8)).all()
+
+
+@given(h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 10**6))
+@settings(max_examples=30, deadline=None)
+def test_gif_roundtrip_when_palette_fits(h, w, seed):
+    px = _pixels(h, w, seed)
+    from gpi_etl_spark.operators.multimodal import decode_gif, encode_gif
+
+    n_colors = len(np.unique(px.reshape(-1, 3), axis=0))
+    if n_colors > 256:
+        return
+    d = decode_gif(encode_gif(px))
+    assert (d["width"], d["height"]) == (w, h)
+    assert (d["pixels"] == px).all()
+
+
 @given(h=st.integers(1, 16), w=st.integers(1, 16), seed=st.integers(0, 10**6))
 @settings(max_examples=30, deadline=None)
 def test_bmp_roundtrip_exact(h, w, seed):

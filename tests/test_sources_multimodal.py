@@ -243,17 +243,27 @@ def test_decode_png_gray_and_unsupported():
     assert (d["pixels"][:, :, 0] == g).all()
     assert (d["pixels"][:, :, 1] == g).all()
 
-    # 16-bit and interlaced strict-raise
-    p16 = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-           + chunk(b"IDAT", _zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        decode_png(p16)
-    pint = (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-            + chunk(b"IDAT", _zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(pint)
+    # 16-bit and Adam7-interlaced now decode for real
+    from gpi_etl_spark.operators.multimodal import encode_png
+
+    px = (np.arange(9 * 10 * 3, dtype=np.uint16) % 256).astype(
+        np.uint8).reshape(9, 10, 3)
+    d16 = decode_png(encode_png(px.astype(np.uint16) * 257))
+    assert (d16["pixels"] == px).all()
+    dint = decode_png(encode_png(px, interlace=True))
+    assert (dint["pixels"] == px).all()
+    d16i = decode_png(encode_png(px.astype(np.uint16) * 257, interlace=True))
+    assert (d16i["pixels"] == px).all()
+    # arbitrary 16-bit samples quantize via round(v/257)
+    v = np.array([[[0, 1, 256], [257, 65535, 32768]]], dtype=np.uint16)
+    assert (decode_png(encode_png(v))["pixels"]
+            == np.round(v / 257.0).astype(np.uint8)).all()
+    # sub-byte depths still strict-raise
+    p4 = (b"\x89PNG\r\n\x1a\n"
+          + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+          + chunk(b"IDAT", _zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        decode_png(p4)
 
 
 def test_resize_png_real(spark):
