@@ -197,6 +197,85 @@ def unigram_logprob(
     )
 
 
+def bigram_expr(col: Column | str) -> Column:
+    """Word-bigram strings (``"w1 w2"``) of a text column, as pure
+    array expressions: zip_with over the token array and its shifted
+    slice (argument arrays evaluate ONCE — see the O(tokens²) note on
+    :func:`ngram_repetition_ratio`). Tokens cannot contain whitespace,
+    so the space-joined pair is an unambiguous key."""
+    pair_or_null = F.zip_with(
+        tokens(col),
+        F.slice(tokens(col), 2, 1 << 30),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.filter(pair_or_null, lambda g: g.isNotNull())
+
+
+def bigram_interpolated_logprob(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram
+    LM trained on ``train`` — the CCNet-style perplexity filter one
+    step up from :func:`unigram_logprob`:
+
+        P(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·(c(w2)+1)/(N+V)
+
+    (MLE bigram backed off to add-one unigram; unseen contexts score
+    only the unigram term). λ defaults to 0.75 — exactly representable
+    in binary, so 1−λ is bit-identical across engines.
+
+    Shape at scale: model "training" is two map-side-combinable
+    groupBys over one exploded pass of the train split; scoring is
+    three equi-joins (bigram key, then each side's unigram) — all
+    broadcastable while the vocabulary is bounded, all plain shuffles
+    when it is not. No driver collect, no Python in the loop; the
+    whole thing is one Catalyst plan.
+    """
+    uni = (
+        train.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = uni.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    big = (
+        train.select(F.explode(bigram_expr(text_col)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt12"))
+    )
+    pairs = score.select(
+        F.col(id_col), F.explode(bigram_expr(text_col)).alias("bg")
+    ).select(
+        id_col,
+        "bg",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("cnt").alias("cnt1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("cnt").alias("cnt2"))
+    j = (
+        pairs.join(big, "bg", "left")
+        .join(u1, "w1", "left")
+        .join(u2, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    prob = (
+        F.lit(lam) * F.coalesce(F.col("cnt12") / F.col("cnt1"), F.lit(0.0))
+        + (F.lit(1.0) - F.lit(lam))
+        * (F.coalesce(F.col("cnt2"), F.lit(0)) + F.lit(1))
+        / (F.col("total") + F.col("vocab")).cast("double")
+    )
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(prob)), 6).alias("avg_logprob"),
+    )
+
+
 def html_to_text(col: Column | str) -> Column:
     """Boilerplate-strip an HTML payload to visible text — the first
     stage of a web-crawl → training-corpus pipeline, as a pure regexp

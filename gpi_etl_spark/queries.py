@@ -4969,6 +4969,54 @@ def q119(spark, sf_dir):
     )
 
 
+@query(
+    "q120_bigram_logprob",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    tr AS (SELECT toks FROM d WHERE doc_id % 5 <> 0),
+    sc AS (SELECT doc_id, toks FROM d WHERE doc_id % 5 = 0),
+    uni AS (SELECT term, count(*) AS cnt
+            FROM (SELECT unnest(toks) AS term FROM tr) GROUP BY term),
+    tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM uni),
+    big AS (SELECT bg, count(*) AS cnt12 FROM (
+              SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                list_transform(generate_series(1, len(toks) - 1),
+                  i -> concat_ws(' ', toks[i], toks[i + 1]))
+                ELSE [] END) AS bg FROM tr) GROUP BY bg),
+    scbg AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                 i -> concat_ws(' ', toks[i], toks[i + 1]))
+               ELSE [] END) AS bg FROM sc),
+    j AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1,
+                 split_part(bg, ' ', 2) AS w2 FROM scbg),
+    p AS (SELECT doc_id,
+            0.75 * coalesce(cnt12 / cast(u1.cnt AS double), 0.0)
+            + (1.0 - 0.75) * (coalesce(u2.cnt, 0) + 1)
+              / cast(tot.total + tot.vocab AS double) AS prob
+          FROM j LEFT JOIN big USING (bg)
+                 LEFT JOIN uni u1 ON u1.term = j.w1
+                 LEFT JOIN uni u2 ON u2.term = j.w2
+                 CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(prob)), 6) AS avg_logprob
+    FROM p GROUP BY doc_id
+    """,
+)
+def q120(spark, sf_dir):
+    """CCNet-style interpolated-bigram LM quality filter
+    (textstats.bigram_interpolated_logprob): the model trains on the
+    80% train split (two map-side-combinable groupBys), held-out docs
+    score through three equi-joins — P(w2|w1) = 0.75·MLE-bigram +
+    0.25·add-one-unigram, λ exactly representable so both engines
+    compute bit-identical doubles. The full train+score composition
+    (counts, interpolation, ln, per-doc mean) is replayed by the
+    DuckDB oracle."""
+    docs = t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    return textstats.bigram_interpolated_logprob(train, held)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -4981,7 +5029,7 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
-    "q118_media_probe", "q119_gif_stats",
+    "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",

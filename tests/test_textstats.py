@@ -181,3 +181,31 @@ def test_repetition_ratio_null_and_empty_text(spark):
         "doc_id", ngram_repetition_ratio("text").alias("rep")).collect()}
     assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
     assert got[4] > 0.5  # heavy trigram repetition detected
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Interpolated bigram LM on a corpus small enough to hand-check:
+    P(w2|w1) = 0.75*c12/c1 + 0.25*(c2+1)/(N+V)."""
+    import math
+
+    from gpi_etl_spark.operators.textstats import bigram_interpolated_logprob
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "a z"), (12, "q z"), (13, "solo"), (14, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_interpolated_logprob(train, score).collect()}
+    # train counts: unigrams a=3 b=2 c=1 (N=6, V=3); bigrams "a b"=2, "b a"=1, "a c"=1
+    p_ab = 0.75 * (2 / 3) + 0.25 * (2 + 1) / (6 + 3)
+    assert out[10].n_bigrams == 1
+    assert out[10].avg_logprob == round(math.log(p_ab), 6)
+    # unseen bigram, seen context, unseen second word -> unigram add-one only
+    p_az = 0.0 + 0.25 * (0 + 1) / 9
+    assert out[11].avg_logprob == round(math.log(p_az), 6)
+    # fully unseen context: MLE term coalesces to 0, not NULL
+    assert out[12].avg_logprob == round(math.log(0.25 * 1 / 9), 6)
+    # docs with <2 tokens produce no bigram rows at all
+    assert 13 not in out and 14 not in out
