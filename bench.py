@@ -56,6 +56,8 @@ HEADLINE = [
     "q105_curation_dag",    # whole profile→filter→dedup→chunk DAG (r4)
     "q108_excel_lake",      # distributed workbook-lake parse (r4)
     "q109_jpeg_stats",      # from-scratch baseline JPEG decode (r4)
+    "q118_media_probe",     # header-only MP4/MP3/WAV/GIF metadata probe (r4)
+    "q120_bigram_logprob",  # interpolated bigram LM quality filter (r4)
 ]
 
 
