@@ -5017,6 +5017,62 @@ def q120(spark, sf_dir):
     return textstats.bigram_interpolated_logprob(train, held)
 
 
+#: fixed merge list for q121 — each merge's symbols exist by the time
+#: it runs (th, e</w> → the</w>, …), exercising multi-char and EOW
+#: merges. apply_bpe takes ANY ordered list; this one is a literal so
+#: the oracle can replay it.
+_BPE_APPLY_MERGES = [
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("i", "n"), ("in", "g"),
+    ("a", "n"), ("an", "d"), ("s", "</w>"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    """DuckDB replay of the greedy merge fold: each word becomes a
+    delimiter-wrapped symbol string (``␁c␁`` per symbol, chr(1) cannot
+    occur in tokens), and each merge in order is ONE left-to-right
+    non-overlapping ``replace`` — exactly the fold semantics (a merged
+    symbol never re-merges with its preceding element within the same
+    step, because replace does not rescan its own output). Token count
+    = delimiter count / 2."""
+    d = "chr(1)"
+    enc = (f"array_to_string(list_transform(generate_series(1, "
+           f"length(word)), i -> {d}||word[i]||{d}), '') "
+           f"|| {d}||'</w>'||{d}")
+    for a, b in _BPE_APPLY_MERGES:
+        enc = (f"replace({enc}, {d}||'{a}'||{d}||{d}||'{b}'||{d}, "
+               f"{d}||'{a}{b}'||{d})")
+    return f"""
+    WITH dd AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                WHERE doc_id % 7 = 0),
+    w AS (SELECT doc_id, unnest(toks) AS word FROM dd),
+    s AS (SELECT doc_id, {enc} AS enc FROM w),
+    a AS (SELECT doc_id,
+                 sum((length(enc) - length(replace(enc, chr(1), ''))) // 2)
+                   AS n_bpe
+          FROM s GROUP BY doc_id)
+    SELECT dd.doc_id, cast(len(dd.toks) AS int) AS n_words,
+           cast(coalesce(a.n_bpe, 0) AS int) AS n_bpe_tokens
+    FROM dd LEFT JOIN a USING (doc_id)
+    """
+
+
+@query("q121_bpe_apply", _bpe_apply_oracle())
+def q121(spark, sf_dir):
+    """Tokenizer APPLICATION (bpe.apply_bpe): segment every document
+    with a fixed 8-entry BPE merge list — per-word greedy left-to-right
+    folds, all narrow array expressions, no shuffle until the per-doc
+    sum. Unlike q115 (the iterative trainer, rows-only by necessity)
+    the application step is SQL-replayable: the oracle encodes each
+    word as a delimiter-wrapped symbol string and applies each merge as
+    one non-overlapping replace, proving the fold semantics under the
+    hash gate."""
+    from gpi_etl_spark.operators.bpe import apply_bpe
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return apply_bpe(docs, _BPE_APPLY_MERGES)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5030,6 +5086,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
+    "q121_bpe_apply",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
