@@ -5073,6 +5073,62 @@ def q121(spark, sf_dir):
     return apply_bpe(docs, _BPE_APPLY_MERGES)
 
 
+@query(
+    "q122_frame_grid",
+    """
+    WITH v AS (SELECT doc_id AS media_id,
+                      1500 + (doc_id % 9) * 700 AS dur
+               FROM documents WHERE doc_id % 30 = 0)
+    SELECT media_id, cast(ts // 800 AS int) AS frame_idx,
+           cast(ts AS bigint) AS ts_ms
+    FROM v, unnest(generate_series(0, dur - 1, 800)) AS g(ts)
+    """,
+)
+def q122(spark, sf_dir):
+    """Video frame-sampling grid driven by REAL container metadata:
+    MP4 payloads are synthesized per doc_id, their duration read back
+    by the ISO-BMFF probe (containers.probe_media_meta — not from the
+    synthesis parameters), and sample_video_frames fans each video out
+    to one row per 800 ms grid point (the one-to-many mapInPandas
+    shape; at scale a 2-hour video becomes thousands of independently
+    repartitionable frame rows). The grid — count and timestamps per
+    video — is checked against the closed form; only the per-frame
+    pixel decode is the documented stub."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.containers import build_mp4, probe_media_meta
+    from gpi_etl_spark.operators.multimodal import sample_video_frames
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 30 == 0)
+
+    def synth(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].values,
+                    "payload": [
+                        build_mp4(640, 360, 1500 + int(d) % 9 * 700, 10)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    lake = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    meta = probe_media_meta(lake).select(
+        "media_id",
+        F.struct(
+            F.col("media_type"), F.col("format"), F.col("width"),
+            F.col("height"), F.col("duration_ms"), F.col("sample_rate"),
+        ).alias("meta"),
+    )
+    videos = lake.join(meta, "media_id")
+    frames = sample_video_frames(videos, every_ms=800,
+                                 deterministic_fake=True)
+    return frames.select("media_id", "frame_idx", "ts_ms")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5086,7 +5142,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
-    "q121_bpe_apply",
+    "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
     "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
     "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
