@@ -69,9 +69,10 @@ def parse_mp4_meta(payload: bytes) -> dict:
     """ISO BMFF container metadata without decoding any sample data.
 
     Returns major brand, movie duration (mvhd), per-track info reduced
-    to: presentation dims (largest vide tkhd), video codec fourcc
-    (first stsd entry of the vide track), frame count and fps (stts
-    sample table vs mdhd media timescale), and track count.
+    to: presentation dims, codec fourcc (first stsd entry), frame count
+    and fps (stts sample table vs mdhd media timescale) of the FIRST
+    vide track — the primary track in common layouts — plus the track
+    count.
     """
     meta: dict = {
         "media_type": "video", "format": "mp4", "brand": None,
@@ -305,45 +306,78 @@ _PROBE_KEYS = frozenset(
 _EMPTY = {k: None for k in _PROBE_KEYS}
 
 
+#: magic-byte sniff order: (format, media_type, parser)
+def _sniff(payload: bytes) -> tuple[str, str] | None:
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav", "audio"
+    if payload[:2] == b"BM":
+        return "bmp", "image"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", "image"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif", "image"
+    if payload[:2] == b"P6":
+        return "ppm", "image"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg", "image"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4", "video"
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and _mp3_frame(payload, 0) is not None
+    ):
+        return "mp3", "audio"
+    return None
+
+
 def probe_payload(payload: bytes) -> dict:
     """Dispatch on magic bytes to a header-only metadata parse. Unlike
     :func:`multimodal.decode_media` this NEVER touches sample/pixel
     data — a WAV probe reads the fmt/data chunk sizes, an image probe
-    reads dims from the header, MP4/MP3 walk container structure."""
+    reads dims from the header, MP4/MP3 walk container structure.
+
+    Lenient by contract: this is the first pass over a raw lake, so a
+    payload that matches a magic prefix but fails its parse (truncated
+    object, wrong container behind the magic) yields a row with the
+    sniffed ``format``/``media_type`` and null metadata — one corrupt
+    object must not kill the probe stage. Unknown magic → all-null."""
     out = dict(_EMPTY)
     if not payload:
         return out
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _probe_wav(payload)
-    if payload[:2] == b"BM" and len(payload) >= 30:
-        w, h = struct.unpack_from("<ii", payload, 18)
-        out.update(format="bmp", media_type="image", width=w, height=abs(h))
+    sniffed = _sniff(payload)
+    if sniffed is None:
         return out
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = struct.unpack_from(">II", payload, 16)
-        out.update(format="png", media_type="image", width=w, height=h)
-        return out
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack_from("<HH", payload, 6)
-        out.update(format="gif", media_type="image", width=w, height=h)
-        return out
-    if payload[:2] == b"P6":
-        from gpi_etl_spark.operators.multimodal import _ppm_header
+    fmt, mtype = sniffed
+    out.update(format=fmt, media_type=mtype)
+    try:
+        if fmt == "wav":
+            return _probe_wav(payload)
+        if fmt == "bmp":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            out.update(width=w, height=abs(h))
+        elif fmt == "png":
+            w, h = struct.unpack_from(">II", payload, 16)
+            out.update(width=w, height=h)
+        elif fmt == "gif":
+            w, h = struct.unpack_from("<HH", payload, 6)
+            out.update(width=w, height=h)
+        elif fmt == "ppm":
+            from gpi_etl_spark.operators.multimodal import _ppm_header
 
-        w, h, _maxval, _pos = _ppm_header(payload)
-        out.update(format="ppm", media_type="image", width=w, height=h)
-        return out
-    if payload[:3] == b"\xff\xd8\xff":
-        return _probe_jpeg(payload)
-    if len(payload) >= 12 and payload[4:8] == b"ftyp":
-        return {**_EMPTY, **{k: v for k, v in parse_mp4_meta(payload).items()
-                             if k in _PROBE_KEYS}}
-    if payload[:3] == b"ID3" or (
-        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
-        and _mp3_frame(payload, 0) is not None
-    ):
-        return {**_EMPTY, **{k: v for k, v in parse_mp3_meta(payload).items()
-                             if k in _PROBE_KEYS}}
+            w, h, _maxval, _pos = _ppm_header(payload)
+            out.update(width=w, height=h)
+        elif fmt == "jpeg":
+            return _probe_jpeg(payload)
+        elif fmt == "mp4":
+            out.update({k: v for k, v in parse_mp4_meta(payload).items()
+                        if k in _PROBE_KEYS})
+        else:  # mp3
+            out.update({k: v for k, v in parse_mp3_meta(payload).items()
+                        if k in _PROBE_KEYS})
+    except Exception:
+        # sniffed format stands; metadata stays null for a bad parse
+        return {**dict(_EMPTY), "format": fmt, "media_type": mtype}
     return out
 
 
@@ -377,6 +411,9 @@ def _probe_jpeg(payload: bytes) -> dict:
             pos += 1
             continue
         marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -394,15 +431,22 @@ def _probe_jpeg(payload: bytes) -> dict:
 
 
 def probe_media_meta(df: DataFrame, payload_col: str = "payload",
-                     id_col: str = "media_id") -> DataFrame:
+                     id_col: str = "media_id",
+                     keep_payload: bool = False) -> DataFrame:
     """ONE ``mapInPandas`` over the payload column → typed metadata
     rows. This is the cheap first pass of a media curation pipeline:
     downstream filters (dims too small, duration too short, wrong
     codec) run on these columns and only survivors reach the full
     decode — at 100 TB the probe reads container headers while the
-    decode fleet sees a fraction of the bytes."""
+    decode fleet sees a fraction of the bytes.
+
+    ``keep_payload=True`` carries the payload column through the probe
+    output, so a probe → filter → decode pipeline is ONE pass over the
+    bytes instead of a metadata self-join that would rescan (or, for a
+    synthesized lake, recompute) the payload side."""
     src = df.select(F.col(id_col).alias("media_id"),
                     F.col(payload_col).alias("payload"))
+    schema = PROBE_SCHEMA + (", payload binary" if keep_payload else "")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -411,7 +455,9 @@ def probe_media_meta(df: DataFrame, payload_col: str = "payload",
                 meta = probe_payload(p)
                 meta["media_id"] = mid
                 meta["n_bytes"] = len(p) if p is not None else 0
+                if keep_payload:
+                    meta["payload"] = p
                 rows.append(meta)
             yield pd.DataFrame(rows)
 
-    return src.mapInPandas(run, schema=PROBE_SCHEMA)
+    return src.mapInPandas(run, schema=schema)

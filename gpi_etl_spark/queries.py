@@ -5116,14 +5116,17 @@ def q122(spark, sf_dir):
     lake = docs.select("doc_id").mapInPandas(
         synth, schema="media_id long, payload binary"
     )
-    meta = probe_media_meta(lake).select(
+    # keep_payload: probe → meta-struct → frame fan-out is ONE pass
+    # over the payload bytes (a meta self-join would synthesize /
+    # rescan the payload side twice)
+    videos = probe_media_meta(lake, keep_payload=True).select(
         "media_id",
+        "payload",
         F.struct(
             F.col("media_type"), F.col("format"), F.col("width"),
             F.col("height"), F.col("duration_ms"), F.col("sample_rate"),
         ).alias("meta"),
     )
-    videos = lake.join(meta, "media_id")
     frames = sample_video_frames(videos, every_ms=800,
                                  deterministic_fake=True)
     return frames.select("media_id", "frame_idx", "ts_ms")

@@ -113,6 +113,40 @@ def test_probe_dispatch_all_formats():
     assert probe_payload(b"\x00" * 64)["format"] is None
 
 
+def test_probe_is_lenient_on_corrupt_payloads():
+    """A payload matching a magic prefix but failing its parse must
+    yield a sniffed-format row with null metadata, never raise — one
+    corrupt object cannot kill the probe stage over a raw lake."""
+    cases = {
+        b"\xff": None,                      # lone 0xFF, not even a sync
+        b"GIF89a": "gif",                   # magic only, truncated LSD
+        b"\x89PNG\r\n\x1a\n": "png",        # signature only, no IHDR
+        b"ID3 this is not really an mp3": "mp3",
+        b"P6 garbage": "ppm",
+        b"BM\x01": "bmp",
+        b"\x00\x00\x00\x0cftypWRNG": "mp4",  # ftyp magic, bogus boxes
+        b"RIFF\x00\x00\x00\x00WAVE": "wav",  # no fmt/data chunks
+    }
+    for payload, fmt in cases.items():
+        got = probe_payload(payload)  # must not raise
+        assert got["format"] == fmt, (payload, got)
+        if fmt not in ("wav",):  # wav with no chunks legitimately has
+            assert got["width"] is None  # nothing beyond the sniff
+            assert got["duration_ms"] is None
+
+
+def test_probe_jpeg_skips_fill_bytes():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; the dim scan must not treat a fill byte as a marker."""
+    from gpi_etl_spark.operators.jpeg import encode_jpeg
+
+    j = bytearray(encode_jpeg(np.full((17, 23), 99, np.uint8), quality=90))
+    sof = j.index(b"\xff\xc0")
+    j[sof:sof] = b"\xff"  # one fill byte immediately before SOF0
+    m = probe_payload(bytes(j))
+    assert (m["width"], m["height"]) == (23, 17)
+
+
 def test_probe_jpeg_dims_without_decode():
     from gpi_etl_spark.operators.jpeg import encode_jpeg
 
