@@ -1,0 +1,137 @@
+"""Link-graph analytics over document collections: PageRank.
+
+Corpus-curation pipelines rank crawled pages by link-graph centrality
+(the Common Crawl / RefinedWeb recipe: harvest the hyperlink graph, run
+PageRank, keep high-rank hosts as a quality prior). The reference's
+link-discovery scan (``HTGPIDESCARGAIMG/__init__.py`` link harvesting)
+produces exactly such an edge list; this operator is the quality
+ranking built on top of it.
+
+Execution model (matches ``similarity.distributed_kmeans``): the loop is
+driver-ORCHESTRATED but data-parallel — per iteration one join
+(ranks ⋈ edges on src) and one aggregation (groupBy dst), so the wire
+carries (node, rank) pairs and never materializes the graph on the
+driver. The edge list is joined with out-degrees once, hash-partitioned
+by ``src`` and persisted, so every iteration's join co-locates with the
+cached edges and only the (much smaller) rank table moves. At 100 TB
+scale: shuffle per iteration ∝ |nodes|, not |edges|.
+
+Only the scalar dangling-rank mass touches the driver (one 1-row action
+per iteration, like k-means' k×dim centroid collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: at most one pagerank edge cache stays pinned per process (same
+#: policy as similarity._LIVE_KMEANS_CACHES)
+_LIVE_PR_CACHES: list[DataFrame] = []
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    redistribute_dangling: bool = True,
+) -> DataFrame:
+    """Standard PageRank over an ``(src, dst)`` edge list.
+
+    Per iteration, for every node v::
+
+        rank'(v) = (1-d)/N + d * ( Σ_{u→v} rank(u)/outdeg(u)
+                                   + dangling_mass / N )
+
+    where ``dangling_mass`` is the total rank held by nodes with no
+    out-edges (redistributed uniformly when ``redistribute_dangling``,
+    dropped otherwise — with redistribution ``Σ rank = 1`` is invariant,
+    the textbook formulation).
+
+    The node set is ``distinct(src ∪ dst)``; parallel edges contribute
+    once each (a page linking twice passes twice the weight), and
+    self-loops are legal. Duplicate-edge dedup, if wanted, is the
+    caller's ``edges.distinct()``.
+
+    Returns a DataFrame ``(node, rank)`` with one row per node.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_outdeg"))
+    # weight each edge once: rank flows as rank(u) * w where
+    # w = 1/outdeg(u); precomputing w keeps the per-iteration join a
+    # pure (src -> rank) lookup
+    ew = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("_outdeg")).alias("w")
+    )
+    while _LIVE_PR_CACHES:
+        _LIVE_PR_CACHES.pop().unpersist()
+    ew = ew.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PR_CACHES.append(ew)
+    # nodes are re-scanned every iteration (left side of the rank
+    # update) and for the dangling mass — pin them too
+    nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PR_CACHES.append(nodes)
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    dangling = nodes.join(
+        outdeg, nodes["node"] == outdeg["src"], "left_anti"
+    )
+
+    # each iteration reads the current ranks twice (dangling-mass action
+    # + the contribution join), so every generation is persisted and the
+    # previous one dropped once its successor materializes
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        d_mass = 0.0
+        if redistribute_dangling:
+            row = (
+                dangling.join(ranks, "node")
+                .agg(F.sum("rank").alias("m"))
+                .collect()[0]
+            )
+            d_mass = float(row["m"] or 0.0)
+        contribs = (
+            ew.join(ranks, ew["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("_c"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.lit(d_mass / n)
+                    )
+                ).alias("rank"),
+            )
+        )
+        # materialize THEN drop the previous iteration's cache — the new
+        # ranks' lineage reads it exactly once here
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+        ranks.count()
+        prev.unpersist()
+    # the final rank table stays pinned (callers usually aggregate it
+    # several ways); the next pagerank() call evicts it with the rest
+    _LIVE_PR_CACHES.append(ranks)
+    return ranks

@@ -5132,6 +5132,63 @@ def q122(spark, sf_dir):
     return frames.select("media_id", "frame_idx", "ts_ms")
 
 
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled PageRank replay (one CTE per iteration) over the
+    synthetic quadratic link graph. ``(1.0 - 0.85)`` and ``(1.0/3)``
+    are spelled as the same IEEE expressions the Spark side computes
+    (a ``0.15`` literal is a DIFFERENT double than ``1.0 - 0.85``)."""
+    parts = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        "e AS (SELECT doc_id AS src, (doc_id*doc_id + k) % cnt AS dst "
+        "FROM documents CROSS JOIN n CROSS JOIN unnest([1,2,3]) AS t(k))",
+        "r0 AS (SELECT doc_id AS node, 1.0/cnt AS rank "
+        "FROM documents CROSS JOIN n)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT d.doc_id AS node, (1.0 - 0.85)/cnt + 0.85*coalesce(s.c, 0) AS rank
+      FROM documents d CROSS JOIN n
+      LEFT JOIN (SELECT e.dst, sum(r.rank * (1.0/3)) AS c
+                 FROM e JOIN r{i - 1} r ON r.node = e.src
+                 GROUP BY e.dst) s ON s.dst = d.doc_id)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )
+
+
+@query("q123_pagerank", _pagerank_oracle_sql(iters=3))
+def q123(spark, sf_dir):
+    """Link-graph quality ranking (linkgraph.pagerank): the Common
+    Crawl / RefinedWeb curation prior — rank pages by hyperlink
+    centrality, keep high-rank hosts. Edges are synthesized from
+    doc_id by a quadratic map (irregular in-degree, so ranks actually
+    differentiate), then the driver-orchestrated loop runs one
+    ranks⋈edges join + one groupBy(dst) per iteration against a
+    src-partitioned cached edge list — shuffle per iteration ∝ nodes,
+    never the (much larger) edge list. The oracle replays all three
+    iterations as unrolled CTEs, so init, edge weighting, damping and
+    the join/agg order are all under the hash gate."""
+    from gpi_etl_spark.operators.linkgraph import pagerank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select(
+        "src",
+        ((F.col("src") * F.col("src") + F.col("k")) % cnt).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85)
+    return ranks.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5144,6 +5201,7 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
+    "q123_pagerank",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

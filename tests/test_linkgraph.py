@@ -1,0 +1,80 @@
+"""PageRank (operators/linkgraph.py) vs a pure-Python replay."""
+
+from collections import Counter, defaultdict
+
+import pytest
+
+from gpi_etl_spark.operators.linkgraph import pagerank
+
+
+def py_pagerank(edges, iters, d=0.85, redistribute=True):
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    out = Counter(s for s, _ in edges)
+    r = dict.fromkeys(nodes, 1.0 / n)
+    for _ in range(iters):
+        dm = (
+            sum(r[v] for v in nodes if out[v] == 0) if redistribute else 0.0
+        )
+        c = defaultdict(float)
+        for s, t in edges:
+            c[t] += r[s] / out[s]
+        r = {v: (1.0 - d) / n + d * (c[v] + dm / n) for v in nodes}
+    return r
+
+
+def run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        row["node"]: row["rank"] for row in pagerank(df, **kw).collect()
+    }
+
+
+def test_simple_cycle_uniform(spark):
+    # a pure cycle is rank-invariant: every node keeps 1/N
+    edges = [(0, 1), (1, 2), (2, 0)]
+    got = run(spark, edges, iters=4)
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+def test_hub_graph_matches_replay(spark):
+    # 0 and 1 both link to 3; 3 links back to 0; 2 links to 1 and 3
+    edges = [(0, 3), (1, 3), (3, 0), (2, 1), (2, 3)]
+    got = run(spark, edges, iters=5)
+    want = py_pagerank(edges, iters=5)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # mass is conserved under dangling redistribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_redistribution(spark):
+    # node 2 has no out-edges: its rank redistributes uniformly
+    edges = [(0, 1), (1, 2), (0, 2)]
+    got = run(spark, edges, iters=3)
+    want = py_pagerank(edges, iters=3)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_drop_mode(spark):
+    edges = [(0, 1), (1, 2), (0, 2)]
+    got = run(spark, edges, iters=3, redistribute_dangling=False)
+    want = py_pagerank(edges, iters=3, redistribute=False)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+    # without redistribution the dangling mass leaks: total < 1
+    assert sum(got.values()) < 1.0
+
+
+def test_parallel_edges_double_weight(spark):
+    # 0 links to 1 twice and 2 once: 1 receives 2/3 of 0's rank
+    edges = [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)]
+    got = run(spark, edges, iters=1)
+    want = py_pagerank(edges, iters=1)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    assert got[1] > got[2]
