@@ -9,6 +9,9 @@ from __future__ import annotations
 
 import re
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type
+# hints (PEP 563) against module globals at decoration
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -310,6 +313,67 @@ def html_to_text_sql(expr: str) -> str:
                     ("&quot;", '"'), ("&#39;", "''"), ("&amp;", "&")):
         out = f"replace({out}, '{ent}', '{ch}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+#: characters removed outright by :func:`unicode_clean`: C0 controls
+#: (minus \t \n \r), DEL, zero-width space/joiners, BOM. Spelled as
+#: escape sequences that parse identically in Java regex (Spark) and
+#: RE2 (DuckDB) — raw control bytes never appear in a plan or SQL text.
+#: \x{...} brace escapes parse the same in Java regex and RE2
+_CTRL_CLASS = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f"
+    r"\x{200b}-\x{200d}\x{feff}]"
+)
+_CTRL_CLASS_SQL = _CTRL_CLASS
+
+
+def nfc_normalize(col: Column | str, form: str = "NFC") -> Column:
+    """Unicode canonical normalization via an Arrow-batched pandas_udf.
+
+    Spark has no built-in normalizer, and normalization is genuinely
+    table-driven (the full Unicode composition tables) — this is the
+    documented slow-path exception, kept OFF the hot path: run it once
+    at ingest, downstream operators stay native. The batch transfers as
+    Arrow; per-batch work is a C-backed ``unicodedata.normalize`` loop.
+
+    ``form`` ∈ NFC/NFD/NFKC/NFKD (the oracle twin exists for NFC only —
+    DuckDB ships ``nfc_normalize``)."""
+    import unicodedata
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize(form, x)
+            if isinstance(x, str)
+            else x
+        )
+
+    return _norm(c)
+
+
+def unicode_clean(col: Column | str, nfc: bool = True) -> Column:
+    """Corpus text normalization: NFC-compose (optional), drop control
+    and zero-width characters, collapse horizontal whitespace runs to a
+    single space (newlines survive — paragraph structure is signal),
+    trim. The cleanup stages are native regexp chains; only the NFC
+    step pays the Python toll (see :func:`nfc_normalize`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if nfc:
+        c = nfc_normalize(c)
+    c = F.regexp_replace(c, _CTRL_CLASS, "")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    return F.trim(c)
+
+
+def unicode_clean_sql(expr: str) -> str:
+    """DuckDB spelling of :func:`unicode_clean` (nfc=True): identical
+    chain over ``nfc_normalize`` + RE2 patterns."""
+    out = f"nfc_normalize({expr})"
+    out = f"regexp_replace({out}, '{_CTRL_CLASS_SQL}', '', 'g')"
+    out = f"regexp_replace({out}, '[ \\t]+', ' ', 'g')"
+    return f"trim({out})"
 
 
 def chunk_texts(

@@ -5189,6 +5189,50 @@ def q123(spark, sf_dir):
     )
 
 
+@query(
+    "q124_unicode_clean",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, lang,
+             text || chr(9) || 'Cafe' || chr(769) || ' ' || chr(8203) ||
+               'de' || chr(7) || 'ux  fin' AS messy
+      FROM documents),
+    c AS (SELECT doc_id, lang, messy,
+                 {textstats.unicode_clean_sql('messy')} AS cleaned
+          FROM raw)
+    SELECT doc_id, lang,
+           cast(len(messy) AS int) AS n_raw,
+           cast(len(cleaned) AS int) AS n_clean,
+           sha256(cleaned) AS h
+    FROM c
+    """,
+)
+def q124(spark, sf_dir):
+    """Unicode corpus normalization (textstats.unicode_clean): NFC
+    composition through an Arrow-batched pandas_udf (the documented
+    slow-path exception — Spark has no native normalizer), then native
+    regexp stages dropping control/zero-width characters and collapsing
+    horizontal whitespace. Every document gets a synthesized messy
+    suffix (tab, combining acute, zero-width space, BEL, double space —
+    built via chr() on the oracle side so no raw control bytes live in
+    SQL text), so composition, stripping and collapsing are all under
+    the hash gate via the cleaned text's sha256."""
+    docs = t(spark, sf_dir, "documents")
+    messy = F.concat(
+        # decomposed e+U+0301 (so NFC actually composes), zero-width
+        # space, BEL: exactly the chr() chain the oracle concatenates
+        F.col("text"), F.lit("\tCafe\u0301 \u200bde\x07ux  fin")
+    )
+    cleaned = textstats.unicode_clean(messy)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length(messy).alias("n_raw"),
+        F.length(cleaned).alias("n_clean"),
+        F.sha2(cleaned, 256).alias("h"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5201,7 +5245,7 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
-    "q123_pagerank",
+    "q123_pagerank", "q124_unicode_clean",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -209,3 +209,38 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[12].avg_logprob == round(math.log(0.25 * 1 / 9), 6)
     # docs with <2 tokens produce no bigram rows at all
     assert 13 not in out and 14 not in out
+
+
+def test_unicode_clean_composes_strips_collapses(spark):
+    from gpi_etl_spark.operators.textstats import unicode_clean
+
+    rows = [
+        (1, "Café"),               # NFD -> composed single char
+        (2, "a​b‌c‍d﻿e"),  # zero-widths dropped
+        (3, "x\x00\x07\x1fy\x7fz"),      # C0 controls + DEL dropped
+        (4, "  a\t\tb   c  "),           # runs collapse, trim
+        (5, "line1\n\nline2"),           # newlines SURVIVE
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", unicode_clean("t").alias("c")
+        ).collect()
+    }
+    assert got[1] == "Café" and len(got[1]) == 4
+    assert got[2] == "abcde"
+    assert got[3] == "xyz"
+    assert got[4] == "a b c"
+    assert got[5] == "line1\n\nline2"
+    assert got[6] is None
+
+
+def test_unicode_clean_native_path_skips_nfc(spark):
+    from gpi_etl_spark.operators.textstats import unicode_clean
+
+    df = spark.createDataFrame([(1, "Café  x")], "id long, t string")
+    out = df.select(unicode_clean("t", nfc=False).alias("c")).collect()[0].c
+    # without NFC the combining mark stays decomposed; cleanup still runs
+    assert out == "Café x" and len(out) == 7
