@@ -384,3 +384,117 @@ def semantic_dedup(
     ).select(
         id_col, "cell", F.col("_dup_id").isNotNull().alias("is_dup")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max|x|/127``,
+    ``q_i = clamp(floor(x_i/scale + 0.5), ±127)`` (zero vectors get
+    scale 1 and all-zero codes).
+
+    The 100 TB lever for the ANN family: an int8 code array is 4× (vs
+    float32) smaller in cache, shuffle and parquet, and cosine over
+    codes needs NO dequantization — the scales cancel, so the scoring
+    scan is pure integer arithmetic (see :func:`quantized_topk`).
+    ``floor(x/s + 0.5)`` is used instead of ``round`` because its IEEE
+    evaluation is bit-identical in every engine — the DuckDB oracle
+    replays quantization exactly, and the integer code sums hash-match
+    with no float tolerance at all.
+
+    Everything is native expressions; the scale is let_-bound so the
+    per-element lambda reads a computed value (not re-running the
+    array_max per element — the O(d²) trap documented in hof.py).
+
+    Returns the input plus ``qscale`` (double) and ``q``
+    (array<tinyint>).
+    """
+    from gpi_etl_spark.functions.hof import let_
+
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+
+    def _quant(xv):
+        amax = F.array_max(F.transform(xv, F.abs))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        return let_(
+            scale,
+            lambda s: F.struct(
+                s.alias("scale"),
+                F.transform(
+                    xv,
+                    lambda v: F.greatest(
+                        F.lit(-127).cast("bigint"),
+                        F.least(
+                            F.lit(127).cast("bigint"),
+                            F.floor(v / s + F.lit(0.5)),
+                        ),
+                    ).cast("tinyint"),
+                ).alias("q"),
+            ),
+        )
+
+    return (
+        df.withColumn("_qz", let_(x, _quant))
+        .withColumn("qscale", F.col("_qz.scale"))
+        .withColumn("q", F.col("_qz.q"))
+        .drop("_qz")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over integer code arrays — exact (no float accumulation),
+    so the result is order-independent and oracle-gateable with zero
+    tolerance. Codes are widened to long before the multiply (int8·int8
+    can't overflow long at any realistic dimensionality)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(a: Column, b: Column) -> Column:
+    """Cosine between two int8 code arrays. The per-vector scales
+    cancel algebraically (cos(s_a·q_a, s_b·q_b) = cos(q_a, q_b)), so
+    this never touches the scale columns: three exact integer folds and
+    one sqrt. Zero-norm codes score 0."""
+    num = int_dot(a, b).cast("double")
+    den = F.sqrt((int_dot(a, a) * int_dot(b, b)).cast("double"))
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors — the memory-bound
+    twin of :func:`brute_force_topk`: the scan touches only code arrays
+    (4× smaller) and integer ALU ops, with the query quantized
+    driver-side and inlined as a literal (no join, no broadcast
+    variable). Compose with IVF/LSH bucketing for the sub-linear path.
+
+    Returns ``(vec_id, qcos, rank)`` for the ``k`` best by quantized
+    cosine (ties broken by id).
+    """
+    q = [float(v) for v in query_vec]
+    amax = max((abs(v) for v in q), default=0.0)
+    s = amax / 127.0 if amax > 0 else 1.0
+    import math
+
+    codes = [
+        int(max(-127, min(127, math.floor(v / s + 0.5)))) for v in q
+    ]
+    p = F.array(*[F.lit(c) for c in codes])
+    qz = quantize_embeddings(vectors, id_col, vec_col)
+    w = Window.orderBy(F.col("qcos").desc(), F.col(id_col).asc())
+    return (
+        qz.withColumn("qcos", quantized_cosine(F.col("q"), p))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "qcos", "rank")
+    )

@@ -5233,6 +5233,83 @@ def q124(spark, sf_dir):
     )
 
 
+@query(
+    "q125_embedding_quantize",
+    """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a1 AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS amax FROM base),
+    a2 AS (SELECT vec_id, v,
+                  CASE WHEN amax > 0 THEN amax/127.0 ELSE 1.0 END AS s
+           FROM a1),
+    a3 AS (SELECT vec_id, s,
+             list_transform(v, x ->
+               cast(greatest(-127, least(127, floor(x/s + 0.5))) AS bigint))
+               AS q
+           FROM a2),
+    qv AS (SELECT q AS p FROM a3 WHERE vec_id = 0)
+    SELECT vec_id,
+           cast(len(q) AS int) AS n_dims,
+           round(s, 6) AS qscale_r,
+           cast(list_sum(list_transform(q, x -> abs(x))) AS bigint) AS q_l1,
+           cast(list_dot_product(q, p) AS bigint) AS q_dot0,
+           round(CASE
+             WHEN list_dot_product(q, q) * list_dot_product(p, p) > 0
+             THEN list_dot_product(q, p) /
+                  sqrt(cast(list_dot_product(q, q) * list_dot_product(p, p)
+                            AS double))
+             ELSE 0.0 END, 6) AS qcos0
+    FROM a3 CROSS JOIN qv
+    """,
+)
+def q125(spark, sf_dir):
+    """Int8 embedding quantization (similarity.quantize_embeddings):
+    per-vector symmetric scales, codes via floor(x/s + 0.5) — chosen
+    over round() precisely because its IEEE evaluation is bit-identical
+    across engines, so the integer code sums (L1, dot against the
+    vec-0 query point) hash-match with ZERO float tolerance. Cosine
+    over codes is scale-free pure integer arithmetic
+    (similarity.quantized_cosine) — the 4×-smaller scan path for
+    100 TB ANN. The query point is quantized driver-side with the same
+    IEEE ops and inlined as a literal (model state, no join)."""
+    import math
+
+    from gpi_etl_spark.operators.similarity import (
+        int_dot,
+        quantize_embeddings,
+        quantized_cosine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    v0 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]["embedding"]
+    ]
+    amax = max((abs(x) for x in v0), default=0.0)
+    s0 = amax / 127.0 if amax > 0 else 1.0
+    p = F.array(
+        *[
+            F.lit(int(max(-127, min(127, math.floor(x / s0 + 0.5)))))
+            for x in v0
+        ]
+    )
+    return qz.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.round("qscale", 6).alias("qscale_r"),
+        F.aggregate(
+            F.transform("q", lambda c: F.abs(c.cast("long"))),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        int_dot(F.col("q"), p).alias("q_dot0"),
+        F.round(quantized_cosine(F.col("q"), p), 6).alias("qcos0"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5245,7 +5322,7 @@ def _qnum(name: str) -> int:
 #: the .xls reader that gained v4-CFB addressing, string-formula and
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
-    "q123_pagerank", "q124_unicode_clean",
+    "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

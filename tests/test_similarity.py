@@ -144,3 +144,78 @@ def test_semantic_dedup_drops_near_dups_keeps_min_id(spark):
     assert out[1][1] and out[2][1]  # its copies are duplicates
     assert not out[3][1]            # cos(a, ortho) ≈ 0.55 < 0.95: kept
     assert not out[10][1] and out[11][1]  # second blob: keep 10, drop 11
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """|x - q*scale| <= scale/2 per element; zero vectors get zero codes."""
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(0, 2, 16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, vec in rows:
+        r = got[i]
+        assert len(r.q) == 16
+        assert all(-127 <= c <= 127 for c in r.q)
+        for x, c in zip(vec, r.q):
+            assert abs(x - c * r.qscale) <= r.qscale / 2 + 1e-12
+    assert got[99].qscale == 1.0 and all(c == 0 for c in got[99].q)
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(0, 1, (200, 12))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [float(x) for x in vecs[0] + rng.normal(0, 0.05, 12)]
+    queries = spark.createDataFrame(
+        [(0, qv)], "query_id long, query_vec array<double>"
+    )
+    exact = {
+        r.vec_id for r in brute_force_topk(df, queries, k=10).collect()
+    }
+    quant = {r.vec_id for r in quantized_topk(df, qv, k=10).collect()}
+    # int8 keeps ~2 decimal digits of cosine: near-perfect top-10 recall
+    assert len(exact & quant) >= 8
+    # and the true nearest neighbor is never lost
+    assert 0 in quant
+
+
+def test_quantized_cosine_scale_invariance(spark):
+    """Scaling a vector changes its qscale but not its codes' cosine."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine,
+    )
+
+    base = [0.3, -1.2, 0.7, 2.5]
+    df = spark.createDataFrame(
+        [(1, base), (2, [x * 100.0 for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    qz = quantize_embeddings(df)
+    a = qz.filter("vec_id = 1").select("q").collect()[0].q
+    b = qz.filter("vec_id = 2").select("q").collect()[0].q
+    assert list(a) == list(b)  # identical codes
+    one = spark.range(1).select(
+        quantized_cosine(
+            F.array(*[F.lit(int(c)) for c in a]),
+            F.array(*[F.lit(int(c)) for c in b]),
+        ).alias("c")
+    ).collect()[0].c
+    assert one == 1.0
