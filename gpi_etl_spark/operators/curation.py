@@ -269,6 +269,53 @@ def contaminated_ids(
     return c.join(h, "shingle").select(id_col).distinct()
 
 
+def contamination_overlap(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """GRADED decontamination: per-document fraction of distinct
+    ``n``-word shingles that appear anywhere in the held-out set.
+
+    :func:`contaminated_ids` answers "touched at all?" — the binary
+    gate. This scores HOW contaminated (the GPT-3/PaLM appendix recipe:
+    drop above a high threshold, flag the gray zone for review), so the
+    pipeline can distinguish a doc quoting one benchmark sentence from
+    a verbatim test-set copy.
+
+    Same scale shape as the binary op: explode to distinct (id,
+    shingle) pairs, LEFT join against the (tiny, AQE-broadcast)
+    held-out shingle set, one groupBy(id) — shuffle ∝ corpus shingles,
+    counts pre-aggregate map-side. Documents whose normalized text is
+    empty have no shingles and produce no row.
+
+    Returns ``(id, n_shingles, n_hits, overlap_ratio)``.
+    """
+    from gpi_etl_spark.operators.dedup import word_shingles
+
+    c = word_shingles(corpus, text_col, id_col, n=n)
+    h = (
+        word_shingles(heldout, text_col, id_col, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hit = F.coalesce(F.col("_hit"), F.lit(0))
+    return (
+        c.join(h, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(hit).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(hit) / F.count(F.lit(1)), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
 def _shingle_hash_array(text_col: str, n: int) -> Column:
     """xxhash64 of every distinct ``n``-word shingle of a document, as
     an array column — the no-explode twin of ``dedup.word_shingles``

@@ -5310,6 +5310,43 @@ def q125(spark, sf_dir):
     )
 
 
+@query(
+    "q126_contamination_score",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks
+                 FROM documents),
+    sh0 AS (SELECT doc_id,
+                   array_to_string(list_slice(toks, u.i + 1, u.i + 4), ' ')
+                     AS shingle
+            FROM tok,
+                 unnest(generate_series(0, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE len(shingle) > 0),
+    held AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 3)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           cast(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_hits,
+           round(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS overlap_ratio
+    FROM sh s LEFT JOIN held h USING (shingle)
+    WHERE s.doc_id % 17 <> 3
+    GROUP BY s.doc_id
+    """,
+)
+def q126(spark, sf_dir):
+    """Graded decontamination (curation.contamination_overlap): per-doc
+    fraction of distinct 4-word shingles shared with a held-out set
+    (ids % 17 = 3) — the GPT-3-appendix contamination SCORE, vs q70's
+    binary flag. Left join against the broadcast-size held-out shingle
+    set, one groupBy; ratio is a long/long division both engines
+    evaluate identically."""
+    docs = t(spark, sf_dir, "documents")
+    heldout = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    return curation.contamination_overlap(corpus, heldout, n=4)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5323,6 +5360,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
+    "q126_contamination_score",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -363,3 +363,55 @@ def test_domain_frequency_cap_passes_hostless_rows_through(spark):
         got.setdefault(r.domain, set()).add(r.doc_id)
     assert len(got["one.com"]) == 3            # capped
     assert len(got[""]) == 10                  # hostless rows all survive
+
+
+def test_contamination_overlap_hand_computed(spark):
+    from gpi_etl_spark.operators.curation import contamination_overlap
+
+    corpus = spark.createDataFrame(
+        [
+            # distinct 2-grams: "a b","b c","c d" — "a b" and "b c" held out
+            (1, "a b c d"),
+            # "x y" only, no overlap
+            (2, "x y"),
+            # verbatim copy of the held-out doc: full overlap
+            (3, "a b c"),
+            (4, ""),  # no shingles -> no row
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(100, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in contamination_overlap(corpus, heldout, n=2).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_shingles, got[1].n_hits) == (3, 2)
+    assert got[1].overlap_ratio == round(2 / 3, 6)
+    assert (got[2].n_shingles, got[2].n_hits) == (1, 0)
+    assert got[3].overlap_ratio == 1.0
+
+
+def test_contamination_overlap_agrees_with_binary_gate(spark):
+    """overlap_ratio > 0 exactly for the ids contaminated_ids flags."""
+    from gpi_etl_spark.operators.curation import (
+        contaminated_ids,
+        contamination_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} common tail phrase number {i % 3}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [(99, "common tail phrase number 1")], "doc_id long, text string"
+    )
+    binary = {r.doc_id for r in contaminated_ids(corpus, heldout, n=3).collect()}
+    graded = {
+        r.doc_id
+        for r in contamination_overlap(corpus, heldout, n=3).collect()
+        if r.overlap_ratio > 0
+    }
+    assert binary == graded and binary
