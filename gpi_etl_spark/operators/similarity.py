@@ -498,3 +498,70 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "qcos", "rank")
     )
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    frac: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality pruning (the SSL-Prototypes / SemDeDup-paper
+    companion recipe): k-means the corpus, score every vector by cosine
+    to its own centroid, flag the ``frac`` LEAST prototypical members
+    of each cluster as outliers — the "probably noise/off-distribution"
+    slice a curation pipeline drops or routes to review.
+
+    Scoring is a narrow projection against the inlined centroid matrix
+    (no join — same trick as the k-means assignment step); ranking is
+    one window per cluster. Similarities are rounded to 6 dp BEFORE
+    ranking, with id tie-breaks, so the flagged set is deterministic
+    and the DuckDB Lloyd-replay oracle reproduces it exactly.
+
+    Returns the assignment frame plus ``sim_r`` (rounded cosine to own
+    centroid) and ``is_outlier``.
+    """
+    from gpi_etl_spark.functions.hof import let_
+
+    cents, assigned = distributed_kmeans(
+        vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(w)) for w in c])
+            for c in cents
+        ]
+    )
+    nv = let_(
+        F.col(vec_col),
+        lambda v: let_(
+            F.greatest(
+                F.sqrt(
+                    F.aggregate(
+                        v, F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ),
+                F.lit(1e-12),
+            ),
+            lambda nrm: F.transform(v, lambda x: x / nrm),
+        ),
+    )
+    sim = F.round(
+        dot(nv, F.element_at(cent_arr, F.col("cell") + 1)), 6
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("sim_r").asc(), F.col(id_col).asc()
+    )
+    wc = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("sim_r", sim)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "is_outlier",
+            F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_cnt")),
+        )
+        .drop("_rn", "_cnt")
+    )

@@ -5347,6 +5347,55 @@ def q126(spark, sf_dir):
     return curation.contamination_overlap(corpus, heldout, n=4)
 
 
+def _centroid_outliers_oracle_sql(k: int, iters: int, frac: float) -> str:
+    """Lloyd replay + prototypicality ranking: cosine to own centroid
+    rounded to 6 dp BEFORE the per-cluster window (id tie-breaks), the
+    bottom ``frac`` flagged — same determinism contract as q110."""
+    nv = (
+        "list_transform(v, x -> x / greatest("
+        "sqrt(list_sum(list_transform(v, y -> y*y))), 1e-12))"
+    )
+    parts = _kmeans_ctes(k, iters) + [
+        "asg AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        f"""sim AS (
+      SELECT a.vec_id, a.cell,
+             round(list_dot_product({nv}, c.cv), 6) AS sim_r
+      FROM asg a JOIN c{iters} c ON c.cell = a.cell)""",
+        """rk AS (
+      SELECT vec_id, cell, sim_r,
+             row_number() OVER (PARTITION BY cell
+                 ORDER BY sim_r ASC, vec_id ASC) AS rno,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM sim)""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT vec_id, cast(cell AS int) AS cell, sim_r,
+       (rno <= ceil({frac} * cnt)) AS is_outlier
+FROM rk"""
+    )
+
+
+@query(
+    "q127_centroid_outliers",
+    _centroid_outliers_oracle_sql(k=8, iters=4, frac=0.2),
+)
+def q127(spark, sf_dir):
+    """Prototypicality pruning (similarity.centroid_outliers): k-means
+    the embedding corpus, score each vector by cosine to its own
+    centroid (a narrow projection against the inlined centroid matrix
+    — no join), flag the least-prototypical 20% per cluster. The
+    drop-the-noise-tail companion to q110's drop-the-duplicates: both
+    replay end-to-end in DuckDB because init is deterministic and
+    similarities are rounded before ranking."""
+    from gpi_etl_spark.operators.similarity import centroid_outliers
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, k=8, iters=4, frac=0.2)
+    return out.select("vec_id", "cell", "sim_r", "is_outlier")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5360,7 +5409,7 @@ def _qnum(name: str) -> int:
 #: MERGEDCELLS handling.
 _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
-    "q126_contamination_score",
+    "q126_contamination_score", "q127_centroid_outliers",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

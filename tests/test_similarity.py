@@ -219,3 +219,40 @@ def test_quantized_cosine_scale_invariance(spark):
         ).alias("c")
     ).collect()[0].c
     assert one == 1.0
+
+
+def test_centroid_outliers_flags_least_prototypical(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import centroid_outliers
+
+    rng = np.random.RandomState(3)
+    rows = []
+    a = np.zeros(6); a[0] = 1.0
+    b = np.zeros(6); b[3] = 1.0
+    # tight cluster around a (ids 0-8) plus one far-off member (id 9)
+    for i in range(9):
+        rows.append((i, [float(x) for x in a + rng.normal(0, 0.01, 6)]))
+    drift = a + 0.9 * b
+    rows.append((9, [float(x) for x in drift]))
+    # tight cluster around b (ids 10-14)
+    for i in range(10, 15):
+        rows.append((i, [float(x) for x in b + rng.normal(0, 0.01, 6)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           centroid_outliers(df, k=2, iters=4, frac=0.11).collect()}
+    assert len(out) == 15
+    # per cluster exactly ceil(0.11 * n) flagged
+    import math
+    from collections import Counter
+    per = Counter(r.cell for r in out.values())
+    flagged = Counter(r.cell for r in out.values() if r.is_outlier)
+    for cell, n in per.items():
+        assert flagged[cell] == math.ceil(0.11 * n)
+    # the drifted vector is its cluster's outlier
+    cell9 = out[9].cell
+    worst = min(
+        (r for r in out.values() if r.cell == cell9),
+        key=lambda r: (r.sim_r, r.vec_id),
+    )
+    assert worst.vec_id == 9 and out[9].is_outlier
