@@ -316,6 +316,63 @@ def contamination_overlap(
     )
 
 
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score every corpus
+    document by its average log-likelihood RATIO between a
+    target-domain unigram LM and the general-corpus unigram LM —
+    positive means "looks more like the target than like the average
+    crawl", the signal used to up-sample domain-relevant pretraining
+    data. Both LMs are add-one smoothed over their JOINT vocabulary, so
+    the ratio is defined for every token.
+
+    Scale shape: one exploded-token pass per side feeds the two
+    vocabulary aggregates (map-side combinable); scoring is an
+    equi-join of corpus tokens against the merged vocabulary
+    (broadcastable while vocab is bounded) and the three scalars
+    (token totals + vocab size) ride along as a one-row broadcast, not
+    a driver collect. Documents with no tokens produce no row.
+
+    Returns ``(id, n_tokens, llr_r)`` with the per-doc mean log-ratio
+    rounded to 6 dp (ranking off rounded values keeps downstream
+    selection deterministic across engines).
+    """
+    from gpi_etl_spark.operators.textstats import tokens
+
+    tc = corpus.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tt = target.select(F.explode(tokens(text_col)).alias("term"))
+    ct = tt.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    cc = tc.groupBy("term").agg(F.count(F.lit(1)).alias("cc"))
+    vocab = ct.join(cc, "term", "full_outer").select(
+        "term",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cc", F.lit(0)).alias("cc"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cc").alias("nc"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = F.log(
+        (F.col("ct") + 1) / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("cc") + 1) / (F.col("nc") + F.col("v")))
+    return (
+        tc.join(vocab, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(llr), 6).alias("llr_r"),
+        )
+    )
+
+
 def _shingle_hash_array(text_col: str, n: int) -> Column:
     """xxhash64 of every distinct ``n``-word shingle of a document, as
     an array column — the no-explode twin of ``dedup.word_shingles``

@@ -5396,6 +5396,54 @@ def q127(spark, sf_dir):
     return out.select("vec_id", "cell", "sim_r", "is_outlier")
 
 
+@query(
+    "q128_importance_resampling",
+    f"""
+    WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 5),
+    cor AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 11 <> 5),
+    tt AS (SELECT unnest({_TOKS_SQL}) AS term FROM tgt),
+    ctab AS (SELECT term, count(*) AS ct FROM tt GROUP BY term),
+    tc AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM cor),
+    cctab AS (SELECT term, count(*) AS cc FROM tc GROUP BY term),
+    vocab AS (SELECT term, coalesce(ct, 0) AS ct, coalesce(cc, 0) AS cc
+              FROM ctab FULL OUTER JOIN cctab USING (term)),
+    totals AS (SELECT sum(ct) AS nt, sum(cc) AS nc, count(*) AS v
+               FROM vocab),
+    s AS (SELECT t.doc_id,
+                 ln((vb.ct + 1) / (tl.nt + tl.v))
+                 - ln((vb.cc + 1) / (tl.nc + tl.v)) AS llr
+          FROM tc t JOIN vocab vb USING (term) CROSS JOIN totals tl),
+    a AS (SELECT doc_id, count(*) AS n_tokens, round(avg(llr), 6) AS llr_r
+          FROM s GROUP BY doc_id)
+    SELECT a.doc_id, d.lang, a.n_tokens, a.llr_r,
+           (row_number() OVER (PARTITION BY d.lang
+                ORDER BY a.llr_r DESC, a.doc_id ASC) <= 25) AS keep
+    FROM a JOIN documents d USING (doc_id)
+    """,
+)
+def q128(spark, sf_dir):
+    """DSIR importance resampling (curation.importance_weights): score
+    corpus docs by the unigram log-likelihood ratio between a
+    target-domain LM (docs with id % 11 = 5 standing in for the
+    quality-reference set) and the general-corpus LM, then keep the
+    top 25 per language by rounded weight — the published recipe for
+    up-sampling domain-relevant pretraining data. Both smoothed LMs,
+    the joint vocabulary, the per-token ratio and the per-language
+    selection all replay in SQL."""
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 11 == 5)
+    corpus = docs.filter(F.col("doc_id") % 11 != 5)
+    w = curation.importance_weights(corpus, target)
+    win = Window.partitionBy("lang").orderBy(
+        F.col("llr_r").desc(), F.col("doc_id").asc()
+    )
+    return (
+        w.join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("keep", F.row_number().over(win) <= 25)
+        .select("doc_id", "lang", "n_tokens", "llr_r", "keep")
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5410,6 +5458,7 @@ def _qnum(name: str) -> int:
 _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
     "q126_contamination_score", "q127_centroid_outliers",
+    "q128_importance_resampling",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

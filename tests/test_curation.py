@@ -415,3 +415,31 @@ def test_contamination_overlap_agrees_with_binary_gate(spark):
         if r.overlap_ratio > 0
     }
     assert binary == graded and binary
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    import math
+
+    from gpi_etl_spark.operators.curation import importance_weights
+
+    target = spark.createDataFrame(
+        [(100, "physics physics quantum field"),
+         (101, "quantum gravity physics")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "physics quantum notes"),   # target-like
+            (2, "cheap pills casino now"),  # off-domain
+            (3, ""),                        # no tokens -> no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in importance_weights(corpus, target).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].llr_r > 0 > got[2].llr_r
+    # hand-check one token: "physics": ct=3, cc=1; joint vocab v=9,
+    # nt=7, nc=7  -> llr = ln(4/16) - ln(2/16)
+    # doc 2 tokens are all ct=0, cc=1: llr = ln(1/16) - ln(2/16)
+    want2 = round(math.log(1 / 16) - math.log(2 / 16), 6)
+    assert got[2].llr_r == want2
