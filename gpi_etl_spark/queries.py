@@ -5444,6 +5444,45 @@ def q128(spark, sf_dir):
     )
 
 
+@query(
+    "q129_streaming_dedup",
+    """
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS content_hash,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q129(spark, sf_dir):
+    """Exact dedup as a REAL Structured Streaming job — the
+    stream-ingest twin of q31: documents arrive as a file stream, each
+    micro-batch hashes its normalized text, and a complete-mode
+    groupBy(content_hash) keeps the min-id representative and running
+    dup_count across batches (state ∝ distinct hashes; at 100 TB the
+    append-mode variant with dropDuplicatesWithinWatermark bounds
+    state by the event-time window instead). The memory-sink table
+    must equal the batch/DuckDB answer."""
+    import re as _re
+    import tempfile as _tmp
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    landing = os.path.join(_tmp.gettempdir(), f"gpi_q129_{key}")
+    docs.write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(docs.schema).parquet(landing)
+    agg = (
+        stream.withColumn(
+            "content_hash", F.sha2(dedup.normalize_text("text"), 256)
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+    return run_stream_to_table(spark, agg, "gpi_stream_q129")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5458,7 +5497,7 @@ def _qnum(name: str) -> int:
 _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
     "q126_contamination_score", "q127_centroid_outliers",
-    "q128_importance_resampling",
+    "q128_importance_resampling", "q129_streaming_dedup",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
