@@ -25,7 +25,8 @@ sys.path.insert(0, "/root/repo")
 EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_topk",
                 "q48_embedding_near_dup", "q68_tfidf_topterms", "q77_data_quality",
                 "q85_pipeline_wasde", "q95_pipeline_wasde2",
-                "q97_unigram_logprob", "q120_bigram_logprob"}
+                "q97_unigram_logprob", "q120_bigram_logprob",
+                "q128_importance_resampling"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
@@ -38,10 +39,14 @@ EXPECTED_GLOBAL_WIN: set[str] = {"q76_vocabulary"}
 def global_windows(plan: str) -> int:
     """Count partition-less Window execs in a physical-plan string.
 
-    A `Window` line prints `Window [exprs], [partition], [order]`;
-    without a partition spec only two top-level bracket groups appear.
-    Bracket groups are parsed by depth so commas inside
-    windowspecdefinition(...) don't fool the count.
+    A `Window` line prints `Window [exprs], [partition], [order]`, but
+    BOTH trailing specs are optional: a partitioned-unordered window
+    (`count(*) OVER (PARTITION BY k)`) prints two groups and a global
+    ORDERED window (`row_number() OVER (ORDER BY x)`) ALSO prints two —
+    so the group count alone can't distinguish them. Disambiguate by
+    content: an ordering group contains `ASC`/`DESC` sort directions, a
+    partition group never does. Bracket groups are parsed by depth so
+    commas inside windowspecdefinition(...) don't fool the split.
     """
     n = 0
     for line in plan.splitlines():
@@ -49,15 +54,21 @@ def global_windows(plan: str) -> int:
         if not m:
             continue
         depth = 0
-        groups = 0
+        groups: list[str] = []
         for ch in line[m.end() - 1:]:
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    groups.append("")
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
+            if depth > 0:
+                groups[-1] += ch
+        is_order = [
+            bool(re.search(r" (ASC|DESC) ", g)) for g in groups[1:]
+        ]
+        # global iff no non-ordering spec group follows the exprs
+        if all(is_order):
             n += 1
     return n
 
