@@ -58,6 +58,10 @@ HEADLINE = [
     "q109_jpeg_stats",      # from-scratch baseline JPEG decode (r4)
     "q118_media_probe",     # header-only MP4/MP3/WAV/GIF metadata probe (r4)
     "q120_bigram_logprob",  # interpolated bigram LM quality filter (r4)
+    "q123_pagerank",        # iterative link-graph ranking (r4)
+    "q124_unicode_clean",   # NFC pandas_udf + native cleanup (r4)
+    "q126_contamination_score",  # graded shingle decontamination (r4)
+    "q128_importance_resampling",  # DSIR LM-ratio selection (r4)
 ]
 
 

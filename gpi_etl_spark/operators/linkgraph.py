@@ -86,20 +86,27 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+    # one up-front action decides whether the per-iteration dangling
+    # scan is needed at all: a link graph where every page has
+    # out-links (common after edge harvesting) pays zero extra jobs
     dangling = nodes.join(
         outdeg, nodes["node"] == outdeg["src"], "left_anti"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_PR_CACHES.append(dangling)
+    has_dangling = redistribute_dangling and bool(dangling.head(1))
 
-    # each iteration reads the current ranks twice (dangling-mass action
-    # + the contribution join), so every generation is persisted and the
-    # previous one dropped once its successor materializes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # with dangling mass each iteration reads the current ranks twice
+    # (mass action + contribution join): persist every generation and
+    # drop the previous one once its successor materializes. WITHOUT
+    # dangling mass each generation is read exactly once, so the whole
+    # loop stays one lazy composed plan — zero per-iteration jobs.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if has_dangling:
+        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
     base = (1.0 - damping) / n
     for _ in range(iters):
         d_mass = 0.0
-        if redistribute_dangling:
+        if has_dangling:
             row = (
                 dangling.join(ranks, "node")
                 .agg(F.sum("rank").alias("m"))
@@ -126,12 +133,14 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # materialize THEN drop the previous iteration's cache — the new
-        # ranks' lineage reads it exactly once here
-        ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
-        ranks.count()
-        prev.unpersist()
-    # the final rank table stays pinned (callers usually aggregate it
-    # several ways); the next pagerank() call evicts it with the rest
-    _LIVE_PR_CACHES.append(ranks)
+        if has_dangling:
+            # materialize THEN drop the previous iteration's cache —
+            # the new ranks' lineage reads it exactly once here
+            ranks = ranks.persist(StorageLevel.MEMORY_AND_DISK)
+            ranks.count()
+            prev.unpersist()
+    if has_dangling:
+        # the final rank table stays pinned (callers usually aggregate
+        # it several ways); the next pagerank() call evicts it
+        _LIVE_PR_CACHES.append(ranks)
     return ranks
