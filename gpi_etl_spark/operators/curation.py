@@ -373,6 +373,69 @@ def importance_weights(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    size_col: str = "n_tokens",
+    alpha: float = 0.3,
+    budget: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual mixing (the XLM-R / mT5 recipe):
+    sample groups proportionally to ``T_g^alpha`` — ``alpha < 1``
+    up-samples low-resource languages relative to their raw token
+    share, ``alpha = 1`` is proportional, ``alpha = 0`` uniform. The
+    per-group document quota is ``max(1, floor(budget · w_g))`` with
+    the weight ROUNDED to 6 dp first, so the integer quotas (and hence
+    the selected set) are deterministic across engines; within a group,
+    documents are taken in cross-engine mixing-hash order (the same
+    derandomized-sampling contract as :func:`group_sample`).
+
+    Scale shape: one groupBy for the totals, the (tiny, one row per
+    group) weight table broadcast back, one window per group for the
+    ranked pick. The ``Σ T^alpha`` normalizer rides along as a one-row
+    broadcast (the scalar-subquery pattern, see plan_audit's
+    EXPECTED_BNL note) — no driver collect.
+
+    Returns the selected rows plus ``quota`` (int) and ``w_r``.
+    """
+    totals = df.groupBy(group_col).agg(
+        F.sum(size_col).alias("_t")
+    )
+    z = totals.agg(
+        F.sum(F.pow(F.col("_t").cast("double"), F.lit(float(alpha)))).alias(
+            "_z"
+        )
+    )
+    w = (
+        totals.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.round(
+                F.pow(F.col("_t").cast("double"), F.lit(float(alpha)))
+                / F.col("_z"),
+                6,
+            ).alias("w_r"),
+        )
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(F.lit(float(budget)) * F.col("w_r")),
+            ).cast("int"),
+        )
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        mix_hash(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(w), group_col)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .drop("_rn")
+    )
+
+
 def _shingle_hash_array(text_col: str, n: int) -> Column:
     """xxhash64 of every distinct ``n``-word shingle of a document, as
     an array column — the no-explode twin of ``dedup.word_shingles``

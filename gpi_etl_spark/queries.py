@@ -5483,6 +5483,46 @@ def q129(spark, sf_dir):
     return run_stream_to_table(spark, agg, "gpi_stream_q129")
 
 
+@query(
+    "q130_temperature_mix",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, len({_TOKS_SQL}) AS n_tokens
+                 FROM documents),
+    tot AS (SELECT lang, sum(n_tokens) AS t FROM tok GROUP BY lang),
+    z AS (SELECT sum(pow(cast(t AS double), 0.5)) AS z FROM tot),
+    w AS (SELECT lang,
+                 round(pow(cast(t AS double), 0.5) / z, 6) AS w_r
+          FROM tot CROSS JOIN z),
+    q AS (SELECT lang, w_r,
+                 cast(greatest(1, floor(200 * w_r)) AS int) AS quota
+          FROM w),
+    rk AS (SELECT doc_id, lang, n_tokens,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY {curation.mix_hash_sql('doc_id', 'duck')},
+                               doc_id) AS rn
+           FROM tok)
+    SELECT r.doc_id, r.lang, cast(r.n_tokens AS int) AS n_tokens,
+           q.w_r, q.quota
+    FROM rk r JOIN q USING (lang) WHERE r.rn <= q.quota
+    """,
+)
+def q130(spark, sf_dir):
+    """Temperature mixing (curation.temperature_mix): per-language
+    token masses are raised to alpha=0.5 (up-sampling low-resource
+    languages — the XLM-R/mT5 pretraining recipe), normalized, rounded,
+    and turned into integer document quotas filled in cross-engine
+    mixing-hash order. Weights, quotas AND the exact selected document
+    set replay in SQL."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", textstats.token_count("text").alias("n_tokens")
+    )
+    out = curation.temperature_mix(
+        tok, group_col="lang", size_col="n_tokens", alpha=0.5, budget=200
+    )
+    return out.select("doc_id", "lang", "n_tokens", "w_r", "quota")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5498,6 +5538,7 @@ _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
     "q126_contamination_score", "q127_centroid_outliers",
     "q128_importance_resampling", "q129_streaming_dedup",
+    "q130_temperature_mix",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

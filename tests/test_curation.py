@@ -443,3 +443,46 @@ def test_importance_weights_prefers_target_like_docs(spark):
     # doc 2 tokens are all ct=0, cc=1: llr = ln(1/16) - ln(2/16)
     want2 = round(math.log(1 / 16) - math.log(2 / 16), 6)
     assert got[2].llr_r == want2
+
+
+def test_temperature_mix_quota_math(spark):
+    import math
+
+    from gpi_etl_spark.operators.curation import temperature_mix
+
+    rows = []
+    # big lang: 40 docs x 100 tokens; small lang: 10 docs x 10 tokens
+    for i in range(40):
+        rows.append((i, "big", 100))
+    for i in range(100, 110):
+        rows.append((i, "small", 10))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+
+    out = temperature_mix(df, alpha=0.5, budget=30).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    # hand-replay: T = {big: 4000, small: 100}; z = 4000^.5 + 100^.5
+    z = math.sqrt(4000) + math.sqrt(100)
+    w_big = round(math.sqrt(4000) / z, 6)
+    w_small = round(math.sqrt(100) / z, 6)
+    assert by_lang["big"][0].quota == max(1, math.floor(30 * w_big))
+    assert by_lang["small"][0].quota == max(1, math.floor(30 * w_small))
+    # quota respected exactly (clamped by group size)
+    assert len(by_lang["big"]) == min(40, by_lang["big"][0].quota)
+    assert len(by_lang["small"]) == min(10, by_lang["small"][0].quota)
+    # alpha=0.5 up-samples the small lang vs its raw 2.4% token share
+    assert w_small > 100 / 4100
+
+
+def test_temperature_mix_alpha_zero_uniform(spark):
+    from gpi_etl_spark.operators.curation import temperature_mix
+
+    rows = [(i, "a", 1000) for i in range(5)] + [
+        (i, "b", 1) for i in range(10, 15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    out = temperature_mix(df, alpha=0.0, budget=8).collect()
+    quotas = {r.lang: r.quota for r in out}
+    # T^0 = 1 for every group: equal quotas regardless of size skew
+    assert quotas["a"] == quotas["b"] == 4
