@@ -376,6 +376,76 @@ def unicode_clean_sql(expr: str) -> str:
     return f"trim({out})"
 
 
+#: sentence-shaped chunks: a run of non-terminators plus its trailing
+#: terminator run. Deliberately lookbehind-free — RE2 (DuckDB) has no
+#: lookbehind, and this pattern behaves identically under Java regex
+#: and RE2, so the oracle replays segmentation verbatim. Real
+#: abbreviation-aware segmentation (spaCy et al.) would be a
+#: mapInPandas slow path; this is the deterministic native baseline.
+_SENT_RE = r"[^.!?]+[.!?]*"
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Array of trimmed, non-empty sentence chunks of a text column —
+    native regexp_extract_all, no Python in the loop."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.regexp_extract_all(c, F.lit(_SENT_RE), F.lit(0))
+    # the explicit lambda matters: a bare F.trim would be invoked by
+    # transform with (element, index) and silently hit the two-arg
+    # trim(col, trimStr) overload, trimming by the index's digits
+    return F.filter(
+        F.transform(raw, lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+
+
+def shared_sentence_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document boilerplate detection at SENTENCE granularity —
+    the "common sentence removal" pass (C4 does lines, this does
+    sentences): a normalized sentence seen in ≥ 2 distinct documents
+    marks every document containing it. Returns per-doc
+    ``(id, n_sentences, n_shared, shared_ratio)`` over the document's
+    DISTINCT normalized sentences.
+
+    Scale shape: explode → distinct (id, sentence-hash... here the
+    normalized text itself so the oracle can replay the grouping) →
+    one groupBy for the ≥2-docs set → left join back. Shuffle ∝
+    distinct sentences; at 100 TB swap the join key for xxhash64 of
+    the normalized sentence (8 bytes on the wire), exactly like
+    dedup.duplicate_spans' hash_spans mode."""
+    from gpi_etl_spark.operators.dedup import normalize_text
+
+    s = (
+        df.select(
+            F.col(id_col),
+            F.explode(split_sentences(text_col)).alias("_sent"),
+        )
+        .select(id_col, normalize_text("_sent").alias("norm"))
+        .distinct()
+    )
+    shared = (
+        s.groupBy("norm")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("norm")
+        .withColumn("_hit", F.lit(1))
+    )
+    hit = F.coalesce(F.col("_hit"), F.lit(0))
+    return (
+        s.join(shared, "norm", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(hit).cast("bigint").alias("n_shared"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias(
+                "shared_ratio"
+            ),
+        )
+    )
+
+
 def chunk_texts(
     df: DataFrame,
     text_col: str = "text",

@@ -5523,6 +5523,63 @@ def q130(spark, sf_dir):
     return out.select("doc_id", "lang", "n_tokens", "w_r", "quota")
 
 
+@query(
+    "q131_sentence_boilerplate",
+    """
+    WITH boiler AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || ' Subscribe to our newsletter today. '
+                       || 'All rights reserved.'
+                  ELSE text END AS text
+      FROM documents),
+    s0 AS (SELECT doc_id,
+                  unnest(regexp_extract_all(text, '[^.!?]+[.!?]*')) AS sent
+           FROM boiler),
+    s1 AS (SELECT DISTINCT doc_id,
+                  trim(regexp_replace(lower(trim(sent)), '\\s+', ' ', 'g'))
+                    AS norm
+           FROM s0 WHERE len(trim(sent)) > 0),
+    shared AS (SELECT norm FROM
+                 (SELECT norm, count(DISTINCT doc_id) AS nd
+                  FROM s1 GROUP BY norm)
+               WHERE nd >= 2)
+    SELECT doc_id,
+           count(*) AS n_sentences,
+           cast(sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_shared,
+           round(sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS shared_ratio
+    FROM s1 LEFT JOIN shared h USING (norm)
+    GROUP BY doc_id
+    """,
+)
+def q131(spark, sf_dir):
+    """Sentence-level boilerplate detection (textstats.split_sentences
+    + shared_sentence_stats): segment every document into sentence
+    chunks with a lookbehind-free pattern both regex engines evaluate
+    identically, then flag normalized sentences shared by ≥ 2 docs —
+    the common-sentence-removal pass. A newsletter/rights footer is
+    injected into every 4th document so the shared set is non-trivial
+    at every scale factor."""
+    from gpi_etl_spark.operators.textstats import shared_sentence_stats
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " Subscribe to our newsletter today. "
+                    "All rights reserved."
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return shared_sentence_stats(docs)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5538,7 +5595,7 @@ _R4_CHANGED = [
     "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
     "q126_contamination_score", "q127_centroid_outliers",
     "q128_importance_resampling", "q129_streaming_dedup",
-    "q130_temperature_mix",
+    "q130_temperature_mix", "q131_sentence_boilerplate",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

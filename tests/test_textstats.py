@@ -244,3 +244,45 @@ def test_unicode_clean_native_path_skips_nfc(spark):
     out = df.select(unicode_clean("t", nfc=False).alias("c")).collect()[0].c
     # without NFC the combining mark stays decomposed; cleanup still runs
     assert out == "Café x" and len(out) == 7
+
+
+def test_split_sentences_basic(spark):
+    from gpi_etl_spark.operators.textstats import split_sentences
+
+    rows = [
+        (1, "Hello world. How are you? Fine!"),
+        (2, "No terminator at all"),
+        (3, "Ellipsis wins... Next one."),
+        (4, "  . ?  "),  # stray terminators: kept as chunks (the
+        # oracle's len(trim(sent)) > 0 keep-rule is the contract;
+        # quality filters downstream drop punctuation-only sentences)
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r.id: r.s for r in
+           df.select("id", split_sentences("t").alias("s")).collect()}
+    assert got[1] == ["Hello world.", "How are you?", "Fine!"]
+    assert got[2] == ["No terminator at all"]
+    assert got[3] == ["Ellipsis wins...", "Next one."]
+    assert got[4] == [".", "?"]
+    assert got[5] == []
+
+
+def test_shared_sentence_stats_flags_boilerplate(spark):
+    from gpi_etl_spark.operators.textstats import shared_sentence_stats
+
+    footer = "All rights reserved."
+    rows = [
+        (1, f"Unique alpha text. {footer}"),
+        (2, f"Different beta words! {footer}"),
+        (3, "Totally original gamma."),
+        # duplicate sentence WITHIN one doc counts once (distinct)
+        (4, "Echo echo. Echo echo."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in shared_sentence_stats(df).collect()}
+    assert (got[1].n_sentences, got[1].n_shared) == (2, 1)
+    assert got[1].shared_ratio == 0.5
+    assert (got[2].n_sentences, got[2].n_shared) == (2, 1)
+    assert (got[3].n_sentences, got[3].n_shared) == (1, 0)
+    assert (got[4].n_sentences, got[4].n_shared) == (1, 0)
