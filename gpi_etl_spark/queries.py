@@ -5580,6 +5580,69 @@ def q131(spark, sf_dir):
     return shared_sentence_stats(docs)
 
 
+@query(
+    "q132_funnel",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 72 HOURS
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s1.t1 + INTERVAL 72 HOURS
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+           CASE WHEN t3 IS NOT NULL THEN 3
+                WHEN t2 IS NOT NULL THEN 2
+                ELSE 1 END AS reached
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q132(spark, sf_dir):
+    """Strictly-ordered conversion funnel (funnel.funnel_steps):
+    view → click → purchase per user, each step's first occurrence
+    after the previous step and inside a 72-hour whole-funnel window
+    anchored at the first view. One equi-join + min-aggregate per step
+    (shuffle ∝ users after step 1), no windows over the raw stream —
+    the warehouse-native funnel shape."""
+    from gpi_etl_spark.operators.funnel import funnel_steps
+
+    ev = t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, ["view", "click", "purchase"], within_hours=72
+    ).select("user_id", "t1", "t2", "t3", "reached")
+
+
+@query(
+    "q133_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+          FROM events)
+    SELECT cast(f.cohort AS timestamp) AS cohort,
+           cast(date_diff('day', f.cohort, a.wk) / 7 AS int)
+             AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q133(spark, sf_dir):
+    """Weekly retention triangle (funnel.retention_cohorts): cohort =
+    Monday week of each user's first event, one row per (cohort,
+    week-offset) with active-user counts — the product-analytics
+    companion to q132. Both engines truncate weeks to Monday, so the
+    cohort keys and integer offsets replay exactly."""
+    from gpi_etl_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(t(spark, sf_dir, "events"))
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5596,6 +5659,7 @@ _R4_CHANGED = [
     "q126_contamination_score", "q127_centroid_outliers",
     "q128_importance_resampling", "q129_streaming_dedup",
     "q130_temperature_mix", "q131_sentence_boilerplate",
+    "q132_funnel", "q133_retention",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
