@@ -5643,6 +5643,76 @@ def q133(spark, sf_dir):
     return retention_cohorts(t(spark, sf_dir, "events"))
 
 
+@query(
+    "q134_json_permissive",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN event_id % 9 = 0
+                    THEN substr(props, 1, len(props) - 2)
+                  WHEN event_id % 9 = 3 THEN '{"k": "x7"}'
+                  ELSE props END AS p
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           cast(sum(CASE WHEN json_valid(p) THEN 1 ELSE 0 END) AS bigint)
+             AS n_valid,
+           cast(count(try_cast(CASE WHEN json_valid(p)
+                 THEN json_extract_string(p, '$.k') END AS int)) AS bigint)
+             AS n_k,
+           cast(sum(try_cast(CASE WHEN json_valid(p)
+                 THEN json_extract_string(p, '$.k') END AS int)) AS bigint)
+             AS sum_k,
+           min(try_cast(CASE WHEN json_valid(p)
+                 THEN json_extract_string(p, '$.k') END AS int)) AS min_k,
+           max(try_cast(CASE WHEN json_valid(p)
+                 THEN json_extract_string(p, '$.k') END AS int)) AS max_k
+    FROM m GROUP BY event_type
+    """,
+)
+def q134(spark, sf_dir):
+    """Permissive semi-structured ingestion: the events ``props`` JSON
+    column is deliberately corrupted two ways (truncated → invalid
+    JSON on every 9th event; a wrong-typed string value on every
+    9th+3rd) and parsed with ``from_json`` + a corrupt-record column —
+    bad rows flow to the error channel instead of killing the job, the
+    PERMISSIVE contract every lake ingestion relies on. Validity
+    counts and the typed field's aggregates must match DuckDB's
+    json_valid/json_extract replay exactly."""
+    ev = t(spark, sf_dir, "events")
+    mangled = (
+        F.when(
+            F.col("event_id") % 9 == 0,
+            F.expr("substring(props, 1, length(props) - 2)"),
+        )
+        .when(F.col("event_id") % 9 == 3, F.lit('{"k": "x7"}'))
+        .otherwise(F.col("props"))
+    )
+    # schema k STRING, not int: Spark's PERMISSIVE mode routes a
+    # type-COERCION failure (the "x7" rows) to the corrupt column too,
+    # while json_valid only checks syntax — parsing coercion-free and
+    # try_casting afterwards gives both engines the same three-way
+    # split (invalid syntax / valid-but-untyped / typed)
+    parsed = F.from_json(
+        mangled,
+        "k string, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    d = ev.select(
+        "event_type",
+        parsed["k"].try_cast("int").alias("k"),
+        parsed["_corrupt"].isNull().alias("valid"),
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("valid").cast("int")).cast("bigint").alias("n_valid"),
+        F.count("k").alias("n_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5659,7 +5729,7 @@ _R4_CHANGED = [
     "q126_contamination_score", "q127_centroid_outliers",
     "q128_importance_resampling", "q129_streaming_dedup",
     "q130_temperature_mix", "q131_sentence_boilerplate",
-    "q132_funnel", "q133_retention",
+    "q132_funnel", "q133_retention", "q134_json_permissive",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
