@@ -34,8 +34,13 @@ def write_partitioned(
     sort_cols: Sequence[str] = (),
     files_per_partition: int = 1,
     mode: str = "overwrite",
+    fmt: str = "parquet",
 ) -> None:
-    """Write hive-partitioned parquet with a bounded file count.
+    """Write a hive-partitioned dataset with a bounded file count.
+    ``fmt`` selects the columnar container (``parquet`` default,
+    ``orc`` supported — both get partition pruning and predicate
+    pushdown from the same layout; Avro needs the external
+    spark-avro module, absent in this environment).
 
     Without the pre-``repartition``, every one of N upstream tasks
     writes a file into every one of P partition directories — N×P
@@ -57,7 +62,7 @@ def write_partitioned(
     out = df.repartition(*parts)
     if sort_cols:
         out = out.sortWithinPartitions(*partition_cols, *sort_cols)
-    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    out.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
 def write_range_sorted(

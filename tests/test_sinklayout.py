@@ -70,3 +70,41 @@ def test_compact_bounds_file_count(spark, tmp_path):
     assert len(_data_files(dst)) == 2
     a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == list(range(5000))
+
+
+def test_write_partitioned_orc_roundtrip_and_pushdown(spark, tmp_path):
+    df = spark.range(0, 500).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        (F.col("id") * 7 % 11).alias("v"),
+    )
+    pq_out, orc_out = str(tmp_path / "pq"), str(tmp_path / "orc")
+    sinklayout.write_partitioned(df, pq_out, ["day"], sort_cols=["v"])
+    sinklayout.write_partitioned(
+        df, orc_out, ["day"], sort_cols=["v"], fmt="orc"
+    )
+    back_pq = spark.read.parquet(pq_out)
+    back_orc = spark.read.orc(orc_out)
+    # identical content either container
+    assert back_orc.count() == 500
+    assert (
+        sorted(map(tuple, back_orc.select("id", "day", "v").collect()))
+        == sorted(map(tuple, back_pq.select("id", "day", "v").collect()))
+    )
+    # ORC layout gets the same partition pruning + predicate pushdown
+    pruned = back_orc.filter((F.col("day") == "1") & (F.col("v") > 5))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan orc" in plan
+    assert "PartitionFilters" in plan
+    assert "(day" in plan.split("PartitionFilters", 1)[1][:80]
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(v,5)" in plan.split("PushedFilters", 1)[1][:120]
+    # one file per partition in ORC too
+    files = [
+        f
+        for f in glob.glob(
+            os.path.join(orc_out, "**", "*.orc"), recursive=True
+        )
+        if os.path.basename(f).startswith("part-")
+    ]
+    assert len(files) == 3
