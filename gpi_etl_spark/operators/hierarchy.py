@@ -1,0 +1,73 @@
+"""Hierarchical closure: flatten parent-child trees to (node, root,
+depth) — the recursive-CTE workload (org charts, BOM explosions,
+category trees) Spark has no native recursion for.
+
+The algorithm is POINTER DOUBLING, not per-level BFS: each iteration
+follows every node's current ancestor pointer through the pointer
+table itself, doubling the distance covered — a 1000-level-deep
+hierarchy closes in 10 shuffles instead of 1000. Per iteration: one
+self-equi-join on the pointer column (shuffle ∝ nodes) plus one
+scalar convergence action; roots are their own fixpoint (joining a
+root pointer adds depth 0), so the loop is idempotent at convergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: at most one closure-state cache pinned per process (same policy as
+#: similarity._LIVE_KMEANS_CACHES)
+_LIVE_HIER_CACHES: list[DataFrame] = []
+
+
+def transitive_root(
+    nodes: DataFrame,
+    id_col: str = "node",
+    parent_col: str = "parent",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Resolve every node of a forest to its root and depth.
+
+    ``nodes`` has one row per node with ``parent_col`` NULL for roots.
+    Cycles are the caller's bug — they never converge and stop at
+    ``max_iters`` (2^50 levels is beyond any real hierarchy, so hitting
+    the cap means a cycle; a production job would alert on it).
+
+    Returns ``(node, root, depth)``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    while _LIVE_HIER_CACHES:
+        _LIVE_HIER_CACHES.pop().unpersist()
+
+    state = nodes.select(
+        F.col(id_col).alias("node"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_HIER_CACHES.append(state)
+
+    total = state.agg(F.sum("depth").alias("s")).collect()[0]["s"] or 0
+    for _ in range(max_iters):
+        a, b = state.alias("a"), state.alias("b")
+        nxt = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_total = nxt.agg(F.sum("depth").alias("s")).collect()[0]["s"] or 0
+        prev = state
+        state = nxt
+        _LIVE_HIER_CACHES.append(state)
+        prev.unpersist()
+        _LIVE_HIER_CACHES.remove(prev)
+        if new_total == total:
+            break
+        total = new_total
+    return state.select(
+        "node", F.col("anc").alias("root"), "depth"
+    )

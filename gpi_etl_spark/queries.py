@@ -5713,6 +5713,35 @@ def q134(spark, sf_dir):
     )
 
 
+@query(
+    "q135_hierarchy_closure",
+    """
+    SELECT doc_id AS node,
+           cast(0 AS bigint) AS root,
+           cast(floor(log2(doc_id + 1)) AS bigint) AS depth
+    FROM documents
+    """,
+)
+def q135(spark, sf_dir):
+    """Recursive-hierarchy flattening (hierarchy.transitive_root): the
+    documents table arranged as a binary-heap tree (parent of n is
+    (n-1)/2) closes to (node, root, depth) by POINTER DOUBLING — a
+    depth-D forest needs log2(D) self-joins, not D (the recursive-CTE
+    workload Spark lacks natively: org charts, BOM explosions). The
+    heap layout gives the oracle a closed form (depth =
+    floor(log2(n+1)), root = 0) that verifies the generic iterative
+    operator without replaying it."""
+    from gpi_etl_spark.operators.hierarchy import transitive_root
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.expr("(doc_id - 1) div 2"))
+        .alias("parent"),
+    )
+    return transitive_root(docs)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5730,6 +5759,7 @@ _R4_CHANGED = [
     "q128_importance_resampling", "q129_streaming_dedup",
     "q130_temperature_mix", "q131_sentence_boilerplate",
     "q132_funnel", "q133_retention", "q134_json_permissive",
+    "q135_hierarchy_closure",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
