@@ -144,3 +144,51 @@ def replace_partition(
     # silently drop them without the coalesce
     keep = ~F.coalesce(partition_pred, F.lit(False))
     return sink.filter(keep).unionByName(incoming.select(*sink.columns))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    compress: bool = True,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2: turn a change log ``(keys,
+    attrs, effective_ts)`` into versioned dimension rows with validity
+    intervals — the warehouse pattern for "what did this customer's
+    record look like on date X?". K4's keep-history sibling:
+    ``upsert_by_key`` overwrites (type 1), this one versions.
+
+    With ``compress`` (default), consecutive rows whose tracked
+    ``attr_cols`` did not change are collapsed into one interval
+    (null-safe comparison, so NULL→NULL is "unchanged" and NULL→value
+    is a new version). ``valid_from`` is the row's effective
+    timestamp, ``valid_to`` the NEXT version's (NULL = still current,
+    also exposed as ``is_current``).
+
+    Two windows per key, shuffle ∝ change-log rows on the key hash; no
+    driver involvement. Ties on ``(keys, ts)`` are the caller's bug —
+    deduplicate first (interval semantics are undefined for
+    simultaneous changes).
+    """
+    keys = [F.col(k) for k in key_cols]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    out = changes
+    if compress:
+        changed = F.lit(False)
+        for a in attr_cols:
+            changed = changed | ~F.col(a).eqNullSafe(
+                F.lag(F.col(a)).over(w)
+            )
+        first = F.lag(F.col(ts_col)).over(w).isNull()
+        out = (
+            out.withColumn("_keep", first | changed)
+            .filter(F.col("_keep"))
+            .drop("_keep")
+        )
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -5742,6 +5742,60 @@ def q135(spark, sf_dir):
     return transitive_root(docs)
 
 
+@query(
+    "q136_scd2_history",
+    """
+    WITH log AS (SELECT o_custkey, o_orderdate,
+                        cast(floor(max(o_totalprice) / 50000) AS int) AS tier
+                 FROM orders GROUP BY 1, 2),
+    k AS (SELECT *,
+                 lag(tier) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS pt,
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate) AS pd
+          FROM log),
+    kept AS (SELECT o_custkey, o_orderdate, tier FROM k
+             WHERE pd IS NULL OR tier IS DISTINCT FROM pt)
+    SELECT o_custkey, tier,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate) AS valid_to,
+           (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate) IS NULL)
+             AS is_current
+    FROM kept
+    """,
+)
+def q136(spark, sf_dir):
+    """SCD Type-2 dimension versioning (watermark.scd2_history): each
+    customer's per-day spend tier becomes a versioned dimension row
+    with [valid_from, valid_to) intervals — consecutive unchanged
+    tiers compress into one interval (null-safe change detection),
+    the open interval marked current. upsert_by_key (q80) is the
+    overwrite sibling; this keeps history, the warehouse
+    point-in-time-join prerequisite. Ties are pre-deduplicated by the
+    per-(cust, day) max, so both engines' windows order identically."""
+    from gpi_etl_spark.operators.watermark import scd2_history
+
+    orders = t(spark, sf_dir, "orders")
+    log = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("_p"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("_p") / 50000).cast("int").alias("tier"),
+        )
+    )
+    scd = scd2_history(
+        log, ["o_custkey"], "o_orderdate", ["tier"]
+    )
+    return scd.select(
+        "o_custkey", "tier",
+        F.col("valid_from"), F.col("valid_to"), F.col("is_current"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5759,7 +5813,7 @@ _R4_CHANGED = [
     "q128_importance_resampling", "q129_streaming_dedup",
     "q130_temperature_mix", "q131_sentence_boilerplate",
     "q132_funnel", "q133_retention", "q134_json_permissive",
-    "q135_hierarchy_closure",
+    "q135_hierarchy_closure", "q136_scd2_history",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -88,3 +88,47 @@ def test_replace_partition_keeps_null_key_rows(spark):
     got = {(r.month, r.v) for r in
            replace_partition(sink, fresh, F.col("month") == "2024-01").collect()}
     assert got == {("2024-01", 9.0), (None, 2.0), ("2024-02", 3.0)}
+
+
+def test_scd2_history_compress_and_intervals(spark):
+    from datetime import date
+
+    from gpi_etl_spark.operators.watermark import scd2_history
+
+    rows = [
+        # key 1: A, A (dup -> compressed), B, A again (new version)
+        (1, date(2024, 1, 1), "A"),
+        (1, date(2024, 1, 5), "A"),
+        (1, date(2024, 2, 1), "B"),
+        (1, date(2024, 3, 1), "A"),
+        # key 2: NULL -> NULL compresses, NULL -> X versions
+        (2, date(2024, 1, 1), None),
+        (2, date(2024, 1, 2), None),
+        (2, date(2024, 1, 9), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts date, attr string")
+    out = sorted(
+        (
+            (r.k, r.valid_from, r.valid_to, r.attr, r.is_current)
+            for r in scd2_history(df, ["k"], "ts", ["attr"]).collect()
+        )
+    )
+    assert out == [
+        (1, date(2024, 1, 1), date(2024, 2, 1), "A", False),
+        (1, date(2024, 2, 1), date(2024, 3, 1), "B", False),
+        (1, date(2024, 3, 1), None, "A", True),
+        (2, date(2024, 1, 1), date(2024, 1, 9), None, False),
+        (2, date(2024, 1, 9), None, "X", True),
+    ]
+
+
+def test_scd2_history_no_compress_keeps_every_change_row(spark):
+    from datetime import date
+
+    from gpi_etl_spark.operators.watermark import scd2_history
+
+    rows = [(1, date(2024, 1, d), "A") for d in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "k long, ts date, attr string")
+    out = scd2_history(df, ["k"], "ts", ["attr"], compress=False).collect()
+    assert len(out) == 3
+    assert sum(r.is_current for r in out) == 1
