@@ -93,3 +93,67 @@ def referential_check(
         "n_fail",
         F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-width numeric histogram — the column-profiling primitive a
+    quality report attaches to every numeric column (distribution
+    drift between corpus releases shows up here first).
+
+    Unless pinned by the caller, ``lo``/``hi`` come from one min/max
+    aggregate (two scalars to the driver — bounded model state, like
+    the k-means centroids); the binning pass itself is a pure
+    projection + groupBy, exact integer counts, map-side combinable.
+    The top edge closes the last bin (``x = hi`` lands in bin
+    ``bins-1``), NULLs and NaNs are excluded, and empty inputs return
+    an empty frame.
+
+    Returns ``(bin, lo_edge, hi_edge, n)`` for non-empty bins, with
+    edges rounded to 6 dp.
+    """
+    x = F.col(col).cast("double")
+    src = df.filter(x.isNotNull() & ~F.isnan(x))
+    if lo is None or hi is None:
+        row = src.agg(
+            F.min(x).alias("lo"), F.max(x).alias("hi")
+        ).collect()[0]
+        if row["lo"] is None:
+            return df.sparkSession.createDataFrame(
+                [], "bin int, lo_edge double, hi_edge double, n bigint"
+            )
+        lo = float(row["lo"]) if lo is None else lo
+        hi = float(row["hi"]) if hi is None else hi
+    # close ONLY the exact top edge into the last bin; anything beyond
+    # a pinned hi stays out of range and is dropped by the filter (a
+    # blanket least() clamp would silently absorb outliers). Degenerate
+    # hi == lo (constant column) keeps everything in bin 0, unit width.
+    if hi > lo:
+        width = (hi - lo) / bins
+        b = F.when(x == F.lit(hi), F.lit(bins - 1)).otherwise(
+            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+        )
+    else:
+        width = 1.0
+        b = F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+    return (
+        src.select(b.alias("bin"))
+        .filter(F.col("bin").between(0, bins - 1))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias(
+                "lo_edge"
+            ),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias(
+                "hi_edge"
+            ),
+            "n",
+        )
+    )

@@ -5796,6 +5796,41 @@ def q136(spark, sf_dir):
     )
 
 
+@query(
+    "q137_histogram_profile",
+    """
+    WITH src AS (SELECT cast(l_extendedprice AS double) AS x
+                 FROM lineitem
+                 WHERE l_extendedprice IS NOT NULL
+                   AND NOT isnan(cast(l_extendedprice AS double))),
+    mm AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
+    b AS (SELECT CASE WHEN x = hi THEN 19
+                      ELSE cast(floor((x - lo) / ((hi - lo) / 20)) AS int)
+                 END AS bin,
+                 lo, hi
+          FROM src CROSS JOIN mm)
+    SELECT bin,
+           round(lo + bin * ((hi - lo) / 20), 6) AS lo_edge,
+           round(lo + (bin + 1) * ((hi - lo) / 20), 6) AS hi_edge,
+           count(*) AS n
+    FROM b WHERE bin BETWEEN 0 AND 19
+    GROUP BY bin, lo, hi
+    """,
+)
+def q137(spark, sf_dir):
+    """Column-distribution profiling (quality.histogram): a 20-bin
+    fixed-width histogram of lineitem prices — the drift detector a
+    release-over-release quality report runs per numeric column. Range
+    discovery is one min/max aggregate (two scalars of model state to
+    the driver), binning is a pure projection + exact-count groupBy;
+    bin indices, edges and counts all replay in SQL from DuckDB's own
+    min/max (bit-identical doubles)."""
+    from gpi_etl_spark.operators.quality import histogram
+
+    li = t(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", bins=20)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5814,6 +5849,7 @@ _R4_CHANGED = [
     "q130_temperature_mix", "q131_sentence_boilerplate",
     "q132_funnel", "q133_retention", "q134_json_permissive",
     "q135_hierarchy_closure", "q136_scd2_history",
+    "q137_histogram_profile",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

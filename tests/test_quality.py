@@ -49,3 +49,40 @@ def test_quality_report_empty_rules_and_hostile_names(spark):
     ])
     rows = {r["check_name"]: r["n_fail"] for r in rep.collect()}
     assert rows == {"has space": 0, "it's quoted": 1, "n_rows": 0}
+
+
+def test_histogram_hand_computed(spark):
+    from gpi_etl_spark.operators.quality import histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10]],
+        "x double",
+    )
+    got = {r.bin: r for r in histogram(df, "x", bins=5).collect()}
+    # width 2: bins [0,2) [2,4) [4,6) [6,8) [8,10] — max closes last bin
+    assert {b: got[b].n for b in sorted(got)} == {0: 2, 1: 2, 2: 2, 3: 2, 4: 3}
+    assert (got[0].lo_edge, got[0].hi_edge) == (0.0, 2.0)
+    assert (got[4].lo_edge, got[4].hi_edge) == (8.0, 10.0)
+
+
+def test_histogram_nulls_nans_and_pinned_range(spark):
+    from gpi_etl_spark.operators.quality import histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (5.0,), (99.0,)], "x double"
+    )
+    got = {r.bin: r.n for r in
+           histogram(df, "x", bins=2, lo=0.0, hi=10.0).collect()}
+    # 99.0 is outside the pinned range and dropped; null/nan excluded
+    assert got == {0: 1, 1: 1}
+
+
+def test_histogram_empty_and_constant_inputs(spark):
+    from gpi_etl_spark.operators.quality import histogram
+
+    empty = spark.createDataFrame([], "x double")
+    assert histogram(empty, "x").count() == 0
+    const = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    rows = histogram(const, "x", bins=4).collect()
+    # degenerate range: everything in bin 0, unit width
+    assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 2
