@@ -111,3 +111,63 @@ def compact(
         # many-small-files input compaction exists for
         out = df.repartition(target_files)
     out.write.mode("overwrite").parquet(dst_path)
+
+
+def zorder_key(x, y, bits: int = 10):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    non-negative integer columns — the multi-dimensional clustering
+    key: sorting/range-partitioning by it keeps rows close in BOTH
+    dimensions close on disk, so parquet min/max stats prune scans
+    filtered on EITHER column (the Delta/Iceberg OPTIMIZE ZORDER
+    recipe, as a plain column expression). Callers bucket-normalize
+    real values into the integer domain first (e.g. ``days since
+    epoch & 1023``).
+
+    Pure shift/and/or chain — JVM-side, exactly replayable in any
+    engine with integer bit ops.
+    """
+    xb = (F.col(x) if isinstance(x, str) else x).cast("bigint")
+    yb = (F.col(y) if isinstance(y, str) else y).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xb, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(yb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return z
+
+
+def zorder_sql(x: str, y: str, bits: int = 10) -> str:
+    """DuckDB/ANSI spelling of :func:`zorder_key` (identical bit
+    chain, fully parenthesized against precedence differences)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 10,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered on the Z-order curve of two integer
+    columns: ``repartitionByRange`` cuts balanced z-ranges (each file
+    owns a contiguous curve segment = a compact 2-D tile), rows sorted
+    by z inside each file so row-group min/max stats bite on both
+    dimensions."""
+    out = (
+        df.withColumn("_z", zorder_key(x, y, bits))
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -5831,6 +5831,50 @@ def q137(spark, sf_dir):
     return histogram(li, "l_extendedprice", bins=20)
 
 
+def _q138_oracle() -> str:
+    from gpi_etl_spark.operators.sinklayout import zorder_sql
+
+    z = zorder_sql("(l_orderkey & 1023)", "(l_partkey & 1023)", bits=10)
+    return f"""
+    WITH z AS (SELECT {z} AS zkey FROM lineitem)
+    SELECT cast(zkey >> 14 AS int) AS tile,
+           count(*) AS n,
+           cast(min(zkey) AS bigint) AS min_z,
+           cast(max(zkey) AS bigint) AS max_z,
+           cast(sum(zkey) AS bigint) AS sum_z
+    FROM z GROUP BY 1
+    """
+
+
+@query("q138_zorder_layout", _q138_oracle())
+def q138(spark, sf_dir):
+    """Z-order clustering key (sinklayout.zorder_key /
+    write_zordered): Morton-interleave of two lineitem key columns —
+    the Delta/Iceberg OPTIMIZE ZORDER recipe as a plain bit-op column
+    expression, so range-partitioning by it tiles the table in BOTH
+    dimensions for min/max pruning. Every row's 20-bit z-value flows
+    into exact integer per-tile aggregates, so one flipped bit
+    anywhere in the interleave chain fails the hash gate."""
+    from gpi_etl_spark.operators.sinklayout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem")
+    z = zorder_key(
+        F.col("l_orderkey").bitwiseAND(F.lit(1023)),
+        F.col("l_partkey").bitwiseAND(F.lit(1023)),
+        bits=10,
+    )
+    return (
+        li.select(z.alias("zkey"))
+        .groupBy(F.shiftright("zkey", 14).cast("int").alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zkey").alias("min_z"),
+            F.max("zkey").alias("max_z"),
+            F.sum("zkey").alias("sum_z"),
+        )
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5849,7 +5893,7 @@ _R4_CHANGED = [
     "q130_temperature_mix", "q131_sentence_boilerplate",
     "q132_funnel", "q133_retention", "q134_json_permissive",
     "q135_hierarchy_closure", "q136_scd2_history",
-    "q137_histogram_profile",
+    "q137_histogram_profile", "q138_zorder_layout",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -108,3 +108,43 @@ def test_write_partitioned_orc_roundtrip_and_pushdown(spark, tmp_path):
         if os.path.basename(f).startswith("part-")
     ]
     assert len(files) == 3
+
+
+def test_zorder_key_hand_computed(spark):
+    from gpi_etl_spark.operators.sinklayout import zorder_key
+
+    # Morton order of the 2x2 grid, plus (3,5): x=011 y=101 interleaves
+    # to y2x2 y1x1 y0x0 = 100111 = 39
+    rows = [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key("x", "y", bits=3).alias("z")
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3, (3, 5): 39}
+
+
+def test_write_zordered_tiles_are_compact(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from gpi_etl_spark.operators.sinklayout import write_zordered
+
+    # full 32x32 grid, written as 4 z-range files -> each file must be
+    # one 16x16 quadrant (the curve's top-level tiles)
+    df = spark.range(0, 1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "x", "y", bits=5, num_files=4)
+    files = _data_files(out)
+    assert len(files) == 4
+    boxes = []
+    for f in files:
+        t = pq.read_table(f).to_pylist()
+        xs = [r["x"] for r in t]; ys = [r["y"] for r in t]
+        assert len(t) == 256
+        assert max(xs) - min(xs) == 15 and max(ys) - min(ys) == 15
+        boxes.append((min(xs), min(ys)))
+    assert sorted(boxes) == [(0, 0), (0, 16), (16, 0), (16, 16)]
