@@ -192,3 +192,29 @@ def scd2_history(
         .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Join facts to the dimension VERSION in effect at fact time:
+    ``valid_from <= ts < valid_to`` (open-ended current rows match
+    everything from their start). The consumer of
+    :func:`scd2_history` — "price the order with the customer tier
+    that was current on the order date".
+
+    An equi-join on the keys plus an interval predicate: each fact
+    matches at most one version row (intervals per key are disjoint by
+    construction), so there is no fan-out; the shuffle is the plain
+    key hash on both sides. No windows, no broadcast assumptions —
+    AQE picks the strategy by size as usual.
+    """
+    pred = (F.col(ts_col) >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to))
+    )
+    return facts.join(dim, list(key_cols)).filter(pred)

@@ -5875,6 +5875,74 @@ def q138(spark, sf_dir):
     )
 
 
+@query(
+    "q139_point_in_time_join",
+    """
+    WITH log AS (SELECT o_custkey, o_orderdate,
+                        cast(floor(max(o_totalprice) / 50000) AS int) AS tier
+                 FROM orders GROUP BY 1, 2),
+    k AS (SELECT *,
+                 lag(tier) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS pt,
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate) AS pd
+          FROM log),
+    kept AS (SELECT o_custkey, o_orderdate, tier FROM k
+             WHERE pd IS NULL OR tier IS DISTINCT FROM pt),
+    scd AS (SELECT o_custkey, tier,
+                   o_orderdate AS valid_from,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate)
+                     AS valid_to
+            FROM kept)
+    SELECT s.tier,
+           count(*) AS n_orders,
+           cast(count(DISTINCT o.o_custkey) AS bigint) AS n_customers,
+           round(sum(cast(o.o_totalprice AS decimal(18, 2))), 2)::double
+             AS revenue
+    FROM orders o JOIN scd s
+      ON o.o_custkey = s.o_custkey
+     AND o.o_orderdate >= s.valid_from
+     AND (s.valid_to IS NULL OR o.o_orderdate < s.valid_to)
+    GROUP BY s.tier
+    """,
+)
+def q139(spark, sf_dir):
+    """Point-in-time join (watermark.point_in_time_join): every order
+    matched to the customer's spend-tier VERSION current on the order
+    date — the SCD2 consumer (q136 builds the intervals, this prices
+    against them). Disjoint intervals per key mean at-most-one match
+    per fact, so the join is a plain key-hash shuffle with an interval
+    predicate; per-tier order counts and exact decimal revenue gate
+    the interval assignment end-to-end."""
+    from gpi_etl_spark.operators.watermark import point_in_time_join, scd2_history
+
+    orders = t(spark, sf_dir, "orders")
+    log = (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("_p"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("_p") / 50000).cast("int").alias("tier"),
+        )
+    )
+    dim = scd2_history(log, ["o_custkey"], "o_orderdate", ["tier"]).select(
+        "o_custkey", "tier", "valid_from", "valid_to"
+    )
+    facts = orders.select("o_custkey", "o_orderdate", "o_totalprice")
+    joined = point_in_time_join(
+        facts, dim, ["o_custkey"], "o_orderdate"
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("revenue"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5894,6 +5962,7 @@ _R4_CHANGED = [
     "q132_funnel", "q133_retention", "q134_json_permissive",
     "q135_hierarchy_closure", "q136_scd2_history",
     "q137_histogram_profile", "q138_zorder_layout",
+    "q139_point_in_time_join",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -132,3 +132,36 @@ def test_scd2_history_no_compress_keeps_every_change_row(spark):
     out = scd2_history(df, ["k"], "ts", ["attr"], compress=False).collect()
     assert len(out) == 3
     assert sum(r.is_current for r in out) == 1
+
+
+def test_point_in_time_join_matches_correct_version(spark):
+    from datetime import date
+
+    from gpi_etl_spark.operators.watermark import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", date(2024, 1, 1), date(2024, 2, 1)),
+            (1, "gold", date(2024, 2, 1), None),
+            (2, "silver", date(2024, 1, 15), None),
+        ],
+        "k long, tier string, valid_from date, valid_to date",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, date(2024, 1, 10)),   # inside bronze
+            (1, date(2024, 2, 1)),    # boundary: new version from-inclusive
+            (1, date(2024, 6, 1)),    # open-ended current
+            (2, date(2024, 1, 1)),    # before any version -> no match
+        ],
+        "k long, ts date",
+    )
+    got = {
+        (r.k, r.ts): r.tier
+        for r in point_in_time_join(facts, dim, ["k"], "ts").collect()
+    }
+    assert got == {
+        (1, date(2024, 1, 10)): "bronze",
+        (1, date(2024, 2, 1)): "gold",
+        (1, date(2024, 6, 1)): "gold",
+    }
