@@ -62,6 +62,9 @@ HEADLINE = [
     "q124_unicode_clean",   # NFC pandas_udf + native cleanup (r4)
     "q126_contamination_score",  # graded shingle decontamination (r4)
     "q128_importance_resampling",  # DSIR LM-ratio selection (r4)
+    "q131_sentence_boilerplate",   # sentence-level shared-text pass (r4)
+    "q135_hierarchy_closure",   # pointer-doubling recursive closure (r4)
+    "q138_zorder_layout",       # Morton-key two-dim clustering (r4)
 ]
 
 

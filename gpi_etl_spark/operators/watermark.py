@@ -218,3 +218,36 @@ def point_in_time_join(
         F.col(valid_to).isNull() | (F.col(ts_col) < F.col(valid_to))
     )
     return facts.join(dim, list(key_cols)).filter(pred)
+
+
+def merge_partial_aggs(
+    parts: Sequence[DataFrame],
+    key_cols: Sequence[str],
+    cnt_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge pre-computed per-group aggregate tables into one — the
+    incremental-maintenance identity: because count/sum/min/max are
+    ALGEBRAIC (merge(agg(A), agg(B)) = agg(A ∪ B)), yesterday's stored
+    rollup plus today's delta rollup equals the full recompute without
+    rescanning history. Averages and ratios are derived at read time
+    from the merged sums — never stored (a stored avg is not
+    mergeable).
+
+    One unionByName + one groupBy over |groups|-sized inputs: the
+    shuffle is proportional to the GROUP count, not the 100 TB of
+    history that produced them. Decimal sum columns keep the merge
+    bit-exact regardless of merge order.
+    """
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    aggs = (
+        [F.sum(c).alias(c) for c in cnt_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return merged.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)

@@ -5943,6 +5943,65 @@ def q139(spark, sf_dir):
     )
 
 
+@query(
+    "q140_incremental_rollup",
+    """
+    SELECT l_suppkey,
+           count(*) AS cnt,
+           round(sum(cast(l_quantity AS decimal(18, 2))), 2)::double
+             AS sum_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           round(cast(sum(cast(l_quantity AS decimal(18, 2))) AS double)
+                 / count(*), 6) AS avg_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q140(spark, sf_dir):
+    """Incremental rollup maintenance (watermark.merge_partial_aggs):
+    lineitem split into "history" and "delta" batches, each aggregated
+    independently per supplier, then MERGED — and the merge must equal
+    the single-pass full recompute (the oracle) because count/sum/
+    min/max are algebraic and the sums run in exact decimal. This is
+    the 100 TB nightly pattern: yesterday's stored rollup + today's
+    delta, shuffle ∝ groups, history never rescanned. The average is
+    derived from merged sums at read time, never stored."""
+    from gpi_etl_spark.operators.watermark import merge_partial_aggs
+
+    li = t(spark, sf_dir, "lineitem")
+
+    def part_agg(df):
+        return df.groupBy("l_suppkey").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                "sum_qty_d"
+            ),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    hist = part_agg(li.filter(F.col("l_orderkey") % 3 != 0))
+    delta = part_agg(li.filter(F.col("l_orderkey") % 3 == 0))
+    merged = merge_partial_aggs(
+        [hist, delta],
+        ["l_suppkey"],
+        cnt_cols=["cnt"],
+        sum_cols=["sum_qty_d"],
+        min_cols=["min_price"],
+        max_cols=["max_price"],
+    )
+    return merged.select(
+        "l_suppkey",
+        "cnt",
+        F.round(F.col("sum_qty_d"), 2).cast("double").alias("sum_qty"),
+        "min_price",
+        "max_price",
+        F.round(
+            F.col("sum_qty_d").cast("double") / F.col("cnt"), 6
+        ).alias("avg_qty"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -5962,7 +6021,7 @@ _R4_CHANGED = [
     "q132_funnel", "q133_retention", "q134_json_permissive",
     "q135_hierarchy_closure", "q136_scd2_history",
     "q137_histogram_profile", "q138_zorder_layout",
-    "q139_point_in_time_join",
+    "q139_point_in_time_join", "q140_incremental_rollup",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

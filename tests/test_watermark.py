@@ -165,3 +165,34 @@ def test_point_in_time_join_matches_correct_version(spark):
         (1, date(2024, 2, 1)): "gold",
         (1, date(2024, 6, 1)): "gold",
     }
+
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.watermark import merge_partial_aggs
+
+    rows = [(i % 4, float(i), i * 1.5) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, q double, p double")
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("q").cast("decimal(18,2)")).alias("sq"),
+            F.min("p").alias("mn"),
+            F.max("p").alias("mx"),
+        )
+
+    # three arbitrary batches, including one that misses some keys
+    parts = [
+        agg(df.filter("k < 2 and q < 20")),
+        agg(df.filter("k >= 2 or q >= 20")),
+    ]
+    merged = merge_partial_aggs(
+        parts, ["k"], cnt_cols=["cnt"], sum_cols=["sq"],
+        min_cols=["mn"], max_cols=["mx"],
+    )
+    full = agg(df)
+    m = {r.k: (r.cnt, r.sq, r.mn, r.mx) for r in merged.collect()}
+    f = {r.k: (r.cnt, r.sq, r.mn, r.mx) for r in full.collect()}
+    assert m == f
