@@ -6002,6 +6002,38 @@ def q140(spark, sf_dir):
     )
 
 
+@query(
+    "q141_brand_cooccurrence",
+    """
+    WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+    pr AS (SELECT a.l_orderkey,
+                  a.p_brand AS item_a, b.p_brand AS item_b
+           FROM ob a JOIN ob b
+             ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand)
+    SELECT item_a, item_b, count(*) AS n_baskets
+    FROM pr GROUP BY 1, 2
+    """,
+)
+def q141(spark, sf_dir):
+    """Market-basket co-occurrence (cooccur.cooccurrence_pairs): for
+    every unordered brand pair, how many orders contain both. Pair
+    generation is BASKET-LOCAL (array expressions over the per-order
+    distinct-brand set, let_-bound) — no self-join, so the shuffle is
+    one groupBy(order) + one groupBy(pair) and a skewed basket
+    explodes locally, not across the wire. The oracle is the
+    self-join formulation, so both derivations must agree pair for
+    pair."""
+    from gpi_etl_spark.operators.cooccur import cooccurrence_pairs
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("l_orderkey", "p_brand")
+    return cooccurrence_pairs(ob, "l_orderkey", "p_brand")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6022,6 +6054,7 @@ _R4_CHANGED = [
     "q135_hierarchy_closure", "q136_scd2_history",
     "q137_histogram_profile", "q138_zorder_layout",
     "q139_point_in_time_join", "q140_incremental_rollup",
+    "q141_brand_cooccurrence",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
