@@ -157,3 +157,37 @@ def histogram(
             "n",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging: a value is an outlier when
+    ``|x - median| > k · MAD`` (median absolute deviation). Unlike
+    mean/stddev z-scores, the median/MAD pair doesn't let the outliers
+    themselves inflate the threshold — the standard robust screen a
+    quality report runs before trusting a numeric column.
+
+    Two grouped EXACT percentiles (same engine-parity contract as
+    q107: Spark ``percentile`` ≡ DuckDB ``quantile_cont``) with a join
+    back between them; group medians are |groups|-sized so AQE
+    broadcasts the joins. At 100 TB swap the exact percentile for the
+    q51 sketch and keep this as the auditor.
+
+    Returns the input plus ``_med``, ``_mad``, ``is_outlier``.
+    """
+    x = F.col(val_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(x, 0.5).alias("_med")
+    )
+    j = df.join(med, group_col)
+    mad = j.groupBy(group_col).agg(
+        F.percentile(F.abs(x - F.col("_med")), 0.5).alias("_mad")
+    )
+    return j.join(mad, group_col).withColumn(
+        "is_outlier",
+        F.abs(x - F.col("_med")) > F.lit(float(k)) * F.col("_mad"),
+    )

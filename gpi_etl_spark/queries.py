@@ -6034,6 +6034,52 @@ def q141(spark, sf_dir):
     return cooccurrence_pairs(ob, "l_orderkey", "p_brand")
 
 
+@query(
+    "q142_mad_outliers",
+    """
+    WITH j0 AS (SELECT p_brand, cast(l_extendedprice AS double) AS x
+                FROM lineitem JOIN part ON p_partkey = l_partkey),
+    m AS (SELECT p_brand, quantile_cont(x, 0.5) AS med
+          FROM j0 GROUP BY 1),
+    d AS (SELECT j0.p_brand, x, med FROM j0 JOIN m USING (p_brand)),
+    md AS (SELECT p_brand, quantile_cont(abs(x - med), 0.5) AS mad
+           FROM d GROUP BY 1)
+    SELECT d.p_brand,
+           count(*) AS n,
+           cast(sum(CASE WHEN abs(x - med) > 3.0 * mad THEN 1 ELSE 0 END)
+                AS bigint) AS n_outliers,
+           round(min(med), 6) AS med_r,
+           round(min(mad), 6) AS mad_r
+    FROM d JOIN md USING (p_brand)
+    GROUP BY d.p_brand
+    """,
+)
+def q142(spark, sf_dir):
+    """Robust outlier screening (quality.mad_outliers): per-brand
+    median/MAD over lineitem prices, values beyond 3·MAD flagged —
+    the robust companion to q137's histogram (outliers can't inflate
+    their own threshold the way a stddev screen allows). Both grouped
+    exact percentiles ride the q107 parity contract (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``), so medians, MADs and
+    every flag replay exactly."""
+    from gpi_etl_spark.operators.quality import mad_outliers
+
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(
+        F.broadcast(part), li["l_partkey"] == part["p_partkey"]
+    ).select("p_brand", "l_extendedprice")
+    flagged = mad_outliers(j, "p_brand", "l_extendedprice", k=3.0)
+    return flagged.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(F.min("_med"), 6).alias("med_r"),
+        F.round(F.min("_mad"), 6).alias("mad_r"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6054,7 +6100,7 @@ _R4_CHANGED = [
     "q135_hierarchy_closure", "q136_scd2_history",
     "q137_histogram_profile", "q138_zorder_layout",
     "q139_point_in_time_join", "q140_incremental_rollup",
-    "q141_brand_cooccurrence",
+    "q141_brand_cooccurrence", "q142_mad_outliers",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -86,3 +86,18 @@ def test_histogram_empty_and_constant_inputs(spark):
     rows = histogram(const, "x", bins=4).collect()
     # degenerate range: everything in bin 0, unit width
     assert len(rows) == 1 and rows[0].bin == 0 and rows[0].n == 2
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    from gpi_etl_spark.operators.quality import mad_outliers
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", float(v)) for v in [5, 5, 5, 5]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = mad_outliers(df, "g", "x", k=3.0).collect()
+    flagged = {(r.g, r.x) for r in got if r.is_outlier}
+    # group a: median 12.5, MAD 1.5 -> only the 1000 spike exceeds 3*MAD
+    assert flagged == {("a", 1000.0)}
+    # constant group: MAD 0, no value strictly exceeds 0
+    assert all(not r.is_outlier for r in got if r.g == "b")
