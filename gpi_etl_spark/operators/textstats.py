@@ -631,3 +631,40 @@ def gopher_quality_flags(
         & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
         & F.col("ok_stopwords"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the compressibility proxy quality filters use (near-zero =
+    repeated-character padding, unusually high = random/encoded blobs;
+    natural text sits in a narrow band). Computed as
+    ``ln(n) - Σ c·ln(c) / n`` over per-character counts, which avoids
+    a per-character division and keeps every intermediate an exact
+    integer until the final logs.
+
+    One explode + two groupBys (shuffle ∝ total characters). For a
+    100 TB run, the same statistic over raw BYTES comes from a fixed
+    256-bucket histogram built in one ``aggregate`` pass per row with
+    no explode at all; the character form here keeps the oracle
+    replayable (DuckDB splits codepoints, not bytes).
+
+    Returns ``(id, n_chars, entropy_r)``; empty documents produce no
+    row.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("_ch"),
+    ).filter(F.length("_ch") > 0)
+    counts = chars.groupBy(id_col, "_ch").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("_c").cast("bigint").alias("n_chars"),
+        F.round(
+            F.log(F.sum("_c"))
+            - F.sum(F.col("_c") * F.log("_c")) / F.sum("_c"),
+            6,
+        ).alias("entropy_r"),
+    )

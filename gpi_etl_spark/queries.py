@@ -6080,6 +6080,32 @@ def q142(spark, sf_dir):
     )
 
 
+@query(
+    "q143_char_entropy",
+    """
+    WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents),
+    cnt AS (SELECT doc_id, c, count(*) AS n FROM ch
+            WHERE len(c) > 0 GROUP BY doc_id, c)
+    SELECT doc_id,
+           cast(sum(n) AS bigint) AS n_chars,
+           round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy_r
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q143(spark, sf_dir):
+    """Character-entropy quality signal (textstats.char_entropy): the
+    compressibility proxy (Shannon entropy of the per-doc character
+    distribution) — near-zero flags padding/repetition, unusually
+    high flags encoded blobs; natural text sits in a narrow band.
+    Computed as ln(n) − Σ c·ln(c)/n so every intermediate is an exact
+    integer until the final logs, which both engines evaluate on
+    identical doubles."""
+    from gpi_etl_spark.operators.textstats import char_entropy
+
+    return char_entropy(t(spark, sf_dir, "documents"))
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6101,6 +6127,7 @@ _R4_CHANGED = [
     "q137_histogram_profile", "q138_zorder_layout",
     "q139_point_in_time_join", "q140_incremental_rollup",
     "q141_brand_cooccurrence", "q142_mad_outliers",
+    "q143_char_entropy",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

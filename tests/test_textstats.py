@@ -286,3 +286,22 @@ def test_shared_sentence_stats_flags_boilerplate(spark):
     assert (got[2].n_sentences, got[2].n_shared) == (2, 1)
     assert (got[3].n_sentences, got[3].n_shared) == (1, 0)
     assert (got[4].n_sentences, got[4].n_shared) == (1, 0)
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from gpi_etl_spark.operators.textstats import char_entropy
+
+    rows = [
+        (1, "aaaa"),      # one symbol: entropy 0
+        (2, "abab"),      # two equal symbols: ln 2
+        (3, "abcd"),      # four equal symbols: ln 4
+        (4, ""),          # empty: no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].entropy_r == 0.0 and got[1].n_chars == 4
+    assert got[2].entropy_r == round(math.log(2), 6)
+    assert got[3].entropy_r == round(math.log(4), 6)
