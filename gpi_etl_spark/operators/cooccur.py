@@ -59,3 +59,66 @@ def cooccurrence_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pointwise mutual information over basket co-occurrence:
+    ``pmi(a,b) = ln( n_ab · N / (n_a · n_b) )`` with document (basket)
+    frequencies as the marginals — the collocation / related-term
+    signal (terms that co-occur far above chance). Positive = attract,
+    negative = repel.
+
+    Built on :func:`cooccurrence_pairs` (basket-local pair
+    generation), two broadcastable marginal joins and a one-row
+    basket-count broadcast (the scalar-subquery pattern). Every count
+    is an exact integer; only the final log is floating point, rounded
+    to 6 dp.
+
+    Returns ``(item_a, item_b, n_ab, n_a, n_b, pmi_r)``.
+    """
+    pairs = cooccurrence_pairs(df, basket_col, item_col).filter(
+        F.col("n_baskets") >= min_pair_count
+    )
+    marg = (
+        df.select(basket_col, item_col)
+        .distinct()
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    total = (
+        df.select(basket_col).distinct().agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+    )
+    a = marg.select(
+        F.col(item_col).alias("item_a"), F.col("_df").alias("n_a")
+    )
+    b = marg.select(
+        F.col(item_col).alias("item_b"), F.col("_df").alias("n_b")
+    )
+    return (
+        pairs.withColumnRenamed("n_baskets", "n_ab")
+        .join(a, "item_a")
+        .join(b, "item_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("_n")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+    )

@@ -6106,6 +6106,59 @@ def q143(spark, sf_dir):
     return char_entropy(t(spark, sf_dir, "documents"))
 
 
+@query(
+    "q144_pmi_collocations",
+    f"""
+    WITH tk AS (SELECT DISTINCT doc_id, t AS term
+                FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t
+                      FROM documents)
+                WHERE len(t) >= 6),
+    dfc AS (SELECT term, count(*) AS df FROM tk GROUP BY term),
+    elig AS (SELECT term FROM dfc WHERE df >= 3),
+    tke AS (SELECT doc_id, term FROM tk JOIN elig USING (term)),
+    pr AS (SELECT a.term AS item_a, b.term AS item_b
+           FROM tke a JOIN tke b
+             ON a.doc_id = b.doc_id AND a.term < b.term),
+    pc AS (SELECT item_a, item_b, count(*) AS n_ab
+           FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+    m AS (SELECT term, count(*) AS df FROM tke GROUP BY term),
+    nn AS (SELECT count(DISTINCT doc_id) AS n FROM tke)
+    SELECT item_a, item_b, n_ab,
+           ma.df AS n_a, mb.df AS n_b,
+           round(ln((n_ab * n) / (ma.df * mb.df)), 6) AS pmi_r
+    FROM pc
+    JOIN m ma ON ma.term = item_a
+    JOIN m mb ON mb.term = item_b
+    CROSS JOIN nn
+    """,
+)
+def q144(spark, sf_dir):
+    """PMI collocation mining (cooccur.pmi_pairs): informative terms
+    (≥ 6 chars, document frequency ≥ 3) scored by how far above
+    chance they co-occur — the related-term/collocation signal over
+    the corpus. Pair generation is basket-local (q141's operator);
+    the oracle rebuilds it from the self-join formulation plus
+    independent marginals, so counts AND the log-ratio must agree."""
+    from gpi_etl_spark.operators.cooccur import pmi_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(textstats.tokens("text")).alias("term")
+        )
+        .filter(F.length("term") >= 6)
+        .distinct()
+    )
+    elig = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 3)
+        .select("term")
+    )
+    tke = toks.join(F.broadcast(elig), "term")
+    return pmi_pairs(tke, "doc_id", "term", min_pair_count=2)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6127,7 +6180,7 @@ _R4_CHANGED = [
     "q137_histogram_profile", "q138_zorder_layout",
     "q139_point_in_time_join", "q140_incremental_rollup",
     "q141_brand_cooccurrence", "q142_mad_outliers",
-    "q143_char_entropy",
+    "q143_char_entropy", "q144_pmi_collocations",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
