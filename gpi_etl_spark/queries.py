@@ -6159,6 +6159,46 @@ def q144(spark, sf_dir):
     return pmi_pairs(tke, "doc_id", "term", min_pair_count=2)
 
 
+@query(
+    "q145_triangle_counts",
+    """
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    raw AS (SELECT doc_id AS s, (doc_id*doc_id + k) % cnt AS d
+            FROM documents CROSS JOIN n
+            CROSS JOIN unnest([1,2,3,4,5,6]) AS t(k)),
+    e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+          FROM raw WHERE s <> d),
+    tri AS (SELECT ab.a AS ta, ab.b AS tb, bc.b AS tc
+            FROM e ab
+            JOIN e bc ON bc.a = ab.b
+            JOIN e ac ON ac.a = ab.a AND ac.b = bc.b)
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT unnest([ta, tb, tc]) AS node FROM tri)
+    GROUP BY node
+    """,
+)
+def q145(spark, sf_dir):
+    """Per-node triangle counting (linkgraph.triangle_counts) over a
+    denser 6-out quadratic link graph — the local-clustering signal
+    (link farms / citation rings) beside q123's global PageRank.
+    Wedge-closure with the a<b<c total order finds each triangle
+    exactly once in two equi-joins; the oracle enumerates the same
+    closure relationally, so canonicalization, dedup and the closure
+    joins all hash-gate."""
+    from gpi_etl_spark.operators.linkgraph import triangle_counts
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    ks = F.explode(
+        F.array(*[F.lit(i) for i in range(1, 7)])
+    ).alias("k")
+    edges = docs.select(F.col("doc_id").alias("src"), ks).select(
+        "src",
+        ((F.col("src") * F.col("src") + F.col("k")) % cnt).alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6181,6 +6221,7 @@ _R4_CHANGED = [
     "q139_point_in_time_join", "q140_incremental_rollup",
     "q141_brand_cooccurrence", "q142_mad_outliers",
     "q143_char_entropy", "q144_pmi_collocations",
+    "q145_triangle_counts",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -78,3 +78,28 @@ def test_parallel_edges_double_weight(spark):
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-12)
     assert got[1] > got[2]
+
+
+def test_triangle_counts_hand_computed(spark):
+    from gpi_etl_spark.operators.linkgraph import triangle_counts
+
+    # K4 on {0,1,2,3} (every node in C(3,2)=3 triangles) plus a
+    # pendant edge, a self-loop, a duplicate and a reversed duplicate
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 9),          # pendant: no triangle
+        (5, 5),          # self-loop: dropped
+        (1, 0), (2, 0),  # reversed duplicates: canonicalized away
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_no_triangles(spark):
+    from gpi_etl_spark.operators.linkgraph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"  # a path
+    )
+    assert triangle_counts(df).count() == 0
