@@ -191,3 +191,64 @@ def mad_outliers(
         "is_outlier",
         F.abs(x - F.col("_med")) > F.lit(float(k)) * F.col("_mad"),
     )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    width: float = 100.0,
+) -> DataFrame:
+    """Population Stability Index between two releases of a numeric
+    signal — the release-over-release drift monitor (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 investigate): per fixed-width bin,
+    ``contrib = (q - p) · ln(q/p)`` with add-one-smoothed shares, and
+    ``PSI = Σ contrib``. Fixed data-independent bins (clamped to
+    ``[0, bins)``) keep the comparison stable across releases and
+    engines — unlike auto-ranged histograms, whose edges move with the
+    data they're supposed to monitor.
+
+    Two grouped counts + a bin spine join; the two scalar totals ride
+    a one-row broadcast (the scalar-subquery pattern).
+
+    Returns one row per bin: ``(bin, n_old, n_new, contrib_r)``.
+    """
+    def binned(df: DataFrame) -> DataFrame:
+        b = F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(bins - 1),
+                F.floor(F.col(value_col) / F.lit(float(width))).cast(
+                    "int"
+                ),
+            ),
+        )
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+
+    oc = binned(old).withColumnRenamed("c", "_co")
+    nc = binned(new).withColumnRenamed("c", "_cn")
+    spine = old.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    totals = (
+        old.agg(F.count(F.lit(1)).alias("_no"))
+        .crossJoin(new.agg(F.count(F.lit(1)).alias("_nn")))
+    )
+    co = F.coalesce(F.col("_co"), F.lit(0))
+    cn = F.coalesce(F.col("_cn"), F.lit(0))
+    p = (co + 1) / (F.col("_no") + bins)
+    q = (cn + 1) / (F.col("_nn") + bins)
+    return (
+        spine.join(oc, "bin", "left")
+        .join(nc, "bin", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            co.cast("bigint").alias("n_old"),
+            cn.cast("bigint").alias("n_new"),
+            F.round((q - p) * F.log(q / p), 6).alias("contrib_r"),
+        )
+    )

@@ -6199,6 +6199,64 @@ def q145(spark, sf_dir):
     return triangle_counts(edges)
 
 
+@query(
+    "q146_psi_drift",
+    """
+    WITH olds AS (SELECT len(text) AS L FROM documents
+                  WHERE doc_id % 7 <> 0),
+    news AS (SELECT len(CASE WHEN doc_id % 5 = 0
+                             THEN text || ' amended' ELSE text END) AS L
+             FROM documents WHERE doc_id % 7 <> 1),
+    oc AS (SELECT greatest(0, least(9, cast(floor(L / 100.0) AS int)))
+                    AS bin, count(*) AS co
+           FROM olds GROUP BY 1),
+    nc AS (SELECT greatest(0, least(9, cast(floor(L / 100.0) AS int)))
+                    AS bin, count(*) AS cn
+           FROM news GROUP BY 1),
+    spine AS (SELECT cast(unnest(generate_series(0, 9)) AS int) AS bin),
+    tot AS (SELECT (SELECT count(*) FROM olds) AS no,
+                   (SELECT count(*) FROM news) AS nn)
+    SELECT s.bin,
+           cast(coalesce(co, 0) AS bigint) AS n_old,
+           cast(coalesce(cn, 0) AS bigint) AS n_new,
+           round(((coalesce(cn, 0) + 1) / (nn + 10)
+                  - (coalesce(co, 0) + 1) / (no + 10))
+                 * ln(((coalesce(cn, 0) + 1) / (nn + 10))
+                      / ((coalesce(co, 0) + 1) / (no + 10))), 6)
+             AS contrib_r
+    FROM spine s
+    LEFT JOIN oc ON oc.bin = s.bin
+    LEFT JOIN nc ON nc.bin = s.bin
+    CROSS JOIN tot
+    """,
+)
+def q146(spark, sf_dir):
+    """Release-over-release distribution drift (quality.psi_drift):
+    the Population Stability Index of the document-length distribution
+    between the q117 snapshot pair — per fixed-bin smoothed-share
+    contributions whose sum is the PSI monitoring number. Fixed bins
+    (not auto-ranged) so the monitor itself can't drift; counts are
+    exact integers and both engines take the same logs."""
+    from gpi_etl_spark.operators.quality import psi_drift
+
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.length("text").alias("L")
+    )
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 1)
+        .select(
+            F.length(
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit(" amended")),
+                ).otherwise(F.col("text"))
+            ).alias("L")
+        )
+    )
+    return psi_drift(old, new, "L", bins=10, width=100.0)
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6221,7 +6279,7 @@ _R4_CHANGED = [
     "q139_point_in_time_join", "q140_incremental_rollup",
     "q141_brand_cooccurrence", "q142_mad_outliers",
     "q143_char_entropy", "q144_pmi_collocations",
-    "q145_triangle_counts",
+    "q145_triangle_counts", "q146_psi_drift",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -101,3 +101,31 @@ def test_mad_outliers_flags_only_the_spike(spark):
     assert flagged == {("a", 1000.0)}
     # constant group: MAD 0, no value strictly exceeds 0
     assert all(not r.is_outlier for r in got if r.g == "b")
+
+
+def test_psi_drift_identical_distributions_zero(spark):
+    from gpi_etl_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 1000, 7)], "v double")
+    out = psi_drift(df, df, "v", bins=10, width=100.0).collect()
+    assert len(out) == 10
+    assert all(r.contrib_r == 0.0 for r in out)
+    assert sum(r.n_old for r in out) == df.count()
+
+
+def test_psi_drift_detects_shift(spark):
+    import math
+
+    from gpi_etl_spark.operators.quality import psi_drift
+
+    old = spark.createDataFrame([(50.0,)] * 80 + [(150.0,)] * 20, "v double")
+    new = spark.createDataFrame([(50.0,)] * 20 + [(150.0,)] * 80, "v double")
+    out = {r.bin: r for r in psi_drift(old, new, "v", bins=10, width=100.0).collect()}
+    # hand-replay bin 0 (add-one smoothing over n + bins = 110):
+    # p = (80+1)/110, q = (20+1)/110
+    p, q = 81 / 110, 21 / 110
+    assert out[0].contrib_r == round((q - p) * math.log(q / p), 6)
+    psi = sum(r.contrib_r for r in out.values())
+    assert psi > 0.25  # "investigate" territory for an 80/20 flip
+    # empty bins: smoothed symmetric, zero contribution
+    assert out[5].contrib_r == 0.0 and out[5].n_old == 0
