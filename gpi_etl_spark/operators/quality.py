@@ -252,3 +252,69 @@ def psi_drift(
             F.round((q - p) * F.log(q / p), 6).alias("contrib_r"),
         )
     )
+
+
+def ab_conversion_ztest(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    variant_expr=None,
+) -> DataFrame:
+    """Two-proportion z-test on user-level conversion between two
+    experiment arms — the experimentation readout every event
+    warehouse serves. A user converts if they ever emitted
+    ``convert_type``; arms come from ``variant_expr`` (default:
+    ``user_id % 2``, the hash-bucket assignment pattern —
+    deterministic, so the test replays cross-engine).
+
+    ``z = (p_a - p_b) / sqrt( p̂ (1-p̂) (1/n_a + 1/n_b) )`` with the
+    pooled rate p̂. One groupBy(user) + one tiny aggregate; the whole
+    readout is a two-row shuffle regardless of event volume.
+
+    Returns one row: ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b,
+    z_r)`` with rates/z rounded to 6 dp.
+    """
+    variant = (
+        variant_expr
+        if variant_expr is not None
+        else (F.col(user_col) % 2 == 0)
+    )
+    per_user = events.groupBy(user_col).agg(
+        F.max(
+            (F.col(type_col) == convert_type).cast("int")
+        ).alias("_conv"),
+    )
+    arms = per_user.select(
+        F.when(variant, F.lit("a")).otherwise(F.lit("b")).alias("_arm"),
+        "_conv",
+    )
+    agg = arms.agg(
+        F.sum(F.when(F.col("_arm") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_arm") == "b", 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("_arm") == "a", F.col("_conv")).otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when(F.col("_arm") == "b", F.col("_conv")).otherwise(0)
+        ).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(
+            F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0)), 6
+        ).alias("z_r"),
+    )

@@ -6257,6 +6257,51 @@ def q146(spark, sf_dir):
     return psi_drift(old, new, "L", bins=10, width=100.0)
 
 
+@query(
+    "q147_ab_ztest",
+    """
+    WITH pu AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY user_id),
+    arms AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END
+                      AS arm, conv
+             FROM pu),
+    agg AS (SELECT
+              sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS n_a,
+              sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS n_b,
+              sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS conv_a,
+              sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS conv_b
+            FROM arms)
+    SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
+           cast(conv_a AS bigint) AS conv_a,
+           cast(conv_b AS bigint) AS conv_b,
+           round(conv_a / n_a, 6) AS rate_a,
+           round(conv_b / n_b, 6) AS rate_b,
+           round(CASE WHEN
+               sqrt(((conv_a + conv_b) / (n_a + n_b))
+                    * (1 - (conv_a + conv_b) / (n_a + n_b))
+                    * (1 / n_a + 1 / n_b)) > 0
+             THEN (conv_a / n_a - conv_b / n_b)
+                  / sqrt(((conv_a + conv_b) / (n_a + n_b))
+                         * (1 - (conv_a + conv_b) / (n_a + n_b))
+                         * (1 / n_a + 1 / n_b))
+             ELSE 0.0 END, 6) AS z_r
+    FROM agg
+    """,
+)
+def q147(spark, sf_dir):
+    """Experimentation readout (quality.ab_conversion_ztest): users
+    hash-bucketed into two arms (user_id parity — deterministic
+    assignment, so both engines form identical cohorts), user-level
+    purchase conversion compared with the pooled two-proportion
+    z-statistic. One groupBy(user) then a two-row aggregate — the
+    readout costs the same at any event volume."""
+    from gpi_etl_spark.operators.quality import ab_conversion_ztest
+
+    return ab_conversion_ztest(t(spark, sf_dir, "events"))
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6279,7 +6324,7 @@ _R4_CHANGED = [
     "q139_point_in_time_join", "q140_incremental_rollup",
     "q141_brand_cooccurrence", "q142_mad_outliers",
     "q143_char_entropy", "q144_pmi_collocations",
-    "q145_triangle_counts", "q146_psi_drift",
+    "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

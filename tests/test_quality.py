@@ -129,3 +129,28 @@ def test_psi_drift_detects_shift(spark):
     assert psi > 0.25  # "investigate" territory for an 80/20 flip
     # empty bins: smoothed symmetric, zero contribution
     assert out[5].contrib_r == 0.0 and out[5].n_old == 0
+
+
+def test_ab_ztest_hand_computed(spark):
+    import math
+
+    from gpi_etl_spark.operators.quality import ab_conversion_ztest
+
+    rows = []
+    # arm a (even ids): users 0,2,4,6 — 0 and 2 purchase
+    for u in (0, 2):
+        rows.append((u, "purchase"))
+        rows.append((u, "view"))
+    for u in (4, 6):
+        rows.append((u, "view"))
+    # arm b (odd ids): users 1,3 — only 1 purchases (twice: still 1 user)
+    rows.append((1, "purchase"))
+    rows.append((1, "purchase"))
+    rows.append((3, "click"))
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    r = ab_conversion_ztest(df).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (4, 2, 2, 1)
+    assert r.rate_a == 0.5 and r.rate_b == 0.5
+    p = 3 / 6
+    se = math.sqrt(p * (1 - p) * (1 / 4 + 1 / 2))
+    assert r.z_r == round((0.5 - 0.5) / se, 6) == 0.0
