@@ -12,7 +12,7 @@ no windows over the raw event stream, no per-user state on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,4 +99,42 @@ def retention_cohorts(
         )
         .groupBy("cohort", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every consecutive pair within a user's timeline, count
+    ``from_type → to_type`` and normalize per source state — the
+    behavioral fingerprint (and anomaly baseline) of a clickstream.
+
+    Ordering is ``(ts, tiebreak)`` so simultaneous events sequence
+    deterministically in every engine. One window per user (shuffle ∝
+    events on the user hash) + one pair groupBy; the row-probability
+    normalization is a window over the |states|² matrix, not the
+    stream.
+
+    Returns ``(from_type, to_type, n, p_r)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(F.col(type_col)).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p_r", F.round(F.col("n") / F.sum("n").over(wrow), 6)
     )

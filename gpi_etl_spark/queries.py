@@ -6302,6 +6302,33 @@ def q147(spark, sf_dir):
     return ab_conversion_ztest(t(spark, sf_dir, "events"))
 
 
+@query(
+    "q148_event_transitions",
+    """
+    WITH p AS (SELECT event_type AS from_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS to_type
+               FROM events),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p_r
+    FROM c
+    """,
+)
+def q148(spark, sf_dir):
+    """Markov transition matrix of the event stream
+    (funnel.event_transitions): per-user consecutive event pairs
+    (ordered by ts with event_id tiebreak, so simultaneous events
+    sequence identically in both engines) counted and row-normalized
+    — the behavioral-fingerprint baseline anomaly detectors compare
+    against. Window shuffle ∝ events; the normalization window runs
+    over the 5×5 matrix only."""
+    from gpi_etl_spark.operators.funnel import event_transitions
+
+    return event_transitions(t(spark, sf_dir, "events"))
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6325,6 +6352,7 @@ _R4_CHANGED = [
     "q141_brand_cooccurrence", "q142_mad_outliers",
     "q143_char_entropy", "q144_pmi_collocations",
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
+    "q148_event_transitions",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -85,3 +85,30 @@ def test_retention_cohorts_hand_computed(spark):
         (w2, 0): 1,
         (w2, 2): 1,
     }
+
+
+def test_event_transitions_hand_computed(spark):
+    from gpi_etl_spark.operators.funnel import event_transitions
+
+    rows = [
+        # user 1 path: view -> click -> view (ids give order)
+        (1, ts(1, 1), "view", 10), (1, ts(1, 2), "click", 11),
+        (1, ts(1, 3), "view", 12),
+        # user 2: view -> view; simultaneous pair ordered by event_id
+        (2, ts(2, 1), "view", 20), (2, ts(2, 1), "view", 21),
+        # user 3: single event, no transition
+        (3, ts(3, 1), "click", 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_r)
+        for r in event_transitions(df).collect()
+    }
+    # user1 contributes view->click, click->view; user2 view->view
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
