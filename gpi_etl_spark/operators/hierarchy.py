@@ -30,13 +30,34 @@ def transitive_root(
     """Resolve every node of a forest to its root and depth.
 
     ``nodes`` has one row per node with ``parent_col`` NULL for roots.
-    Cycles are the caller's bug — they never converge and stop at
-    ``max_iters`` (2^50 levels is beyond any real hierarchy, so hitting
-    the cap means a cycle; a production job would alert on it).
+    Every non-NULL parent must itself have a row: a dangling pointer
+    would otherwise vanish from the inner self-join and silently drop
+    its whole subtree, so it raises ``ValueError`` up front instead
+    (one anti-join action — the alertable condition a production
+    hierarchy load wants). Cycles are the caller's bug — they never
+    converge and stop at ``max_iters`` (2^50 levels is beyond any real
+    hierarchy, so hitting the cap means a cycle).
 
     Returns ``(node, root, depth)``.
     """
     from pyspark.storagelevel import StorageLevel
+
+    dangling = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(F.col(parent_col).alias("_p"))
+        .join(
+            nodes.select(F.col(id_col).alias("_p")).distinct(),
+            "_p",
+            "left_anti",
+        )
+        .head(3)
+    )
+    if dangling:
+        missing = sorted({r["_p"] for r in dangling})
+        raise ValueError(
+            f"dangling parent pointer(s) with no node row: {missing} "
+            "(subtrees under them would be silently lost)"
+        )
 
     while _LIVE_HIER_CACHES:
         _LIVE_HIER_CACHES.pop().unpersist()

@@ -210,10 +210,20 @@ def psi_drift(
     data they're supposed to monitor.
 
     Two grouped counts + a bin spine join; the two scalar totals ride
-    a one-row broadcast (the scalar-subquery pattern).
+    a one-row broadcast (the scalar-subquery pattern). NULL/NaN values
+    are EXCLUDED from both the bins and the totals (least/greatest
+    skip NULLs in both engines, so without the explicit filter a NULL
+    signal would silently land in the top bin and masquerade as
+    high-value drift — monitor NULL-rate drift as its own check).
 
     Returns one row per bin: ``(bin, n_old, n_new, contrib_r)``.
     """
+    def clean(df: DataFrame) -> DataFrame:
+        x = F.col(value_col)
+        return df.filter(x.isNotNull() & ~F.isnan(x.cast("double")))
+
+    old, new = clean(old), clean(new)
+
     def binned(df: DataFrame) -> DataFrame:
         b = F.greatest(
             F.lit(0),
@@ -275,11 +285,19 @@ def ab_conversion_ztest(
     Returns one row: ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b,
     z_r)`` with rates/z rounded to 6 dp.
     """
-    variant = (
-        variant_expr
-        if variant_expr is not None
-        else (F.col(user_col) % 2 == 0)
-    )
+    if variant_expr is None:
+        # the parity default relies on numeric ids; a string id would
+        # coerce to NULL and silently dump EVERY user into arm 'b' —
+        # require an explicit assignment expression instead
+        dt = dict(events.dtypes).get(user_col, "")
+        if dt not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"default variant assignment needs an integer {user_col!r} "
+                f"(got {dt or 'missing column'}); pass variant_expr= for "
+                "non-integer ids (e.g. a hash-bucket expression)"
+            )
+        variant_expr = F.col(user_col) % 2 == 0
+    variant = variant_expr
     per_user = events.groupBy(user_col).agg(
         F.max(
             (F.col(type_col) == convert_type).cast("int")
@@ -299,13 +317,21 @@ def ab_conversion_ztest(
             F.when(F.col("_arm") == "b", F.col("_conv")).otherwise(0)
         ).alias("conv_b"),
     )
-    p_a = F.col("conv_a") / F.col("n_a")
-    p_b = F.col("conv_b") / F.col("n_b")
-    pooled = (F.col("conv_a") + F.col("conv_b")) / (
-        F.col("n_a") + F.col("n_b")
+    # try_divide: an EMPTY arm yields NULL rates and a 0.0 z-statistic
+    # instead of an ANSI divide-by-zero error — a half-configured
+    # experiment should read out as "no signal", not crash the job
+    p_a = F.try_divide(F.col("conv_a"), F.col("n_a"))
+    p_b = F.try_divide(F.col("conv_b"), F.col("n_b"))
+    pooled = F.try_divide(
+        F.col("conv_a") + F.col("conv_b"), F.col("n_a") + F.col("n_b")
     )
     se = F.sqrt(
-        pooled * (1 - pooled) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+        pooled
+        * (1 - pooled)
+        * (
+            F.try_divide(F.lit(1), F.col("n_a"))
+            + F.try_divide(F.lit(1), F.col("n_b"))
+        )
     )
     return agg.select(
         F.col("n_a").cast("bigint").alias("n_a"),

@@ -241,6 +241,11 @@ def merge_partial_aggs(
     history that produced them. Decimal sum columns keep the merge
     bit-exact regardless of merge order.
     """
+    if not parts:
+        raise ValueError(
+            "merge_partial_aggs needs at least one partial-aggregate "
+            "table (an empty nightly discovery should skip the merge)"
+        )
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p)

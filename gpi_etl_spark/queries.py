@@ -5742,9 +5742,10 @@ def q135(spark, sf_dir):
     return transitive_root(docs)
 
 
-@query(
-    "q136_scd2_history",
-    """
+#: shared q136/q139 oracle prefix: the spend-tier change log and its
+#: SCD2 consecutive-change compression — ONE source of truth for the
+#: tier formula and the compression rule in the SQL dialect.
+_TIER_SCD_CTES = """
     WITH log AS (SELECT o_custkey, o_orderdate,
                         cast(floor(max(o_totalprice) / 50000) AS int) AS tier
                  FROM orders GROUP BY 1, 2),
@@ -5755,7 +5756,27 @@ def q135(spark, sf_dir):
                                         ORDER BY o_orderdate) AS pd
           FROM log),
     kept AS (SELECT o_custkey, o_orderdate, tier FROM k
-             WHERE pd IS NULL OR tier IS DISTINCT FROM pt)
+             WHERE pd IS NULL OR tier IS DISTINCT FROM pt)"""
+
+
+def _tier_change_log(spark, sf_dir):
+    """Spark twin of the ``_TIER_SCD_CTES`` ``log`` CTE: per-(customer,
+    day) spend tier — the change log both q136 and q139 version."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("_p"))
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            F.floor(F.col("_p") / 50000).cast("int").alias("tier"),
+        )
+    )
+
+
+@query(
+    "q136_scd2_history",
+    _TIER_SCD_CTES + """
     SELECT o_custkey, tier,
            o_orderdate AS valid_from,
            lead(o_orderdate) OVER (PARTITION BY o_custkey
@@ -5777,16 +5798,7 @@ def q136(spark, sf_dir):
     per-(cust, day) max, so both engines' windows order identically."""
     from gpi_etl_spark.operators.watermark import scd2_history
 
-    orders = t(spark, sf_dir, "orders")
-    log = (
-        orders.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_totalprice").alias("_p"))
-        .select(
-            "o_custkey",
-            "o_orderdate",
-            F.floor(F.col("_p") / 50000).cast("int").alias("tier"),
-        )
-    )
+    log = _tier_change_log(spark, sf_dir)
     scd = scd2_history(
         log, ["o_custkey"], "o_orderdate", ["tier"]
     )
@@ -5877,18 +5889,7 @@ def q138(spark, sf_dir):
 
 @query(
     "q139_point_in_time_join",
-    """
-    WITH log AS (SELECT o_custkey, o_orderdate,
-                        cast(floor(max(o_totalprice) / 50000) AS int) AS tier
-                 FROM orders GROUP BY 1, 2),
-    k AS (SELECT *,
-                 lag(tier) OVER (PARTITION BY o_custkey
-                                 ORDER BY o_orderdate) AS pt,
-                 lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                        ORDER BY o_orderdate) AS pd
-          FROM log),
-    kept AS (SELECT o_custkey, o_orderdate, tier FROM k
-             WHERE pd IS NULL OR tier IS DISTINCT FROM pt),
+    _TIER_SCD_CTES + """,
     scd AS (SELECT o_custkey, tier,
                    o_orderdate AS valid_from,
                    lead(o_orderdate) OVER (PARTITION BY o_custkey
@@ -5918,15 +5919,7 @@ def q139(spark, sf_dir):
     from gpi_etl_spark.operators.watermark import point_in_time_join, scd2_history
 
     orders = t(spark, sf_dir, "orders")
-    log = (
-        orders.groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_totalprice").alias("_p"))
-        .select(
-            "o_custkey",
-            "o_orderdate",
-            F.floor(F.col("_p") / 50000).cast("int").alias("tier"),
-        )
-    )
+    log = _tier_change_log(spark, sf_dir)
     dim = scd2_history(log, ["o_custkey"], "o_orderdate", ["tier"]).select(
         "o_custkey", "tier", "valid_from", "valid_to"
     )
@@ -6203,10 +6196,11 @@ def q145(spark, sf_dir):
     "q146_psi_drift",
     """
     WITH olds AS (SELECT len(text) AS L FROM documents
-                  WHERE doc_id % 7 <> 0),
+                  WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
     news AS (SELECT len(CASE WHEN doc_id % 5 = 0
                              THEN text || ' amended' ELSE text END) AS L
-             FROM documents WHERE doc_id % 7 <> 1),
+             FROM documents
+             WHERE doc_id % 7 <> 1 AND text IS NOT NULL),
     oc AS (SELECT greatest(0, least(9, cast(floor(L / 100.0) AS int)))
                     AS bin, count(*) AS co
            FROM olds GROUP BY 1),

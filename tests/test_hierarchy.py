@@ -43,3 +43,13 @@ def test_deep_chain_logarithmic_iterations(spark):
 def test_single_root_only(spark):
     got = run(spark, [(7, None)])
     assert got == {7: (7, 0)}
+
+
+def test_dangling_parent_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 99), (2, 1)], "node long, parent long"  # 99 has no row
+    )
+    with pytest.raises(ValueError, match="dangling"):
+        transitive_root(df)

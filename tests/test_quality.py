@@ -154,3 +154,38 @@ def test_ab_ztest_hand_computed(spark):
     p = 3 / 6
     se = math.sqrt(p * (1 - p) * (1 / 4 + 1 / 2))
     assert r.z_r == round((0.5 - 0.5) / se, 6) == 0.0
+
+
+def test_psi_drift_excludes_nulls_and_nans(spark):
+    from gpi_etl_spark.operators.quality import psi_drift
+
+    clean = spark.createDataFrame([(50.0,)] * 10, "v double")
+    dirty = spark.createDataFrame(
+        [(50.0,)] * 10 + [(None,)] * 5 + [(float("nan"),)] * 5, "v double"
+    )
+    out = {r.bin: r for r in
+           psi_drift(clean, dirty, "v", bins=10, width=100.0).collect()}
+    # NULL/NaN rows vanish from bins AND totals: distributions identical
+    assert out[9].n_new == 0  # regression: NULLs used to land in the top bin
+    assert all(r.contrib_r == 0.0 for r in out.values())
+    assert sum(r.n_new for r in out.values()) == 10
+
+
+def test_ab_ztest_rejects_non_integer_ids(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.quality import ab_conversion_ztest
+
+    df = spark.createDataFrame(
+        [("u1", "purchase"), ("u2", "view")], "user_id string, event_type string"
+    )
+    with pytest.raises(ValueError, match="integer"):
+        ab_conversion_ztest(df)
+    # explicit assignment expression works for any id type; here BOTH
+    # users land in arm a, so the empty-b readout must be NULL rates +
+    # z 0.0 (try_divide), not an ANSI divide-by-zero crash
+    r = ab_conversion_ztest(
+        df, variant_expr=F.length("user_id") % 2 == 0
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 0)
+    assert r.rate_b is None and r.z_r == 0.0

@@ -196,3 +196,12 @@ def test_merge_partial_aggs_equals_full_recompute(spark):
     m = {r.k: (r.cnt, r.sq, r.mn, r.mx) for r in merged.collect()}
     f = {r.k: (r.cnt, r.sq, r.mn, r.mx) for r in full.collect()}
     assert m == f
+
+
+def test_merge_partial_aggs_empty_parts_raises(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.watermark import merge_partial_aggs
+
+    with pytest.raises(ValueError, match="at least one"):
+        merge_partial_aggs([], ["k"])
