@@ -76,3 +76,68 @@ def test_curation_ops_on_empty_corpus(spark):
     b = spark.createDataFrame([(1, "en", "x", 1)],
                               "doc_id long, lang string, text string, n_tok int")
     assert incremental_dedup(b, e).count() == 1
+
+
+def test_round4_operators_on_empty_inputs(spark):
+    """The q123-q148 operator families must return empty frames (or a
+    sane base case) on empty inputs, never crash — the guard that
+    keeps a zero-row partition or an empty incremental batch from
+    killing a production run."""
+    from gpi_etl_spark.operators.cooccur import cooccurrence_pairs, pmi_pairs
+    from gpi_etl_spark.operators.curation import (
+        contamination_overlap,
+        importance_weights,
+        temperature_mix,
+    )
+    from gpi_etl_spark.operators.funnel import (
+        event_transitions,
+        funnel_steps,
+        retention_cohorts,
+    )
+    from gpi_etl_spark.operators.hierarchy import transitive_root
+    from gpi_etl_spark.operators.linkgraph import pagerank, triangle_counts
+    from gpi_etl_spark.operators.quality import mad_outliers, psi_drift
+    from gpi_etl_spark.operators.similarity import quantize_embeddings
+    from gpi_etl_spark.operators.textstats import (
+        char_entropy,
+        shared_sentence_stats,
+    )
+    from gpi_etl_spark.operators.watermark import (
+        point_in_time_join,
+        scd2_history,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, lang string, text string")
+    edges = spark.createDataFrame([], "src long, dst long")
+    events = spark.createDataFrame(
+        [], "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    nodes = spark.createDataFrame([], "node long, parent long")
+    toks = spark.createDataFrame([], "doc_id long, lang string, n_tokens int")
+
+    assert pagerank(edges).count() == 0
+    assert triangle_counts(edges).count() == 0
+    assert transitive_root(nodes).count() == 0
+    assert cooccurrence_pairs(docs, "doc_id", "lang").count() == 0
+    assert pmi_pairs(docs, "doc_id", "lang").count() == 0
+    assert contamination_overlap(docs, docs).count() == 0
+    assert importance_weights(docs, docs).count() == 0
+    assert temperature_mix(toks).count() == 0
+    assert funnel_steps(events, ["view", "click"]).count() == 0
+    assert retention_cohorts(events).count() == 0
+    assert event_transitions(events).count() == 0
+    assert mad_outliers(docs, "lang", "doc_id").count() == 0
+    assert psi_drift(toks, toks, "n_tokens").count() == 10  # spine survives
+    assert quantize_embeddings(vecs).count() == 0
+    assert char_entropy(docs).count() == 0
+    assert shared_sentence_stats(docs).count() == 0
+    assert scd2_history(docs, ["doc_id"], "lang", ["text"]).count() == 0
+    assert point_in_time_join(
+        events,
+        spark.createDataFrame(
+            [], "user_id long, tier int, valid_from timestamp, valid_to timestamp"
+        ),
+        ["user_id"],
+        "ts",
+    ).count() == 0
