@@ -127,3 +127,42 @@ def front_months(day: dt.date, prefix: str, allowed: list[str], k: int = 5,
     next-5 continuous-contract set, HTGPIPROPHEDEX/__init__.py:431-477)."""
     year = day.year if four_digit_year else day.year % 100
     return [f"{prefix}{s}" for s in next_expirations(day.month, year, allowed, k)]
+
+
+def expiration_symbol_expr(day_col, prefix: str, allowed: list[str]):
+    """DISTRIBUTED twin of :func:`expiration_symbol`: the same
+    6-months-ahead / next-two-listed / roll-on-the-20th rule as a pure
+    Spark column expression over a date column, for building the
+    per-day symbol column on a billion-row spine without the
+    driver-side walk.
+
+    The selection rule collapses algebraically: with ``off1`` = months
+    from the look-ahead month to the nearest listed expiration and
+    ``off2`` the next one after it (wrapping a year when none remain),
+    "current month is the first expiration" ⟺ ``off1 = 0`` and "the
+    month before it past the 20th" ⟺ ``off1 = 1 AND day > 20`` — so
+    the symbol picks ``off2`` in exactly those cases. Verified
+    day-for-day against the driver-side walk in tests/test_calendar.py
+    and against a DuckDB replay (q149).
+    """
+    from pyspark.sql import functions as F
+
+    months = [MONTH_CODES.index(c) + 1 for c in allowed]
+    ahead = F.add_months(day_col, 6)
+    am, ay, ad = F.month(ahead), F.year(ahead), F.dayofmonth(ahead)
+    offs = F.transform(
+        F.array(*[F.lit(m) for m in months]),
+        lambda m: (m - am + 12) % 12,
+    )
+    off1 = F.array_min(offs)
+    later = F.filter(offs, lambda o: o > off1)
+    off2 = F.coalesce(F.array_min(later), F.array_min(offs) + 12)
+    use2 = (off1 == 0) | ((off1 == 1) & (ad > 20))
+    offsel = F.when(use2, off2).otherwise(off1)
+    midx0 = (am - 1 + offsel) % 12
+    ysel = ay + F.floor((am - 1 + offsel) / 12).cast("int")
+    return F.concat(
+        F.lit(prefix),
+        F.lit(MONTH_CODES).substr(midx0 + 1, F.lit(1)),
+        (ysel % 100).cast("string"),
+    )

@@ -6323,6 +6323,95 @@ def q148(spark, sf_dir):
     return event_transitions(t(spark, sf_dir, "events"))
 
 
+@query(
+    "q149_futures_calendar",
+    """
+    WITH com AS (SELECT * FROM (VALUES
+        ('C', [3, 5, 7, 9, 12]),
+        ('S', [1, 3, 5, 7, 8, 9, 11])) AS v(commodity, ms)),
+    d AS (SELECT commodity, ms, cast(g AS date) AS day
+          FROM com, unnest(generate_series(date '2024-01-01',
+                                           date '2025-12-31',
+                                           INTERVAL 1 DAY)) AS t(g)),
+    a AS (SELECT commodity, ms, day,
+                 month(day + INTERVAL 6 MONTH) AS am,
+                 year(day + INTERVAL 6 MONTH) AS ay,
+                 day(day + INTERVAL 6 MONTH) AS ad
+          FROM d),
+    o AS (SELECT *, list_transform(ms, m -> (m - am + 12) % 12) AS offs
+          FROM a),
+    o1 AS (SELECT *, list_min(offs) AS off1 FROM o),
+    o2 AS (SELECT *,
+                  coalesce(list_min(list_filter(offs, x -> x > off1)),
+                           list_min(offs) + 12) AS off2
+           FROM o1),
+    sel AS (SELECT *,
+                   CASE WHEN off1 = 0 OR (off1 = 1 AND ad > 20)
+                        THEN off2 ELSE off1 END AS offsel
+            FROM o2),
+    sym AS (SELECT commodity, day,
+                   commodity ||
+                   substring('FGHJKMNQUVXZ',
+                             cast((am - 1 + offsel) % 12 AS int) + 1, 1) ||
+                   cast((ay + (am - 1 + offsel) // 12) % 100 AS varchar)
+                     AS symbol
+            FROM sel),
+    flag AS (SELECT commodity, day, symbol,
+                    CASE WHEN lag(symbol) OVER w IS NULL
+                           OR lag(symbol) OVER w <> symbol
+                         THEN 1 ELSE 0 END AS chg
+             FROM sym
+             WINDOW w AS (PARTITION BY commodity ORDER BY day)),
+    runs AS (SELECT commodity, day, symbol,
+                    sum(chg) OVER (PARTITION BY commodity ORDER BY day)
+                      AS run
+             FROM flag)
+    SELECT commodity, symbol,
+           min(day) AS run_start, max(day) AS run_end
+    FROM runs GROUP BY commodity, symbol, run
+    """,
+)
+def q149(spark, sf_dir):
+    """Futures expiration calendar, DISTRIBUTED (F-DT10/11 upgraded
+    from pytest-only to the hash gate): a two-year daily spine × two
+    commodities gets its contract symbol from
+    calendar.expiration_symbol_expr (the pure-expression twin of the
+    reference's 6-months-ahead / next-two-listed / roll-on-the-20th
+    walk) and the day→symbol walk run-length-compresses into fetch
+    ranges via windows.compress_runs. The oracle re-derives the
+    next-expiration offsets from the listed-month sets in SQL — rule,
+    month codes, year rollover and run compression all gate."""
+    from gpi_etl_spark.operators.windows import compress_runs
+    from gpi_etl_spark.plans.calendar import (
+        EXPIRATION_MONTHS,
+        expiration_symbol_expr,
+    )
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2025-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    parts = [
+        days.select(
+            F.lit(prefix).alias("commodity"),
+            "day",
+            expiration_symbol_expr(
+                F.col("day"), prefix, EXPIRATION_MONTHS[prefix]
+            ).alias("symbol"),
+        )
+        for prefix in ("C", "S")
+    ]
+    walk = parts[0].unionByName(parts[1])
+    return compress_runs(
+        walk, "symbol", "day", partition_by=["commodity"]
+    ).select("commodity", "symbol", "run_start", "run_end")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6346,7 +6435,7 @@ _R4_CHANGED = [
     "q141_brand_cooccurrence", "q142_mad_outliers",
     "q143_char_entropy", "q144_pmi_collocations",
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
-    "q148_event_transitions",
+    "q148_event_transitions", "q149_futures_calendar",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -62,3 +62,45 @@ def test_symbol_ranges_empty():
 def test_front_months():
     got = front_months(dt.date(2025, 1, 15), "@S", EXPIRATION_MONTHS["S"], k=5)
     assert got == ["@SF25", "@SH25", "@SK25", "@SN25", "@SQ25"]
+
+
+def test_expression_twin_matches_driver_walk_day_for_day(spark):
+    """The distributed expiration_symbol_expr must agree with the
+    driver-side python walk on every day of a multi-year range
+    spanning year rollovers and the 20th-of-month boundary, for both a
+    5-month and a 7-month commodity."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.plans.calendar import (
+        EXPIRATION_MONTHS,
+        daily_symbols,
+        expiration_symbol_expr,
+    )
+
+    start, end = dt.date(2023, 11, 1), dt.date(2026, 2, 1)
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(str(start)).cast("date"),
+                F.lit(str(end - dt.timedelta(days=1))).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    for prefix in ("C", "S"):
+        allowed = EXPIRATION_MONTHS[prefix]
+        got = {
+            r.day: r.sym
+            for r in days.select(
+                "day",
+                expiration_symbol_expr(
+                    F.col("day"), prefix, allowed
+                ).alias("sym"),
+            ).collect()
+        }
+        want = {
+            d: sym for d, _, sym in daily_symbols(start, end, prefix, allowed)
+        }
+        assert got == want
