@@ -6412,6 +6412,104 @@ def q149(spark, sf_dir):
     ).select("commodity", "symbol", "run_start", "run_end")
 
 
+@query(
+    "q150_sink_roundtrip",
+    """
+    SELECT o_orderpriority,
+           cast(year(o_orderdate) AS int) AS yr,
+           count(*) AS n,
+           round(sum(cast(o_totalprice AS decimal(18, 2))), 2)::double
+             AS revenue,
+           cast(min(o_orderkey) AS bigint) AS min_key
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q150(spark, sf_dir):
+    """Sink → scan round-trip under the hash gate (K1 upgraded from
+    pytest-only): orders write through sinklayout.write_partitioned
+    (hive-partitioned by priority, one range-sorted file per
+    partition) into a landing dir, read BACK from disk, and aggregate
+    — the oracle computes straight from the source table, so any
+    row lost, duplicated or mistyped by the partitioned writer or the
+    partition-column round-trip (string-typed hive values, pruning
+    metadata) breaks the hash. The year grouping additionally gates
+    date round-tripping through the parquet sink."""
+    import re as _re
+    import tempfile as _tmp
+
+    from gpi_etl_spark.operators.sinklayout import write_partitioned
+
+    orders = t(spark, sf_dir, "orders")
+    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    landing = os.path.join(_tmp.gettempdir(), f"gpi_q150_{key}")
+    write_partitioned(
+        orders, landing, ["o_orderpriority"], sort_cols=["o_orderkey"]
+    )
+    back = spark.read.parquet(landing)
+    return back.groupBy(
+        "o_orderpriority", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("revenue"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+
+
+@query(
+    "q151_schema_evolution",
+    """
+    WITH g1 AS (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 2 = 0),
+    g2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+           FROM orders WHERE o_orderkey % 2 = 1),
+    u AS (SELECT o_orderkey, o_totalprice,
+                 cast(NULL AS varchar) AS o_orderpriority FROM g1
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderpriority FROM g2)
+    SELECT coalesce(o_orderpriority, 'LEGACY') AS pri,
+           count(*) AS n,
+           round(sum(cast(o_totalprice AS decimal(18, 2))), 2)::double
+             AS revenue
+    FROM u GROUP BY 1
+    """,
+)
+def q151(spark, sf_dir):
+    """Schema evolution under the hash gate (upgraded from
+    pytest-only): generation 1 lands WITHOUT the priority column,
+    generation 2 WITH it, and a single ``mergeSchema`` parquet read
+    (sources/evolution.read_merged) reconciles the directory — legacy
+    rows surface with NULL priority, exactly the oracle's
+    explicit-NULL union. The corpus-generations pattern every
+    long-lived lake hits."""
+    import re as _re
+    import tempfile as _tmp
+
+    from gpi_etl_spark.sources.evolution import read_merged
+
+    orders = t(spark, sf_dir, "orders")
+    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    landing = os.path.join(_tmp.gettempdir(), f"gpi_q151_{key}")
+    g1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    g2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    g1.write.mode("overwrite").parquet(os.path.join(landing, "gen=1"))
+    g2.write.mode("overwrite").parquet(os.path.join(landing, "gen=2"))
+    back = read_merged(spark, landing)
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("pri")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("revenue"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6436,6 +6534,7 @@ _R4_CHANGED = [
     "q143_char_entropy", "q144_pmi_collocations",
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
     "q148_event_transitions", "q149_futures_calendar",
+    "q150_sink_roundtrip", "q151_schema_evolution",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
