@@ -6510,6 +6510,52 @@ def q151(spark, sf_dir):
     )
 
 
+@query(
+    "q152_bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           cast(count(DISTINCT o.o_custkey) AS bigint) AS n_customers,
+           round(sum(cast(o.o_totalprice AS decimal(18, 2))), 2)::double
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def q152(spark, sf_dir):
+    """Bucketed co-located join under the hash gate (upgraded from
+    pytest-only): orders and customer are bucket-written on the
+    customer key (the shuffle paid ONCE at write time), read back from
+    the catalog, and sort-merge-joined — the join itself runs with
+    zero Exchange operators (asserted in tests/test_bucketed.py via
+    n_exchanges), and this query proves the bucketed path returns
+    byte-identical answers to the plain source join the oracle
+    computes. The 100 TB fact-to-fact pattern."""
+    import re as _re
+
+    from gpi_etl_spark.sources.bucketed import read_table, write_bucketed
+
+    key = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    to_name, tc_name = f"gpi_q152_o_{key}", f"gpi_q152_c_{key}"
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(orders, to_name, "o_custkey", 8, sort_keys="o_custkey")
+    write_bucketed(cust, tc_name, "c_custkey", 8, sort_keys="c_custkey")
+    bo, bc = read_table(spark, to_name), read_table(spark, tc_name)
+    joined = bo.join(bc, bo["o_custkey"] == bc["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+        ).cast("double").alias("revenue"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6535,6 +6581,7 @@ _R4_CHANGED = [
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
     "q148_event_transitions", "q149_futures_calendar",
     "q150_sink_roundtrip", "q151_schema_evolution",
+    "q152_bucketed_join",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
