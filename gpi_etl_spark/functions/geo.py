@@ -283,3 +283,62 @@ def geodesic_meters(
     cols = [F.col(c) if isinstance(c, str) else c
             for c in (lat1, lon1, lat2, lon2)]
     return _dist(*cols)
+
+
+def point_in_polygon(
+    lat, lon, vertices: list[tuple[float, float]]
+):
+    """Ray-casting point-in-polygon test against a FIXED polygon
+    (geofence membership — "which stores sit inside the delivery
+    region"): cast a ray along +longitude and count edge crossings;
+    odd = inside. The polygon is compile-time constant, so the test
+    unrolls to one arithmetic term per edge — pure codegen'd doubles,
+    no UDF, no trig — and the identical expression replays in SQL
+    (:func:`point_in_polygon_sql`). Boundary points follow the
+    half-open crossing rule; supply vertices off the data grid if
+    exact-boundary determinism matters. Horizontal edges contribute
+    no crossing (the strict/non-strict pair excludes them before the
+    slope division).
+
+    ``vertices``: [(lat, lon), ...] in order (either winding); the
+    closing edge back to the first vertex is implicit.
+    """
+    from pyspark.sql import functions as F
+
+    la = F.col(lat) if isinstance(lat, str) else lat
+    lo = F.col(lon) if isinstance(lon, str) else lon
+    n = len(vertices)
+    crossings = F.lit(0)
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        cond = (
+            (F.lit(float(y1)) > la) != (F.lit(float(y2)) > la)
+        ) & (
+            lo
+            < (F.lit(float(x2)) - F.lit(float(x1)))
+            * (la - F.lit(float(y1)))
+            / (F.lit(float(y2)) - F.lit(float(y1)))
+            + F.lit(float(x1))
+        )
+        crossings = crossings + F.when(cond, 1).otherwise(0)
+    return crossings % 2 == 1
+
+
+def point_in_polygon_sql(
+    lat_expr: str, lon_expr: str, vertices: list[tuple[float, float]]
+) -> str:
+    """DuckDB/ANSI spelling of :func:`point_in_polygon` — the same
+    unrolled crossing terms, summed, parity-tested."""
+    n = len(vertices)
+    terms = []
+    for i in range(n):
+        y1, x1 = vertices[i]
+        y2, x2 = vertices[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
+            f" AND {lon_expr} < ({x2!r} - {x1!r})"
+            f" * ({lat_expr} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"

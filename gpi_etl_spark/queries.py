@@ -6556,6 +6556,60 @@ def q152(spark, sf_dir):
     )
 
 
+#: q153 geofence: a pentagon over the synthetic coordinate domain with
+#: all-distinct latitudes (no horizontal edges) and vertices off the
+#: 2-decimal data grid (no boundary-exact points).
+_GEOFENCE = [
+    (0.005, -50.005),
+    (20.005, -10.005),
+    (5.005, 40.005),
+    (-15.005, 25.005),
+    (-20.005, -30.005),
+]
+
+
+def _q153_oracle() -> str:
+    from gpi_etl_spark.functions.geo import point_in_polygon_sql
+
+    inside = point_in_polygon_sql(_LAT_SQL, _LON_SQL, _GEOFENCE)
+    return f"""
+    SELECT c_mktsegment,
+           count(*) AS n_points,
+           cast(sum(CASE WHEN {inside} THEN 1 ELSE 0 END) AS bigint)
+             AS n_inside,
+           cast(min(CASE WHEN {inside} THEN c_custkey END) AS bigint)
+             AS first_inside
+    FROM customer GROUP BY 1
+    """
+
+
+@query("q153_geofence", _q153_oracle())
+def q153(spark, sf_dir):
+    """Geofence membership (geo.point_in_polygon): ray-casting
+    point-in-polygon against a fixed pentagon, unrolled to one
+    codegen'd arithmetic term per edge — no UDF, no trig, identical
+    IEEE expressions in both engines, so inside/outside parity
+    hash-gates exactly. Completes the geo kit (F-GEO) beyond
+    point-to-point distance: region containment is the other half of
+    every site-selection query the reference's POI pipeline feeds."""
+    from gpi_etl_spark.functions.geo import point_in_polygon
+
+    c = t(spark, sf_dir, "customer")
+    lat = ((F.col("c_custkey") * 37) % 6000) / 100.0 - 30.0
+    lon = ((F.col("c_custkey") * 91) % 18000) / 100.0 - 90.0
+    pts = c.select(
+        "c_custkey", "c_mktsegment", lat.alias("LTT"), lon.alias("LGT")
+    )
+    inside = point_in_polygon("LTT", "LGT", _GEOFENCE)
+    return pts.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(inside.cast("int")).cast("bigint").alias("n_inside"),
+        F.min(F.when(inside, F.col("c_custkey"))).cast("bigint").alias(
+            "first_inside"
+        ),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6581,7 +6635,7 @@ _R4_CHANGED = [
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
     "q148_event_transitions", "q149_futures_calendar",
     "q150_sink_roundtrip", "q151_schema_evolution",
-    "q152_bucketed_join",
+    "q152_bucketed_join", "q153_geofence",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

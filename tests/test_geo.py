@@ -212,3 +212,54 @@ def test_poi_features_geodesic_mode(spark):
     d_h = hav.first().GEO_BANCO_MIN_DIST
     d_g = geo.first().GEO_BANCO_MIN_DIST
     assert d_g > 0 and abs(d_g - d_h) / d_g < 0.006
+
+
+def test_point_in_polygon_unit_square(spark):
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.functions.geo import point_in_polygon
+
+    # tilted square (no horizontal edges): (0,-1),(1,0),(0,1),(-1,0)
+    poly = [(0.0, -1.0), (1.0, 0.0), (0.0, 1.0), (-1.0, 0.0)]
+    pts = [
+        (1, 0.0, 0.0, True),      # center
+        (2, 0.9, 0.15, False),    # |lat|+|lon| = 1.05 > 1: outside
+        (3, 0.25, 0.25, True),
+        (4, 2.0, 0.0, False),     # far outside
+        (5, 0.0, -0.99, True),    # just inside the left vertex
+        (6, -0.5, 0.51, False),   # outside the lower-right edge
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], "id long, lat double, lon double"
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id", point_in_polygon("lat", "lon", poly).alias("inside")
+        ).collect()
+    }
+    for i, _, _, want in pts:
+        assert got[i] == want, i
+
+
+def test_point_in_polygon_concave(spark):
+    from gpi_etl_spark.functions.geo import point_in_polygon
+
+    # concave "arrowhead": the notch point is OUTSIDE
+    poly = [(0.0, 0.0), (4.0, 2.0), (1.0, 1.0), (4.02, -2.0)]
+    pts = [
+        (1, 3.0, 0.0, False),   # inside the notch: outside the polygon
+        (2, 2.0, 1.2, True),    # right prong interior
+        (3, 3.0, -1.0, True),   # left prong interior
+    ]
+    df = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo, _ in pts], "id long, lat double, lon double"
+    )
+    got = {
+        r.id: r.inside
+        for r in df.select(
+            "id", point_in_polygon("lat", "lon", poly).alias("inside")
+        ).collect()
+    }
+    for i, _, _, want in pts:
+        assert got[i] == want, i
