@@ -6610,6 +6610,69 @@ def q153(spark, sf_dir):
     )
 
 
+@query(
+    "q154_trend_slopes",
+    """
+    WITH w AS (SELECT o_orderpriority AS pri,
+                      cast(date_diff('day', DATE '2020-01-06',
+                                     date_trunc('week', o_orderdate)) / 7
+                           AS int) AS wk,
+                      cast(sum(cast(o_totalprice AS decimal(18, 2)))
+                           AS double) / 1000000 AS rev
+               FROM orders
+               GROUP BY 1, date_trunc('week', o_orderdate))
+    SELECT pri,
+           count(*) AS n_weeks,
+           round(covar_pop(wk, rev) / var_pop(wk), 6) AS slope,
+           round(avg(rev) - covar_pop(wk, rev) / var_pop(wk) * avg(wk), 6)
+             AS intercept,
+           round(corr(wk, rev), 6) AS r
+    FROM w GROUP BY pri
+    """,
+)
+def q154(spark, sf_dir):
+    """Per-group linear trend (least squares via the moment
+    aggregates): weekly revenue per order priority regressed on the
+    week index — slope/intercept/correlation are the drift detectors
+    a metrics warehouse fits in-engine rather than exporting to a
+    stats runtime. Two-level float discipline: the weekly sums are
+    EXACT decimals (order-independent, so both engines regress on
+    identical points, scaled to millions so the rounded coefficients
+    sit far from representation noise); only the ~100-point moment
+    aggregates are floating point."""
+    orders = t(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("week", "o_orderdate").alias("_wkd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")
+        )
+        .select(
+            "pri",
+            (
+                F.datediff(
+                    F.col("_wkd").cast("date"), F.lit("2020-01-06").cast("date")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("wk"),
+            (F.col("_s").cast("double") / 1000000).alias("rev"),
+        )
+    )
+    slope = F.covar_pop("wk", "rev") / F.var_pop("wk")
+    return weekly.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.avg("rev") - slope * F.avg("wk"), 6
+        ).alias("intercept"),
+        F.round(F.corr("wk", "rev"), 6).alias("r"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6635,7 +6698,7 @@ _R4_CHANGED = [
     "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
     "q148_event_transitions", "q149_futures_calendar",
     "q150_sink_roundtrip", "q151_schema_evolution",
-    "q152_bucketed_join", "q153_geofence",
+    "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
