@@ -6673,6 +6673,74 @@ def q154(spark, sf_dir):
     )
 
 
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled HITS replay over the q123 quadratic link graph —
+    matching the operator exactly: NO per-iteration normalization (the
+    linear update commutes with scaling), one L1 normalization at the
+    end."""
+    parts = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        "e AS (SELECT DISTINCT doc_id AS src, (doc_id*doc_id + k) % cnt"
+        " AS dst FROM documents CROSS JOIN n"
+        " CROSS JOIN unnest([1,2,3]) AS t(k))",
+        "h0 AS (SELECT doc_id AS node, 1.0 AS hub FROM documents)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""a{i} AS (
+      SELECT d.doc_id AS node, coalesce(s.a, 0) AS auth
+      FROM documents d LEFT JOIN (
+        SELECT e.dst, sum(h.hub) AS a
+        FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) s
+      ON s.dst = d.doc_id)""",
+            f"""h{i} AS (
+      SELECT d.doc_id AS node, coalesce(s.h, 0) AS hub
+      FROM documents d LEFT JOIN (
+        SELECT e.src, sum(a.auth) AS h
+        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) s
+      ON s.src = d.doc_id)""",
+        ]
+    parts.append(
+        f"z AS (SELECT (SELECT sum(hub) FROM h{iters}) AS zh, "
+        f"(SELECT sum(auth) FROM a{iters}) AS za)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT h.node,
+       round(CASE WHEN zh > 0 THEN h.hub / zh ELSE 0.0 END, 6) AS hub,
+       round(CASE WHEN za > 0 THEN a.auth / za ELSE 0.0 END, 6) AS auth
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node CROSS JOIN z"""
+    )
+
+
+@query("q155_hits", _hits_oracle_sql(iters=3))
+def q155(spark, sf_dir):
+    """HITS hubs and authorities (linkgraph.hits) over the q123
+    quadratic link graph — the directory-vs-content split of link
+    quality beside PageRank's single centrality. The whole 3-iteration
+    loop (two score⋈edges rounds + two L1 normalizers per iteration,
+    normalizers as one-row broadcasts) is one lazy plan with zero
+    driver actions; the oracle unrolls the identical update order."""
+    from gpi_etl_spark.operators.linkgraph import hits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select(
+        "src",
+        ((F.col("src") * F.col("src") + F.col("k")) % cnt).alias("dst"),
+    )
+    out = hits(edges, iters=3)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.round("hub", 6).alias("hub"),
+        F.round("auth", 6).alias("auth"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6699,6 +6767,7 @@ _R4_CHANGED = [
     "q148_event_transitions", "q149_futures_calendar",
     "q150_sink_roundtrip", "q151_schema_evolution",
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
+    "q155_hits",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

@@ -103,3 +103,22 @@ def test_triangle_counts_no_triangles(spark):
         [(0, 1), (1, 2), (2, 3)], "src long, dst long"  # a path
     )
     assert triangle_counts(df).count() == 0
+
+
+def test_hits_hand_computed(spark):
+    from gpi_etl_spark.operators.linkgraph import hits
+
+    # star: 0 links to 1,2,3 (0 is the hub; 1,2,3 the authorities);
+    # 4 links to 1 as a second, weaker hub
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iters=2).collect()}
+    # hubs: only 0 and 4 have out-links; 0 dominates
+    assert got[0][0] > got[4][0] > 0
+    assert got[1][0] == got[2][0] == got[3][0] == 0.0
+    # authorities: 1 (two in-links) beats 2/3 (one each); 0,4 are 0
+    assert got[1][1] > got[2][1] == got[3][1] > 0
+    assert got[0][1] == got[4][1] == 0.0
+    # L1 normalized
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
