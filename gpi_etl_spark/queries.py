@@ -6741,6 +6741,117 @@ def q155(spark, sf_dir):
     )
 
 
+@query(
+    "q156_burst_detection",
+    """
+    WITH hourly AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+                           count(*) AS n
+                    FROM events GROUP BY 1, 2),
+    stats AS (SELECT user_id,
+                     avg(n) AS mu,
+                     stddev_pop(n) AS sigma,
+                     count(*) AS n_hours
+              FROM hourly GROUP BY user_id)
+    SELECT h.user_id, cast(h.hr AS timestamp) AS hr, h.n,
+           round((h.n - s.mu) / s.sigma, 6) AS z_r
+    FROM hourly h JOIN stats s USING (user_id)
+    WHERE s.sigma > 0 AND (h.n - s.mu) / s.sigma > 3.0
+    """,
+)
+def q156(spark, sf_dir):
+    """Burst detection (rate anomalies): per-user hourly event counts
+    z-scored against the user's OWN activity distribution, hours
+    beyond 3σ flagged — the abuse/runaway-client screen an event
+    warehouse runs continuously. Two groupBys (hour rollup, per-user
+    moments) + one |users|-sized join; the comparison stays on the
+    same doubles in both engines and only flagged rows surface."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("user_id").agg(
+        F.avg("n").alias("mu"),
+        F.stddev_pop("n").alias("sigma"),
+    )
+    j = hourly.join(stats, "user_id")
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        j.filter((F.col("sigma") > 0) & (z > 3.0))
+        .select("user_id", "hr", "n", F.round(z, 6).alias("z_r"))
+    )
+
+
+@query(
+    "q157_session_paths",
+    """
+    WITH o AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                           THEN 1 ELSE 0 END AS new_s
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS sess
+          FROM o),
+    p AS (SELECT user_id, sess,
+                 array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id), 1, 3), '>')
+                   AS path
+          FROM s GROUP BY user_id, sess)
+    SELECT path, count(*) AS n_sessions
+    FROM p GROUP BY path
+    """,
+)
+def q157(spark, sf_dir):
+    """Session path mining: sessionize on a 30-minute gap (the q11
+    operator), take each session's first three event types in
+    deterministic (ts, event_id) order, and count journey prefixes —
+    the "how do users start a session" report. Ordered list
+    aggregation inside groups is the one aggregate whose
+    nondeterminism bites silently; the explicit sort keys make both
+    engines' paths identical."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("_new", new_s).withColumn(
+        "sess",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = sess.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda st: st["event_type"],
+                ),
+                1,
+                3,
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6767,7 +6878,7 @@ _R4_CHANGED = [
     "q148_event_transitions", "q149_futures_calendar",
     "q150_sink_roundtrip", "q151_schema_evolution",
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
-    "q155_hits",
+    "q155_hits", "q156_burst_detection", "q157_session_paths",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
