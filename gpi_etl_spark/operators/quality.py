@@ -129,18 +129,19 @@ def histogram(
             )
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
-    # close ONLY the exact top edge into the last bin; anything beyond
-    # a pinned hi stays out of range and is dropped by the filter (a
-    # blanket least() clamp would silently absorb outliers). Degenerate
-    # hi == lo (constant column) keeps everything in bin 0, unit width.
-    if hi > lo:
-        width = (hi - lo) / bins
-        b = F.when(x == F.lit(hi), F.lit(bins - 1)).otherwise(
-            F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
-        )
-    else:
-        width = 1.0
-        b = F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+    # top-edge rule: an IN-RANGE value (x <= hi) whose computed index
+    # reaches `bins` — the exact top edge, or a value so close to hi
+    # that (x-lo)/width rounds up to bins (hypothesis found
+    # lo=-1, hi=2.2e-313: x=0 lands EXACTLY on bins) — closes into the
+    # last bin. Values beyond a pinned hi keep their overflowed index
+    # and are dropped by the range filter (a blanket clamp would
+    # silently absorb outliers). Degenerate hi == lo (constant column)
+    # keeps everything in bin 0, unit width.
+    width = (hi - lo) / bins if hi > lo else 1.0
+    b_raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.when(
+        (b_raw >= bins) & (x <= F.lit(hi)), F.lit(bins - 1)
+    ).otherwise(b_raw)
     return (
         src.select(b.alias("bin"))
         .filter(F.col("bin").between(0, bins - 1))

@@ -5816,7 +5816,9 @@ def q136(spark, sf_dir):
                  WHERE l_extendedprice IS NOT NULL
                    AND NOT isnan(cast(l_extendedprice AS double))),
     mm AS (SELECT min(x) AS lo, max(x) AS hi FROM src),
-    b AS (SELECT CASE WHEN x = hi THEN 19
+    b AS (SELECT CASE WHEN cast(floor((x - lo) / ((hi - lo) / 20)) AS int)
+                             >= 20 AND x <= hi
+                      THEN 19
                       ELSE cast(floor((x - lo) / ((hi - lo) / 20)) AS int)
                  END AS bin,
                  lo, hi
