@@ -345,3 +345,32 @@ def ab_conversion_ztest(
             F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0)), 6
         ).alias("z_r"),
     )
+
+
+def impute_median(
+    df: DataFrame,
+    group_col: str,
+    val_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Group-median imputation: NULL values fill with the EXACT median
+    of their group's non-null values (the robust default for skewed
+    numeric columns — a mean would chase the outliers), plus a
+    ``was_imputed`` audit flag so downstream consumers can weight or
+    exclude filled rows. Groups that are entirely NULL stay NULL
+    (imputing from nothing is a lie; surface it instead).
+
+    One grouped percentile + one broadcastable join; same
+    percentile-parity contract as q107/q142.
+    """
+    out_col = out_col or val_col
+    x = F.col(val_col).cast("double")
+    med = df.filter(x.isNotNull()).groupBy(group_col).agg(
+        F.percentile(x, 0.5).alias("_gmed")
+    )
+    return (
+        df.join(med, group_col, "left")
+        .withColumn("was_imputed", x.isNull() & F.col("_gmed").isNotNull())
+        .withColumn(out_col, F.coalesce(x, F.col("_gmed")))
+        .drop("_gmed")
+    )

@@ -6854,6 +6854,53 @@ def q157(spark, sf_dir):
     )
 
 
+@query(
+    "q158_median_imputation",
+    """
+    WITH m AS (SELECT event_id, event_type,
+                      CASE WHEN event_id % 9 = 0 THEN NULL
+                           ELSE value END AS v
+               FROM events),
+    med AS (SELECT event_type, quantile_cont(v, 0.5) AS gmed
+            FROM m WHERE v IS NOT NULL GROUP BY event_type)
+    SELECT m.event_type,
+           count(*) AS n_rows,
+           cast(sum(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS bigint)
+             AS n_imputed,
+           round(min(med.gmed), 6) AS med_r,
+           round(avg(coalesce(m.v, med.gmed)), 6) AS mean_filled
+    FROM m JOIN med USING (event_type)
+    GROUP BY m.event_type
+    """,
+)
+def q158(spark, sf_dir):
+    """Group-median imputation (quality.impute_median): every 9th
+    event's value is nulled out, then filled with its event type's
+    exact median of the surviving values (robust against the value
+    column's skew, unlike a mean fill), with a was_imputed audit
+    flag. Median parity rides the q107 percentile contract; the
+    post-fill mean must match DuckDB's replay."""
+    from gpi_etl_spark.operators.quality import impute_median
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 9 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    filled = impute_median(ev, "event_type", "v", out_col="v_filled")
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("was_imputed").cast("int")).cast("bigint").alias(
+            "n_imputed"
+        ),
+        F.round(F.min(F.when(F.col("was_imputed"), F.col("v_filled"))), 6)
+        .alias("med_r"),
+        F.round(F.avg("v_filled"), 6).alias("mean_filled"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6881,6 +6928,7 @@ _R4_CHANGED = [
     "q150_sink_roundtrip", "q151_schema_evolution",
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
+    "q158_median_imputation",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

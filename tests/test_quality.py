@@ -189,3 +189,21 @@ def test_ab_ztest_rejects_non_integer_ids(spark):
     ).collect()[0]
     assert (r.n_a, r.n_b) == (2, 0)
     assert r.rate_b is None and r.z_r == 0.0
+
+
+def test_impute_median_fills_and_flags(spark):
+    from gpi_etl_spark.operators.quality import impute_median
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", None), ("a", 100.0),
+        ("b", None), ("b", None),   # all-null group stays null
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = impute_median(df, "g", "v").collect()
+    a = [r for r in got if r.g == "a"]
+    # median of {1, 3, 100} = 3 (robust: the 100 outlier doesn't drag it)
+    filled = [r for r in a if r.was_imputed]
+    assert len(filled) == 1 and filled[0].v == 3.0
+    assert sorted(r.v for r in a) == [1.0, 3.0, 3.0, 100.0]
+    b = [r for r in got if r.g == "b"]
+    assert all(r.v is None and not r.was_imputed for r in b)
