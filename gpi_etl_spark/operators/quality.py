@@ -374,3 +374,25 @@ def impute_median(
         .withColumn(out_col, F.coalesce(x, F.col("_gmed")))
         .drop("_gmed")
     )
+
+
+def fd_check(
+    df: DataFrame, lhs: str, rhs: str, name: str | None = None
+) -> DataFrame:
+    """Functional-dependency probe: does ``lhs`` determine ``rhs``?
+    Holds iff ``count_distinct(lhs) = count_distinct(lhs, rhs)`` — the
+    schema-discovery primitive behind denormalization decisions,
+    key-candidate detection and dirty-dimension alerts ("region is no
+    longer determined by nation: someone double-mapped a key").
+
+    One aggregate pass; both counts ride the same partial aggregation.
+    At 100 TB swap in approx_count_distinct and treat equality within
+    the sketch error as "probably holds, audit exactly on the sample".
+    Returns one row: ``(fd, lhs_card, pair_card, holds)``.
+    """
+    label = name or f"{lhs} -> {rhs}"
+    return df.agg(
+        F.lit(label).alias("fd"),
+        F.countDistinct(F.col(lhs)).alias("lhs_card"),
+        F.countDistinct(F.col(lhs), F.col(rhs)).alias("pair_card"),
+    ).withColumn("holds", F.col("lhs_card") == F.col("pair_card"))

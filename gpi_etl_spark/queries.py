@@ -6901,6 +6901,65 @@ def q158(spark, sf_dir):
     )
 
 
+@query(
+    "q159_fd_profile",
+    """
+    SELECT 'n_nationkey -> n_name' AS fd,
+           count(DISTINCT n_nationkey) AS lhs_card,
+           count(DISTINCT (n_nationkey, n_name)) AS pair_card,
+           count(DISTINCT n_nationkey) = count(DISTINCT (n_nationkey, n_name))
+             AS holds
+    FROM nation
+    UNION ALL
+    SELECT 'c_nationkey -> c_mktsegment',
+           count(DISTINCT c_nationkey),
+           count(DISTINCT (c_nationkey, c_mktsegment)),
+           count(DISTINCT c_nationkey)
+             = count(DISTINCT (c_nationkey, c_mktsegment))
+    FROM customer
+    UNION ALL
+    SELECT 'o_orderkey -> o_custkey',
+           count(DISTINCT o_orderkey),
+           count(DISTINCT (o_orderkey, o_custkey)),
+           count(DISTINCT o_orderkey)
+             = count(DISTINCT (o_orderkey, o_custkey))
+    FROM orders
+    UNION ALL
+    SELECT 'l_orderkey -> l_returnflag',
+           count(DISTINCT l_orderkey),
+           count(DISTINCT (l_orderkey, l_returnflag)),
+           count(DISTINCT l_orderkey)
+             = count(DISTINCT (l_orderkey, l_returnflag))
+    FROM lineitem
+    """,
+)
+def q159(spark, sf_dir):
+    """Functional-dependency profiling (quality.fd_check): four
+    candidate dependencies probed across the schema — key → attribute
+    dependencies that must hold (nation key determines name, order key
+    determines customer) and plausible-but-false ones (nation doesn't
+    determine market segment, an order's lines carry mixed return
+    flags). The cardinality-equality formulation is one aggregate pass
+    per table; schema-discovery and dirty-dimension alerting in four
+    rows."""
+    from gpi_etl_spark.operators.quality import fd_check
+
+    checks = [
+        fd_check(t(spark, sf_dir, "nation"), "n_nationkey", "n_name"),
+        fd_check(
+            t(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment"
+        ),
+        fd_check(t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey"),
+        fd_check(
+            t(spark, sf_dir, "lineitem"), "l_orderkey", "l_returnflag"
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6928,7 +6987,7 @@ _R4_CHANGED = [
     "q150_sink_roundtrip", "q151_schema_evolution",
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
-    "q158_median_imputation",
+    "q158_median_imputation", "q159_fd_profile",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",

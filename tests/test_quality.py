@@ -207,3 +207,17 @@ def test_impute_median_fills_and_flags(spark):
     assert sorted(r.v for r in a) == [1.0, 3.0, 3.0, 100.0]
     b = [r for r in got if r.g == "b"]
     assert all(r.v is None and not r.was_imputed for r in b)
+
+
+def test_fd_check_holds_and_fails(spark):
+    from gpi_etl_spark.operators.quality import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 10), (3, "x", 30), (1, "x", 40)],
+        "k long, a string, b long",
+    )
+    holds = fd_check(df, "k", "a").collect()[0]
+    assert holds.holds and holds.lhs_card == 3 and holds.pair_card == 3
+    fails = fd_check(df, "a", "b").collect()[0]
+    # 'x' maps to {10, 30, 40}: dependency violated
+    assert not fails.holds and fails.lhs_card == 2 and fails.pair_card == 4
