@@ -6960,6 +6960,88 @@ def q159(spark, sf_dir):
     return out
 
 
+@query(
+    "q160_max_drawdown",
+    """
+    WITH w AS (SELECT o_orderpriority AS pri,
+                      cast(date_diff('day', DATE '2020-01-06',
+                                     date_trunc('week', o_orderdate)) / 7
+                           AS int) AS wk,
+                      cast(sum(cast(o_totalprice AS decimal(18, 2)))
+                           AS double) / 1000000 AS rev
+               FROM orders
+               GROUP BY 1, date_trunc('week', o_orderdate)),
+    r AS (SELECT pri, wk, rev,
+                 max(rev) OVER (PARTITION BY pri ORDER BY wk
+                                ROWS UNBOUNDED PRECEDING) AS runmax
+          FROM w),
+    d AS (SELECT pri, wk, rev, round(rev - runmax, 6) AS dd FROM r),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY pri
+                                        ORDER BY dd ASC, wk ASC) AS rn
+           FROM d)
+    SELECT d.pri,
+           count(*) AS n_weeks,
+           round(max(d.rev), 6) AS peak,
+           min(d.dd) AS max_drawdown,
+           cast(min(CASE WHEN rk.rn = 1 THEN rk.wk END) AS int)
+             AS trough_wk
+    FROM d JOIN rk ON rk.pri = d.pri AND rk.wk = d.wk
+    GROUP BY d.pri
+    """,
+)
+def q160(spark, sf_dir):
+    """Maximum drawdown per revenue series: weekly revenue per order
+    priority (EXACT decimal sub-sums, so both engines see identical
+    points), running peak via an expanding window, drawdown =
+    value − peak, the worst one plus its week surfaced with
+    deterministic tie-breaks — the risk metric every time-series
+    warehouse computes, in two window passes with shuffle ∝ series
+    points."""
+    orders = t(spark, sf_dir, "orders")
+    weekly = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("week", "o_orderdate").alias("_wkd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")
+        )
+        .select(
+            "pri",
+            (
+                F.datediff(
+                    F.col("_wkd").cast("date"),
+                    F.lit("2020-01-06").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("wk"),
+            (F.col("_s").cast("double") / 1000000).alias("rev"),
+        )
+    )
+    wexp = (
+        Window.partitionBy("pri")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = weekly.withColumn(
+        "dd", F.round(F.col("rev") - F.max("rev").over(wexp), 6)
+    )
+    wrk = Window.partitionBy("pri").orderBy(
+        F.col("dd").asc(), F.col("wk").asc()
+    )
+    rk = d.withColumn("rn", F.row_number().over(wrk))
+    return rk.groupBy("pri").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.round(F.max("rev"), 6).alias("peak"),
+        F.min("dd").alias("max_drawdown"),
+        F.min(F.when(F.col("rn") == 1, F.col("wk")))
+        .cast("int")
+        .alias("trough_wk"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -6987,7 +7069,7 @@ _R4_CHANGED = [
     "q150_sink_roundtrip", "q151_schema_evolution",
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
-    "q158_median_imputation", "q159_fd_profile",
+    "q158_median_imputation", "q159_fd_profile", "q160_max_drawdown",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
