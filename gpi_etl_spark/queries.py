@@ -6750,14 +6750,18 @@ def q155(spark, sf_dir):
                            count(*) AS n
                     FROM events GROUP BY 1, 2),
     stats AS (SELECT user_id,
-                     avg(n) AS mu,
-                     stddev_pop(n) AS sigma,
-                     count(*) AS n_hours
+                     cast(sum(n) AS bigint) AS s1,
+                     cast(sum(n * n) AS bigint) AS s2,
+                     cast(count(*) AS bigint) AS nh
               FROM hourly GROUP BY user_id)
     SELECT h.user_id, cast(h.hr AS timestamp) AS hr, h.n,
-           round((h.n - s.mu) / s.sigma, 6) AS z_r
+           round((h.n * s.nh - s.s1)
+                 / sqrt(cast(s.nh * s.s2 - s.s1 * s.s1 AS double)), 6)
+             AS z_r
     FROM hourly h JOIN stats s USING (user_id)
-    WHERE s.sigma > 0 AND (h.n - s.mu) / s.sigma > 3.0
+    WHERE s.nh * s.s2 > s.s1 * s.s1
+      AND (h.n * s.nh - s.s1)
+          > 3 * sqrt(cast(s.nh * s.s2 - s.s1 * s.s1 AS double))
     """,
 )
 def q156(spark, sf_dir):
@@ -6767,19 +6771,34 @@ def q156(spark, sf_dir):
     warehouse runs continuously. Two groupBys (hour rollup, per-user
     moments) + one |users|-sized join; the comparison stays on the
     same doubles in both engines and only flagged rows surface."""
+    # moments from EXACT integer sums (sum n, sum n^2, count), so the
+    # 3-sigma threshold compares identical doubles in both engines —
+    # avg()/stddev_pop() summation drift flips boundary rows (caught
+    # by the sf0.1 sweep: 3651 vs 3644 flagged)
     ev = t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
     ).agg(F.count(F.lit(1)).alias("n"))
     stats = hourly.groupBy("user_id").agg(
-        F.avg("n").alias("mu"),
-        F.stddev_pop("n").alias("sigma"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("nh"),
     )
     j = hourly.join(stats, "user_id")
-    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    num = F.col("n") * F.col("nh") - F.col("s1")
+    den = F.sqrt(
+        (F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+            "double"
+        )
+    )
     return (
-        j.filter((F.col("sigma") > 0) & (z > 3.0))
-        .select("user_id", "hr", "n", F.round(z, 6).alias("z_r"))
+        j.filter(
+            (F.col("nh") * F.col("s2") > F.col("s1") * F.col("s1"))
+            & (num > 3 * den)
+        )
+        .select(
+            "user_id", "hr", "n", F.round(num / den, 6).alias("z_r")
+        )
     )
 
 
