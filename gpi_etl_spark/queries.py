@@ -7061,6 +7061,117 @@ def q160(spark, sf_dir):
     )
 
 
+@query(
+    "q161_curation_dag_v2",
+    f"""
+    WITH corpus AS (SELECT doc_id, lang, text FROM documents
+                    WHERE doc_id % 17 <> 3),
+    tk AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM corpus),
+    s AS (SELECT doc_id, lang, text, toks,
+            len(toks) AS n_words,
+            cast(list_sum(list_transform(toks, t -> len(t))) AS bigint)
+              AS nwc,
+            len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+              AS n_alpha,
+            len(list_filter(toks, t -> list_contains({{GSW}}, t))) AS n_sw,
+            len(text) - len(replace(text, '#', '')) AS nh,
+            (len(text) - len(replace(text, '...', ''))) // 3 AS ne,
+            list_filter(list_transform(string_split(text, chr(10)),
+                                       x -> trim(x)), x -> len(x) > 0)
+              AS lines
+          FROM tk),
+    l AS (SELECT *, len(lines) AS n_lines,
+            len(list_filter(lines, x -> starts_with(x, '- ')
+                OR starts_with(x, '* ') OR starts_with(x, '•')))
+              AS n_bullet,
+            len(list_filter(lines, x -> ends_with(x, '...')))
+              AS n_ell_lines
+          FROM s),
+    gk AS (SELECT doc_id, lang, text, toks, n_words FROM l
+           WHERE (n_words >= 50 AND n_words <= 100000)
+             AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+             AND ((nh + ne) * 10 <= n_words)
+             AND (n_bullet * 10 <= 9 * n_lines)
+             AND (n_ell_lines * 10 <= 3 * n_lines)
+             AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
+             AND (n_sw >= 2)),
+    hsh AS (SELECT doc_id,
+                   array_to_string(list_slice(toks, u.i + 1, u.i + 4), ' ')
+                     AS shingle
+            FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+                  WHERE doc_id % 17 = 3) h,
+                 unnest(generate_series(0, greatest(len(toks) - 4, 0)))
+                   AS u(i)),
+    held AS (SELECT DISTINCT shingle FROM hsh WHERE len(shingle) > 0),
+    gsh AS (SELECT DISTINCT g.doc_id,
+                   array_to_string(list_slice(g.toks, u.i + 1, u.i + 4), ' ')
+                     AS shingle
+            FROM gk g,
+                 unnest(generate_series(0, greatest(len(g.toks) - 4, 0)))
+                   AS u(i)),
+    bad AS (SELECT DISTINCT s.doc_id FROM gsh s
+            JOIN held USING (shingle) WHERE len(s.shingle) > 0),
+    clean AS (SELECT g.* FROM gk g LEFT JOIN bad b USING (doc_id)
+              WHERE b.doc_id IS NULL),
+    hashed AS (SELECT *, sha256({_NORM_SQL}) AS h FROM clean),
+    uniq AS (SELECT h, min(doc_id) AS doc_id FROM hashed GROUP BY h),
+    ded AS (SELECT k.doc_id, k.lang, cast(k.n_words AS int) AS n_tokens
+            FROM hashed k JOIN uniq u
+              ON u.h = k.h AND u.doc_id = k.doc_id),
+    tot AS (SELECT lang, sum(n_tokens) AS t FROM ded GROUP BY lang),
+    z AS (SELECT sum(pow(cast(t AS double), 0.5)) AS z FROM tot),
+    w AS (SELECT lang,
+                 round(pow(cast(t AS double), 0.5) / z, 6) AS w_r
+          FROM tot CROSS JOIN z),
+    q AS (SELECT lang, w_r,
+                 cast(greatest(1, floor(150 * w_r)) AS int) AS quota
+          FROM w),
+    rk AS (SELECT doc_id, lang, n_tokens,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY {curation.mix_hash_sql('doc_id', 'duck')},
+                               doc_id) AS rn
+           FROM ded)
+    SELECT r.doc_id, r.lang, r.n_tokens, q.quota
+    FROM rk r JOIN q USING (lang) WHERE r.rn <= q.quota
+    """.replace(
+        "{GSW}", "['the','be','to','of','and','that','have','with']"
+    ),
+)
+def q161(spark, sf_dir):
+    """The curation DAG, 2024 edition (q105's successor stacked from
+    this round's operators): Gopher quality gate → benchmark
+    decontamination (drop any doc sharing a 4-shingle with the
+    held-out set) → normalized-hash exact dedup → temperature-mixed
+    language quotas (T^0.5, budget 150) — ONE lazy plan from scan to
+    the selected document set, and the oracle replays every stage, so
+    the COMPOSITION (filter before dedup before mixing, each stage's
+    survivors feeding the next) is what's value-checked, not just the
+    operators in isolation."""
+    from gpi_etl_spark.operators.textstats import gopher_quality_flags
+
+    docs = t(spark, sf_dir, "documents")
+    heldout = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    gated = (
+        gopher_quality_flags(corpus, keep_cols=("lang",))
+        .filter(F.col("pass_gopher"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    bad = curation.contaminated_ids(gated, heldout, n=4)
+    clean = gated.join(bad, "doc_id", "left_anti")
+    hashed = clean.withColumn(
+        "h", F.sha2(dedup.normalize_text("text"), 256)
+    )
+    uniq = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    ded = hashed.join(uniq, ["h", "doc_id"]).select(
+        "doc_id", "lang", F.col("n_words").cast("int").alias("n_tokens")
+    )
+    mixed = curation.temperature_mix(
+        ded, group_col="lang", size_col="n_tokens", alpha=0.5, budget=150
+    )
+    return mixed.select("doc_id", "lang", "n_tokens", "quota")
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -7089,6 +7200,7 @@ _R4_CHANGED = [
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
     "q158_median_imputation", "q159_fd_profile", "q160_max_drawdown",
+    "q161_curation_dag_v2",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
