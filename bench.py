@@ -65,6 +65,7 @@ HEADLINE = [
     "q131_sentence_boilerplate",   # sentence-level shared-text pass (r4)
     "q135_hierarchy_closure",   # pointer-doubling recursive closure (r4)
     "q138_zorder_layout",       # Morton-key two-dim clustering (r4)
+    "q161_curation_dag_v2",     # gopher->decontam->dedup->mix capstone (r4)
 ]
 
 
