@@ -231,7 +231,7 @@ def hits(
     _LIVE_PR_CACHES.extend([e, nodes])
 
     hub = nodes.withColumn("hub", F.lit(1.0))
-    auth = None
+    auth = nodes.withColumn("auth", F.lit(1.0))  # iters=0: uniform
     for _ in range(iters):
         a_raw = (
             e.join(hub, e["src"] == hub["node"])

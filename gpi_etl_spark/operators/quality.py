@@ -138,9 +138,13 @@ def histogram(
     # silently absorb outliers). Degenerate hi == lo (constant column)
     # keeps everything in bin 0, unit width.
     width = (hi - lo) / bins if hi > lo else 1.0
-    b_raw = F.floor((x - F.lit(lo)) / F.lit(width)).cast("int")
+    # bin index stays BIGINT until after the range filter: an extreme
+    # outlier beyond a pinned range can overflow int32 and wrap back
+    # into a valid bin (floor(2^32.5) -> int 0), silently counting an
+    # out-of-range value
+    b_raw = F.floor((x - F.lit(lo)) / F.lit(width))
     b = F.when(
-        (b_raw >= bins) & (x <= F.lit(hi)), F.lit(bins - 1)
+        (b_raw >= bins) & (x <= F.lit(hi)), F.lit(bins - 1).cast("bigint")
     ).otherwise(b_raw)
     return (
         src.select(b.alias("bin"))
@@ -148,7 +152,7 @@ def histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            "bin",
+            F.col("bin").cast("int").alias("bin"),
             F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias(
                 "lo_edge"
             ),
@@ -372,7 +376,7 @@ def impute_median(
         df.join(med, group_col, "left")
         .withColumn("was_imputed", x.isNull() & F.col("_gmed").isNotNull())
         .withColumn(out_col, F.coalesce(x, F.col("_gmed")))
-        .drop("_gmed")
+        .withColumnRenamed("_gmed", "group_median")
     )
 
 
@@ -391,8 +395,16 @@ def fd_check(
     Returns one row: ``(fd, lhs_card, pair_card, holds)``.
     """
     label = name or f"{lhs} -> {rhs}"
-    return df.agg(
+    # NULL semantics: a NULL determinant row is excluded (a key can't
+    # be NULL), but a NULL DEPENDENT is a real distinct value — pair
+    # cardinality counts (lhs, rhs) STRUCTS, because Spark's bare
+    # countDistinct(a, b) silently drops any tuple containing a NULL
+    # and would report holds=True for the exact dirty-dimension case
+    # ((1,'x') vs (1,NULL)) this probe exists to catch
+    return df.filter(F.col(lhs).isNotNull()).agg(
         F.lit(label).alias("fd"),
         F.countDistinct(F.col(lhs)).alias("lhs_card"),
-        F.countDistinct(F.col(lhs), F.col(rhs)).alias("pair_card"),
+        F.countDistinct(F.struct(F.col(lhs), F.col(rhs))).alias(
+            "pair_card"
+        ),
     ).withColumn("holds", F.col("lhs_card") == F.col("pair_card"))

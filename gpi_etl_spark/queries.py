@@ -6612,6 +6612,36 @@ def q153(spark, sf_dir):
     )
 
 
+def _weekly_revenue(spark, sf_dir):
+    """Shared q154/q160 frame: weekly revenue per order priority —
+    EXACT decimal sums (order-independent, identical points in both
+    engines) scaled to millions, week index anchored at Monday
+    2020-01-06. ONE source of truth for the anchor and scaling."""
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.date_trunc("week", "o_orderdate").alias("_wkd"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")
+        )
+        .select(
+            "pri",
+            (
+                F.datediff(
+                    F.col("_wkd").cast("date"),
+                    F.lit("2020-01-06").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("wk"),
+            (F.col("_s").cast("double") / 1000000).alias("rev"),
+        )
+    )
+
+
 @query(
     "q154_trend_slopes",
     """
@@ -6642,28 +6672,7 @@ def q154(spark, sf_dir):
     identical points, scaled to millions so the rounded coefficients
     sit far from representation noise); only the ~100-point moment
     aggregates are floating point."""
-    orders = t(spark, sf_dir, "orders")
-    weekly = (
-        orders.groupBy(
-            F.col("o_orderpriority").alias("pri"),
-            F.date_trunc("week", "o_orderdate").alias("_wkd"),
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")
-        )
-        .select(
-            "pri",
-            (
-                F.datediff(
-                    F.col("_wkd").cast("date"), F.lit("2020-01-06").cast("date")
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("wk"),
-            (F.col("_s").cast("double") / 1000000).alias("rev"),
-        )
-    )
+    weekly = _weekly_revenue(spark, sf_dir)
     slope = F.covar_pop("wk", "rev") / F.var_pop("wk")
     return weekly.groupBy("pri").agg(
         F.count(F.lit(1)).alias("n_weeks"),
@@ -6807,7 +6816,9 @@ def q156(spark, sf_dir):
     """
     WITH o AS (SELECT user_id, ts, event_id, event_type,
                       CASE WHEN lag(ts) OVER w IS NULL
-                             OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                             OR cast(floor(epoch(ts)) AS bigint)
+                                - cast(floor(epoch(lag(ts) OVER w)) AS bigint)
+                                > 1800
                            THEN 1 ELSE 0 END AS new_s
                FROM events
                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -6884,11 +6895,11 @@ def q157(spark, sf_dir):
             FROM m WHERE v IS NOT NULL GROUP BY event_type)
     SELECT m.event_type,
            count(*) AS n_rows,
-           cast(sum(CASE WHEN m.v IS NULL THEN 1 ELSE 0 END) AS bigint)
-             AS n_imputed,
+           cast(sum(CASE WHEN m.v IS NULL AND med.gmed IS NOT NULL
+                         THEN 1 ELSE 0 END) AS bigint) AS n_imputed,
            round(min(med.gmed), 6) AS med_r,
            round(avg(coalesce(m.v, med.gmed)), 6) AS mean_filled
-    FROM m JOIN med USING (event_type)
+    FROM m LEFT JOIN med USING (event_type)
     GROUP BY m.event_type
     """,
 )
@@ -6914,8 +6925,7 @@ def q158(spark, sf_dir):
         F.sum(F.col("was_imputed").cast("int")).cast("bigint").alias(
             "n_imputed"
         ),
-        F.round(F.min(F.when(F.col("was_imputed"), F.col("v_filled"))), 6)
-        .alias("med_r"),
+        F.round(F.min("group_median"), 6).alias("med_r"),
         F.round(F.avg("v_filled"), 6).alias("mean_filled"),
     )
 
@@ -6928,28 +6938,28 @@ def q158(spark, sf_dir):
            count(DISTINCT (n_nationkey, n_name)) AS pair_card,
            count(DISTINCT n_nationkey) = count(DISTINCT (n_nationkey, n_name))
              AS holds
-    FROM nation
+    FROM nation WHERE n_nationkey IS NOT NULL
     UNION ALL
     SELECT 'c_nationkey -> c_mktsegment',
            count(DISTINCT c_nationkey),
            count(DISTINCT (c_nationkey, c_mktsegment)),
            count(DISTINCT c_nationkey)
              = count(DISTINCT (c_nationkey, c_mktsegment))
-    FROM customer
+    FROM customer WHERE c_nationkey IS NOT NULL
     UNION ALL
     SELECT 'o_orderkey -> o_custkey',
            count(DISTINCT o_orderkey),
            count(DISTINCT (o_orderkey, o_custkey)),
            count(DISTINCT o_orderkey)
              = count(DISTINCT (o_orderkey, o_custkey))
-    FROM orders
+    FROM orders WHERE o_orderkey IS NOT NULL
     UNION ALL
     SELECT 'l_orderkey -> l_returnflag',
            count(DISTINCT l_orderkey),
            count(DISTINCT (l_orderkey, l_returnflag)),
            count(DISTINCT l_orderkey)
              = count(DISTINCT (l_orderkey, l_returnflag))
-    FROM lineitem
+    FROM lineitem WHERE l_orderkey IS NOT NULL
     """,
 )
 def q159(spark, sf_dir):
@@ -7016,29 +7026,7 @@ def q160(spark, sf_dir):
     deterministic tie-breaks — the risk metric every time-series
     warehouse computes, in two window passes with shuffle ∝ series
     points."""
-    orders = t(spark, sf_dir, "orders")
-    weekly = (
-        orders.groupBy(
-            F.col("o_orderpriority").alias("pri"),
-            F.date_trunc("week", "o_orderdate").alias("_wkd"),
-        )
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_s")
-        )
-        .select(
-            "pri",
-            (
-                F.datediff(
-                    F.col("_wkd").cast("date"),
-                    F.lit("2020-01-06").cast("date"),
-                )
-                / 7
-            )
-            .cast("int")
-            .alias("wk"),
-            (F.col("_s").cast("double") / 1000000).alias("rev"),
-        )
-    )
+    weekly = _weekly_revenue(spark, sf_dir)
     wexp = (
         Window.partitionBy("pri")
         .orderBy("wk")

@@ -221,3 +221,17 @@ def test_fd_check_holds_and_fails(spark):
     fails = fd_check(df, "a", "b").collect()[0]
     # 'x' maps to {10, 30, 40}: dependency violated
     assert not fails.holds and fails.lhs_card == 2 and fails.pair_card == 4
+
+
+def test_fd_check_null_dependent_violates(spark):
+    """A NULL dependent value is a real violation, not invisible:
+    (1,'x') vs (1,NULL) must fail the dependency, and NULL determinant
+    rows are excluded entirely."""
+    from gpi_etl_spark.operators.quality import fd_check
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None), (2, "y"), (None, "z")],
+        "k long, a string",
+    )
+    r = fd_check(df, "k", "a").collect()[0]
+    assert (r.lhs_card, r.pair_card, r.holds) == (2, 3, False)
