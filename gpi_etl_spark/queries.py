@@ -6537,8 +6537,18 @@ def q152(spark, sf_dir):
 
     from gpi_etl_spark.sources.bucketed import read_table, write_bucketed
 
+    import shutil as _sh
+
     key = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
     to_name, tc_name = f"gpi_q152_o_{key}", f"gpi_q152_c_{key}"
+    # a FRESH session's in-memory catalog doesn't know tables a prior
+    # process left in the warehouse dir, and saveAsTable refuses to
+    # reuse the orphaned location — drop both layers idempotently
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for nm in (to_name, tc_name):
+        spark.sql(f"DROP TABLE IF EXISTS {nm}")
+        _sh.rmtree(os.path.join(wh, nm), ignore_errors=True)
     orders = t(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
@@ -7134,7 +7144,10 @@ def q161(spark, sf_dir):
     the selected document set, and the oracle replays every stage, so
     the COMPOSITION (filter before dedup before mixing, each stage's
     survivors feeding the next) is what's value-checked, not just the
-    operators in isolation."""
+    operators in isolation. The lazy form re-expands the gated frame
+    under each downstream branch (the audit's 30-scan count); a
+    production run persists the gate/dedup survivors between stages —
+    correctness identical, the oracle replays the pure composition."""
     from gpi_etl_spark.operators.textstats import gopher_quality_flags
 
     docs = t(spark, sf_dir, "documents")

@@ -27,7 +27,8 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 "q85_pipeline_wasde", "q95_pipeline_wasde2",
                 "q97_unigram_logprob", "q120_bigram_logprob",
                 "q128_importance_resampling", "q130_temperature_mix",
-                "q144_pmi_collocations", "q146_psi_drift", "q155_hits"}
+                "q144_pmi_collocations", "q146_psi_drift", "q155_hits",
+                "q161_curation_dag_v2"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
