@@ -106,12 +106,18 @@ def main() -> None:
                 "notes": (
                     "each query timed on its first run after a single "
                     "q01 JVM warm-up, so ~0.3-0.6s of per-query codegen "
-                    "is included; q05 steady-state is ~0.45s at sf0.1 "
-                    "(5-run probe), its r3 +0.2s was first-run jitter; "
-                    "r4 rewrote ngram_repetition_ratio from "
-                    "transform-over-indices (which re-ran the tokenizer "
-                    "per gram, O(tokens^2)/doc) to zip_with over shifted "
-                    "token arrays — q105 59s -> ~3s at sf0.1"
+                    "is included; steady-state is roughly half. 42 "
+                    "headline queries at sf0.1 run ~44s wall total. "
+                    "q05 steady-state ~0.45s (5-run probe; its r3 +0.2s "
+                    "was first-run jitter). r4 perf finds: "
+                    "ngram_repetition_ratio rewritten from "
+                    "transform-over-indices (re-ran the tokenizer per "
+                    "gram, O(tokens^2)/doc) to zip_with over shifted "
+                    "arrays (q105 59s -> ~3s); pagerank composes into "
+                    "one lazy plan when no node is dangling (4.6s -> "
+                    "2.6s); HITS normalizes once at the end (the "
+                    "per-iteration form re-expands lineage under every "
+                    "broadcast aggregate and OOMs the planner)"
                 ),
             }
         )
