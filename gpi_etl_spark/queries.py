@@ -7173,6 +7173,61 @@ def q161(spark, sf_dir):
     return mixed.select("doc_id", "lang", "n_tokens", "quota")
 
 
+@query(
+    "q162_dau_wau",
+    """
+    WITH du AS (SELECT DISTINCT cast(date_trunc('day', ts) AS date) AS d,
+                       user_id
+                FROM events),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+    cov AS (SELECT DISTINCT cast(g AS date) AS d, user_id
+            FROM du, unnest(generate_series(du.d,
+                                            du.d + INTERVAL 6 DAY,
+                                            INTERVAL 1 DAY)) AS t(g)),
+    wau AS (SELECT d, count(*) AS wau FROM cov GROUP BY d),
+    span AS (SELECT min(d) AS d0 FROM du)
+    SELECT dau.d, dau.dau, wau.wau,
+           round(dau.dau / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d) CROSS JOIN span
+    WHERE dau.d >= d0 + INTERVAL 6 DAY
+    """,
+)
+def q162(spark, sf_dir):
+    """DAU/WAU stickiness: daily active users over trailing-7-day
+    active users per day — the engagement ratio every product
+    warehouse reports. Distinct-users-over-a-sliding-window doesn't
+    decompose into plain window frames (distinct isn't subtractable),
+    so the rollup joins the per-day distinct-user pairs against the
+    day spine over a 7-day band — shuffle ∝ 7 × daily-active pairs,
+    the standard warehouse shape. Warm-up days (no full trailing
+    week) are excluded identically on both sides."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    # fan each active (day, user) out over the 7 report days it
+    # covers, then count distinct pairs — an EQUI-join shape (no band
+    # join / BNL): shuffle ∝ 7 × daily-active pairs
+    cov = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("d"),
+        "user_id",
+    ).distinct()
+    wau = cov.groupBy("d").agg(F.count(F.lit(1)).alias("wau"))
+    d0 = du.agg(F.min("d").alias("d0"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(d0))
+        .filter(F.col("d") >= F.date_add(F.col("d0"), 6))
+        .select(
+            "d", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -7201,7 +7256,7 @@ _R4_CHANGED = [
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
     "q158_median_imputation", "q159_fd_profile", "q160_max_drawdown",
-    "q161_curation_dag_v2",
+    "q161_curation_dag_v2", "q162_dau_wau",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
