@@ -7228,6 +7228,80 @@ def q162(spark, sf_dir):
     )
 
 
+@query(
+    "q163_cohort_ltv",
+    """
+    WITH f AS (SELECT user_id,
+                      cast(date_trunc('week', min(ts)) AS date) AS cohort
+               FROM events GROUP BY user_id),
+    wk AS (SELECT e.user_id,
+                  cast(date_trunc('week', e.ts) AS date) AS w,
+                  cast(sum(cast(e.value AS decimal(18, 2))) AS decimal(18, 2))
+                    AS v
+           FROM events e WHERE e.event_type = 'purchase'
+           GROUP BY e.user_id, date_trunc('week', e.ts)),
+    g AS (SELECT f.cohort,
+                 cast(date_diff('day', f.cohort, wk.w) / 7 AS int)
+                   AS week_offset,
+                 cast(sum(wk.v) AS decimal(18, 2)) AS rev
+          FROM wk JOIN f USING (user_id)
+          GROUP BY f.cohort, 2)
+    SELECT cast(cohort AS timestamp) AS cohort, week_offset,
+           round(cast(rev AS double), 2) AS rev,
+           round(cast(sum(rev) OVER (PARTITION BY cohort
+                                     ORDER BY week_offset
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS double), 2) AS cum_rev
+    FROM g
+    """,
+)
+def q163(spark, sf_dir):
+    """Cohort lifetime-value triangle: users cohorted by first-event
+    week, purchase revenue accumulated per (cohort, week-offset) with
+    a running cumulative — the LTV curve a growth warehouse reports
+    beside q133's retention triangle. Per-week sums AND the cumulative
+    run in exact decimal (order-independent), cast to double only for
+    display, so the triangle is bit-reproducible."""
+    ev = t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("v")
+        )
+    )
+    g = (
+        wk.join(first, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("w"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.sum("v").cast("decimal(18,2)").alias("rev"))
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        F.col("cohort").cast("timestamp").alias("cohort"),
+        "week_offset",
+        F.round(F.col("rev").cast("double"), 2).alias("rev"),
+        F.round(
+            F.sum("rev").over(wcum).cast("double"), 2
+        ).alias("cum_rev"),
+    )
+
+
 def _qnum(name: str) -> int:
     m = re.match(r"q(\d+)", name)
     return int(m.group(1)) if m else 999
@@ -7256,7 +7330,7 @@ _R4_CHANGED = [
     "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
     "q155_hits", "q156_burst_detection", "q157_session_paths",
     "q158_median_imputation", "q159_fd_profile", "q160_max_drawdown",
-    "q161_curation_dag_v2", "q162_dau_wau",
+    "q161_curation_dag_v2", "q162_dau_wau", "q163_cohort_ltv",
     "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
     "q121_bpe_apply", "q122_frame_grid",
     "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
