@@ -2,10 +2,18 @@
 
 Runs each headline query end-to-end and forces full materialization
 through Spark's noop sink (no driver-side collect — the plan executes
-exactly as it would writing to a real sink). Prints ONE JSON line:
+exactly as it would writing to a real sink). Every query runs TWICE:
+the first (cold) time includes per-query codegen/JIT (~0.3–0.6 s) and
+is what rounds r1–r4 recorded; the second (warm) time measures the
+steady-state plan — the number that tracks plan changes rather than
+JVM compilation. Prints ONE JSON line:
 
     {"metric": "total_runtime", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q01_pricing_summary": sec, ...},
+     "queries_warm": {...}, "total_warm": N, "sf": 0.1}
+
+`value`/`queries` stay the cold numbers so the series is comparable
+with BENCH_r01–r04.
 
 Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32).
@@ -64,9 +72,34 @@ HEADLINE = [
     "q128_importance_resampling",  # DSIR LM-ratio selection (r4)
     "q131_sentence_boilerplate",   # sentence-level shared-text pass (r4)
     "q135_hierarchy_closure",   # pointer-doubling recursive closure (r4)
+    "q136_scd2_history",        # SCD2 dimension history build (r5 add)
     "q138_zorder_layout",       # Morton-key two-dim clustering (r4)
+    "q145_triangle_counts",     # wedge-closure triangle counting (r5 add)
+    "q155_hits",                # HITS hubs/authorities, lazy plan (r5 add)
     "q161_curation_dag_v2",     # gopher->decontam->dedup->mix capstone (r4)
 ]
+
+
+def _extra_entries():
+    """Bench-only variants that are not registry queries: the curation
+    DAGs' persist_stages production path (same results as the lazy
+    q105/q161 entries, physical stage reuse instead of re-expansion).
+    Run LAST: their stage caches would otherwise be picked up by the
+    lazy variants via the CacheManager's plan-equality matching and
+    corrupt the lazy timings."""
+    from gpi_etl_spark.plans.curation_dags import (
+        curation_dag_v1,
+        curation_dag_v2,
+    )
+
+    return {
+        "q105_curation_dag_persist": (
+            lambda spark, sf: curation_dag_v1(spark, sf, persist_stages=True)
+        ),
+        "q161_curation_dag_v2_persist": (
+            lambda spark, sf: curation_dag_v2(spark, sf, persist_stages=True)
+        ),
+    }
 
 
 def main() -> None:
@@ -84,40 +117,42 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = Q.REGISTRY[name][0]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    entries = [(n, Q.REGISTRY[n][0]) for n in HEADLINE]
+    entries += list(_extra_entries().items())
 
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name, fn in entries:
+        for lane in (cold, warm):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            lane[name] = round(time.time() - t0, 3)
+
+    total = round(sum(cold.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "total_runtime",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": cold,
+                "queries_warm": warm,
+                "total_warm": round(sum(warm.values()), 3),
                 "sf": sf,
                 "notes": (
-                    "each query timed on its first run after a single "
-                    "q01 JVM warm-up, so ~0.3-0.6s of per-query codegen "
-                    "is included; steady-state is roughly half. 42 "
-                    "headline queries at sf0.1 run ~44s wall total. "
-                    "q05 steady-state ~0.45s (5-run probe; its r3 +0.2s "
-                    "was first-run jitter). r4 perf finds: "
-                    "ngram_repetition_ratio rewritten from "
-                    "transform-over-indices (re-ran the tokenizer per "
-                    "gram, O(tokens^2)/doc) to zip_with over shifted "
-                    "arrays (q105 59s -> ~3s); pagerank composes into "
-                    "one lazy plan when no node is dangling (4.6s -> "
-                    "2.6s); HITS normalizes once at the end (the "
-                    "per-iteration form re-expands lineage under every "
-                    "broadcast aggregate and OOMs the planner)"
+                    "cold lane = first run after one untimed q01 JVM "
+                    "warm-up (includes ~0.3-0.6s/query codegen; the "
+                    "series BENCH_r01-r04 recorded); warm lane = "
+                    "immediate second run, steady-state plans. r5 adds: "
+                    "q136/q145/q155 headline entries; "
+                    "q105/q161 *_persist twins run the stage-pinned "
+                    "production path (identical results; run last so "
+                    "their caches cannot pollute the lazy lanes — the "
+                    "persist cold number includes cache materialization, "
+                    "its warm number reads the populated caches). HITS "
+                    "deep-iteration numbers live in docs/PAGERANK_PROBE.md "
+                    "(iters=20 via localCheckpoint generation-persist)."
                 ),
             }
         )

@@ -329,16 +329,29 @@ def point_in_polygon_sql(
     lat_expr: str, lon_expr: str, vertices: list[tuple[float, float]]
 ) -> str:
     """DuckDB/ANSI spelling of :func:`point_in_polygon` — the same
-    unrolled crossing terms, summed, parity-tested."""
+    unrolled crossing terms, summed, parity-tested.
+
+    Vertex literals are emitted as explicit ``CAST(… AS DOUBLE)``: a
+    bare numeric literal parses as DECIMAL in DuckDB, which would
+    evaluate terms like ``(x2 - x1)`` exactly in decimal before
+    coercing to double — NOT the IEEE-double chain Spark computes, and
+    this expression feeds a strict ``<`` with no output rounding, so a
+    1-ULP divergence could flip inside/outside for a point sitting on
+    an edge. With the casts both engines run the identical double
+    arithmetic."""
     n = len(vertices)
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     terms = []
     for i in range(n):
         y1, x1 = vertices[i]
         y2, x2 = vertices[(i + 1) % n]
         terms.append(
-            f"(CASE WHEN (({y1!r} > {lat_expr}) <> ({y2!r} > {lat_expr}))"
-            f" AND {lon_expr} < ({x2!r} - {x1!r})"
-            f" * ({lat_expr} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}"
+            f"(CASE WHEN (({d(y1)} > {lat_expr}) <> ({d(y2)} > {lat_expr}))"
+            f" AND {lon_expr} < ({d(x2)} - {d(x1)})"
+            f" * ({lat_expr} - {d(y1)}) / ({d(y2)} - {d(y1)}) + {d(x1)}"
             f" THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"

@@ -73,6 +73,7 @@ def transitive_root(
     _LIVE_HIER_CACHES.append(state)
 
     total = state.agg(F.sum("depth").alias("s")).collect()[0]["s"] or 0
+    converged = False
     for _ in range(max_iters):
         a, b = state.alias("a"), state.alias("b")
         nxt = a.join(b, F.col("a.anc") == F.col("b.node")).select(
@@ -87,8 +88,23 @@ def transitive_root(
         prev.unpersist()
         _LIVE_HIER_CACHES.remove(prev)
         if new_total == total:
+            converged = True
             break
         total = new_total
+    if not converged:
+        # same fail-loudly rationale as the dangling-pointer check: a
+        # cycle makes the pointer-doubling depth sum grow forever, so
+        # exhausting max_iters without a fixed point means the returned
+        # table would be silently WRONG for every node on/below the
+        # cycle. (A deep-but-acyclic forest needs only log2(depth)
+        # iterations, so hitting the cap legitimately requires depth
+        # > 2^max_iters — raise, don't guess.)
+        raise ValueError(
+            f"hierarchy did not converge in {max_iters} pointer-doubling "
+            "iterations — cycle suspected (or depth > "
+            f"2^{max_iters}; raise max_iters if the forest is really "
+            "that deep)"
+        )
     return state.select(
         "node", F.col("anc").alias("root"), "depth"
     )

@@ -189,11 +189,20 @@ def triangle_counts(
     )
 
 
+#: above this iteration count :func:`hits` auto-switches to the
+#: generation-persist execution path: the lazy composed plan grows by
+#: ~2 joins + 2 aggregates of depth per iteration (measured 74 scan
+#: nodes / 168 Exchanges at iters=3), which is fine for a handful of
+#: iterations but not for the 20–50 HITS needs to converge in practice.
+_HITS_LAZY_MAX_ITERS = 5
+
+
 def hits(
     edges: DataFrame,
     iters: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    persist_iterations: bool | None = None,
 ) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED edge list (duplicate
     edges collapse): authority = Σ hub over in-links, hub = Σ authority
@@ -204,17 +213,41 @@ def hits(
 
     Because the update is LINEAR, per-iteration normalization commutes
     with the iteration — so scores normalize ONCE at the end. That
-    keeps every intermediate frame referenced exactly once and the
-    whole loop ONE lazy composed plan with zero per-iteration driver
-    actions (a per-iteration normalizer would re-expand the lineage
-    under each broadcast aggregate and blow the planner up
-    exponentially — measured: OOM at 3 iterations). Magnitudes grow
-    like (avg degree)^2 per iteration — far inside double range for
-    any usable iteration count.
+    keeps every intermediate frame referenced exactly once and, for
+    small iteration counts, the whole loop ONE lazy composed plan with
+    zero per-iteration driver actions (a per-iteration normalizer
+    would re-expand the lineage under each broadcast aggregate and
+    blow the planner up exponentially — measured: OOM at 3
+    iterations). Magnitudes grow like (avg degree)^2 per iteration —
+    far inside double range for any usable iteration count.
+
+    Two execution paths, same results (mirrors :func:`pagerank`):
+
+    * **lazy** (``persist_iterations=False``): one composed plan, zero
+      per-iteration jobs — but plan size grows linearly with ``iters``
+      and planner time superlinearly, so it is only used up to
+      ``_HITS_LAZY_MAX_ITERS``.
+    * **generation-persist** (``persist_iterations=True``): each
+      iteration's hub/auth table is eagerly ``localCheckpoint``-ed,
+      which both materializes it AND truncates the logical plan (a
+      plain persist does not — the analyzer still rebuilds the full
+      composed lineage each generation) — plan size is CONSTANT in
+      ``iters`` (2 jobs/iteration, shuffle ∝ |nodes|), the path for
+      the realistic 20–50-iteration convergence runs. Caveat shared
+      with every localCheckpoint use: blocks live on executors, so an
+      executor loss mid-run fails the job instead of recomputing — on
+      a real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+      reliable checkpointing for multi-hour runs.
+
+    ``persist_iterations=None`` (default) auto-selects: lazy for
+    ``iters <= _HITS_LAZY_MAX_ITERS``, generation-persist above.
 
     Returns ``(node, hub, auth)`` with L1-normalized scores.
     """
     from pyspark.storagelevel import StorageLevel
+
+    if persist_iterations is None:
+        persist_iterations = iters > _HITS_LAZY_MAX_ITERS
 
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -241,6 +274,15 @@ def hits(
         auth = nodes.join(
             a_raw, nodes["node"] == a_raw["dst"], "left"
         ).select("node", F.coalesce("_a", F.lit(0.0)).alias("auth"))
+        if persist_iterations:
+            # localCheckpoint TRUNCATES the logical plan (persist alone
+            # does not — the analyzer still rebuilds the full composed
+            # lineage each generation, which is what blew the heap at
+            # deep iteration counts). Eager: materializes now, so each
+            # generation is exactly one bounded job; superseded
+            # checkpoint blocks are reclaimed by the ContextCleaner
+            # when the previous generation's frame goes unreferenced.
+            auth = auth.localCheckpoint(eager=True)
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
             .groupBy("src")
@@ -249,6 +291,8 @@ def hits(
         hub = nodes.join(
             h_raw, nodes["node"] == h_raw["src"], "left"
         ).select("node", F.coalesce("_h", F.lit(0.0)).alias("hub"))
+        if persist_iterations:
+            hub = hub.localCheckpoint(eager=True)
     # single end normalization: the scores are each read twice below
     # (sum + division), so pin them once to keep the plan small
     scores = hub.join(auth, "node").persist(StorageLevel.MEMORY_AND_DISK)

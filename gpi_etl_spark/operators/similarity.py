@@ -417,7 +417,16 @@ def quantize_embeddings(
 
     def _quant(xv):
         amax = F.array_max(F.transform(xv, F.abs))
-        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        # Guard on the COMPUTED scale, not amax: for subnormal amax
+        # (< ~6.4e-322) amax/127.0 underflows to exactly 0.0 even though
+        # amax > 0, and the per-element x/scale then raises
+        # DIVIDE_BY_ZERO under ANSI mode — one denormal embedding in
+        # 100 TB would kill the whole ANN job. The same expression is
+        # mirrored in the q125 DuckDB oracle and the driver-side
+        # quantizers so all paths stay bit-identical.
+        scale = F.when(
+            amax / F.lit(127.0) > 0, amax / F.lit(127.0)
+        ).otherwise(F.lit(1.0))
         return let_(
             scale,
             lambda s: F.struct(
@@ -483,7 +492,9 @@ def quantized_topk(
     """
     q = [float(v) for v in query_vec]
     amax = max((abs(v) for v in q), default=0.0)
-    s = amax / 127.0 if amax > 0 else 1.0
+    # Same computed-scale guard as quantize_embeddings: amax/127.0
+    # underflows to 0.0 for subnormal amax, so test the quotient.
+    s = amax / 127.0 if amax / 127.0 > 0 else 1.0
     import math
 
     codes = [

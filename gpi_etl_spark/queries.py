@@ -100,17 +100,28 @@ def stream_events(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet copy first — the file-stream source rejects TIMESTAMP(NANOS)
     even with an explicit schema (the legacy nanosAsLong conf isn't
     honored on that path), and a typed landing zone is the real-world
-    ingestion pattern anyway. The landing dir is keyed by (query name,
-    sf_dir) so concurrent runs against different scale factors don't
-    overwrite each other's listed files mid-stream."""
+    ingestion pattern anyway."""
+    ev = t(spark, sf_dir, "events")
+    landing = _landing(spark, name, sf_dir)
+    ev.write.mode("overwrite").parquet(landing)
+    return spark.readStream.schema(ev.schema).parquet(landing)
+
+
+def _landing(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Per-session landing dir for queries that write-then-read a
+    temp dataset (q116/q129/q150/q151 + the stream sources): keyed by
+    (tag, sf_dir, Spark application id). The app id is what prevents
+    two CONCURRENT runs at the same scale factor — pytest + verify
+    sweep, parallel CI jobs — from racing overwrite-then-read on one
+    path and producing corrupt reads or spurious hash-gate failures;
+    within one session the path is stable, so re-running a query just
+    overwrites its own landing."""
     import re
     import tempfile
 
-    ev = t(spark, sf_dir, "events")
     key = re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    landing = os.path.join(tempfile.gettempdir(), f"gpi_{name}_{key}")
-    ev.write.mode("overwrite").parquet(landing)
-    return spark.readStream.schema(ev.schema).parquet(landing)
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"gpi_{tag}_{key}_{app}")
 
 
 def run_stream_to_table(spark: SparkSession, agg: DataFrame, sink: str) -> DataFrame:
@@ -4161,36 +4172,13 @@ def q105(spark, sf_dir):
     the scan projection; the shuffles are exactly the four the
     semantics require (dedup groupBy, dedup join, pack window, final
     rollup). The DuckDB oracle replays all five stages, so the whole
-    composition — not just each operator — is value-checked."""
-    from gpi_etl_spark.operators.curation import pack_budget_bins
+    composition — not just each operator — is value-checked. Lazy
+    composition here (what the oracle replays); the production
+    stage-pinned twin lives in plans/curation_dags.py and is benched
+    alongside this one."""
+    from gpi_etl_spark.plans.curation_dags import curation_dag_v1
 
-    docs = t(spark, sf_dir, "documents")
-    toks = textstats.tokens("text")
-    sw = F.array(*[F.lit(w) for w in textstats.STOPWORDS["en"]])
-    prof = docs.select(
-        "doc_id", "lang", "text",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.filter(toks, lambda tk: F.array_contains(sw, tk))).alias("n_sw"),
-        textstats.ngram_repetition_ratio("text", n=3).alias("rep_ratio"),
-    )
-    kept = prof.filter(
-        (F.col("n_tokens") >= 5)
-        & (F.col("n_sw") * 5 <= F.col("n_tokens") * 3)
-        & (F.col("rep_ratio") <= 0.5)
-    )
-    hashed = kept.withColumn(
-        "h", F.sha2(dedup.normalize_text("text"), 256)
-    )
-    uniq = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    docs2 = hashed.join(uniq, ["h", "doc_id"]).select("doc_id", "lang", "text")
-    chunks = textstats.chunk_texts(
-        docs2, chunk_tokens=40, overlap=10, keep_cols=("lang",)
-    ).withColumn("_ck", F.col("doc_id") * 1024 + F.col("chunk_idx"))
-    packed = pack_budget_bins(chunks, "n_chunk_tokens", "lang", "_ck", budget=512)
-    return packed.groupBy("lang", "bin").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.sum("n_chunk_tokens").cast("bigint").alias("sum_tokens"),
-    )
+    return curation_dag_v1(spark, sf_dir, persist_stages=False)
 
 
 @query(
@@ -4370,14 +4358,10 @@ def q116(spark, sf_dir):
     stream-ingest twin of q113, proving the curation operators compose
     with readStream unchanged. The memory-sink result must equal the
     batch/DuckDB answer (same pattern as q46/q74)."""
-    import re as _re
-    import tempfile as _tmp
-
     from gpi_etl_spark.operators.textstats import gopher_quality_flags
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    landing = os.path.join(_tmp.gettempdir(), f"gpi_q116_{key}")
+    landing = _landing(spark, "q116", sf_dir)
     docs.write.mode("overwrite").parquet(landing)
     stream = spark.readStream.schema(docs.schema).parquet(landing)
     flags = gopher_quality_flags(stream, keep_cols=("lang",))
@@ -5134,22 +5118,31 @@ def q122(spark, sf_dir):
 
 def _pagerank_oracle_sql(iters: int) -> str:
     """Unrolled PageRank replay (one CTE per iteration) over the
-    synthetic quadratic link graph. ``(1.0 - 0.85)`` and ``(1.0/3)``
-    are spelled as the same IEEE expressions the Spark side computes
-    (a ``0.15`` literal is a DIFFERENT double than ``1.0 - 0.85``)."""
+    synthetic quadratic link graph. Every float literal is an explicit
+    ``CAST(… AS DOUBLE)`` so the arithmetic chains are the same IEEE
+    expressions the Spark side computes: DuckDB parses bare numeric
+    literals as DECIMAL, so ``(1.0 - 0.85)`` would evaluate EXACTLY in
+    decimal (0.15) instead of Spark's double(1.0) - double(0.85) =
+    0.15000000000000002 — the 6-dp output rounding happens to absorb
+    that here, but the oracle's job is identical arithmetic, not
+    arithmetic that rounds the same way by luck."""
+    one = "CAST(1.0 AS DOUBLE)"
+    d085 = "CAST(0.85 AS DOUBLE)"
     parts = [
         "n AS (SELECT count(*) AS cnt FROM documents)",
         "e AS (SELECT doc_id AS src, (doc_id*doc_id + k) % cnt AS dst "
         "FROM documents CROSS JOIN n CROSS JOIN unnest([1,2,3]) AS t(k))",
-        "r0 AS (SELECT doc_id AS node, 1.0/cnt AS rank "
+        f"r0 AS (SELECT doc_id AS node, {one}/cnt AS rank "
         "FROM documents CROSS JOIN n)",
     ]
     for i in range(1, iters + 1):
         parts.append(
             f"""r{i} AS (
-      SELECT d.doc_id AS node, (1.0 - 0.85)/cnt + 0.85*coalesce(s.c, 0) AS rank
+      SELECT d.doc_id AS node,
+             ({one} - {d085})/cnt + {d085}*coalesce(s.c, CAST(0 AS DOUBLE))
+               AS rank
       FROM documents d CROSS JOIN n
-      LEFT JOIN (SELECT e.dst, sum(r.rank * (1.0/3)) AS c
+      LEFT JOIN (SELECT e.dst, sum(r.rank * ({one}/3)) AS c
                  FROM e JOIN r{i - 1} r ON r.node = e.src
                  GROUP BY e.dst) s ON s.dst = d.doc_id)"""
         )
@@ -5240,7 +5233,7 @@ def q124(spark, sf_dir):
     a1 AS (SELECT vec_id, v,
                   list_max(list_transform(v, x -> abs(x))) AS amax FROM base),
     a2 AS (SELECT vec_id, v,
-                  CASE WHEN amax > 0 THEN amax/127.0 ELSE 1.0 END AS s
+                  CASE WHEN amax/127.0 > 0 THEN amax/127.0 ELSE 1.0 END AS s
            FROM a1),
     a3 AS (SELECT vec_id, s,
              list_transform(v, x ->
@@ -5289,7 +5282,7 @@ def q125(spark, sf_dir):
         .collect()[0]["embedding"]
     ]
     amax = max((abs(x) for x in v0), default=0.0)
-    s0 = amax / 127.0 if amax > 0 else 1.0
+    s0 = amax / 127.0 if amax / 127.0 > 0 else 1.0
     p = F.array(
         *[
             F.lit(int(max(-127, min(127, math.floor(x / s0 + 0.5)))))
@@ -5462,12 +5455,8 @@ def q129(spark, sf_dir):
     append-mode variant with dropDuplicatesWithinWatermark bounds
     state by the event-time window instead). The memory-sink table
     must equal the batch/DuckDB answer."""
-    import re as _re
-    import tempfile as _tmp
-
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    landing = os.path.join(_tmp.gettempdir(), f"gpi_q129_{key}")
+    landing = _landing(spark, "q129", sf_dir)
     docs.write.mode("overwrite").parquet(landing)
     stream = spark.readStream.schema(docs.schema).parquet(landing)
     agg = (
@@ -6436,14 +6425,10 @@ def q150(spark, sf_dir):
     partition-column round-trip (string-typed hive values, pruning
     metadata) breaks the hash. The year grouping additionally gates
     date round-tripping through the parquet sink."""
-    import re as _re
-    import tempfile as _tmp
-
     from gpi_etl_spark.operators.sinklayout import write_partitioned
 
     orders = t(spark, sf_dir, "orders")
-    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    landing = os.path.join(_tmp.gettempdir(), f"gpi_q150_{key}")
+    landing = _landing(spark, "q150", sf_dir)
     write_partitioned(
         orders, landing, ["o_orderpriority"], sort_cols=["o_orderkey"]
     )
@@ -6485,14 +6470,10 @@ def q151(spark, sf_dir):
     rows surface with NULL priority, exactly the oracle's
     explicit-NULL union. The corpus-generations pattern every
     long-lived lake hits."""
-    import re as _re
-    import tempfile as _tmp
-
     from gpi_etl_spark.sources.evolution import read_merged
 
     orders = t(spark, sf_dir, "orders")
-    key = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
-    landing = os.path.join(_tmp.gettempdir(), f"gpi_q151_{key}")
+    landing = _landing(spark, "q151", sf_dir)
     g1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_totalprice"
     )
@@ -7145,32 +7126,13 @@ def q161(spark, sf_dir):
     the COMPOSITION (filter before dedup before mixing, each stage's
     survivors feeding the next) is what's value-checked, not just the
     operators in isolation. The lazy form re-expands the gated frame
-    under each downstream branch (the audit's 30-scan count); a
-    production run persists the gate/dedup survivors between stages —
-    correctness identical, the oracle replays the pure composition."""
-    from gpi_etl_spark.operators.textstats import gopher_quality_flags
+    under each downstream branch (the audit's 30-scan count); the
+    production stage-pinned twin (persist_stages=True in
+    plans/curation_dags.py) collapses that to one scan per stage with
+    identical results — both variants are benched."""
+    from gpi_etl_spark.plans.curation_dags import curation_dag_v2
 
-    docs = t(spark, sf_dir, "documents")
-    heldout = docs.filter(F.col("doc_id") % 17 == 3)
-    corpus = docs.filter(F.col("doc_id") % 17 != 3)
-    gated = (
-        gopher_quality_flags(corpus, keep_cols=("lang",))
-        .filter(F.col("pass_gopher"))
-        .join(docs.select("doc_id", "text"), "doc_id")
-    )
-    bad = curation.contaminated_ids(gated, heldout, n=4)
-    clean = gated.join(bad, "doc_id", "left_anti")
-    hashed = clean.withColumn(
-        "h", F.sha2(dedup.normalize_text("text"), 256)
-    )
-    uniq = hashed.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    ded = hashed.join(uniq, ["h", "doc_id"]).select(
-        "doc_id", "lang", F.col("n_words").cast("int").alias("n_tokens")
-    )
-    mixed = curation.temperature_mix(
-        ded, group_col="lang", size_col="n_tokens", alpha=0.5, budget=150
-    )
-    return mixed.select("doc_id", "lang", "n_tokens", "quota")
+    return curation_dag_v2(spark, sf_dir, persist_stages=False)
 
 
 @query(
@@ -7307,77 +7269,97 @@ def _qnum(name: str) -> int:
     return int(m.group(1)) if m else 999
 
 
-#: queries new or behavior-touched in round 4, emitted first so a
-#: prefix-sampling driver re-verifies exactly what moved: q106/q107 are
-#: new (PNG decode twin, exact-percentile twin), q101 changed its HTML
-#: entity unescape order (&amp; now last), and the wasde family sits on
-#: the .xls reader that gained v4-CFB addressing, string-formula and
-#: MERGEDCELLS handling.
-_R4_CHANGED = [
-    "q123_pagerank", "q124_unicode_clean", "q125_embedding_quantize",
-    "q126_contamination_score", "q127_centroid_outliers",
-    "q128_importance_resampling", "q129_streaming_dedup",
-    "q130_temperature_mix", "q131_sentence_boilerplate",
-    "q132_funnel", "q133_retention", "q134_json_permissive",
-    "q135_hierarchy_closure", "q136_scd2_history",
-    "q137_histogram_profile", "q138_zorder_layout",
-    "q139_point_in_time_join", "q140_incremental_rollup",
-    "q141_brand_cooccurrence", "q142_mad_outliers",
-    "q143_char_entropy", "q144_pmi_collocations",
-    "q145_triangle_counts", "q146_psi_drift", "q147_ab_ztest",
-    "q148_event_transitions", "q149_futures_calendar",
-    "q150_sink_roundtrip", "q151_schema_evolution",
-    "q152_bucketed_join", "q153_geofence", "q154_trend_slopes",
-    "q155_hits", "q156_burst_detection", "q157_session_paths",
-    "q158_median_imputation", "q159_fd_profile", "q160_max_drawdown",
-    "q161_curation_dag_v2", "q162_dau_wau", "q163_cohort_ltv",
-    "q118_media_probe", "q119_gif_stats", "q120_bigram_logprob",
-    "q121_bpe_apply", "q122_frame_grid",
-    "q106_png_stats", "q107_exact_percentiles", "q108_excel_lake",
-    "q109_jpeg_stats", "q110_semantic_dedup", "q111_duplicate_spans",
-    "q112_warc_pipeline", "q113_gopher_rules", "q114_url_curation",
-    "q115_bpe_merges", "q116_streaming_curation", "q117_snapshot_diff",
+#: DRIVER SAMPLE BUDGET — the driver prefix-samples this many registry
+#: entries per round. Round 4's lesson: a 61-entry "changed" prefix
+#: silently pushed positions 51+ (q110–q117 among them) out of the
+#: sample FOREVER, so the priority prefix is now hard-capped at this
+#: budget and _ordered_names asserts it.
+_DRIVER_SAMPLE = 50
+
+#: Round-5 priority prefix (must stay ≤ _DRIVER_SAMPLE entries, most
+#: evidence-starved first):
+#:   1. q110–q117 — NEVER driver-sampled in any round r1–r4 (the round-4
+#:      prefix overflow); locally green but the hard gate has never seen
+#:      them.
+#:   2. q101, q85/q95/q96 — driver rows exist but predate round-4
+#:      behavior changes (HTML entity order; the .xls reader's v4-CFB /
+#:      MERGEDCELLS / string-FORMULA additions).
+#:   3. Queries whose operator or oracle changed in round 5:
+#:      q125/q127 (quantize_embeddings subnormal-scale guard, mirrored
+#:      in the q125 oracle SQL), q162 (plan-audit whitelist), q155/q135/
+#:      q123 (HITS persist fallback + hierarchy cycle raise touch their
+#:      operators), q105/q161 (curation-DAG persist_stages path),
+#:      q129/q150/q151 (per-session landing paths), q153 (oracle SQL
+#:      double-literal casts).
+_R5_PRIORITY = [
+    "q110_semantic_dedup", "q111_duplicate_spans", "q112_warc_pipeline",
+    "q113_gopher_rules", "q114_url_curation", "q115_bpe_merges",
+    "q116_streaming_curation", "q117_snapshot_diff",
     "q101_html_extract",
     "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
+    "q125_embedding_quantize", "q127_centroid_outliers",
+    "q162_dau_wau",
+    "q155_hits", "q135_hierarchy_closure", "q123_pagerank",
+    "q105_curation_dag", "q161_curation_dag_v2",
+    "q129_streaming_dedup", "q150_sink_roundtrip",
+    "q151_schema_evolution", "q153_geofence",
 ]
 
-#: the queries CORRECTNESS_r03 did NOT sample (the driver prefix-samples
-#: 50) — the longest-unchecked half of the registry, re-verified this
-#: round per the r3 verdict ask. Rows-only-by-design entries (q33, q34,
-#: q39, q49 — xxhash64/sketch-based, no DuckDB twin) are pushed to the
-#: back of this group since a driver row adds less evidence for them
-#: than their pinned pytest fixtures do.
+#: rows-only-by-design entries (xxhash64/sketch-based, no DuckDB twin)
+#: are pushed to the back of their staleness band since a driver row
+#: adds less evidence for them than their pinned pytest fixtures do.
 _ROWS_ONLY = {"q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
               "q49_ivf_topk", "q51_approx_sketches"}
 
 
-def _ordered_names() -> list[str]:
-    """Registry names, highest-evidence-value first.
-
-    Round-4 order: queries changed this round lead (so the driver's
-    prefix sampling re-verifies exactly what moved), then everything
-    r03 didn't sample (stalest first — q01–q50 plus the q67–q77 band),
-    hash-checkable before rows-only, then the freshly-green r03 set.
-    Execution semantics are unaffected; this is purely dict ordering.
-    """
+def _driver_rounds_seen() -> dict[str, int]:
+    """name → latest round whose CORRECTNESS_r0N.json has a row for it
+    (0 if never sampled). Reads whatever result files exist next to the
+    repo root; missing files are simply skipped."""
+    import glob
     import json
 
-    names = list(REGISTRY)
-    changed = {n: i for i, n in enumerate(_R4_CHANGED)}
-    r3_seen: set[str] = set()
-    try:
-        with open(os.path.join(os.path.dirname(__file__), "..",
-                               "CORRECTNESS_r03.json")) as fh:
-            r3_seen = set(json.load(fh))
-    except OSError:
-        pass
+    seen: dict[str, int] = {}
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for path in sorted(glob.glob(os.path.join(root,
+                                              "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                for n in json.load(fh):
+                    seen[n] = max(seen.get(n, 0), rnd)
+        except (OSError, ValueError):
+            continue
+    return seen
 
-    def group(n: str) -> tuple[int, int, int]:
-        if n in changed:
-            return (0, 0, changed[n])
-        if n not in r3_seen:
-            return (1, 1 if n in _ROWS_ONLY else 0, names.index(n))
-        return (2, 0, names.index(n))
+
+def _ordered_names() -> list[str]:
+    """Registry names, highest-evidence-value first, budget-aware.
+
+    The driver samples the first ``_DRIVER_SAMPLE`` entries, so the
+    explicit priority prefix is HARD-CAPPED at that budget (asserted —
+    overflow was round 4's q110–q117 bug). After the prefix, names sort
+    by staleness: never-driver-sampled first, then ascending
+    latest-round-seen (oldest evidence first), rows-only entries last
+    within each band. Execution semantics are unaffected; this is
+    purely dict ordering.
+    """
+    names = list(REGISTRY)
+    prio = {n: i for i, n in enumerate(_R5_PRIORITY)}
+    assert len(_R5_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R5_PRIORITY)} > driver sample budget "
+        f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
+    )
+    seen = _driver_rounds_seen()
+
+    def group(n: str) -> tuple[int, int, int, int]:
+        if n in prio:
+            return (0, 0, 0, prio[n])
+        return (1, seen.get(n, 0), 1 if n in _ROWS_ONLY else 0,
+                names.index(n))
 
     return sorted(names, key=group)
 

@@ -486,3 +486,57 @@ def test_temperature_mix_alpha_zero_uniform(spark):
     quotas = {r.lang: r.quota for r in out}
     # T^0 = 1 for every group: equal quotas regardless of size skew
     assert quotas["a"] == quotas["b"] == 4
+
+
+def test_curation_dag_persist_matches_lazy(spark):
+    """The persist_stages production path must return the SAME rows as
+    the lazy composed plan for both DAG versions — only physical
+    stage reuse differs (one scan per stage instead of a re-expanded
+    scan per downstream branch)."""
+    from gpi_etl_spark.plans.curation_dags import (
+        curation_dag_v1,
+        curation_dag_v2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for dag in (curation_dag_v1, curation_dag_v2):
+        lazy = {tuple(r) for r in dag(spark, sf, persist_stages=False).collect()}
+        per = {tuple(r) for r in dag(spark, sf, persist_stages=True).collect()}
+        assert lazy == per and len(lazy) > 0
+
+
+def test_curation_dag_persist_collapses_scans(spark):
+    """persist_stages is the 100 TB lever: the v2 lazy plan re-scans
+    documents under every branch (~30 FileScans) while the pinned plan
+    reads each stage's survivors from cache. The plan STRING nests the
+    full cached lineage under every InMemoryTableScan (so a raw
+    FileScan count is misleading there); what matters is that the
+    top-level plan consumes caches — every stage boundary resolves to
+    an InMemoryTableScan, and at runtime those read cached blocks, not
+    parquet."""
+    from gpi_etl_spark.plans.curation_dags import (
+        _LIVE_DAG_CACHES,
+        _evict,
+        curation_dag_v2,
+    )
+
+    # drop pins from any earlier persist run: the CacheManager matches
+    # cached plans by logical equality, so leftovers would make even
+    # the "lazy" variant read caches
+    _evict()
+    sf = "/root/testdata/sf0.001"
+    lazy_plan = (
+        curation_dag_v2(spark, sf, persist_stages=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" not in lazy_plan
+    assert lazy_plan.count("FileScan parquet") > 10  # the re-expansion
+    per = curation_dag_v2(spark, sf, persist_stages=True)
+    per.count()  # populate the stage caches
+    per_plan = (
+        per._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in per_plan
+    # all three pinned stages materialized and live
+    assert len(_LIVE_DAG_CACHES) == 3
+    assert all(df.is_cached for df in _LIVE_DAG_CACHES)

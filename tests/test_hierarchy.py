@@ -53,3 +53,17 @@ def test_dangling_parent_raises(spark):
     )
     with pytest.raises(ValueError, match="dangling"):
         transitive_root(df)
+
+
+def test_cycle_raises(spark):
+    """A parent-pointer cycle must fail loudly, not return a partial,
+    wrong (node, root, depth) table after exhausting max_iters."""
+    import pytest
+
+    from gpi_etl_spark.operators.hierarchy import transitive_root
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, None)], "id long, parent long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        transitive_root(df, id_col="id", parent_col="parent", max_iters=6)

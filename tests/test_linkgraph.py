@@ -122,3 +122,39 @@ def test_hits_hand_computed(spark):
     # L1 normalized
     assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
     assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_persist_path_matches_lazy(spark):
+    """The generation-persist execution path (the realistic-iteration-
+    count fallback) must produce the SAME scores as the lazy composed
+    plan — only the physical execution differs."""
+    from gpi_etl_spark.operators.linkgraph import hits
+
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (1, 2), (3, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lazy = {
+        r.node: (r.hub, r.auth)
+        for r in hits(df, iters=3, persist_iterations=False).collect()
+    }
+    per = {
+        r.node: (r.hub, r.auth)
+        for r in hits(df, iters=3, persist_iterations=True).collect()
+    }
+    assert lazy.keys() == per.keys()
+    for n in lazy:
+        assert abs(lazy[n][0] - per[n][0]) < 1e-12
+        assert abs(lazy[n][1] - per[n][1]) < 1e-12
+
+
+def test_hits_auto_persist_deep_iterations(spark):
+    """iters=20 auto-selects the persist path (> _HITS_LAZY_MAX_ITERS)
+    and completes without planner blowup; scores converge to the
+    principal eigenvector ordering and stay L1-normalized."""
+    from gpi_etl_spark.operators.linkgraph import hits
+
+    edges = [(0, 1), (0, 2), (0, 3), (4, 1), (1, 2), (3, 0), (2, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth) for r in hits(df, iters=20).collect()}
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+    assert got[0][0] == max(h for h, _ in got.values())  # 0 is top hub

@@ -28,7 +28,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 "q97_unigram_logprob", "q120_bigram_logprob",
                 "q128_importance_resampling", "q130_temperature_mix",
                 "q144_pmi_collocations", "q146_psi_drift", "q155_hits",
-                "q161_curation_dag_v2"}
+                "q161_curation_dag_v2",
+                # q162: one-row crossJoin(broadcast(min-date)) attaching
+                # the day-spine start — the same whitelisted
+                # scalar-subquery pattern as q97/q120/q161 (the BNL loop
+                # side is exactly 1 row).
+                "q162_dau_wau"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
