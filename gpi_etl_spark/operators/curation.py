@@ -660,3 +660,51 @@ def domain_frequency_cap(
         .drop("_rk")
     )
     return capped.unionByName(no_host).withColumnRenamed("_dom", "domain")
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling, stratified
+    per group: order each group by the deterministic mixing hash,
+    accumulate integer weights, and keep the row wherever the running
+    total crosses a multiple of ``group_total / n_per_group``.
+
+    This is the weighted sampler a data-mixing pipeline wants when
+    quotas (:func:`temperature_mix`) are set in TOKENS, not documents:
+    inclusion probability ∝ weight, selection is a pure function of the
+    ids (engine-, retry- and partition-stable — no RNG state), and the
+    whole thing is ONE partitioned window pass: no global sort, no
+    driver state, shuffle ∝ rows on the group key.
+
+    The boundary test is exact INTEGER arithmetic
+    (``(cum*n) div total`` increments), never float division — float
+    thresholds are where engines disagree, and a flipped boundary here
+    silently swaps which documents train. Weights must be non-negative
+    integers (token/char counts); rows heavier than the stride are
+    selected once (true PPS-systematic semantics: expected picks ∝
+    weight, capped at 1 — the classic survey-sampling estimator).
+
+    Returns the selected rows with their ``_w`` weight column dropped.
+    """
+    w = F.col(weight_col).cast("long")
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(mix_hash(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(group_col)
+    staged = (
+        df.withColumn("_w", w)
+        .withColumn("_cum", F.sum("_w").over(cum_w))
+        .withColumn("_tot", F.sum("_w").over(tot_w))
+    )
+    n = int(n_per_group)
+    keep = F.expr(f"(_cum * {n}) div _tot") > F.expr(
+        f"((_cum - _w) * {n}) div _tot"
+    )
+    return staged.filter(keep).drop("_w", "_cum", "_tot")

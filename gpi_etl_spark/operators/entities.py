@@ -1,0 +1,98 @@
+"""Entity resolution: blocking → pairwise edit-distance match →
+connected-components clustering → canonical entity ids.
+
+The classic record-linkage shape for catalog/vendor/customer
+dedup — the reference's site-classification rules
+(``HTIPPLSITE/__init__.py``) solve the same "many spellings, one
+entity" problem with a hand-written rule chain; this operator is the
+general distributed form.
+
+100 TB design, in order of the levers that matter:
+
+1. **Collapse exact duplicates FIRST.** Pairwise matching runs over
+   the DISTINCT name strings, never the rows: a 10-billion-row catalog
+   typically holds millions of distinct names, so the quadratic term
+   shrinks by the duplication factor squared before anything else
+   happens. Rows fan back in by one equi-join at the end.
+2. **Blocking bounds the quadratic term.** Candidate pairs come from
+   an equi-join on a cheap blocking key (here: the name's last token;
+   in production also phonetic keys or length buckets), so comparisons
+   are within-block only — never an all-pairs product. The remaining
+   risk is a hot block; the standard refinements (a second
+   conjunctive blocking key, prefix filtering, degree capping) drop in
+   at the join without changing downstream semantics.
+3. **Edit distance runs JVM-side** (``F.levenshtein`` — codegen'd, no
+   UDF), and clustering reuses :func:`dedup.connected_components`
+   (min-label propagation, one shuffle per round, localCheckpointed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def last_token(col: str) -> Column:
+    """Default blocking key: the final whitespace token of the name
+    (for product names, usually the head noun)."""
+    return F.element_at(F.split(F.trim(F.col(col)), " "), -1)
+
+
+def blocked_name_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Candidate match pairs over a DISTINCT-name frame: equi-join on
+    the blocking key, keep ordered pairs within ``max_dist`` edits.
+    Returns ``(name_a, name_b)`` with ``name_a < name_b``."""
+    blk = (block if block is not None else last_token(name_col)).alias(
+        "_blk"
+    )
+    a = names.select(F.col(name_col).alias("name_a"), blk)
+    b = names.select(F.col(name_col).alias("name_b"), blk)
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        .select("name_a", "name_b")
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column | None = None,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Cluster rows whose names are within ``max_dist`` edits (within
+    a block) into entities.
+
+    Returns the input ids with ``entity_id`` (the min ``id_col``
+    across the entity — stable and engine-independent) and
+    ``n_members`` (rows in the entity). Singleton names that match
+    nothing are their own entity.
+    """
+    from gpi_etl_spark.operators.dedup import connected_components
+
+    rows = df.select(F.col(id_col), F.col(name_col))
+    names = rows.select(F.col(name_col).alias("name")).distinct()
+    pairs = blocked_name_pairs(names, "name", block, max_dist)
+    cc = connected_components(pairs, "name_a", "name_b")
+    # names with no qualifying pair never enter the edge list: they
+    # label themselves
+    labeled = rows.join(
+        cc, rows[name_col] == cc["node"], "left"
+    ).select(
+        id_col,
+        F.coalesce(F.col("component"), F.col(name_col)).alias("_cluster"),
+    )
+    ent = labeled.groupBy("_cluster").agg(
+        F.min(id_col).alias("entity_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return labeled.join(ent, "_cluster").select(
+        id_col, "entity_id", "n_members"
+    )

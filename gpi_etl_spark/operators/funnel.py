@@ -138,3 +138,92 @@ def event_transitions(
     return pairs.withColumn(
         "p_r", F.round(F.col("n") / F.sum("n").over(wrow), 6)
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 24,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch marketing attribution: credit each conversion to the
+    touchpoints (by channel = event type) that preceded it within the
+    lookback window, under the three standard models at once —
+    first-touch, last-touch, and linear.
+
+    Shape: conversions ⋈ touches is an EQUI-join on the user (hash
+    join — never a band/BNL join), with the lookback as a join-time
+    range filter; fan-out is bounded by per-user activity × the
+    window, the same envelope as q162's DAU/WAU band. Per conversion,
+    first/last flags come from one window over its matched touches and
+    the linear weight is 1/n — then one groupBy(channel) folds
+    everything. Revenue sums run in exact decimal.
+
+    Conversions with NO touch in the window are excluded (unattributed
+    — report them from the anti-join if needed). Ties on touch
+    timestamp break by event id, so credit assignment is deterministic.
+
+    Returns one row per channel: ``n_first``/``n_last`` (conversions
+    credited under first/last-touch), ``credit_linear`` (fractional
+    conversions, rounded 6), ``rev_last`` (last-touch-attributed
+    revenue, exact decimal rounded 2).
+    """
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(id_col).alias("conv_id"),
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("conv_ts"),
+        F.col(value_col).cast("decimal(18,2)").alias("rev"),
+    )
+    touch = events.filter(
+        F.col("event_type").isin(*touch_types)
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col(id_col).alias("touch_id"),
+        F.col("event_type").alias("channel"),
+    )
+    matched = conv.join(touch, "_u").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conv_ts") - F.expr(f"INTERVAL {int(lookback_hours)} HOURS")
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("touch_ts").asc(), F.col("touch_id").asc()
+    )
+    wn = Window.partitionBy("conv_id")
+    flagged = (
+        matched.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+        .withColumn("_is_first", (F.col("_rk") == 1).cast("int"))
+        .withColumn("_is_last", (F.col("_rk") == F.col("_n")).cast("int"))
+    )
+    # collapse to one row per (conversion, channel) FIRST: the linear
+    # share k/n is then a single IEEE division per row, rounded to 9 dp
+    # and summed in EXACT decimal — a raw double sum over thousands of
+    # 1/n terms would be addition-order-dependent and the hash gate's
+    # 6-dp round could flip at a partial-aggregation boundary
+    per_cc = flagged.groupBy("conv_id", "channel").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.max("_n").alias("_nn"),
+        F.max("_is_first").alias("_f"),
+        F.max("_is_last").alias("_l"),
+        F.max("rev").alias("_rev"),
+    )
+    share = F.round(
+        F.col("_k").cast("double") / F.col("_nn"), 9
+    ).cast("decimal(28,9)")
+    return per_cc.groupBy("channel").agg(
+        F.sum("_f").cast("bigint").alias("n_first"),
+        F.sum("_l").cast("bigint").alias("n_last"),
+        F.round(F.sum(share).cast("double"), 6).alias("credit_linear"),
+        F.round(
+            F.sum(F.when(F.col("_l") == 1, F.col("_rev"))).cast("double"),
+            2,
+        ).alias("rev_last"),
+    )

@@ -1,0 +1,83 @@
+"""EXACT distributed heavy hitters via a Misra-Gries candidate pass —
+the two-phase frequent-items algorithm that keeps the shuffle
+proportional to the CANDIDATE set, not the vocabulary.
+
+A plain ``groupBy(item).count()`` computes exact frequencies but
+shuffles every distinct item; at 100 TB the vocabulary (urls, user
+ids, n-grams) is itself huge while the items anyone asks about —
+those above a support threshold — are few. The classic fix
+(Misra–Gries '82; the "local summary + exact recount" pattern):
+
+1. **Pass 1 — per-partition Misra-Gries summaries.** Each task
+   streams its partition once through k counters (decrement-all on
+   overflow). MG guarantees any item with partition-local frequency
+   > n_p/(k+1) retains a counter; by pigeonhole, an item with GLOBAL
+   frequency ≥ N/k exceeds n_p/k in at least one partition — so the
+   union of local candidates is a SUPERSET of the true heavy hitters.
+   Only candidate item names (≤ k × partitions rows) are emitted.
+2. **Pass 2 — exact recount of candidates only.** The distinct
+   candidate set broadcasts into a semi-join, and the exact count
+   runs over the filtered stream. No approximation survives to the
+   output: the MG pass only prunes what gets counted.
+
+Result: exact answer, shuffle ∝ candidates instead of vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries pass → distinct candidate items."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[item_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all; drop zeros (amortized O(1) via
+                    # dict rebuild only when something hits zero)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return items.select(item_col).mapInPandas(
+        summarize, schema=f"{item_col} string"
+    ).distinct()
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Items with exact frequency ≥ N/k (support 1/k), computed with a
+    candidate-bounded shuffle. The threshold test is integer
+    cross-multiplication (``n*k >= N``) — no float boundary.
+
+    Returns ``(item_col, n)`` — exact counts, only qualifying items.
+    """
+    total = items.count()
+    if total == 0:
+        return items.select(item_col).withColumn(
+            "n", F.lit(0).cast("bigint")
+        ).limit(0)
+    cands = _mg_candidates(items, item_col, k)
+    counted = (
+        items.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counted.filter(F.col("n") * k >= F.lit(total))

@@ -753,3 +753,103 @@ def sample_video_frames(
     return df.select("media_id", "payload", "meta").mapInPandas(
         run, schema=_FRAME_SCHEMA
     )
+
+
+def dhash_images(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """56-bit difference hash (dHash) per image: decode → integer-gray
+    → 7×9 nearest-neighbor grid → row-adjacent comparisons → one
+    BIGINT fingerprint. The perceptual near-dup key for image corpora:
+    brightness/contrast shifts preserve adjacent-pixel ORDER, so
+    shifted duplicates collapse to the SAME hash, while content edits
+    flip only the bits whose neighborhood changed.
+
+    Deliberate deviations from the classic 8×9/64-bit recipe, both for
+    engine parity: 7 rows × 8 comparisons = 56 bits keeps the hash in
+    the POSITIVE int64 range (bit 63 would overflow DuckDB's checked
+    ``<<`` and flip Spark's sign), and gray is integer ``(R+G+B)//3``
+    (no luma floats — the whole pipeline stays in exact integer math,
+    so the fingerprint is bit-reproducible on any engine).
+
+    Runs as one Arrow-batched mapInPandas over the payload bytes
+    (same envelope as extract_features: pixels never leave the
+    executor). Returns ``(id_col, dhash)``.
+    """
+    rows_g, cols_g = 7, 9
+
+    def batch(it):
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                d = decode_media(bytes(p))
+                px = d["pixels"]
+                h, w = int(d["height"]), int(d["width"])
+                rr = np.arange(rows_g) * h // rows_g
+                cc = np.arange(cols_g) * w // cols_g
+                g = px[rr][:, cc].astype(np.int64).sum(axis=2) // 3
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64).flatten()
+                shifts = np.arange(rows_g * (cols_g - 1), dtype=np.int64)
+                out.append(int((bits << shifts).sum()))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "dhash": out}
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        batch, schema=f"{id_col} long, dhash long"
+    )
+
+
+def dhash_near_dups(
+    hashed: DataFrame,
+    max_dist: int = 6,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-dup pairs by Hamming distance over 56-bit dHashes,
+    WITHOUT an all-pairs product: band each hash into 7 × 8-bit bands
+    and equi-join on (band index, band value) — by pigeonhole, any two
+    hashes within ``max_dist`` ≤ 6 agree on at least one of 7 bands,
+    so banding finds EXACTLY the pairs a quadratic scan would (this is
+    exact retrieval, not approximate, for max_dist < bands). Shuffle ∝
+    hashes × 7, candidate verification is one ``bit_count(a XOR b)``
+    per collision. Returns ``(id_a, id_b, hamming)``.
+    """
+    if max_dist >= 7:
+        raise ValueError(
+            "max_dist must be < 7 bands for exact banded retrieval"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.shiftright(F.col("dhash"), 8 * k)
+                .bitwiseAND(F.lit(255))
+                .alias("v"),
+            )
+            for k in range(7)
+        ]
+    )
+    banded = hashed.select(
+        F.col(id_col), F.col("dhash"), F.explode(bands).alias("b")
+    ).select(id_col, "dhash", F.col("b.k").alias("bk"), F.col("b.v").alias("bv"))
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("_ha"),
+        "bk", "bv",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("_hb"),
+        "bk", "bv",
+    )
+    ham = F.bit_count(
+        F.col("_ha").bitwiseXOR(F.col("_hb"))
+    ).alias("hamming")
+    return (
+        a.join(b, ["bk", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .select("id_a", "id_b", ham)
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -668,3 +668,76 @@ def char_entropy(
             6,
         ).alias("entropy_r"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set — the
+    retrieval scorer that turns the corpus into a searchable index
+    feed (quality-filtering against seed queries, RAG candidate
+    generation, dedup-by-retrieval all sit on this).
+
+    Three bounded shuffles, all ∝ matching postings, never ∝ corpus ×
+    terms: explode-to-postings filtered to the term set (Catalyst
+    pushes the isin into the generator's filter), a (doc, term) count,
+    and the final per-doc sum. Document frequencies are |terms| rows
+    (broadcast); N and avgdl are a ONE-ROW aggregate attached by
+    crossJoin(broadcast) — the scalar-subquery pattern, whitelisted in
+    the plan audit. The idf uses the +1 "Lucene" form
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` so it never goes negative on
+    common terms.
+
+    Returns ``(id_col, bm25)`` for documents matching ≥ 1 term, scores
+    UNROUNDED (callers round for display/oracles).
+    """
+    toks = tokens(text_col)
+    base = docs.select(
+        F.col(id_col), F.size(toks).alias("_dl"), toks.alias("_toks")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_sumdl"),
+    )
+    postings = base.select(
+        id_col, "_dl", F.explode("_toks").alias("_term")
+    ).filter(F.col("_term").isin(*terms))
+    tf = postings.groupBy(id_col, "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                (F.col("_n") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "_score",
+            F.col("_idf")
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("_dl")
+                    / (F.col("_sumdl") / F.col("_n"))
+                )
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("_score").alias("bm25"))

@@ -7374,3 +7374,423 @@ def oracles() -> dict[str, str]:
         for name in _ordered_names()
         if REGISTRY[name][1] is not None
     }
+
+
+@query(
+    "q164_entity_resolution",
+    """
+    WITH RECURSIVE p AS (SELECT p_partkey, p_name FROM part),
+    names AS (SELECT DISTINCT p_name AS name FROM p),
+    blk AS (SELECT name, string_split(trim(name), ' ')[-1] AS _blk
+            FROM names),
+    pairs AS (SELECT a.name AS name_a, bb.name AS name_b
+              FROM blk a JOIN blk bb USING (_blk)
+              WHERE a.name < bb.name
+                AND levenshtein(a.name, bb.name) <= 2),
+    edges AS (SELECT name_a AS u, name_b AS v FROM pairs
+              UNION SELECT name_b, name_a FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    lab AS (SELECT p.p_partkey,
+                   coalesce(c.component, p.p_name) AS _cluster
+            FROM p LEFT JOIN comp c ON c.node = p.p_name),
+    ent AS (SELECT _cluster, min(p_partkey) AS entity_id,
+                   count(*) AS n_members
+            FROM lab GROUP BY _cluster)
+    SELECT l.p_partkey, e.entity_id, e.n_members
+    FROM lab l JOIN ent e USING (_cluster)
+    """,
+)
+def q164(spark, sf_dir):
+    """Entity resolution over the part catalog
+    (entities.resolve_entities): block by the name's head noun,
+    match DISTINCT names within 2 edits (JVM levenshtein — pairwise
+    runs over distinct strings, never rows, so the quadratic term is
+    bounded by name cardinality), cluster with min-label connected
+    components, fan entity ids back to rows. The oracle replays
+    blocking + edit gate + a recursive-CTE transitive closure. The
+    general record-linkage form of the reference's hand-rule site
+    canonicalization (HTIPPLSITE/__init__.py rule chain)."""
+    from gpi_etl_spark.operators.entities import resolve_entities
+
+    parts = t(spark, sf_dir, "part")
+    return resolve_entities(parts, "p_partkey", "p_name", max_dist=2)
+
+
+@query(
+    "q165_linear_interpolate",
+    """
+    WITH g AS (SELECT event_id, user_id,
+                      CASE WHEN event_id % 3 <> 1 THEN value END AS v
+               FROM events),
+    w AS (SELECT event_id, user_id, v,
+            last_value(v IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL
+                            THEN cast(event_id AS double) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+            first_value(v IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL
+                             THEN cast(event_id AS double) END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxo
+          FROM g)
+    SELECT event_id, user_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv)
+                           * (cast(event_id AS double) - po) / (nxo - po)
+                 END, 6) AS v_interp
+    FROM w
+    """,
+)
+def q165(spark, sf_dir):
+    """Linear gap interpolation (windows.linear_interpolate): every
+    third event's value is deterministically masked, then repaired by
+    interpolating between the nearest surviving neighbors per user —
+    the series-true repair forward-fill (W4) distorts. Two
+    IGNORE-NULLS window passes on one partition sort, identical IEEE
+    arithmetic replayed by the oracle; leading/trailing gaps stay NULL
+    (never extrapolates)."""
+    from gpi_etl_spark.operators.windows import linear_interpolate
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") % 3 != 1, F.col("value")).alias("v"),
+    )
+    out = linear_interpolate(ev, "event_id", "v", ("user_id",))
+    return out.select(
+        "event_id", "user_id", F.round(F.col("v"), 6).alias("v_interp")
+    )
+
+
+@query(
+    "q166_pps_sample",
+    f"""
+    WITH s AS (SELECT doc_id, source, n_chars,
+                 sum(n_chars) OVER (PARTITION BY source
+                   ORDER BY {curation.mix_hash_sql('doc_id', 'duck')}, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_chars) OVER (PARTITION BY source) AS tot
+               FROM documents)
+    SELECT doc_id, source, n_chars AS w FROM s
+    WHERE (cum * 20) // tot > ((cum - n_chars) * 20) // tot
+    """,
+)
+def q166(spark, sf_dir):
+    """Weighted (probability-proportional-to-size) systematic sampling
+    stratified by source (curation.pps_systematic_sample): ~20 docs
+    per source with inclusion probability ∝ n_chars — the sampler for
+    token-denominated mixing quotas. Mixing-hash order + exact integer
+    boundary arithmetic ((cum*n) div tot), so selection is a pure
+    function of the ids: engine-, retry- and partition-stable, and
+    the oracle replays it with zero tolerance (float thresholds are
+    where engines disagree; there are none here)."""
+    docs = t(spark, sf_dir, "documents")
+    out = curation.pps_systematic_sample(
+        docs, "source", "n_chars", 20, "doc_id"
+    )
+    return out.select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+
+
+@query(
+    "q167_bm25_retrieval",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bl AS (SELECT doc_id, cast(len(toks) AS int) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM bl),
+    post AS (SELECT doc_id, dl, u.t AS term
+             FROM bl, unnest(toks) AS u(t)
+             WHERE u.t IN ('spark', 'vector', 'hash')),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM post GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+             ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE))
+             * (tf * CAST(2.2 AS DOUBLE))
+             / (tf + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl / (sumdl / n))) AS s
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+    SELECT doc_id, round(sum(s), 6) AS bm25_r FROM sc GROUP BY doc_id
+    """,
+)
+def q167(spark, sf_dir):
+    """BM25 retrieval scoring (textstats.bm25_scores) of the corpus
+    against a fixed query-term set — the scorer under seed-query
+    quality filtering and RAG candidate generation. Postings-bounded
+    shuffles (explode filtered to the term set), |terms|-row df
+    broadcast, one-row N/avgdl attached via the whitelisted
+    crossJoin(broadcast) scalar pattern; Lucene +1 idf so common
+    terms never score negative. Oracle replays the identical double
+    arithmetic (explicit DOUBLE casts — bare literals are DECIMAL in
+    DuckDB)."""
+    docs = t(spark, sf_dir, "documents")
+    sc = textstats.bm25_scores(docs, ("spark", "vector", "hash"))
+    return sc.select("doc_id", F.round("bm25", 6).alias("bm25_r"))
+
+
+@query(
+    "q168_attribution",
+    """
+    WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts,
+                         cast(value AS decimal(18,2)) AS rev
+                  FROM events WHERE event_type = 'purchase'),
+    tch AS (SELECT user_id, ts AS touch_ts, event_id AS touch_id,
+                   event_type AS channel
+            FROM events WHERE event_type IN ('click', 'view')),
+    m AS (SELECT c.conv_id, c.rev, t.touch_ts, t.touch_id, t.channel
+          FROM conv c JOIN tch t USING (user_id)
+          WHERE t.touch_ts < c.conv_ts
+            AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS),
+    f AS (SELECT *,
+            row_number() OVER (PARTITION BY conv_id
+                               ORDER BY touch_ts, touch_id) AS rk,
+            count(*) OVER (PARTITION BY conv_id) AS n
+          FROM m),
+    cc AS (SELECT conv_id, channel, count(*) AS k, max(n) AS nn,
+                  max(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS fl,
+                  max(CASE WHEN rk = n THEN 1 ELSE 0 END) AS ll,
+                  max(rev) AS rev
+           FROM f GROUP BY 1, 2)
+    SELECT channel,
+           cast(sum(fl) AS bigint) AS n_first,
+           cast(sum(ll) AS bigint) AS n_last,
+           round(cast(sum(cast(round(cast(k AS double) / nn, 9)
+                                AS decimal(28,9))) AS double), 6)
+             AS credit_linear,
+           round(cast(sum(CASE WHEN ll = 1 THEN rev END) AS double), 2)
+             AS rev_last
+    FROM cc GROUP BY channel
+    """,
+)
+def q168(spark, sf_dir):
+    """Multi-touch attribution (funnel.attribute_conversions):
+    purchases credited to the click/view touches in their trailing
+    24 h under first-touch, last-touch and linear models at once.
+    Equi-join on user (hash join, lookback as a range filter — never
+    a band BNL), one window per conversion, linear shares rounded
+    per-conversion then summed in EXACT decimal (a raw double sum
+    over thousands of 1/n terms is addition-order-dependent — the
+    hash gate would flip at partial-agg boundaries)."""
+    from gpi_etl_spark.operators.funnel import attribute_conversions
+
+    ev = t(spark, sf_dir, "events")
+    return attribute_conversions(ev)
+
+
+@query(
+    "q169_cdc_merge",
+    """
+    WITH snap AS (SELECT o_orderkey, o_orderpriority,
+                         cast(o_totalprice AS decimal(18,2)) AS price
+                  FROM orders WHERE o_orderkey % 4 <> 0),
+    log AS (
+      SELECT o_orderkey, o_orderpriority,
+             cast(o_totalprice AS decimal(18,2)) AS price,
+             'I' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, 'RUSH',
+             cast(cast(o_totalprice AS decimal(18,2))
+                  + cast(10.00 AS decimal(18,2)) AS decimal(18,2)),
+             'U', 2
+      FROM orders WHERE o_orderkey % 4 = 1
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, 'D', 3
+      FROM orders WHERE o_orderkey % 4 = 2
+      UNION ALL
+      SELECT o_orderkey, 'STALE',
+             cast(0.00 AS decimal(18,2)), 'U', 1
+      FROM orders WHERE o_orderkey % 4 = 2),
+    latest AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC, op ASC) AS rn
+        FROM log) WHERE rn = 1),
+    untouched AS (SELECT s.* FROM snap s LEFT JOIN latest l
+                  USING (o_orderkey) WHERE l.o_orderkey IS NULL),
+    applied AS (SELECT o_orderkey, o_orderpriority, price
+                FROM latest WHERE op <> 'D')
+    SELECT o_orderkey, o_orderpriority,
+           round(cast(price AS double), 2) AS price_r
+    FROM (SELECT * FROM untouched UNION ALL SELECT * FROM applied)
+    """,
+)
+def q169(spark, sf_dir):
+    """CDC MERGE (cdc.cdc_merge): a synthetic change log — inserts for
+    the keys missing from the snapshot, a price-bump update, a delete
+    that outranks a stale earlier update on the same key — applied
+    with last-writer-wins by sequence. One window over the LOG
+    (shuffle ∝ changes, the snapshot is only anti-joined), exact
+    decimal price arithmetic; the oracle replays log construction and
+    merge rule for rule. The general form of the reference's
+    DELETE+reinsert watermark cycle (HTGPIPROPHEDEX/__init__.py)."""
+    from gpi_etl_spark.operators.cdc import cdc_merge
+
+    orders = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    snap = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_orderpriority", price.alias("price")
+    )
+    ins = orders.filter(F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_orderpriority", price.alias("price"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        "o_orderkey", F.lit("RUSH").alias("o_orderpriority"),
+        (price + F.lit("10.00").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("price"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("decimal(18,2)").alias("price"),
+        F.lit("D").alias("op"), F.lit(3).alias("seq"),
+    )
+    stale = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        "o_orderkey", F.lit("STALE").alias("o_orderpriority"),
+        F.lit("0.00").cast("decimal(18,2)").alias("price"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    log = ins.unionByName(upd).unionByName(dele).unionByName(stale)
+    merged = cdc_merge(snap, log, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("price").cast("double"), 2).alias("price_r"),
+    )
+
+
+@query(
+    "q170_image_dhash_dedup",
+    """
+    WITH RECURSIVE m AS (SELECT doc_id AS media_id, doc_id % 100 AS base,
+                                doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h
+                         FROM documents WHERE doc_id % 25 = 0),
+    grid AS (SELECT media_id, base, w, h, t1.r, t2.c,
+                    ((t1.r * h) // 7) * w + ((t2.c * w) // 9) AS idx
+             FROM m, unnest(generate_series(0, 6)) t1(r),
+                  unnest(generate_series(0, 8)) t2(c)),
+    g AS (SELECT media_id, r, c,
+                 (((base + idx) % 256) + ((base + idx + 1) % 256)
+                  + ((base + idx + 2) % 256)) // 3 AS gray
+          FROM grid),
+    bits AS (SELECT a.media_id, a.r, a.c,
+                    CASE WHEN a.gray < b.gray
+                         THEN cast(1 AS bigint) ELSE 0 END AS bit
+             FROM g a JOIN g b ON b.media_id = a.media_id
+                               AND b.r = a.r AND b.c = a.c + 1
+             WHERE a.c < 8),
+    hs AS (SELECT media_id,
+                  cast(sum(bit << (r * 8 + c)) AS bigint) AS dhash
+           FROM bits GROUP BY media_id),
+    pairs AS (SELECT a.media_id AS ia, b.media_id AS ib
+              FROM hs a JOIN hs b ON a.media_id < b.media_id
+              WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+    edges AS (SELECT ia AS u, ib AS v FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY node)
+    SELECT h.media_id, h.dhash,
+           cast(coalesce(c.rep, h.media_id) AS bigint) AS rep_id
+    FROM hs h LEFT JOIN comp c ON c.node = h.media_id
+    """,
+)
+def q170(spark, sf_dir):
+    """Perceptual image near-dup clustering: REAL BMP encode → decode →
+    56-bit integer dHash (multimodal.dhash_images, mapInPandas) →
+    exact banded Hamming retrieval (7×8-bit bands — pigeonhole-exact
+    for distance ≤ 6, never an all-pairs product) → connected
+    components → per-image canonical representative. The synthetic
+    gradient corpus makes the invariance visible: brightness-shifted
+    gradients collapse to identical hashes, so clusters form across
+    different base offsets. The oracle replays the hash CLOSED-FORM
+    from the generator parameters (the whole recipe is exact integer
+    math — grid indices, (R+G+B)//3 gray, bit packing — so the
+    fingerprints hash-gate with zero tolerance) plus an all-pairs
+    Hamming + recursive closure, value-checking decode, hash, banding
+    and clustering end-to-end."""
+    import pandas as _pd
+
+    from gpi_etl_spark.operators.dedup import connected_components
+    from gpi_etl_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dups,
+        encode_bmp,
+    )
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+
+    def synth(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                base = int(did) % 100
+                w = int(did) % 7 + 2
+                h = int(did) % 5 + 2
+                idx = _np.arange(w * h, dtype=_np.uint16).reshape(h, w)
+                px = _np.stack(
+                    [(base + idx + ch) % 256 for ch in range(3)], axis=2
+                ).astype(_np.uint8)
+                payloads.append(encode_bmp(px))
+            yield _pd.DataFrame(
+                {"media_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    media = docs.select("doc_id").mapInPandas(
+        synth, schema="media_id long, payload binary"
+    )
+    hashed = dhash_images(media)
+    pairs = dhash_near_dups(hashed, max_dist=6)
+    cc = connected_components(pairs)
+    return hashed.join(
+        cc, hashed["media_id"] == cc["node"], "left"
+    ).select(
+        "media_id", "dhash",
+        F.coalesce(F.col("component"), F.col("media_id")).alias("rep_id"),
+    )
+
+
+@query(
+    "q171_heavy_hitters",
+    f"""
+    WITH post AS (SELECT u.t AS term
+                  FROM (SELECT {_TOKS_SQL} AS toks FROM documents),
+                       unnest(toks) AS u(t))
+    SELECT term, count(*) AS n FROM post GROUP BY term
+    HAVING count(*) * 200 >= (SELECT count(*) FROM post)
+    """,
+)
+def q171(spark, sf_dir):
+    """Exact corpus heavy hitters at support 1/200
+    (heavyhitters.heavy_hitters): per-partition Misra-Gries summaries
+    bound the shuffle to candidate terms (superset guarantee by
+    pigeonhole), then an exact broadcast-semi-join recount — the
+    two-phase frequent-items pattern whose wire cost is ∝ candidates,
+    not vocabulary. The threshold is integer cross-multiplied
+    (n*200 >= N, no float boundary); the oracle computes the same
+    exact answer by brute force."""
+    from gpi_etl_spark.operators.heavyhitters import heavy_hitters
+
+    docs = t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(textstats.tokens("text")).alias("term")
+    )
+    return heavy_hitters(items, "term", k=200)

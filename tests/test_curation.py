@@ -540,3 +540,32 @@ def test_curation_dag_persist_collapses_scans(spark):
     # all three pinned stages materialized and live
     assert len(_LIVE_DAG_CACHES) == 3
     assert all(df.is_cached for df in _LIVE_DAG_CACHES)
+
+
+def test_pps_sample_weight_proportionality(spark):
+    """Inclusion counts track weight share: with one dominant-weight
+    row and n boundaries, the heavy row is always selected, and the
+    per-group sample size is exactly n when all weights < stride."""
+    from gpi_etl_spark.operators.curation import pps_systematic_sample
+
+    rows = [(i, "g", 10) for i in range(100)] + [(1000, "g", 100000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = pps_systematic_sample(df, "source", "n_chars", 10).collect()
+    assert 1000 in {r.doc_id for r in got}  # w >> stride: always in
+
+    uniform = spark.createDataFrame(
+        [(i, "g", 7) for i in range(200)],
+        "doc_id long, source string, n_chars long",
+    )
+    sel = pps_systematic_sample(uniform, "source", "n_chars", 10).collect()
+    assert len(sel) == 10  # all weights < stride -> exactly n
+
+
+def test_pps_sample_deterministic_and_stratified(spark):
+    from gpi_etl_spark.operators.curation import pps_systematic_sample
+
+    rows = [(i, "a" if i % 2 else "b", 5 + i % 13) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    s1 = {r.doc_id for r in pps_systematic_sample(df, "source", "n_chars", 8).collect()}
+    s2 = {r.doc_id for r in pps_systematic_sample(df, "source", "n_chars", 8).collect()}
+    assert s1 == s2 and len(s1) == 16  # 8 per stratum, pure function of ids

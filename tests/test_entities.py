@@ -1,0 +1,63 @@
+"""Entity resolution: blocking, edit-distance gating, clustering and
+fan-back semantics on hand-built catalogs."""
+
+from __future__ import annotations
+
+
+def test_clusters_exact_and_near_names(spark):
+    from gpi_etl_spark.operators.entities import resolve_entities
+
+    rows = [
+        (1, "cold widget"),
+        (2, "cold widget"),     # exact dup of 1
+        (3, "bold widget"),     # 1 edit from "cold widget"
+        (4, "large bolt"),      # different block entirely
+        (5, "small widget"),    # same block, > 2 edits from the rest
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    got = {
+        r.pid: (r.entity_id, r.n_members)
+        for r in resolve_entities(df, "pid", "name").collect()
+    }
+    # 1, 2, 3 cluster (entity = min id = 1); 4 and 5 are singletons
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)
+    assert got[5] == (5, 1)
+
+
+def test_blocking_prevents_cross_block_match(spark):
+    """Names within the edit threshold but in different blocks must NOT
+    pair — blocking is a hard partition of the comparison space."""
+    from gpi_etl_spark.operators.entities import resolve_entities
+
+    rows = [(1, "red rod"), (2, "red rot")]  # 1 edit, blocks rod/rot
+    df = spark.createDataFrame(rows, "pid long, name string")
+    got = {r.pid: r.entity_id for r in resolve_entities(df, "pid", "name").collect()}
+    assert got[1] == 1 and got[2] == 2
+
+
+def test_transitive_chain_single_entity(spark):
+    """a~b and b~c (each within threshold) must merge a, b, c even if
+    a and c are farther apart than the threshold — connected
+    components, not pairwise cliques."""
+    from gpi_etl_spark.operators.entities import resolve_entities
+
+    rows = [(10, "aaaa x"), (11, "aaab x"), (12, "aabb x"), (13, "bbbb x")]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    got = {r.pid: r.entity_id for r in resolve_entities(df, "pid", "name", max_dist=1).collect()}
+    # chain aaaa-aaab-aabb merges; bbbb is 2 edits from aabb -> separate
+    assert got[10] == got[11] == got[12] == 10
+    assert got[13] == 13
+
+
+def test_pairs_run_over_distinct_names(spark):
+    """The pair stage sees each distinct name once regardless of row
+    duplication — the lever that bounds the quadratic term at scale."""
+    from gpi_etl_spark.operators.entities import blocked_name_pairs
+
+    names = spark.createDataFrame(
+        [("hot ring",), ("hot rings",)], "name string"
+    )
+    pairs = blocked_name_pairs(names, "name", max_dist=2).collect()
+    # different blocks (ring vs rings) -> no pair despite 1 edit
+    assert pairs == []

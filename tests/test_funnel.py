@@ -112,3 +112,69 @@ def test_event_transitions_hand_computed(spark):
         ("view", "view"): (1, 0.5),
         ("click", "view"): (1, 1.0),
     }
+
+
+def test_attribution_hand_computed(spark):
+    """One user, two touches before one purchase: first credit to the
+    earlier channel, last credit (and revenue) to the later one,
+    linear split 50/50."""
+    import datetime as dt
+
+    from gpi_etl_spark.operators.funnel import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        (1, at(0), 7, "click", 0.0),
+        (2, at(30), 7, "view", 0.0),
+        (3, at(60), 7, "purchase", 100.0),
+        (4, at(0), 8, "view", 0.0),      # other user, no purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {r.channel: r for r in attribute_conversions(df).collect()}
+    assert got["click"].n_first == 1 and got["click"].n_last == 0
+    assert got["view"].n_first == 0 and got["view"].n_last == 1
+    assert got["click"].credit_linear == 0.5
+    assert got["view"].credit_linear == 0.5
+    assert got["view"].rev_last == 100.0
+    assert got["click"].rev_last is None
+
+
+def test_attribution_lookback_excludes_stale_touches(spark):
+    import datetime as dt
+
+    from gpi_etl_spark.operators.funnel import attribute_conversions
+
+    t0 = dt.datetime(2024, 1, 10, 0, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(hours=30), 7, "click", 0.0),  # too old
+        (2, t0 - dt.timedelta(hours=1), 7, "view", 0.0),
+        (3, t0, 7, "purchase", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    got = {r.channel: r for r in attribute_conversions(df).collect()}
+    assert "click" not in got
+    assert got["view"].n_first == 1 and got["view"].n_last == 1
+    assert got["view"].credit_linear == 1.0
+
+
+def test_attribution_unattributed_conversion_dropped(spark):
+    import datetime as dt
+
+    from gpi_etl_spark.operators.funnel import attribute_conversions
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 7, "purchase", 10.0)],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double",
+    )
+    assert attribute_conversions(df).collect() == []

@@ -305,3 +305,37 @@ def test_char_entropy_hand_computed(spark):
     assert got[1].entropy_r == 0.0 and got[1].n_chars == 4
     assert got[2].entropy_r == round(math.log(2), 6)
     assert got[3].entropy_r == round(math.log(4), 6)
+
+
+def test_bm25_hand_computed(spark):
+    """Two tiny docs, one query term — score checked against the
+    closed-form Lucene-BM25 formula."""
+    import math
+
+    from gpi_etl_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_scores(docs, ("x",)).collect()}
+    # N=2, df(x)=1, idf = ln((2-1+0.5)/(1+0.5)+1) = ln(2)
+    # doc1: tf=2, dl=3, avgdl=2.5
+    k1, b = 1.2, 0.75
+    expect = math.log(2.0) * (2 * (k1 + 1)) / (
+        2 + k1 * (1 - b + b * 3 / 2.5)
+    )
+    assert got.keys() == {1}
+    assert abs(got[1] - expect) < 1e-12
+
+
+def test_bm25_common_term_nonnegative(spark):
+    """The +1 idf form keeps a term present in EVERY doc at a small
+    positive weight instead of a negative one."""
+    from gpi_etl_spark.operators.textstats import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "the dog"), (3, "the owl")],
+        "doc_id long, text string",
+    )
+    got = bm25_scores(docs, ("the",)).collect()
+    assert len(got) == 3 and all(r.bm25 > 0 for r in got)

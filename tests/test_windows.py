@@ -73,3 +73,35 @@ def test_compress_runs_null_values_stay_one_run(spark):
     )
     runs = compress_runs(df, "sym", "ord").orderBy("run_start").collect()
     assert len(runs) == 3  # A | NULL,NULL | A — NULLs compress together
+
+
+def test_linear_interpolate_hand_computed(spark):
+    from gpi_etl_spark.operators.windows import linear_interpolate
+
+    rows = [
+        ("a", 0, 10.0), ("a", 1, None), ("a", 2, None), ("a", 3, 40.0),
+        ("a", 10, None),            # trailing gap: stays NULL
+        ("b", 0, None), ("b", 1, 5.0),  # leading gap: stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    got = {
+        (r.k, r.i): r.v
+        for r in linear_interpolate(df, "i", "v", ("k",)).collect()
+    }
+    assert got[("a", 1)] == 20.0 and got[("a", 2)] == 30.0
+    assert got[("a", 0)] == 10.0 and got[("a", 3)] == 40.0
+    assert got[("a", 10)] is None
+    assert got[("b", 0)] is None and got[("b", 1)] == 5.0
+
+
+def test_linear_interpolate_uneven_spacing(spark):
+    """The weight is the ORDER-distance ratio, not the row index: a
+    gap at i=1 between anchors i=0 and i=4 fills at 1/4 of the rise."""
+    from gpi_etl_spark.operators.windows import linear_interpolate
+
+    df = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, None), ("a", 4, 8.0)],
+        "k string, i long, v double",
+    )
+    got = {r.i: r.v for r in linear_interpolate(df, "i", "v", ("k",)).collect()}
+    assert got[1] == 2.0

@@ -33,7 +33,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # the day-spine start — the same whitelisted
                 # scalar-subquery pattern as q97/q120/q161 (the BNL loop
                 # side is exactly 1 row).
-                "q162_dau_wau"}
+                "q162_dau_wau",
+                # q167: one-row crossJoin(broadcast(N/avgdl aggregate))
+                # feeding the BM25 idf/length normalization — the same
+                # scalar-subquery broadcast pattern as q68/q97.
+                "q167_bm25_retrieval"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
