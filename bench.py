@@ -75,7 +75,7 @@ HEADLINE = [
     "q136_scd2_history",        # SCD2 dimension history build (r5 add)
     "q138_zorder_layout",       # Morton-key two-dim clustering (r4)
     "q145_triangle_counts",     # wedge-closure triangle counting (r5 add)
-    "q155_hits",                # HITS hubs/authorities, lazy plan (r5 add)
+    "q155_hits",                # HITS hubs/authorities, auto persist path (r5)
     "q161_curation_dag_v2",     # gopher->decontam->dedup->mix capstone (r4)
 ]
 

@@ -192,9 +192,14 @@ def triangle_counts(
 #: above this iteration count :func:`hits` auto-switches to the
 #: generation-persist execution path: the lazy composed plan grows by
 #: ~2 joins + 2 aggregates of depth per iteration (measured 74 scan
-#: nodes / 168 Exchanges at iters=3), which is fine for a handful of
-#: iterations but not for the 20–50 HITS needs to converge in practice.
-_HITS_LAZY_MAX_ITERS = 5
+#: nodes / 168 Exchanges at iters=3), which is unusable for the 20–50
+#: iterations HITS needs to converge — and measured SLOWER even at 3
+#: (5k-node graph, sf0.1, local[32]: lazy 7.4–11 s vs persist
+#: 5.4 s; planning + ReusedExchange bookkeeping on the deep composed
+#: plan costs more than the 2 localCheckpoint jobs per iteration). The
+#: lazy plan is kept only for 1–2 iterations, where its zero-action
+#: composability still wins.
+_HITS_LAZY_MAX_ITERS = 2
 
 
 def hits(

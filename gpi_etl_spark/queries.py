@@ -6720,10 +6720,13 @@ FROM h{iters} h JOIN a{iters} a ON a.node = h.node CROSS JOIN z"""
 def q155(spark, sf_dir):
     """HITS hubs and authorities (linkgraph.hits) over the q123
     quadratic link graph — the directory-vs-content split of link
-    quality beside PageRank's single centrality. The whole 3-iteration
-    loop (two score⋈edges rounds + two L1 normalizers per iteration,
-    normalizers as one-row broadcasts) is one lazy plan with zero
-    driver actions; the oracle unrolls the identical update order."""
+    quality beside PageRank's single centrality. At 3 iterations the
+    auto-selector takes the generation-persist path (eager
+    localCheckpoint per hub/auth table, constant plan size — measured
+    faster than the lazy composed plan from iters=3 up, and the only
+    path that reaches convergence depths); scores L1-normalize once at
+    the end via a one-row broadcast. The oracle unrolls the identical
+    update order."""
     from gpi_etl_spark.operators.linkgraph import hits
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
@@ -7794,3 +7797,42 @@ def q171(spark, sf_dir):
         F.explode(textstats.tokens("text")).alias("term")
     )
     return heavy_hitters(items, "term", k=200)
+
+
+@query(
+    "q172_jaccard_prefix",
+    """
+    WITH norm AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS t
+                  FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id,
+                   unnest(list_distinct(string_split(t, ' '))) AS shingle
+            FROM norm),
+    tok2 AS (SELECT doc_id, shingle FROM tok WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM tok2 a JOIN tok2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def q172(spark, sf_dir):
+    """PPJoin prefix-filtered EXACT Jaccard pairs
+    (dedup.jaccard_pairs_prefix_filtered): identical answer to q32's
+    naive inverted-index join — the oracle IS the naive computation —
+    but candidates come only from each document's globally-RAREST
+    shingle prefix (|A| - ceil(t|A|) + 1 shingles), so join fan-out
+    follows rare-shingle frequency instead of the worst hub shingle.
+    The exact-dedup path that scales past the naive index where
+    MinHash-LSH (q33) is unacceptable because of false negatives."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    pairs = dedup.jaccard_pairs_prefix_filtered(docs, n=1, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

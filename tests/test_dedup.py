@@ -165,3 +165,46 @@ def test_snapshot_diff_statuses(spark):
     got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    5: "added", 4: "unchanged"}
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """The PPJoin prefix filter must return EXACTLY the inverted-index
+    answer — it is a candidate-pruning optimization, not an
+    approximation."""
+    from gpi_etl_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "pack my box with five dozen liquor jugs today"),
+        (5, "completely different text entirely here now"),
+        (6, "the quick brown fox naps under the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        naive = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(df, n=1, threshold=t).collect()
+        }
+        fast = {
+            (r.id_a, r.id_b): round(r.jaccard, 9)
+            for r in jaccard_pairs_prefix_filtered(
+                df, n=1, threshold=t
+            ).collect()
+        }
+        assert fast == naive and len(naive) > 0
+
+
+def test_prefix_filter_prunes_hub_shingles(spark):
+    """Docs sharing ONLY a corpus-wide stop shingle must never become
+    candidates: the frequency-ascending prefix pushes hubs out."""
+    from gpi_etl_spark.operators.dedup import jaccard_pairs_prefix_filtered
+
+    rows = [(i, f"common u{i} v{i} w{i} x{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = jaccard_pairs_prefix_filtered(df, n=1, threshold=0.5).collect()
+    assert got == []  # only 1 of 5 tokens shared -> jaccard 1/9 < 0.5
