@@ -7836,3 +7836,144 @@ def q172(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@query(
+    "q173_stream_dedup_watermark",
+    """
+    WITH k AS (SELECT event_id % 997 AS k FROM events)
+    SELECT k, count(*) AS n_sources FROM k GROUP BY k
+    """,
+)
+def q173(spark, sf_dir):
+    """Append-mode streaming dedup with BOUNDED STATE — the
+    ``dropDuplicatesWithinWatermark`` variant q129's docstring points
+    to for 100 TB: state holds only keys inside the watermark horizon
+    instead of every key ever seen. Keys are synthesized (event_id %
+    997) so the stream carries real duplicates. Because which physical
+    ROW survives a duplicate group is arrival-order-dependent, the
+    streaming result projects the KEY ONLY (deterministic — any
+    survivor is identical there) and the per-key source multiplicity
+    is re-attached from the batch table afterward; the oracle is the
+    equivalent batch distinct."""
+    ev = t(spark, sf_dir, "events").select("event_id", "ts")
+    landing = _landing(spark, "q173", sf_dir)
+    ev.write.mode("overwrite").parquet(landing)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .parquet(landing)
+        .withColumn("k", F.col("event_id") % 997)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .select("k")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gpi_stream_q173")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    keys = spark.table("gpi_stream_q173")
+    counts = ev.select((F.col("event_id") % 997).alias("k")).groupBy(
+        "k"
+    ).agg(F.count(F.lit(1)).alias("n_sources"))
+    return keys.join(counts, "k")
+
+
+@query(
+    "q174_session_window",
+    """
+    WITH e AS (SELECT user_id, ts,
+                      cast(floor(epoch(ts)) AS bigint) AS sec
+               FROM events),
+    flags AS (SELECT user_id, ts, sec,
+              CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                   THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+             FROM flags)
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTES AS s_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q174(spark, sf_dir):
+    """The BUILT-IN session-window aggregate (F.session_window, 30-min
+    gap) — the one-groupBy engine twin of q11's hand-rolled
+    gaps-and-islands sessionization (and the exact construct the
+    streaming path would use with a watermark). Session bounds follow
+    Spark's convention: end = last event + gap. The oracle replays the
+    island construction with windows and rebuilds the same bounds, so
+    the built-in operator is value-checked against first principles."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q175_rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           cast(grouping(r.r_name) AS int) AS g_r,
+           cast(grouping(n.n_name) AS int) AS g_n,
+           round(cast(sum(cast(o.o_totalprice AS decimal(18,2)))
+                      AS double), 2) AS rev_r,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q175(spark, sf_dir):
+    """ROLLUP grouping sets (region → nation → grand total) with
+    GROUPING flags — the OLAP subtotal lattice in ONE aggregation
+    pass: Catalyst expands the rollup into grouping sets and the
+    partial aggregates shuffle once, not once per level (the
+    hand-rolled alternative is three scans + a union). Revenue in
+    exact decimal; grouping() flags cast to int on both engines so
+    the NULL-name subtotal rows are distinguishable from real NULLs."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("rev_r"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("r_name", "n_name", "g_r", "g_n", "rev_r", "n_orders")
+    )

@@ -79,3 +79,59 @@ def test_cdc_merge_idempotent_replay(spark):
     assert sorted(map(tuple, once.collect())) == sorted(
         map(tuple, twice.collect())
     )
+
+
+def test_cdc_merge_matches_python_mirror_property(spark):
+    """Randomized logs vs a from-first-principles dict replay —
+    derandomized hypothesis profile (conftest) keeps draws stable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gpi_etl_spark.operators.cdc import cdc_merge
+
+    @given(
+        snap=st.dictionaries(
+            st.integers(0, 12), st.integers(0, 99), max_size=8
+        ),
+        log=st.lists(
+            st.tuples(
+                st.integers(0, 12),                  # key
+                st.integers(0, 99),                  # value
+                st.sampled_from(["I", "U", "D"]),    # op
+                st.integers(1, 5),                   # seq
+            ),
+            max_size=12,
+        ),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(snap, log):
+        sdf = spark.createDataFrame(
+            [(k, v) for k, v in snap.items()] or
+            spark.sparkContext.emptyRDD(),
+            "k long, v long",
+        ) if snap else spark.createDataFrame([], "k long, v long")
+        ldf = spark.createDataFrame(
+            log, "k long, v long, op string, seq long"
+        ) if log else spark.createDataFrame(
+            [], "k long, v long, op string, seq long"
+        )
+        got = {r.k: r.v for r in cdc_merge(sdf, ldf, ["k"]).collect()}
+        # mirror: per key keep the max-seq change; at equal seq 'D'
+        # wins ('D' < 'I' < 'U' — the operator's orderBy(seq desc,
+        # op asc) tie-break)
+        best: dict = {}
+        for k, v, op, seq in log:
+            cur = best.get(k)
+            best[k] = min(
+                [x for x in [cur, (seq, op, v)] if x is not None],
+                key=lambda t: (-t[0], t[1]),
+            )
+        want = dict(snap)
+        for k, (seq, op, v) in best.items():
+            if op == "D":
+                want.pop(k, None)
+            else:
+                want[k] = v
+        assert got == want
+
+    check()

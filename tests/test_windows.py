@@ -105,3 +105,50 @@ def test_linear_interpolate_uneven_spacing(spark):
     )
     got = {r.i: r.v for r in linear_interpolate(df, "i", "v", ("k",)).collect()}
     assert got[1] == 2.0
+
+
+def test_linear_interpolate_matches_numpy_property(spark):
+    """Random gap patterns vs numpy.interp on the interior points —
+    derandomized hypothesis (conftest profile)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gpi_etl_spark.operators.windows import linear_interpolate
+
+    @given(
+        vals=st.lists(
+            st.floats(-1e3, 1e3, allow_nan=False, allow_infinity=False),
+            min_size=2, max_size=15,
+        ),
+        mask=st.lists(st.booleans(), min_size=2, max_size=15),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(vals, mask):
+        n = min(len(vals), len(mask))
+        rows = [
+            ("g", i, float(vals[i]) if not mask[i] else None)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k string, i long, v double")
+        got = {
+            r.i: r.v
+            for r in linear_interpolate(df, "i", "v", ("k",)).collect()
+        }
+        known = [i for i in range(n) if not mask[i]]
+        if not known:
+            assert all(v is None for v in got.values())
+            return
+        lo, hi = known[0], known[-1]
+        xp = np.array(known, dtype=float)
+        fp = np.array([vals[i] for i in known], dtype=float)
+        for i in range(n):
+            if i < lo or i > hi:
+                if i not in known:
+                    assert got[i] is None
+                continue
+            want = float(np.interp(i, xp, fp))
+            assert got[i] is not None
+            assert abs(got[i] - want) < 1e-6 + 1e-9 * abs(want)
+
+    check()
