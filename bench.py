@@ -77,6 +77,11 @@ HEADLINE = [
     "q145_triangle_counts",     # wedge-closure triangle counting (r5 add)
     "q155_hits",                # HITS hubs/authorities, auto persist path (r5)
     "q161_curation_dag_v2",     # gopher->decontam->dedup->mix capstone (r4)
+    "q164_entity_resolution",   # blocking + levenshtein + CC (r5 add)
+    "q171_heavy_hitters",       # MG candidates + exact recount (r5 add)
+    "q172_jaccard_prefix",      # PPJoin exact near-dup pairs (r5 add)
+    "q174_session_window",      # built-in session windows (r5 add)
+    "q175_rollup_revenue",      # one-pass ROLLUP lattice (r5 add)
 ]
 
 
@@ -144,15 +149,18 @@ def main() -> None:
                     "cold lane = first run after one untimed q01 JVM "
                     "warm-up (includes ~0.3-0.6s/query codegen; the "
                     "series BENCH_r01-r04 recorded); warm lane = "
-                    "immediate second run, steady-state plans. r5 adds: "
-                    "q136/q145/q155 headline entries; "
+                    "immediate second run, steady-state plans. r5 adds "
+                    "q136/q145/q155/q164/q171/q172/q174/q175 headline "
+                    "entries (52 total with the persist twins); "
                     "q105/q161 *_persist twins run the stage-pinned "
                     "production path (identical results; run last so "
                     "their caches cannot pollute the lazy lanes — the "
                     "persist cold number includes cache materialization, "
-                    "its warm number reads the populated caches). HITS "
-                    "deep-iteration numbers live in docs/PAGERANK_PROBE.md "
-                    "(iters=20 via localCheckpoint generation-persist)."
+                    "its warm number reads the populated caches). q155 "
+                    "runs the generation-persist HITS path (measured "
+                    "faster than lazy from iters=3 up; deep-iteration "
+                    "numbers in docs/PAGERANK_PROBE.md). Reference r5 "
+                    "sf0.1 local[32]: ~67s cold / ~49s warm over 52."
                 ),
             }
         )

@@ -7977,3 +7977,67 @@ def q175(spark, sf_dir):
         )
         .select("r_name", "n_name", "g_r", "g_n", "rev_r", "n_orders")
     )
+
+
+def _batch_ivf_oracle_sql(k: int, iters: int, nprobe: int, topk: int) -> str:
+    """Lloyd replay (shared ``_kmeans_ctes``) + IVF probe + per-query
+    exact cosine top-k — the batch-ANN composition, fully unrolled."""
+    parts = _kmeans_ctes(k, iters) + [
+        "asgn AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        "qs AS (SELECT vec_id AS query_id, v AS qv FROM base "
+        "WHERE vec_id % 50 = 0)",
+        f"""probe AS (SELECT query_id, qv, cell FROM (
+      SELECT q.query_id, q.qv, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC)
+               AS pr
+      FROM qs q CROSS JOIN c{iters} c) WHERE pr <= {nprobe})""",
+        """cand AS (SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
+      FROM probe p JOIN asgn a USING (cell))""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+scored AS (SELECT a.query_id, a.vec_id,
+                  list_dot_product(a.v, a.qv)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(a.qv, a.qv))) AS score
+           FROM cand a),
+r AS (SELECT query_id, vec_id, score,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS int) AS rank
+      FROM scored)
+SELECT query_id, vec_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {topk}"""
+    )
+
+
+@query("q176_batch_ivf_ann", _batch_ivf_oracle_sql(8, 4, 2, 5))
+def q176(spark, sf_dir):
+    """BATCH approximate nearest neighbors — the production retrieval
+    shape (a query TABLE, not one point): deterministic distributed
+    k-means coarse quantizer (q81's operator), every corpus vector
+    assigned to one cell, every query probing its nprobe=2 nearest
+    cells, exact cosine top-5 within the probed cells
+    (similarity.ivf_topk — an EQUI-join on cell, shuffle-partitionable
+    and AQE-skew-handled, never a Q×N cross join). Upgrades the ANN
+    family's evidence from q49's rows-only fixture to a full hash
+    gate: the oracle replays Lloyd (shared CTE chain), the probe
+    ranking (same higher-cell tie-break as _nearest_cells), the
+    candidate dedup and the final ranking."""
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        ivf_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, _assigned = distributed_kmeans(emb, k=8, iters=4)
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.select("vec_id", to_double.alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    out = ivf_topk(vectors, queries, cents, k=5, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
+    )

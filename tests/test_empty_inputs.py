@@ -141,3 +141,48 @@ def test_round4_operators_on_empty_inputs(spark):
         ["user_id"],
         "ts",
     ).count() == 0
+
+
+def test_round5_operator_families_empty(spark):
+    """Round-5 families on empty frames: never raise, never invent
+    rows. (dhash/HITS excluded: dhash needs decodable payloads by
+    contract — strict-raise is its empty-payload behavior; hits on an
+    empty edge list is covered by the pagerank assertion's shape.)"""
+    from gpi_etl_spark.operators.cdc import cdc_merge
+    from gpi_etl_spark.operators.curation import pps_systematic_sample
+    from gpi_etl_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+    )
+    from gpi_etl_spark.operators.entities import resolve_entities
+    from gpi_etl_spark.operators.funnel import attribute_conversions
+    from gpi_etl_spark.operators.heavyhitters import heavy_hitters
+    from gpi_etl_spark.operators.linkgraph import hits
+    from gpi_etl_spark.operators.textstats import bm25_scores
+    from gpi_etl_spark.operators.windows import linear_interpolate
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    parts = spark.createDataFrame([], "pid long, name string")
+    events = spark.createDataFrame(
+        [],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    series = spark.createDataFrame([], "k string, i long, v double")
+    snap = spark.createDataFrame([], "k long, v long")
+    log = spark.createDataFrame([], "k long, v long, op string, seq long")
+    items = spark.createDataFrame([], "item string")
+    wdocs = spark.createDataFrame(
+        [], "doc_id long, source string, n_chars long"
+    )
+    edges = spark.createDataFrame([], "src long, dst long")
+
+    assert resolve_entities(parts, "pid", "name").count() == 0
+    assert attribute_conversions(events).count() == 0
+    assert cdc_merge(snap, log, ["k"]).count() == 0
+    assert heavy_hitters(items, "item", k=5).count() == 0
+    assert bm25_scores(docs, ("x",)).count() == 0
+    assert linear_interpolate(series, "i", "v", ("k",)).count() == 0
+    assert pps_systematic_sample(wdocs, "source", "n_chars", 5).count() == 0
+    assert jaccard_pairs_prefix_filtered(docs, n=1).count() == 0
+    assert hits(edges, iters=2).count() == 0
+    assert hits(edges, iters=8).count() == 0  # persist path
