@@ -136,7 +136,15 @@ def event_transitions(
     )
     wrow = Window.partitionBy("from_type")
     return pairs.withColumn(
-        "p_r", F.round(F.col("n") / F.sum("n").over(wrow), 6)
+        # explicit floor-scaling, not round(): n/Σn is an exact integer
+        # ratio that can land on 6-dp half-way points where the
+        # engines' round() primitives disagree (q165's sf0.1 find)
+        "p_r",
+        F.floor(
+            (F.col("n") / F.sum("n").over(wrow)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
     )
 
 
@@ -218,10 +226,15 @@ def attribute_conversions(
     share = F.round(
         F.col("_k").cast("double") / F.col("_nn"), 9
     ).cast("decimal(28,9)")
+    # round the DECIMAL sum (exact half-up in both engines), THEN cast
+    # to double — rounding the casted double instead would hit the
+    # engines' round() divergence on exact 6-dp half-way points (see
+    # q165's sf0.1 find: Spark rounds via BigDecimal, DuckDB scales in
+    # floating point)
     return per_cc.groupBy("channel").agg(
         F.sum("_f").cast("bigint").alias("n_first"),
         F.sum("_l").cast("bigint").alias("n_last"),
-        F.round(F.sum(share).cast("double"), 6).alias("credit_linear"),
+        F.round(F.sum(share), 6).cast("double").alias("credit_linear"),
         F.round(
             F.sum(F.when(F.col("_l") == 1, F.col("_rev"))).cast("double"),
             2,

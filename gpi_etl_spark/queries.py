@@ -6297,7 +6297,8 @@ def q147(spark, sf_dir):
     c AS (SELECT from_type, to_type, count(*) AS n
           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
     SELECT from_type, to_type, n,
-           round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p_r
+           floor((n / cast(sum(n) OVER (PARTITION BY from_type) AS double))
+                 * 1000000.0 + 0.5) / 1000000.0 AS p_r
     FROM c
     """,
 )
@@ -7152,7 +7153,8 @@ def q161(spark, sf_dir):
     wau AS (SELECT d, count(*) AS wau FROM cov GROUP BY d),
     span AS (SELECT min(d) AS d0 FROM du)
     SELECT dau.d, dau.dau, wau.wau,
-           round(dau.dau / wau.wau, 6) AS stickiness
+           floor((dau.dau / cast(wau.wau AS double)) * 1000000.0 + 0.5)
+             / 1000000.0 AS stickiness
     FROM dau JOIN wau USING (d) CROSS JOIN span
     WHERE dau.d >= d0 + INTERVAL 6 DAY
     """,
@@ -7188,7 +7190,17 @@ def q162(spark, sf_dir):
         .filter(F.col("d") >= F.date_add(F.col("d0"), 6))
         .select(
             "d", "dau", "wau",
-            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+            # explicit floor-scaling, not round(): dau/wau is an exact
+            # integer RATIO, which can land on 6-dp half-way points
+            # where the engines' round() primitives disagree (the q165
+            # sf0.1 find) — e.g. any odd k/128
+            (
+                F.floor(
+                    (F.col("dau") / F.col("wau")) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("stickiness"),
         )
     )
 
@@ -7306,6 +7318,10 @@ _R5_PRIORITY = [
     "q105_curation_dag", "q161_curation_dag_v2",
     "q129_streaming_dedup", "q150_sink_roundtrip",
     "q151_schema_evolution", "q153_geofence",
+    # round-5 late change: q148's transition probabilities moved from
+    # round() to explicit floor-scaling (the q165 rounding-boundary
+    # class), so its r4 driver row is stale — re-sample it.
+    "q148_event_transitions",
 ]
 
 #: rows-only-by-design entries (xxhash64/sketch-based, no DuckDB twin)
@@ -7447,11 +7463,11 @@ def q164(spark, sf_dir):
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxo
           FROM g)
     SELECT event_id, user_id,
-           round(CASE WHEN v IS NOT NULL THEN v
-                      WHEN pv IS NOT NULL AND nv IS NOT NULL
-                      THEN pv + (nv - pv)
-                           * (cast(event_id AS double) - po) / (nxo - po)
-                 END, 6) AS v_interp
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv + (nv - pv)
+                            * (cast(event_id AS double) - po) / (nxo - po)
+                  END) * 1000000.0 + 0.5) / 1000000.0 AS v_interp
     FROM w
     """,
 )
@@ -7462,7 +7478,19 @@ def q165(spark, sf_dir):
     the series-true repair forward-fill (W4) distorts. Two
     IGNORE-NULLS window passes on one partition sort, identical IEEE
     arithmetic replayed by the oracle; leading/trailing gaps stay NULL
-    (never extrapolates)."""
+    (never extrapolates).
+
+    Output rounding is the explicit ``floor(x*1e6 + 0.5)/1e6``
+    expression on BOTH engines, NOT round(x, 6): interpolated values
+    here land EXACTLY on 6-dp half-way points (2-decimal inputs ×
+    rational gap weights), and the engines' round() primitives
+    disagree there — Spark goes through BigDecimal HALF_UP on the
+    shortest decimal representation while DuckDB scales in floating
+    point, so the same bit-identical double rounded to 121.881312 in
+    one engine and 121.881313 in the other (found by the sf0.1
+    sweep; sf0.01 never hit a boundary). The explicit expression is
+    the same IEEE ops in both engines, so the boundary behavior is
+    identical by construction."""
     from gpi_etl_spark.operators.windows import linear_interpolate
 
     ev = t(spark, sf_dir, "events").select(
@@ -7471,7 +7499,11 @@ def q165(spark, sf_dir):
     )
     out = linear_interpolate(ev, "event_id", "v", ("user_id",))
     return out.select(
-        "event_id", "user_id", F.round(F.col("v"), 6).alias("v_interp")
+        "event_id", "user_id",
+        (
+            F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0)
+        ).alias("v_interp"),
     )
 
 
@@ -7570,8 +7602,8 @@ def q167(spark, sf_dir):
     SELECT channel,
            cast(sum(fl) AS bigint) AS n_first,
            cast(sum(ll) AS bigint) AS n_last,
-           round(cast(sum(cast(round(cast(k AS double) / nn, 9)
-                                AS decimal(28,9))) AS double), 6)
+           cast(round(sum(cast(round(cast(k AS double) / nn, 9)
+                               AS decimal(28,9))), 6) AS double)
              AS credit_linear,
            round(cast(sum(CASE WHEN ll = 1 THEN rev END) AS double), 2)
              AS rev_last
