@@ -38,13 +38,24 @@ def cdc_merge(
 
     ``seq_col`` ties are broken by preferring ``D`` (a delete and an
     upsert carrying the same sequence number resolve to the delete —
-    deterministic, and the safe direction for retention pipelines).
+    deterministic, and the safe direction for retention pipelines);
+    a residual tie (same key, same seq, same op) falls through to the
+    smallest remaining-column struct, so the merge result is a pure
+    function of the change SET — never of partition or arrival order,
+    which the idempotent-replay guarantee depends on. (Caveat: that
+    last tie-break requires the value columns to be orderable — no
+    map columns; give such logs an explicit change-id ordering.)
 
     Returns the merged table with the snapshot's columns.
     """
     out_cols = snapshot.columns
+    rest = [
+        c for c in changes.columns if c not in {*key_cols, seq_col, op_col}
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(seq_col).desc(), F.col(op_col).asc()  # 'D' < 'I' < 'U'
+        F.col(seq_col).desc(),
+        F.col(op_col).asc(),  # 'D' < 'I' < 'U'
+        *([F.struct(*rest).asc()] if rest else []),
     )
     latest = (
         changes.withColumn("_rn", F.row_number().over(w))

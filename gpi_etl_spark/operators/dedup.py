@@ -477,6 +477,31 @@ def snapshot_diff(
     return joined.select(id_col, status.alias("status"))
 
 
+def prefix_shingles(
+    sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Each document's PPJoin prefix over an ``(id, shingle)`` frame:
+    its ``|A| - ceil(t·|A|) + 1`` globally-rarest shingles, ranked by
+    (ascending corpus frequency, shingle). Shared by
+    :func:`jaccard_pairs_prefix_filtered` and the candidate-count
+    probe (``tools/scale_probe_prefixjoin.py``) so the measured recipe
+    can never drift from the shipped one."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
+    wrk = Window.partitionBy(id_col).orderBy(
+        F.col("_gf").asc(), F.col("shingle").asc()
+    )
+    return (
+        sh.join(freq, "shingle")
+        .withColumn("_rk", F.row_number().over(wrk))
+        .join(sizes, id_col)
+        .filter(
+            F.col("_rk")
+            <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1
+        )
+    )
+
+
 def jaccard_pairs_prefix_filtered(
     df: DataFrame,
     text_col: str = "text",
@@ -510,20 +535,7 @@ def jaccard_pairs_prefix_filtered(
     """
     sh = word_shingles(df, text_col, id_col, n)
     sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_gf"))
-    wrk = Window.partitionBy(id_col).orderBy(
-        F.col("_gf").asc(), F.col("shingle").asc()
-    )
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("_rk", F.row_number().over(wrk))
-        .join(sizes, id_col)
-        .filter(
-            F.col("_rk")
-            <= F.col("_n") - F.ceil(F.col("_n") * F.lit(threshold)) + 1
-        )
-    )
+    ranked = prefix_shingles(sh, id_col, threshold)
     a = ranked.select(F.col(id_col).alias("id_a"), "shingle")
     b = ranked.select(F.col(id_col).alias("id_b"), "shingle")
     cand = (

@@ -28,10 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: at most one heavy-hitters item cache stays pinned per process (same
+#: policy as similarity._LIVE_KMEANS_CACHES)
+_LIVE_HH_CACHES: list[DataFrame] = []
+
 
 def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-partition Misra-Gries pass → distinct candidate items."""
     import pandas as pd
+
+    # output schema mirrors the INPUT item type (urls are strings,
+    # user ids are longs, …) — a hardcoded string schema would make
+    # the Arrow serializer reject every non-string vocabulary
+    item_type = items.schema[item_col].dataType.simpleString()
 
     def summarize(batches):
         counters: dict = {}
@@ -54,7 +63,7 @@ def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     return items.select(item_col).mapInPandas(
-        summarize, schema=f"{item_col} string"
+        summarize, schema=f"{item_col} {item_type}"
     ).distinct()
 
 
@@ -68,10 +77,24 @@ def heavy_hitters(
     cross-multiplication (``n*k >= N``) — no float boundary.
 
     Returns ``(item_col, n)`` — exact counts, only qualifying items.
+
+    The item stream is persisted for the run: it is read three times
+    (total count, MG candidate pass, exact recount), and when the
+    input is itself a derived frame — q171's explode over the
+    tokenizer — re-deriving it per pass would triple the upstream
+    scan. The cache materializes on the ``count()`` action; at most
+    one stays pinned per process (next call evicts).
     """
+    from pyspark.storagelevel import StorageLevel
+
+    items = items.select(item_col)
+    while _LIVE_HH_CACHES:
+        _LIVE_HH_CACHES.pop().unpersist()
+    items = items.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_HH_CACHES.append(items)
     total = items.count()
     if total == 0:
-        return items.select(item_col).withColumn(
+        return items.withColumn(
             "n", F.lit(0).cast("bigint")
         ).limit(0)
     cands = _mg_candidates(items, item_col, k)

@@ -779,6 +779,9 @@ def dhash_images(
     executor). Returns ``(id_col, dhash)``.
     """
     rows_g, cols_g = 7, 9
+    # id passes through with its INPUT type (long doc keys, string
+    # UUIDs, …) — hardcoding long would make Arrow reject string ids
+    id_type = media.schema[id_col].dataType.simpleString()
 
     def batch(it):
         for pdf in it:
@@ -798,7 +801,7 @@ def dhash_images(
             )
 
     return media.select(id_col, payload_col).mapInPandas(
-        batch, schema=f"{id_col} long, dhash long"
+        batch, schema=f"{id_col} {id_type}, dhash long"
     )
 
 

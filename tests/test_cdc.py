@@ -117,14 +117,15 @@ def test_cdc_merge_matches_python_mirror_property(spark):
         )
         got = {r.k: r.v for r in cdc_merge(sdf, ldf, ["k"]).collect()}
         # mirror: per key keep the max-seq change; at equal seq 'D'
-        # wins ('D' < 'I' < 'U' — the operator's orderBy(seq desc,
-        # op asc) tie-break)
+        # wins ('D' < 'I' < 'U'), and a same-op tie falls to the
+        # smallest value — the operator's full deterministic ordering
+        # (seq desc, op asc, remaining-column struct asc)
         best: dict = {}
         for k, v, op, seq in log:
             cur = best.get(k)
             best[k] = min(
                 [x for x in [cur, (seq, op, v)] if x is not None],
-                key=lambda t: (-t[0], t[1]),
+                key=lambda t: (-t[0], t[1], t[2]),
             )
         want = dict(snap)
         for k, (seq, op, v) in best.items():
@@ -135,3 +136,20 @@ def test_cdc_merge_matches_python_mirror_property(spark):
         assert got == want
 
     check()
+
+
+def test_cdc_merge_same_seq_same_op_deterministic(spark):
+    """Two changes with identical (key, seq, op) must resolve to the
+    same winner on every run — the smallest remaining-column struct
+    (round-5 review find: the window tie was partition-order
+    dependent)."""
+    from gpi_etl_spark.operators.cdc import cdc_merge
+
+    snap = spark.createDataFrame([], "k long, v double")
+    for _ in range(3):
+        tie = spark.createDataFrame(
+            [(1, 7.0, "U", 2), (1, 5.0, "U", 2)],
+            "k long, v double, op string, seq long",
+        ).repartition(4)
+        got = cdc_merge(snap, tie, ["k"]).collect()
+        assert len(got) == 1 and got[0].v == 5.0

@@ -89,3 +89,24 @@ def test_banded_retrieval_equals_all_pairs(spark):
             want[(min(i, j), max(i, j))] = d
     assert got == want
     assert (0, 1) in got and got[(0, 1)] == 2
+
+
+def test_dhash_string_media_ids(spark):
+    """dHash must pass the id through with its input type (UUID-style
+    string keys — round-5 review find: schema hardcoded to long)."""
+    import pandas as pd
+
+    from gpi_etl_spark.operators.multimodal import dhash_images, encode_bmp
+
+    px = _gradient(5)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [("img-aaa", bytearray(encode_bmp(px))),
+             ("img-bbb", bytearray(encode_bmp(px)))],
+            columns=["media_id", "payload"],
+        ),
+        schema="media_id string, payload binary",
+    )
+    got = {r.media_id: r.dhash for r in dhash_images(media).collect()}
+    assert set(got) == {"img-aaa", "img-bbb"}
+    assert got["img-aaa"] == got["img-bbb"]

@@ -45,3 +45,15 @@ def test_empty_input(spark):
 
     df = spark.createDataFrame([], "item string")
     assert heavy_hitters(df, "item", k=5).collect() == []
+
+
+def test_non_string_items(spark):
+    """The MG pass must mirror the INPUT item type — long user ids
+    are the module's own advertised use case (round-5 review find:
+    the schema was hardcoded to string and crashed on bigint)."""
+    from gpi_etl_spark.operators.heavyhitters import heavy_hitters
+
+    data = [7] * 50 + [9] * 30 + list(range(100, 140))
+    df = spark.createDataFrame([(v,) for v in data], "user_id long")
+    got = {r.user_id: r.n for r in heavy_hitters(df, "user_id", k=6).collect()}
+    assert got == {7: 50, 9: 30}
