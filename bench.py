@@ -82,6 +82,8 @@ HEADLINE = [
     "q172_jaccard_prefix",      # PPJoin exact near-dup pairs (r5 add)
     "q174_session_window",      # built-in session windows (r5 add)
     "q175_rollup_revenue",      # one-pass ROLLUP lattice (r5 add)
+    "q177_weighted_median",     # RANGE-framed exact weighted median (r5 add)
+    "q179_quantized_ivf_ann",   # int8 codes x IVF cells production ANN (r5 add)
 ]
 
 
@@ -150,8 +152,8 @@ def main() -> None:
                     "warm-up (includes ~0.3-0.6s/query codegen; the "
                     "series BENCH_r01-r04 recorded); warm lane = "
                     "immediate second run, steady-state plans. r5 adds "
-                    "q136/q145/q155/q164/q171/q172/q174/q175 headline "
-                    "entries (52 total with the persist twins); "
+                    "q136/q145/q155/q164/q171/q172/q174/q175/q177/q179 "
+                    "headline entries (54 total with the persist twins); "
                     "q105/q161 *_persist twins run the stage-pinned "
                     "production path (identical results; run last so "
                     "their caches cannot pollute the lazy lanes — the "
@@ -160,7 +162,7 @@ def main() -> None:
                     "runs the generation-persist HITS path (measured "
                     "faster than lazy from iters=3 up; deep-iteration "
                     "numbers in docs/PAGERANK_PROBE.md). Reference r5 "
-                    "sf0.1 local[32]: ~67s cold / ~49s warm over 52."
+                    "sf0.1 local[32]: ~70s cold / ~52s warm over 54."
                 ),
             }
         )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -408,3 +408,44 @@ def fd_check(
             "pair_card"
         ),
     ).withColumn("holds", F.col("lhs_card") == F.col("pair_card"))
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact per-group WEIGHTED median: the smallest value whose
+    cumulative weight reaches half the group's total — the estimator
+    quantity-weighted pricing and token-weighted document stats need
+    where the plain median over-counts small rows.
+
+    One RANGE-framed window per group: ``cum(v) = Σ weight of all rows
+    with value ≤ v`` — RANGE (not ROWS) makes the running total a pure
+    function of the VALUE, so tied values carry identical cumulative
+    weights in every engine and partition order can't perturb the
+    pick. The boundary test is exact integer cross-multiplication
+    (``2·cum ≥ total``) over integer weights; no float thresholds.
+    Shuffle: one, on the group key. Weights must be non-negative
+    integers.
+
+    Returns ``(group_col, wmedian)`` with the value column's type.
+    """
+    w = F.col(weight_col).cast("long")
+    cum_w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(value_col).asc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    tot_w = Window.partitionBy(group_col)
+    staged = (
+        df.select(group_col, value_col, w.alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(cum_w))
+        .withColumn("_tot", F.sum("_w").over(tot_w))
+    )
+    return (
+        staged.filter(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).alias("wmedian"))
+    )

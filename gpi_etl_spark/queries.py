@@ -8073,3 +8073,206 @@ def q176(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+@query(
+    "q177_weighted_median",
+    """
+    WITH l AS (SELECT l_returnflag,
+                      cast(l_extendedprice AS decimal(18,2)) AS price,
+                      cast(l_quantity AS bigint) AS w
+               FROM lineitem),
+    s AS (SELECT l_returnflag, price, w,
+                 sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(w) OVER (PARTITION BY l_returnflag) AS tot
+          FROM l)
+    SELECT l_returnflag,
+           round(cast(min(price) AS double), 2) AS wmedian_r
+    FROM s WHERE cum * 2 >= tot GROUP BY l_returnflag
+    """,
+)
+def q177(spark, sf_dir):
+    """Exact quantity-weighted median price per return flag
+    (quality.weighted_median): RANGE-framed cumulative weights make
+    the running total a pure function of the VALUE (ties carry
+    identical totals in every engine), the half-total boundary is
+    integer cross-multiplied, and the median itself is an exact
+    decimal — zero float thresholds anywhere. One shuffle on the
+    group key; the companion to q158's unweighted median imputation."""
+    from gpi_etl_spark.operators.quality import weighted_median
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").alias("qty"),
+    )
+    out = weighted_median(li, "l_returnflag", "price", "qty")
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("wmedian").cast("double"), 2).alias("wmedian_r"),
+    )
+
+
+@query(
+    "q178_analytic_lattice",
+    """
+    WITH r AS (SELECT o_orderpriority, o_orderkey,
+                      cast(o_totalprice AS decimal(18,2)) AS p
+               FROM orders),
+    a AS (SELECT o_orderpriority, o_orderkey,
+                 ntile(4) OVER w AS quartile,
+                 rank() OVER w AS rnk,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                 cast(percent_rank() OVER w AS double) AS pr,
+                 cast(cume_dist() OVER w AS double) AS cd
+          FROM r
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY p, o_orderkey))
+    SELECT o_orderpriority,
+           cast(quartile AS int) AS quartile,
+           count(*) AS n_rows,
+           cast(min(rnk) AS bigint) AS min_rank,
+           floor(min(pr) * 1000000.0 + 0.5) / 1000000.0 AS min_pr,
+           floor(max(cd) * 1000000.0 + 0.5) / 1000000.0 AS max_cd
+    FROM a GROUP BY o_orderpriority, quartile
+    """,
+)
+def q178(spark, sf_dir):
+    """The ranking-analytic lattice (ntile / rank / percent_rank /
+    cume_dist) per order priority, folded to one row per quartile —
+    engine-surface coverage for the SQL analytics a warehouse user
+    expects, value-checked against DuckDB's implementations of the
+    same functions. percent_rank and cume_dist are exact integer
+    RATIOS ((rank-1)/(n-1), peers/n), so the outputs round via the
+    explicit floor-scaling expression, never round() (the q165
+    boundary class). Deterministic total order via the (price,
+    orderkey) tiebreak."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("p").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    scale = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)  # noqa: E731
+    a = o.select(
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return a.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("rnk").cast("bigint").alias("min_rank"),
+        scale(F.min("pr")).alias("min_pr"),
+        scale(F.max("cd")).alias("max_cd"),
+    )
+
+
+def _quantized_ivf_oracle_sql(k: int, iters: int, nprobe: int,
+                              topk: int) -> str:
+    """Lloyd replay + int8 quantization replay + integer-cosine top-k:
+    the full production-ANN composition unrolled. Quantization uses
+    q125's exact recipe (computed-scale guard, floor(x/s + 0.5)
+    codes); the cosine over codes is three exact integer folds and one
+    sqrt, so ranking order is engine-identical by construction."""
+    qz = """
+      SELECT vec_id, v, cell,
+             list_transform(v, x -> cast(greatest(-127, least(127,
+               floor(x / s + 0.5))) AS bigint)) AS q
+      FROM (SELECT vec_id, v, cell,
+                   CASE WHEN amax/127.0 > 0 THEN amax/127.0
+                        ELSE 1.0 END AS s
+            FROM (SELECT vec_id, v, cell,
+                         list_max(list_transform(v, x -> abs(x))) AS amax
+                  FROM {src}) t1) t2"""
+    parts = _kmeans_ctes(k, iters) + [
+        "asgn AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        "cq AS (" + qz.format(src="asgn") + ")",
+        "qs0 AS (SELECT vec_id, v, cast(-1 AS bigint) AS cell FROM base "
+        "WHERE vec_id % 50 = 0)",
+        "qq AS (SELECT vec_id AS query_id, q AS qp FROM ("
+        + qz.format(src="qs0") + "))",
+        f"""probe AS (SELECT query_id, cell FROM (
+      SELECT q.vec_id AS query_id, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.cv) DESC, c.cell DESC)
+               AS pr
+      FROM qs0 q CROSS JOIN c{iters} c) WHERE pr <= {nprobe})""",
+        """cand AS (SELECT DISTINCT p.query_id, a.vec_id, a.q
+      FROM probe p JOIN cq a USING (cell))""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+scored AS (SELECT c.query_id, c.vec_id,
+                  CASE WHEN list_dot_product(c.q, c.q)
+                            * list_dot_product(w.qp, w.qp) > 0
+                       THEN list_dot_product(c.q, w.qp)
+                            / sqrt(cast(list_dot_product(c.q, c.q)
+                                   * list_dot_product(w.qp, w.qp)
+                                   AS double))
+                       ELSE 0.0 END AS qcos
+           FROM cand c JOIN qq w USING (query_id)),
+r AS (SELECT query_id, vec_id, qcos,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY qcos DESC, vec_id) AS int) AS rank
+      FROM scored)
+SELECT query_id, vec_id, round(qcos, 6) AS qcos_r, rank
+FROM r WHERE rank <= {topk}"""
+    )
+
+
+@query("q179_quantized_ivf_ann", _quantized_ivf_oracle_sql(8, 4, 2, 5))
+def q179(spark, sf_dir):
+    """The PRODUCTION ANN composition: int8-quantized codes
+    (similarity.quantize_embeddings — 4× smaller scan/shuffle than
+    float32) scored ONLY inside the IVF cells each query probes
+    (deterministic k-means quantizer, nprobe=2), by scale-free pure
+    integer cosine (similarity.quantized_cosine: the per-vector scales
+    cancel algebraically, so scoring never touches a float until the
+    final sqrt). This is q125 × q176 composed — the memory-bound AND
+    sublinear retrieval path a 100 TB embedding corpus actually runs —
+    and the whole composition hash-gates: Lloyd replay, the
+    computed-scale quantization guard, integer code dot products, and
+    the ranking are all exactly replayed by the oracle."""
+    from gpi_etl_spark.operators.similarity import (
+        _nearest_cells,
+        distributed_kmeans,
+        quantize_embeddings,
+        quantized_cosine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, assigned = distributed_kmeans(emb, k=8, iters=4)
+    corpus = quantize_embeddings(assigned).select("vec_id", "cell", "q")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qbase = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("embedding")
+    )
+    qz = quantize_embeddings(qbase, id_col="query_id").select(
+        "query_id", F.col("q").alias("qp"), "embedding"
+    )
+    probes = qz.select(
+        "query_id", "qp",
+        F.explode(_nearest_cells("embedding", cents, 2)).alias("cell"),
+    )
+    cand = corpus.join(probes, "cell").dropDuplicates(
+        ["query_id", "vec_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("qcos", quantized_cosine(F.col("q"), F.col("qp")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "vec_id",
+            F.round("qcos", 6).alias("qcos_r"), "rank",
+        )
+    )

@@ -235,3 +235,42 @@ def test_fd_check_null_dependent_violates(spark):
     )
     r = fd_check(df, "k", "a").collect()[0]
     assert (r.lhs_card, r.pair_card, r.holds) == (2, 3, False)
+
+
+def test_weighted_median_hand_computed(spark):
+    from gpi_etl_spark.operators.quality import weighted_median
+
+    rows = [
+        ("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8),  # half-total at 3.0
+        ("b", 10.0, 5), ("b", 20.0, 5),               # boundary: 2*5 >= 10
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = {r.g: r.wmedian for r in weighted_median(df, "g", "v", "w").collect()}
+    assert got["a"] == 3.0
+    # exact half boundary: the smaller value already reaches 2*cum == tot
+    assert got["b"] == 10.0
+
+
+def test_weighted_median_ties_are_order_independent(spark):
+    """RANGE framing makes tied values carry identical cumulative
+    weights — the pick cannot depend on partition order."""
+    from gpi_etl_spark.operators.quality import weighted_median
+
+    rows = [("g", 5.0, 3), ("g", 5.0, 3), ("g", 9.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    for _ in range(3):
+        got = weighted_median(
+            df.repartition(4), "g", "v", "w"
+        ).collect()
+        assert got[0].wmedian == 5.0
+
+
+def test_weighted_median_matches_unweighted_when_uniform(spark):
+    """With unit weights the weighted median is the lower exact
+    median."""
+    from gpi_etl_spark.operators.quality import weighted_median
+
+    rows = [("g", float(v), 1) for v in (7, 1, 5, 3, 9, 11)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    got = weighted_median(df, "g", "v", "w").collect()[0].wmedian
+    assert got == 5.0  # lower of the middle pair (5, 7)
