@@ -8276,3 +8276,47 @@ def q179(spark, sf_dir):
             F.round("qcos", 6).alias("qcos_r"), "rank",
         )
     )
+
+
+@query(
+    "q180_cube_lattice",
+    """
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           cast(grouping(c.c_mktsegment) AS int) AS g_seg,
+           cast(grouping(o.o_orderpriority) AS int) AS g_pri,
+           round(cast(sum(cast(o.o_totalprice AS decimal(18,2)))
+                      AS double), 2) AS rev_r,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def q180(spark, sf_dir):
+    """CUBE grouping sets (segment × priority, BOTH marginals, grand
+    total) — q175's ROLLUP completes to the full 2^n lattice in the
+    same single aggregation pass (one Expand, one shuffle; the
+    hand-rolled equivalent is four scans + a union). GROUPING flags
+    distinguish subtotal NULLs from data NULLs; revenue in exact
+    decimal."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("rev_r"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment", "o_orderpriority",
+            "g_seg", "g_pri", "rev_r", "n_orders",
+        )
+    )
