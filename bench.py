@@ -137,36 +137,56 @@ def main() -> None:
             lane[name] = round(time.time() - t0, 3)
 
     total = round(sum(cold.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": cold,
-                "queries_warm": warm,
-                "total_warm": round(sum(warm.values()), 3),
-                "sf": sf,
-                "notes": (
-                    "cold lane = first run after one untimed q01 JVM "
-                    "warm-up (includes ~0.3-0.6s/query codegen; the "
-                    "series BENCH_r01-r04 recorded); warm lane = "
-                    "immediate second run, steady-state plans. r5 adds "
-                    "q136/q145/q155/q164/q171/q172/q174/q175/q177/q179 "
-                    "headline entries (54 total with the persist twins); "
-                    "q105/q161 *_persist twins run the stage-pinned "
-                    "production path (identical results; run last so "
-                    "their caches cannot pollute the lazy lanes — the "
-                    "persist cold number includes cache materialization, "
-                    "its warm number reads the populated caches). q155 "
-                    "runs the generation-persist HITS path (measured "
-                    "faster than lazy from iters=3 up; deep-iteration "
-                    "numbers in docs/PAGERANK_PROBE.md). Reference r5 "
-                    "sf0.1 local[32]: ~70s cold / ~52s warm over 54."
-                ),
-            }
-        )
+    total_warm = round(sum(warm.values()), 3)
+    # Full two-lane detail goes to a committed file; the stdout line
+    # must stay UNDER the driver's 2,000-char tail capture (round 5's
+    # 54-entry two-lane line overflowed it and BENCH_r05 recorded
+    # `parsed: null`), so it carries totals + per-query COLDS only,
+    # values at 2 dp, compact separators.
+    detail = {
+        "metric": "total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": cold,
+        "queries_warm": warm,
+        "total_warm": total_warm,
+        "sf": sf,
+        "notes": (
+            "cold lane = first run after one untimed q01 JVM warm-up "
+            "(includes ~0.3-0.6s/query codegen; the series "
+            "BENCH_r01-r04 recorded); warm lane = immediate second "
+            "run, steady-state plans. q105/q161 *_persist twins run "
+            "the stage-pinned production path (identical results; run "
+            "last so their caches cannot pollute the lazy lanes). "
+            "q155 runs the generation-persist HITS path. Deep-"
+            "iteration numbers in docs/PAGERANK_PROBE.md."
+        ),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r6.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    line = json.dumps(
+        {
+            "metric": "total_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "total_warm": total_warm,
+            "n_queries": len(cold),
+            "detail": "BENCH_local_r6.json",
+            "queries": {k: round(v, 2) for k, v in cold.items()},
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, (
+        f"bench stdout line is {len(line)} chars — would overflow the "
+        "driver's 2,000-char tail capture; trim the headline set or "
+        "the per-entry payload"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: at most one shingle-frame cache stays pinned per process (shared by
+#: ngram_jaccard_pairs and jaccard_pairs_prefix_filtered — the next
+#: call of either evicts; unpersist never breaks lazy plans)
+_LIVE_SHINGLE_CACHES: list[DataFrame] = []
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for dedup: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -118,7 +124,10 @@ def ngram_jaccard_pairs(
     shingle), which is why the scale path is :func:`minhash_lsh_pairs`;
     this exact form is the oracle.
     """
+    while _LIVE_SHINGLE_CACHES:
+        _LIVE_SHINGLE_CACHES.pop().unpersist()
     sh = word_shingles(df, text_col, id_col, n).cache()
+    _LIVE_SHINGLE_CACHES.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -534,7 +543,16 @@ def jaccard_pairs_prefix_filtered(
     is the EXACT path that scales past the naive inverted index.
     """
     sh = word_shingles(df, text_col, id_col, n)
+    # the shingle frame feeds three consumers (prefix ranking, the
+    # global-frequency agg inside it, and the full-set verification),
+    # so it is pinned for the run — bounded by the same single-live-
+    # cache policy as the signature cache above (repeated calls in one
+    # session — bench's cold+warm lanes, the prefix probe — would
+    # otherwise accumulate pinned copies)
+    while _LIVE_SHINGLE_CACHES:
+        _LIVE_SHINGLE_CACHES.pop().unpersist()
     sh = sh.persist()
+    _LIVE_SHINGLE_CACHES.append(sh)
     ranked = prefix_shingles(sh, id_col, threshold)
     a = ranked.select(F.col(id_col).alias("id_a"), "shingle")
     b = ranked.select(F.col(id_col).alias("id_b"), "shingle")

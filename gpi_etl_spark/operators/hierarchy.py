@@ -35,8 +35,10 @@ def transitive_root(
     its whole subtree, so it raises ``ValueError`` up front instead
     (one anti-join action — the alertable condition a production
     hierarchy load wants). Cycles are the caller's bug — they never
-    converge and stop at ``max_iters`` (2^50 levels is beyond any real
-    hierarchy, so hitting the cap means a cycle).
+    converge and stop at ``max_iters`` (fixed-point detection spends
+    one confirming iteration, so the cap covers depth up to
+    2^(max_iters-1) — 2^49 levels is beyond any real hierarchy, so
+    hitting the cap means a cycle).
 
     Returns ``(node, root, depth)``.
     """
@@ -97,12 +99,13 @@ def transitive_root(
         # exhausting max_iters without a fixed point means the returned
         # table would be silently WRONG for every node on/below the
         # cycle. (A deep-but-acyclic forest needs only log2(depth)
-        # iterations, so hitting the cap legitimately requires depth
-        # > 2^max_iters — raise, don't guess.)
+        # doubling iterations PLUS one confirming pass to observe the
+        # fixed point, so hitting the cap legitimately requires depth
+        # > 2^(max_iters-1) — raise, don't guess.)
         raise ValueError(
             f"hierarchy did not converge in {max_iters} pointer-doubling "
             "iterations — cycle suspected (or depth > "
-            f"2^{max_iters}; raise max_iters if the forest is really "
+            f"2^{max_iters - 1}; raise max_iters if the forest is really "
             "that deep)"
         )
     return state.select(

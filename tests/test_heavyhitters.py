@@ -40,6 +40,81 @@ def test_superset_never_misses_under_adversarial_partitioning(spark):
     assert got == want
 
 
+def _mg_rowwise(values, k):
+    """The pre-round-6 row-at-a-time MG pass (reference semantics for
+    the vectorized weighted update)."""
+    counters = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def test_weighted_update_replays_copy_at_a_time():
+    """_mg_update(v, w) must leave the EXACT same counter table as w
+    consecutive single-copy updates — across fills, partial decrements
+    (w < min), exact-zero boundaries (w == min) and slot takeovers
+    (w > min)."""
+    from gpi_etl_spark.operators.heavyhitters import _mg_update
+
+    import random
+
+    rng = random.Random(7)
+    for k in (1, 2, 5):
+        for trial in range(200):
+            batched, rows = {}, []
+            for _ in range(rng.randint(1, 30)):
+                v = rng.randint(0, 9)
+                w = rng.choice([1, 1, 2, 3, 7, 50])
+                _mg_update(batched, v, w, k)
+                rows.extend([v] * w)
+            assert batched == _mg_rowwise(rows, k), (k, trial)
+
+
+def test_vectorized_pass_same_final_answer(spark):
+    """heavy_hitters' OUTPUT (exact recount of the candidate superset)
+    must equal brute force under adversarial partitionings — including
+    partitionings that split heavy items across many tiny chunks, the
+    case where the chunk-local value_counts pre-counting differs most
+    from row-order replay."""
+    from gpi_etl_spark.operators.heavyhitters import (
+        _mg_candidates,
+        heavy_hitters,
+    )
+
+    data = (
+        ["hot"] * 300
+        + ["warm"] * 150
+        + [f"cold{i % 211}" for i in range(800)]
+    )
+    want = {
+        v: c for v, c in Counter(data).items() if c * 12 >= len(data)
+    }
+    for parts in (1, 7, 64):
+        df = spark.createDataFrame(
+            [(v,) for v in data], "item string"
+        ).repartition(parts)
+        got = {
+            r.item: r.n for r in heavy_hitters(df, "item", k=12).collect()
+        }
+        assert got == want, parts
+        # and the MG pass itself still yields a true superset
+        cands = {
+            r.item for r in _mg_candidates(df, "item", 12).collect()
+        }
+        assert set(want) <= cands, parts
+
+
 def test_empty_input(spark):
     from gpi_etl_spark.operators.heavyhitters import heavy_hitters
 
