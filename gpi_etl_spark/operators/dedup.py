@@ -157,24 +157,43 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: array of ``num_hashes`` minima.
 
-    Each permutation is approximated by ``xxhash64(shingle, seed_i)``;
-    the signature is built in one groupBy over the exploded shingles —
-    ``min`` of each of the 64 hash columns, assembled into an array.
-    Shuffle: exactly one, on doc_id.
+    The shingle string is hashed ONCE, then the ``num_hashes``
+    permutations derive from the fixed-width base value — far less
+    hashing work per row than 64 string hashes. ``hash_mode``:
+
+    * ``"xxhash64"`` (default, the 100 TB path): base =
+      ``xxhash64(shingle)``, permutation i = ``xxhash64(base, i)`` —
+      JVM intrinsics, wrap-safe under ANSI mode.
+    * ``"poly"`` (the audit path): base = polynomial code-point hash
+      mod 1e9+7, permutation i = affine map of the base
+      (functions/xhash.py) — exact integer arithmetic DuckDB replays
+      bit-for-bit, which is what lets q33 run under the hash gate.
+
+    The signature is built in one groupBy over the exploded shingles —
+    ``min`` of each hash column, assembled into an array. Shuffle:
+    exactly one, on doc_id.
     """
+    from gpi_etl_spark.functions import xhash
+
     sh = word_shingles(df, text_col, id_col, n)
-    # Hash the variable-length shingle string ONCE, then derive the 64
-    # permutations by hashing the fixed-width 8-byte base long per seed
-    # — far less hashing work per row than 64 string hashes, and wrap-
-    # safe under ANSI mode (unlike multiply-add permutations).
-    sh = sh.withColumn("_base", F.xxhash64(F.col("shingle")))
-    mins = [
-        F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_mode == "poly":
+        sh = sh.withColumn("_base", xhash.poly_hash(F.col("shingle")))
+        mins = [
+            F.min(
+                xhash.affine_hash(F.col("_base"), i, num_hashes)
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        sh = sh.withColumn("_base", F.xxhash64(F.col("shingle")))
+        mins = [
+            F.min(F.xxhash64(F.col("_base"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     sig = sh.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("signature")
@@ -196,6 +215,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float | None = None,
     persist_signatures: bool = True,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
@@ -216,7 +236,7 @@ def minhash_lsh_pairs(
     zero cache footprint.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_mode)
     if persist_signatures:
         from pyspark.storagelevel import StorageLevel
 
@@ -228,13 +248,20 @@ def minhash_lsh_pairs(
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
         _LIVE_SIG_CACHES.append(sig)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    # hash the signature slice (array<long>) directly — no per-band
+    # string materialization; poly mode folds the slice with the same
+    # exact-integer recipe the DuckDB oracle replays
+    band_slice = F.slice(
+        F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band
+    )
+    if hash_mode == "poly":
+        from gpi_etl_spark.functions import xhash
+
+        bucket = xhash.poly_fold_longs(band_slice)
+    else:
+        bucket = F.xxhash64(band_slice)
     banded = sig.select(id_col, "signature", band_idx).withColumn(
-        # hash the signature slice (array<long>) directly — no per-band
-        # string materialization
-        "bucket",
-        F.xxhash64(
-            F.slice(F.col("signature"), F.col("band") * rows_per_band + 1, rows_per_band)
-        ),
+        "bucket", bucket
     )
     # Band-join on ids only (signatures are 64×8 bytes and would be
     # duplicated per band through the shuffle); attach each signature
@@ -277,31 +304,67 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
-    Per token: xxhash64 → for each bit, contribute ±1; fingerprint bit
+    Per token: hash → for each bit, contribute ±1; fingerprint bit
     = sign of the per-bit sum. Implemented as a per-token ±1 vector
     (``transform`` over bit positions) elementwise-summed per document
     — one groupBy shuffle on doc_id, all array ops JVM-side. Near-dups
     are then pairs with small Hamming distance (compare via
     ``bit_count(xor)`` downstream, or band the fingerprint bytes for
     LSH-style blocking).
+
+    ``hash_mode="xxhash64"`` (default) draws all 64 bit votes from one
+    JVM xxhash64; ``"poly"`` draws them from three seeded polynomial
+    code-point hashes (30 usable bits each — bit b reads bit b%30 of
+    hash b//30), the exact-integer form the DuckDB oracle replays for
+    q34's hash gate.
     """
     toks = F.explode(
         F.array_distinct(F.split(normalize_text(text_col), " "))
     ).alias("token")
     tok_df = df.select(F.col(id_col), toks).filter(F.length("token") > 0)
-    h = F.xxhash64("token")
     # per-token ±1 contribution per bit; shift amounts must be Python
     # ints, so the bit axis is unrolled at plan-build time (64 terms in
     # one codegen'd array expression — still zero Python at runtime)
-    contrib = F.array(
-        *[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for b in range(bits)
-        ]
-    )
+    if hash_mode == "poly":
+        from gpi_etl_spark.functions import xhash
+        from gpi_etl_spark.functions.hof import let_
+
+        def votes(j: int, nb: int):
+            # let-bound: the per-character fold runs once per token,
+            # not once per bit reference
+            return let_(
+                xhash.poly_hash(F.col("token"), seed=xhash.SEED + 10 * j),
+                lambda h: F.array(
+                    *[
+                        F.when(
+                            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                        ).otherwise(-1)
+                        for b in range(nb)
+                    ]
+                ),
+            )
+
+        segs = []
+        left = bits
+        for j in range((bits + 29) // 30):
+            nb = min(30, left)
+            segs.append(votes(j, nb))
+            left -= nb
+        contrib = F.concat(*segs)
+    else:
+        h = F.xxhash64("token")
+        contrib = F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for b in range(bits)
+            ]
+        )
     summed = (
         tok_df.withColumn("contrib", contrib)
         .groupBy(id_col)
@@ -448,10 +511,16 @@ def duplicate_spans(
         F.sum(F.col("_dup").isNotNull().cast("int")).cast("bigint").alias(
             "n_dup_spans"
         ),
-        F.round(
-            F.sum(F.col("_dup").isNotNull().cast("int"))
-            / F.count(F.lit(1)),
-            6,
+        # exact integer ratio -> floor-scaled 6-dp rounding (round()
+        # diverges between engines on exact half-way points)
+        (
+            F.floor(
+                F.sum(F.col("_dup").isNotNull().cast("int"))
+                / F.count(F.lit(1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
         ).alias("dup_ratio"),
     )
 

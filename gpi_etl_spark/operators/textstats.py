@@ -89,11 +89,23 @@ def language_guess(col: Column | str) -> Column:
     return F.when(best_r > 0, best).otherwise(F.lit("und"))
 
 
-def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
-    """Deterministic document fingerprint: min of xxhash64 over rolling
+def rolling_fingerprint(
+    col: Column | str, window: int = 8, hash_mode: str = "xxhash64"
+) -> Column:
+    """Deterministic document fingerprint: min over rolling
     ``window``-token pieces (a winnowing-style selector: stable under
-    small edits, unlike a whole-document hash)."""
+    small edits, unlike a whole-document hash). ``hash_mode="poly"``
+    swaps the JVM xxhash64 for the exact-integer polynomial code-point
+    hash (functions/xhash.py) that DuckDB replays bit-for-bit — the
+    q39 hash-gate path; xxhash64 stays the 100 TB default."""
     from gpi_etl_spark.functions.hof import let_
+
+    if hash_mode == "poly":
+        from gpi_etl_spark.functions import xhash
+
+        piece_hash = lambda s: xhash.poly_hash(s)  # noqa: E731
+    else:
+        piece_hash = F.xxhash64
 
     # let-bound: tokenize once per row, not once per window offset
     return let_(
@@ -101,7 +113,7 @@ def rolling_fingerprint(col: Column | str, window: int = 8) -> Column:
         lambda tk: F.array_min(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(F.size(tk) - window, F.lit(0))),
-                lambda i: F.xxhash64(
+                lambda i: piece_hash(
                     F.concat_ws(" ", F.slice(tk, i + 1, window))
                 ),
             )
@@ -161,11 +173,19 @@ def ngram_repetition_ratio(col: Column | str, n: int = 3) -> Column:
     # CASE branch and the pre-rewrite behavior
     return F.coalesce(
         F.when(n_grams <= 0, F.lit(0.0)).otherwise(
-            F.round(
-                F.lit(1.0)
-                - F.size(F.array_distinct(grams)) / n_grams.cast("double"),
-                6,
+            # exact rational (1 - m/n) -> floor-scaled 6-dp rounding:
+            # round() diverges between engines on exact half-way
+            # points (e.g. n=128 grams makes 7-dp ...5 values)
+            F.floor(
+                (
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(grams))
+                    / n_grams.cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
             )
+            / F.lit(1000000.0)
         ),
         F.lit(0.0),
     )
@@ -439,9 +459,14 @@ def shared_sentence_stats(
         .agg(
             F.count(F.lit(1)).alias("n_sentences"),
             F.sum(hit).cast("bigint").alias("n_shared"),
-            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias(
-                "shared_ratio"
-            ),
+            # exact integer ratio -> floor-scaled 6-dp rounding
+            (
+                F.floor(
+                    F.sum(hit) / F.count(F.lit(1)) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("shared_ratio"),
         )
     )
 

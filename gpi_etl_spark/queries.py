@@ -198,6 +198,25 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double)"
 
 
+def fs6(col: F.Column) -> F.Column:
+    """Half-up 6-dp rounding via explicit floor scaling — the
+    cross-engine-safe form for EXACT-RATIONAL outputs (integer ratios,
+    integer means, interpolations of decimals). ``round(x, 6)``
+    diverges between engines on exact half-way points (Spark rounds
+    the shortest decimal repr via BigDecimal HALF_UP; DuckDB scales in
+    floating point), while ``floor(x*1e6 + 0.5)/1e6`` is the same IEEE
+    arithmetic everywhere. Transcendental outputs (ln/sqrt/cosine
+    chains) keep plain round: they cannot land on exact half-way
+    points, and the two forms agree everywhere else."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def fs6_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fs6` (1000000.0 forces DOUBLE math —
+    DuckDB bare decimal literals are DECIMAL)."""
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.2/§2.4: filters, aggregates, derived columns)
 # ---------------------------------------------------------------------------
@@ -210,7 +229,7 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
            {dsum_sql('l_extendedprice')} AS sum_base_price,
            {dsum_sql('(l_extendedprice * (1 - l_discount))', 6)} AS sum_disc_price,
            {dsum_sql('((l_extendedprice * (1 - l_discount)) * (1 + l_tax))', 6)} AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
+           floor(avg(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
@@ -235,7 +254,7 @@ def q01(spark, sf_dir):
             dsum(F.col("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price, 6).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            fs6(F.avg("l_quantity")).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -528,7 +547,8 @@ def q12(spark, sf_dir):
     SELECT l_returnflag, coalesce(ending_stocks, 0.0) AS ending_stocks,
            coalesce(total_use, 0.0) AS total_use,
            CASE WHEN total_use IS NULL OR total_use = 0 THEN 0.0
-                ELSE round(ending_stocks * 100 / total_use, 6) END AS stocks_to_use
+                ELSE floor((ending_stocks * 100 / total_use) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS stocks_to_use
     FROM g
     """,
 )
@@ -552,7 +572,7 @@ def q13(spark, sf_dir):
         "l_returnflag",
         F.coalesce(F.col("ending_stocks"), F.lit(0.0)).alias("ending_stocks"),
         F.coalesce(F.col("total_use"), F.lit(0.0)).alias("total_use"),
-        F.when(stu == 0, F.lit(0.0)).otherwise(F.round(stu, 6)).alias("stocks_to_use"),
+        F.when(stu == 0, F.lit(0.0)).otherwise(fs6(stu)).alias("stocks_to_use"),
     )
 
 
@@ -1085,33 +1105,119 @@ def q31(spark, sf_dir):
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
               FROM tok2 a JOIN tok2 b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-    SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    SELECT id_a, id_b,
+           floor((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5)
+               / 1000000.0 AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    WHERE 2 * n_common >= (sa.n + sb.n - n_common)
     """,
 )
 def q32(spark, sf_dir):
     """Unigram-Jaccard near-dup pairs via inverted-index join (exact
     oracle for the MinHash path). Subset (doc_id%10=0) bounds the
-    candidate blowup the LSH variant exists to avoid."""
+    candidate blowup the LSH variant exists to avoid. jaccard is an
+    exact integer ratio m/u, so the 6-dp rounding uses floor scaling
+    and the 0.5 threshold is the integer test 2m >= u (the q165
+    rounding-boundary class, migrated round 6)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return pairs.select("id_a", "id_b", fs6(F.col("jaccard")).alias("jaccard"))
 
 
-@query("q33_minhash_lsh", None)
+def _minhash_oracle_sql() -> str:
+    """DuckDB replay of q33's full MinHash-LSH pipeline in "poly" hash
+    mode (functions/xhash.py): per-shingle polynomial base hash, 64
+    affine permutation minima, 16 band buckets keyed by the integer
+    fold of each 4-minimum slice, band-collision candidate pairs, and
+    the agreeing-position estimate m/64 (exactly representable in a
+    double, so no rounding is needed on either engine; the 0.5
+    threshold is applied as the integer test 2m >= 64)."""
+    from gpi_etl_spark.functions import xhash
+
+    base = xhash.poly_hash_sql("shingle")
+    perm = xhash.affine_hash_sql("h", "i", 64)
+    bucket = xhash.poly_fold_longs_sql("list(mh ORDER BY i)")
+    return f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS shingle FROM norm),
+    tok2 AS (SELECT doc_id, shingle FROM tok WHERE len(shingle) > 0),
+    bse AS MATERIALIZED (SELECT doc_id, {base} AS h FROM tok2),
+    prm AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i, h FROM bse),
+    sig AS MATERIALIZED (SELECT doc_id, i, min({perm}) AS mh
+                         FROM prm GROUP BY doc_id, i),
+    bnd AS MATERIALIZED (SELECT doc_id, i // 4 AS band, {bucket} AS bucket
+                         FROM sig GROUP BY doc_id, i // 4),
+    pr AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    mt AS (SELECT p.id_a, p.id_b,
+                  sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS m
+           FROM pr p JOIN sig sa ON sa.doc_id = p.id_a
+                     JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+           GROUP BY p.id_a, p.id_b)
+    SELECT id_a, id_b, cast(m AS DOUBLE) / 64 AS est_jaccard
+    FROM mt WHERE m * 2 >= 64
+    """
+
+
+@query("q33_minhash_lsh", _minhash_oracle_sql())
 def q33(spark, sf_dir):
-    """MinHash+LSH banded candidate pairs (xxhash64 — no SQL oracle;
-    recall vs the exact q32 oracle is asserted in tests)."""
+    """MinHash+LSH banded candidate pairs, run in the cross-engine
+    "poly" hash mode so the WHOLE pipeline — shingle hash, permutation
+    minima, band bucketing, pair generation, estimate — replays under
+    the DuckDB hash gate (round-6 upgrade from rows-only; the xxhash64
+    production mode keeps its recall-vs-q32 pytest)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return dedup.minhash_lsh_pairs(docs, n=1, num_hashes=64, bands=16, threshold=0.5)
+    return dedup.minhash_lsh_pairs(
+        docs, n=1, num_hashes=64, bands=16, threshold=0.5, hash_mode="poly"
+    )
 
 
-@query("q34_simhash", None)
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of q34 in "poly" hash mode: three seeded
+    polynomial code-point hashes per distinct token (30 usable bits
+    each), ±1 votes per bit, fingerprint = sum of disjoint bit masks
+    (identical to the Spark OR — bit 63's mask is the signed minimum,
+    added once)."""
+    from gpi_etl_spark.functions import xhash
+
+    h = [
+        xhash.poly_hash_sql("token", seed=xhash.SEED + 10 * j)
+        for j in range(3)
+    ]
+    return f"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+                  FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS token FROM norm),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+    hh AS MATERIALIZED (SELECT doc_id, {h[0]} AS h0, {h[1]} AS h1, {h[2]} AS h2
+                        FROM tok2),
+    bt AS (SELECT doc_id, unnest(generate_series(0, 63)) AS b, h0, h1, h2 FROM hh),
+    sm AS (SELECT doc_id, b,
+                  sum(CASE WHEN (((CASE WHEN b < 30 THEN h0
+                                        WHEN b < 60 THEN h1
+                                        ELSE h2 END) >> (b % 30)) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+           FROM bt GROUP BY doc_id, b)
+    SELECT doc_id,
+           cast(sum(CASE WHEN s > 0 THEN
+                     (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)
+                           ELSE (1::BIGINT << b) END)
+                     ELSE 0 END) AS BIGINT) AS simhash
+    FROM sm GROUP BY doc_id
+    """
+
+
+@query("q34_simhash", _simhash_oracle_sql())
 def q34(spark, sf_dir):
-    """SimHash 64-bit fingerprints (xxhash64 — no SQL oracle)."""
+    """SimHash 64-bit fingerprints in the cross-engine "poly" hash
+    mode — every bit vote replays in DuckDB, so the fingerprints are
+    hash-gated bit-for-bit (round-6 upgrade from rows-only; xxhash64
+    stays the 100 TB default mode)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    return dedup.simhash(docs)
+    return dedup.simhash(docs, hash_mode="poly")
 
 
 _COSINE_SQL = (
@@ -1187,7 +1293,7 @@ _SW_EN = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
                   ELSE len(list_filter({_TOKS_SQL}, x -> list_contains({_SW_EN}, x)))
                        / len({_TOKS_SQL}) END AS sw_ratio
       FROM documents)
-    SELECT doc_id, n_tokens, n_chars, round(sw_ratio, 6) AS stopword_ratio_en,
+    SELECT doc_id, n_tokens, n_chars, floor(sw_ratio * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio_en,
            round(0.4 * least(n_tokens / 100.0, 1.0)
                + 0.3 * 1.0
                + 0.3 * least(sw_ratio * 4.0, 1.0), 6) AS quality
@@ -1203,7 +1309,7 @@ def q37(spark, sf_dir):
         "doc_id",
         textstats.token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars"),
-        F.round(textstats.stopword_ratio("text"), 6).alias("stopword_ratio_en"),
+        fs6(textstats.stopword_ratio("text")).alias("stopword_ratio_en"),
         F.round(textstats.quality_score("text"), 6).alias("quality"),
     )
 
@@ -1236,13 +1342,40 @@ def q38(spark, sf_dir):
     return docs.select("doc_id", textstats.language_guess("text").alias("lang_guess"))
 
 
-@query("q39_doc_fingerprint", None)
+def _fingerprint_oracle_sql() -> str:
+    """DuckDB replay of q39 in "poly" hash mode: the same rolling
+    8-token windows (complete windows; short docs emit their single
+    clamped window — list_slice clamps exactly like Spark's slice),
+    each window string hashed with the polynomial code-point fold,
+    fingerprint = minimum."""
+    from gpi_etl_spark.functions import xhash
+
+    wh = xhash.poly_hash_sql("ws")
+    return f"""
+    WITH s AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    w AS (SELECT doc_id,
+                 list_transform(generate_series(0, greatest(len(tk) - 8, 0)),
+                     wi -> array_to_string(list_slice(tk, wi + 1, wi + 8), ' '))
+                 AS wins
+          FROM s)
+    SELECT doc_id,
+           list_min(list_transform(wins, ws -> {wh})) AS fingerprint
+    FROM w
+    """
+
+
+@query("q39_doc_fingerprint", _fingerprint_oracle_sql())
 def q39(spark, sf_dir):
-    """Winnowing-style rolling-hash fingerprints (xxhash64 — rows-only
-    check)."""
+    """Winnowing-style rolling-hash fingerprints in the cross-engine
+    "poly" hash mode — window hashing and the min selector replay in
+    DuckDB (round-6 upgrade from rows-only; xxhash64 stays the 100 TB
+    default mode)."""
     docs = t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", textstats.rolling_fingerprint("text").alias("fingerprint")
+        "doc_id",
+        textstats.rolling_fingerprint("text", hash_mode="poly").alias(
+            "fingerprint"
+        ),
     )
 
 
@@ -2050,7 +2183,7 @@ _CUT_TRAIN, _CUT_VAL = curation.split_cutoffs(_SPLIT_W)
                   WHEN {_HASH_DK} < {_CUT_VAL} THEN 'val'
                   ELSE 'test' END AS split
       FROM documents)
-    SELECT split, lang, count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+    SELECT split, lang, count(*) AS n, floor(avg(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars
     FROM s GROUP BY split, lang
     """,
 )
@@ -2065,7 +2198,7 @@ def q64(spark, sf_dir):
     out = curation.split_assign(docs, weights=_SPLIT_W)
     return out.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        fs6(F.avg("n_chars")).alias("avg_chars"),
     )
 
 
@@ -2125,7 +2258,7 @@ def q66(spark, sf_dir):
     p AS (SELECT *, percent_rank() OVER (
               PARTITION BY lang ORDER BY n_tok DESC, doc_id ASC) AS pr FROM s)
     SELECT lang, count(*) AS n_kept, min(n_tok) AS min_tokens,
-           round(avg(n_chars), 6) AS avg_chars
+           floor(avg(n_chars) * 1000000.0 + 0.5) / 1000000.0 AS avg_chars
     FROM p WHERE pr < 0.1 GROUP BY lang
     """,
 )
@@ -2142,7 +2275,7 @@ def q67(spark, sf_dir):
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.min("n_tok").alias("min_tokens"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        fs6(F.avg("n_chars")).alias("avg_chars"),
     )
 
 
@@ -2516,7 +2649,7 @@ def q76(spark, sf_dir):
               WHERE NOT EXISTS (SELECT 1 FROM orders o
                                 WHERE o.o_orderkey = l.l_orderkey)) AS n_fail)
     SELECT check_name, cast(n_rows AS bigint) AS n_rows, cast(n_fail AS bigint) AS n_fail,
-           round(n_fail / cast(n_rows AS double), 6) AS fail_rate
+           floor((n_fail / cast(n_rows AS double)) * 1000000.0 + 0.5) / 1000000.0 AS fail_rate
     FROM (SELECT * FROM long UNION ALL SELECT * FROM ref)
     """,
 )
@@ -3838,8 +3971,9 @@ def q97(spark, sf_dir):
           FROM d)
     SELECT doc_id, cast(k AS int) AS n_tokens,
            CASE WHEN len(grams) <= 0 THEN 0.0
-                ELSE round(1.0 - len(list_distinct(grams))
-                           / cast(len(grams) AS double), 6)
+                ELSE floor((1.0 - len(list_distinct(grams))
+                           / cast(len(grams) AS double)) * 1000000.0 + 0.5)
+                    / 1000000.0
            END AS rep_ratio
     FROM g
     """,
@@ -3876,7 +4010,8 @@ def q98(spark, sf_dir):
     SELECT media_id,
            round(amp / 32768.0, 6) AS rms,
            round(amp / 32768.0, 6) AS peak,
-           round(((n - 1) // half) / cast(n - 1 AS double), 6) AS zcr
+           floor((((n - 1) // half) / cast(n - 1 AS double)) * 1000000.0 + 0.5)
+               / 1000000.0 AS zcr
     FROM p
     """,
 )
@@ -3929,7 +4064,7 @@ def q99(spark, sf_dir):
         "media_id",
         F.round(f[0].cast("double"), 6).alias("rms"),
         F.round(f[1].cast("double"), 6).alias("peak"),
-        F.round(f[2].cast("double"), 6).alias("zcr"),
+        fs6(f[2].cast("double")).alias("zcr"),
     )
 
 
@@ -4183,10 +4318,11 @@ def q104(spark, sf_dir):
     rep AS (
       SELECT *,
              CASE WHEN n_tokens < 3 THEN 0.0 ELSE
-               round(1.0 - len(list_distinct(
+               floor((1.0 - len(list_distinct(
                  list_transform(generate_series(1, n_tokens - 2),
                    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))))
-                 / cast(n_tokens - 2 AS double), 6)
+                 / cast(n_tokens - 2 AS double)) * 1000000.0 + 0.5)
+               / 1000000.0
              END AS rep_ratio
       FROM prof),
     kept AS (SELECT * FROM rep
@@ -4281,8 +4417,9 @@ def q110(spark, sf_dir):
            count(*) AS n_spans,
            cast(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
                AS n_dup_spans,
-           round(sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
-                 / cast(count(*) AS double), 6) AS dup_ratio
+           floor((sum(CASE WHEN d.span IS NOT NULL THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double)) * 1000000.0 + 0.5)
+               / 1000000.0 AS dup_ratio
     FROM sp LEFT JOIN dup d USING (span)
     GROUP BY doc_id
     """,
@@ -5435,8 +5572,9 @@ def q125(spark, sf_dir):
            count(*) AS n_shingles,
            cast(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
                 AS bigint) AS n_hits,
-           round(sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                 / count(*), 6) AS overlap_ratio
+           floor((sum(CASE WHEN h.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+               AS overlap_ratio
     FROM sh s LEFT JOIN held h USING (shingle)
     WHERE s.doc_id % 17 <> 3
     GROUP BY s.doc_id
@@ -5652,8 +5790,9 @@ def q130(spark, sf_dir):
            count(*) AS n_sentences,
            cast(sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)
                 AS bigint) AS n_shared,
-           round(sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)
-                 / count(*), 6) AS shared_ratio
+           floor((sum(CASE WHEN h.norm IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0
+               AS shared_ratio
     FROM s1 LEFT JOIN shared h USING (norm)
     GROUP BY doc_id
     """,
@@ -6051,8 +6190,8 @@ def q139(spark, sf_dir):
              AS sum_qty,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
-           round(cast(sum(cast(l_quantity AS decimal(18, 2))) AS double)
-                 / count(*), 6) AS avg_qty
+           floor((cast(sum(cast(l_quantity AS decimal(18, 2))) AS double)
+                 / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty
     FROM lineitem GROUP BY l_suppkey
     """,
 )
@@ -6095,8 +6234,8 @@ def q140(spark, sf_dir):
         F.round(F.col("sum_qty_d"), 2).cast("double").alias("sum_qty"),
         "min_price",
         "max_price",
-        F.round(
-            F.col("sum_qty_d").cast("double") / F.col("cnt"), 6
+        fs6(
+            F.col("sum_qty_d").cast("double") / F.col("cnt")
         ).alias("avg_qty"),
     )
 
@@ -6376,8 +6515,8 @@ def q146(spark, sf_dir):
     SELECT cast(n_a AS bigint) AS n_a, cast(n_b AS bigint) AS n_b,
            cast(conv_a AS bigint) AS conv_a,
            cast(conv_b AS bigint) AS conv_b,
-           round(conv_a / n_a, 6) AS rate_a,
-           round(conv_b / n_b, 6) AS rate_b,
+           floor((conv_a / n_a) * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+           floor((conv_b / n_b) * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
            round(CASE WHEN
                sqrt(((conv_a + conv_b) / (n_a + n_b))
                     * (1 - (conv_a + conv_b) / (n_a + n_b))
@@ -7439,13 +7578,15 @@ _R5_PRIORITY = [
     "q148_event_transitions",
 ]
 
-#: rows-only-by-design entries (xxhash64/sketch-based, no DuckDB twin)
-#: are pushed to the back of their staleness band since a driver row
-#: adds less evidence for them than their pinned pytest fixtures do.
-_ROWS_ONLY = {"q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
-              "q49_ivf_topk", "q51_approx_sketches"}
-# q115_bpe_merges left this set in round 6: _bpe_ctes unrolls the
-# merge loop in DuckDB, so it is hash-gated like everything else.
+#: rows-only-by-design entries (engine-specific internals, no DuckDB
+#: twin) are pushed to the back of their staleness band since a driver
+#: row adds less evidence for them than their pinned pytest fixtures
+#: do. Round 6 shrank this set from six to two: q115 gained the
+#: unrolled-merge-CTE oracle (_bpe_ctes), and q33/q34/q39 moved to the
+#: cross-engine "poly" hash mode (functions/xhash.py) with full DuckDB
+#: replays. q49 stays superseded by q176/q179's gated ANN paths; q51
+#: (HLL register internals) is legitimately engine-specific.
+_ROWS_ONLY = {"q49_ivf_topk", "q51_approx_sketches"}
 
 
 def _driver_rounds_seen() -> dict[str, int]:
@@ -7965,10 +8106,11 @@ def q171(spark, sf_dir):
               FROM tok2 a JOIN tok2 b USING (shingle)
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
     SELECT id_a, id_b,
-           round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+           floor((n_common / (sa.n + sb.n - n_common)) * 1000000.0 + 0.5)
+               / 1000000.0 AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a
                JOIN sizes sb ON sb.doc_id = id_b
-    WHERE n_common / (sa.n + sb.n - n_common) >= 0.5
+    WHERE 2 * n_common >= (sa.n + sb.n - n_common)
     """,
 )
 def q172(spark, sf_dir):
@@ -7979,11 +8121,13 @@ def q172(spark, sf_dir):
     shingle prefix (|A| - ceil(t|A|) + 1 shingles), so join fan-out
     follows rare-shingle frequency instead of the worst hub shingle.
     The exact-dedup path that scales past the naive index where
-    MinHash-LSH (q33) is unacceptable because of false negatives."""
+    MinHash-LSH (q33) is unacceptable because of false negatives.
+    jaccard is an exact integer ratio, so 6-dp rounding uses floor
+    scaling (the q165 class; round-6 advice item, migrated r6)."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     pairs = dedup.jaccard_pairs_prefix_filtered(docs, n=1, threshold=0.5)
     return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        "id_a", "id_b", fs6(F.col("jaccard")).alias("jaccard")
     )
 
 

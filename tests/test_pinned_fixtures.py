@@ -1,11 +1,11 @@
-"""Exact-value pins for the rows-only registry queries.
+"""Exact-value pins for the sketch-family registry queries.
 
 The driver's correctness gate can only do a rows-only check for
-q33/q34/q39/q49/q51 (xxhash64/sketch outputs have no DuckDB twin), so
-these are the one family where a silent behavior change — a tweak to
-``minhash_signatures`` seeding, the simhash bit fold, the fingerprint
-rolling hash, IVF centroid literals, or the sketch accuracy knobs —
-would still pass the driver. tests/fixtures/<query>.json freezes the
+q49/q51 (sketch outputs with no DuckDB twin), so for those two a
+silent behavior change — IVF centroid literals, the sketch accuracy
+knobs — would still pass the driver and this pin is the only exact
+gate. q33/q34/q39/q115 are fully oracled since round 6; their pins
+remain as a second, driver-independent drift detector. tests/fixtures/<query>.json freezes the
 full canonical sf0.01 output (generated once by tools/pin_fixtures.py
 under the same local[4]/4-shuffle-partition session this suite uses);
 any drift fails here with a precise diff.

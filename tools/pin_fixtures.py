@@ -1,10 +1,11 @@
-"""Pin expected-output fixtures for the rows-only registry queries.
+"""Pin expected-output fixtures for the sketch-family registry queries.
 
-q33/q34/q39/q49/q51 can never hash-match the DuckDB oracle — their
-outputs are built from xxhash64 signatures or sketch aggregates with no
-cross-engine twin — so the driver records only a rows-only check for
-them. A silent behavior change (e.g. in ``minhash_signatures``) would
-therefore pass the gate. This script freezes their full sf0.01 output
+q49/q51 can never hash-match the DuckDB oracle — their outputs are
+sketch aggregates with no cross-engine twin — so the driver records
+only a rows-only check for them, and the pin is their ONLY exact-value
+gate. q33/q34/q39/q115 gained full DuckDB oracles in round 6 (the
+"poly" cross-engine hash mode and the unrolled BPE merge CTEs); their
+pins stay as a second, driver-independent drift detector. This script freezes their full sf0.01 output
 once, canonicalized exactly like ``tools/verify_local.py`` (sorted
 columns, sorted rows, floats rounded to 6 dp), into
 ``tests/fixtures/<query>.json``; ``tests/test_pinned_fixtures.py``
