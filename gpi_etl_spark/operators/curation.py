@@ -309,8 +309,13 @@ def contamination_overlap(
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(hit).cast("bigint").alias("n_hits"),
-            F.round(
-                F.sum(hit) / F.count(F.lit(1)), 6
+            # exact integer ratio -> floor-scaled 6-dp rounding
+            (
+                F.floor(
+                    F.sum(hit) / F.count(F.lit(1)) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("overlap_ratio"),
         )
     )

@@ -16,8 +16,18 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _fs6(col: Column) -> Column:
+    """Half-up 6-dp rounding via floor scaling — the cross-engine-safe
+    form for exact-rational outputs (integer ratios like fail/conversion
+    rates). See queries.fs6: round(x, 6) diverges between engines on
+    exact half-way points; floor(x*1e6 + 0.5)/1e6 is the same IEEE
+    arithmetic everywhere."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
 
 
 @dataclass(frozen=True)
@@ -61,7 +71,7 @@ def quality_report(df: DataFrame, checks: list[Check]) -> DataFrame:
         "check_name",
         "n_rows",
         "n_fail",
-        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+        _fs6(F.col("n_fail") / F.col("n_rows")).alias("fail_rate"),
     )
 
 
@@ -91,7 +101,7 @@ def referential_check(
         F.lit(name).alias("check_name"),
         "n_rows",
         "n_fail",
-        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+        _fs6(F.col("n_fail") / F.col("n_rows")).alias("fail_rate"),
     )
 
 
@@ -343,8 +353,8 @@ def ab_conversion_ztest(
         F.col("n_b").cast("bigint").alias("n_b"),
         F.col("conv_a").cast("bigint").alias("conv_a"),
         F.col("conv_b").cast("bigint").alias("conv_b"),
-        F.round(p_a, 6).alias("rate_a"),
-        F.round(p_b, 6).alias("rate_b"),
+        _fs6(p_a).alias("rate_a"),
+        _fs6(p_b).alias("rate_b"),
         F.round(
             F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0)), 6
         ).alias("z_r"),
