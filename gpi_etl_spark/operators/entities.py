@@ -17,10 +17,13 @@ general distributed form.
 2. **Blocking bounds the quadratic term.** Candidate pairs come from
    an equi-join on a cheap blocking key (here: the name's last token;
    in production also phonetic keys or length buckets), so comparisons
-   are within-block only — never an all-pairs product. The remaining
-   risk is a hot block; the standard refinements (a second
-   conjunctive blocking key, prefix filtering, degree capping) drop in
-   at the join without changing downstream semantics.
+   are within-block only — never an all-pairs product. Hot blocks get
+   two implemented defenses (see :func:`blocked_name_pairs`): a
+   LOSSLESS length-band second key (on by default — an edit bound
+   implies a length bound, so banding by width max_dist+1 with
+   neighbor-band joins preserves every qualifying pair), and an
+   opt-in deterministic degree cap for the same-length adversarial
+   residue, trading bounded recall for a hard pair-count ceiling.
 3. **Edit distance runs JVM-side** (``F.levenshtein`` — codegen'd, no
    UDF), and clustering reuses :func:`dedup.connected_components`
    (min-label propagation, one shuffle per round, localCheckpointed).
@@ -43,17 +46,75 @@ def blocked_name_pairs(
     name_col: str = "name",
     block: Column | None = None,
     max_dist: int = 2,
+    band_lengths: bool = True,
+    hot_block_cap: int | None = None,
 ) -> DataFrame:
     """Candidate match pairs over a DISTINCT-name frame: equi-join on
     the blocking key, keep ordered pairs within ``max_dist`` edits.
-    Returns ``(name_a, name_b)`` with ``name_a < name_b``."""
+    Returns ``(name_a, name_b)`` with ``name_a < name_b``.
+
+    Hot-block protection (round 6 — previously documented only):
+
+    * ``band_lengths`` (default on) conjuncts the blocking key with a
+      name-length band of width ``max_dist + 1``, joining each name
+      against its own and both neighbor bands. LOSSLESS: an edit
+      distance ≤ max_dist forces |len(a) − len(b)| ≤ max_dist, which
+      with band width max_dist+1 means adjacent-or-same bands — so
+      every qualifying pair still meets exactly once (on b's band),
+      while a hot block of mixed-length names splits into per-band
+      joins and the quadratic term falls to the largest same-band
+      population. Costs a 3× fan-out of the (tiny) distinct-name frame
+      on one side, nothing on the data rows.
+    * ``hot_block_cap`` (opt-in) is the last-resort degree cap for the
+      adversarial residue band_lengths can't split (thousands of
+      SAME-length names sharing a block): names ranked > cap inside
+      their (block, band) group — deterministic rank by name — leave
+      the pair join entirely and resolve as singletons. This BOUNDS
+      candidate pairs at cap²/2 per group at a known recall cost;
+      production runs alert on capped groups rather than silently
+      letting one block go quadratic.
+    """
     blk = (block if block is not None else last_token(name_col)).alias(
         "_blk"
     )
-    a = names.select(F.col(name_col).alias("name_a"), blk)
-    b = names.select(F.col(name_col).alias("name_b"), blk)
+    if not band_lengths:
+        a = names.select(F.col(name_col).alias("name_a"), blk)
+        b = names.select(F.col(name_col).alias("name_b"), blk)
+        return (
+            a.join(b, "_blk")
+            .filter(F.col("name_a") < F.col("name_b"))
+            .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+            .select("name_a", "name_b")
+        )
+    width = max_dist + 1
+    base = names.select(
+        F.col(name_col).alias("_nm"),
+        blk,
+        F.floor(F.length(name_col) / width).cast("long").alias("_band"),
+    )
+    if hot_block_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_blk", "_band").orderBy("_nm")
+        base = (
+            base.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= hot_block_cap)
+            .drop("_rk")
+        )
+    # side A visits its own and both neighbor bands; the join key is
+    # B's TRUE band, so each qualifying pair meets exactly once
+    a = base.select(
+        F.col("_nm").alias("name_a"),
+        "_blk",
+        F.explode(
+            F.array(
+                F.col("_band") - 1, F.col("_band"), F.col("_band") + 1
+            )
+        ).alias("_band"),
+    )
+    b = base.select(F.col("_nm").alias("name_b"), "_blk", "_band")
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_blk", "_band"])
         .filter(F.col("name_a") < F.col("name_b"))
         .filter(F.levenshtein("name_a", "name_b") <= max_dist)
         .select("name_a", "name_b")
@@ -66,6 +127,8 @@ def resolve_entities(
     name_col: str,
     block: Column | None = None,
     max_dist: int = 2,
+    band_lengths: bool = True,
+    hot_block_cap: int | None = None,
 ) -> DataFrame:
     """Cluster rows whose names are within ``max_dist`` edits (within
     a block) into entities.
@@ -79,7 +142,9 @@ def resolve_entities(
 
     rows = df.select(F.col(id_col), F.col(name_col))
     names = rows.select(F.col(name_col).alias("name")).distinct()
-    pairs = blocked_name_pairs(names, "name", block, max_dist)
+    pairs = blocked_name_pairs(
+        names, "name", block, max_dist, band_lengths, hot_block_cap
+    )
     cc = connected_components(pairs, "name_a", "name_b")
     # names with no qualifying pair never enter the edge list: they
     # label themselves

@@ -61,3 +61,75 @@ def test_pairs_run_over_distinct_names(spark):
     pairs = blocked_name_pairs(names, "name", max_dist=2).collect()
     # different blocks (ring vs rings) -> no pair despite 1 edit
     assert pairs == []
+
+
+def test_length_banding_is_lossless(spark):
+    """band_lengths=True must return EXACTLY the pairs of the plain
+    block join — the edit bound implies a length bound, so the
+    neighbor-band join can't lose a qualifying pair (including pairs
+    that straddle a band boundary)."""
+    from gpi_etl_spark.operators.entities import blocked_name_pairs
+
+    # lengths straddle every band boundary for width 3 (max_dist=2):
+    # 5,6,7,8,9-char heads sharing one block token
+    rows = [
+        ("aaaaa hub",), ("aaaaab hub",), ("aaaaabb hub",),
+        ("aaaaabbb hub",), ("aaaaabbbc hub",), ("zzzzz hub",),
+        ("az zz hub",), ("b hub",), ("bb hub",), ("bbb hub",),
+    ]
+    names = spark.createDataFrame(rows, "name string")
+    banded = {
+        (r.name_a, r.name_b)
+        for r in blocked_name_pairs(
+            names, "name", max_dist=2, band_lengths=True
+        ).collect()
+    }
+    plain = {
+        (r.name_a, r.name_b)
+        for r in blocked_name_pairs(
+            names, "name", max_dist=2, band_lengths=False
+        ).collect()
+    }
+    assert banded == plain
+    assert plain  # the fixture actually produces pairs
+
+
+def test_hot_block_cap_bounds_pairs(spark):
+    """Adversarial hot block: half the corpus shares one blocking key
+    AND one length (banding can't split it). The cap must bound
+    candidate pairs at C(cap, 2) per group; uncapped, the same block
+    produces tens of thousands."""
+    from gpi_etl_spark.operators.entities import blocked_name_pairs
+
+    hot = [(f"x{i:03d} hub",) for i in range(400)]  # one block, same len
+    cold = [(f"item nr {i:04d}",) for i in range(400)]
+    names = spark.createDataFrame(hot + cold, "name string")
+    capped = blocked_name_pairs(
+        names, "name", max_dist=2, hot_block_cap=20
+    ).count()
+    assert capped <= 20 * 19 // 2
+    uncapped = blocked_name_pairs(names, "name", max_dist=2).count()
+    assert uncapped > 10000  # the blow-up the cap exists to stop
+
+
+def test_hot_block_cap_deterministic_and_resolves(spark):
+    """Capped resolution still assigns every row an entity (capped-out
+    names become singletons), and reruns produce identical output."""
+    from gpi_etl_spark.operators.entities import resolve_entities
+
+    rows = [(i, f"y{i % 50:02d} hub") for i in range(200)]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    a = sorted(
+        (r.pid, r.entity_id, r.n_members)
+        for r in resolve_entities(
+            df, "pid", "name", hot_block_cap=10
+        ).collect()
+    )
+    b = sorted(
+        (r.pid, r.entity_id, r.n_members)
+        for r in resolve_entities(
+            df, "pid", "name", hot_block_cap=10
+        ).collect()
+    )
+    assert a == b
+    assert len(a) == 200
