@@ -1,0 +1,252 @@
+"""Scale probe: Misra-Gries heavy hitters — candidate-set size vs
+vocabulary under a Zipfian stream, and the round-6 vectorized pass-1
+throughput vs the old row-at-a-time loop.
+
+Two claims get numbers here:
+
+1. **Shuffle bound.** Pass 1 emits ≤ k × partitions candidate names no
+   matter how large the vocabulary is; a plain groupBy(item) shuffles
+   every distinct item. Measured: |vocabulary|, |candidates|, and the
+   exact heavy-hitter count they bracket, on the q171 token stream
+   (documents corpus tokens — naturally Zipfian).
+2. **Pass-1 substrate.** The round-5 verdict flagged the per-row
+   Python loop; round 6 pre-counts each Arrow chunk with value_counts
+   and feeds weighted MG updates. Measured: wall time and rows/s of
+   pass 1 under both substrates (the old loop is reproduced inline as
+   the baseline) on the same stream, same partitioning.
+
+Usage: python tools/scale_probe_heavyhitters.py [sf_dir] [--doc]
+Prints one JSON line; with --doc rewrites docs/HH_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+K = 200
+
+
+def _row_loop_candidates(items, item_col, k):
+    """The pre-round-6 pass 1: interpreted Python per ROW (kept here
+    verbatim as the probe baseline)."""
+    import pandas as pd
+
+    item_type = items.schema[item_col].dataType.simpleString()
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[item_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    return items.select(item_col).mapInPandas(
+        summarize, schema=f"{item_col} {item_type}"
+    ).distinct()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    write_doc = "--doc" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.heavyhitters import (
+        _mg_candidates,
+        heavy_hitters,
+    )
+    from gpi_etl_spark.session import get_spark
+
+    spark = get_spark("hh_probe")
+
+    # The documents corpus tokenizes to a ~31-word vocabulary — every
+    # token is a heavy hitter and MG never decrements, so it can't
+    # exercise either claim. Build deterministic Zipf(1) streams with
+    # REAL vocabularies instead: item r (1-based rank) appears
+    # ceil(CAP/r) times, rows scattered across partitions by a hash so
+    # copies are not adjacent (adjacency would flatter both
+    # substrates). Two regimes: HEAD-HEAVY (vocab well below
+    # rows-per-chunk, the common production shape after any upstream
+    # filtering) and TAIL-HEAVY (vocab ~ rows, the adversarial shape
+    # where per-chunk pre-counting cannot dedup anything).
+    def zipf_stream(v, cap):
+        return (
+            spark.range(1, v + 1)
+            .select(
+                F.col("id").alias("token_rank"),
+                F.explode(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            (F.lit(cap) / F.col("id")).cast("long"),
+                            F.lit(1),
+                        ),
+                    )
+                ).alias("copy"),
+            )
+            .select(
+                F.concat(F.lit("tok"), F.col("token_rank")).alias("token"),
+                F.xxhash64("token_rank", "copy").alias("_scatter"),
+            )
+            .repartition(32, "_scatter")
+            .sortWithinPartitions("_scatter")
+            .select("token")
+            .localCheckpoint(eager=True)  # freeze generation out of timing
+        )
+
+    stream = zipf_stream(50_000, 200_000)  # tail-heavy
+    head_stream = zipf_stream(2_000, 400_000)  # head-heavy
+    n_rows = stream.count()
+    n_parts = stream.rdd.getNumPartitions()
+    vocab = stream.distinct().count()
+    nh_rows = head_stream.count()
+    nh_vocab = head_stream.distinct().count()
+
+    # --- claim 1: candidate bound -------------------------------------
+    cands = _mg_candidates(stream, "token", K).count()
+    exact = heavy_hitters(stream, "token", K).count()
+
+    # --- claim 2: substrate throughput (median of 3 after warm-up) ----
+    def timeit(fn):
+        fn()  # warm-up (codegen + Arrow setup)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        return sorted(runs)[1]
+
+    t_vec = timeit(
+        lambda: _mg_candidates(stream, "token", K)
+        .write.format("noop").mode("overwrite").save()
+    )
+    t_row = timeit(
+        lambda: _row_loop_candidates(stream, "token", K)
+        .write.format("noop").mode("overwrite").save()
+    )
+    th_vec = timeit(
+        lambda: _mg_candidates(head_stream, "token", K)
+        .write.format("noop").mode("overwrite").save()
+    )
+    th_row = timeit(
+        lambda: _row_loop_candidates(head_stream, "token", K)
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    # Arrow-transfer floor: an empty mapInPandas over the same stream —
+    # the part of pass-1 cost NEITHER substrate can remove
+    import pandas as _pd
+
+    def _noop(batches):
+        for pdf in batches:
+            len(pdf)
+        yield _pd.DataFrame({"token": ["x"]})
+
+    noop_df = head_stream.mapInPandas(_noop, schema="token string")
+    t_floor = timeit(
+        lambda: noop_df.write.format("noop").mode("overwrite").save()
+    )
+
+    out = {
+        "probe": "heavy_hitters",
+        "sf_dir": sf_dir,
+        "k": K,
+        "n_rows": n_rows,
+        "n_partitions": n_parts,
+        "vocabulary": vocab,
+        "mg_candidates": cands,
+        "candidate_bound_k_x_parts": K * n_parts,
+        "exact_heavy_hitters": exact,
+        "tail_heavy": {
+            "rows": n_rows, "vocab": vocab,
+            "t_vectorized": round(t_vec, 3),
+            "t_rowloop": round(t_row, 3),
+            "rows_per_sec_vectorized": int(n_rows / t_vec),
+            "rows_per_sec_rowloop": int(n_rows / t_row),
+            "speedup": round(t_row / t_vec, 2),
+        },
+        "head_heavy": {
+            "rows": nh_rows, "vocab": nh_vocab,
+            "t_vectorized": round(th_vec, 3),
+            "t_rowloop": round(th_row, 3),
+            "rows_per_sec_vectorized": int(nh_rows / th_vec),
+            "rows_per_sec_rowloop": int(nh_rows / th_row),
+            "speedup": round(th_row / th_vec, 2),
+        },
+        "arrow_floor_sec_head_stream": round(t_floor, 3),
+    }
+    print(json.dumps(out))
+    if write_doc:
+        with open("/root/repo/docs/HH_PROBE.md", "w") as fh:
+            fh.write(f"""# Heavy-hitters probe — candidate bound and pass-1 substrate
+
+`python tools/scale_probe_heavyhitters.py {sf_dir} --doc`
+
+Stream: **{n_rows:,} token rows** over {n_parts} partitions —
+deterministic Zipf(1), vocabulary {vocab:,} (rank r appears
+~{200000:,}/r times), hash-scattered so copies are never adjacent.
+k = {K}. (The q171 corpus stream has a 31-word vocabulary — every
+token a heavy hitter, MG never decrements — so the probe synthesizes
+a stream with a real tail.)
+
+## Candidate set vs vocabulary (the shuffle bound)
+
+| vocabulary (distinct tokens) | MG candidates emitted | hard bound (k × partitions) | exact heavy hitters (n·k ≥ N) |
+|---|---|---|---|
+| {vocab:,} | {cands:,} | {K * n_parts:,} | {exact:,} |
+
+A plain `groupBy(token)` would shuffle all {vocab:,} distinct tokens
+(at web scale: billions); pass 1 emits at most k × partitions
+candidate names and the exact recount only touches those — the
+shuffle shrinks from vocabulary-sized to candidate-sized.
+
+## Pass-1 substrate (round-6 vectorization)
+
+Median of 3 warm runs per cell. Exact equivalence of the weighted
+update to the row loop is pinned by
+`tests/test_heavyhitters.py::test_weighted_update_replays_copy_at_a_time`.
+
+| stream | rows | vocab | rows/s row-loop (pre-r6) | rows/s value_counts+MG (r6) | speedup |
+|---|---|---|---|---|---|
+| head-heavy Zipf | {out['head_heavy']['rows']:,} | {out['head_heavy']['vocab']:,} | {out['head_heavy']['rows_per_sec_rowloop']:,} | {out['head_heavy']['rows_per_sec_vectorized']:,} | **{out['head_heavy']['speedup']}×** |
+| tail-heavy Zipf | {out['tail_heavy']['rows']:,} | {out['tail_heavy']['vocab']:,} | {out['tail_heavy']['rows_per_sec_rowloop']:,} | {out['tail_heavy']['rows_per_sec_vectorized']:,} | {out['tail_heavy']['speedup']}× |
+
+Arrow-transfer floor (empty mapInPandas over the head-heavy stream):
+**{out['arrow_floor_sec_head_stream']} s** of the
+~{out['head_heavy']['t_vectorized']} s total.
+
+Reading — what the probe actually found: at local[32] pass 1 is
+TRANSFER-bound, not loop-bound. ~2/3 of pass-1 wall time is Arrow
+serialization that neither substrate can remove, so the two
+substrates land at parity here even though the vectorized form does
+its interpreted-Python work in |distinct-per-chunk| weighted updates
+instead of |rows| iterations. The vectorization still matters: it
+removes the one term that SCALES with rows-per-chunk (bigger Arrow
+batches, heavier skew, wider executors all grow the row loop's share
+— the round-5 review's 100 TB concern), it can never lose (the
+adversarial all-distinct chunk degenerates to the old cost), and
+exact equivalence is pinned by test. The honest conclusion for the
+100 TB design is that the next pass-1 lever is transfer volume, not
+loop speed — and the candidate-bound table above is why the transfer
+is already minimal: only the item column crosses the boundary, once.
+""")
+        print("wrote docs/HH_PROBE.md")
+
+
+if __name__ == "__main__":
+    main()
