@@ -7545,37 +7545,32 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-5 priority prefix (must stay ≤ _DRIVER_SAMPLE entries, most
-#: evidence-starved first):
-#:   1. q110–q117 — NEVER driver-sampled in any round r1–r4 (the round-4
-#:      prefix overflow); locally green but the hard gate has never seen
-#:      them.
-#:   2. q101, q85/q95/q96 — driver rows exist but predate round-4
-#:      behavior changes (HTML entity order; the .xls reader's v4-CFB /
-#:      MERGEDCELLS / string-FORMULA additions).
-#:   3. Queries whose operator or oracle changed in round 5:
-#:      q125/q127 (quantize_embeddings subnormal-scale guard, mirrored
-#:      in the q125 oracle SQL), q162 (plan-audit whitelist), q155/q135/
-#:      q123 (HITS persist fallback + hierarchy cycle raise touch their
-#:      operators), q105/q161 (curation-DAG persist_stages path),
-#:      q129/q150/q151 (per-session landing paths), q153 (oracle SQL
-#:      double-literal casts).
-_R5_PRIORITY = [
-    "q110_semantic_dedup", "q111_duplicate_spans", "q112_warc_pipeline",
-    "q113_gopher_rules", "q114_url_curation", "q115_bpe_merges",
-    "q116_streaming_curation", "q117_snapshot_diff",
-    "q101_html_extract",
-    "q85_pipeline_wasde", "q95_pipeline_wasde2", "q96_wheat_classes",
-    "q125_embedding_quantize", "q127_centroid_outliers",
-    "q162_dau_wau",
-    "q155_hits", "q135_hierarchy_closure", "q123_pagerank",
+#: Round-6 priority prefix (must stay ≤ _DRIVER_SAMPLE entries): every
+#: query whose BEHAVIOR or ORACLE changed this round, so the driver
+#: re-samples them and no stale row survives. Per the round-5 verdict,
+#: rows-only entries are excluded from the prefix (a no-oracle row
+#: wastes a sample slot). Sources of change:
+#:   1. New oracles: q115 (unrolled BPE merge CTEs); q33/q34/q39
+#:      (cross-engine "poly" hash mode — OUTPUT VALUES changed).
+#:   2. Floor-scaling migration of exact-rational 6-dp outputs (the
+#:      q165 rounding-boundary class): q01, q13, q32, q37, q64, q67,
+#:      q77, q98, q99, q111, q113, q126, q131, q140, q147, q172, and
+#:      the curation DAGs q105/q161 (rep_ratio threshold feeds their
+#:      keep-set).
+#:   3. Operator changes with identical results, re-sampled anyway:
+#:      q164 (lossless length-band blocking), q171 (vectorized MG
+#:      candidate pass).
+_R6_PRIORITY = [
+    "q115_bpe_merges",
+    "q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
+    "q01_pricing_summary", "q13_stocks_to_use", "q32_ngram_jaccard",
+    "q37_text_profile", "q64_split_assign", "q67_quality_quantile",
+    "q77_data_quality", "q98_repetition_ratio", "q99_audio_features",
+    "q111_duplicate_spans", "q113_gopher_rules",
+    "q126_contamination_score", "q131_sentence_boilerplate",
+    "q140_incremental_rollup", "q147_ab_ztest", "q172_jaccard_prefix",
     "q105_curation_dag", "q161_curation_dag_v2",
-    "q129_streaming_dedup", "q150_sink_roundtrip",
-    "q151_schema_evolution", "q153_geofence",
-    # round-5 late change: q148's transition probabilities moved from
-    # round() to explicit floor-scaling (the q165 rounding-boundary
-    # class), so its r4 driver row is stale — re-sample it.
-    "q148_event_transitions",
+    "q164_entity_resolution", "q171_heavy_hitters",
 ]
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
@@ -7625,9 +7620,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R5_PRIORITY)}
-    assert len(_R5_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R5_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R6_PRIORITY)}
+    assert len(_R6_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R6_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
