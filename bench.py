@@ -84,6 +84,8 @@ HEADLINE = [
     "q175_rollup_revenue",      # one-pass ROLLUP lattice (r5 add)
     "q177_weighted_median",     # RANGE-framed exact weighted median (r5 add)
     "q179_quantized_ivf_ann",   # int8 codes x IVF cells production ANN (r5 add)
+    "q181_mmr_selection",       # greedy MMR diverse subset, k-step argmax (r6 add)
+    "q182_ewma_value",          # per-key EWMA as one native fold (r6 add)
 ]
 
 

@@ -1,0 +1,103 @@
+"""Diversity-aware subset selection: greedy Maximal Marginal Relevance
+(MMR, Carbonell & Goldstein 1998) over an embedding table.
+
+The curation op between retrieval and dedup: given a relevance signal
+(cosine to a query/centroid), pick k items that are RELEVANT but not
+redundant — each step adds the candidate maximizing
+``λ·rel(v) − (1−λ)·max_{s∈selected} cos(v, s)``. Near-dup clusters
+contribute one member instead of k copies, which is why RAG rerankers
+and eval-set builders run exactly this loop.
+
+No counterpart in the reference (closest is its geo kNN top-k,
+HTIPPLSITE/__init__.py:214 — pure relevance, no diversity term);
+textbook-public algorithm.
+
+100 TB shape — the same driver-orchestrated pattern as k-means and BPE
+(SURVEY §3.2): the scored candidate table is computed ONCE and pinned
+(eager localCheckpoint: k argmax scans re-read it without re-deriving
+lineage), and each of the k greedy steps is one distributed
+``limit(1)`` argmax whose expression embeds the ≤k already-selected
+vectors as broadcast literals — bounded model state (k × dim doubles)
+crosses the driver per step, never data. Total cost: k scans of the
+candidate table; plan size constant per step. Determinism: ties break
+on ascending id, and every float the argmax compares is computed by
+the same IEEE expression in both engines (the q35 precedent), so the
+greedy trajectory is engine-replayable — which is what the unrolled
+DuckDB oracle (queries._mmr_ctes) checks end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cos_to_literal(v: Column, vec: list[float]) -> Column:
+    """Cosine between an array<double> column and a Python vector
+    embedded as literals (the selected-set side of the MMR penalty).
+    Reuses ``similarity.cosine`` — the fold whose IEEE operation order
+    is already proven identical to DuckDB's ``list_dot_product``
+    replay by the q35 hash gate. The literal side's norm is NOT
+    pre-folded in Python for the same reason: both engines must run
+    the same expression."""
+    from gpi_etl_spark.operators.similarity import cosine
+
+    lit = F.array(*[F.lit(float(x)).cast("double") for x in vec])
+    return cosine(v, lit)
+
+
+def mmr_select(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Greedy MMR selection of ``k`` rows.
+
+    Returns the ordered picks as a list of
+    ``(rank, id, rel, mmr_score)`` tuples (bounded model state — k
+    rows; build a DataFrame from it for further processing, the same
+    driver-side contract as ``bpe_train``'s merge list).
+
+    Step 1 is the pure-relevance argmax (the λ-weighted score of an
+    empty selected set); steps 2..k subtract the max-similarity
+    penalty against the selected vectors, embedded as literals.
+    """
+    scored = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _cos_to_literal(F.col(vec_col), query_vec).alias("_rel"),
+    )
+    scored = scored.localCheckpoint(eager=True)
+
+    picks: list[tuple] = []
+    sel_vecs: list[list[float]] = []
+    sel_ids: list = []
+    for step in range(k):
+        if sel_vecs:
+            penalty = F.greatest(
+                *[_cos_to_literal(F.col("_v"), sv) for sv in sel_vecs]
+            ) if len(sel_vecs) > 1 else _cos_to_literal(
+                F.col("_v"), sel_vecs[0]
+            )
+            score = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * penalty
+        else:
+            score = F.lit(lam) * F.col("_rel")
+        cand = scored
+        if sel_ids:
+            cand = cand.filter(~F.col("_id").isin(sel_ids))
+        top = (
+            cand.select("_id", "_v", "_rel", score.alias("_mmr"))
+            .orderBy(F.col("_mmr").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picks.append((step + 1, row["_id"], row["_rel"], row["_mmr"]))
+        sel_ids.append(row["_id"])
+        sel_vecs.append([float(x) for x in row["_v"]])
+    return picks

@@ -202,3 +202,56 @@ def linear_interpolate(
         .otherwise(F.lit(None).cast("double"))
     )
     return df.withColumn(out, filled)
+
+
+def ewma_final(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (FINAL smoothed
+    value): ``acc_1 = x_1; acc_t = α·x_t + (1−α)·acc_{t−1}`` over the
+    key's rows ordered by ``order_cols``.
+
+    EWMA is inherently recursive, so it is computed as ONE left fold
+    per key: ``array_sort(collect_list(struct(order, value)))`` then a
+    native ``aggregate`` — a single groupBy shuffle, zero Python. This
+    is the BOUNDED-SERIES form (per-key history must fit an array —
+    fine for per-entity telemetry, sensor, price series); unbounded
+    streams belong to ``streaming/stateful.py``'s
+    applyInPandasWithState pattern, and the numerically tempting
+    two-cumulative-sum closed form (pow((1−α), −i) weights) overflows
+    for long series, which is why it is NOT used here.
+
+    Returns one row per key: ``(*key_cols, n_points, ewma)``.
+    Determinism: the fold order is (order_cols, value) ascending and
+    the blend runs left-to-right, so engines replaying the same fold
+    (DuckDB ``list_reduce`` over ``list(value ORDER BY …)``) produce
+    bit-identical doubles.
+    """
+    from gpi_etl_spark.functions.hof import let_
+
+    a = float(alpha)
+    one_minus = 1.0 - a  # emitted as an exact double literal both sides
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c) for c in order_cols],
+                F.col(value_col).cast("double").alias("_x"),
+            )
+        )
+    )
+    fold = let_(
+        ordered,
+        lambda arr: F.aggregate(
+            F.slice(arr, 2, 1 << 30),
+            F.element_at(arr, 1)["_x"],
+            lambda acc, s: F.lit(a) * s["_x"] + F.lit(one_minus) * acc,
+        ),
+    )
+    return df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        fold.alias("ewma"),
+    )

@@ -8576,3 +8576,128 @@ def q180(spark, sf_dir):
             "g_seg", "g_pri", "rev_r", "n_orders",
         )
     )
+
+
+def _mmr_ctes(k: int, lam: float) -> str:
+    """DuckDB replay of ``diversity.mmr_select``, unrolled per greedy
+    step (the _kmeans_ctes/_bpe_ctes pattern): step 1 is the pure-
+    relevance argmax, each later step scores the remaining candidates
+    as λ·rel − (1−λ)·max-cosine-to-selected via a correlated max over
+    the selected CTE, with ties broken on ascending vec_id. Both λ
+    literals are emitted with full double precision via repr() — the
+    Spark side computes ``1.0 − lam`` in Python, so the oracle must
+    use the exact same IEEE value (0.7 → 0.30000000000000004), not a
+    re-rounded decimal. All CTEs MATERIALIZED (the chained references
+    otherwise inline multiplicatively — the _bpe_ctes lesson)."""
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    l_lit = f"CAST({lam!r} AS DOUBLE)"
+    ml_lit = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    parts = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id >= 1)",
+        "qv AS MATERIALIZED (SELECT embedding::DOUBLE[] AS q "
+        "FROM embeddings WHERE vec_id = 0)",
+        f"""rel AS MATERIALIZED (
+  SELECT b.vec_id, b.v, {cos.format(a='b.v', b='q.q')} AS rel
+  FROM base b CROSS JOIN qv q)""",
+        f"""s1 AS MATERIALIZED (
+  SELECT vec_id, v, rel, {l_lit} * rel AS mmr, 1 AS rnk
+  FROM rel ORDER BY {l_lit} * rel DESC, vec_id LIMIT 1)""",
+        "sel1 AS MATERIALIZED (SELECT vec_id, v FROM s1)",
+    ]
+    for i in range(2, k + 1):
+        pen = f"(SELECT max({cos.format(a='r.v', b='s.v')}) FROM sel{i - 1} s)"
+        parts += [
+            f"""s{i} AS MATERIALIZED (
+  SELECT vec_id, v, rel, mmr, {i} AS rnk FROM (
+    SELECT r.vec_id, r.v, r.rel,
+           {l_lit} * r.rel - {ml_lit} * {pen} AS mmr
+    FROM rel r
+    WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))
+  ORDER BY mmr DESC, vec_id LIMIT 1)""",
+            f"""sel{i} AS MATERIALIZED (
+  SELECT vec_id, v FROM sel{i - 1} UNION ALL SELECT vec_id, v FROM s{i})""",
+        ]
+    finals = " UNION ALL ".join(
+        f'SELECT cast(rnk AS int) AS "rank", vec_id, '
+        f"floor(rel * 1000000.0 + 0.5) / 1000000.0 AS rel_r, "
+        f"floor(mmr * 1000000.0 + 0.5) / 1000000.0 AS mmr_r FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({finals})"
+
+
+@query("q181_mmr_selection", _mmr_ctes(8, 0.7))
+def q181(spark, sf_dir):
+    """Greedy MMR diverse-subset selection (operators/diversity.py):
+    the 8 most relevant-but-non-redundant vectors for query vec 0,
+    λ=0.7 — the dedup-aware sampling step between retrieval and
+    training-set assembly. Driver-orchestrated k-step argmax (the
+    k-means/BPE pattern: one limit(1) scan per step over the pinned
+    scored table, selected vectors broadcast as literals — bounded
+    model state); the oracle unrolls all 8 steps as chained CTEs.
+    rel/mmr outputs floor-scaled: they are cosine chains (sqrt —
+    normally round-safe), but the comparison-critical values are
+    replayed bit-exactly anyway, so the cheap uniform rule applies."""
+    from gpi_etl_spark.operators.diversity import mmr_select
+
+    emb = t(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qrow = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(to_double.alias("q"))
+        .collect()
+    )
+    query_vec = [float(x) for x in qrow[0]["q"]]
+    vectors = emb.filter(F.col("vec_id") >= 1).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    picks = mmr_select(vectors, query_vec, k=8, lam=0.7)
+    rows = [
+        (rank, int(vid), float(rel), float(mmr))
+        for rank, vid, rel, mmr in picks
+    ]
+    df = spark.createDataFrame(
+        rows, "rank int, vec_id bigint, rel double, mmr double"
+    )
+    return df.select(
+        "rank", "vec_id",
+        fs6(F.col("rel")).alias("rel_r"),
+        fs6(F.col("mmr")).alias("mmr_r"),
+    )
+
+
+@query(
+    "q182_ewma_value",
+    """
+    WITH l AS (SELECT user_id, count(*) AS n_points,
+                 list(value ORDER BY ts, event_id) AS xs
+          FROM events GROUP BY user_id)
+    SELECT user_id, cast(n_points AS bigint) AS n_points,
+           floor(list_reduce(xs,
+                 (_a, _x) -> CAST(0.25 AS DOUBLE) * _x
+                             + CAST(0.75 AS DOUBLE) * _a)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_r
+    FROM l
+    """,
+)
+def q182(spark, sf_dir):
+    """Per-user EWMA of event values (windows.ewma_final, α=0.25):
+    the recursive smoother computed as one native left fold per key —
+    one groupBy shuffle, zero Python, bit-replayable in DuckDB via
+    list_reduce over the identically-ordered value list (ties on ts
+    broken by event_id on both engines). α and 1−α are dyadic, so the
+    blend is the same IEEE arithmetic everywhere; output floor-scaled."""
+    from gpi_etl_spark.operators.windows import ewma_final
+
+    ev = t(spark, sf_dir, "events")
+    out = ewma_final(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25
+    )
+    return out.select(
+        "user_id", "n_points", fs6(F.col("ewma")).alias("ewma_r")
+    )
