@@ -90,18 +90,37 @@ HEADLINE = [
 
 
 def _extra_entries():
-    """Bench-only variants that are not registry queries: the curation
-    DAGs' persist_stages production path (same results as the lazy
-    q105/q161 entries, physical stage reuse instead of re-expansion).
-    Run LAST: their stage caches would otherwise be picked up by the
-    lazy variants via the CacheManager's plan-equality matching and
-    corrupt the lazy timings."""
+    """Bench-only variants that are not registry queries:
+
+    * the curation DAGs' persist_stages production path (same results
+      as the lazy q105/q161 entries, physical stage reuse instead of
+      re-expansion). Run LAST: their stage caches would otherwise be
+      picked up by the lazy variants via the CacheManager's
+      plan-equality matching and corrupt the lazy timings.
+    * the MinHash-LSH xxhash64 PRODUCTION path: the q33 registry entry
+      switched to the cross-engine "poly" hash mode in round 6 (so the
+      DuckDB gate can replay it), which costs ~0.7 s more at sf0.1 —
+      this twin keeps the r1–r5 bench series' comparable point (same
+      pipeline, JVM hash intrinsics, what a 100 TB run would use).
+    """
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators import dedup
     from gpi_etl_spark.plans.curation_dags import (
         curation_dag_v1,
         curation_dag_v2,
     )
+    from gpi_etl_spark.queries import t
+
+    def minhash_xxhash64(spark, sf):
+        docs = t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+        return dedup.minhash_lsh_pairs(
+            docs, n=1, num_hashes=64, bands=16, threshold=0.5,
+            hash_mode="xxhash64",
+        )
 
     return {
+        "q33_minhash_xxhash64": minhash_xxhash64,
         "q105_curation_dag_persist": (
             lambda spark, sf: curation_dag_v1(spark, sf, persist_stages=True)
         ),
