@@ -655,3 +655,58 @@ def jaccard_pairs_prefix_filtered(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Collapse near-dup clusters to ONE canonical survivor each — the
+    step a curation pipeline runs AFTER pair generation (jaccard /
+    LSH / prefix-join): cluster the pair graph with
+    :func:`connected_components`, then keep the highest-QUALITY member
+    per cluster instead of the arbitrary min-id one (better data
+    survives; Lee et al. 2022 keep-one-per-cluster with a quality
+    prior). Rows with no qualifying pair are their own cluster and
+    survive trivially, so the output is the full keep-list of the
+    deduplicated corpus.
+
+    Survivor order: (quality floor-scaled to 6 dp) DESC, id ASC. The
+    6-dp scaling is deliberate — raw quality floats from two engines
+    can differ in the last ulp, and an argmax over them would flake on
+    near-ties; 6-dp-equal quality (the proven cross-engine class) plus
+    the id tiebreak makes the survivor a pure function of the data.
+
+    Returns ``(cluster_id, survivor_id, n_members, quality_r)`` —
+    cluster_id is the component label (min reachable id; the row's own
+    id for singletons). One CC run (localCheckpointed rounds) plus one
+    window over cluster-sized groups; no additional corpus scans.
+    """
+    cc = connected_components(pairs, "id_a", "id_b", max_iter)
+    labeled = (
+        df.select(F.col(id_col), F.col(quality_col).alias("_q"))
+        .join(cc, df[id_col] == cc["node"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_q"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("_cl"),
+        )
+    )
+    qr = F.floor(F.col("_q") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
+        1000000.0
+    )
+    w = Window.partitionBy("_cl").orderBy(
+        qr.desc(), F.col(id_col).asc()
+    )
+    ranked = labeled.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_nm", F.count(F.lit(1)).over(Window.partitionBy("_cl"))
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        F.col("_cl").cast("bigint").alias("cluster_id"),
+        F.col(id_col).alias("survivor_id"),
+        F.col("_nm").cast("bigint").alias("n_members"),
+        qr.alias("quality_r"),
+    )

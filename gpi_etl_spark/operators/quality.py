@@ -459,3 +459,43 @@ def weighted_median(
         .groupBy(group_col)
         .agg(F.min(value_col).alias("wmedian"))
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized summary: clamp ``value_col`` to the group's
+    [p_lo, p_hi] percentiles, then aggregate — the robust
+    pre-processing step that stops a handful of fat-finger outliers
+    from dominating a mean (the alternative to dropping rows, which
+    changes counts downstream).
+
+    The clamp runs against FLOOR-SCALED (6-dp) boundaries, not raw
+    percentiles: two engines interpolating the same percentile can
+    differ in the last ulp, and clamping against ulp-different
+    boundaries makes borderline rows clip differently — 6-dp-equal
+    boundaries (the proven cross-engine class) make the clip a pure
+    function of the data. Two shuffles: one group aggregate for the
+    boundaries (broadcast back — group cardinality is small by
+    construction), one re-aggregate of the clipped values.
+
+    Returns ``(group_col, n, lo_r, hi_r, clipped_mean_r)``.
+    """
+    bounds = df.groupBy(group_col).agg(
+        _fs6(F.percentile(value_col, F.lit(lo))).alias("lo_r"),
+        _fs6(F.percentile(value_col, F.lit(hi))).alias("hi_r"),
+    )
+    joined = df.join(F.broadcast(bounds), group_col)
+    clipped = F.greatest(
+        F.col("lo_r"), F.least(F.col(value_col), F.col("hi_r"))
+    )
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo_r").alias("lo_r"),
+        F.max("hi_r").alias("hi_r"),
+        F.round(F.avg(clipped), 6).alias("clipped_mean_r"),
+    )

@@ -8701,3 +8701,153 @@ def q182(spark, sf_dir):
     return out.select(
         "user_id", "n_points", fs6(F.col("ewma")).alias("ewma_r")
     )
+
+
+@query(
+    "q183_cluster_canonical",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' amended edition'
+      FROM documents WHERE doc_id % 5 = 0),
+    norm AS (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             FROM corpus),
+    tokl AS (SELECT doc_id,
+                    list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk
+             FROM norm),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(tk) - 3, 0)),
+                    i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))))
+                  AS shingle
+           FROM tokl),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh2 a JOIN sh2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    prs AS (SELECT id_a, id_b
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 2 * n_common >= (sa.n + sb.n - n_common)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    qual AS (
+      SELECT c.doc_id,
+             0.4 * least(len(list_filter(string_split(
+                     trim(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')),
+                     ' '), x -> len(x) > 0)) / 100.0, 1.0)
+             + 0.3 * 1.0
+             + 0.3 * least((CASE WHEN len(list_filter(string_split(
+                     trim(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')),
+                     ' '), x -> len(x) > 0)) = 0 THEN 0.0
+                  ELSE len(list_filter(list_filter(string_split(
+                     trim(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')),
+                     ' '), x -> len(x) > 0),
+                           x -> list_contains({_SW_EN}, x)))
+                       / len(list_filter(string_split(
+                     trim(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')),
+                     ' '), x -> len(x) > 0)) END) * 4.0, 1.0) AS q
+      FROM corpus c),
+    lab AS (SELECT ql.doc_id, ql.q,
+                   coalesce(c.component, ql.doc_id) AS cl
+            FROM qual ql LEFT JOIN comp c ON c.node = ql.doc_id),
+    rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY cl
+                      ORDER BY floor(q * 1000000.0 + 0.5) / 1000000.0 DESC,
+                               doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cl) AS nm
+           FROM lab)
+    SELECT cast(cl AS bigint) AS cluster_id,
+           doc_id AS survivor_id,
+           cast(nm AS bigint) AS n_members,
+           floor(q * 1000000.0 + 0.5) / 1000000.0 AS quality_r
+    FROM rk WHERE rn = 1
+    """,
+)
+def q183(spark, sf_dir):
+    """Cluster-canonical dedup (dedup.keep_best_per_cluster) on the
+    re-crawl scenario (q117's synthesis): every document plus an
+    'amended edition' twin, trigram-Jaccard >= 0.5 pairs each original
+    with its amendment (plus the corpus's genuine near-dup pairs),
+    min-label CC (the %5 subset keeps the full-shingle-set
+    verification arrays inside a vanilla 1g driver heap at sf0.1 —
+    the hashed-set variant would scale further but trades exactness),
+    then ONE survivor
+    per cluster by HIGHEST quality (6-dp-scaled, id tiebreak) — the
+    keep-the-best-copy step whose output IS the deduplicated corpus
+    keep-list. The amended twin carries two extra tokens, so the
+    quality prior picks it deterministically wherever the length term
+    is still climbing. Oracle: pair replay + recursive-CTE closure
+    (q164 pattern) + the q37 quality formula + the same survivor
+    window."""
+    from gpi_etl_spark.operators.dedup import (
+        jaccard_pairs_prefix_filtered,
+        keep_best_per_cluster,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" amended edition")).alias(
+                "text"
+            ),
+        )
+    )
+    # pair generation runs the PPJoin prefix-filtered EXACT path (the
+    # scale path): the naive inverted-index join fans out on every
+    # shared trigram and heap-OOMs at sf0.1's 10k-doc corpus, while
+    # prefix candidates follow rare-shingle frequency (same answer —
+    # the prefix-filter theorem; equality pinned in tests)
+    pairs = jaccard_pairs_prefix_filtered(
+        corpus, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    scored = corpus.select(
+        "doc_id", textstats.quality_score("text").alias("_quality")
+    )
+    return keep_best_per_cluster(scored, pairs, "_quality")
+
+
+@query(
+    "q184_winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             floor(quantile_cont(value, 0.05) * 1000000.0 + 0.5)
+               / 1000000.0 AS lo_r,
+             floor(quantile_cont(value, 0.95) * 1000000.0 + 0.5)
+               / 1000000.0 AS hi_r
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n,
+           min(b.lo_r) AS lo_r, max(b.hi_r) AS hi_r,
+           round(avg(greatest(b.lo_r, least(e.value, b.hi_r))), 6)
+             AS clipped_mean_r
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q184(spark, sf_dir):
+    """Per-group winsorized stats (quality.winsorized_stats): clamp
+    event values to the group's [p05, p95] percentiles and average —
+    the robust-mean preprocessing that keeps outliers from dominating
+    without dropping rows. Boundaries are floor-scaled to 6 dp BEFORE
+    clamping so borderline rows clip identically on both engines
+    (raw interpolated percentiles can differ in the last ulp); the
+    clipped mean itself is a generic float chain, plain round. Spark
+    percentile vs DuckDB quantile_cont parity is the q107 precedent."""
+    from gpi_etl_spark.operators.quality import winsorized_stats
+
+    ev = t(spark, sf_dir, "events")
+    return winsorized_stats(ev, "event_type", "value", 0.05, 0.95)

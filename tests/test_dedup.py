@@ -208,3 +208,39 @@ def test_prefix_filter_prunes_hub_shingles(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = jaccard_pairs_prefix_filtered(df, n=1, threshold=0.5).collect()
     assert got == []  # only 1 of 5 tokens shared -> jaccard 1/9 < 0.5
+
+
+def test_keep_best_per_cluster_quality_survivor(spark):
+    """The survivor must be the highest-quality member (id tiebreak),
+    singletons survive as their own cluster, and cluster_id is the
+    component label."""
+    from gpi_etl_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (10, 0.1)],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        r.cluster_id: (r.survivor_id, r.n_members, r.quality_r)
+        for r in keep_best_per_cluster(docs, pairs, "q").collect()
+    }
+    # cluster {1,2,3}: quality tie 0.9 between 2 and 3 -> min id 2
+    assert got[1] == (2, 3, 0.9)
+    # singleton 10 survives itself
+    assert got[10] == (10, 1, 0.1)
+
+
+def test_keep_best_per_cluster_empty_pairs(spark):
+    from gpi_etl_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.4)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = keep_best_per_cluster(docs, pairs, "q").collect()
+    assert {(r.cluster_id, r.survivor_id, r.n_members) for r in got} == {
+        (1, 1, 1), (2, 2, 1)
+    }

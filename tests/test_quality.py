@@ -274,3 +274,28 @@ def test_weighted_median_matches_unweighted_when_uniform(spark):
     df = spark.createDataFrame(rows, "g string, v double, w long")
     got = weighted_median(df, "g", "v", "w").collect()[0].wmedian
     assert got == 5.0  # lower of the middle pair (5, 7)
+
+
+def test_winsorized_stats_clamps_outliers(spark):
+    from gpi_etl_spark.operators.quality import winsorized_stats
+
+    # one group: 99 values 1..99 plus a 1e9 outlier; the interpolated
+    # p95 lands inside the regular values (position 94.05), so the cap
+    # clamps the outlier to ~95 and the clipped mean stays ~50
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1e9)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = winsorized_stats(df, "g", "value", 0.05, 0.95).collect()[0]
+    assert out.n == 100
+    assert out.hi_r < 100.0          # the outlier cannot set the cap
+    assert out.clipped_mean_r < 60.0  # nor dominate the mean (raw ~1e7)
+    assert out.lo_r >= 1.0
+
+
+def test_winsorized_stats_constant_group(spark):
+    from gpi_etl_spark.operators.quality import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("b", 7.0)] * 5, "g string, value double"
+    )
+    out = winsorized_stats(df, "g", "value").collect()[0]
+    assert (out.lo_r, out.hi_r, out.clipped_mean_r) == (7.0, 7.0, 7.0)
