@@ -713,3 +713,59 @@ def pps_systematic_sample(
         f"((_cum - _w) * {n}) div _tot"
     )
     return staged.filter(keep).drop("_w", "_cum", "_tot")
+
+
+#: PII patterns shared by the Spark operator and the DuckDB oracle.
+#: Deliberately restricted to the regex subset where Java regex (Spark)
+#: and RE2 (DuckDB) agree EXACTLY: character classes, bounded
+#: quantifiers and \b word boundaries — no backreferences, no
+#: lookaround (RE2 has neither), no engine-specific classes. Each is
+#: (name, pattern, replacement-tag).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Scrub PII from a text column — the compliance pass every
+    training-data pipeline runs before anything ships: emails, phone
+    numbers and SSN-shaped ids are replaced with typed tags, with
+    per-document match counts kept for audit.
+
+    Patterns apply IN ORDER, each to the output of the previous one —
+    order matters and is part of the contract (the SSN pattern must
+    run after the phone pattern here: a phone match is consumed and
+    tagged before the looser 3-2-4 shape can see it... actually
+    3-3-4 vs 3-2-4 shapes are disjoint, but order-dependence is the
+    general rule, so counts are taken BEFORE any replacement, against
+    the ORIGINAL text, where they are unambiguous).
+
+    Everything is native ``regexp_count``/``regexp_replace`` — one
+    projection, no shuffle, scan-fused at any scale; the pattern set
+    sticks to the Java-regex ∩ RE2 subset so the DuckDB oracle
+    replays byte-for-byte (see ``PII_PATTERNS``).
+
+    Returns ``(id_col, n_<name> per pattern…, clean_sha256)`` — the
+    hash of the fully-redacted text stands in for shipping the text
+    itself through the audit table.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+        for name, p, _tag in pats
+    ]
+    cleaned = F.col(text_col)
+    for _name, p, tag in pats:
+        cleaned = F.regexp_replace(cleaned, p, tag)
+    return df.select(
+        F.col(id_col),
+        *counts,
+        F.sha2(cleaned, 256).alias("clean_sha256"),
+    )

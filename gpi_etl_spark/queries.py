@@ -8851,3 +8851,71 @@ def q184(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     return winsorized_stats(ev, "event_type", "value", 0.05, 0.95)
+
+
+def _pii_sql() -> str:
+    """DuckDB replay of q185: the same deterministic PII synthesis,
+    counts via len(regexp_extract_all(...)) against the ORIGINAL text,
+    sequential regexp_replace(..., 'g') for the redacted-text hash
+    (DuckDB replaces first-match-only without the 'g' flag — Spark
+    always replaces all). Patterns come verbatim from
+    curation.PII_PATTERNS (the Java-regex ∩ RE2 subset)."""
+    from gpi_etl_spark.operators.curation import PII_PATTERNS
+
+    synth = (
+        "text || ' contact user' || cast(doc_id AS varchar) || "
+        "'@example.com'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-' || "
+        "lpad(cast(doc_id % 10000 AS varchar), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-' || "
+        "lpad(cast(doc_id % 10000 AS varchar), 4, '0') ELSE '' END"
+    )
+    counts = ", ".join(
+        f"cast(len(regexp_extract_all(t2, '{p}')) AS int) AS n_{name}"
+        for name, p, _tag in PII_PATTERNS
+    )
+    cleaned = "t2"
+    for _name, p, tag in PII_PATTERNS:
+        cleaned = f"regexp_replace({cleaned}, '{p}', '{tag}', 'g')"
+    return f"""
+    WITH s AS (SELECT doc_id, {synth} AS t2 FROM documents)
+    SELECT doc_id, {counts}, sha256({cleaned}) AS clean_sha256
+    FROM s
+    """
+
+
+@query("q185_pii_redaction", _pii_sql())
+def q185(spark, sf_dir):
+    """PII scrubbing (curation.redact_pii): emails, phone numbers and
+    SSN-shaped ids replaced with typed tags, per-document counts kept
+    for audit, redacted text certified by hash. PII is synthesized
+    deterministically from doc_id (the corpus itself is clean), so
+    every document carries one email, every second a phone, every
+    third an SSN — and the 256-bit hash of the redacted text proves
+    the replacements are byte-identical across engines. One
+    projection, no shuffle, scan-fused; patterns restricted to the
+    Java-regex ∩ RE2 subset (curation.PII_PATTERNS)."""
+    from gpi_etl_spark.operators.curation import redact_pii
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call 555-123-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" id 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.select("doc_id", pii.alias("text")))

@@ -569,3 +569,42 @@ def test_pps_sample_deterministic_and_stratified(spark):
     s1 = {r.doc_id for r in pps_systematic_sample(df, "source", "n_chars", 8).collect()}
     s2 = {r.doc_id for r in pps_systematic_sample(df, "source", "n_chars", 8).collect()}
     assert s1 == s2 and len(s1) == 16  # 8 per stratum, pure function of ids
+
+
+def test_redact_pii_counts_and_text(spark):
+    from gpi_etl_spark.operators.curation import redact_pii
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org today"),
+        (2, "call 555-123-4567 or 555-987-6543"),
+        (3, "ssn 123-45-6789 but order 12-345 stays"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ssn) == (1, 0, 0)
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ssn) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ssn) == (0, 0, 1)
+    assert (got[4].n_email, got[4].n_phone, got[4].n_ssn) == (0, 0, 0)
+    # hash of redacted text equals hash of the expected redaction
+    import hashlib
+
+    want = hashlib.sha256(
+        b"call [PHONE] or [PHONE]"
+    ).hexdigest()
+    assert got[2].clean_sha256 == want
+    # untouched text hashes unchanged
+    want4 = hashlib.sha256(rows[3][1].encode()).hexdigest()
+    assert got[4].clean_sha256 == want4
+
+
+def test_redact_pii_phone_ssn_disjoint(spark):
+    """The 3-3-4 phone and 3-2-4 ssn shapes must not consume each
+    other regardless of application order."""
+    from gpi_etl_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "555-123-4567 123-45-6789")], "doc_id long, text string"
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_phone, r.n_ssn) == (1, 1)
