@@ -30,7 +30,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted entries —
-    minhash/simhash/fingerprint — are hash-function-based and get the
-    driver's rows-only check)."""
+    """DuckDB-runnable ANSI SQL oracle per query. Since round 6 only
+    q49 (IVF fixture, superseded by the gated q176/q179 paths) and
+    q51 (HLL register internals) omit an oracle and get the driver's
+    rows-only check; the former hash-based omissions (minhash/simhash/
+    fingerprint) now run the cross-engine poly hash mode and are fully
+    oracled."""
     return Q.oracles()
