@@ -183,12 +183,6 @@ def main() -> None:
             "iteration numbers in docs/PAGERANK_PROBE.md."
         ),
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r6.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
-        fh.write("\n")
     line = json.dumps(
         {
             "metric": "total_runtime",
@@ -207,6 +201,15 @@ def main() -> None:
         "driver's 2,000-char tail capture; trim the headline set or "
         "the per-entry payload"
     )
+    # detail file written only AFTER the line passes the length assert
+    # (review find: writing first let a failed/off-scale run clobber
+    # the committed round artifact with nothing valid on stdout)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_r6.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
     print(line)
 
 

@@ -26,6 +26,8 @@ import numpy as np  # hints (PEP 563) against module globals at decoration
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gpi_etl_spark.functions.rounding import fs6
+
 # LCG constants (Numerical Recipes / glibc) over two 31-bit limbs.
 _MOD = 2_147_483_648  # 2^31: limb and output modulus
 _MIX_A = 1_103_515_245
@@ -310,13 +312,7 @@ def contamination_overlap(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(hit).cast("bigint").alias("n_hits"),
             # exact integer ratio -> floor-scaled 6-dp rounding
-            (
-                F.floor(
-                    F.sum(hit) / F.count(F.lit(1)) * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("overlap_ratio"),
+            fs6(F.sum(hit) / F.count(F.lit(1))).alias("overlap_ratio"),
         )
     )
 
@@ -722,7 +718,8 @@ def pps_systematic_sample(
 #: lookaround (RE2 has neither), no engine-specific classes. Each is
 #: (name, pattern, replacement-tag).
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "[EMAIL]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
     ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "[PHONE]"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "[SSN]"),
 ]
@@ -750,7 +747,13 @@ def redact_pii(
     Everything is native ``regexp_count``/``regexp_replace`` — one
     projection, no shuffle, scan-fused at any scale; the pattern set
     sticks to the Java-regex ∩ RE2 subset so the DuckDB oracle
-    replays byte-for-byte (see ``PII_PATTERNS``).
+    replays byte-for-byte (see ``PII_PATTERNS``). The default set is a
+    CONSERVATIVE starter (mixed-case emails, dashed US phone/SSN
+    shapes): precision over recall, because a false redaction corrupts
+    clean text forever while a miss is caught by the audit counts.
+    Production deployments extend ``patterns`` with their own formats
+    (parenthesized/dotted phones, IBANs, national id shapes) — the
+    operator applies whatever list it is given.
 
     Returns ``(id_col, n_<name> per pattern…, clean_sha256)`` — the
     hash of the fully-redacted text stands in for shipping the text

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gpi_etl_spark.functions.rounding import fs6
+
 
 #: at most one shingle-frame cache stays pinned per process (shared by
 #: ngram_jaccard_pairs and jaccard_pairs_prefix_filtered — the next
@@ -513,14 +515,9 @@ def duplicate_spans(
         ),
         # exact integer ratio -> floor-scaled 6-dp rounding (round()
         # diverges between engines on exact half-way points)
-        (
-            F.floor(
-                F.sum(F.col("_dup").isNotNull().cast("int"))
-                / F.count(F.lit(1))
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            )
-            / F.lit(1000000.0)
+        fs6(
+            F.sum(F.col("_dup").isNotNull().cast("int"))
+            / F.count(F.lit(1))
         ).alias("dup_ratio"),
     )
 
@@ -695,9 +692,7 @@ def keep_best_per_cluster(
             F.coalesce(F.col("component"), F.col(id_col)).alias("_cl"),
         )
     )
-    qr = F.floor(F.col("_q") * F.lit(1000000.0) + F.lit(0.5)) / F.lit(
-        1000000.0
-    )
+    qr = fs6(F.col("_q"))
     w = Window.partitionBy("_cl").orderBy(
         qr.desc(), F.col(id_col).asc()
     )

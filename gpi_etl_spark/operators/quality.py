@@ -20,13 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _fs6(col: Column) -> Column:
-    """Half-up 6-dp rounding via floor scaling — the cross-engine-safe
-    form for exact-rational outputs (integer ratios like fail/conversion
-    rates). See queries.fs6: round(x, 6) diverges between engines on
-    exact half-way points; floor(x*1e6 + 0.5)/1e6 is the same IEEE
-    arithmetic everywhere."""
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+from gpi_etl_spark.functions.rounding import fs6 as _fs6  # noqa: E402
 
 
 
@@ -497,5 +491,7 @@ def winsorized_stats(
         F.count(F.lit(1)).alias("n"),
         F.min("lo_r").alias("lo_r"),
         F.max("hi_r").alias("hi_r"),
-        F.round(F.avg(clipped), 6).alias("clipped_mean_r"),
+        # mean of possibly integer-valued data is the exact-rational
+        # class -> floor-scaled, like the boundaries (review find)
+        _fs6(F.avg(clipped)).alias("clipped_mean_r"),
     )

@@ -15,6 +15,8 @@ import pandas as pd  # module-level: pandas_udf resolves stringified type
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gpi_etl_spark.functions.rounding import fs6
+
 #: tiny per-language stopword lists for the n-gram/stopword heuristic.
 #: Real language ID would load fastText/CLD3 via mapInPandas (stubbed in
 #: operators.multimodal style); this heuristic is the native-expression
@@ -176,16 +178,11 @@ def ngram_repetition_ratio(col: Column | str, n: int = 3) -> Column:
             # exact rational (1 - m/n) -> floor-scaled 6-dp rounding:
             # round() diverges between engines on exact half-way
             # points (e.g. n=128 grams makes 7-dp ...5 values)
-            F.floor(
-                (
-                    F.lit(1.0)
-                    - F.size(F.array_distinct(grams))
-                    / n_grams.cast("double")
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
+            fs6(
+                F.lit(1.0)
+                - F.size(F.array_distinct(grams))
+                / n_grams.cast("double")
             )
-            / F.lit(1000000.0)
         ),
         F.lit(0.0),
     )
@@ -460,13 +457,7 @@ def shared_sentence_stats(
             F.count(F.lit(1)).alias("n_sentences"),
             F.sum(hit).cast("bigint").alias("n_shared"),
             # exact integer ratio -> floor-scaled 6-dp rounding
-            (
-                F.floor(
-                    F.sum(hit) / F.count(F.lit(1)) * F.lit(1000000.0)
-                    + F.lit(0.5)
-                )
-                / F.lit(1000000.0)
-            ).alias("shared_ratio"),
+            fs6(F.sum(hit) / F.count(F.lit(1))).alias("shared_ratio"),
         )
     )
 

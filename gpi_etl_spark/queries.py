@@ -114,9 +114,13 @@ _LANDING_DIRS: set[str] = set()
 _LANDING_ATEXIT_REGISTERED = False
 
 #: landing dirs from OTHER app ids older than this are presumed dead
-#: and pruned opportunistically (a live concurrent run's dirs are
-#: always younger: it wrote them this session)
-_LANDING_STALE_SECS = 6 * 3600
+#: and pruned opportunistically. Deliberately ENORMOUS (7 days): a
+#: live long-running session's dir mtime can be hours old while the
+#: session still reads it (review find — a 6h window would race a
+#: soak run), so the prune only reclaims dirs no plausible session
+#: lifetime can still own; normal exits clean themselves via atexit.
+_LANDING_STALE_SECS = 7 * 24 * 3600
+_PRUNE_DONE = False
 
 
 def _cleanup_landing_dirs() -> None:
@@ -129,12 +133,17 @@ def _cleanup_landing_dirs() -> None:
 
 def _prune_stale_landings(tmp: str) -> None:
     """Best-effort removal of gpi_* landing dirs left by dead sessions
-    (killed before their atexit hook ran). Age-based: anything older
-    than _LANDING_STALE_SECS can't belong to a live concurrent run."""
+    (killed before their atexit hook ran). Age-based with a 7-day
+    horizon — far beyond any session lifetime, so it can never race a
+    live concurrent run — and executed once per process."""
     import glob
     import shutil
     import time
 
+    global _PRUNE_DONE
+    if _PRUNE_DONE:
+        return
+    _PRUNE_DONE = True
     cutoff = time.time() - _LANDING_STALE_SECS
     for path in glob.glob(os.path.join(tmp, "gpi_*")):
         if path in _LANDING_DIRS:
@@ -198,23 +207,10 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double)"
 
 
-def fs6(col: F.Column) -> F.Column:
-    """Half-up 6-dp rounding via explicit floor scaling — the
-    cross-engine-safe form for EXACT-RATIONAL outputs (integer ratios,
-    integer means, interpolations of decimals). ``round(x, 6)``
-    diverges between engines on exact half-way points (Spark rounds
-    the shortest decimal repr via BigDecimal HALF_UP; DuckDB scales in
-    floating point), while ``floor(x*1e6 + 0.5)/1e6`` is the same IEEE
-    arithmetic everywhere. Transcendental outputs (ln/sqrt/cosine
-    chains) keep plain round: they cannot land on exact half-way
-    points, and the two forms agree everywhere else."""
-    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
-
-
-def fs6_sql(expr: str) -> str:
-    """DuckDB twin of :func:`fs6` (1000000.0 forces DOUBLE math —
-    DuckDB bare decimal literals are DECIMAL)."""
-    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+# the 6-dp floor-scaling rule for exact-rational outputs lives in ONE
+# place (functions/rounding.py) — see its module docstring for why
+# round(x, 6) is not cross-engine-safe there
+from gpi_etl_spark.functions.rounding import fs6, fs6_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -8832,8 +8828,8 @@ def q183(spark, sf_dir):
       FROM events GROUP BY event_type)
     SELECT e.event_type, count(*) AS n,
            min(b.lo_r) AS lo_r, max(b.hi_r) AS hi_r,
-           round(avg(greatest(b.lo_r, least(e.value, b.hi_r))), 6)
-             AS clipped_mean_r
+           floor(avg(greatest(b.lo_r, least(e.value, b.hi_r)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS clipped_mean_r
     FROM events e JOIN b USING (event_type)
     GROUP BY e.event_type
     """,
@@ -8845,8 +8841,9 @@ def q184(spark, sf_dir):
     without dropping rows. Boundaries are floor-scaled to 6 dp BEFORE
     clamping so borderline rows clip identically on both engines
     (raw interpolated percentiles can differ in the last ulp); the
-    clipped mean itself is a generic float chain, plain round. Spark
-    percentile vs DuckDB quantile_cont parity is the q107 precedent."""
+    clipped mean is floor-scaled too — integer-valued value columns
+    would make it an exact rational (review find). Spark percentile
+    vs DuckDB quantile_cont parity is the q107 precedent."""
     from gpi_etl_spark.operators.quality import winsorized_stats
 
     ev = t(spark, sf_dir, "events")

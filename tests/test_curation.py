@@ -608,3 +608,20 @@ def test_redact_pii_phone_ssn_disjoint(spark):
     )
     r = redact_pii(df).collect()[0]
     assert (r.n_phone, r.n_ssn) == (1, 1)
+
+
+def test_redact_pii_mixed_case_email(spark):
+    """Compliance review find: the email pattern must catch
+    mixed-case addresses — [EMAIL] tags and counts, not pass-through."""
+    from gpi_etl_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "write John.Doe@Example.COM or SALES@CORP.ORG now")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert r.n_email == 2
+    import hashlib
+
+    want = hashlib.sha256(b"write [EMAIL] or [EMAIL] now").hexdigest()
+    assert r.clean_sha256 == want

@@ -7,8 +7,10 @@ Two claims get numbers here:
 1. **Shuffle bound.** Pass 1 emits ≤ k × partitions candidate names no
    matter how large the vocabulary is; a plain groupBy(item) shuffles
    every distinct item. Measured: |vocabulary|, |candidates|, and the
-   exact heavy-hitter count they bracket, on the q171 token stream
-   (documents corpus tokens — naturally Zipfian).
+   exact heavy-hitter count they bracket, on a synthesized
+   hash-scattered Zipf(1) stream (the q171 corpus has a 31-word
+   vocabulary — every token a heavy hitter — so it can't exercise
+   the bound).
 2. **Pass-1 substrate.** The round-5 verdict flagged the per-row
    Python loop; round 6 pre-counts each Arrow chunk with value_counts
    and feeds weighted MG updates. Measured: wall time and rows/s of
@@ -78,9 +80,12 @@ def main() -> None:
     # token is a heavy hitter and MG never decrements, so it can't
     # exercise either claim. Build deterministic Zipf(1) streams with
     # REAL vocabularies instead: item r (1-based rank) appears
-    # ceil(CAP/r) times, rows scattered across partitions by a hash so
+    # max(floor(CAP/r), 1) times, rows scattered across partitions by
+    # a hash so
     # copies are not adjacent (adjacency would flatter both
-    # substrates). Two regimes: HEAD-HEAVY (vocab well below
+    # substrates). Counts are max(floor(CAP/r), 1) — the double
+    # division truncates toward zero. Two regimes: HEAD-HEAVY (vocab
+    # well below
     # rows-per-chunk, the common production shape after any upstream
     # filtering) and TAIL-HEAVY (vocab ~ rows, the adversarial shape
     # where per-chunk pre-counting cannot dedup anything).
@@ -199,7 +204,8 @@ def main() -> None:
 
 Stream: **{n_rows:,} token rows** over {n_parts} partitions —
 deterministic Zipf(1), vocabulary {vocab:,} (rank r appears
-~{200000:,}/r times), hash-scattered so copies are never adjacent.
+max(floor({200000:,}/r), 1) times), hash-scattered so copies are
+never adjacent.
 k = {K}. (The q171 corpus stream has a 31-word vocabulary — every
 token a heavy hitter, MG never decrements — so the probe synthesizes
 a stream with a real tail.)
