@@ -8916,3 +8916,64 @@ def q185(spark, sf_dir):
         ).otherwise(F.lit("")),
     )
     return redact_pii(docs.select("doc_id", pii.alias("text")))
+
+
+@query(
+    "q186_streaming_ewma",
+    """
+    WITH l AS (SELECT user_id, count(*) AS n_points,
+                 list(value ORDER BY ts, event_id) AS xs
+          FROM events GROUP BY user_id)
+    SELECT user_id, cast(n_points AS bigint) AS n_points,
+           floor(list_reduce(xs,
+                 (_a, _x) -> CAST(0.25 AS DOUBLE) * _x
+                             + CAST(0.75 AS DOUBLE) * _a)
+                 * 1000000.0 + 0.5) / 1000000.0 AS ewma_r
+    FROM l
+    """,
+)
+def q186(spark, sf_dir):
+    """STATEFUL STREAMING per-user EWMA
+    (streaming/stateful.running_user_ewma): a real readStream through
+    applyInPandasWithState (custom numeric GroupState — a recursive
+    blend no built-in windowed agg can express), Trigger.AvailableNow
+    into an update-mode memory sink. The landing is written as ONE
+    file so the entire stream arrives in a single micro-batch; the
+    state fn sorts the key's rows by (ts, event_id) before folding,
+    making the final state BIT-EXACTLY the batch fold — so the oracle
+    is q182's SQL verbatim and the streaming state machinery is held
+    to the hash gate, not a rows-only check."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    landing = _landing(spark, "q186", sf_dir)
+    # one file -> one AvailableNow micro-batch -> ts-exact fold
+    ev.coalesce(1).write.mode("overwrite").parquet(landing)
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    from gpi_etl_spark.streaming.stateful import running_user_ewma
+
+    out = running_user_ewma(stream, alpha=0.25)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gpi_stream_q186")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("gpi_stream_q186")
+    # update mode emits one row per (user, batch-with-activity); a
+    # single batch means one row per user, but keep the max-n row per
+    # user anyway so the query stays correct if the source ever
+    # splits deliveries
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("n_points").desc())
+    final = (
+        tbl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return final.select(
+        "user_id", "n_points", fs6(F.col("ewma")).alias("ewma_r")
+    )

@@ -61,3 +61,50 @@ def test_running_totals_accumulate_across_batches(spark, two_file_events):
         n, tot = want.get(uid, (0, 0.0))
         want[uid] = (n + 1, tot + val)
     assert final == want
+
+
+def test_running_ewma_matches_batch_fold(spark, tmp_path):
+    """The stateful streaming EWMA's final state must equal the batch
+    ewma_final fold bit-for-bit when the stream arrives in one
+    ts-sortable delivery."""
+    import pandas as pd
+
+    from gpi_etl_spark.operators.windows import ewma_final
+    from gpi_etl_spark.streaming.stateful import running_user_ewma
+
+    rows = [
+        (1, i, 100 + i, float((i * 37) % 50)) for i in range(40)
+    ] + [(2, i, 500 + i, float(i)) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_id long, value double"
+    ).withColumn("ts", F_ts("ts"))
+    path = str(tmp_path / "ewma_landing")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = running_user_ewma(stream, alpha=0.25)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ewma_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_points, r.ewma)
+        for r in spark.table("t_ewma_stream").collect()
+    }
+    want = {
+        r.user_id: (r.n_points, r.ewma)
+        for r in ewma_final(
+            df, ["user_id"], ["ts", "event_id"], "value", alpha=0.25
+        ).collect()
+    }
+    assert got == want  # exact doubles, not approx
+
+
+def F_ts(col):
+    from pyspark.sql import functions as F
+
+    return F.timestamp_seconds(F.col(col))
