@@ -8977,3 +8977,129 @@ def q186(spark, sf_dir):
     return final.select(
         "user_id", "n_points", fs6(F.col("ewma")).alias("ewma_r")
     )
+
+
+@query(
+    "q187_hybrid_rrf",
+    f"""
+    WITH base AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+    bl AS (SELECT doc_id, cast(len(toks) AS int) AS dl, toks FROM base),
+    stats AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM bl),
+    post AS (SELECT doc_id, dl, u.t AS term
+             FROM bl, unnest(toks) AS u(t)
+             WHERE u.t IN ('spark', 'vector', 'hash')),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf
+           FROM post GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+             ln((n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE))
+             * (tf * CAST(2.2 AS DOUBLE))
+             / (tf + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * dl / (sumdl / n))) AS s
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+    spz AS (SELECT doc_id,
+                   floor(sum(s) * 1000000.0 + 0.5) / 1000000.0 AS b
+            FROM sc GROUP BY doc_id),
+    sp AS (SELECT doc_id,
+                  cast(row_number() OVER (ORDER BY b DESC, doc_id) AS int)
+                    AS rank
+           FROM spz),
+    sp20 AS (SELECT * FROM sp WHERE rank <= 20),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id >= 1),
+    qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+    dnz AS (SELECT vec_id AS doc_id,
+                   floor((list_dot_product(e, qe)
+                          / (sqrt(list_dot_product(e, e))
+                             * sqrt(list_dot_product(qe, qe))))
+                         * 1000000.0 + 0.5) / 1000000.0 AS c
+            FROM v CROSS JOIN qv),
+    de AS (SELECT doc_id,
+                  cast(row_number() OVER (ORDER BY c DESC, doc_id) AS int)
+                    AS rank
+           FROM dnz),
+    de20 AS (SELECT * FROM de WHERE rank <= 20),
+    j AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+                 s.rank AS sr, d.rank AS dr
+          FROM sp20 s FULL OUTER JOIN de20 d ON s.doc_id = d.doc_id),
+    f AS (SELECT doc_id,
+                 cast(coalesce(sr, 0) AS int) AS sparse_rank,
+                 cast(coalesce(dr, 0) AS int) AS dense_rank,
+                 floor(((CASE WHEN sr IS NOT NULL
+                              THEN CAST(1.0 AS DOUBLE) / (60 + sr)
+                              ELSE CAST(0.0 AS DOUBLE) END)
+                        + (CASE WHEN dr IS NOT NULL
+                                THEN CAST(1.0 AS DOUBLE) / (60 + dr)
+                                ELSE CAST(0.0 AS DOUBLE) END))
+                       * 1000000.0 + 0.5) / 1000000.0 AS rrf_r
+          FROM j)
+    SELECT * FROM (
+      SELECT cast(row_number() OVER (ORDER BY rrf_r DESC, doc_id) AS int)
+               AS fused_rank,
+             doc_id, sparse_rank, dense_rank, rrf_r
+      FROM f)
+    WHERE fused_rank <= 10
+    """,
+)
+def q187(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse): the sparse BM25 ranking (q167's
+    scorer, top-20 by 6-dp-scaled score with id tiebreak) fused with
+    the dense cosine ranking (query = vec 0's embedding, top-20, same
+    rounding rule) as Σ 1/(60 + rank) — the standard hybrid-search
+    combiner, rank-based so no score calibration is needed. Shortlists
+    come from distributed TakeOrdered (orderBy+limit, no global
+    window over the corpus); rank assignment and the fused sort run
+    over ≤ 20/40-row frames. Every comparison the ranks depend on is
+    6-dp-scaled (the q183 survivor rule), so the fused list replays
+    bit-exactly in DuckDB."""
+    from gpi_etl_spark.operators.diversity import _cos_to_literal
+    from gpi_etl_spark.operators.retrieval import rrf_fuse
+    from pyspark.sql import Window as _W
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    # sparse shortlist: TakeOrdered then rank over 20 rows
+    b = textstats.bm25_scores(docs, ("spark", "vector", "hash"))
+    sp20 = (
+        b.select("doc_id", fs6(F.col("bm25")).alias("_b"))
+        .orderBy(F.col("_b").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    sparse = sp20.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("_b").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank")
+
+    # dense shortlist: cosine vs vec 0, same recipe
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    qrow = (
+        emb.filter(F.col("vec_id") == 0).select(to_double.alias("q"))
+        .collect()
+    )
+    qvec = [float(x) for x in qrow[0]["q"]]
+    dn20 = (
+        emb.filter(F.col("vec_id") >= 1)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            fs6(_cos_to_literal(to_double, qvec)).alias("_c"),
+        )
+        .orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    dense = dn20.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.orderBy(F.col("_c").desc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "rank")
+
+    return rrf_fuse(
+        [("sparse", sparse), ("dense", dense)], id_col="doc_id", top=10
+    )

@@ -37,14 +37,21 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # q167: one-row crossJoin(broadcast(N/avgdl aggregate))
                 # feeding the BM25 idf/length normalization — the same
                 # scalar-subquery broadcast pattern as q68/q97.
-                "q167_bm25_retrieval"}
+                "q167_bm25_retrieval",
+                # q187: inherits q167's one-row N/avgdl broadcast through
+                # bm25_scores (the sparse ranker inside the RRF fusion).
+                "q187_hybrid_rrf"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
 # an already-reduced result — not a scale bug. Keep this list justified.
 # q76: vocab-id enumeration (row_number) over the min-df-PRUNED
 #      vocabulary — an aggregate result, not the corpus (see docstring).
-EXPECTED_GLOBAL_WIN: set[str] = {"q76_vocabulary"}
+# q187: rank assignment over TakeOrdered 20-row shortlists and the
+#       fused sort over a <= 40-row frame — bounded by construction
+#       (the corpus-scale work is the upstream BM25/cosine scoring,
+#       which uses no global window).
+EXPECTED_GLOBAL_WIN: set[str] = {"q76_vocabulary", "q187_hybrid_rrf"}
 
 
 def global_windows(plan: str) -> int:
