@@ -9103,3 +9103,76 @@ def q187(spark, sf_dir):
     return rrf_fuse(
         [("sparse", sparse), ("dense", dense)], id_col="doc_id", top=10
     )
+
+
+from gpi_etl_spark.functions.xhash import (  # noqa: E402
+    affine_hash_sql as _ah_sql,
+    poly_hash_sql as _ph_sql,
+)
+
+
+@query(
+    "q188_countmin_sketch",
+    f"""
+    WITH post AS (SELECT u.t AS term
+                  FROM (SELECT {_TOKS_SQL} AS toks FROM documents),
+                       unnest(toks) AS u(t)),
+    hb AS MATERIALIZED (SELECT term, {_ph_sql('term')} AS h FROM post),
+    buck AS (SELECT cast(r.i AS int) AS row,
+                    cast(({_ah_sql('h', 'r.i', 4)}) % 512 AS int) AS col
+             FROM hb, unnest(generate_series(0, 3)) AS r(i)),
+    counters AS MATERIALIZED (
+      SELECT row, col, count(*) AS c FROM buck GROUP BY 1, 2),
+    probes AS (SELECT u.term
+               FROM unnest(['spark', 'data', 'hash', 'the',
+                            'zzz_never_seen']) AS u(term)),
+    ph AS (SELECT term, {_ph_sql('term')} AS h FROM probes),
+    pbuck AS (SELECT term, cast(r.i AS int) AS row,
+                     cast(({_ah_sql('h', 'r.i', 4)}) % 512 AS int) AS col
+              FROM ph, unnest(generate_series(0, 3)) AS r(i)),
+    est AS (SELECT term, min(coalesce(c.c, 0)) AS est
+            FROM pbuck LEFT JOIN counters c USING (row, col)
+            GROUP BY term),
+    truth AS (SELECT term, count(*) AS n FROM post GROUP BY term)
+    SELECT e.term, e.est,
+           coalesce(t.n, 0) AS true_n,
+           e.est - coalesce(t.n, 0) AS overcount
+    FROM est e LEFT JOIN truth t USING (term)
+    """,
+)
+def q188(spark, sf_dir):
+    """Count-Min sketch frequency estimation (operators/sketches.py):
+    the constant-size mergeable frequency summary — every token of the
+    corpus folds into a 4×512 counter table via ONE aggregation with
+    map-side combine (shuffle ≤ depth×width per partition, independent
+    of vocabulary), then point estimates for a probe set read
+    ``min`` over the hashed counters with the bounded sketch
+    BROADCAST into the probe stream. Estimates never undercount
+    (asserted by the ``overcount`` column being ≥ 0 for every probe,
+    including a never-seen term whose true count is 0). Runs the
+    ``poly`` hash family (functions/xhash.py) so DuckDB replays build,
+    merge linearity and estimation bit-exactly; production keeps the
+    ``xxhash64`` default."""
+    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = t(spark, sf_dir, "documents")
+    items = docs.select(F.explode(textstats.tokens("text")).alias("term"))
+    sketch = cms_build(items, "term", width=512, depth=4, hash_mode="poly")
+    probe_terms = ["spark", "data", "hash", "the", "zzz_never_seen"]
+    probes = spark.createDataFrame(
+        [(p,) for p in probe_terms], "term string"
+    )
+    est = cms_estimate(
+        sketch, probes, "term", width=512, depth=4, hash_mode="poly"
+    )
+    truth = (
+        items.join(F.broadcast(probes), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return est.join(truth, "term", "left").select(
+        "term",
+        "est",
+        F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("true_n"),
+        (F.col("est") - F.coalesce(F.col("n"), F.lit(0))).alias("overcount"),
+    )
