@@ -22,7 +22,7 @@ per iteration, like k-means' k×dim centroid collect).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: at most one pagerank edge cache stays pinned per process (same
@@ -314,3 +314,80 @@ def hits(
         .otherwise(F.lit(0.0))
         .alias("auth"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan
+    et al. '07) over an undirected graph.
+
+    The edge list is symmetrized and self-loops dropped; every node
+    starts labeled with its own id, then each iteration every node
+    adopts the most frequent label among its NEIGHBORS, ties broken by
+    the smallest label — a fully deterministic variant of classic LPA
+    (whose random tie-breaks and vertex orderings make runs
+    uncomparable). The synchronous schedule can oscillate on bipartite
+    structures, so the operator runs a FIXED iteration count rather
+    than a convergence test; callers wanting convergence can compare
+    successive label frames.
+
+    Per iteration: one edges⋈labels equi-join (shuffle keyed on the
+    neighbor id), one (node, label) count aggregation, and one
+    row_number argmax windowed PER NODE (never a global window). The
+    label frame is eagerly ``localCheckpoint``-ed each round — the
+    repo-wide iterative-loop rule, since ``persist`` alone does not
+    truncate lineage and the analyzer cost of a growing plan would
+    dominate by iteration ~10.
+
+    Returns ``(node, lbl)`` — the community label after ``iters``
+    rounds. No counterpart in the reference (no graph logic at all);
+    textbook LPA made deterministic.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    e = (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    win = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    for _ in range(iters):
+        votes = (
+            e.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("lbl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(top, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

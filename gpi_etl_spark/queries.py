@@ -9176,3 +9176,89 @@ def q188(spark, sf_dir):
         F.coalesce(F.col("n"), F.lit(0).cast("bigint")).alias("true_n"),
         (F.col("est") - F.coalesce(F.col("n"), F.lit(0))).alias("overcount"),
     )
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled label-propagation replay (one vote/argmax/relabel CTE
+    triple per iteration) over the synthetic ring+bridge community
+    graph. Every CTE is AS MATERIALIZED — DuckDB inlines CTE
+    references, and a chained l0..l4 pyramid explodes exponentially
+    without it (the q115 BPE-oracle lesson). All arithmetic is exact
+    integer, so the trajectory hash-gates with zero tolerance."""
+    parts = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        """e0 AS (
+      SELECT doc_id AS src,
+             CASE WHEN (doc_id - doc_id % 10) + ((doc_id % 10) + 1) % 10
+                       >= cnt
+                  THEN doc_id - doc_id % 10
+                  ELSE (doc_id - doc_id % 10) + ((doc_id % 10) + 1) % 10
+             END AS dst
+      FROM documents CROSS JOIN n
+      UNION ALL
+      SELECT doc_id AS src, (doc_id + 10) % cnt AS dst
+      FROM documents CROSS JOIN n WHERE doc_id % 37 = 0)""",
+        """e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst
+        FROM e0)
+      WHERE src <> dst)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl "
+        "FROM e)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""v{i} AS (SELECT e.src AS node, l.lbl, count(*) AS c
+      FROM e JOIN l{i - 1} l ON l.node = e.dst GROUP BY 1, 2),
+    w{i} AS (SELECT node, lbl,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl) AS rn
+             FROM v{i}),
+    l{i} AS MATERIALIZED (
+      SELECT p.node, coalesce(t.lbl, p.lbl) AS lbl
+      FROM l{i - 1} p
+      LEFT JOIN (SELECT node, lbl FROM w{i} WHERE rn = 1) t
+        ON t.node = p.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT cast(node AS bigint) AS node, "
+        f"cast(lbl AS bigint) AS lbl FROM l{iters}"
+    )
+
+
+@query("q189_label_propagation", _lpa_oracle_sql(iters=4))
+def q189(spark, sf_dir):
+    """Community detection via deterministic synchronous label
+    propagation (linkgraph.label_propagation): nodes adopt the most
+    frequent neighbor label each round, ties broken by smallest label
+    — classic LPA with its random tie-breaks replaced by a total
+    order, so the full 4-iteration trajectory replays bit-exactly.
+    The graph is a planted-community synthesis: a ring inside each
+    block of 10 doc_ids (communities the algorithm should find) plus
+    sparse bridges every 37th node (the noise it should resist). Per
+    iteration: one edges⋈labels equi-join, one count aggregation, one
+    per-node row_number argmax — never a global window — with the
+    label frame localCheckpoint-ed each round (constant plan size).
+    The oracle unrolls all 4 iterations as MATERIALIZED CTEs, putting
+    symmetrization, vote counting, tie-breaking and the relabel join
+    under the hash gate."""
+    from gpi_etl_spark.operators.linkgraph import label_propagation
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    base = F.col("doc_id") - F.col("doc_id") % 10
+    ring_dst = base + ((F.col("doc_id") % 10) + 1) % 10
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        F.when(ring_dst >= cnt, base).otherwise(ring_dst).alias("dst"),
+    )
+    bridge = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 10) % cnt).alias("dst"),
+    )
+    labels = label_propagation(ring.union(bridge), iters=4)
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("lbl").cast("bigint").alias("lbl"),
+    )
