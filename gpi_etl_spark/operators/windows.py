@@ -255,3 +255,60 @@ def ewma_final(
         F.count(F.lit(1)).alias("n_points"),
         fold.alias("ewma"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row-number — WITHOUT the partition-less
+    window that funnels the whole table through one task.
+
+    The scalable recipe: range-partition on the sort keys (partition i
+    holds keys ≤ partition i+1's), rank LOCALLY per partition, then
+    add each partition's global offset — computed from one collected
+    count per partition (bounded driver state: ``num_partitions``
+    longs, the same class as k-means centroids).
+
+    ``order_cols`` must define a TOTAL order (append a unique id as
+    the last key): ties would otherwise resolve by physical row order
+    and the rank would not be reproducible.
+
+    The range exchange samples the data to pick boundaries with a
+    non-reproducible seed, so the partitioned frame is eagerly
+    ``localCheckpoint``-ed before the count action — both the offset
+    computation and the final rank then read the SAME materialized
+    partitioning (re-execution could legally draw different bounds).
+
+    Returns the input plus ``rank_col`` (1-based bigint).
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in part.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "_pid int, _off long")
+    local = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.join(F.broadcast(off), "_pid")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(local) + F.col("_off")).cast("bigint"),
+        )
+        .drop("_pid", "_off")
+    )
