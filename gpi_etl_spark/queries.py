@@ -9309,3 +9309,108 @@ def q190(spark, sf_dir):
         dist.cast("int").alias("dist"),
         (dist <= 2).alias("is_match"),
     )
+
+
+def _ann_recall_oracle_sql(k: int, iters: int, nprobe: int, topk: int) -> str:
+    """q176's full IVF replay (shared ``_kmeans_ctes`` + probe +
+    candidate + rank chain) PLUS the exact brute-force top-k, joined
+    into per-query recall — the oracle recomputes both retrieval paths
+    independently, so the recall numbers are value-checked end to end,
+    not just the set sizes. recall = hits/topk is an exact rational →
+    floor-scaled 6-dp (the q165 rule)."""
+    parts = _kmeans_ctes(k, iters) + [
+        "asgn AS (SELECT vec_id, v, cell FROM fin WHERE rn = 1)",
+        "qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv "
+        "FROM base WHERE vec_id % 50 = 0)",
+        f"""probe AS (SELECT query_id, qv, cell FROM (
+      SELECT q.query_id, q.qv, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC)
+               AS pr
+      FROM qs q CROSS JOIN c{iters} c) WHERE pr <= {nprobe})""",
+        """cand AS (SELECT DISTINCT p.query_id, p.qv, a.vec_id, a.v
+      FROM probe p JOIN asgn a USING (cell))""",
+        """scored AS (SELECT a.query_id, a.vec_id,
+             list_dot_product(a.v, a.qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(a.qv, a.qv))) AS score
+      FROM cand a)""",
+        f"""annids AS (SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS rank
+      FROM scored) WHERE rank <= {topk})""",
+        f"""bf AS (SELECT query_id, vec_id FROM (
+      SELECT q.query_id, b.vec_id,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(b.v, q.qv)
+                          / (sqrt(list_dot_product(b.v, b.v))
+                             * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+                          b.vec_id) AS rank
+      FROM qs q CROSS JOIN base b) WHERE rank <= {topk})""",
+        """hits AS (SELECT a.query_id, count(*) AS n_hits
+      FROM annids a JOIN bf USING (query_id, vec_id) GROUP BY 1)""",
+    ]
+    recall = f"coalesce(h.n_hits, 0) / CAST({topk}.0 AS DOUBLE)"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT q.query_id,
+       cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits,
+       {fs6_sql(recall)} AS recall
+FROM qs q LEFT JOIN hits h ON h.query_id = q.query_id"""
+    )
+
+
+@query("q191_ann_recall", _ann_recall_oracle_sql(8, 4, 2, 5))
+def q191(spark, sf_dir):
+    """Retrieval-quality evaluation: recall@5 of the IVF ANN path
+    (q176's quantizer/probe composition) against the exact brute-force
+    top-5 — the measurement every production ANN deployment needs
+    before trading recall for sublinear cost, here as a first-class
+    operator composition instead of an offline notebook. Both
+    retrieval paths run distributed (IVF: equi-join on cell;
+    brute force: broadcast of the bounded query table + per-query
+    rank-limit window); the per-query hit count is a left-semi join on
+    (query_id, vec_id) so recall is exact even when the ANN list is
+    shorter than k. recall = hits/5 is an exact rational →
+    floor-scaled 6 dp. The oracle independently replays BOTH paths
+    (Lloyd CTEs + probe chain, and the exact ranking), value-checking
+    the recall numbers end to end."""
+    from gpi_etl_spark.operators.similarity import (
+        brute_force_topk,
+        distributed_kmeans,
+        ivf_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents, _assigned = distributed_kmeans(emb, k=8, iters=4)
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vectors = emb.select("vec_id", to_double.alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    ann = ivf_topk(vectors, queries, cents, k=5, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    exact = brute_force_topk(vectors, queries, k=5).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        ann.join(exact, ["query_id", "vec_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            fs6(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(5.0)
+            ).alias("recall"),
+        )
+    )
