@@ -86,6 +86,11 @@ HEADLINE = [
     "q179_quantized_ivf_ann",   # int8 codes x IVF cells production ANN (r5 add)
     "q181_mmr_selection",       # greedy MMR diverse subset, k-step argmax (r6 add)
     "q182_ewma_value",          # per-key EWMA as one native fold (r6 add)
+    "q188_countmin_sketch",     # mergeable CM frequency sketch (r6 add)
+    "q189_label_propagation",   # deterministic LPA communities (r6 add)
+    "q190_sorted_neighborhood", # global-rank window linkage (r6 add)
+    "q191_ann_recall",          # IVF vs brute-force recall@5 (r6 add)
+    "q192_kcore",               # iterative k-core peeling (r6 add)
 ]
 
 

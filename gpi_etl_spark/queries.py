@@ -9414,3 +9414,72 @@ def q191(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling over the quadratic link graph. The
+    peeling fixed point is UNIQUE (deletion order never matters), so
+    the oracle can unroll a FIXED round count ≥ the convergence depth:
+    extra rounds are no-ops on the stable core, exactly the
+    early-break argument `_kmeans_ctes` documents. Convergence depth
+    measured at 2 rounds (sf0.001/sf0.01) and 3 (sf0.1);
+    ``rounds`` carries 2× margin. Every round CTE is MATERIALIZED
+    (each references its predecessor three times — unmaterialized,
+    DuckDB's CTE inlining goes exponential, the q115 lesson)."""
+    parts = [
+        "n AS (SELECT count(*) AS cnt FROM documents)",
+        """eraw AS (SELECT doc_id AS src, (doc_id*doc_id + k) % cnt AS dst
+      FROM documents CROSS JOIN n CROSS JOIN unnest([1,2,3]) AS t(k))""",
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM eraw
+        UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+      WHERE src <> dst)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN (SELECT src FROM e{r - 1} GROUP BY src
+            HAVING count(*) >= {k}) ka ON ka.src = e.src
+      JOIN (SELECT src FROM e{r - 1} GROUP BY src
+            HAVING count(*) >= {k}) kb ON kb.src = e.dst)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT cast(src AS bigint) AS node, count(*) AS degree
+FROM e{rounds} GROUP BY src"""
+    )
+
+
+@query("q192_kcore", _kcore_oracle_sql(k=4, rounds=6))
+def q192(spark, sf_dir):
+    """4-core extraction (linkgraph.k_core): iteratively peel nodes of
+    degree < 4 from the quadratic link graph until the unique fixed
+    point — the standard dense-subgraph primitive (spam-farm and
+    community-core detection on link graphs; the density complement to
+    q123's centrality and q145's triangles). Each round is one degree
+    aggregation plus two semi-joins on the surviving edges,
+    localCheckpoint-ed so the plan stays constant; the loop exits on
+    the first round that deletes nothing (2–3 rounds here). Peeling
+    order provably never changes the fixed point, so the oracle
+    unrolls a fixed 6 rounds — extra rounds are no-ops — and the
+    result hash-gates exactly: surviving nodes AND their in-core
+    degrees."""
+    from gpi_etl_spark.operators.linkgraph import k_core
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+    ).select(
+        "src",
+        ((F.col("src") * F.col("src") + F.col("k")) % cnt).alias("dst"),
+    )
+    core = k_core(edges, k=4)
+    return core.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("degree").cast("bigint").alias("degree"),
+    )
