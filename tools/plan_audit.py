@@ -40,7 +40,14 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 "q167_bm25_retrieval",
                 # q187: inherits q167's one-row N/avgdl broadcast through
                 # bm25_scores (the sparse ranker inside the RRF fusion).
-                "q187_hybrid_rrf"}
+                "q187_hybrid_rrf",
+                # q191: the brute-force side of the recall evaluation IS
+                # the declared exact baseline — crossJoin(broadcast(
+                # bounded query table)) scoring every (query, vector)
+                # pair is the definition of ground truth the IVF path is
+                # measured against (same class as q35/q48's exact-topk
+                # baselines).
+                "q191_ann_recall"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
