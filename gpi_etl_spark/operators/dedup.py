@@ -737,6 +737,14 @@ def sorted_neighborhood_pairs(
     """
     from gpi_etl_spark.operators.windows import global_rank
 
+    if window < 2:
+        # sequence(r+1, r+window-1) DESCENDS when window < 2, which
+        # would silently emit self-pairs / inverted pairs instead of
+        # the documented strictly-ordered neighbors
+        raise ValueError(
+            f"window must be >= 2 (got {window}): each record compares "
+            "to its window-1 successors"
+        )
     keep = [id_col, *payload_cols]
     ranked = global_rank(
         df.select(*dict.fromkeys(keep + list(order_cols))),

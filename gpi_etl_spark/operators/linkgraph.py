@@ -347,17 +347,7 @@ def label_propagation(
     rounds. No counterpart in the reference (no graph logic at all);
     textbook LPA made deterministic.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    e = (
-        e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    e = e.localCheckpoint(eager=True)
+    e = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()
@@ -393,6 +383,22 @@ def label_propagation(
     return labels
 
 
+def _symmetrize(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Undirected-graph normalization shared by
+    :func:`label_propagation` and :func:`k_core`: both directions of
+    every edge, self-loops dropped, duplicates collapsed."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    return (
+        e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int = 3,
@@ -410,12 +416,15 @@ def k_core(
     keeping edges whose BOTH endpoints survive. The edge frame is
     eagerly ``localCheckpoint``-ed per round (the repo's iterative-loop
     rule — persist alone never truncates lineage), and the loop exits
-    as soon as a round deletes nothing. Rounds are bounded by
-    ``max_rounds``; a graph needing more rounds than that to stabilize
-    raises rather than returning a half-peeled subgraph (the same
-    fail-loudly rationale as hierarchy's cycle guard). Round count is
-    bounded by the graph's degeneracy-ordering depth in practice —
-    peeling converges in a handful of rounds on power-law graphs.
+    as soon as a round deletes nothing. ``max_rounds`` bounds the
+    DELETING rounds only — the final confirming round (the one that
+    observes the fixed point) is always free, so a graph that
+    stabilizes in exactly ``max_rounds`` waves succeeds. Needing more
+    deleting rounds than that raises rather than returning a
+    half-peeled subgraph (the same fail-loudly rationale as
+    hierarchy's cycle guard). Wave count is bounded by the graph's
+    degeneracy-ordering depth in practice — a handful of rounds on
+    power-law graphs.
 
     Input direction and self-loops are normalized away exactly as in
     :func:`label_propagation`. Returns ``(node, degree)`` for the
@@ -423,21 +432,10 @@ def k_core(
     construction). Deterministic: the fixed point of peeling is unique
     regardless of deletion order, so no tie-break is even needed.
     """
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
-    e = (
-        e.union(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e = _symmetrize(edges, src_col, dst_col).localCheckpoint(eager=True)
     n_edges = e.count()
-    for _ in range(max_rounds):
-        if n_edges == 0:
-            break
+    deleting_rounds = 0
+    while n_edges > 0:
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("src")
         e2 = (
@@ -446,17 +444,16 @@ def k_core(
             .localCheckpoint(eager=True)
         )
         n2 = e2.count()
-        if n2 == n_edges:
+        if n2 == n_edges:  # confirming round: fixed point observed
             break
+        deleting_rounds += 1
+        if deleting_rounds > max_rounds:
+            raise ValueError(
+                f"k-core peeling needed more than {max_rounds} deleting "
+                "rounds — raise max_rounds (each wave deletes ≥ 1 node, "
+                "so deleting rounds are bounded by the node count)"
+            )
         e, n_edges = e2, n2
-        if n_edges == 0:  # fully peeled — already the fixed point
-            break
-    else:
-        raise ValueError(
-            f"k-core peeling did not stabilize in {max_rounds} rounds — "
-            "raise max_rounds (each round deletes ≥ 1 node, so rounds "
-            "are bounded by the node count)"
-        )
     return e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

@@ -48,6 +48,8 @@ def _bucket_cols(base, depth: int, width: int, hash_mode: str) -> list:
         return [
             xhash.affine_hash(base, i, depth) % width for i in range(depth)
         ]
+    if hash_mode != "xxhash64":
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     return [
         F.pmod(F.xxhash64(base, F.lit(i)), F.lit(width))
         for i in range(depth)
@@ -112,6 +114,14 @@ def cms_estimate(
     sketch is bounded at ``depth × width`` rows by construction, so it
     broadcasts into the probe stream — estimation shuffles nothing but
     the final per-item min, however many probes arrive.
+
+    ``width``/``depth``/``hash_mode`` MUST match the ``cms_build``
+    call that produced the sketch: the sketch frame carries only
+    (row, col, c), so a mismatch is structurally undetectable here and
+    would read never-incremented buckets as 0 — silently breaking the
+    never-undercount guarantee. Callers shipping sketches across jobs
+    should ship the three parameters alongside (they ARE the sketch's
+    schema).
     """
     base = (
         xhash.poly_hash(F.col(item_col))

@@ -49,5 +49,15 @@ def test_round_cap_raises(spark):
     # a 6-path cascade needs ~3 rounds; max_rounds=1 must fail loudly,
     # never return a half-peeled subgraph
     edges = [(i, i + 1) for i in range(6)]
-    with pytest.raises(ValueError, match="did not stabilize"):
+    with pytest.raises(ValueError, match="more than 1 deleting"):
         _kcore(spark, edges, k=2, max_rounds=1)
+
+
+def test_stabilizing_in_exactly_max_rounds_succeeds(spark):
+    # K4 + pendant chain, k=3: one deleting wave peels the chain, the
+    # confirming round observes the fixed point — max_rounds=1 bounds
+    # DELETING rounds only, so this must succeed (review find: the
+    # old for/else raised here)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _kcore(spark, k4 + [(3, 10), (10, 11)], k=3, max_rounds=1)
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

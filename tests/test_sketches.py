@@ -84,3 +84,11 @@ def test_forced_collisions_still_upper_bound(spark):
     )
     for p in probes:
         assert truth.get(p, 0) <= got[p] <= len(data)
+
+
+def test_unknown_hash_mode_raises(spark):
+    from gpi_etl_spark.operators.sketches import cms_build
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="unknown hash_mode"):
+        cms_build(df, "item", hash_mode="Poly")

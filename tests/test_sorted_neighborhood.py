@@ -59,3 +59,14 @@ def test_sorted_neighborhood_window_semantics(spark):
         if i + j < len(order)
     }
     assert got == want
+
+
+def test_degenerate_window_raises(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "rid long, name string")
+    for w in (0, 1):
+        with pytest.raises(ValueError, match="window must be >= 2"):
+            sorted_neighborhood_pairs(df, ["name", "rid"], "rid", window=w)
