@@ -91,6 +91,7 @@ HEADLINE = [
     "q190_sorted_neighborhood", # global-rank window linkage (r6 add)
     "q191_ann_recall",          # IVF vs brute-force recall@5 (r6 add)
     "q192_kcore",               # iterative k-core peeling (r6 add)
+    "q193_logreg_quality",      # in-engine GD classifier training (r6 add)
 ]
 
 

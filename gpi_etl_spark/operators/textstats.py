@@ -537,6 +537,40 @@ def dedup_lines(col: Column | str, sep: str = "\n") -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def cheap_quality_features(col: Column | str) -> Column:
+    """The cheap per-document feature struct a trained quality
+    classifier scores from (``operators/logreg.py``): dyadic-scaled
+    token count ``f_len`` (÷256, an exact binary scale), Gopher-stopword
+    ratio ``f_sw`` and mean word length ``f_mwl``. Every feature is a
+    single integer-over-integer (or integer-over-2^k) IEEE division, so
+    both engines compute bit-identical doubles per row — no float
+    boundary enters until the classifier's own arithmetic. One token
+    pass via ``let_``; fuses into the scan projection."""
+    from gpi_etl_spark.functions.hof import let_
+
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    return let_(
+        tokens(col),
+        lambda tk: F.struct(
+            (F.size(tk) / F.lit(256.0)).alias("f_len"),
+            F.when(F.size(tk) == 0, F.lit(0.0))
+            .otherwise(
+                F.size(F.filter(tk, lambda t: F.array_contains(sw, t)))
+                / F.size(tk)
+            )
+            .alias("f_sw"),
+            F.when(F.size(tk) == 0, F.lit(0.0))
+            .otherwise(
+                F.aggregate(
+                    tk, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+                )
+                / F.size(tk)
+            )
+            .alias("f_mwl"),
+        ),
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",

@@ -9453,6 +9453,161 @@ FROM e{rounds} GROUP BY src"""
     )
 
 
+def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
+    """Unrolled replay of ``logreg.logreg_train`` + ``logreg_score`` on
+    the Gopher-label distillation task: the feature/label CTEs mirror
+    q113's rule stats, the standardizer uses the exact-sum moment
+    formulas of ``logreg.fit_standardizer`` (same operation order), and
+    each GD iteration is one gradient-sum CTE plus one one-row weight
+    CTE — the ``_kmeans_ctes`` pattern for a driver-orchestrated loop.
+    Every multiply-referenced CTE is MATERIALIZED (the q115 lesson:
+    DuckDB inlines CTE references, and the w-pyramid goes exponential
+    without it)."""
+    parts = [
+        f"tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents)",
+        f"""s AS MATERIALIZED (SELECT doc_id,
+        len(toks) AS n_words,
+        cast(list_sum(list_transform(toks, t -> len(t))) AS bigint) AS nwc,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        len(list_filter(toks, t -> list_contains({_GOPHER_SW_SQL}, t)))
+            AS n_sw,
+        len(text) - len(replace(text, '#', '')) AS nh,
+        (len(text) - len(replace(text, '...', ''))) // 3 AS ne,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   x -> trim(x)), x -> len(x) > 0) AS lines
+      FROM tk)""",
+        """l AS MATERIALIZED (SELECT *, len(lines) AS n_lines,
+        len(list_filter(lines, x -> starts_with(x, '- ')
+            OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+        len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
+      FROM s)""",
+        """feat AS MATERIALIZED (SELECT doc_id,
+        n_words / CAST(256 AS DOUBLE) AS f_len,
+        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+             ELSE n_sw / CAST(n_words AS DOUBLE) END AS f_sw,
+        CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+             ELSE nwc / CAST(n_words AS DOUBLE) END AS f_mwl,
+        ((n_words >= 50 AND n_words <= 100000)
+         AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+         AND ((nh + ne) * 10 <= n_words)
+         AND (n_bullet * 10 <= 9 * n_lines)
+         AND (n_ell_lines * 10 <= 3 * n_lines)
+         AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
+         AND (n_sw >= 2)) AS label_pass
+      FROM l)""",
+        """st AS MATERIALIZED (SELECT count(*) AS n,
+        sum(f_len) AS s1, sum(f_len*f_len) AS ss1,
+        sum(f_sw)  AS s2, sum(f_sw*f_sw)   AS ss2,
+        sum(f_mwl) AS s3, sum(f_mwl*f_mwl) AS ss3
+      FROM feat)""",
+        """sc AS MATERIALIZED (SELECT n,
+        s1/n AS mu1,
+        greatest(sqrt(greatest(ss1/n - (s1/n)*(s1/n), 0)), 1e-12) AS sd1,
+        s2/n AS mu2,
+        greatest(sqrt(greatest(ss2/n - (s2/n)*(s2/n), 0)), 1e-12) AS sd2,
+        s3/n AS mu3,
+        greatest(sqrt(greatest(ss3/n - (s3/n)*(s3/n), 0)), 1e-12) AS sd3
+      FROM st)""",
+        """zf AS MATERIALIZED (SELECT doc_id, label_pass,
+        CASE WHEN label_pass THEN CAST(1 AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END AS y,
+        (f_len - mu1) / sd1 AS z0,
+        (f_sw  - mu2) / sd2 AS z1,
+        (f_mwl - mu3) / sd3 AS z2
+      FROM feat CROSS JOIN sc)""",
+        """w0 AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS w0,
+        CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+        CAST(0 AS DOUBLE) AS w3)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"w{i - 1}"
+        parts += [
+            f"""g{i} AS MATERIALIZED (
+      SELECT sum(r) AS g0, sum(r*z0) AS g1, sum(r*z2_) AS g2,
+             sum(r*z3_) AS g3
+      FROM (SELECT 1/(1 + exp(-(w.w0 + w.w1*z.z0 + w.w2*z.z1
+                                + w.w3*z.z2))) - z.y AS r,
+                   z.z0 AS z0, z.z1 AS z2_, z.z2 AS z3_
+            FROM zf z CROSS JOIN {p} w))""",
+            f"""w{i} AS MATERIALIZED (
+      SELECT w.w0 - {lr_sql}*g.g0/sc.n AS w0,
+             w.w1 - {lr_sql}*g.g1/sc.n AS w1,
+             w.w2 - {lr_sql}*g.g2/sc.n AS w2,
+             w.w3 - {lr_sql}*g.g3/sc.n AS w3
+      FROM {p} w CROSS JOIN g{i} g CROSS JOIN sc)""",
+        ]
+    parts.append(
+        f"""scored AS MATERIALIZED (
+      SELECT z.label_pass,
+             floor((w.w0 + w.w1*z.z0 + w.w2*z.z1 + w.w3*z.z2)
+                   * 1000000.0 + 0.5) / 1000000.0 >= 0 AS pred_pass,
+             w.w0, w.w1, w.w2, w.w3
+      FROM zf z CROSS JOIN w{iters} w)"""
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT label_pass, pred_pass, count(*) AS n_docs,
+       round(min(w0), 6) AS w0_r, round(min(w1), 6) AS w1_r,
+       round(min(w2), 6) AS w2_r, round(min(w3), 6) AS w3_r
+FROM scored GROUP BY label_pass, pred_pass"""
+    )
+
+
+_LOGREG_FEATURES = ["f_len", "f_sw", "f_mwl"]
+
+
+@query("q193_logreg_quality", _logreg_oracle_sql(iters=8))
+def q193(spark, sf_dir):
+    """Quality-classifier DISTILLATION, trained in-engine
+    (operators/logreg.py): the full Gopher rule cascade (q113) labels
+    the corpus once, then full-batch gradient descent fits a logistic
+    model on three cheap bit-exact features (token count ÷256,
+    Gopher-stopword ratio, mean word length) so the next corpus can be
+    scored by one codegen'd projection — the CCNet/fastText-filter
+    recipe, Spark-native. Training is 1 standardizer aggregate + 8
+    gradient aggregates over a persisted 4-column feature frame;
+    driver state is 4 weights + 6 moments (bounded, the
+    distributed-kmeans contract). Deterministic end to end, so the
+    whole run replays in DuckDB as unrolled CTEs
+    (``_logreg_oracle_sql``) and the confusion matrix AND the trained
+    weights hash-gate exactly; predictions threshold the 6-dp
+    floor-scaled margin (the repo's argmax discipline)."""
+    from gpi_etl_spark.operators import logreg
+
+    docs = t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(docs).select(
+        "doc_id", "pass_gopher"
+    )
+    feats = docs.select(
+        "doc_id", textstats.cheap_quality_features("text").alias("q")
+    ).select("doc_id", "q.*")
+    frame = feats.join(flags, "doc_id").withColumn(
+        "y", F.col("pass_gopher").cast("double")
+    )
+    model = logreg.logreg_train(
+        frame, _LOGREG_FEATURES, "y", iters=8, lr=2.0
+    )
+    scored = logreg.logreg_score(frame, _LOGREG_FEATURES, model)
+    w = model["weights"]
+    return (
+        scored.groupBy(
+            F.col("pass_gopher").alias("label_pass"),
+            F.col("pred").alias("pred_pass"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "label_pass",
+            "pred_pass",
+            "n_docs",
+            F.round(F.lit(w[0]), 6).alias("w0_r"),
+            F.round(F.lit(w[1]), 6).alias("w1_r"),
+            F.round(F.lit(w[2]), 6).alias("w2_r"),
+            F.round(F.lit(w[3]), 6).alias("w3_r"),
+        )
+    )
+
+
 @query("q192_kcore", _kcore_oracle_sql(k=4, rounds=6))
 def q192(spark, sf_dir):
     """4-core extraction (linkgraph.k_core): iteratively peel nodes of
