@@ -92,6 +92,7 @@ HEADLINE = [
     "q191_ann_recall",          # IVF vs brute-force recall@5 (r6 add)
     "q192_kcore",               # iterative k-core peeling (r6 add)
     "q193_logreg_quality",      # in-engine GD classifier training (r6 add)
+    "q194_model_eval",          # exact AUC/confusion eval kit (r6 add)
 ]
 
 

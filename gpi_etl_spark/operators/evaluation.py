@@ -1,0 +1,122 @@
+"""Binary-classifier evaluation as exact integer rank statistics —
+the measurement half of the quality-classifier loop (train with
+``operators/logreg.py``, evaluate here before letting a filter loose
+on the next 100 TB).
+
+Everything reduces to INTEGER arithmetic over 6-dp-quantized score
+bins, so the whole report is bit-exact across engines — no float sum
+ever crosses rows:
+
+* scores are floor-scaled to the 1e-6 grid first (``fs6``), so a
+  [0, 1] classifier score yields AT MOST 1,000,001 distinct bins —
+  the per-bin (positives, negatives) aggregate is one
+  map-side-combinable shuffle whose output is bounded by the GRID,
+  not the corpus;
+* AUC is the Mann-Whitney U statistic on those bins with midrank tie
+  handling, kept in integers via the doubled form
+  ``U2 = Σ_s pos(s)·(2·cum_neg(<s) + neg(s))`` and divided exactly
+  once at the end (``AUC = U2 / (2·P·N)``);
+* the confusion counts at a threshold are conditional integer sums
+  over the same bins; precision/recall/F1/accuracy are single
+  integer-over-integer divisions, floor-scaled.
+
+The one partition-less window (the cumulative negative count) runs
+over the bin frame — bounded by construction at ≤ grid size, the same
+declared-global class as q76's pruned-vocabulary enumeration. U2 is
+accumulated in decimal(38,0) (Spark) / HUGEINT (DuckDB): with P and N
+near 10^9 each, ``2·P·N`` overflows int64, and a silent wrap would be
+an invisible metric corruption at exactly the scale this engine
+targets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.rounding import fs6
+
+
+def score_bins(
+    df: DataFrame, score_col: Column | str, label_col: Column | str
+) -> DataFrame:
+    """Per 6-dp score bin: positive and negative label counts.
+
+    ``score_col`` may be any numeric expression; ``label_col`` must be
+    boolean or 0/1. Output: (s, pos, neg) with s on the 1e-6 grid.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    b = df.select(fs6(s).alias("s"), y.cast("int").alias("y"))
+    return b.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+
+
+def binary_classifier_report(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-row exact evaluation report: n_pos, n_neg, auc, tp/fp/tn/fn
+    at ``threshold``, precision, recall, f1, accuracy.
+
+    All ratios are single integer-over-integer IEEE divisions (then
+    floor-scaled to 6 dp), so two engines computing this report from
+    the same rows agree bit-for-bit; degenerate denominators (no
+    positives, no predicted positives, …) yield NULL rather than a
+    fabricated 0.
+    """
+    bins = score_bins(df, score_col, label_col)
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.withColumn(
+        "cneg", F.coalesce(F.sum("neg").over(w), F.lit(0).cast("long"))
+    )
+    dec = "decimal(19,0)"
+    pred_pos = F.col("s") >= F.lit(threshold)
+    agg = cum.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.sum(
+            F.col("pos").cast(dec)
+            * (F.lit(2) * F.col("cneg") + F.col("neg")).cast(dec)
+        ).alias("u2"),
+        F.sum(F.when(pred_pos, F.col("pos")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(F.when(pred_pos, F.col("neg")).otherwise(F.lit(0))).alias("fp"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, fs6(d(num) / d(den))
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        agg.withColumn("fn", F.col("n_pos") - F.col("tp"))
+        .withColumn("tn", F.col("n_neg") - F.col("fp"))
+        .select(
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                fs6(
+                    d(F.col("u2"))
+                    / (F.lit(2.0) * d(F.col("n_pos")) * d(F.col("n_neg")))
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("auc"),
+            "tp",
+            "fp",
+            "tn",
+            "fn",
+            ratio(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision"),
+            ratio(F.col("tp"), F.col("n_pos")).alias("recall"),
+            ratio(
+                F.lit(2) * F.col("tp"),
+                F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"),
+            ).alias("f1"),
+            ratio(
+                F.col("tp") + F.col("tn"), F.col("n_pos") + F.col("n_neg")
+            ).alias("accuracy"),
+        )
+    )

@@ -9557,6 +9557,127 @@ FROM scored GROUP BY label_pass, pred_pass"""
 _LOGREG_FEATURES = ["f_len", "f_sw", "f_mwl"]
 
 
+def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
+    """Exact-integer replay of ``evaluation.binary_classifier_report``
+    on the (heuristic quality score → Gopher label) task. The score is
+    the q37 composite computed raw (punct term included — the corpus
+    has no punctuation, so both engines evaluate the same constant
+    branch) and floor-scaled to the 1e-6 grid BEFORE binning; from the
+    bins on, every quantity is integer until one final division per
+    metric, so the whole report is bit-exact across engines."""
+    quality_raw = (
+        "CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(100 AS DOUBLE),"
+        " CAST(1 AS DOUBLE))"
+        " + CAST(0.3 AS DOUBLE) * (CAST(1 AS DOUBLE) -"
+        " least(pr * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)))"
+        " + CAST(0.3 AS DOUBLE) * least(sw_ratio * CAST(4 AS DOUBLE),"
+        " CAST(1 AS DOUBLE))"
+    )
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
+    s0 AS MATERIALIZED (SELECT doc_id,
+        cast(len(toks) AS double) AS n_tokens,
+        CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE length(regexp_replace(text,
+                    '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / length(text)
+        END AS pr,
+        CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE len(list_filter(toks, t -> list_contains({_GOPHER_SW_SQL},
+                  t))) / len(toks) END AS g_sw,
+        CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+             ELSE len(list_filter(toks, x -> list_contains({_SW_EN}, x)))
+                  / len(toks) END AS sw_ratio,
+        len(toks) AS n_words,
+        cast(list_sum(list_transform(toks, t -> len(t))) AS bigint) AS nwc,
+        len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+        len(list_filter(toks, t -> list_contains({_GOPHER_SW_SQL}, t)))
+            AS n_sw,
+        len(text) - len(replace(text, '#', '')) AS nh,
+        (len(text) - len(replace(text, '...', ''))) // 3 AS ne,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   x -> trim(x)), x -> len(x) > 0) AS lines
+      FROM tk),
+    l AS MATERIALIZED (SELECT *, len(lines) AS n_lines,
+        len(list_filter(lines, x -> starts_with(x, '- ')
+            OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
+        len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
+      FROM s0),
+    scored AS MATERIALIZED (SELECT
+        {fs6_sql(quality_raw)} AS s,
+        CASE WHEN ((n_words >= 50 AND n_words <= 100000)
+         AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
+         AND ((nh + ne) * 10 <= n_words)
+         AND (n_bullet * 10 <= 9 * n_lines)
+         AND (n_ell_lines * 10 <= 3 * n_lines)
+         AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
+         AND (n_sw >= 2)) THEN 1 ELSE 0 END AS y
+      FROM l),
+    bins AS MATERIALIZED (
+      SELECT s, cast(sum(y) AS bigint) AS pos,
+             cast(count(*) - sum(y) AS bigint) AS neg
+      FROM scored GROUP BY s),
+    cum AS (SELECT s, pos, neg,
+        cast(coalesce(sum(neg) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS bigint) AS cneg
+      FROM bins),
+    agg AS (SELECT
+        cast(sum(pos) AS bigint) AS n_pos,
+        cast(sum(neg) AS bigint) AS n_neg,
+        sum(pos * (2*cneg + neg)) AS u2,
+        cast(sum(CASE WHEN s >= {threshold_sql} THEN pos ELSE 0 END)
+             AS bigint) AS tp,
+        cast(sum(CASE WHEN s >= {threshold_sql} THEN neg ELSE 0 END)
+             AS bigint) AS fp
+      FROM cum),
+    e AS (SELECT *, n_pos - tp AS fn, n_neg - fp AS tn FROM agg)
+    SELECT n_pos, n_neg,
+      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        {fs6_sql('CAST(u2 AS DOUBLE) / (CAST(2 AS DOUBLE)'
+                 ' * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))')}
+      END AS auc,
+      tp, fp, tn, fn,
+      CASE WHEN tp + fp > 0 THEN
+        {fs6_sql('CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)')}
+      END AS precision,
+      CASE WHEN n_pos > 0 THEN
+        {fs6_sql('CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)')}
+      END AS recall,
+      CASE WHEN 2*tp + fp + fn > 0 THEN
+        {fs6_sql('CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE)')}
+      END AS f1,
+      CASE WHEN n_pos + n_neg > 0 THEN
+        {fs6_sql('CAST(tp + tn AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)')}
+      END AS accuracy
+    FROM e
+    """
+
+
+@query("q194_model_eval", _model_eval_oracle_sql())
+def q194(spark, sf_dir):
+    """Exact classifier evaluation (operators/evaluation.py): does the
+    cheap q37 composite quality score predict the full Gopher rule
+    cascade? AUC via the Mann-Whitney doubled-U form over 6-dp score
+    bins plus the thresholded confusion matrix — every metric a single
+    integer division, bit-exact across engines. Scale shape: one
+    bounded groupBy on the 1e-6 score grid (≤ 1,000,001 bins for a
+    [0,1] score), one window over that bounded bin frame, one final
+    one-row aggregate; U2 accumulates in decimal(38,0) because
+    2·P·N overflows int64 near a billion rows per class."""
+    from gpi_etl_spark.operators.evaluation import binary_classifier_report
+
+    docs = t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(docs).select(
+        "doc_id", "pass_gopher"
+    )
+    frame = docs.select(
+        "doc_id", textstats.quality_score("text").alias("q_raw")
+    ).join(flags, "doc_id")
+    return binary_classifier_report(
+        frame, "q_raw", "pass_gopher", threshold=0.5
+    )
+
+
 @query("q193_logreg_quality", _logreg_oracle_sql(iters=8))
 def q193(spark, sf_dir):
     """Quality-classifier DISTILLATION, trained in-engine

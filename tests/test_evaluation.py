@@ -1,0 +1,100 @@
+"""Exact binary-classifier evaluation: AUC against a brute-force
+pair count, metric identities, tie handling, and degenerate inputs."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import pytest
+
+
+def _brute_auc(pairs):
+    """P(score_pos > score_neg) + 0.5·P(equal), exact rationals."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    if not pos or not neg:
+        return None
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return Fraction(2 * wins + ties, 2 * len(pos) * len(neg))
+
+
+def _fs6(x):
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _report(spark, pairs, threshold=0.5):
+    from gpi_etl_spark.operators.evaluation import binary_classifier_report
+
+    df = spark.createDataFrame(pairs, "score double, y int")
+    return binary_classifier_report(
+        df, "score", "y", threshold=threshold
+    ).first()
+
+
+def test_auc_matches_brute_force_with_ties(spark):
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    r = _report(spark, pairs)
+    want = _brute_auc([(_fs6(s), y) for s, y in pairs])
+    assert r.auc == pytest.approx(float(want), abs=5e-7)
+    assert (r.n_pos, r.n_neg) == (5, 5)
+
+
+def test_confusion_and_ratio_identities(spark):
+    pairs = [(i / 20.0, 1 if i >= 8 else 0) for i in range(20)]
+    r = _report(spark, pairs, threshold=0.5)
+    # threshold 0.5 → scores 10/20..19/20 predicted positive
+    assert r.tp == 10 and r.fp == 0 and r.fn == 2 and r.tn == 8
+    assert r.tp + r.fn == r.n_pos and r.fp + r.tn == r.n_neg
+    assert r.precision == 1.0
+    assert r.recall == pytest.approx(_fs6(10 / 12), abs=0)
+    assert r.f1 == pytest.approx(_fs6(20 / 22), abs=0)
+    assert r.accuracy == pytest.approx(_fs6(18 / 20), abs=0)
+
+
+def test_perfect_and_inverted_rankers(spark):
+    good = [(0.9, 1)] * 3 + [(0.1, 0)] * 4
+    bad = [(0.1, 1)] * 3 + [(0.9, 0)] * 4
+    assert _report(spark, good).auc == 1.0
+    assert _report(spark, bad).auc == 0.0
+
+
+def test_single_class_degenerates_to_null(spark):
+    r = _report(spark, [(0.4, 1), (0.9, 1)])
+    assert r.auc is None
+    assert r.n_neg == 0 and r.precision is not None  # tp+fp=2 > 0
+    r2 = _report(spark, [(0.4, 0), (0.2, 0)], threshold=0.9)
+    assert r2.auc is None and r2.precision is None  # no predicted pos
+
+
+def test_quantization_defines_ties(spark):
+    """Scores closer than 1e-6 land in one bin and count as ties —
+    the documented grid semantics, invariant to partitioning."""
+    pairs = [(0.5000001, 1), (0.5000004, 0), (0.9, 1), (0.1, 0)]
+    df_pairs = [(s, y) for s, y in pairs]
+    r = _report(spark, df_pairs)
+    # fs6 maps 0.5000001→0.5 and 0.5000004→0.5: one tied pair.
+    want = _brute_auc([(_fs6(s), y) for s, y in pairs])
+    assert r.auc == pytest.approx(float(want), abs=5e-7)
+
+
+def test_partitioning_invariance(spark):
+    from gpi_etl_spark.operators.evaluation import binary_classifier_report
+
+    pairs = [((i * 37 % 101) / 101.0, 1 if i % 3 == 0 else 0)
+             for i in range(300)]
+    base = None
+    for parts in (1, 13):
+        df = spark.createDataFrame(
+            pairs, "score double, y int"
+        ).repartition(parts)
+        row = binary_classifier_report(df, "score", "y").first()
+        if base is None:
+            base = row
+        else:
+            assert row == base

@@ -58,7 +58,15 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
 #       fused sort over a <= 40-row frame — bounded by construction
 #       (the corpus-scale work is the upstream BM25/cosine scoring,
 #       which uses no global window).
-EXPECTED_GLOBAL_WIN: set[str] = {"q76_vocabulary", "q187_hybrid_rrf"}
+# q194: cumulative-negatives window over the 6-dp score-bin frame —
+#       bounded by the 1e-6 GRID (≤ 1,000,001 rows for a [0,1] score),
+#       not the corpus; the corpus-scale work is the upstream bin
+#       aggregation, which shuffles on the bin key.
+EXPECTED_GLOBAL_WIN: set[str] = {
+    "q76_vocabulary",
+    "q187_hybrid_rrf",
+    "q194_model_eval",
+}
 
 
 def global_windows(plan: str) -> int:
