@@ -93,6 +93,7 @@ HEADLINE = [
     "q192_kcore",               # iterative k-core peeling (r6 add)
     "q193_logreg_quality",      # in-engine GD classifier training (r6 add)
     "q194_model_eval",          # exact AUC/confusion eval kit (r6 add)
+    "q195_srp_hamming",         # 512x SRP code compression + popcount rank (r6 add)
 ]
 
 

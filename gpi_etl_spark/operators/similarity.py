@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gpi_etl_spark.functions.rounding import fs6
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ as a native fold (no UDF)."""
@@ -237,6 +239,27 @@ def ivf_topk(
     )
 
 
+def srp_sign_matrix(
+    n_planes: int, dim: int, seed: int = 20260814
+) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection,
+    from a seeded Mersenne twister (CPython guarantees ``Random(seed)``
+    sequences are stable across versions). The matrix is config data:
+    it inlines as literal arrays in BOTH engines' plans, which makes
+    SRP codes oracle-replayable — the audit-path alternative to the
+    in-expression ``xxhash64`` planes (same trade-off contract as
+    ``functions/xhash.py``; a weak closed-form bit source is NOT
+    usable here — correlated hyperplanes collapse the code space, a
+    failure mode measured before this matrix was chosen)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
 def random_hyperplane_lsh(
     vectors: DataFrame,
     n_planes: int = 16,
@@ -244,37 +267,58 @@ def random_hyperplane_lsh(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    signs: list[list[float]] | None = None,
 ) -> DataFrame:
     """Sign-of-projection LSH bucket id per vector (cosine-preserving).
 
-    Hyperplanes are deterministic pseudo-random unit-free vectors
-    derived from ``xxhash64(seed, plane, coord)`` — generated inside
-    the expression, so executors need no broadcast side data. Bucket =
-    n_planes sign bits packed into a long; vectors in the same bucket
-    are cosine-near with the usual SRP-LSH probability, and candidate
-    pairs come from an equi-join on (bucket) instead of a cross join.
+    Default mode: hyperplanes are deterministic pseudo-random unit-free
+    vectors derived from ``xxhash64(seed, plane, coord)`` — generated
+    inside the expression, so executors need no broadcast side data.
+    With ``signs`` (a ±1 matrix from :func:`srp_sign_matrix`), the
+    planes are literal arrays instead and the sign threshold moves to
+    the 6-dp floor-scaled grid, so the codes replay bit-exactly in the
+    DuckDB oracle (projections are in-order array folds — no
+    cross-row float sum anywhere). Bucket = n_planes sign bits packed
+    into a long; vectors in the same bucket are cosine-near with the
+    usual SRP-LSH probability, and candidate pairs come from an
+    equi-join on (bucket) instead of a cross join.
     """
     if dim is None:
         raise ValueError("dim (embedding dimensionality) is required")
-    # plane p, coordinate c → pseudo-random ±1 weight
     bits = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda v, c: v
-                * F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), c).bitwiseAND(1) == 1, 1.0
-                ).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-                F.lit(0).cast("long")
+        if signs is not None:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda v, s: v * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
+            bit_on = fs6(proj) >= 0
+        else:
+            # plane p, coordinate c → pseudo-random ±1 weight
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda v, c: v
+                    * F.when(
+                        F.xxhash64(F.lit(seed), F.lit(p), c).bitwiseAND(1)
+                        == 1,
+                        1.0,
+                    ).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit_on = proj > 0
+        bits.append(
+            F.when(
+                bit_on, F.shiftleft(F.lit(1).cast("long"), p)
+            ).otherwise(F.lit(0).cast("long"))
         )
     bucket = bits[0]
     for b in bits[1:]:

@@ -9557,6 +9557,88 @@ FROM scored GROUP BY label_pass, pred_pass"""
 _LOGREG_FEATURES = ["f_len", "f_sw", "f_mwl"]
 
 
+def _srp_oracle_sql(n_planes: int, dim: int, k: int, stride: int) -> str:
+    """Replay of sign-random-projection codes + brute Hamming top-k:
+    the ±1 hyperplane matrix (similarity.srp_sign_matrix) inlines as
+    literal lists, each projection is an in-order array fold
+    (list_dot_product ≡ Spark's zip_with/aggregate fold — both
+    left-associated from 0.0, no cross-row float sum anywhere), the
+    sign threshold sits on the 6-dp grid, and everything after the
+    codes is pure integer arithmetic (xor + bit_count + rank)."""
+    from gpi_etl_spark.operators.similarity import srp_sign_matrix
+
+    signs = srp_sign_matrix(n_planes, dim)
+    terms = " + ".join(
+        f"CASE WHEN {fs6_sql(f'list_dot_product(v, {signs[p]!r})')} >= 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS MATERIALIZED (SELECT vec_id, {terms} AS code FROM e),
+    q AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+          WHERE vec_id % {stride} = 0),
+    pairs AS (SELECT q.query_id, c.vec_id,
+                     bit_count(xor(q.qcode, c.code)) AS hamming
+              FROM q CROSS JOIN codes c WHERE c.vec_id <> q.query_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY hamming, vec_id) AS rank
+          FROM pairs)
+    SELECT query_id, cast(rank AS int) AS rank, vec_id,
+           cast(hamming AS int) AS hamming
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("q195_srp_hamming", _srp_oracle_sql(n_planes=32, dim=64, k=5, stride=100))
+def q195(spark, sf_dir):
+    """Embedding compression by sign-random-projection
+    (similarity.random_hyperplane_lsh in literal-matrix mode): 64
+    float32 dims → one 32-bit code (512× smaller), then top-5
+    retrieval per sampled query by Hamming distance — a single xor +
+    popcount per candidate, the memory-bandwidth-optimal rescoring
+    path next to q179's int8 lane. The ±1 matrix is seeded-PRNG
+    config data inlined in both plans, so the codes (and therefore the
+    exact integer ranking) hash-gate bit-for-bit. The cross join
+    against the 1%-sampled query side is the declared exact baseline
+    within code space (q35/q191's class); the production candidate
+    generator is the banded bucket equi-join of lsh_topk/q34. At
+    100 TB: codes shrink the scan 512×, the rank shuffles only
+    (query, candidate, int) triples."""
+    from gpi_etl_spark.operators.similarity import (
+        random_hyperplane_lsh,
+        srp_sign_matrix,
+    )
+
+    vecs = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    signs = srp_sign_matrix(32, 64)
+    codes = random_hyperplane_lsh(
+        vecs, n_planes=32, dim=64, signs=signs
+    ).select("vec_id", "bucket")
+    q = codes.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("qcode")
+    )
+    pairs = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.bit_count(
+                F.col("qcode").bitwiseXOR(F.col("bucket"))
+            ).cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "hamming")
+    )
+
+
 def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
     """Exact-integer replay of ``evaluation.binary_classifier_report``
     on the (heuristic quality score → Gopher label) task. The score is

@@ -47,7 +47,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # pair is the definition of ground truth the IVF path is
                 # measured against (same class as q35/q48's exact-topk
                 # baselines).
-                "q191_ann_recall"}
+                "q191_ann_recall",
+                # q195: brute Hamming over 32-bit codes against the
+                # broadcast 1%-sampled query side — the declared exact
+                # baseline within SRP code space (q35/q191's class);
+                # the production candidate generator is the banded
+                # bucket equi-join (lsh_topk).
+                "q195_srp_hamming"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
