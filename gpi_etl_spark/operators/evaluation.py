@@ -54,6 +54,59 @@ def score_bins(
     )
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: Column | str,
+    label_col: Column | str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins, integer-exact: per score decile (on
+    the 6-dp grid), document count, positive count, observed positive
+    fraction, mean predicted score, and the calibration gap
+    (mean_score − frac_pos).
+
+    Scores are first floor-scaled to integer micro-units
+    ``k = floor(s·1e6 + 0.5)``, so the bin id is an INTEGER division
+    (no float boundary can disagree between engines) and the mean
+    score is an integer sum divided once at the end — like the AUC
+    path, nothing float ever crosses rows. The gap is computed as one
+    exact rational ``(Σk − 1e6·pos) / (1e6·n)`` rather than a
+    difference of two rounded values, so it is bit-exact too.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    k = F.floor(s * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    b = df.select(k.alias("k"), y.cast("int").alias("y"))
+    bin_id = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(
+                (F.col("k") * F.lit(n_bins)) / F.lit(1000000.0)
+            ).cast("int"),
+            F.lit(n_bins - 1),
+        ),
+    )
+    agg = b.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("k").alias("sum_k"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "bin",
+        "n_docs",
+        "n_pos",
+        fs6(d(F.col("n_pos")) / d(F.col("n_docs"))).alias("frac_pos"),
+        fs6(
+            d(F.col("sum_k")) / d(F.lit(1000000) * F.col("n_docs"))
+        ).alias("mean_score"),
+        fs6(
+            d(F.col("sum_k") - F.lit(1000000) * F.col("n_pos"))
+            / d(F.lit(1000000) * F.col("n_docs"))
+        ).alias("gap"),
+    )
+
+
 def binary_classifier_report(
     df: DataFrame,
     score_col: Column | str,

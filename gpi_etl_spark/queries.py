@@ -9639,14 +9639,12 @@ def q195(spark, sf_dir):
     )
 
 
-def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
-    """Exact-integer replay of ``evaluation.binary_classifier_report``
-    on the (heuristic quality score → Gopher label) task. The score is
-    the q37 composite computed raw (punct term included — the corpus
-    has no punctuation, so both engines evaluate the same constant
-    branch) and floor-scaled to the 1e-6 grid BEFORE binning; from the
-    bins on, every quantity is integer until one final division per
-    metric, so the whole report is bit-exact across engines."""
+def _quality_label_ctes() -> str:
+    """Shared oracle prefix for the evaluation family (q194/q196): the
+    q37 composite quality score (punct term included — the corpus has
+    no punctuation, so both engines evaluate the same constant branch)
+    floor-scaled to the 1e-6 grid as ``s``, plus the Gopher-pass label
+    as ``y`` — one row per document in CTE ``scored``."""
     quality_raw = (
         "CAST(0.4 AS DOUBLE) * least(n_tokens / CAST(100 AS DOUBLE),"
         " CAST(1 AS DOUBLE))"
@@ -9655,17 +9653,13 @@ def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
         " + CAST(0.3 AS DOUBLE) * least(sw_ratio * CAST(4 AS DOUBLE),"
         " CAST(1 AS DOUBLE))"
     )
-    return f"""
-    WITH tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
+    return f"""tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents),
     s0 AS MATERIALIZED (SELECT doc_id,
         cast(len(toks) AS double) AS n_tokens,
         CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE)
              ELSE length(regexp_replace(text,
                     '[^.,;:!?''"()\\[\\]{{}}-]', '', 'g')) / length(text)
         END AS pr,
-        CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
-             ELSE len(list_filter(toks, t -> list_contains({_GOPHER_SW_SQL},
-                  t))) / len(toks) END AS g_sw,
         CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
              ELSE len(list_filter(toks, x -> list_contains({_SW_EN}, x)))
                   / len(toks) END AS sw_ratio,
@@ -9693,7 +9687,17 @@ def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
          AND (n_ell_lines * 10 <= 3 * n_lines)
          AND (n_words > 0 AND n_alpha * 5 >= 4 * n_words)
          AND (n_sw >= 2)) THEN 1 ELSE 0 END AS y
-      FROM l),
+      FROM l)"""
+
+
+def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
+    """Exact-integer replay of ``evaluation.binary_classifier_report``
+    on the (heuristic quality score → Gopher label) task
+    (``_quality_label_ctes``); from the bins on, every quantity is
+    integer until one final division per metric, so the whole report
+    is bit-exact across engines."""
+    return f"""
+    WITH {_quality_label_ctes()},
     bins AS MATERIALIZED (
       SELECT s, cast(sum(y) AS bigint) AS pos,
              cast(count(*) - sum(y) AS bigint) AS neg
@@ -9733,6 +9737,55 @@ def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
       END AS accuracy
     FROM e
     """
+
+
+def _calibration_oracle_sql(n_bins: int = 10) -> str:
+    """Replay of ``evaluation.calibration_bins`` on the same
+    score/label frame as q194: scores collapse to integer micro-units,
+    the bin id is an integer division, and every per-bin metric is one
+    exact-rational division — bit-exact across engines."""
+    return f"""
+    WITH {_quality_label_ctes()},
+    k AS (SELECT cast(floor(s * 1000000.0 + 0.5) AS bigint) AS k, y
+          FROM scored),
+    b AS MATERIALIZED (
+      SELECT greatest(0, least(cast(floor((k * {n_bins}) / 1000000.0)
+                 AS int), {n_bins - 1})) AS bin,
+             count(*) AS n_docs,
+             cast(sum(y) AS bigint) AS n_pos,
+             cast(sum(k) AS bigint) AS sum_k
+      FROM k GROUP BY 1)
+    SELECT bin, n_docs, n_pos,
+      {fs6_sql('CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)')}
+          AS frac_pos,
+      {fs6_sql('CAST(sum_k AS DOUBLE) / CAST(1000000 * n_docs AS DOUBLE)')}
+          AS mean_score,
+      {fs6_sql('CAST(sum_k - 1000000 * n_pos AS DOUBLE)'
+               ' / CAST(1000000 * n_docs AS DOUBLE)')} AS gap
+    FROM b
+    """
+
+
+@query("q196_calibration", _calibration_oracle_sql())
+def q196(spark, sf_dir):
+    """Reliability diagram (evaluation.calibration_bins): is the cheap
+    quality score CALIBRATED as a Gopher-pass probability, or merely
+    well-ranked (q194 says AUC 0.93)? Per score decile: observed
+    positive fraction vs mean predicted score and their gap — the
+    standard post-training check before a score is used as a sampling
+    weight rather than a threshold. Integer-exact end to end: micro-
+    unit scores, integer-division bin ids, one rational division per
+    metric. One bounded groupBy (≤ n_bins rows out), nothing else."""
+    from gpi_etl_spark.operators.evaluation import calibration_bins
+
+    docs = t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(docs).select(
+        "doc_id", "pass_gopher"
+    )
+    frame = docs.select(
+        "doc_id", textstats.quality_score("text").alias("q_raw")
+    ).join(flags, "doc_id")
+    return calibration_bins(frame, "q_raw", "pass_gopher", n_bins=10)
 
 
 @query("q194_model_eval", _model_eval_oracle_sql())

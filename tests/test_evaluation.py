@@ -83,6 +83,46 @@ def test_quantization_defines_ties(spark):
     assert r.auc == pytest.approx(float(want), abs=5e-7)
 
 
+def test_calibration_bins_exact(spark):
+    from gpi_etl_spark.operators.evaluation import calibration_bins
+
+    pairs = [
+        (0.05, 0), (0.05, 0), (0.05, 1),          # bin 0: 1/3 pos
+        (0.95, 1), (0.95, 1), (0.85, 0),          # bins 9 and 8
+        (1.0, 1),                                  # clamps into bin 9
+        (0.35, 0),                                 # bin 3
+    ]
+    df = spark.createDataFrame(pairs, "score double, y int")
+    rows = {
+        r.bin: r for r in calibration_bins(df, "score", "y").collect()
+    }
+    assert set(rows) == {0, 3, 8, 9}
+    assert rows[0].n_docs == 3 and rows[0].n_pos == 1
+    assert rows[0].frac_pos == _fs6(1 / 3)
+    assert rows[0].mean_score == _fs6(0.05)
+    # gap computed as one rational: (sum_k - 1e6*pos)/(1e6*n)
+    assert rows[0].gap == _fs6((150000 - 1000000) / 3000000.0)
+    assert rows[9].n_docs == 3 and rows[9].n_pos == 3
+    assert rows[9].frac_pos == 1.0
+    assert rows[8].n_pos == 0 and rows[8].mean_score == _fs6(0.85)
+
+
+def test_calibrated_score_has_small_gap(spark):
+    """Labels drawn deterministically at rate ≈ score → per-bin gap
+    must be small; a miscalibrated constant score must show the full
+    gap. Sanity for the metric's sign and magnitude."""
+    from gpi_etl_spark.operators.evaluation import calibration_bins
+
+    pairs = [
+        (b / 10.0 + 0.05, 1 if (i * 997 % 100) < (b * 10 + 5) else 0)
+        for b in range(10)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pairs, "score double, y int")
+    for r in calibration_bins(df, "score", "y").collect():
+        assert abs(r.gap) < 0.06, (r.bin, r.gap)
+
+
 def test_partitioning_invariance(spark):
     from gpi_etl_spark.operators.evaluation import binary_classifier_report
 
