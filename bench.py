@@ -94,6 +94,7 @@ HEADLINE = [
     "q193_logreg_quality",      # in-engine GD classifier training (r6 add)
     "q194_model_eval",          # exact AUC/confusion eval kit (r6 add)
     "q195_srp_hamming",         # 512x SRP code compression + popcount rank (r6 add)
+    "q197_pareto_frontier",     # distributed skyline via prefix-max (r6 add)
 ]
 
 

@@ -9678,7 +9678,7 @@ def _quality_label_ctes() -> str:
             OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
         len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
       FROM s0),
-    scored AS MATERIALIZED (SELECT
+    scored AS MATERIALIZED (SELECT doc_id, n_words,
         {fs6_sql(quality_raw)} AS s,
         CASE WHEN ((n_words >= 50 AND n_words <= 100000)
          AND (n_words > 0 AND 3*n_words <= nwc AND nwc <= 10*n_words)
@@ -9737,6 +9737,62 @@ def _model_eval_oracle_sql(threshold_sql: str = "CAST(0.5 AS DOUBLE)") -> str:
       END AS accuracy
     FROM e
     """
+
+
+def _skyline_oracle_sql() -> str:
+    """Quadratic NOT EXISTS dominance check over the (token cost,
+    micro-unit quality) points — the textbook skyline definition. The
+    frontier is unique (elimination order never matters), so the
+    distributed prefix-max algorithm and this brute-force definition
+    must agree row-for-row. All-integer comparisons; quality reported
+    back on the 6-dp grid via exact division."""
+    return f"""
+    WITH {_quality_label_ctes()},
+    pts AS MATERIALIZED (
+      SELECT doc_id, cast(n_words AS bigint) AS n_tokens,
+             cast(floor(s * 1000000.0 + 0.5) AS bigint) AS qk
+      FROM scored)
+    SELECT a.doc_id, a.n_tokens,
+           CAST(a.qk AS DOUBLE) / 1000000.0 AS quality
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.n_tokens <= a.n_tokens AND b.qk >= a.qk
+        AND (b.n_tokens < a.n_tokens OR b.qk > a.qk))
+    """
+
+
+@query("q197_pareto_frontier", _skyline_oracle_sql())
+def q197(spark, sf_dir):
+    """Token-budget Pareto frontier (operators/skyline.py): the
+    documents no other document beats on BOTH token cost and quality
+    — the efficient set a budgeted curation run selects from, as a
+    distributed skyline: range-partition on cost, one local
+    range-frame window, per-partition maxima (bounded driver state)
+    broadcast back as prefix maxima. No partition-less window, no
+    quadratic pass; the oracle replays the frontier by the quadratic
+    NOT EXISTS dominance definition — a genuinely different algorithm
+    agreeing on the unique frontier. Integer-exact: cost = token
+    count, quality in micro-units."""
+    from gpi_etl_spark.operators.skyline import pareto_frontier_2d
+
+    docs = t(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        textstats.token_count("text").cast("bigint").alias("n_tokens"),
+        F.floor(
+            fs6(textstats.quality_score("text")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qk"),
+    )
+    front = pareto_frontier_2d(pts, "n_tokens", "qk")
+    return front.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("qk").cast("double") / F.lit(1000000.0)).alias("quality"),
+    )
 
 
 def _calibration_oracle_sql(n_bins: int = 10) -> str:
