@@ -9844,6 +9844,71 @@ def q196(spark, sf_dir):
     return calibration_bins(frame, "q_raw", "pass_gopher", n_bins=10)
 
 
+def _isotonic_oracle_sql(n_bins: int = 10) -> str:
+    """Replay of ``evaluation.isotonic_calibration`` via the same
+    minimax closed form: fitted(b) = max_{j≤b} min_{k≥b} of the pooled
+    positive fraction over bins j..k. Each pooled average is one
+    integer division, so the min/max lattice resolves identically in
+    both engines; the O(B³) triple is over the ≤ n_bins bin frame."""
+    return f"""
+    WITH {_quality_label_ctes()},
+    kq AS (SELECT cast(floor(s * 1000000.0 + 0.5) AS bigint) AS k, y
+           FROM scored),
+    bins AS MATERIALIZED (
+      SELECT greatest(0, least(cast(floor((k * {n_bins}) / 1000000.0)
+                 AS int), {n_bins - 1})) AS bin,
+             count(*) AS n_docs,
+             cast(sum(y) AS bigint) AS n_pos
+      FROM kq GROUP BY 1),
+    cum AS MATERIALIZED (
+      SELECT bin, n_docs, n_pos,
+             sum(n_docs) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM bins),
+    trip AS (
+      SELECT b.bin AS b, j.bin AS j,
+             CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+             / CAST(k.cn - (j.cn - j.n_docs) AS DOUBLE) AS pooled
+      FROM cum b JOIN cum j ON j.bin <= b.bin
+                 JOIN cum k ON k.bin >= b.bin),
+    mins AS (SELECT b, j, min(pooled) AS mn FROM trip GROUP BY b, j),
+    fit AS (SELECT b, max(mn) AS fitted_raw FROM mins GROUP BY b)
+    SELECT c.bin, c.n_docs, c.n_pos,
+      {fs6_sql('CAST(c.n_pos AS DOUBLE) / CAST(c.n_docs AS DOUBLE)')}
+          AS frac_pos,
+      {fs6_sql('f.fitted_raw')} AS fitted
+    FROM cum c JOIN fit f ON f.b = c.bin
+    """
+
+
+@query("q198_isotonic_calibration", _isotonic_oracle_sql())
+def q198(spark, sf_dir):
+    """Monotone score calibration (evaluation.isotonic_calibration):
+    the FIX for the miscalibration q196 diagnoses — isotonic
+    regression of the Gopher-pass rate on the quality-score deciles,
+    via the order-free minimax closed form (Robertson et al.) instead
+    of a sequential PAV pass: three self-joins over the ≤ 10-row bin
+    frame, fully declarative, no driver collect, no loop. Every
+    pooled average is one integer division, so the whole fitted curve
+    is bit-exact across engines. The corpus-scale work remains the
+    single bounded bin aggregate; the O(B³) lattice is over a config
+    constant. On THIS corpus the observed decile rates are already
+    isotone (fitted == raw — consistent with q194's AUC 0.93; checked
+    at 20 bins too), so the pooling path is exercised by the
+    adversarial tests against a sequential-PAV reference, not by the
+    registry data."""
+    from gpi_etl_spark.operators.evaluation import isotonic_calibration
+
+    docs = t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(docs).select(
+        "doc_id", "pass_gopher"
+    )
+    frame = docs.select(
+        "doc_id", textstats.quality_score("text").alias("q_raw")
+    ).join(flags, "doc_id")
+    return isotonic_calibration(frame, "q_raw", "pass_gopher", n_bins=10)
+
+
 @query("q194_model_eval", _model_eval_oracle_sql())
 def q194(spark, sf_dir):
     """Exact classifier evaluation (operators/evaluation.py): does the

@@ -123,6 +123,81 @@ def test_calibrated_score_has_small_gap(spark):
         assert abs(r.gap) < 0.06, (r.bin, r.gap)
 
 
+def _pav_reference(bins):
+    """Sequential pool-adjacent-violators over (n, pos) bins — the
+    textbook algorithm the minimax closed form must reproduce."""
+    blocks = [[n, p] for n, p in bins]  # [count, positives]
+    i = 0
+    while i < len(blocks) - 1:
+        a, b = blocks[i], blocks[i + 1]
+        if a[1] * b[0] > b[1] * a[0]:  # a.rate > b.rate → pool
+            blocks[i] = [a[0] + b[0], a[1] + b[1]]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    # expand back to per-input-bin fitted values
+    fitted, bi = [], 0
+    for n, p in blocks:
+        covered = 0
+        while covered < n:
+            fitted.append(p / n)
+            covered += bins[bi][0]
+            bi += 1
+    return fitted
+
+
+def _iso_run(spark, bin_labels):
+    """bin_labels: list of (bin_index, [labels...]) → frame with
+    scores centered in each decile."""
+    from gpi_etl_spark.operators.evaluation import isotonic_calibration
+
+    rows = []
+    for b, labels in bin_labels:
+        for y in labels:
+            rows.append((b / 10.0 + 0.05, y))
+    df = spark.createDataFrame(rows, "score double, y int")
+    got = isotonic_calibration(df, "score", "y")
+    return [r.fitted for r in sorted(got.collect(), key=lambda r: r.bin)]
+
+
+def test_isotonic_pools_violations_like_pav(spark):
+    # rates by bin: 0.8, 0.2, 0.5 → PAV pools the first two (0.5),
+    # then all three tie at 0.5
+    bin_labels = [
+        (0, [1, 1, 1, 1, 0]),   # 0.8
+        (1, [1, 0, 0, 0, 0]),   # 0.2
+        (2, [1, 1, 0, 0]),      # 0.5
+    ]
+    got = _iso_run(spark, bin_labels)
+    want = _pav_reference([(len(ls), sum(ls)) for _, ls in bin_labels])
+    assert got == [
+        _fs6(v) for v in want
+    ], (got, want)
+    # pooled result must be monotone
+    assert got == sorted(got)
+
+
+def test_isotonic_fully_inverted_pools_to_global_mean(spark):
+    bin_labels = [
+        (0, [1, 1, 1]),  # 1.0
+        (1, [1, 0, 0]),  # 1/3
+        (2, [0, 0, 0]),  # 0.0
+    ]
+    got = _iso_run(spark, bin_labels)
+    assert got == [_fs6(4 / 9)] * 3
+
+
+def test_isotonic_identity_on_monotone_input(spark):
+    bin_labels = [
+        (0, [0, 0, 0, 1]),
+        (4, [0, 1, 1, 1]),
+        (9, [1, 1, 1, 1]),
+    ]
+    got = _iso_run(spark, bin_labels)
+    assert got == [_fs6(1 / 4), _fs6(3 / 4), 1.0]
+
+
 def test_partitioning_invariance(spark):
     from gpi_etl_spark.operators.evaluation import binary_classifier_report
 

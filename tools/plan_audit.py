@@ -53,7 +53,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # baseline within SRP code space (q35/q191's class);
                 # the production candidate generator is the banded
                 # bucket equi-join (lsh_topk).
-                "q195_srp_hamming"}
+                "q195_srp_hamming",
+                # q198: the isotonic minimax lattice's range self-joins
+                # (j ≤ b, k ≥ b) run over the ≤ n_bins=10-row bin
+                # frame — a config-constant-bounded triple, not a
+                # corpus-scale cross join (the corpus-scale work is
+                # the single bounded bin aggregate upstream).
+                "q198_isotonic_calibration"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
@@ -68,10 +74,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
 #       bounded by the 1e-6 GRID (≤ 1,000,001 rows for a [0,1] score),
 #       not the corpus; the corpus-scale work is the upstream bin
 #       aggregation, which shuffles on the bin key.
+# q198: cumulative counts over the same ≤ n_bins bin frame as q194's
+#       whitelisted window (grid-bounded, not corpus-bounded).
 EXPECTED_GLOBAL_WIN: set[str] = {
     "q76_vocabulary",
     "q187_hybrid_rrf",
     "q194_model_eval",
+    "q198_isotonic_calibration",
 }
 
 
