@@ -296,6 +296,47 @@ def bigram_interpolated_logprob(
     )
 
 
+def hashed_token_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009): tokens map
+    to a FIXED number of buckets via the cross-engine poly hash, with
+    a second hash bit supplying a ±1 sign that unbiases collisions in
+    expectation — the featurizer that needs NO vocabulary pass, no
+    broadcast dictionary, and constant memory however large the token
+    space grows (the production alternative to q76's explicit
+    vocabulary when 100 TB of text won't fit an id map).
+
+    Output is sparse triples ``(id, bucket, val, n_terms)`` — signed
+    collision-summed counts; shuffle cost ∝ nonzeros, never ∝ dim.
+    All-integer arithmetic on the replayable hash, so the features
+    hash-gate bit-exactly (`functions/xhash.py` contract; use a
+    64-bit hash in a production fork for lower collision mass —
+    same trade-off note as MinHash's poly mode).
+    """
+    from gpi_etl_spark.functions import xhash
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    h = xhash.poly_hash(F.col("term"))
+    bucket = (h % F.lit(dim)).cast("int")
+    sgn = F.when((h % F.lit(2 * dim)) >= F.lit(dim), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sgn.alias("sgn"))
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("val"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
 def html_to_text(col: Column | str) -> Column:
     """Boilerplate-strip an HTML payload to visible text — the first
     stage of a web-crawl → training-corpus pipeline, as a pure regexp

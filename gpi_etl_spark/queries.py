@@ -9844,6 +9844,35 @@ def q196(spark, sf_dir):
     return calibration_bins(frame, "q_raw", "pass_gopher", n_bins=10)
 
 
+def _feature_hashing_oracle_sql(dim: int = 64, stride: int = 20) -> str:
+    from gpi_etl_spark.functions.xhash import poly_hash_sql
+
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+               WHERE doc_id % {stride} = 0),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    h AS (SELECT doc_id, {poly_hash_sql('term')} AS hv FROM tok)
+    SELECT doc_id, cast(hv % {dim} AS int) AS bucket,
+           cast(sum(CASE WHEN (hv % {2 * dim}) >= {dim}
+                         THEN 1 ELSE -1 END) AS bigint) AS val,
+           count(*) AS n_terms
+    FROM h GROUP BY doc_id, bucket
+    """
+
+
+@query("q199_feature_hashing", _feature_hashing_oracle_sql())
+def q199(spark, sf_dir):
+    """Hashing-trick featurization (textstats.hashed_token_features):
+    tokens → 64 fixed buckets via the replayable poly hash with a
+    ±1 second-bit sign (Weinberger et al. 2009) — the constant-memory
+    featurizer a 100 TB corpus needs when an explicit vocabulary id
+    map (q76) stops fitting anywhere: no vocabulary pass, no
+    broadcast dictionary, shuffle ∝ nonzeros. Sparse signed counts
+    over a 5% document sample, all-integer, hash-gated bit-exactly."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return textstats.hashed_token_features(docs, dim=64)
+
+
 def _isotonic_oracle_sql(n_bins: int = 10) -> str:
     """Replay of ``evaluation.isotonic_calibration`` via the same
     minimax closed form: fitted(b) = max_{j≤b} min_{k≥b} of the pooled
