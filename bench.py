@@ -95,6 +95,7 @@ HEADLINE = [
     "q194_model_eval",          # exact AUC/confusion eval kit (r6 add)
     "q195_srp_hamming",         # 512x SRP code compression + popcount rank (r6 add)
     "q197_pareto_frontier",     # distributed skyline via prefix-max (r6 add)
+    "q200_ml_curation_capstone",  # train->calibrate->select pipeline (r6 add)
 ]
 
 

@@ -9453,7 +9453,7 @@ FROM e{rounds} GROUP BY src"""
     )
 
 
-def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
+def _logreg_ctes(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> list[str]:
     """Unrolled replay of ``logreg.logreg_train`` + ``logreg_score`` on
     the Gopher-label distillation task: the feature/label CTEs mirror
     q113's rule stats, the standardizer uses the exact-sum moment
@@ -9462,10 +9462,14 @@ def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
     CTE — the ``_kmeans_ctes`` pattern for a driver-orchestrated loop.
     Every multiply-referenced CTE is MATERIALIZED (the q115 lesson:
     DuckDB inlines CTE references, and the w-pyramid goes exponential
-    without it)."""
+    without it). The final ``scored`` CTE carries per-doc id, lang,
+    token count, label, margin ``m`` and the grid-thresholded
+    ``pred_pass`` plus the trained weights — enough for both q193's
+    confusion report and q200's capstone selection."""
     parts = [
-        f"tk AS (SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents)",
-        f"""s AS MATERIALIZED (SELECT doc_id,
+        f"tk AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks, text"
+        " FROM documents)",
+        f"""s AS MATERIALIZED (SELECT doc_id, lang,
         len(toks) AS n_words,
         cast(list_sum(list_transform(toks, t -> len(t))) AS bigint) AS nwc,
         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
@@ -9481,7 +9485,7 @@ def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
             OR starts_with(x, '* ') OR starts_with(x, '•'))) AS n_bullet,
         len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ell_lines
       FROM s)""",
-        """feat AS MATERIALIZED (SELECT doc_id,
+        """feat AS MATERIALIZED (SELECT doc_id, lang, n_words,
         n_words / CAST(256 AS DOUBLE) AS f_len,
         CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
              ELSE n_sw / CAST(n_words AS DOUBLE) END AS f_sw,
@@ -9508,7 +9512,7 @@ def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
         s3/n AS mu3,
         greatest(sqrt(greatest(ss3/n - (s3/n)*(s3/n), 0)), 1e-12) AS sd3
       FROM st)""",
-        """zf AS MATERIALIZED (SELECT doc_id, label_pass,
+        """zf AS MATERIALIZED (SELECT doc_id, lang, n_words, label_pass,
         CASE WHEN label_pass THEN CAST(1 AS DOUBLE)
              ELSE CAST(0 AS DOUBLE) END AS y,
         (f_len - mu1) / sd1 AS z0,
@@ -9538,14 +9542,19 @@ def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
         ]
     parts.append(
         f"""scored AS MATERIALIZED (
-      SELECT z.label_pass,
+      SELECT z.doc_id, z.lang, z.n_words, z.label_pass, z.y,
+             w.w0 + w.w1*z.z0 + w.w2*z.z1 + w.w3*z.z2 AS m,
              floor((w.w0 + w.w1*z.z0 + w.w2*z.z1 + w.w3*z.z2)
                    * 1000000.0 + 0.5) / 1000000.0 >= 0 AS pred_pass,
              w.w0, w.w1, w.w2, w.w3
       FROM zf z CROSS JOIN w{iters} w)"""
     )
+    return parts
+
+
+def _logreg_oracle_sql(iters: int, lr_sql: str = "CAST(2 AS DOUBLE)") -> str:
     return (
-        "WITH " + ",\n".join(parts)
+        "WITH " + ",\n".join(_logreg_ctes(iters, lr_sql))
         + """
 SELECT label_pass, pred_pass, count(*) AS n_docs,
        round(min(w0), 6) AS w0_r, round(min(w1), 6) AS w1_r,
@@ -9555,6 +9564,127 @@ FROM scored GROUP BY label_pass, pred_pass"""
 
 
 _LOGREG_FEATURES = ["f_len", "f_sw", "f_mwl"]
+
+
+def _ml_capstone_oracle_sql(iters: int = 8, n_bins: int = 10) -> str:
+    """The full ML-curation pipeline replayed end to end: logreg
+    training (``_logreg_ctes``) → sigmoid probabilities → decile bins
+    → isotonic minimax fit → per-doc calibrated probability → select
+    docs with fitted ≥ 0.5 → per-language counts and token budgets.
+    Each stage reuses the exact arithmetic its standalone oracle
+    proved (q193 / q196 / q198)."""
+    parts = _logreg_ctes(iters) + [
+        """pr AS MATERIALIZED (
+      SELECT doc_id, lang, n_words, y,
+             cast(floor((1/(1 + exp(-m))) * 1000000.0 + 0.5) AS bigint)
+                 AS k
+      FROM scored)""",
+        f"""cbins AS MATERIALIZED (
+      SELECT greatest(0, least(cast(floor((k * {n_bins}) / 1000000.0)
+                 AS int), {n_bins - 1})) AS bin,
+             count(*) AS n_docs, cast(sum(y) AS bigint) AS n_pos
+      FROM pr GROUP BY 1)""",
+        """ccum AS MATERIALIZED (
+      SELECT bin, n_docs, n_pos,
+             sum(n_docs) OVER (ORDER BY bin) AS cn,
+             sum(n_pos) OVER (ORDER BY bin) AS cp
+      FROM cbins)""",
+        """ctrip AS (
+      SELECT b.bin AS b, j.bin AS j,
+             CAST(k.cp - (j.cp - j.n_pos) AS DOUBLE)
+             / CAST(k.cn - (j.cn - j.n_docs) AS DOUBLE) AS pooled
+      FROM ccum b JOIN ccum j ON j.bin <= b.bin
+                  JOIN ccum k ON k.bin >= b.bin)""",
+        """cmins AS (SELECT b, j, min(pooled) AS mn FROM ctrip
+      GROUP BY b, j)""",
+        f"""cfit AS MATERIALIZED (SELECT b,
+      {fs6_sql('max(mn)')} AS fitted FROM cmins GROUP BY b)""",
+        f"""sel AS (
+      SELECT p.lang, p.n_words, p.y,
+             f.fitted >= CAST(0.5 AS DOUBLE) AS selected
+      FROM pr p JOIN cfit f ON f.b = greatest(0,
+          least(cast(floor((p.k * {n_bins}) / 1000000.0) AS int),
+                {n_bins - 1})))""",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + """
+SELECT lang, count(*) AS n_docs,
+       cast(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS bigint)
+           AS n_selected,
+       cast(sum(CASE WHEN selected THEN n_words ELSE 0 END) AS bigint)
+           AS tokens_selected,
+       cast(sum(CASE WHEN selected AND y >= CAST(1 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS bigint) AS n_selected_pass
+FROM sel GROUP BY lang"""
+    )
+
+
+@query("q200_ml_curation_capstone", _ml_capstone_oracle_sql())
+def q200(spark, sf_dir):
+    """ML-curation capstone: the whole kit composed the way a corpus
+    team would run it — train the distilled quality classifier
+    (q193's logreg), turn margins into probabilities, CALIBRATE them
+    isotonic-monotone against observed labels (q198's minimax fit, on
+    the model's own probability deciles), then select documents whose
+    calibrated pass-probability ≥ 0.5 and report per-language doc and
+    token budgets. Every stage reuses arithmetic its standalone
+    oracle already proved, and the composition is replayed end to end
+    in DuckDB — training loop, sigmoid, binning, isotonic lattice,
+    selection, budget aggregate. Scale: training aggregates + one
+    bounded bin lattice + one broadcast join of the ≤ 10-row fitted
+    curve back onto the scored stream; nothing new shuffles at corpus
+    scale."""
+    from gpi_etl_spark.operators import logreg
+    from gpi_etl_spark.operators.evaluation import isotonic_calibration
+
+    docs = t(spark, sf_dir, "documents")
+    flags = textstats.gopher_quality_flags(docs).select(
+        "doc_id", "pass_gopher"
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        textstats.token_count("text").alias("n_words"),
+        textstats.cheap_quality_features("text").alias("q"),
+    ).select("doc_id", "lang", "n_words", "q.*")
+    frame = feats.join(flags, "doc_id").withColumn(
+        "y", F.col("pass_gopher").cast("double")
+    )
+    model = logreg.logreg_train(
+        frame, _LOGREG_FEATURES, "y", iters=8, lr=2.0
+    )
+    scored = logreg.logreg_score(frame, _LOGREG_FEATURES, model)
+    iso = isotonic_calibration(scored, "prob", "pass_gopher", n_bins=10)
+    k = F.floor(F.col("prob") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    bin_id = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor((k * F.lit(10)) / F.lit(1000000.0)).cast("int"),
+            F.lit(9),
+        ),
+    )
+    sel = (
+        scored.withColumn("bin", bin_id)
+        .join(
+            F.broadcast(iso.select("bin", "fitted")), "bin"
+        )
+        .withColumn("selected", F.col("fitted") >= F.lit(0.5))
+    )
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.sum(F.when(F.col("selected"), F.col("n_words")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_selected"),
+        F.sum(
+            F.when(F.col("selected") & F.col("pass_gopher"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_selected_pass"),
+    )
 
 
 def _srp_oracle_sql(n_planes: int, dim: int, k: int, stride: int) -> str:

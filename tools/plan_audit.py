@@ -59,7 +59,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # frame — a config-constant-bounded triple, not a
                 # corpus-scale cross join (the corpus-scale work is
                 # the single bounded bin aggregate upstream).
-                "q198_isotonic_calibration"}
+                "q198_isotonic_calibration",
+                # q200: inherits q198's bounded isotonic lattice (the
+                # capstone calibrates the trained model's probability
+                # deciles — same ≤ 10-row frame).
+                "q200_ml_curation_capstone"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
@@ -81,6 +85,8 @@ EXPECTED_GLOBAL_WIN: set[str] = {
     "q187_hybrid_rrf",
     "q194_model_eval",
     "q198_isotonic_calibration",
+    # q200 inherits q198's bin-frame window (grid-bounded).
+    "q200_ml_curation_capstone",
 }
 
 
