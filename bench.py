@@ -193,6 +193,20 @@ def main() -> None:
             "iteration numbers in docs/PAGERANK_PROBE.md."
         ),
     }
+    def short(name: str) -> str:
+        """Compact per-entry key for the stdout line (full names live
+        in the detail file): the qNNN id, plus 'p' for the persist
+        twins and 'x' for the xxhash64 twin so they don't collide
+        with their registry siblings."""
+        qid = name.split("_")[0]
+        if name.endswith("_persist"):
+            return qid + "p"
+        if "xxhash64" in name:
+            return qid + "x"
+        return qid
+
+    shorts = [short(k) for k in cold]
+    assert len(set(shorts)) == len(shorts), "short bench keys collide"
     line = json.dumps(
         {
             "metric": "total_runtime",
@@ -202,7 +216,7 @@ def main() -> None:
             "total_warm": total_warm,
             "n_queries": len(cold),
             "detail": "BENCH_local_r6.json",
-            "queries": {k: round(v, 2) for k, v in cold.items()},
+            "queries": {short(k): round(v, 2) for k, v in cold.items()},
         },
         separators=(",", ":"),
     )
