@@ -772,3 +772,62 @@ def redact_pii(
         *counts,
         F.sha2(cleaned, 256).alias("clean_sha256"),
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: dict[str, float] | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`split_assign` keyed on a near-dup CLUSTER id instead of
+    the row id: every member of a cluster hashes to the same split, so
+    no pair of near-duplicates can straddle the train/test boundary —
+    the contamination mode a per-document hash split provably leaves
+    open (q201 measures the two policies side by side).
+
+    The cluster ids come from the dedup stage (exact hash groups, or
+    minhash/jaccard pairs collapsed by ``dedup.connected_components``),
+    so the split inherits that stage's scale shape and adds only a
+    narrow projection.
+    """
+    return split_assign(
+        df, id_col=cluster_col, weights=weights, split_col=split_col
+    )
+
+
+def embargo_split(
+    df: DataFrame,
+    ts_col: str = "ts",
+    train_pct: int = 70,
+    embargo_pct: int = 5,
+    split_col: str = "split",
+) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the time-series
+    leakage guard (de Prado's purged split, simplified to one fold):
+    rows up to the ``train_pct`` point of the observed time range are
+    'train', rows from the ``train_pct + embargo_pct`` point on are
+    'test', and the gap between them is 'embargo' (excluded from both,
+    so boundary-adjacent label/feature windows cannot overlap).
+
+    Thresholds are computed in integer MICROSECONDS —
+    ``t0 = min + (max − min)·train_pct // 100`` — all int64, no float
+    boundary, so engines and re-runs agree exactly. Boundary rows:
+    ``ts == t0`` is train, ``ts == t1`` is test. The min/max scan is
+    one job collecting two scalars (bounded model state, SURVEY §3.2);
+    the split itself is a narrow projection.
+    """
+    lo, hi = df.agg(
+        F.min(F.unix_micros(F.col(ts_col))),
+        F.max(F.unix_micros(F.col(ts_col))),
+    ).collect()[0]
+    rng = int(hi) - int(lo)
+    t0 = int(lo) + rng * train_pct // 100
+    t1 = int(lo) + rng * (train_pct + embargo_pct) // 100
+    us = F.unix_micros(F.col(ts_col))
+    return df.withColumn(
+        split_col,
+        F.when(us <= F.lit(t0), "train")
+        .when(us >= F.lit(t1), "test")
+        .otherwise("embargo"),
+    )

@@ -1,0 +1,109 @@
+"""Feature–label association scoring: chi-square over token presence.
+
+The feature-selection step of a trained-filter pipeline (the q193
+logreg kit's upstream): given a binary document label, score every
+vocabulary token by the chi-square statistic of its 2×2 presence
+contingency table and keep the strongest k — the classic
+feature-selection recipe (Manning/Schütze IR textbook) for picking the
+cheap lexical features a downstream classifier actually needs. No
+counterpart in the reference (its classifier is a fixed regex chain —
+HTIPPLSITE rules, SURVEY.md §2 F-STR9); textbook-public method.
+
+Exactness: a/b/c/d and the totals are int64 counts; the statistic
+``N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` is evaluated in DOUBLE with an
+identical operation order in both engines (the products would overflow
+int64 near 50k docs per class if kept integral — measured bound, so the
+casts are load-bearing, not cosmetic) and emitted through the 6-dp
+floor scale: the inputs are integers, so the value is an exact rational
+— precisely the class where round(·, 6) diverges between engines
+(functions/rounding.py).
+
+100 TB shape: explode to DISTINCT (doc, token) presence pairs (one
+shuffle, map-side combine on the token key), aggregate per token, then
+a global top-k via sort-limit (TakeOrderedAndProject — no partition-less
+window). The two corpus totals (N docs, P positives) are bounded model
+state: two scalars collected once and embedded as literals, the k-means
+/ BPE driver-orchestration pattern (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions.rounding import fs6
+
+
+def token_presence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id, token) presence pairs under the corpus-standard
+    normalization (lower, collapse whitespace, split on space)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    )
+    toks = F.array_distinct(
+        F.filter(F.split(norm, " "), lambda x: F.length(x) > 0)
+    )
+    return df.select(F.col(id_col), F.explode(toks).alias("token"))
+
+
+def chi2_token_label(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 10,
+    k: int = 25,
+) -> DataFrame:
+    """Top-``k`` tokens by chi-square association with the boolean
+    ``label`` column expression, among tokens present in at least
+    ``min_support`` documents.
+
+    Returns (token, n_pos, n_neg, chi2_r) — the presence counts in the
+    positive/negative class and the 6-dp floor-scaled statistic —
+    ordered ties-deterministically (rounded statistic desc, token asc).
+    """
+    labeled = df.select(
+        F.col(id_col), label.cast("int").alias("_y")
+    )
+    totals = labeled.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("p")
+    ).collect()[0]
+    n_docs, n_pos = int(totals["n"]), int(totals["p"])
+
+    # plain equi-join on the id: the label side is one row per doc, so
+    # it is NOT broadcast-sized at corpus scale — AQE picks broadcast
+    # when a filter makes it small
+    pres = token_presence(df, text_col, id_col).join(labeled, id_col)
+    per_tok = pres.groupBy("token").agg(
+        F.sum("_y").alias("a"),
+        F.sum(1 - F.col("_y")).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    c = F.lit(n_pos) - a
+    d = F.lit(n_docs - n_pos) - b
+    diff = (a * d - b * c).cast("double")
+    num = F.lit(float(n_docs)) * diff * diff
+    den = (
+        (a + b).cast("double")
+        * (c + d).cast("double")
+        * (a + c).cast("double")
+        * (b + d).cast("double")
+    )
+    # a token present in EVERY doc (or a single-class corpus) zeroes a
+    # marginal and the statistic is undefined — define it as 0 (no
+    # association), matching the oracle's CASE guard
+    chi2 = F.when(den == 0, F.lit(0.0)).otherwise(num / den)
+    scored = (
+        per_tok.filter(a + b >= min_support)
+        .select(
+            "token",
+            a.alias("n_pos"),
+            b.alias("n_neg"),
+            fs6(chi2).alias("chi2_r"),
+        )
+    )
+    return scored.orderBy(
+        F.col("chi2_r").desc(), F.col("token").asc()
+    ).limit(k)

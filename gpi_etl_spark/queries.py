@@ -10200,3 +10200,373 @@ def q192(spark, sf_dir):
         F.col("node").cast("bigint").alias("node"),
         F.col("degree").cast("bigint").alias("degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201–q205: leakage-safe splits, feature selection, drift detection —
+# the corpus-management guards around a trained-filter pipeline
+# ---------------------------------------------------------------------------
+
+_CUT80 = curation.split_cutoffs({"train": 0.8, "test": 0.2})[0]
+_HASH_CL = curation.mix_hash_sql("key", "duckdb")
+
+from gpi_etl_spark.operators.drift import hash_segment_sql as _seg_sql  # noqa: E402
+
+_SEG_EV = _seg_sql("event_id")
+
+
+@query(
+    "q201_cluster_safe_split",
+    f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' amended edition'
+      FROM documents WHERE doc_id % 5 = 0),
+    norm AS (SELECT doc_id,
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+             FROM corpus),
+    tokl AS (SELECT doc_id,
+                    list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk
+             FROM norm),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(0, greatest(len(tk) - 3, 0)),
+                    i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))))
+                  AS shingle
+           FROM tokl),
+    sh2 AS (SELECT doc_id, shingle FROM sh WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh2 a JOIN sh2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    prs AS (SELECT id_a, id_b
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE 2 * n_common >= (sa.n + sb.n - n_common)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+    reach(node, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.node),
+    comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+    lab AS (SELECT c.doc_id, coalesce(cm.component, c.doc_id) AS cl
+            FROM corpus c LEFT JOIN comp cm ON cm.node = c.doc_id),
+    pol AS (SELECT doc_id, cl, p.policy,
+                   CASE WHEN p.policy = 'doc_hash' THEN doc_id
+                        ELSE cl END AS key
+            FROM lab CROSS JOIN (VALUES ('doc_hash'), ('cluster_hash'))
+                 AS p(policy)),
+    spl AS (SELECT policy, cl,
+                   CASE WHEN {_HASH_CL} < {_CUT80} THEN 'train'
+                        ELSE 'test' END AS split
+            FROM pol),
+    per_cl AS (SELECT policy, cl, count(*) AS n_docs,
+                      sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS n_train_docs,
+                      count(DISTINCT split) AS ns
+               FROM spl GROUP BY 1, 2)
+    SELECT policy,
+           cast(sum(n_train_docs) AS bigint) AS n_train,
+           cast(sum(n_docs - n_train_docs) AS bigint) AS n_test,
+           cast(count(*) AS bigint) AS n_clusters,
+           cast(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_leaky
+    FROM per_cl GROUP BY policy
+    """,
+)
+def q201(spark, sf_dir):
+    """Content-leakage-safe corpus split (curation.leakage_safe_split)
+    measured AGAINST the naive per-document hash split, on the q183
+    re-crawl corpus (every %5 doc plus an 'amended edition' near-dup
+    twin): near-dup clusters come from PPJoin prefix-filtered exact
+    Jaccard pairs (τ=0.5) collapsed by min-label connected components,
+    then BOTH policies assign train/test via the cross-engine mixing
+    hash — keyed by doc_id (naive) and by cluster id (safe). The
+    output is the per-policy leakage scorecard: the naive policy
+    strands ~2·w·(1−w) of 2-doc clusters across the boundary
+    (n_leaky > 0 — measured, not assumed), the cluster-keyed policy
+    provably pins n_leaky = 0, and the oracle recomputes both from
+    scratch. This is the eval-contamination guard a pretraining
+    pipeline runs before any held-out metric can be trusted
+    (SURVEY §2's curation family; no reference counterpart — its app
+    has no corpus stage)."""
+    from gpi_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs_prefix_filtered,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
+    corpus = docs.unionByName(
+        docs.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" amended edition")).alias(
+                "text"
+            ),
+        )
+    )
+    pairs = jaccard_pairs_prefix_filtered(
+        corpus, n=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    lab = corpus.join(
+        comp, corpus.doc_id == comp.node, "left"
+    ).select(
+        corpus.doc_id,
+        F.coalesce(comp.component, corpus.doc_id).alias("cl"),
+    )
+    pol = lab.withColumn(
+        "policy",
+        F.explode(F.array(F.lit("doc_hash"), F.lit("cluster_hash"))),
+    )
+    key = F.when(F.col("policy") == "doc_hash", F.col("doc_id")).otherwise(
+        F.col("cl")
+    )
+    spl = pol.withColumn(
+        "split",
+        F.when(curation.mix_hash(key) < _CUT80, "train").otherwise("test"),
+    )
+    per_cl = spl.groupBy("policy", "cl").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train_docs"
+        ),
+        F.countDistinct("split").alias("ns"),
+    )
+    return per_cl.groupBy("policy").agg(
+        F.sum("n_train_docs").alias("n_train"),
+        F.sum(F.col("n_docs") - F.col("n_train_docs")).alias("n_test"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.when(F.col("ns") > 1, 1).otherwise(0)).alias("n_leaky"),
+    )
+
+
+@query(
+    "q202_chi2_tokens",
+    f"""
+    WITH lab AS (SELECT doc_id,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents),
+    tot AS (SELECT count(*) AS n, sum(y) AS p FROM lab),
+    pres AS (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+             FROM documents),
+    pt AS (SELECT pr.token, sum(l.y) AS a, sum(1 - l.y) AS b
+           FROM pres pr JOIN lab l USING (doc_id) GROUP BY 1),
+    sc AS (SELECT token, a, b,
+                  CASE WHEN cast(a + b AS DOUBLE)
+                            * cast((p - a) + ((n - p) - b) AS DOUBLE)
+                            * cast(a + (p - a) AS DOUBLE)
+                            * cast(b + ((n - p) - b) AS DOUBLE) = 0
+                       THEN 0.0
+                       ELSE cast(n AS DOUBLE)
+                    * cast(a * ((n - p) - b) - b * (p - a) AS DOUBLE)
+                    * cast(a * ((n - p) - b) - b * (p - a) AS DOUBLE)
+                  / (cast(a + b AS DOUBLE)
+                     * cast((p - a) + ((n - p) - b) AS DOUBLE)
+                     * cast(a + (p - a) AS DOUBLE)
+                     * cast(b + ((n - p) - b) AS DOUBLE)) END AS chi2
+           FROM pt CROSS JOIN tot
+           WHERE a + b >= 10)
+    SELECT token, cast(a AS bigint) AS n_pos, cast(b AS bigint) AS n_neg,
+           {fs6_sql('chi2')} AS chi2_r
+    FROM sc
+    ORDER BY {fs6_sql('chi2')} DESC, token ASC
+    LIMIT 25
+    """,
+)
+def q202(spark, sf_dir):
+    """Chi-square token–label feature selection
+    (featselect.chi2_token_label): every vocabulary token scored by
+    the 2×2 presence contingency against the lang='en' label, top 25
+    kept (support ≥ 10 docs) — the lexical-feature picker upstream of
+    the q193 trained filter. Counts stay int64; the statistic is
+    evaluated in DOUBLE with identical operation order in both engines
+    (kept integral it would overflow int64 near 50k docs/class) and
+    floor-scaled because integer inputs make it an exact rational.
+    One explode shuffle with map-side combine, then sort-limit top-k
+    (TakeOrderedAndProject — no global window); the two corpus totals
+    are bounded model state (two collected scalars)."""
+    from gpi_etl_spark.operators.featselect import chi2_token_label
+
+    return chi2_token_label(
+        t(spark, sf_dir, "documents"),
+        label=F.col("lang") == "en",
+        min_support=10,
+        k=25,
+    )
+
+
+@query(
+    "q203_ks_drift",
+    f"""
+    WITH e AS (SELECT event_type, value,
+                      {_SEG_EV} AS seg
+               FROM events),
+    cnt AS (SELECT event_type, value,
+                   sum(CASE WHEN seg = 'a' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN seg = 'b' THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+    st AS (SELECT event_type,
+                  sum(ca) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_a,
+                  sum(cb) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_b,
+                  sum(ca) OVER (PARTITION BY event_type) AS n_a,
+                  sum(cb) OVER (PARTITION BY event_type) AS n_b
+           FROM cnt)
+    SELECT event_type, cast(n_a AS bigint) AS n_a,
+           cast(n_b AS bigint) AS n_b,
+           cast(max(abs(cum_a * n_b - cum_b * n_a)) AS bigint) AS d_num,
+           {fs6_sql('cast(max(abs(cum_a * n_b - cum_b * n_a)) AS DOUBLE)'
+                    ' / cast(n_a * n_b AS DOUBLE)')} AS d_r
+    FROM st
+    WHERE n_a > 0 AND n_b > 0
+    GROUP BY event_type, n_a, n_b
+    """,
+)
+def q203(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov drift check
+    (drift.ks_two_sample): events hash-segmented two ways at row grain
+    (the cross-engine mixing hash — q147's cohort idea without RNG
+    state), per event_type the sup-norm CDF distance between the
+    segments. D's numerator stays an int64 max over
+    |cumA·nB − cumB·nA| evaluated once per DISTINCT value (the correct
+    tie treatment), so only the final ratio is a float (floor-scaled).
+    Shuffle collapses rows to distinct-value counts map-side; the
+    window runs over value cardinality, not rows. Same-distribution
+    segments at sf0.01 → D ≈ 0.02-level noise, the null behaviour a
+    monitoring stage alerts above."""
+    from gpi_etl_spark.operators.drift import hash_segment, ks_two_sample
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "seg", hash_segment(F.col("event_id"))
+    )
+    return ks_two_sample(ev, "event_type", "value")
+
+
+@query(
+    "q204_psi_drift",
+    f"""
+    WITH e AS (SELECT event_type,
+                      cast(floor(value / 50.0) AS int) AS bin,
+                      {_SEG_EV} AS seg
+               FROM events),
+    cnt AS (SELECT event_type, bin,
+                   sum(CASE WHEN seg = 'a' THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN seg = 'b' THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+    tot AS (SELECT event_type, bin, ca, cb,
+                   sum(ca) OVER (PARTITION BY event_type) AS n_a,
+                   sum(cb) OVER (PARTITION BY event_type) AS n_b,
+                   count(*) OVER (PARTITION BY event_type) AS n_bins
+            FROM cnt),
+    term AS (SELECT event_type, bin, n_a, n_b, n_bins,
+                    (cast(ca + 1 AS DOUBLE) / cast(n_a + n_bins AS DOUBLE)
+                     - cast(cb + 1 AS DOUBLE) / cast(n_b + n_bins AS DOUBLE))
+                    * ln((cast(ca + 1 AS DOUBLE)
+                          / cast(n_a + n_bins AS DOUBLE))
+                         / (cast(cb + 1 AS DOUBLE)
+                            / cast(n_b + n_bins AS DOUBLE))) AS t
+             FROM tot)
+    SELECT event_type,
+           cast(max(n_a) AS bigint) AS n_a,
+           cast(max(n_b) AS bigint) AS n_b,
+           cast(max(n_bins) AS bigint) AS n_bins,
+           round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY bin)),
+                   (acc, x) -> acc + x), 6) AS psi_r
+    FROM term GROUP BY event_type
+    """,
+)
+def q204(spark, sf_dir):
+    """Population Stability Index drift scorecard (drift.psi_drift):
+    the binned companion to q203's KS — fixed-width value bins
+    (width 50), Laplace-smoothed shares per hash segment, per-bin
+    terms (p−q)·ln(p/q) summed by an ORDERED left fold over bins (the
+    q182 list_reduce pattern: every term is ≥ 0 and the IEEE addition
+    sequence is identical in both engines, so no unordered float sum
+    crosses rows; ln is transcendental → plain round). Counts collapse
+    map-side to (type, bin) grain, so the fold runs over ~10 bins per
+    type regardless of event volume."""
+    from gpi_etl_spark.operators.drift import hash_segment, psi_drift
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "seg", hash_segment(F.col("event_id"))
+    )
+    return psi_drift(ev, "event_type", "value", bin_width=50.0)
+
+
+@query(
+    "q205_embargo_split",
+    """
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+               FROM events),
+    e AS (SELECT user_id, value,
+                 CASE WHEN epoch_us(ts) <= lo + ((hi - lo) * 70) // 100
+                        THEN 'train'
+                      WHEN epoch_us(ts) >= lo + ((hi - lo) * 75) // 100
+                        THEN 'test'
+                      ELSE 'embargo' END AS split
+          FROM events CROSS JOIN b),
+    agg AS (SELECT split, count(*) AS n_events,
+                   cast(sum(cast(value AS decimal(18,2))) AS double)
+                     AS sum_value
+            FROM e GROUP BY 1),
+    pu AS (SELECT DISTINCT split, user_id FROM e),
+    tu AS (SELECT DISTINCT user_id FROM e WHERE split = 'train'),
+    us AS (SELECT p.split, count(*) AS n_users,
+                  sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS n_users_in_train_too
+           FROM pu p LEFT JOIN tu t ON t.user_id = p.user_id
+           GROUP BY 1)
+    SELECT a.split, cast(a.n_events AS bigint) AS n_events, a.sum_value,
+           cast(us.n_users AS bigint) AS n_users,
+           cast(us.n_users_in_train_too AS bigint) AS n_users_in_train_too
+    FROM agg a JOIN us USING (split)
+    """,
+)
+def q205(spark, sf_dir):
+    """Temporal train/test split with an embargo gap
+    (curation.embargo_split): train ends at the 70% point of the
+    observed time range, test starts at 75%, the 5% between is dropped
+    from both — the purged time-series split that stops
+    boundary-adjacent feature/label windows from leaking. Thresholds
+    are integer-microsecond arithmetic (two collected scalars —
+    bounded model state), so both engines draw the identical boundary.
+    The readout reports per-split event counts, decimal-exact value
+    sums, distinct users, AND n_users_in_train_too — the user-overlap
+    count that HONESTLY shows what a temporal split does NOT fix
+    (every test user also trains; entity-level leakage needs q201's
+    cluster keying), which is the reason this op and q201 ship as a
+    pair."""
+    from gpi_etl_spark.operators.curation import embargo_split
+
+    ev = embargo_split(t(spark, sf_dir, "events"))
+    per_split = ev.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 2).alias("sum_value"),
+    )
+    pu = ev.select("split", "user_id").distinct()
+    tu = (
+        ev.filter(F.col("split") == "train")
+        .select(F.col("user_id").alias("_tu"))
+        .distinct()
+    )
+    users = (
+        pu.join(tu, pu.user_id == tu._tu, "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.when(F.col("_tu").isNotNull(), 1).otherwise(0)
+            ).alias("n_users_in_train_too"),
+        )
+    )
+    return per_split.join(users, "split")

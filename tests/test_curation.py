@@ -625,3 +625,61 @@ def test_redact_pii_mixed_case_email(spark):
 
     want = hashlib.sha256(b"write [EMAIL] or [EMAIL] now").hexdigest()
     assert r.clean_sha256 == want
+
+
+def test_embargo_split_boundaries_and_partition(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    # range = 100 seconds -> t0 = +70s (train incl.), t1 = +75s (test
+    # incl.), strictly-between rows land in the embargo gap
+    rows = [
+        (i, base + dt.timedelta(seconds=s))
+        for i, s in enumerate([0, 50, 70, 71, 74, 75, 90, 100])
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    out = {
+        r["event_id"]: r["split"]
+        for r in curation.embargo_split(df).collect()
+    }
+    assert out[0] == out[1] == out[2] == "train"   # 70s boundary -> train
+    assert out[3] == out[4] == "embargo"
+    assert out[5] == out[6] == out[7] == "test"    # 75s boundary -> test
+
+
+def test_embargo_split_deterministic_across_runs(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(minutes=i * 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp")
+    one = sorted((r["event_id"], r["split"])
+                 for r in curation.embargo_split(df).collect())
+    two = sorted((r["event_id"], r["split"])
+                 for r in curation.embargo_split(df).collect())
+    assert one == two
+    assert {s for _, s in one} == {"train", "embargo", "test"}
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    # 100 docs in 50 two-doc clusters: cluster-keyed split must keep
+    # every cluster whole, while the doc-keyed split demonstrably
+    # splits at least one cluster on this fixture
+    rows = [(i, i // 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, cl bigint")
+    safe = curation.leakage_safe_split(df, "cl")
+    leaky_safe = (
+        safe.groupBy("cl")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaky_safe == 0
+    naive = curation.split_assign(df, id_col="doc_id")
+    leaky_naive = (
+        naive.groupBy("cl")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaky_naive > 0
