@@ -96,6 +96,8 @@ HEADLINE = [
     "q195_srp_hamming",         # 512x SRP code compression + popcount rank (r6 add)
     "q197_pareto_frontier",     # distributed skyline via prefix-max (r6 add)
     "q200_ml_curation_capstone",  # train->calibrate->select pipeline (r6 add)
+    "q201_cluster_safe_split",  # PPJoin x CC x split composition (r6 add)
+    "q203_ks_drift",  # drift-family representative (r6 add)
 ]
 
 

@@ -415,6 +415,11 @@ def connected_components(
     ).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).distinct()
+    # pin the symmetric edge list ONCE: every round's join re-reads it,
+    # and without this the caller's whole pair-generation lineage (a
+    # PPJoin, a minhash bucket join, ...) re-executes per round — the
+    # edge list is the loop invariant, the labels are the loop state
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     labels = nodes.withColumn("lbl", F.col("node"))
     for i in range(max_iter):

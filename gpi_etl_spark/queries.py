@@ -10243,7 +10243,7 @@ _SEG_EV = _seg_sql("event_id")
     prs AS (SELECT id_a, id_b
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
-            WHERE 2 * n_common >= (sa.n + sb.n - n_common)),
+            WHERE 10 * n_common >= 7 * (sa.n + sb.n - n_common)),
     edges AS (SELECT id_a AS u, id_b AS v FROM prs
               UNION SELECT id_b, id_a FROM prs),
     reach(node, lbl) AS (
@@ -10281,7 +10281,10 @@ def q201(spark, sf_dir):
     measured AGAINST the naive per-document hash split, on the q183
     re-crawl corpus (every %5 doc plus an 'amended edition' near-dup
     twin): near-dup clusters come from PPJoin prefix-filtered exact
-    Jaccard pairs (τ=0.5) collapsed by min-label connected components,
+    Jaccard pairs (τ=0.7 — the twin pairs sit at J=(n−2)/n ≥ 0.71 for
+    the corpus's ≥ 7-token docs, and the higher threshold keeps the
+    PPJoin prefixes ~3× shorter than q183's τ=0.5; measured 1.9 s vs
+    6.3 s at sf0.1) collapsed by min-label connected components,
     then BOTH policies assign train/test via the cross-engine mixing
     hash — keyed by doc_id (naive) and by cluster id (safe). The
     output is the per-policy leakage scorecard: the naive policy
@@ -10311,7 +10314,7 @@ def q201(spark, sf_dir):
         )
     )
     pairs = jaccard_pairs_prefix_filtered(
-        corpus, n=3, threshold=0.5
+        corpus, n=3, threshold=0.7
     ).select("id_a", "id_b")
     comp = connected_components(pairs)
     lab = corpus.join(
