@@ -831,3 +831,60 @@ def embargo_split(
         .when(us >= F.lit(t1), "test")
         .otherwise("embargo"),
     )
+
+
+def temperature_mix_budgets(
+    df: DataFrame,
+    group_col: str = "lang",
+    token_col: str = "n_tokens",
+    alpha: float = 0.5,
+    total: int = 10_000,
+) -> dict[str, int]:
+    """Temperature-weighted token budgets per group: ``w_g ∝ n_g^α``
+    (the multilingual-pretraining α-sampling rule — α < 1 upsamples
+    rare languages relative to their corpus share; α = 1 is
+    proportional), apportioned to INTEGER budgets that sum EXACTLY to
+    ``total`` by the largest-remainder method (floor every quota, then
+    hand the leftover units to the largest fractional parts,
+    ties broken by group name).
+
+    Returns the ``{group: budget}`` dict :func:`token_budget_sample`
+    consumes — bounded model state (one float per GROUP crosses the
+    driver, never data; the k-means/BPE contract, SURVEY §3.2).
+
+    Cross-engine determinism: the weight fold runs in sorted-group
+    order starting from 0.0 (the q182/q204 ordered-fold convention), so
+    a DuckDB oracle replays every intermediate double bit-for-bit —
+    α = 0.5 uses ``math.sqrt`` to match SQL ``sqrt`` exactly (both
+    correctly rounded per IEEE 754; a generic ``pow`` is used for
+    other α, matching SQL ``pow``).
+    """
+    import math
+
+    sizes = sorted(
+        (r[group_col], int(r["_n"]))
+        for r in df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_n"))
+        .collect()
+    )
+
+    def w(n: int) -> float:
+        return math.sqrt(float(n)) if alpha == 0.5 else math.pow(
+            float(n), alpha
+        )
+
+    s_total = 0.0
+    for _, n in sizes:
+        s_total = s_total + w(n)
+    total_f = float(total)
+    quotas = [(g, total_f * w(n) / s_total) for g, n in sizes]
+    base = {g: math.floor(q) for g, q in quotas}
+    rem = total - sum(base.values())
+    by_frac = sorted(
+        quotas, key=lambda gq: (-(gq[1] - math.floor(gq[1])), gq[0])
+    )
+    budgets = {g: int(b) for g, b in base.items()}
+    for g, _q in by_frac[: int(rem)]:
+        budgets[g] += 1
+    assert sum(budgets.values()) == total
+    return budgets

@@ -10573,3 +10573,103 @@ def q205(spark, sf_dir):
         )
     )
     return per_split.join(users, "split")
+
+
+@query(
+    "q206_temperature_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tokens
+      FROM documents),
+    sz AS (SELECT lang, sum(cast(n_tokens AS bigint)) AS n_tok
+           FROM d GROUP BY lang),
+    s AS (SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(sqrt(cast(n_tok AS DOUBLE)) ORDER BY lang)),
+                   (acc, x) -> acc + x) AS stot
+          FROM sz),
+    q AS (SELECT lang, n_tok,
+                 CAST(8000 AS DOUBLE) * sqrt(cast(n_tok AS DOUBLE)) / stot
+                   AS quota
+          FROM sz CROSS JOIN s),
+    b AS (SELECT lang, n_tok, cast(floor(quota) AS bigint) AS base,
+                 quota - floor(quota) AS frac
+          FROM q),
+    rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang ASC)
+                       AS rnk
+           FROM b),
+    leftover AS (SELECT 8000 - sum(base) AS rem FROM b),
+    bud AS (SELECT lang, n_tok,
+                   base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END
+                     AS budget
+            FROM rk CROSS JOIN leftover),
+    j AS (SELECT d.doc_id, d.lang, d.n_tokens, bud.budget,
+                 {curation.mix_hash_sql('doc_id', 'duckdb')} AS h
+          FROM d JOIN bud USING (lang)),
+    c AS (SELECT doc_id, lang, n_tokens, budget,
+                 sum(cast(n_tokens AS bigint)) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum_tokens
+          FROM j),
+    k AS (SELECT lang, count(*) AS n_kept, max(cum_tokens) AS kept_tokens
+          FROM c WHERE cum_tokens <= budget GROUP BY lang)
+    SELECT bud.lang, cast(bud.n_tok AS bigint) AS n_total_tokens,
+           cast(bud.budget AS bigint) AS budget,
+           cast(coalesce(k.n_kept, 0) AS bigint) AS n_kept,
+           cast(coalesce(k.kept_tokens, 0) AS bigint) AS kept_tokens
+    FROM bud LEFT JOIN k USING (lang)
+    """,
+)
+def q206(spark, sf_dir):
+    """Temperature-weighted corpus mixing, end to end
+    (curation.temperature_mix_budgets × token_budget_sample): per-lang
+    token budgets ∝ n^0.5 (the multilingual α-sampling rule — rare
+    languages get MORE than their proportional share), apportioned to
+    integers summing EXACTLY to the 8,000-token total by largest
+    remainder, then the deterministic hash-ordered prefix sample fills
+    each budget. The budgets are bounded model state (one double per
+    language crosses the driver; the weight fold runs in sorted-lang
+    order from 0.0, so DuckDB replays every intermediate bit-for-bit —
+    sqrt and the fold are both IEEE-exact). The readout shows the α
+    effect against each language's total: en (largest) is capped well
+    below its proportional share while the small langs keep everything
+    they have (budget can exceed supply — upsampling demand is honest
+    output, the repetition decision belongs to a later epoch-mixing
+    stage)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textstats.tokens("text")).alias("n_tokens"),
+    )
+    budgets = curation.temperature_mix_budgets(
+        d, group_col="lang", token_col="n_tokens", alpha=0.5, total=8000
+    )
+    kept = curation.token_budget_sample(d, budgets)
+    k = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("cum_tokens").alias("kept_tokens"),
+    )
+    entries = [
+        x for lang, b in budgets.items() for x in (F.lit(lang), F.lit(b))
+    ]
+    bmap = F.create_map(*entries)
+    sz = d.groupBy("lang").agg(
+        F.sum(F.col("n_tokens").cast("long")).alias("n_total_tokens")
+    )
+    return (
+        sz.withColumn("budget", F.element_at(bmap, F.col("lang")))
+        .join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_total_tokens",
+            F.col("budget").cast("long").alias("budget"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            F.coalesce(F.col("kept_tokens"), F.lit(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

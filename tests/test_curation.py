@@ -683,3 +683,46 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
         .count()
     )
     assert leaky_naive > 0
+
+
+def _mkdocs(spark, sizes):
+    rows = []
+    i = 0
+    for g, n_docs, tok in sizes:
+        for _ in range(n_docs):
+            rows.append((i, g, tok))
+            i += 1
+    return spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens int"
+    )
+
+
+def test_temperature_budgets_sum_exactly(spark):
+    df = _mkdocs(spark, [("en", 40, 100), ("de", 10, 100), ("zh", 3, 100)])
+    for alpha in (0.3, 0.5, 0.7, 1.0):
+        for total in (997, 1000, 12345):
+            b = curation.temperature_mix_budgets(
+                df, alpha=alpha, total=total
+            )
+            assert sum(b.values()) == total, (alpha, total, b)
+
+
+def test_temperature_alpha_upsamples_rare_groups(spark):
+    # en holds ~93% of tokens; at alpha=0.5 its budget share must land
+    # strictly between the rare group's raw share and its own
+    df = _mkdocs(spark, [("en", 93, 100), ("zh", 7, 100)])
+    b_half = curation.temperature_mix_budgets(df, alpha=0.5, total=1000)
+    b_prop = curation.temperature_mix_budgets(df, alpha=1.0, total=1000)
+    assert b_prop["en"] == 930  # alpha=1 is exact proportional
+    assert b_half["en"] < b_prop["en"]
+    assert b_half["zh"] > b_prop["zh"]
+    assert b_half["zh"] > 70
+
+
+def test_temperature_budgets_deterministic(spark):
+    df = _mkdocs(spark, [("a", 5, 33), ("b", 7, 41), ("c", 2, 13)])
+    one = curation.temperature_mix_budgets(df, alpha=0.5, total=500)
+    two = curation.temperature_mix_budgets(
+        df.repartition(7), alpha=0.5, total=500
+    )
+    assert one == two
