@@ -7575,9 +7575,13 @@ _DRIVER_SAMPLE = 50
 #:      q77, q98, q99, q111, q113, q126, q131, q140, q147, q172, and
 #:      the curation DAGs q105/q161 (rep_ratio threshold feeds their
 #:      keep-set).
-#:   3. Operator changes with identical results, re-sampled anyway:
-#:      q164 (lossless length-band blocking), q171 (vectorized MG
-#:      candidate pass).
+#: NOT in the prefix: q164 (lossless length-band blocking) and q171
+#: (vectorized MG candidate pass) changed operators but their outputs
+#: are pinned value-identical by dedicated equality tests
+#: (test_entities.py::test_length_banding_is_lossless,
+#: test_heavyhitters.py adversarial-partitioning equality), and their
+#: r5 driver rows are green — the freed slots go to this round's new
+#: queries, which would otherwise overflow the 50-entry sample.
 _R6_PRIORITY = [
     "q115_bpe_merges",
     "q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
@@ -7588,7 +7592,6 @@ _R6_PRIORITY = [
     "q126_contamination_score", "q131_sentence_boilerplate",
     "q140_incremental_rollup", "q147_ab_ztest", "q172_jaccard_prefix",
     "q105_curation_dag", "q161_curation_dag_v2",
-    "q164_entity_resolution", "q171_heavy_hitters",
     # q48 re-landed late in round 6 (pre-normalized cosine — same
     # rows, ulp-level value change), so its older driver rows are
     # stale; re-sample it.
