@@ -888,3 +888,68 @@ def temperature_mix_budgets(
         budgets[g] += 1
     assert sum(budgets.values()) == total
     return budgets
+
+
+def epoch_repetition_plan(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str = "n_tokens",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document repetition counts that realize a token budget LARGER
+    than a group's supply — the epoch-mixing stage
+    :func:`temperature_mix_budgets` defers to (upsampled groups repeat
+    their corpus; ``token_budget_sample`` only handles budget ≤ supply).
+
+    Every document in group ``g`` gets ``k = budget_g div supply_g``
+    full epochs; the remaining ``budget_g - k·supply_g`` tokens are
+    filled by one extra copy of the mixing-hash-ordered document prefix
+    (the same deterministic order ``token_budget_sample`` uses, so the
+    partial epoch is a stable, engine-replayable set — no RNG). Total
+    emitted tokens per group are exactly ``k·supply_g`` plus the prefix
+    sum, undershooting the budget by less than the first unpicked
+    document — the greedy-prefix contract.
+
+    Groups without a budget entry and groups with zero token supply are
+    dropped (nothing to repeat). All arithmetic is int64 (``div``, not
+    float division), so the oracle replays it exactly.
+
+    Scale shape: one groupBy for supplies (bounded: one row per group,
+    broadcast back), one window per group for the prefix cumsum — the
+    same two-shuffle plan as the budget sampler; ``copies`` is a column,
+    so the (potentially huge) physical repetition stays lazy for the
+    consumer (``explode(sequence(1, copies))`` or a sink-side writer)
+    rather than materializing here.
+    """
+    entries = [
+        x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))
+    ]
+    budget = F.element_at(F.create_map(*entries), F.col(group_col))
+    sup = df.groupBy(group_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("_sup")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(mix_hash(F.col(id_col)), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("_budget", budget)
+        .filter(F.col("_budget").isNotNull())
+        .join(F.broadcast(sup), group_col)
+        .filter(F.col("_sup") > 0)
+        .withColumn("_k", F.expr("_budget div _sup"))
+        .withColumn("_rem", F.col("_budget") - F.col("_k") * F.col("_sup"))
+        .withColumn(
+            "_cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .withColumn(
+            "copies",
+            (
+                F.col("_k")
+                + F.when(F.col("_cum") <= F.col("_rem"), 1).otherwise(0)
+            ).cast("int"),
+        )
+        .drop("_budget", "_sup", "_k", "_rem", "_cum")
+    )

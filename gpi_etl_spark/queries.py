@@ -10676,3 +10676,83 @@ def q206(spark, sf_dir):
             .alias("kept_tokens"),
         )
     )
+
+
+@query(
+    "q207_epoch_repetition",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tokens
+      FROM documents),
+    sz AS (SELECT lang, sum(cast(n_tokens AS bigint)) AS n_tok
+           FROM d GROUP BY lang),
+    tot AS (SELECT 3 * sum(n_tok) AS total FROM sz),
+    s AS (SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(sqrt(cast(n_tok AS DOUBLE)) ORDER BY lang)),
+                   (acc, x) -> acc + x) AS stot
+          FROM sz),
+    q AS (SELECT lang, n_tok,
+                 CAST(total AS DOUBLE) * sqrt(cast(n_tok AS DOUBLE)) / stot
+                   AS quota
+          FROM sz CROSS JOIN s CROSS JOIN tot),
+    b AS (SELECT lang, n_tok, cast(floor(quota) AS bigint) AS base,
+                 quota - floor(quota) AS frac
+          FROM q),
+    rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang ASC)
+                       AS rnk
+           FROM b),
+    leftover AS (SELECT total - (SELECT sum(base) FROM b) AS rem
+                 FROM tot),
+    bud AS (SELECT lang, n_tok,
+                   base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END
+                     AS budget
+            FROM rk CROSS JOIN leftover),
+    kk AS (SELECT lang, budget, n_tok,
+                  budget // n_tok AS k,
+                  budget - (budget // n_tok) * n_tok AS part
+           FROM bud WHERE n_tok > 0),
+    j AS (SELECT d.doc_id, d.lang, d.n_tokens, kk.k, kk.part,
+                 {curation.mix_hash_sql('doc_id', 'duckdb')} AS h
+          FROM d JOIN kk USING (lang)),
+    c AS (SELECT doc_id, lang, n_tokens, k, part,
+                 sum(cast(n_tokens AS bigint)) OVER (
+                   PARTITION BY lang ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS cum
+          FROM j)
+    SELECT doc_id, lang, n_tokens,
+           cast(k + CASE WHEN cum <= part THEN 1 ELSE 0 END AS int)
+             AS copies
+    FROM c
+    """,
+)
+def q207(spark, sf_dir):
+    """Epoch-repetition planning (curation.epoch_repetition_plan): when
+    the temperature-mixing budget EXCEEDS a group's token supply (here
+    total = 3× the global supply, so upsampled languages must repeat),
+    every document gets ``budget div supply`` full epochs and one extra
+    copy of the hash-ordered prefix fills the remainder — the
+    "repetition decision" q206 explicitly deferred. All arithmetic is
+    int64 (``div``/``//``, no float division), the budgets replay via
+    the same sorted-order sqrt fold as q206, and the prefix order is
+    the cross-engine mixing hash, so per-document copy counts are
+    bit-exact across engines. The output is the artifact an epoch-aware
+    trainer consumes: one row per document with its repetition count
+    (the physical blow-up stays lazy — ``explode(sequence(1, copies))``
+    downstream — because materializing an upsampled 100 TB corpus to
+    plan it would be the bug)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(textstats.tokens("text")).alias("n_tokens"),
+    )
+    total = 3 * int(
+        d.agg(F.sum(F.col("n_tokens").cast("long"))).collect()[0][0]
+    )
+    budgets = curation.temperature_mix_budgets(
+        d, group_col="lang", token_col="n_tokens", alpha=0.5, total=total
+    )
+    plan = curation.epoch_repetition_plan(d, budgets)
+    return plan.select("doc_id", "lang", "n_tokens", "copies")

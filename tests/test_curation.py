@@ -726,3 +726,46 @@ def test_temperature_budgets_deterministic(spark):
         df.repartition(7), alpha=0.5, total=500
     )
     assert one == two
+
+
+def test_epoch_repetition_exact_epochs_and_prefix(spark):
+    df = _mkdocs(spark, [("en", 10, 50), ("zh", 4, 25)])
+    # en supply 500, zh supply 100
+    plan = curation.epoch_repetition_plan(
+        df, {"en": 1234, "zh": 333}, token_col="n_tokens"
+    ).collect()
+    en = [r for r in plan if r.lang == "en"]
+    zh = [r for r in plan if r.lang == "zh"]
+    assert len(en) == 10 and len(zh) == 4
+    # en: k=2 (1234//500), rem=234 -> prefix of 4 docs (200 tokens) gets 3
+    assert sorted(r.copies for r in en) == [2] * 6 + [3] * 4
+    # zh: k=3 (333//100), rem=33 -> prefix of 1 doc (25 tokens) gets 4
+    assert sorted(r.copies for r in zh) == [3, 3, 3, 4]
+    # emitted tokens never exceed budget, undershoot < one document
+    for grp, budget, tok in (("en", 1234, 50), ("zh", 333, 25)):
+        emitted = sum(r.copies * r.n_tokens for r in plan if r.lang == grp)
+        assert emitted <= budget
+        assert budget - emitted < tok
+
+
+def test_epoch_repetition_drops_unbudgeted_and_empty(spark):
+    df = _mkdocs(spark, [("en", 3, 10), ("xx", 2, 0), ("de", 2, 10)])
+    plan = curation.epoch_repetition_plan(
+        df, {"en": 100, "xx": 7}, token_col="n_tokens"
+    ).collect()
+    langs = {r.lang for r in plan}
+    assert langs == {"en"}  # de: no budget; xx: zero supply
+
+
+def test_epoch_repetition_deterministic(spark):
+    df = _mkdocs(spark, [("a", 9, 13), ("b", 5, 7)])
+    budgets = {"a": 400, "b": 100}
+    one = sorted(
+        curation.epoch_repetition_plan(df, budgets).collect()
+    )
+    two = sorted(
+        curation.epoch_repetition_plan(
+            df.repartition(11), budgets
+        ).collect()
+    )
+    assert one == two
