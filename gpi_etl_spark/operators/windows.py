@@ -312,3 +312,78 @@ def global_rank(
         )
         .drop("_pid", "_off")
     )
+
+
+_DAY_US = 86_400_000_000
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+) -> DataFrame:
+    """Per-day peak concurrency of half-open intervals ``[start, end)``
+    (microsecond int64 timestamps) — the sweep-line "max concurrent
+    sessions" readout, computed WITHOUT a global ordering.
+
+    Each interval is exploded into the UTC days it intersects and
+    clipped to the day's bounds, so the sweep (running sum of +1 at
+    each clipped start, -1 at each clipped end) runs inside a
+    ``PARTITION BY day`` window — per-day state, never a partition-less
+    sort. At cluster scale the shuffle key is the day: a year of data
+    sweeps as 365 independent partitions regardless of row count (a
+    skewed single day is the irreducible sequential unit of this
+    semantics). At equal timestamps the ``-1`` sorts first, so touching
+    intervals (one ends exactly when another starts) never count as
+    concurrent — the half-open contract; the per-day MAX is invariant
+    to the remaining tie permutations (within a tie group the running
+    sum only descends through ``-1``\\ s and ascends through ``+1``\\ s,
+    so the group's peak is ``max(entry, exit)`` for every permutation).
+
+    Returns one row per day: ``day_idx`` (days since epoch),
+    ``n_intervals`` (intervals intersecting the day), and
+    ``max_concurrency``. All arithmetic is int64 — exact in any engine.
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    day = F.explode(
+        F.sequence(
+            F.expr(f"{start_col} div {_DAY_US}"),
+            F.expr(f"({end_col} - 1) div {_DAY_US}"),
+        )
+    ).alias("day_idx")
+    clipped = (
+        df.filter(e > s)
+        .select(s.alias("_s"), e.alias("_e"), day)
+        .select(
+            "day_idx",
+            F.greatest(F.col("_s"), F.col("day_idx") * _DAY_US).alias("cs"),
+            F.least(
+                F.col("_e"), (F.col("day_idx") + 1) * _DAY_US
+            ).alias("ce"),
+        )
+    )
+    bounds = clipped.select(
+        "day_idx",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("cs").alias("t"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("ce").alias("t"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b"),
+    ).select("day_idx", F.col("b.t").alias("t"), F.col("b.delta").alias("delta"))
+    w = (
+        Window.partitionBy("day_idx")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = bounds.withColumn("conc", F.sum("delta").over(w))
+    return swept.groupBy("day_idx").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_intervals"),
+        F.max("conc").cast("long").alias("max_concurrency"),
+    )

@@ -51,6 +51,7 @@ from gpi_etl_spark.operators.reshape import transpose
 from gpi_etl_spark.operators.watermark import compute_watermarks, newer_than_watermark
 from gpi_etl_spark.operators.windows import (
     forward_fill,
+    interval_concurrency,
     run_change_flag,
     sessionize,
     top_k_per_group,
@@ -10756,3 +10757,74 @@ def q207(spark, sf_dir):
     )
     plan = curation.epoch_repetition_plan(d, budgets)
     return plan.select("doc_id", "lang", "n_tokens", "copies")
+
+
+@query(
+    "q208_max_concurrency",
+    """
+    WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events),
+    flags AS (SELECT user_id, us,
+              CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+             FROM flags),
+    iv AS (SELECT min(us) AS s_us, max(us) + 60000000 AS e_us
+           FROM sess GROUP BY user_id, session_id),
+    days AS (SELECT s_us, e_us,
+                    unnest(generate_series(s_us // 86400000000,
+                                           (e_us - 1) // 86400000000))
+                      AS day_idx
+             FROM iv),
+    clipped AS (SELECT day_idx,
+                       greatest(s_us, day_idx * 86400000000) AS cs,
+                       least(e_us, (day_idx + 1) * 86400000000) AS ce
+                FROM days),
+    bounds AS (
+      SELECT day_idx, cs AS t, 1 AS delta FROM clipped
+      UNION ALL
+      SELECT day_idx, ce AS t, -1 AS delta FROM clipped),
+    swept AS (SELECT day_idx, delta,
+                     sum(delta) OVER (PARTITION BY day_idx
+                       ORDER BY t, delta
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS conc
+              FROM bounds)
+    SELECT DATE '1970-01-01' + cast(day_idx AS int) AS day,
+           cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_intervals,
+           cast(max(conc) AS bigint) AS max_concurrency
+    FROM swept GROUP BY day_idx
+    """,
+)
+def q208(spark, sf_dir):
+    """Peak concurrent sessions per day (windows.interval_concurrency):
+    sessionize events per user (30-min gap, 60-s linger after the last
+    event), then a day-partitioned sweep-line counts how many sessions
+    are simultaneously open — the capacity-planning readout every
+    serving/ops team asks of an events table. The scale story is the
+    operator's: intervals explode to the days they intersect and clip
+    to day bounds, so there is NO global ordering anywhere — a year
+    sweeps as 365 independent window partitions, and the half-open
+    [start, end) contract (the -1 boundary sorts before the +1 at equal
+    instants) keeps back-to-back sessions from double-counting. All
+    int64 microsecond arithmetic; the oracle replays the sweep
+    bit-exactly."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        (F.max(F.unix_micros("ts")) + F.lit(60_000_000)).alias("e_us"),
+    )
+    out = interval_concurrency(iv, "s_us", "e_us")
+    return out.select(
+        F.date_add(
+            F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int")
+        ).alias("day"),
+        "n_intervals",
+        "max_concurrency",
+    )

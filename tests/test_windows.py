@@ -4,6 +4,7 @@ from pyspark.sql import functions as F
 
 from gpi_etl_spark.operators.windows import (
     compress_runs,
+    interval_concurrency,
     forward_fill,
     run_change_flag,
     sessionize,
@@ -152,3 +153,76 @@ def test_linear_interpolate_matches_numpy_property(spark):
             assert abs(got[i] - want) < 1e-6 + 1e-9 * abs(want)
 
     check()
+
+
+_DAY = 86_400_000_000
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(rows, "s_us long, e_us long")
+
+
+def test_interval_concurrency_basic_overlap(spark):
+    # three intervals on day 0: two overlap, the third is disjoint
+    out = {
+        r.day_idx: (r.n_intervals, r.max_concurrency)
+        for r in interval_concurrency(
+            _iv(spark, [(100, 500), (300, 700), (800, 900)])
+        ).collect()
+    }
+    assert out == {0: (3, 2)}
+
+
+def test_interval_concurrency_half_open_touching(spark):
+    # [100,300) and [300,500) touch but never overlap
+    out = interval_concurrency(
+        _iv(spark, [(100, 300), (300, 500)])
+    ).collect()
+    assert out[0].max_concurrency == 1
+
+
+def test_interval_concurrency_midnight_straddle(spark):
+    # one interval spans days 0-2: open at both midnights; a second
+    # interval on day 1 pushes that day's peak to 2
+    rows = [(_DAY - 100, 2 * _DAY + 100), (_DAY + 50, _DAY + 60)]
+    out = {
+        r.day_idx: (r.n_intervals, r.max_concurrency)
+        for r in interval_concurrency(_iv(spark, rows)).collect()
+    }
+    assert out == {0: (1, 1), 1: (2, 2), 2: (1, 1)}
+
+
+def test_interval_concurrency_matches_brute_force(spark):
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(60):
+        s = rng.randrange(0, 3 * _DAY)
+        rows.append((s, s + rng.randrange(1, _DAY)))
+    got = {
+        r.day_idx: (r.n_intervals, r.max_concurrency)
+        for r in interval_concurrency(
+            _iv(spark, rows).repartition(7)
+        ).collect()
+    }
+    # brute force: evaluate concurrency at every boundary instant
+    boundaries = sorted({t for s, e in rows for t in (s, e)})
+    want = {}
+    for s, e in rows:
+        for d in range((s) // _DAY, (e - 1) // _DAY + 1):
+            n, _ = want.get(d, (0, 0))
+            want[d] = (n + 1, 0)
+    for t in boundaries:
+        c = sum(1 for s, e in rows if s <= t < e)
+        d = t // _DAY
+        if d in want:
+            n, m = want[d]
+            want[d] = (n, max(m, c))
+    # a day's peak can also come from an interval open at midnight
+    for d in want:
+        c = sum(1 for s, e in rows if s <= d * _DAY < e)
+        n, m = want[d]
+        want[d] = (n, max(m, c))
+    assert got == want
