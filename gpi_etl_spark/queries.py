@@ -10828,3 +10828,92 @@ def q208(spark, sf_dir):
         "n_intervals",
         "max_concurrency",
     )
+
+
+from gpi_etl_spark.operators import nbayes  # noqa: E402
+
+
+@query(
+    "q209_naive_bayes",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks,
+                      {curation.mix_hash_sql('doc_id', 'duckdb')} % 5
+                        AS fold
+               FROM documents),
+    train AS (SELECT * FROM d WHERE fold <> 0),
+    test  AS (SELECT * FROM d WHERE fold = 0),
+    ttok AS (SELECT lang AS cls, unnest(toks) AS tok FROM train),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM ttok),
+    nd AS (SELECT count(*) AS dd FROM train),
+    stats AS (SELECT lang AS cls, count(*) AS d_c,
+                     sum(cast(len(toks) AS bigint)) AS t_c
+              FROM train GROUP BY lang),
+    lp AS (SELECT cls, t_c,
+                  cast(floor(ln(cast(d_c AS DOUBLE) / dd) * 1000000 + 0.5)
+                       AS bigint) AS prior,
+                  cast(floor(ln(CAST(1 AS DOUBLE) / (t_c + v)) * 1000000
+                             + 0.5) AS bigint) AS lp0
+           FROM stats CROSS JOIN vocab CROSS JOIN nd),
+    cc AS (SELECT cls, tok, count(*) AS c FROM ttok GROUP BY cls, tok),
+    cond AS (SELECT cc.cls, cc.tok,
+                    cast(floor(ln((cc.c + 1) / CAST(lp.t_c + v AS DOUBLE))
+                               * 1000000 + 0.5) AS bigint) - lp.lp0 AS dlp
+             FROM cc JOIN lp USING (cls) CROSS JOIN vocab),
+    stok AS (SELECT doc_id, unnest(toks) AS tok FROM test),
+    sparse AS (SELECT doc_id, cls, sum(dlp) AS s
+               FROM stok JOIN cond USING (tok) GROUP BY doc_id, cls),
+    grid AS (SELECT te.doc_id, te.lang, cast(len(te.toks) AS bigint) AS n,
+                    lp.cls, lp.prior, lp.lp0
+             FROM test te CROSS JOIN lp),
+    scored AS (SELECT doc_id, lang, cls,
+                      prior + n * lp0 + coalesce(s, 0) AS score
+               FROM grid LEFT JOIN sparse USING (doc_id, cls)),
+    pick AS (SELECT doc_id, lang, cls, score,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, cls ASC) AS rn
+             FROM scored)
+    SELECT doc_id, lang AS true_lang, cls AS predicted,
+           cast(score AS bigint) AS score_micronats
+    FROM pick WHERE rn = 1
+    """,
+)
+def q209(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and scored
+    in-engine (operators/nbayes.py): a deterministic 80/20 hash split,
+    one groupBy to fit the (class, token) count model, Laplace
+    smoothing, and integer micro-nat scoring — training a token-level
+    classifier IS a count aggregation, the scale-native complement to
+    q193's gradient-descent logreg. Every log-probability quantizes to
+    int64 micro-nats at birth, so document scores are exact integer
+    sums and the argmax (ties to the smaller label) cannot flake on a
+    float ulp; unseen tokens cost the Laplace floor via the
+    ``n·lp0 + sparse-delta`` identity, keeping scoring to ONE equi-join
+    on the token with no dense doc×class×vocab blow-up. The DuckDB
+    oracle retrains the whole model from the same split and must agree
+    on every prediction AND every score.
+
+    Honest finding: this synthetic corpus draws every language's text
+    from ONE shared vocabulary, so there is no token signal for NB to
+    learn — measured test accuracy (0.446 at sf0.01) sits at the class
+    prior, exactly as theory predicts for class-independent features
+    (the same holds for the Gopher label, 0.673 = majority, measured
+    before choosing the target). The query therefore gates the
+    TRAINING/SCORING mechanics; tests/test_nbayes.py proves >95%
+    accuracy on a corpus with genuinely class-conditional vocabulary
+    and hand-checks the smoothed counts."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        textstats.tokens("text").alias("toks"),
+        F.pmod(curation.mix_hash("doc_id"), F.lit(5)).alias("fold"),
+    )
+    train = d.filter(F.col("fold") != 0)
+    test = d.filter(F.col("fold") == 0)
+    model = nbayes.nb_train(train, "lang", "toks")
+    pred = nbayes.nb_predict(test, model, "toks")
+    return (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .select("doc_id", "true_lang", "predicted", "score_micronats")
+    )
