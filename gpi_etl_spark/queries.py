@@ -10917,3 +10917,66 @@ def q209(spark, sf_dir):
         .join(pred, "doc_id")
         .select("doc_id", "true_lang", "predicted", "score_micronats")
     )
+
+
+@query(
+    "q210_shortest_paths",
+    """
+    WITH RECURSIVE n AS (SELECT doc_id FROM documents),
+    cnt AS (SELECT count(*) AS c FROM n),
+    ring AS (SELECT doc_id AS src,
+                    CASE WHEN (doc_id - doc_id % 10)
+                              + ((doc_id % 10) + 1) % 10 >= c
+                         THEN doc_id - doc_id % 10
+                         ELSE (doc_id - doc_id % 10)
+                              + ((doc_id % 10) + 1) % 10 END AS dst
+             FROM n CROSS JOIN cnt),
+    bridge AS (SELECT doc_id AS src, (doc_id + 10) % c AS dst
+               FROM n CROSS JOIN cnt WHERE doc_id % 37 = 0),
+    e0 AS (SELECT * FROM ring UNION ALL SELECT * FROM bridge),
+    edges AS (SELECT src, dst FROM e0 WHERE src <> dst
+              UNION
+              SELECT dst, src FROM e0 WHERE src <> dst),
+    bfs(node, dist) AS (
+      SELECT doc_id, 0 FROM n WHERE doc_id % 100 = 0
+      UNION
+      SELECT e.dst, b.dist + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.dist < 12
+    )
+    SELECT node, cast(min(dist) AS int) AS dist
+    FROM bfs GROUP BY node
+    """,
+)
+def q210(spark, sf_dir):
+    """Multi-source BFS shortest paths (linkgraph.shortest_paths) over
+    the planted ring-and-bridges graph q189 uses for community
+    detection: hop distance from the doc_id%100 seed set, capped at 12.
+    Frontier expansion touches only the boundary each round (equi-join
+    + anti-join, settled set localCheckpoint-ed, early exit on an empty
+    frontier), while the oracle computes the same distances from the
+    closed-form definition — a DuckDB recursive CTE taking min(dist)
+    over all (node, hop) walk pairs — so two genuinely different
+    algorithms must agree on every node's distance. Exact integers
+    end to end."""
+    from gpi_etl_spark.operators.linkgraph import shortest_paths
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    cnt = docs.count()
+    base = F.col("doc_id") - F.col("doc_id") % 10
+    ring_dst = base + ((F.col("doc_id") % 10) + 1) % 10
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        F.when(ring_dst >= cnt, base).otherwise(ring_dst).alias("dst"),
+    )
+    bridge = docs.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 10) % cnt).alias("dst"),
+    )
+    seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    out = shortest_paths(
+        ring.union(bridge), seeds, max_depth=12
+    )
+    return out.select("node", F.col("dist").cast("int").alias("dist"))

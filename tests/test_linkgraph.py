@@ -158,3 +158,57 @@ def test_hits_auto_persist_deep_iterations(spark):
     assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
     assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
     assert got[0][0] == max(h for h, _ in got.values())  # 0 is top hub
+
+
+def test_shortest_paths_line_graph(spark):
+    from gpi_etl_spark.operators.linkgraph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r.node: r.dist for r in shortest_paths(edges, seeds).collect()}
+    # max_depth=10 reaches the whole 11-node line
+    assert d == {i: i for i in range(11)}
+
+
+def test_shortest_paths_multi_source_min(spark):
+    from gpi_etl_spark.operators.linkgraph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (20,)], "node long")
+    d = {r.node: r.dist for r in shortest_paths(edges, seeds).collect()}
+    assert d[10] == 10 and d[3] == 3 and d[18] == 2
+    assert all(d[i] == min(i, 20 - i) for i in range(21))
+
+
+def test_shortest_paths_depth_cap_and_disconnected(spark):
+    from gpi_etl_spark.operators.linkgraph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, 101)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    d = {r.node: r.dist
+         for r in shortest_paths(edges, seeds, max_depth=4).collect()}
+    assert max(d.values()) == 4 and 5 not in d
+    assert 100 not in d and 101 not in d  # disconnected component
+
+
+def test_shortest_paths_undirected_and_deterministic(spark):
+    from gpi_etl_spark.operators.linkgraph import shortest_paths
+
+    # edges given in one direction only; BFS must traverse both ways
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = sorted(shortest_paths(edges, seeds).collect())
+    two = sorted(
+        shortest_paths(edges.repartition(5), seeds).collect()
+    )
+    assert one == two
+    assert dict((r.node, r.dist) for r in one)[5] == 4
