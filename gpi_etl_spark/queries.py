@@ -10980,3 +10980,81 @@ def q210(spark, sf_dir):
         ring.union(bridge), seeds, max_depth=12
     )
     return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@query(
+    "q211_stream_stream_join",
+    """
+    WITH p AS (SELECT user_id, ts, epoch_us(ts) AS us, value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'view'),
+    j AS (SELECT p.user_id, p.us AS p_us, p.value
+          FROM p JOIN v ON v.user_id = p.user_id
+                       AND v.us > p.us - 21600000000
+                       AND v.us <= p.us)
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_pairs,
+           cast(count(DISTINCT p_us) AS bigint) AS n_purchases_with_view,
+           cast(sum(cast(value AS decimal(18,2))) AS decimal(38,2))
+             AS paired_value
+    FROM j GROUP BY user_id
+    """,
+)
+def q211(spark, sf_dir):
+    """Stream-stream interval join (streaming/joins.interval_join),
+    registered end to end: purchases join the views that preceded them
+    by up to 30 minutes for the same user — the attribution primitive —
+    with BOTH sides as real file streams under event-time watermarks,
+    so Spark's state store only buffers rows inside the
+    watermark+lookback horizon (state is O(window), never O(stream)).
+    Inner stream-stream matches emit as soon as both sides arrive,
+    which is why the availableNow run is exactly the batch join the
+    DuckDB oracle computes; per-pair value sums go through
+    decimal(18,2) so the aggregate is order-independent. The join-pair
+    fan-out is grouped per user before returning — counts, distinct
+    matched purchases, and the paired purchase value."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    landing = _landing(spark, "q211", sf_dir)
+    ev.write.mode("overwrite").parquet(landing)
+    src = spark.readStream.schema(ev.schema).parquet(landing)
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    from gpi_etl_spark.streaming.joins import interval_join
+
+    joined = interval_join(
+        purchases.withColumnRenamed("user_id", "k"),
+        views.withColumnRenamed("v_user", "k"),
+        keys=["k"],
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lookback="6 hours",
+        watermark="12 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gpi_stream_q211")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = spark.table("gpi_stream_q211")
+    return pairs.groupBy(F.col("k").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(F.unix_micros("p_ts")).alias(
+            "n_purchases_with_view"
+        ),
+        F.sum(F.col("p_value").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("paired_value"),
+    )
