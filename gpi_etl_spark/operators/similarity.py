@@ -188,14 +188,17 @@ def distributed_kmeans(
     return cents, base.withColumn("cell", _nearest_cells(vec_col, cents, 1)[0])
 
 
-def _nearest_cells(vec_col: str, centroids, n: int) -> Column:
+def _nearest_cells(vec_col, centroids, n: int, vec: Column | None = None) -> Column:
     """Array of the ``n`` centroid ids nearest (by dot product) to the
     vector — native expressions over an inlined centroid literal, so
-    assignment runs JVM-side with no Python and no broadcast variable."""
+    assignment runs JVM-side with no Python and no broadcast variable.
+    ``vec`` overrides ``vec_col`` with an arbitrary column expression
+    (pq_train assigns codes on embedding SLICES)."""
+    v = vec if vec is not None else F.col(vec_col)
     scored = F.array(
         *[
             F.struct(
-                dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in c])).alias("s"),
+                dot(v, F.array(*[F.lit(float(w)) for w in c])).alias("s"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -619,4 +622,115 @@ def centroid_outliers(
             F.col("_rn") <= F.ceil(F.lit(float(frac)) * F.col("_cnt")),
         )
         .drop("_rn", "_cnt")
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (Jégou et al. '11): split the vector into
+    ``m`` contiguous subspaces and run :func:`distributed_kmeans`
+    independently in each, so every vector compresses to ``m`` small
+    codes — 64 float32 dims become 4 bytes at m=4/k≤256, the
+    compression that lets a 100 TB embedding corpus live in cluster
+    memory as codes. Spherical variant: each codebook quantizes the
+    subspace DIRECTION (centroids are L2-normalized, assignment by max
+    dot), inheriting the deterministic init, the bounded per-iteration
+    driver state, and — crucially for the gate — the engine-exactness
+    of the shared Lloyd machinery (the q81/q176 contract; the oracle
+    replays one ``_kmeans_ctes`` chain per subspace).
+
+    Returns ``(codebooks, codes)``: a list of m (k × dim/m) centroid
+    ndarrays, and a DataFrame ``(id, code0..code{m-1})``. Training cost
+    is m sequential Lloyd runs over dim/m-wide slices — the same total
+    aggregate bytes per iteration as one full-width k-means.
+    """
+    dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(id_col, to_double.alias(vec_col))
+    books = []
+    for s in range(m):
+        sv = base.select(
+            id_col, F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col)
+        )
+        cents, _ = distributed_kmeans(
+            sv, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        books.append(cents)
+    coded = base
+    for s in range(m):
+        coded = coded.withColumn(
+            f"code{s}",
+            _nearest_cells(None, books[s], 1, vec=F.slice(
+                F.col(vec_col), s * sub + 1, sub
+            ))[0],
+        )
+    return books, coded.select(id_col, *[f"code{s}" for s in range(m)])
+
+
+def ivfadc_topk(
+    assigned: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    coarse_centroids,
+    codebooks,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVFADC retrieval (the billion-scale FAISS architecture): the IVF
+    coarse quantizer prunes candidates to the queries' ``nprobe``
+    nearest cells (equi-join on the cell id — q176's shape, never
+    Q×N), then candidates are scored in the COMPRESSED domain by
+    asymmetric distance computation: per query, one ``m × k`` table of
+    exact subspace dot products against the codebooks is precomputed
+    as array literals, and each candidate's score is just ``m`` table
+    lookups on its codes — no full vector is ever read at scoring
+    time, which is the whole point (the scan is over 4-byte codes, not
+    256-byte vectors). Inner-product ADC against the spherical
+    codebooks; ranking ties break on the id, the repo's argmax
+    discipline. ``assigned`` must carry (id, cell) from the coarse
+    quantizer and ``codes`` the PQ codes from :func:`pq_train`.
+    """
+    m = len(codebooks)
+    sub = codebooks[0].shape[1]
+    q = queries.withColumn(
+        "cell", F.explode(_nearest_cells(query_vec, coarse_centroids, nprobe))
+    )
+    for s in range(m):
+        qsub = F.slice(F.col(query_vec), s * sub + 1, sub)
+        q = q.withColumn(
+            f"_adc{s}",
+            F.array(
+                *[
+                    dot(qsub, F.array(*[F.lit(float(x)) for x in c]))
+                    for c in codebooks[s]
+                ]
+            ),
+        )
+    cand = assigned.join(codes, id_col).join(q, "cell").dropDuplicates(
+        [query_id, id_col]
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_adc{s}"), F.col(f"code{s}") + 1)
+        score = term if score is None else score + term
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
     )

@@ -2830,7 +2830,12 @@ def q80(spark, sf_dir):
     return upsert_by_key(orders, incoming, ["o_orderkey"], "o_orderdate")
 
 
-def _kmeans_ctes(k: int, iters: int) -> list[str]:
+def _kmeans_ctes(
+    k: int,
+    iters: int,
+    vec_expr: str = "embedding::DOUBLE[]",
+    prefix: str = "",
+) -> list[str]:
     """Shared CTE chain replaying ``similarity.distributed_kmeans`` in
     DuckDB: deterministic init (k distinct vectors with smallest ids,
     L2-normalized) then ``iters`` unrolled Lloyd iterations —
@@ -2838,46 +2843,51 @@ def _kmeans_ctes(k: int, iters: int) -> list[str]:
     reverse(array_sort) tie-break), update = per-(cell, dim) sum/count,
     empty cells keep their centroid. The early convergence break in the
     Spark loop is safe to ignore here: once assignments are stable,
-    extra iterations are fixed points. The final ``fin`` CTE carries
-    (vec_id, v, cell, rn); filter ``rn = 1`` for the assignment."""
+    extra iterations are fixed points. The final ``{prefix}fin`` CTE
+    carries (vec_id, v, cell, rn); filter ``rn = 1`` for the
+    assignment. ``vec_expr`` selects the trained vector (a SLICE of the
+    embedding for product-quantization subspaces) and ``prefix``
+    namespaces the chain so several replays coexist in one oracle
+    (q212 runs one per PQ subspace)."""
     norm = lambda lv: (  # noqa: E731
         f"list_transform({lv}, x -> x / greatest(sqrt(list_sum("
         f"list_transform({lv}, y -> y*y))), 1e-12))"
     )
+    P = prefix
     parts = [
-        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"ded AS (SELECT v, min(vec_id) AS mid FROM base GROUP BY v "
+        f"{P}base AS (SELECT vec_id, {vec_expr} AS v FROM embeddings)",
+        f"{P}ded AS (SELECT v, min(vec_id) AS mid FROM {P}base GROUP BY v "
         f"ORDER BY mid LIMIT {k})",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY mid) - 1 AS cell, "
-        f"{norm('v')} AS cv FROM ded)",
+        f"{P}c0 AS (SELECT row_number() OVER (ORDER BY mid) - 1 AS cell, "
+        f"{norm('v')} AS cv FROM {P}ded)",
     ]
     for i in range(1, iters + 1):
-        p = f"c{i - 1}"
+        p = f"{P}c{i - 1}"
         parts += [
-            f"""a{i} AS (
+            f"""{P}a{i} AS (
       SELECT b.vec_id, b.v, c.cell,
              row_number() OVER (PARTITION BY b.vec_id
                  ORDER BY list_dot_product(b.v, c.cv) DESC, c.cell DESC) AS rn
-      FROM base b CROSS JOIN {p} c)""",
-            f"""e{i} AS (
+      FROM {P}base b CROSS JOIN {p} c)""",
+            f"""{P}e{i} AS (
       SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-      FROM a{i} WHERE rn = 1)""",
-            f"""u{i} AS (
+      FROM {P}a{i} WHERE rn = 1)""",
+            f"""{P}u{i} AS (
       SELECT cell, list(mu ORDER BY pos) AS uv
       FROM (SELECT cell, pos, sum(x) / count(*) AS mu
-            FROM e{i} GROUP BY cell, pos)
+            FROM {P}e{i} GROUP BY cell, pos)
       GROUP BY cell)""",
-            f"""c{i} AS (
+            f"""{P}c{i} AS (
       SELECT p.cell, CASE WHEN u.cell IS NULL THEN p.cv
                           ELSE {norm('u.uv')} END AS cv
-      FROM {p} p LEFT JOIN u{i} u ON u.cell = p.cell)""",
+      FROM {p} p LEFT JOIN {P}u{i} u ON u.cell = p.cell)""",
         ]
     parts.append(
-        f"""fin AS (
+        f"""{P}fin AS (
       SELECT b.vec_id, b.v, c.cell,
              row_number() OVER (PARTITION BY b.vec_id
                  ORDER BY list_dot_product(b.v, c.cv) DESC, c.cell DESC) AS rn
-      FROM base b CROSS JOIN c{iters} c)"""
+      FROM {P}base b CROSS JOIN {P}c{iters} c)"""
     )
     return parts
 
@@ -11057,4 +11067,114 @@ def q211(spark, sf_dir):
         F.sum(F.col("p_value").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
         .alias("paired_value"),
+    )
+
+
+def _ivfadc_oracle_sql(
+    coarse_k: int, coarse_iters: int, m: int, pq_k: int, pq_iters: int,
+    nprobe: int, topk: int, dim: int = 64,
+) -> str:
+    """IVFADC replay: the coarse Lloyd chain (default prefix) + one
+    prefixed Lloyd chain per PQ subspace, codes from the subspace
+    assignments, candidates from the probed cells, ADC scores from
+    code→codebook lookups."""
+    sub = dim // m
+    parts = _kmeans_ctes(coarse_k, coarse_iters)
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts += _kmeans_ctes(
+            pq_k, pq_iters,
+            vec_expr=f"(embedding::DOUBLE[])[{lo}:{hi}]",
+            prefix=f"s{s}",
+        )
+    code_join = " JOIN ".join(
+        [f"(SELECT vec_id, cell AS code0 FROM s0fin WHERE rn = 1) f0"]
+        + [
+            f"(SELECT vec_id, cell AS code{s} FROM s{s}fin WHERE rn = 1) "
+            f"f{s} USING (vec_id)"
+            for s in range(1, m)
+        ]
+    )
+    parts += [
+        "asgn AS (SELECT vec_id, cell FROM fin WHERE rn = 1)",
+        f"codes AS (SELECT f0.vec_id, "
+        + ", ".join(f"code{s}" for s in range(m))
+        + f" FROM {code_join})",
+        "qs AS (SELECT vec_id AS query_id, v AS qv FROM base "
+        "WHERE vec_id % 50 = 0)",
+        f"""probe AS (SELECT query_id, qv, cell FROM (
+      SELECT q.query_id, q.qv, c.cell,
+             row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC)
+               AS pr
+      FROM qs q CROSS JOIN c{coarse_iters} c) WHERE pr <= {nprobe})""",
+        """cand AS (SELECT DISTINCT p.query_id, p.qv, a.vec_id
+      FROM probe p JOIN asgn a USING (cell))""",
+        "withc AS (SELECT c2.query_id, c2.qv, c2.vec_id, "
+        + ", ".join(f"k.code{s}" for s in range(m))
+        + " FROM cand c2 JOIN codes k USING (vec_id))",
+    ]
+    adc = " + ".join(
+        f"list_dot_product(w.qv[{s * sub + 1}:{(s + 1) * sub}], "
+        f"b{s}.cv)"
+        for s in range(m)
+    )
+    book_joins = " ".join(
+        f"JOIN s{s}c{pq_iters} b{s} ON b{s}.cell = w.code{s}"
+        for s in range(m)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+scored AS (SELECT w.query_id, w.vec_id, {adc} AS score
+           FROM withc w {book_joins}),
+r AS (SELECT query_id, vec_id, score,
+             cast(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id) AS int) AS rank
+      FROM scored)
+SELECT query_id, vec_id, round(score, 6) AS score, rank
+FROM r WHERE rank <= {topk}"""
+    )
+
+
+@query("q212_ivfadc_ann", _ivfadc_oracle_sql(8, 4, 4, 8, 3, 2, 5))
+def q212(spark, sf_dir):
+    """IVFADC retrieval — the billion-scale FAISS architecture
+    composed from this repo's quantizer family (similarity.pq_train +
+    ivfadc_topk): the IVF coarse quantizer (q176's Lloyd) prunes
+    candidates to each query's nprobe=2 cells via an equi-join, and
+    candidates are scored in the COMPRESSED domain — 64 float32 dims
+    per vector become 4 product-quantization codes, each query
+    precomputes its m×k table of exact subspace dot products once, and
+    every candidate costs m table lookups instead of a 64-dim dot.
+    Where q179's int8 path shrinks the scan 4×, PQ shrinks it 64× —
+    the memory hierarchy is the bottleneck at 100 TB, and the codes
+    ARE the index. The oracle replays the coarse chain plus four
+    namespaced subspace Lloyd chains (the parameterized
+    ``_kmeans_ctes``), the code assignment, the probe, and every ADC
+    lookup — five k-means replays under one hash gate."""
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        ivfadc_topk,
+        pq_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    coarse, assigned = distributed_kmeans(emb, k=8, iters=4)
+    books, codes = pq_train(emb, m=4, k=8, iters=3)
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    out = ivfadc_topk(
+        assigned.select("vec_id", "cell"),
+        codes,
+        queries,
+        coarse,
+        books,
+        k=5,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )

@@ -256,3 +256,103 @@ def test_centroid_outliers_flags_least_prototypical(spark):
         key=lambda r: (r.sim_r, r.vec_id),
     )
     assert worst.vec_id == 9 and out[9].is_outlier
+
+
+def _clustered_vectors(spark, n_clusters=4, per=25, dim=8, seed=5):
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n_clusters * per):
+        c = centers[i % n_clusters]
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in c])
+        )
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+
+
+def test_pq_train_codes_shape_and_range(spark):
+    from gpi_etl_spark.operators.similarity import pq_train
+
+    df = _clustered_vectors(spark, dim=8)
+    books, codes = pq_train(df, m=2, k=4, iters=2)
+    assert len(books) == 2 and books[0].shape == (4, 4)
+    rows = codes.collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert 0 <= r.code0 < 4 and 0 <= r.code1 < 4
+    # indivisible dim raises
+    try:
+        pq_train(df, m=3, k=4, iters=1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_ivfadc_recall_on_clustered_data(spark):
+    from gpi_etl_spark.operators.similarity import (
+        brute_force_topk,
+        distributed_kmeans,
+        ivfadc_topk,
+        pq_train,
+    )
+
+    df = _clustered_vectors(spark, n_clusters=4, per=25, dim=8)
+    coarse, assigned = distributed_kmeans(df, k=4, iters=3)
+    books, codes = pq_train(df, m=2, k=8, iters=3)
+    qs = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = ivfadc_topk(
+        assigned.select("vec_id", "cell"), codes, qs, coarse, books,
+        k=5, nprobe=2,
+    ).collect()
+    exact = brute_force_topk(df, qs, k=5).collect()
+    by_q_a, by_q_e = {}, {}
+    for r in approx:
+        by_q_a.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact:
+        by_q_e.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(by_q_a[q] & by_q_e[q]) / 5 for q in by_q_e
+    ]
+    # PQ is LOSSY: same-cluster vectors share codes, so exact-neighbor
+    # recall has a quantization floor — assert it beats random (0.05)
+    # decisively, and assert the guarantee PQ actually makes: the
+    # retrieved set lands in the query's ground-truth cluster
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+    cluster_hits = [
+        sum(1 for v in by_q_a[q] if v % 4 == q % 4) / len(by_q_a[q])
+        for q in by_q_a
+    ]
+    assert sum(cluster_hits) / len(cluster_hits) >= 0.8, cluster_hits
+
+
+def test_ivfadc_deterministic(spark):
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        ivfadc_topk,
+        pq_train,
+    )
+
+    df = _clustered_vectors(spark, seed=9)
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def run(frame):
+        coarse, assigned = distributed_kmeans(frame, k=4, iters=2)
+        books, codes = pq_train(frame, m=2, k=4, iters=2)
+        return sorted(
+            ivfadc_topk(
+                assigned.select("vec_id", "cell"), codes, qs, coarse,
+                books, k=3, nprobe=2,
+            ).collect()
+        )
+
+    assert run(df) == run(df.repartition(9))
