@@ -98,6 +98,14 @@ HEADLINE = [
     "q200_ml_curation_capstone",  # train->calibrate->select pipeline (r6 add)
     "q201_cluster_safe_split",  # PPJoin x CC x split composition (r6 add)
     "q203_ks_drift",  # drift-family representative (r6 add)
+    "q207_epoch_repetition",  # integer epoch-mixing plan (r6 add)
+    "q208_max_concurrency",   # day-partitioned sweep-line (r6 add)
+    "q209_naive_bayes",       # one-groupBy NB train + score (r6 add)
+    "q210_shortest_paths",    # frontier BFS, early-exit loop (r6 add)
+    "q212_ivfadc_ann",        # IVF cells x PQ-ADC compressed scan (r6 add)
+    # q211 (stream-stream join) is registry-gated but not benched: its
+    # runtime is dominated by the landing rewrite + memory-sink drain,
+    # which the noop-sink lane would mismeasure.
 ]
 
 

@@ -356,3 +356,24 @@ def test_ivfadc_deterministic(spark):
         )
 
     assert run(df) == run(df.repartition(9))
+
+
+def test_pq_fused_equals_independent(spark):
+    import numpy as np
+
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        pq_train,
+    )
+
+    df = _clustered_vectors(spark, n_clusters=3, per=20, dim=8, seed=2)
+    books, codes = pq_train(df, m=2, k=4, iters=3)
+    for s in range(2):
+        sv = df.select(
+            "vec_id",
+            F.slice(F.col("embedding"), s * 4 + 1, 4).alias("embedding"),
+        )
+        ref, _ = distributed_kmeans(sv, k=4, iters=3)
+        assert np.allclose(books[s], ref, atol=0), (
+            f"subspace {s} codebooks diverge"
+        )
