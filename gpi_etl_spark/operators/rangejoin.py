@@ -87,3 +87,59 @@ def band_range_join(
         "*", *[F.lit(None).alias(c) for c in point_cols]
     )
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_cols: tuple[str, str],
+    r_cols: tuple[str, str],
+    l_id: Sequence[str],
+    r_id: Sequence[str],
+    band_us: int,
+) -> DataFrame:
+    """TWO-SIDED interval overlap join: every (left, right) pair whose
+    half-open microsecond intervals intersect (``ls < re AND rs < le``)
+    — the generalization of :func:`band_range_join` where BOTH sides
+    are intervals (sessions × incident windows, trades × halts).
+
+    Both sides explode onto the fixed ``band_us`` grid cells they
+    touch; overlapping pairs always share the cell containing their
+    intersection's start, so an equi-join on the cell finds every true
+    pair, the exact predicate discards same-cell non-overlaps, and a
+    ``dropDuplicates`` on the id columns collapses pairs that share
+    several cells. Fan-out per row = interval_len/band + 1: pick the
+    band near the typical interval length and the plan is a plain
+    shuffled equi-join — no nested loop at any scale.
+
+    Column names must be disjoint between the two inputs.
+    """
+    ls, le = (F.col(c) for c in l_cols)
+    rs, re_ = (F.col(c) for c in r_cols)
+    # integer `div`, not float floor: epoch-microsecond magnitudes sit
+    # close enough to the double rounding edge that exactness should
+    # not depend on an error analysis
+    lb = left.withColumn(
+        BAND,
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_cols[0]} div {band_us}"),
+                F.expr(f"({l_cols[1]} - 1) div {band_us}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        BAND,
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_cols[0]} div {band_us}"),
+                F.expr(f"({r_cols[1]} - 1) div {band_us}"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, BAND)
+        .filter((ls < re_) & (rs < le))
+        .dropDuplicates([*l_id, *r_id])
+        .drop(BAND)
+    )

@@ -11185,3 +11185,93 @@ def q212(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+@query(
+    "q213_interval_overlap",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+               FROM events),
+    flags AS (SELECT user_id, us,
+              CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                   THEN 1 ELSE 0 END AS is_new
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (SELECT user_id, us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+             FROM flags),
+    iv AS (SELECT user_id, session_id,
+                  min(us) AS ls, max(us) + 60000000 AS le
+           FROM sess GROUP BY user_id, session_id),
+    inc AS (SELECT us // 600000000 AS bkt,
+                   (us // 600000000) * 600000000 AS rs,
+                   (us // 600000000 + 1) * 600000000 AS re
+            FROM e WHERE event_type = 'error'
+            GROUP BY 1 HAVING count(*) >= 2),
+    j AS (SELECT iv.user_id, iv.session_id, iv.ls, iv.le,
+                 inc.rs, inc.re
+          FROM iv JOIN inc ON iv.ls < inc.re AND inc.rs < iv.le)
+    SELECT user_id, cast(session_id AS bigint) AS session_id,
+           cast(count(*) AS bigint) AS n_incidents,
+           cast(sum(least(le, re) - greatest(ls, rs)) AS bigint)
+             AS overlap_us
+    FROM j GROUP BY user_id, session_id
+    """,
+)
+def q213(spark, sf_dir):
+    """Two-sided interval OVERLAP join
+    (rangejoin.interval_overlap_join): user sessions × error-incident
+    windows (10-minute buckets holding ≥2 error events), every
+    overlapping pair found through the banded-grid equi-join — both
+    interval sets explode onto the 10-minute cells they touch, a pair
+    always shares the cell where its intersection starts, and the
+    exact ``ls < re AND rs < le`` predicate plus an id-keyed dedup
+    restore precise semantics. This is the general theta-join shape
+    q47 solves for point-in-interval, extended to interval-interval —
+    at 100 TB the plan stays a shuffled equi-join on the grid cell
+    with fan-out ≈ interval/band + 1. The oracle computes the same
+    pairs from the quadratic overlap definition; per-session incident
+    counts and total overlapped microseconds are exact int64."""
+    from gpi_etl_spark.operators.rangejoin import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    sess = (
+        sessionize(ev, "user_id", "us", gap_seconds=1_800_000_000)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("ls"),
+            (F.max("us") + F.lit(60_000_000)).alias("le"),
+        )
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.expr("us div 600000000").alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "bkt",
+            (F.col("bkt") * 600_000_000).alias("rs"),
+            ((F.col("bkt") + 1) * 600_000_000).alias("re"),
+        )
+    )
+    pairs = interval_overlap_join(
+        sess,
+        inc,
+        ("ls", "le"),
+        ("rs", "re"),
+        ["user_id", "session_id"],
+        ["bkt"],
+        band_us=600_000_000,
+    )
+    return pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum(
+            F.least(F.col("le"), F.col("re"))
+            - F.greatest(F.col("ls"), F.col("rs"))
+        ).alias("overlap_us"),
+    )

@@ -108,3 +108,67 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import random
+
+    from gpi_etl_spark.operators.rangejoin import interval_overlap_join
+
+    rng = random.Random(13)
+    B = 1000
+    lrows = [
+        (i, s := rng.randrange(0, 50 * B), s + rng.randrange(1, 5 * B))
+        for i in range(80)
+    ]
+    rrows = [
+        (j, s := rng.randrange(0, 50 * B), s + rng.randrange(1, 3 * B))
+        for j in range(40)
+    ]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, ("ls", "le"), ("rs", "re"), ["lid"], ["rid"],
+            band_us=B,
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls < re and rs < le
+    }
+    assert got == want and len(want) > 50
+
+
+def test_interval_overlap_join_half_open_touching(spark):
+    from gpi_etl_spark.operators.rangejoin import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 100, 200)], "lid long, ls long, le long")
+    right = spark.createDataFrame(
+        [(1, 200, 300), (2, 199, 300), (3, 0, 100), (4, 0, 101)],
+        "rid long, rs long, re long",
+    )
+    got = sorted(
+        r.rid
+        for r in interval_overlap_join(
+            left, right, ("ls", "le"), ("rs", "re"), ["lid"], ["rid"],
+            band_us=50,
+        ).collect()
+    )
+    assert got == [2, 4]  # touching endpoints (1, 3) do not overlap
+
+
+def test_interval_overlap_join_dedups_multi_cell_pairs(spark):
+    from gpi_etl_spark.operators.rangejoin import interval_overlap_join
+
+    # both intervals span many shared cells -> exactly one output pair
+    left = spark.createDataFrame([(1, 0, 1000)], "lid long, ls long, le long")
+    right = spark.createDataFrame([(7, 0, 1000)], "rid long, rs long, re long")
+    out = interval_overlap_join(
+        left, right, ("ls", "le"), ("rs", "re"), ["lid"], ["rid"],
+        band_us=10,
+    ).collect()
+    assert len(out) == 1
