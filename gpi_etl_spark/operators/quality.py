@@ -495,3 +495,68 @@ def winsorized_stats(
         # class -> floor-scaled, like the boundaries (review find)
         _fs6(F.avg(clipped)).alias("clipped_mean_r"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement behind every
+    salting/AQE decision: per-key multiplicities are collapsed to a
+    frequency-of-frequencies histogram, and from it come the exact p50
+    and p99 multiplicities, the hottest key's share, and the salt
+    factor a shuffle on this key would need (``ceil(max_n / mean_n)``,
+    integer ceiling — how many splits bring the hottest key down to
+    the average partition load).
+
+    Scale shape: one groupBy on the key (map-side combined counts),
+    one aggregation of the count frame, one TINY global window over
+    the frequency-of-frequencies histogram — bounded by the number of
+    DISTINCT multiplICITY VALUES (an aggregate-of-an-aggregate; a
+    billion-key table with multiplicities up to 10⁶ yields ≤ 10⁶
+    histogram rows, usually a few hundred), never over rows or keys.
+    All outputs are exact int64 except the skew ratio, which is the
+    6-dp floor-scaled rational ``max_n·n_keys/n_rows`` (1.0 = uniform).
+    """
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hist = counts.groupBy("_n").agg(F.count(F.lit(1)).alias("_freq"))
+    w = Window.orderBy("_n").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_freq").over(w))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("_n").alias("n_rows"),
+        F.max("_n").alias("max_n"),
+    )
+    # exact percentile of multiplicities: smallest n whose cumulative
+    # key count reaches ceil(q * n_keys)
+    pct = cum.crossJoin(F.broadcast(stats)).agg(
+        F.min(
+            F.when(
+                F.col("_cum") * 2 >= F.col("n_keys"), F.col("_n")
+            )
+        ).alias("p50_n"),
+        F.min(
+            F.when(
+                F.col("_cum") * 100 >= F.col("n_keys") * 99, F.col("_n")
+            )
+        ).alias("p99_n"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(pct))
+        .select(
+            F.lit(label).alias("key"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_n").cast("long").alias("max_n"),
+            F.col("p50_n").cast("long").alias("p50_n"),
+            F.col("p99_n").cast("long").alias("p99_n"),
+            _fs6(
+                F.col("max_n") * F.col("n_keys")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+            # integer ceiling via div — float division could land one
+            # ulp under an exact integer quotient and truncate wrong
+            F.expr(
+                "(max_n * n_keys + n_rows - 1) div n_rows"
+            ).cast("long").alias("salt_factor"),
+        )
+    )

@@ -11275,3 +11275,69 @@ def q213(spark, sf_dir):
             - F.greatest(F.col("ls"), F.col("rs"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "q214_key_skew_profile",
+    """
+    WITH src AS (
+      SELECT 'orders.o_custkey' AS key, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'events.user_id' AS key, user_id AS k FROM events
+      UNION ALL
+      SELECT 'lineitem.l_partkey' AS key, l_partkey AS k FROM lineitem),
+    counts AS (SELECT key, k, count(*) AS n FROM src GROUP BY key, k),
+    hist AS (SELECT key, n, count(*) AS freq FROM counts
+             GROUP BY key, n),
+    cum AS (SELECT key, n, sum(freq) OVER (PARTITION BY key ORDER BY n
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM hist),
+    stats AS (SELECT key, count(*) AS n_keys, sum(n) AS n_rows,
+                     max(n) AS max_n
+              FROM counts GROUP BY key),
+    pct AS (SELECT cum.key,
+                   min(CASE WHEN c * 2 >= n_keys THEN n END) AS p50_n,
+                   min(CASE WHEN c * 100 >= n_keys * 99 THEN n END)
+                     AS p99_n
+            FROM cum JOIN stats USING (key) GROUP BY cum.key)
+    SELECT s.key, cast(n_rows AS bigint) AS n_rows,
+           cast(n_keys AS bigint) AS n_keys,
+           cast(max_n AS bigint) AS max_n,
+           cast(p50_n AS bigint) AS p50_n,
+           cast(p99_n AS bigint) AS p99_n,
+           {FS6} AS skew_ratio,
+           cast((max_n * n_keys + n_rows - 1) // n_rows AS bigint)
+             AS salt_factor
+    FROM stats s JOIN pct USING (key)
+    """.replace(
+        "{FS6}",
+        "floor((max_n * n_keys / CAST(n_rows AS DOUBLE)) * 1000000 + 0.5)"
+        " / 1000000",
+    ),
+)
+def q214(spark, sf_dir):
+    """Join-key skew profiler (quality.key_skew_profile) over the three
+    keys a 100 TB deployment of these tables would actually shuffle on
+    — the measurement that decides salting factors and AQE skew-join
+    thresholds BEFORE a job hot-spots. Per key: exact p50/p99
+    multiplicities from a frequency-of-frequencies histogram (an
+    aggregate of an aggregate — the only global window runs over
+    distinct multiplicity VALUES, a few hundred rows however many keys
+    exist), the hottest key's uniform-ratio (6-dp floor-scaled exact
+    rational), and the integer-ceiling salt factor. The one-row stats
+    frames ride along as scalar broadcasts (the q97/q167 whitelisted
+    pattern)."""
+    from gpi_etl_spark.operators.quality import key_skew_profile
+
+    orders = t(spark, sf_dir, "orders")
+    events = t(spark, sf_dir, "events")
+    lineitem = t(spark, sf_dir, "lineitem")
+    return (
+        key_skew_profile(orders, "o_custkey", "orders.o_custkey")
+        .unionByName(
+            key_skew_profile(events, "user_id", "events.user_id")
+        )
+        .unionByName(
+            key_skew_profile(lineitem, "l_partkey", "lineitem.l_partkey")
+        )
+    )

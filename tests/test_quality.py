@@ -299,3 +299,29 @@ def test_winsorized_stats_constant_group(spark):
     )
     out = winsorized_stats(df, "g", "value").collect()[0]
     assert (out.lo_r, out.hi_r, out.clipped_mean_r) == (7.0, 7.0, 7.0)
+
+
+def test_key_skew_profile_hand_checked(spark):
+    from gpi_etl_spark.operators.quality import key_skew_profile
+
+    # multiplicities: a->6, b->2, c->1, d->1 (10 rows, 4 keys)
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", "t").collect()[0]
+    assert (out.n_rows, out.n_keys, out.max_n) == (10, 4, 6)
+    # sorted multiplicities [1,1,2,6]: p50 = 2nd (ceil(.5*4)=2) -> 1,
+    # p99 = ceil(3.96)=4th -> 6
+    assert out.p50_n == 1 and out.p99_n == 6
+    assert out.skew_ratio == 2.4  # 6*4/10
+    assert out.salt_factor == 3  # ceil(24/10)
+
+
+def test_key_skew_profile_uniform_is_one(spark):
+    from gpi_etl_spark.operators.quality import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(i % 5,) for i in range(25)], "k int"
+    ).repartition(7)
+    out = key_skew_profile(df, "k", "u").collect()[0]
+    assert out.skew_ratio == 1.0 and out.salt_factor == 1
+    assert out.p50_n == 5 and out.p99_n == 5 and out.max_n == 5

@@ -63,7 +63,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # q200: inherits q198's bounded isotonic lattice (the
                 # capstone calibrates the trained model's probability
                 # deciles — same ≤ 10-row frame).
-                "q200_ml_curation_capstone"}
+                "q200_ml_curation_capstone",
+                # q214: two one-row scalar broadcasts per profiled key
+                # (the per-key stats and percentile frames) — the same
+                # whitelisted scalar-subquery pattern as q97/q162/q167.
+                "q214_key_skew_profile"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
@@ -80,6 +84,10 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
 #       aggregation, which shuffles on the bin key.
 # q198: cumulative counts over the same ≤ n_bins bin frame as q194's
 #       whitelisted window (grid-bounded, not corpus-bounded).
+# q214: cumulative over the frequency-of-frequencies histogram — an
+#       aggregate OF an aggregate, bounded by distinct multiplicity
+#       values (a few hundred rows at any key cardinality), q76's
+#       aggregate-result class.
 EXPECTED_GLOBAL_WIN: set[str] = {
     "q76_vocabulary",
     "q187_hybrid_rrf",
@@ -87,6 +95,7 @@ EXPECTED_GLOBAL_WIN: set[str] = {
     "q198_isotonic_calibration",
     # q200 inherits q198's bin-frame window (grid-bounded).
     "q200_ml_curation_capstone",
+    "q214_key_skew_profile",
 }
 
 
