@@ -560,3 +560,49 @@ def key_skew_profile(df: DataFrame, key_col: str, label: str) -> DataFrame:
             ).cast("long").alias("salt_factor"),
         )
     )
+
+
+def content_checksum(
+    df: DataFrame,
+    cols: "list[Column | str]",
+    group_by: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Order-independent dataset content checksum — the 100 TB way to
+    verify a sink roundtrip, a CDC replication, or a repartition
+    without sorting anything: each row canonicalizes to one string,
+    hashes through the cross-engine polynomial hash
+    (functions/xhash.py), and two ORDER-FREE aggregates summarize the
+    multiset — ``bit_xor`` of the row hashes (cheap, but a duplicated
+    row PAIR cancels out) and the mod-P sum (catches what xor misses;
+    decimal(38,0) accumulator, so no overflow until ~10²⁹ rows).
+    Together with the row count, any single-row change flips at least
+    one output. Identical content in any row order, any partitioning,
+    either engine → identical checksums.
+
+    Callers must pass engine-stable column renderings: ints, strings,
+    decimals and epoch integers are safe; raw DOUBLE or TIMESTAMP
+    stringification differs across engines — cast to decimal /
+    ``unix_micros`` first. NULL encodes as chr(0), fields join on
+    chr(31), so ('a', NULL) and ('a', '') stay distinct.
+    """
+    from gpi_etl_spark.functions.xhash import P, poly_hash
+
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+                F.lit("\x00"),
+            )
+            for c in cols
+        ],
+    )
+    hashed = df.select(*group_by, poly_hash(canon).alias("_h"))
+    grouped = hashed.groupBy(*group_by) if group_by else hashed.groupBy()
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("_h").alias("xor_checksum"),
+        F.pmod(F.sum(F.col("_h").cast("decimal(38,0)")), F.lit(P))
+        .cast("long")
+        .alias("sum_checksum"),
+    )

@@ -11341,3 +11341,54 @@ def q214(spark, sf_dir):
             key_skew_profile(lineitem, "l_partkey", "lineitem.l_partkey")
         )
     )
+
+
+def _q215_oracle() -> str:
+    from gpi_etl_spark.functions.xhash import P, poly_hash_sql
+
+    canon = (
+        "concat_ws(chr(31), CAST(l_orderkey AS VARCHAR), "
+        "CAST(l_linenumber AS VARCHAR), "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), "
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), "
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR))"
+    )
+    return f"""
+    WITH h AS (SELECT l_returnflag, {poly_hash_sql(canon)} AS _h
+               FROM lineitem)
+    SELECT l_returnflag,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(bit_xor(_h) AS bigint) AS xor_checksum,
+           cast(sum(CAST(_h AS HUGEINT)) % {P} AS bigint) AS sum_checksum
+    FROM h GROUP BY l_returnflag
+    """
+
+
+@query("q215_content_checksum", _q215_oracle())
+def q215(spark, sf_dir):
+    """Order-independent content checksums (quality.content_checksum)
+    per return flag over lineitem — the audit primitive that verifies
+    a sink roundtrip, a CDC replication or an engine migration WITHOUT
+    sorting 100 TB: rows canonicalize (money through decimal(18,2),
+    the midnight-timestamp ship date through its DATE string —
+    engine-stable, timezone-free renderings), hash
+    through the cross-engine polynomial hash, and reduce via bit_xor
+    plus the mod-P sum, both order-free aggregates. The Spark side
+    deliberately computes over a repartition(17)-shuffled copy — the
+    gate passing against DuckDB's scan-order computation IS the
+    order-independence proof, cross-engine."""
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q2"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p2"),
+        F.col("l_shipdate").cast("date").alias("ship_d"),
+    )
+    return content_checksum(
+        li.repartition(17),
+        ["l_orderkey", "l_linenumber", "q2", "p2", "ship_d"],
+        group_by=("l_returnflag",),
+    )

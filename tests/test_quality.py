@@ -325,3 +325,62 @@ def test_key_skew_profile_uniform_is_one(spark):
     out = key_skew_profile(df, "k", "u").collect()[0]
     assert out.skew_ratio == 1.0 and out.salt_factor == 1
     assert out.p50_n == 5 and out.p99_n == 5 and out.max_n == 5
+
+
+def test_content_checksum_order_and_partition_invariant(spark):
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    rows = [(i, f"v{i % 7}", i * 3) for i in range(200)]
+    a = spark.createDataFrame(rows, "id long, s string, n long")
+    b = spark.createDataFrame(list(reversed(rows)), "id long, s string, n long").repartition(13)
+    ca = content_checksum(a, ["id", "s", "n"]).collect()[0]
+    cb = content_checksum(b, ["id", "s", "n"]).collect()[0]
+    assert (ca.n_rows, ca.xor_checksum, ca.sum_checksum) == (
+        cb.n_rows, cb.xor_checksum, cb.sum_checksum,
+    )
+
+
+def test_content_checksum_detects_single_row_change(spark):
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    rows = [(i, "x") for i in range(50)]
+    a = spark.createDataFrame(rows, "id long, s string")
+    mutated = spark.createDataFrame(
+        rows[:-1] + [(49, "y")], "id long, s string"
+    )
+    ca = content_checksum(a, ["id", "s"]).collect()[0]
+    cb = content_checksum(mutated, ["id", "s"]).collect()[0]
+    assert ca.n_rows == cb.n_rows
+    assert (ca.xor_checksum, ca.sum_checksum) != (
+        cb.xor_checksum, cb.sum_checksum,
+    )
+
+
+def test_content_checksum_duplicate_pair_caught_by_sum(spark):
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    # xor of two identical rows cancels; the mod-P sum must not
+    base = [(1, "a"), (2, "b")]
+    dup = base + [(1, "a"), (1, "a")]
+    a = content_checksum(
+        spark.createDataFrame(base, "id long, s string"), ["id", "s"]
+    ).collect()[0]
+    d = content_checksum(
+        spark.createDataFrame(dup, "id long, s string"), ["id", "s"]
+    ).collect()[0]
+    assert d.xor_checksum == a.xor_checksum  # the documented xor blind spot
+    assert d.sum_checksum != a.sum_checksum and d.n_rows != a.n_rows
+
+
+def test_content_checksum_null_vs_empty_distinct(spark):
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    a = content_checksum(
+        spark.createDataFrame([("a", None)], "x string, y string"),
+        ["x", "y"],
+    ).collect()[0]
+    b = content_checksum(
+        spark.createDataFrame([("a", "")], "x string, y string"),
+        ["x", "y"],
+    ).collect()[0]
+    assert a.sum_checksum != b.sum_checksum
