@@ -11392,3 +11392,60 @@ def q215(spark, sf_dir):
         ["l_orderkey", "l_linenumber", "q2", "p2", "ship_d"],
         group_by=("l_returnflag",),
     )
+
+
+@query(
+    "q216_acf_daily",
+    """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    series AS (SELECT event_type, day, count(*) AS x
+               FROM d GROUP BY event_type, day),
+    tot AS (SELECT event_type, count(*) AS n, sum(x) AS s,
+                   sum(x * x) AS q
+            FROM series GROUP BY event_type),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (SELECT a.event_type, l.lag,
+                     sum(a.x * b.x) AS c_k,
+                     sum(a.x) AS a_k, sum(b.x) AS b_k,
+                     count(*) AS m_k
+              FROM series a
+              JOIN lags l ON true
+              JOIN series b ON b.event_type = a.event_type
+                           AND b.day = a.day + l.lag
+              GROUP BY a.event_type, l.lag),
+    r AS (SELECT p.event_type, p.lag, t.n,
+                 (n*n*c_k - n*s*(a_k + b_k) + m_k*s*s) AS num,
+                 (n*n*q - n*s*s) AS den
+          FROM pairs p JOIN tot t USING (event_type))
+    SELECT event_type, cast(lag AS int) AS lag,
+           cast(n AS bigint) AS n,
+           floor((num / CAST(den AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS r_k
+    FROM r WHERE den <> 0
+    """,
+)
+def q216(spark, sf_dir):
+    """Exact sample autocorrelation of daily event volumes per type at
+    lags 1–7 (tsstats.acf_exact) — the weekly-seasonality diagnostic a
+    monitoring stack runs on every counter. The estimator is reduced
+    to pure int64 moments (multiply the mean-centered form through by
+    n²), so the classically float-summed statistic becomes
+    order-independent integer arithmetic that DuckDB replays exactly;
+    only the final ratio leaves integers, through the 6-dp floor
+    scale. Lag pairs come from one self-equi-join on (type, day+lag)
+    with the 7-lag list exploded on the probe side — shuffle keyed,
+    no window, no cross join, gap-safe via matched-pair counts."""
+    from gpi_etl_spark.operators.tsstats import acf_exact
+
+    ev = t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return acf_exact(series, "event_type", "day", "x", max_lag=7)
