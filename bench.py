@@ -103,6 +103,10 @@ HEADLINE = [
     "q209_naive_bayes",       # one-groupBy NB train + score (r6 add)
     "q210_shortest_paths",    # frontier BFS, early-exit loop (r6 add)
     "q212_ivfadc_ann",        # IVF cells x PQ-ADC compressed scan (r6 add)
+    "q213_interval_overlap",  # two-sided banded overlap join (r6 add)
+    "q214_key_skew_profile",  # pre-shuffle skew measurement (r6 add)
+    "q215_content_checksum",  # order-free migration checksums (r6 add)
+    "q216_acf_daily",         # int64-exact autocorrelation (r6 add)
     # q211 (stream-stream join) is registry-gated but not benched: its
     # runtime is dominated by the landing rewrite + memory-sink drain,
     # which the noop-sink lane would mismeasure.
