@@ -84,3 +84,61 @@ def rrf_fuse(
             "rrf_r",
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: "list[list[str]]",
+    tokens_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL postings index: the corpus
+    explodes once to (doc, position, token), and each phrase resolves
+    by chained self-equi-joins — word i+1's posting must sit at
+    ``pos + 1`` of word i's, so an n-word phrase is n−1 equi-joins on
+    (doc, pos), every shuffle keyed on the doc id. This is the
+    index-side algorithm a search engine runs (posting-list
+    intersection with position arithmetic); the per-doc array-scan
+    alternative is what the q217 oracle computes, so the gate pits the
+    two algorithms against each other. Cost scales with the POSTING
+    LISTS of the phrase's words, not the corpus — the rarest word's
+    list bounds the join, exactly like the PPJoin prefix argument.
+
+    Overlapping occurrences count (``a a a`` contains ``a a`` twice).
+    Phrases must have ≥ 2 words (single tokens are a plain filter).
+    Returns (phrase, id, n_hits) for documents with ≥ 1 occurrence.
+    """
+    if any(len(p) < 2 for p in phrases):
+        raise ValueError("phrases must have at least 2 words")
+    postings = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(tokens_col).alias("_pos", "_tok"),
+    )
+    outs = []
+    for words in phrases:
+        cur = (
+            postings.filter(F.col("_tok") == words[0])
+            .select("_d", F.col("_pos").alias("_p0"))
+        )
+        for i, w in enumerate(words[1:], start=1):
+            nxt = postings.filter(F.col("_tok") == w).select(
+                F.col("_d").alias("_d2"), F.col("_pos").alias("_pi")
+            )
+            cur = cur.join(
+                nxt,
+                (cur["_d"] == nxt["_d2"])
+                & (nxt["_pi"] == cur["_p0"] + i),
+            ).select("_d", "_p0")
+        outs.append(
+            cur.groupBy("_d")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(" ".join(words)).alias("phrase"),
+                F.col("_d").alias(id_col),
+                F.col("n_hits").cast("long").alias("n_hits"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -11449,3 +11449,50 @@ def q216(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("x"))
     )
     return acf_exact(series, "event_type", "day", "x", max_lag=7)
+
+
+@query(
+    "q217_phrase_search",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+    ph AS (SELECT * FROM (VALUES
+             ('order fast', ['order', 'fast']),
+             ('window join', ['window', 'join']),
+             ('big order scan', ['big', 'order', 'scan'])
+           ) AS v(phrase, words)),
+    hits AS (SELECT ph.phrase, d.doc_id,
+                    len(list_filter(
+                      generate_series(1, len(d.tk) - len(ph.words) + 1),
+                      s -> list_reduce(
+                        list_prepend(true,
+                          list_transform(
+                            generate_series(1, len(ph.words)),
+                            i -> d.tk[s + i - 1] = ph.words[i])),
+                        (acc, x) -> acc AND x)
+                    )) AS n_hits
+             FROM d CROSS JOIN ph
+             WHERE len(d.tk) >= len(ph.words))
+    SELECT phrase, doc_id, cast(n_hits AS bigint) AS n_hits
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def q217(spark, sf_dir):
+    """Positional phrase search (retrieval.phrase_search): three exact
+    phrases resolved by posting-list intersection — the corpus
+    explodes once to (doc, position, token) and each n-word phrase is
+    n−1 equi-joins with ``pos + i`` arithmetic, shuffles keyed on the
+    doc id and bounded by the phrase words' posting lists, never the
+    corpus. The oracle computes the same counts by the OPPOSITE
+    algorithm — a per-document array scan testing every start offset —
+    so the gate pits index-side retrieval against scan-side ground
+    truth (overlapping occurrences count on both)."""
+    from gpi_etl_spark.operators.retrieval import phrase_search
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.tokens("text").alias("tk")
+    )
+    return phrase_search(
+        docs,
+        [["order", "fast"], ["window", "join"], ["big", "order", "scan"]],
+        "tk",
+    )

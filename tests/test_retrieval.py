@@ -53,3 +53,58 @@ def test_rrf_top_truncation(spark):
     out = rrf_fuse([("a", a)], top=3).collect()
     assert [r.doc_id for r in out] == [1, 2, 3]
     assert [r.fused_rank for r in out] == [1, 2, 3]
+
+
+def test_phrase_search_overlapping_and_counts(spark):
+    from gpi_etl_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "a", "a", "b"]),
+            (2, ["a", "b", "c", "a", "b"]),
+            (3, ["b", "a"]),
+        ],
+        "doc_id bigint, tk array<string>",
+    )
+    out = {
+        (r.phrase, r.doc_id): r.n_hits
+        for r in phrase_search(
+            docs, [["a", "a"], ["a", "b", "c"]], "tk"
+        ).collect()
+    }
+    # overlapping: 'a a a' holds 'a a' twice
+    assert out[("a a", 1)] == 2
+    assert out[("a b c", 2)] == 1
+    assert ("a a", 2) not in out and ("a a", 3) not in out
+
+
+def test_phrase_search_rejects_single_word(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, ["a"])], "doc_id bigint, tk array<string>"
+    )
+    with pytest.raises(ValueError):
+        phrase_search(docs, [["a"]], "tk")
+
+
+def test_phrase_search_deterministic(spark):
+    from gpi_etl_spark.operators.retrieval import phrase_search
+
+    import random
+
+    rng = random.Random(6)
+    docs = spark.createDataFrame(
+        [
+            (i, [rng.choice("abcd") for _ in range(30)])
+            for i in range(50)
+        ],
+        "doc_id bigint, tk array<string>",
+    )
+    one = sorted(phrase_search(docs, [["a", "b"]], "tk").collect())
+    two = sorted(
+        phrase_search(docs.repartition(9), [["a", "b"]], "tk").collect()
+    )
+    assert one == two and len(one) > 10
