@@ -107,6 +107,7 @@ HEADLINE = [
     "q214_key_skew_profile",  # pre-shuffle skew measurement (r6 add)
     "q215_content_checksum",  # order-free migration checksums (r6 add)
     "q216_acf_daily",         # int64-exact autocorrelation (r6 add)
+    "q217_phrase_search",     # postings-join phrase retrieval (r6 add)
     # q211 (stream-stream join) is registry-gated but not benched: its
     # runtime is dominated by the landing rewrite + memory-sink drain,
     # which the noop-sink lane would mismeasure.

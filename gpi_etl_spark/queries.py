@@ -7611,8 +7611,8 @@ _R6_PRIORITY = [
     # window holds alongside the re-sample prefix; the two flagship
     # trained-model compositions are pinned here so they get driver
     # rows this round, and the never-seen rule picks up the remainder
-    # (q206/q207/q208/q210/q211 overflow to the next round's sample —
-    # each is already three-SF oracle-verified locally).
+    # (q206-q208, q210/q211 and q213-q217 overflow to the next round's
+    # sample — each is already three-SF oracle-verified locally).
     "q209_naive_bayes", "q212_ivfadc_ann",
 ]
 
