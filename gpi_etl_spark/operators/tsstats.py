@@ -12,7 +12,7 @@ order-dependent float summation at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gpi_etl_spark.functions.rounding import fs6
@@ -96,4 +96,110 @@ def acf_exact(
             F.col("n").cast("long").alias("n"),
             fs6(num / den.cast("double")).alias("r_k"),
         )
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    v_cents_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    slopes ``(v_j − v_i)/(t_j − t_i)`` — up to ~29% corrupted points
+    leave the estimate standing, where one outlier day drags an OLS
+    slope (q154) arbitrarily far.
+
+    Exactness: values arrive as integer cents, times as integer
+    indices, so each pairwise slope is an exact rational floored to
+    6 dp (`fs6`) — both engines order the same multiset. The median is
+    the LOWER median (element ⌈m/2⌉ in (slope, t_i, t_j) order):
+    averaging the two middle slopes on even m would put an exact
+    .0000005 halfway point back in play, the boundary class this repo
+    eliminates everywhere.
+
+    Scale shape: the pair join is a self-equi-join on the key with a
+    ``t_i < t_j`` filter — quadratic IN THE SERIES LENGTH per key
+    (n=30 daily points → 435 pairs), never in the row count; the
+    median selection is one per-key window over those bounded pairs.
+    For multi-year series, fence the window (e.g. trailing 90 days)
+    before calling.
+    """
+    s = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(v_cents_col).cast("long").alias("v"),
+    )
+    b = s.select(
+        F.col("k"),
+        F.col("t").alias("t2"),
+        F.col("v").alias("v2"),
+    )
+    pairs = s.join(b, "k").filter(F.col("t") < F.col("t2")).select(
+        "k",
+        "t",
+        "t2",
+        fs6(
+            (F.col("v2") - F.col("v"))
+            / (F.col("t2") - F.col("t")).cast("double")
+        ).alias("slope6"),
+    )
+    w = Window.partitionBy("k").orderBy("slope6", "t", "t2")
+    cnt = Window.partitionBy("k")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("_rn") * 2 == F.col("_m") + F.pmod(F.col("_m"), F.lit(2)))
+        .select(
+            F.col("k").alias(key_col),
+            F.col("_m").cast("long").alias("m_pairs"),
+            F.col("slope6").alias("slope_cents_per_day"),
+        )
+    )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict day t with
+    the actual from day t−season) — the baseline every fancier
+    forecaster must beat, and the cheapest drift alarm for counter
+    series. Scored days are those where both the actual and its
+    season-lagged twin exist (one self-equi-join on (key, t−season) —
+    gap-safe, no window).
+
+    Metrics are exact integer ratios floored to 6 dp: MAE = Σ|e|/m and
+    WAPE = Σ|e|/Σactual (the scale-free one practitioners report;
+    sMAPE is deliberately NOT offered — its per-day rational terms
+    force an order-dependent float sum, the class this repo bans).
+    Keys whose scored actuals sum to zero are dropped from WAPE's
+    domain rather than divided by zero.
+    """
+    s = df.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).cast("long").alias("t"),
+        F.col(x_col).cast("long").alias("x"),
+    )
+    f = s.select(
+        F.col("k"),
+        (F.col("t") + season).alias("t"),
+        F.col("x").alias("fcst"),
+    )
+    scored = s.join(f, ["k", "t"]).select(
+        "k", "x", "fcst", F.abs(F.col("x") - F.col("fcst")).alias("ae")
+    )
+    agg = scored.groupBy("k").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("ae").alias("sae"),
+        F.sum("x").alias("sx"),
+    )
+    return agg.filter(F.col("sx") > 0).select(
+        F.col("k").alias(key_col),
+        F.col("m").cast("long").alias("m_days"),
+        fs6(F.col("sae") / F.col("m").cast("double")).alias("mae"),
+        fs6(F.col("sae") / F.col("sx").cast("double")).alias("wape"),
     )

@@ -11496,3 +11496,105 @@ def q217(spark, sf_dir):
         [["order", "fast"], ["window", "join"], ["big", "order", "scan"]],
         "tk",
     )
+
+
+@query(
+    "q218_theil_sen",
+    """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day,
+                      cast(round(cast(value AS DECIMAL(18,2)) * 100, 0)
+                           AS bigint) AS cents
+               FROM events),
+    series AS (SELECT event_type, day, sum(cents) AS v
+               FROM d GROUP BY event_type, day),
+    pairs AS (SELECT a.event_type, a.day AS t1, b.day AS t2,
+                     floor(((b.v - a.v) / CAST(b.day - a.day AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000 AS slope6
+              FROM series a JOIN series b
+                ON b.event_type = a.event_type AND a.day < b.day),
+    rk AS (SELECT event_type, slope6,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY slope6, t1, t2) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM pairs)
+    SELECT event_type, cast(m AS bigint) AS m_pairs,
+           slope6 AS slope_cents_per_day
+    FROM rk WHERE rn * 2 = m + (m % 2)
+    """,
+)
+def q218(spark, sf_dir):
+    """Theil–Sen robust daily-revenue trend per event type
+    (tsstats.theil_sen_slope): the median of all pairwise slopes over
+    the 30-day value series, in integer cents so every slope is an
+    exact 6-dp-floored rational and the LOWER-median selection can
+    never flake on a float boundary. One outlier day moves this
+    estimate by at most one rank; it drags q154's OLS slope
+    arbitrarily. The pair join is quadratic in SERIES LENGTH (435
+    pairs per key), never in row count — the corpus-scale work is the
+    daily aggregation upstream."""
+    from gpi_etl_spark.operators.tsstats import theil_sen_slope
+
+    ev = t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    return theil_sen_slope(series, "event_type", "day", "v").select(
+        "event_type", "m_pairs", "slope_cents_per_day"
+    )
+
+
+@query(
+    "q219_seasonal_backtest",
+    """
+    WITH d AS (SELECT event_type,
+                      epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    series AS (SELECT event_type, day, count(*) AS x
+               FROM d GROUP BY event_type, day),
+    scored AS (SELECT a.event_type, a.x,
+                      abs(a.x - b.x) AS ae
+               FROM series a JOIN series b
+                 ON b.event_type = a.event_type
+                AND b.day = a.day - 7),
+    agg AS (SELECT event_type, count(*) AS m, sum(ae) AS sae,
+                   sum(x) AS sx
+            FROM scored GROUP BY event_type)
+    SELECT event_type, cast(m AS bigint) AS m_days,
+           floor((sae / CAST(m AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS mae,
+           floor((sae / CAST(sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+             AS wape
+    FROM agg WHERE sx > 0
+    """,
+)
+def q219(spark, sf_dir):
+    """Seasonal-naive forecast backtest per event type
+    (tsstats.seasonal_naive_backtest): predict each day's event count
+    with the count from 7 days earlier and score MAE and WAPE — the
+    baseline any real forecaster must beat, and the cheapest weekly
+    drift alarm. Both metrics are exact integer ratios floored to
+    6 dp (sMAPE is deliberately absent: its per-day rational terms
+    would force an order-dependent float sum); the lag pairing is one
+    self-equi-join on (type, day−7), gap-safe with no window
+    anywhere."""
+    from gpi_etl_spark.operators.tsstats import seasonal_naive_backtest
+
+    ev = t(spark, sf_dir, "events")
+    series = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return seasonal_naive_backtest(series, "event_type", "day", "x")

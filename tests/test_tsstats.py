@@ -69,3 +69,66 @@ def test_acf_constant_series_dropped_and_gap_safe(spark):
         )
         want = math.floor(num / den * 1_000_000 + 0.5) / 1_000_000
         assert out[lag] == want
+
+
+def test_theil_sen_hand_checked_and_robust(spark):
+    from gpi_etl_spark.operators.tsstats import theil_sen_slope
+
+    # perfect slope 3 with one wild outlier at t=2
+    rows = [("a", t, 100 + 3 * t) for t in range(10)]
+    rows[2] = ("a", 2, 10_000)
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = theil_sen_slope(df, "k", "t", "v").collect()[0]
+    assert out.slope_cents_per_day == 3.0  # median ignores the outlier
+    assert out.m_pairs == 45
+    # OLS for contrast would be dragged far above 3
+    import statistics
+
+    xs = [t for _, t, _ in rows]
+    ys = [v for _, _, v in rows]
+    mx, my = statistics.mean(xs), statistics.mean(ys)
+    ols = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(ols - 3) > 50
+
+
+def test_theil_sen_lower_median_even_pairs(spark):
+    from gpi_etl_spark.operators.tsstats import theil_sen_slope
+
+    # 4 points -> 6 pairs (even): lower median = 3rd slope in order
+    df = spark.createDataFrame(
+        [("a", 0, 0), ("a", 1, 10), ("a", 2, 10), ("a", 3, 60)],
+        "k string, t long, v long",
+    )
+    out = theil_sen_slope(df, "k", "t", "v").collect()[0]
+    # slopes: 10,5,20,0,25,50 -> sorted 0,5,10,20,25,50 -> lower med 10
+    assert out.m_pairs == 6 and out.slope_cents_per_day == 10.0
+
+
+def test_seasonal_backtest_hand_checked(spark):
+    from gpi_etl_spark.operators.tsstats import seasonal_naive_backtest
+
+    # season=2: day t scored against t-2
+    rows = [("a", 0, 10), ("a", 1, 20), ("a", 2, 12), ("a", 3, 26),
+            ("a", 4, 12)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = seasonal_naive_backtest(df, "k", "t", "x", season=2).collect()[0]
+    # scored: t=2 (|12-10|=2), t=3 (|26-20|=6), t=4 (|12-12|=0)
+    assert out.m_days == 3
+    assert out.mae == 2.666667  # floor(8/3*1e6+0.5)/1e6
+    assert out.wape == 0.16     # 8/50
+
+
+def test_seasonal_backtest_gap_and_zero_actuals(spark):
+    from gpi_etl_spark.operators.tsstats import seasonal_naive_backtest
+
+    # gap at t=1: only t=2 pairs with t=0; zero-actual key dropped
+    df = spark.createDataFrame(
+        [("g", 0, 5), ("g", 2, 7), ("z", 0, 0), ("z", 2, 0)],
+        "k string, t long, x long",
+    )
+    out = seasonal_naive_backtest(df, "k", "t", "x", season=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == "g" and r.m_days == 1 and r.mae == 2.0
