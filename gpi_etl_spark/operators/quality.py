@@ -606,3 +606,71 @@ def content_checksum(
         .cast("long")
         .alias("sum_checksum"),
     )
+
+
+#: Benford expected first-digit shares, floored to 6 dp at definition
+#: time so both engines compare against the SAME 1e-6-grid constants
+#: (log10(1+1/d) computed once in Python, not per-engine).
+import math as _math
+
+BENFORD_6DP = {
+    d: _math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5) / 1_000_000
+    for d in range(1, 10)
+}
+
+
+def benford_profile(
+    df: DataFrame,
+    amount_col: str,
+    group_col: str,
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the classic
+    screen for fabricated or truncated numeric columns (real-world
+    multiplicative amounts lean on small leading digits; synthetic or
+    capped data shows up flat or spiked).
+
+    The digit comes from the STRING of the decimal(18,2)-quantized
+    amount (first ``[1-9]`` match), never from ``floor(log10(x))`` —
+    log10 lands exactly on integers at powers of ten only up to float
+    rounding, an engine-dependent boundary; decimal rendering is
+    identical everywhere. Zero amounts carry no leading digit and are
+    excluded. One groupBy on (group, digit); shares are exact-rational
+    6-dp floors and the Benford constants are 6-dp literals baked at
+    import, so the deviation column is the same double in any engine.
+
+    Returns one row per (group, digit): count, observed share,
+    expected share, and ``dev = fs6(share − benford)``.
+    """
+    digit = F.regexp_extract(
+        F.col(amount_col).cast("decimal(18,2)").cast("string"),
+        "([1-9])",
+        1,
+    )
+    counts = (
+        df.select(F.col(group_col).alias("g"), digit.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy("g", "d")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("n_d").alias("n"))
+    bmap = F.create_map(
+        *[
+            x
+            for dd, share in BENFORD_6DP.items()
+            for x in (F.lit(str(dd)), F.lit(share))
+        ]
+    )
+    return (
+        counts.join(totals, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("d").cast("int").alias("digit"),
+            F.col("n_d").cast("long").alias("n_d"),
+            _fs6(F.col("n_d") / F.col("n").cast("double")).alias("share"),
+            F.element_at(bmap, F.col("d")).alias("benford"),
+        )
+        .withColumn(
+            "dev",
+            _fs6(F.col("share") - F.col("benford")),
+        )
+    )

@@ -11598,3 +11598,51 @@ def q219(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("x"))
     )
     return seasonal_naive_backtest(series, "event_type", "day", "x")
+
+
+def _q220_oracle() -> str:
+    from gpi_etl_spark.operators.quality import BENFORD_6DP
+
+    bcase = " ".join(
+        f"WHEN '{d}' THEN CAST({v!r} AS DOUBLE)"
+        for d, v in BENFORD_6DP.items()
+    )
+    return f"""
+    WITH src AS (
+      SELECT l_returnflag AS g,
+             regexp_extract(
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+               '([1-9])', 1) AS d
+      FROM lineitem),
+    counts AS (SELECT g, d, count(*) AS n_d FROM src
+               WHERE d <> '' GROUP BY g, d),
+    totals AS (SELECT g, sum(n_d) AS n FROM counts GROUP BY g),
+    j AS (SELECT g, d, n_d,
+                 floor((n_d / CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                   / 1000000 AS share,
+                 CASE d {bcase} END AS benford
+          FROM counts JOIN totals USING (g))
+    SELECT g AS l_returnflag, cast(d AS int) AS digit,
+           cast(n_d AS bigint) AS n_d, share, benford,
+           floor((share - benford) * 1000000 + 0.5) / 1000000 AS dev
+    FROM j
+    """
+
+
+@query("q220_benford_profile", _q220_oracle())
+def q220(spark, sf_dir):
+    """Benford first-digit screen (quality.benford_profile) on
+    lineitem extended prices per return flag — the classic
+    fabricated-data detector. The leading digit comes from the
+    decimal(18,2) STRING (never floor(log10): powers of ten sit on an
+    engine-dependent float boundary), shares are exact-rational 6-dp
+    floors, and the Benford constants are 6-dp literals baked once in
+    Python and repr'd into both engines, so the deviation column is
+    the same double everywhere. TPC-H-style prices are NOT Benford
+    (bounded uniform-ish range) — the profile exists to MEASURE that,
+    and the readout shows exactly the flat-distribution signature the
+    screen is built to flag."""
+    from gpi_etl_spark.operators.quality import benford_profile
+
+    li = t(spark, sf_dir, "lineitem")
+    return benford_profile(li, "l_extendedprice", "l_returnflag")

@@ -384,3 +384,43 @@ def test_content_checksum_null_vs_empty_distinct(spark):
         ["x", "y"],
     ).collect()[0]
     assert a.sum_checksum != b.sum_checksum
+
+
+def test_benford_profile_hand_checked(spark):
+    from gpi_etl_spark.operators.quality import (
+        BENFORD_6DP,
+        benford_profile,
+    )
+
+    rows = (
+        [("a", 1.23)] * 3 + [("a", 19.99)] * 3 + [("a", 0.25)] * 2
+        + [("a", 0.00)] + [("a", 900.0)] * 2
+    )
+    df = spark.createDataFrame(rows, "g string, amt double")
+    out = {r.digit: r for r in benford_profile(df, "amt", "g").collect()}
+    # 0.00 excluded -> n = 10; digits: 1 x6, 2 x2, 9 x2
+    assert out[1].n_d == 6 and out[2].n_d == 2 and out[9].n_d == 2
+    assert out[1].share == 0.6 and out[1].benford == BENFORD_6DP[1]
+    assert out[1].dev == round(0.6 - BENFORD_6DP[1], 6)
+    assert set(out) == {1, 2, 9}
+
+
+def test_benford_profile_real_benford_data_fits(spark):
+    from gpi_etl_spark.operators.quality import benford_profile
+
+    # 2^k for k=0..199 is a classic Benford sequence
+    rows = [("p", float(2**k % 10**9) + 0.5) for k in range(200)]
+    # keep true leading digit: use the actual power value scaled into
+    # decimal(18,2) range instead
+    rows = []
+    for k in range(200):
+        v = float(2**k)
+        while v >= 1e15:
+            v /= 1e10
+        rows.append(("p", v))
+    df = spark.createDataFrame(rows, "g string, amt double")
+    out = {r.digit: r for r in benford_profile(df, "amt", "g").collect()}
+    # leading digit 1 should be close to 30.1%, digit 9 near 4.6%
+    assert 0.25 < out[1].share < 0.36
+    assert out[9].share < 0.09
+    assert abs(out[1].dev) < 0.06
