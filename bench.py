@@ -108,6 +108,9 @@ HEADLINE = [
     "q215_content_checksum",  # order-free migration checksums (r6 add)
     "q216_acf_daily",         # int64-exact autocorrelation (r6 add)
     "q217_phrase_search",     # postings-join phrase retrieval (r6 add)
+    "q218_theil_sen",         # robust pairwise-median trend (r6 add)
+    "q219_seasonal_backtest", # naive-forecast MAE/WAPE baseline (r6 add)
+    "q220_benford_profile",   # first-digit fabrication screen (r6 add)
     # q211 (stream-stream join) is registry-gated but not benched: its
     # runtime is dominated by the landing rewrite + memory-sink drain,
     # which the noop-sink lane would mismeasure.
