@@ -834,11 +834,12 @@ def embargo_split(
 
 
 def temperature_mix_budgets(
-    df: DataFrame,
+    df: DataFrame | None = None,
     group_col: str = "lang",
     token_col: str = "n_tokens",
     alpha: float = 0.5,
     total: int = 10_000,
+    sizes: dict[str, int] | None = None,
 ) -> dict[str, int]:
     """Temperature-weighted token budgets per group: ``w_g ∝ n_g^α``
     (the multilingual-pretraining α-sampling rule — α < 1 upsamples
@@ -852,6 +853,12 @@ def temperature_mix_budgets(
     consumes — bounded model state (one float per GROUP crosses the
     driver, never data; the k-means/BPE contract, SURVEY §3.2).
 
+    ``sizes`` short-circuits the aggregation with precomputed
+    ``{group: token_sum}`` totals — callers that already collected
+    them (q207 derives the budget total from the same sums) avoid a
+    second corpus scan. An empty input yields an empty budget dict;
+    all-zero token sums raise (no weight basis).
+
     Cross-engine determinism: the weight fold runs in sorted-group
     order starting from 0.0 (the q182/q204 ordered-fold convention), so
     a DuckDB oracle replays every intermediate double bit-for-bit —
@@ -861,12 +868,16 @@ def temperature_mix_budgets(
     """
     import math
 
-    sizes = sorted(
-        (r[group_col], int(r["_n"]))
-        for r in df.groupBy(group_col)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("_n"))
-        .collect()
-    )
+    if sizes is None:
+        sizes = {
+            r[group_col]: int(r["_n"])
+            for r in df.groupBy(group_col)
+            .agg(F.sum(F.col(token_col).cast("long")).alias("_n"))
+            .collect()
+        }
+    sizes = sorted(sizes.items())
+    if not sizes:
+        return {}
 
     def w(n: int) -> float:
         return math.sqrt(float(n)) if alpha == 0.5 else math.pow(
@@ -876,6 +887,11 @@ def temperature_mix_budgets(
     s_total = 0.0
     for _, n in sizes:
         s_total = s_total + w(n)
+    if s_total == 0.0:
+        # every group has zero tokens: no weight basis — an explicit
+        # error beats a ZeroDivisionError from the quota line
+        raise ValueError("temperature_mix_budgets: all group token "
+                         "sums are zero; no weights to apportion")
     total_f = float(total)
     quotas = [(g, total_f * w(n) / s_total) for g, n in sizes]
     base = {g: math.floor(q) for g, q in quotas}
@@ -896,6 +912,7 @@ def epoch_repetition_plan(
     token_col: str = "n_tokens",
     group_col: str = "lang",
     id_col: str = "doc_id",
+    supplies: dict[str, int] | None = None,
 ) -> DataFrame:
     """Per-document repetition counts that realize a token budget LARGER
     than a group's supply — the epoch-mixing stage
@@ -913,7 +930,10 @@ def epoch_repetition_plan(
 
     Groups without a budget entry and groups with zero token supply are
     dropped (nothing to repeat). All arithmetic is int64 (``div``, not
-    float division), so the oracle replays it exactly.
+    float division), so the oracle replays it exactly. ``supplies``
+    short-circuits the per-group token aggregate with totals the
+    caller already holds (q207 reuses the sums behind its budgets —
+    one fewer corpus scan).
 
     Scale shape: one groupBy for supplies (bounded: one row per group,
     broadcast back), one window per group for the prefix cumsum — the
@@ -926,9 +946,16 @@ def epoch_repetition_plan(
         x for k, v in budgets.items() for x in (F.lit(k), F.lit(int(v)))
     ]
     budget = F.element_at(F.create_map(*entries), F.col(group_col))
-    sup = df.groupBy(group_col).agg(
-        F.sum(F.col(token_col).cast("long")).alias("_sup")
-    )
+    if supplies is not None:
+        spark = df.sparkSession
+        sup = spark.createDataFrame(
+            [(g, int(n)) for g, n in sorted(supplies.items())],
+            f"{group_col} string, _sup long",
+        )
+    else:
+        sup = df.groupBy(group_col).agg(
+            F.sum(F.col(token_col).cast("long")).alias("_sup")
+        )
     w = (
         Window.partitionBy(group_col)
         .orderBy(mix_hash(F.col(id_col)), F.col(id_col))

@@ -150,7 +150,9 @@ def nb_predict(
     )
     grid = test.select(
         F.col(id_col).alias("_id"),
-        F.size(tokens_col).cast("long").alias("_n"),
+        # NULL token arrays behave like empty ones (F.size(NULL) is
+        # NULL and would poison the score into NULL for every class)
+        F.coalesce(F.size(tokens_col), F.lit(0)).cast("long").alias("_n"),
         F.explode(F.array(*[F.lit(c) for c in classes])).alias("_cls"),
     )
     scored = (

@@ -116,6 +116,12 @@ def interval_overlap_join(
     """
     ls, le = (F.col(c) for c in l_cols)
     rs, re_ = (F.col(c) for c in r_cols)
+    # zero/negative-length intervals are mathematically empty — drop
+    # them before banding (a descending F.sequence would otherwise
+    # fabricate cells for them; the sweep-line sibling applies the
+    # same e > s guard)
+    left = left.filter(le > ls)
+    right = right.filter(re_ > rs)
     # integer `div`, not float floor: epoch-microsecond magnitudes sit
     # close enough to the double rounding edge that exactness should
     # not depend on an error analysis

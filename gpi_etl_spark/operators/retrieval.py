@@ -108,6 +108,8 @@ def phrase_search(
     Phrases must have ≥ 2 words (single tokens are a plain filter).
     Returns (phrase, id, n_hits) for documents with ≥ 1 occurrence.
     """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
     if any(len(p) < 2 for p in phrases):
         raise ValueError("phrases must have at least 2 words")
     postings = docs.select(

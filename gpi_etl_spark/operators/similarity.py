@@ -181,8 +181,13 @@ def distributed_kmeans(
             vec = np.array([dims[p][0] / dims[p][1] for p in sorted(dims)])
             new[c] = vec
         new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
-        if np.allclose(new, cents, atol=1e-9):
-            cents = new
+        # break only on the EXACT fixed point (bit-equal centroids):
+        # a tolerance break could stop on a near-fixed point and
+        # diverge from the oracle's full unroll, whose safety argument
+        # ("extra iterations change nothing") holds only for true
+        # fixed points (review find; allclose's default rtol=1e-5 was
+        # the hazard)
+        if np.array_equal(new, cents):
             break
         cents = new
     return cents, base.withColumn("cell", _nearest_cells(vec_col, cents, 1)[0])
@@ -754,13 +759,14 @@ def pq_train(
             new /= np.maximum(
                 np.linalg.norm(new, axis=1, keepdims=True), 1e-12
             )
-            if not np.allclose(new, books[s], atol=1e-9):
+            if not np.array_equal(new, books[s]):
                 stable = False
             new_books.append(new)
         books = new_books
         if stable:
-            # converged subspaces are Lloyd fixed points; extra
-            # iterations change nothing (the oracle's unroll argument)
+            # bit-exact fixed points in EVERY subspace; extra
+            # iterations provably change nothing (the oracle's unroll
+            # argument) — a tolerance break would not have that proof
             break
 
     coded = base

@@ -176,8 +176,8 @@ def seasonal_naive_backtest(
     WAPE = Σ|e|/Σactual (the scale-free one practitioners report;
     sMAPE is deliberately NOT offered — its per-day rational terms
     force an order-dependent float sum, the class this repo bans).
-    Keys whose scored actuals sum to zero are dropped from WAPE's
-    domain rather than divided by zero.
+    Keys whose scored actuals sum to zero keep their MAE row with a
+    NULL ``wape`` (the ratio is undefined, the absolute error is not).
     """
     s = df.select(
         F.col(key_col).alias("k"),
@@ -197,9 +197,12 @@ def seasonal_naive_backtest(
         F.sum("ae").alias("sae"),
         F.sum("x").alias("sx"),
     )
-    return agg.filter(F.col("sx") > 0).select(
+    return agg.select(
         F.col("k").alias(key_col),
         F.col("m").cast("long").alias("m_days"),
         fs6(F.col("sae") / F.col("m").cast("double")).alias("mae"),
-        fs6(F.col("sae") / F.col("sx").cast("double")).alias("wape"),
+        F.when(
+            F.col("sx") > 0,
+            fs6(F.col("sae") / F.col("sx").cast("double")),
+        ).alias("wape"),
     )

@@ -10596,34 +10596,50 @@ def q205(spark, sf_dir):
     return per_split.join(users, "split")
 
 
-@query(
-    "q206_temperature_mix",
-    f"""
-    WITH d AS (
+
+def _budget_ctes(total_sql: str) -> str:
+    """Shared DuckDB chain replaying curation.temperature_mix_budgets
+    (α=0.5) over the documents table: tokenized sizes, the sorted-lang
+    sqrt weight fold, float quotas against ``total_sql`` (an integer
+    expression over ``sz``), and the largest-remainder apportionment —
+    ends at ``bud(lang, n_tok, budget)``. q206 (fixed total) and q207
+    (3× supply) consume the SAME chain, so the fold order, tie-break
+    and remainder rule can never desynchronize between their oracles
+    (review find). ``total_sql`` must be an AGGREGATE expression over
+    ``sz`` (the chain evaluates it in a one-row ``tot`` CTE)."""
+    return f"""d AS (
       SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tokens
       FROM documents),
     sz AS (SELECT lang, sum(cast(n_tokens AS bigint)) AS n_tok
            FROM d GROUP BY lang),
+    tot AS (SELECT {total_sql} AS total FROM sz),
     s AS (SELECT list_reduce(
                    list_prepend(CAST(0.0 AS DOUBLE),
                      list(sqrt(cast(n_tok AS DOUBLE)) ORDER BY lang)),
                    (acc, x) -> acc + x) AS stot
           FROM sz),
     q AS (SELECT lang, n_tok,
-                 CAST(8000 AS DOUBLE) * sqrt(cast(n_tok AS DOUBLE)) / stot
+                 CAST(total AS DOUBLE) * sqrt(cast(n_tok AS DOUBLE)) / stot
                    AS quota
-          FROM sz CROSS JOIN s),
+          FROM sz CROSS JOIN s CROSS JOIN tot),
     b AS (SELECT lang, n_tok, cast(floor(quota) AS bigint) AS base,
                  quota - floor(quota) AS frac
           FROM q),
     rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang ASC)
                        AS rnk
            FROM b),
-    leftover AS (SELECT 8000 - sum(base) AS rem FROM b),
+    leftover AS (SELECT total - (SELECT sum(base) FROM b) AS rem
+                 FROM tot),
     bud AS (SELECT lang, n_tok,
                    base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END
                      AS budget
-            FROM rk CROSS JOIN leftover),
+            FROM rk CROSS JOIN leftover)"""
+
+
+@query(
+    "q206_temperature_mix",
+    f"""
+    WITH {_budget_ctes("min(CAST(8000 AS BIGINT))")},
     j AS (SELECT d.doc_id, d.lang, d.n_tokens, bud.budget,
                  {curation.mix_hash_sql('doc_id', 'duckdb')} AS h
           FROM d JOIN bud USING (lang)),
@@ -10699,33 +10715,7 @@ def q206(spark, sf_dir):
 @query(
     "q207_epoch_repetition",
     f"""
-    WITH d AS (
-      SELECT doc_id, lang, cast(len({_TOKS_SQL}) AS int) AS n_tokens
-      FROM documents),
-    sz AS (SELECT lang, sum(cast(n_tokens AS bigint)) AS n_tok
-           FROM d GROUP BY lang),
-    tot AS (SELECT 3 * sum(n_tok) AS total FROM sz),
-    s AS (SELECT list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                     list(sqrt(cast(n_tok AS DOUBLE)) ORDER BY lang)),
-                   (acc, x) -> acc + x) AS stot
-          FROM sz),
-    q AS (SELECT lang, n_tok,
-                 CAST(total AS DOUBLE) * sqrt(cast(n_tok AS DOUBLE)) / stot
-                   AS quota
-          FROM sz CROSS JOIN s CROSS JOIN tot),
-    b AS (SELECT lang, n_tok, cast(floor(quota) AS bigint) AS base,
-                 quota - floor(quota) AS frac
-          FROM q),
-    rk AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang ASC)
-                       AS rnk
-           FROM b),
-    leftover AS (SELECT total - (SELECT sum(base) FROM b) AS rem
-                 FROM tot),
-    bud AS (SELECT lang, n_tok,
-                   base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END
-                     AS budget
-            FROM rk CROSS JOIN leftover),
+    WITH {_budget_ctes("3 * sum(n_tok)")},
     kk AS (SELECT lang, budget, n_tok,
                   budget // n_tok AS k,
                   budget - (budget // n_tok) * n_tok AS part
@@ -10766,13 +10756,22 @@ def q207(spark, sf_dir):
         "lang",
         F.size(textstats.tokens("text")).alias("n_tokens"),
     )
-    total = 3 * int(
-        d.agg(F.sum(F.col("n_tokens").cast("long"))).collect()[0][0]
-    )
+    # ONE aggregate collect feeds the global total, the budgets AND
+    # the per-group supplies — without the reuse this query tokenized
+    # the corpus four times (review find)
+    sizes = {
+        r["lang"]: int(r["_n"])
+        for r in d.groupBy("lang")
+        .agg(F.sum(F.col("n_tokens").cast("long")).alias("_n"))
+        .collect()
+    }
+    total = 3 * sum(sizes.values())
     budgets = curation.temperature_mix_budgets(
-        d, group_col="lang", token_col="n_tokens", alpha=0.5, total=total
+        alpha=0.5, total=total, sizes=sizes
     )
-    plan = curation.epoch_repetition_plan(d, budgets)
+    plan = curation.epoch_repetition_plan(
+        d, budgets, supplies=sizes
+    )
     return plan.select("doc_id", "lang", "n_tokens", "copies")
 
 
@@ -10831,11 +10830,17 @@ def q208(spark, sf_dir):
     instants) keeps back-to-back sessions from double-counting. All
     int64 microsecond arithmetic; the oracle replays the sweep
     bit-exactly."""
-    ev = t(spark, sf_dir, "events").select("user_id", "ts")
-    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    # sessionize on MICROSECONDS (sessionize on the raw timestamp would
+    # cast to whole seconds, while the oracle breaks sessions on the
+    # microsecond gap — a 1800.8s true gap would split in one engine
+    # and not the other; review find)
+    sess = sessionize(ev, "user_id", "us", gap_seconds=1_800_000_000)
     iv = sess.groupBy("user_id", "session_id").agg(
-        F.min(F.unix_micros("ts")).alias("s_us"),
-        (F.max(F.unix_micros("ts")) + F.lit(60_000_000)).alias("e_us"),
+        F.min("us").alias("s_us"),
+        (F.max("us") + F.lit(60_000_000)).alias("e_us"),
     )
     out = interval_concurrency(iv, "s_us", "e_us")
     return out.select(
@@ -11021,7 +11026,7 @@ def q210(spark, sf_dir):
 def q211(spark, sf_dir):
     """Stream-stream interval join (streaming/joins.interval_join),
     registered end to end: purchases join the views that preceded them
-    by up to 30 minutes for the same user — the attribution primitive —
+    by up to 6 hours for the same user — the attribution primitive —
     with BOTH sides as real file streams under event-time watermarks,
     so Spark's state store only buffers rows inside the
     watermark+lookback horizon (state is O(window), never O(stream)).
@@ -11571,9 +11576,10 @@ def q218(spark, sf_dir):
     SELECT event_type, cast(m AS bigint) AS m_days,
            floor((sae / CAST(m AS DOUBLE)) * 1000000 + 0.5) / 1000000
              AS mae,
-           floor((sae / CAST(sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
-             AS wape
-    FROM agg WHERE sx > 0
+           CASE WHEN sx > 0 THEN
+             floor((sae / CAST(sx AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           END AS wape
+    FROM agg
     """,
 )
 def q219(spark, sf_dir):

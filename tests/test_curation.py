@@ -769,3 +769,32 @@ def test_epoch_repetition_deterministic(spark):
         ).collect()
     )
     assert one == two
+
+
+def test_temperature_budgets_edge_inputs(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id bigint, lang string, n_tokens int")
+    assert curation.temperature_mix_budgets(empty, total=100) == {}
+    zeros = _mkdocs(spark, [("a", 3, 0), ("b", 2, 0)])
+    with pytest.raises(ValueError):
+        curation.temperature_mix_budgets(zeros, total=100)
+    # precomputed sizes short-circuit matches the aggregating path
+    df = _mkdocs(spark, [("en", 40, 100), ("de", 10, 100)])
+    via_df = curation.temperature_mix_budgets(df, total=1000)
+    via_sizes = curation.temperature_mix_budgets(
+        sizes={"en": 4000, "de": 1000}, total=1000
+    )
+    assert via_df == via_sizes
+
+
+def test_epoch_repetition_supplies_shortcut_matches(spark):
+    df = _mkdocs(spark, [("en", 10, 50), ("zh", 4, 25)])
+    budgets = {"en": 1234, "zh": 333}
+    full = sorted(curation.epoch_repetition_plan(df, budgets).collect())
+    short = sorted(
+        curation.epoch_repetition_plan(
+            df, budgets, supplies={"en": 500, "zh": 100}
+        ).collect()
+    )
+    assert full == short

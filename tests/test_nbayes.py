@@ -107,3 +107,17 @@ def test_nb_deterministic_under_repartition(spark):
         nbayes.nb_predict(df.repartition(7), m2, "toks").collect()
     )
     assert p1 == p2
+
+
+def test_nb_null_token_array_falls_back_to_prior(spark):
+    train = _docs(
+        spark,
+        [("big", "x y"), ("big", "x z"), ("big", "y z"), ("small", "q r")],
+    )
+    m = nbayes.nb_train(train, "lang", "toks")
+    test = spark.createDataFrame(
+        [(99, None)], "doc_id bigint, toks array<string>"
+    )
+    pred = nbayes.nb_predict(test, m, "toks").collect()
+    assert len(pred) == 1 and pred[0].predicted == "big"
+    assert pred[0].score_micronats is not None

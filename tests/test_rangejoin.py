@@ -172,3 +172,20 @@ def test_interval_overlap_join_dedups_multi_cell_pairs(spark):
         band_us=10,
     ).collect()
     assert len(out) == 1
+
+
+def test_interval_overlap_join_drops_empty_intervals(spark):
+    from gpi_etl_spark.operators.rangejoin import interval_overlap_join
+
+    # [500,500) is mathematically empty: must never match anything
+    left = spark.createDataFrame(
+        [(1, 500, 500), (2, 400, 600)], "lid long, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [(7, 0, 1000)], "rid long, rs long, re long"
+    )
+    out = interval_overlap_join(
+        left, right, ("ls", "le"), ("rs", "re"), ["lid"], ["rid"],
+        band_us=100,
+    ).collect()
+    assert [r.lid for r in out] == [2]

@@ -108,3 +108,15 @@ def test_phrase_search_deterministic(spark):
         phrase_search(docs.repartition(9), [["a", "b"]], "tk").collect()
     )
     assert one == two and len(one) > 10
+
+
+def test_phrase_search_rejects_empty_list(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, ["a"])], "doc_id bigint, tk array<string>"
+    )
+    with pytest.raises(ValueError):
+        phrase_search(docs, [], "tk")

@@ -123,12 +123,14 @@ def test_seasonal_backtest_hand_checked(spark):
 def test_seasonal_backtest_gap_and_zero_actuals(spark):
     from gpi_etl_spark.operators.tsstats import seasonal_naive_backtest
 
-    # gap at t=1: only t=2 pairs with t=0; zero-actual key dropped
+    # gap at t=1: only t=2 pairs with t=0; zero-actual key keeps its
+    # MAE row with a NULL wape (the ratio is undefined, the error not)
     df = spark.createDataFrame(
         [("g", 0, 5), ("g", 2, 7), ("z", 0, 0), ("z", 2, 0)],
         "k string, t long, x long",
     )
-    out = seasonal_naive_backtest(df, "k", "t", "x", season=2).collect()
-    assert len(out) == 1
-    r = out[0]
-    assert r.k == "g" and r.m_days == 1 and r.mae == 2.0
+    out = {r.k: r for r in
+           seasonal_naive_backtest(df, "k", "t", "x", season=2).collect()}
+    assert out["g"].m_days == 1 and out["g"].mae == 2.0
+    assert out["g"].wape == 0.285714  # 2/7 (scored actual)
+    assert out["z"].mae == 0.0 and out["z"].wape is None
