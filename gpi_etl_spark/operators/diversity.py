@@ -19,11 +19,12 @@ lineage), and each of the k greedy steps is one distributed
 ``limit(1)`` argmax whose expression embeds the ≤k already-selected
 vectors as broadcast literals — bounded model state (k × dim doubles)
 crosses the driver per step, never data. Total cost: k scans of the
-candidate table; plan size constant per step. Determinism: ties break
-on ascending id, and every float the argmax compares is computed by
-the same IEEE expression in both engines (the q35 precedent), so the
-greedy trajectory is engine-replayable — which is what the unrolled
-DuckDB oracle (queries._mmr_ctes) checks end-to-end.
+candidate table; plan size constant per step. Determinism: the argmax
+orders by the 6-dp floor-scaled score (``floor(mmr·1e6+0.5)``) with an
+ascending-id tiebreak — scores within 1e-6 tie by construction, so a
+last-ulp cross-engine divergence cannot flip a pick (the repo's
+argmax-over-floats rule); the unrolled DuckDB oracle
+(queries._mmr_ctes) replays the same key end-to-end.
 """
 
 from __future__ import annotations
@@ -88,9 +89,19 @@ def mmr_select(
         cand = scored
         if sel_ids:
             cand = cand.filter(~F.col("_id").isin(sel_ids))
+        # Argmax key is the 6-dp FLOOR-SCALED score, not the raw float
+        # (the repo's survivor-selection rule, cf. dedup's q183): the
+        # raw doubles are proven engine-identical today, but scaling
+        # before comparing makes the trajectory robust by MECHANISM —
+        # a last-ulp divergence can no longer flip a pick; candidates
+        # within 1e-6 tie and resolve on ascending id. The oracle's
+        # per-step ORDER BY uses the same key.
         top = (
             cand.select("_id", "_v", "_rel", score.alias("_mmr"))
-            .orderBy(F.col("_mmr").desc(), F.col("_id").asc())
+            .orderBy(
+                F.floor(F.col("_mmr") * 1000000.0 + 0.5).desc(),
+                F.col("_id").asc(),
+            )
             .limit(1)
             .collect()
         )

@@ -30,6 +30,7 @@ def geo_feature_vector(
     near_threshold: float = 100.0,
     missing_min: float = 0.0,
     prefix: str = "GEO_",
+    exact_mean_scale: int | None = None,
 ) -> DataFrame:
     """Widen per-(site, category) distance stats into one row per site.
 
@@ -38,14 +39,29 @@ def geo_feature_vector(
     HTIPNEXSITE uses 10000 (:348) — callers pick per pipeline.
     Passing ``categories`` pins the output schema (and skips the
     distinct-values pre-job the pivot would otherwise run).
+
+    ``exact_mean_scale``: when the distance column holds FIXED-POINT
+    values (e.g. 2-dp monetary amounts rather than computed haversine
+    meters), ``avg(double)`` is an order-dependent float sum; passing
+    the decimal scale switches MEAN_DIST to exact decimal accumulation
+    (sum(decimal)::double / count) — one deterministic double per
+    group regardless of partitioning. Leave None for transcendental
+    distances, where plain avg is the cheaper production form.
     """
     d = F.col(distance_col)
+    if exact_mean_scale is None:
+        mean_expr = F.avg(d)
+    else:
+        mean_expr = (
+            F.sum(d.cast(f"decimal(18,{exact_mean_scale})")).cast("double")
+            / F.count(d)
+        )
     aggs = [
         F.count(F.lit(1)).cast("double").alias("300M_CNT"),
         F.count(F.when(d <= near_threshold, 1)).cast("double").alias("100M_CNT"),
         F.min(d).alias("MIN_DIST"),
         F.max(d).alias("MAX_DIST"),
-        F.avg(d).alias("MEAN_DIST"),
+        mean_expr.alias("MEAN_DIST"),
     ]
     pivoted = (
         df.groupBy(*site_cols)

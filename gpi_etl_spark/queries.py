@@ -214,6 +214,33 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 from gpi_etl_spark.functions.rounding import fs6, fs6_sql  # noqa: E402
 
 
+# Deterministic mean of a FIXED-POINT column (the r6 verdict's
+# avg-of-2dp-doubles migration): ``avg(double)`` is an order-dependent
+# float sum, so its 6-dp rounding can flake whenever the true mean
+# sits within the accumulated error of a half-way point. Accumulate in
+# decimal instead — the sum is EXACT, its cast to double is correctly
+# rounded (one deterministic value on both engines), and the single
+# IEEE division by the non-null count is correctly rounded too, so
+# both engines floor-scale the identical double. Matches avg()'s
+# null-skipping via count(col).
+def davg(col: F.Column, scale: int = 2) -> F.Column:
+    return fs6(
+        F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+        / F.count(col)
+    )
+
+
+def davg_sql(expr: str, scale: int = 2, filt: str = "") -> str:
+    """``filt`` (e.g. ``"FILTER (WHERE event_type = 'click')"``)
+    attaches to BOTH aggregates so the null-skipping denominator stays
+    aligned with the filtered numerator."""
+    filt = f" {filt}" if filt else ""
+    return fs6_sql(
+        f"cast(sum(cast({expr} as decimal(18,{scale}))){filt} as double)"
+        f" / count({expr}){filt}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.2/§2.4: filters, aggregates, derived columns)
 # ---------------------------------------------------------------------------
@@ -227,7 +254,7 @@ from gpi_etl_spark.functions.rounding import fs6, fs6_sql  # noqa: E402
            {dsum_sql('(l_extendedprice * (1 - l_discount))', 6)} AS sum_disc_price,
            {dsum_sql('((l_extendedprice * (1 - l_discount)) * (1 + l_tax))', 6)} AS sum_charge,
            floor(avg(l_quantity) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty,
-           round(avg(l_discount), 6) AS avg_disc,
+           {davg_sql('l_discount')} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -252,7 +279,7 @@ def q01(spark, sf_dir):
             dsum(disc_price, 6).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
             fs6(F.avg("l_quantity")).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -917,7 +944,10 @@ def _widen_sql() -> str:
         )
         cols.append(f"coalesce(min(value) {f}, 10000.0) AS VAL_{ty}_MIN_DIST")
         cols.append(f"coalesce(max(value) {f}, 0.0) AS VAL_{ty}_MAX_DIST")
-        cols.append(f"coalesce(round(avg(value) {f}, 6), 0.0) AS VAL_{ty}_MEAN_DIST")
+        cols.append(
+            f"coalesce({davg_sql('value', filt=f)}, 0.0)"
+            f" AS VAL_{ty}_MEAN_DIST"
+        )
     return ",\n           ".join(cols)
 
 
@@ -944,9 +974,13 @@ def q26(spark, sf_dir):
         near_threshold=50.0,
         missing_min=10000.0,
         prefix="VAL_",
+        # events.value is 2-dp fixed-point, so the mean is a decimal
+        # accumulation (order-independent), not a float avg — see
+        # davg's rationale above
+        exact_mean_scale=2,
     )
     rounded = [
-        F.round(F.col(c), 6).alias(c) if c.endswith("MEAN_DIST") else F.col(c)
+        fs6(F.col(c)).alias(c) if c.endswith("MEAN_DIST") else F.col(c)
         for c in wide.columns
     ]
     return wide.select(*rounded)
@@ -966,9 +1000,9 @@ def q26(spark, sf_dir):
            cast(count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS double)
     FROM lineitem
     UNION ALL
-    SELECT 'avg_disc', round(avg(CASE WHEN l_returnflag = 'A' THEN l_discount END), 6),
-           round(avg(CASE WHEN l_returnflag = 'N' THEN l_discount END), 6),
-           round(avg(CASE WHEN l_returnflag = 'R' THEN l_discount END), 6)
+    SELECT 'avg_disc', {davg_sql("CASE WHEN l_returnflag = 'A' THEN l_discount END")},
+           {davg_sql("CASE WHEN l_returnflag = 'N' THEN l_discount END")},
+           {davg_sql("CASE WHEN l_returnflag = 'R' THEN l_discount END")}
     FROM lineitem
     """,
 )
@@ -980,7 +1014,7 @@ def q27(spark, sf_dir):
     summary = li.groupBy("l_returnflag").agg(
         dsum(F.col("l_quantity")).alias("sum_qty"),
         F.count(F.lit(1)).cast("double").alias("cnt"),
-        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        davg(F.col("l_discount")).alias("avg_disc"),
     )
     return transpose(summary, "l_returnflag", ["sum_qty", "cnt", "avg_disc"])
 
@@ -2747,9 +2781,9 @@ def q78(spark, sf_dir):
 
 @query(
     "q79_date_spine_ffill",
-    """
+    f"""
     WITH daily AS (SELECT event_type, cast(date_trunc('day', ts) AS date) AS day,
-                          round(avg(value), 6) AS avg_value
+                          {davg_sql('value')} AS avg_value
                    FROM events WHERE event_type IN ('view', 'click')
                    GROUP BY 1, 2),
     bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
@@ -2778,7 +2812,8 @@ def q79(spark, sf_dir):
     daily = (
         ev.groupBy("event_type",
                    F.to_date(F.date_trunc("day", "ts")).alias("day"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"))
+        # 2-dp inputs → decimal-accumulated mean (davg), not float avg
+        .agg(davg(F.col("value")).alias("avg_value"))
     )
     bounds = daily.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -7176,7 +7211,12 @@ def q157(spark, sf_dir):
            cast(sum(CASE WHEN m.v IS NULL AND med.gmed IS NOT NULL
                          THEN 1 ELSE 0 END) AS bigint) AS n_imputed,
            round(min(med.gmed), 6) AS med_r,
-           round(avg(coalesce(m.v, med.gmed)), 6) AS mean_filled
+           floor(((coalesce(cast(sum(cast(m.v as decimal(18,2))) as double), 0.0)
+                   + cast(sum(CASE WHEN m.v IS NULL AND med.gmed IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS double)
+                     * coalesce(min(med.gmed), 0.0))
+                  / cast(count(coalesce(m.v, med.gmed)) AS double))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_filled
     FROM m LEFT JOIN med USING (event_type)
     GROUP BY m.event_type
     """,
@@ -7198,13 +7238,25 @@ def q158(spark, sf_dir):
         ).alias("v"),
     )
     filled = impute_median(ev, "event_type", "v", out_col="v_filled")
+    # mean_filled decomposes into exact parts (the avg-of-2dp rule,
+    # see davg): the surviving 2-dp values accumulate in decimal, the
+    # imputed rows contribute ONE multiply (n_imputed × median) — so
+    # the only float ops are a correctly-rounded multiply, add and
+    # divide on identical inputs in both engines, never an
+    # order-dependent sum that re-adds the median n times.
+    n_imp = F.sum(F.col("was_imputed").cast("int")).cast("bigint")
+    sum_v = F.coalesce(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double"), F.lit(0.0)
+    )
+    gmed = F.coalesce(F.min("group_median"), F.lit(0.0))
     return filled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("was_imputed").cast("int")).cast("bigint").alias(
-            "n_imputed"
-        ),
+        n_imp.alias("n_imputed"),
         F.round(F.min("group_median"), 6).alias("med_r"),
-        F.round(F.avg("v_filled"), 6).alias("mean_filled"),
+        fs6(
+            (sum_v + n_imp.cast("double") * gmed)
+            / F.count("v_filled").cast("double")
+        ).alias("mean_filled"),
     )
 
 
@@ -8626,7 +8678,10 @@ def _mmr_ctes(k: int, lam: float) -> str:
     step (the _kmeans_ctes/_bpe_ctes pattern): step 1 is the pure-
     relevance argmax, each later step scores the remaining candidates
     as λ·rel − (1−λ)·max-cosine-to-selected via a correlated max over
-    the selected CTE, with ties broken on ascending vec_id. Both λ
+    the selected CTE. The per-step ORDER BY compares the 6-dp
+    FLOOR-SCALED score with an ascending-vec_id tiebreak — the exact
+    key ``diversity.mmr_select`` orders by, so a last-ulp float
+    divergence cannot flip the trajectory on either engine. Both λ
     literals are emitted with full double precision via repr() — the
     Spark side computes ``1.0 − lam`` in Python, so the oracle must
     use the exact same IEEE value (0.7 → 0.30000000000000004), not a
@@ -8649,7 +8704,9 @@ def _mmr_ctes(k: int, lam: float) -> str:
   FROM base b CROSS JOIN qv q)""",
         f"""s1 AS MATERIALIZED (
   SELECT vec_id, v, rel, {l_lit} * rel AS mmr, 1 AS rnk
-  FROM rel ORDER BY {l_lit} * rel DESC, vec_id LIMIT 1)""",
+  FROM rel
+  ORDER BY floor({l_lit} * rel * 1000000.0 + 0.5) DESC, vec_id
+  LIMIT 1)""",
         "sel1 AS MATERIALIZED (SELECT vec_id, v FROM s1)",
     ]
     for i in range(2, k + 1):
@@ -8661,7 +8718,7 @@ def _mmr_ctes(k: int, lam: float) -> str:
            {l_lit} * r.rel - {ml_lit} * {pen} AS mmr
     FROM rel r
     WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{i - 1}))
-  ORDER BY mmr DESC, vec_id LIMIT 1)""",
+  ORDER BY floor(mmr * 1000000.0 + 0.5) DESC, vec_id LIMIT 1)""",
             f"""sel{i} AS MATERIALIZED (
   SELECT vec_id, v FROM sel{i - 1} UNION ALL SELECT vec_id, v FROM s{i})""",
         ]

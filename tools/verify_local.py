@@ -6,7 +6,10 @@ row count, column names, and order-insensitive values (floats rounded
 to 6 dp). Prints one line per query + a summary; exits nonzero on any
 mismatch. Usage:
 
-    python tools/verify_local.py [sf_dir] [only_query_prefix]
+    python tools/verify_local.py [sf_dir] [only_query_prefixes]
+
+``only_query_prefixes`` is comma-separated; a query runs if its name
+starts with ANY of the prefixes (e.g. ``q01_,q26_,q158_``).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2] if len(sys.argv) > 2 else ""
+ONLY = [p for p in (sys.argv[2] if len(sys.argv) > 2 else "").split(",") if p]
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -67,7 +70,7 @@ def main() -> int:
     qs, oracles = queries(), oracle_sql()
     failures = []
     for name, fn in sorted(qs.items()):
-        if ONLY and not name.startswith(ONLY):
+        if ONLY and not any(name.startswith(p) for p in ONLY):
             continue
         t0 = time.time()
         try:
