@@ -30,10 +30,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query. Since round 6 only
-    q49 (IVF fixture, superseded by the gated q176/q179 paths) and
-    q51 (HLL register internals) omit an oracle and get the driver's
-    rows-only check; the former hash-based omissions (minhash/simhash/
-    fingerprint) now run the cross-engine poly hash mode and are fully
-    oracled."""
+    """DuckDB-runnable ANSI SQL oracle per query. Since round 7 EVERY
+    registered query carries an oracle: the former hash-based
+    omissions (minhash/simhash/fingerprint) run the cross-engine poly
+    hash mode, the BPE loop replays via unrolled merge CTEs, and the
+    last two rows-only entries were retired (q49, superseded by the
+    gated q176/q179/q212 ANN chain) or replaced by a replayable
+    sketch (q51 → q221 k-min-registers)."""
     return Q.oracles()

@@ -19,9 +19,10 @@ driver-orchestrated with each step ONE distributed plan:
 
 At 100 TB the word-type table is the classic compression: a trillion
 tokens collapse to a few million types, so every BPE iteration costs a
-vocabulary-scale shuffle, not a corpus scan. No SQL oracle exists for
-the loop (same as q51/q81-class iterative ops); correctness is pinned
-by a pure-Python replay test and a committed fixture.
+vocabulary-scale shuffle, not a corpus scan. The driver loop is
+oracled via unrolled MATERIALIZED merge CTEs (queries._bpe_ctes, the
+q81-class iterative pattern); correctness is additionally pinned by a
+pure-Python replay test and a committed fixture.
 """
 
 from __future__ import annotations

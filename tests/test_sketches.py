@@ -92,3 +92,103 @@ def test_unknown_hash_mode_raises(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError, match="unknown hash_mode"):
         cms_build(df, "item", hash_mode="Poly")
+
+
+# ---------------------------------------------------------------------------
+# k-min-registers distinct sketch (kmv_*)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "poly"])
+def test_kmv_estimate_within_bound(spark, hash_mode):
+    """|est − n| / n stays inside ~3× the 1/sqrt(k) theory sd for a
+    digit-string key population (the adversarial short-key case the
+    cubic premix exists for)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    n, k = 700, 128
+    df = spark.createDataFrame([(str(i),) for i in range(n)], "item string")
+    est = kmv_estimate(
+        kmv_build(df, "item", k=k, hash_mode=hash_mode), k=k
+    ).first()["est"]
+    assert abs(est - n) / n <= 0.30
+
+
+def test_kmv_duplicates_are_free(spark):
+    """min is idempotent: the register table over a multiset equals
+    the one over its distinct set, so no dedup pre-pass is REQUIRED
+    (q221 adds one purely to shrink the ×k expansion)."""
+    from gpi_etl_spark.operators.sketches import kmv_build
+
+    base = [str(i) for i in range(50)]
+    dup = spark.createDataFrame([(v,) for v in base * 7], "item string")
+    uniq = spark.createDataFrame([(v,) for v in base], "item string")
+    as_map = lambda df: {r.i: r.m for r in df.collect()}  # noqa: E731
+    assert as_map(kmv_build(dup, "item", k=32, hash_mode="poly")) == as_map(
+        kmv_build(uniq, "item", k=32, hash_mode="poly")
+    )
+
+
+def test_kmv_merge_equals_single_build(spark):
+    """Register-wise min of shard sketches == sketch of the union —
+    the per-day mergeability contract (exercises overlapping shards:
+    shared items must not double-count, min is idempotent)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_merge
+
+    a = [str(i) for i in range(40)]
+    b = [str(i) for i in range(25, 70)]  # overlaps a
+    fa = spark.createDataFrame([(v,) for v in a], "item string")
+    fb = spark.createDataFrame([(v,) for v in b], "item string")
+    fall = spark.createDataFrame([(v,) for v in a + b], "item string")
+    as_map = lambda df: {r.i: r.m for r in df.collect()}  # noqa: E731
+    merged = kmv_merge(
+        kmv_build(fa, "item", k=32, hash_mode="poly"),
+        kmv_build(fb, "item", k=32, hash_mode="poly"),
+    )
+    whole = kmv_build(fall, "item", k=32, hash_mode="poly")
+    assert as_map(merged) == as_map(whole)
+
+
+def test_kmv_grouped_registers_are_per_group(spark):
+    """Groups sketch independently: a group's registers must equal the
+    registers of that group's items sketched alone."""
+    from gpi_etl_spark.operators.sketches import kmv_build
+
+    rows = [("g1", str(i)) for i in range(30)] + [
+        ("g2", str(i)) for i in range(500, 520)
+    ]
+    df = spark.createDataFrame(rows, "grp string, item string")
+    grouped = kmv_build(df, "item", group_cols=("grp",), k=16,
+                        hash_mode="poly")
+    got_g2 = {r.i: r.m for r in grouped.filter(F.col("grp") == "g2").collect()}
+    solo = spark.createDataFrame(
+        [(str(i),) for i in range(500, 520)], "item string"
+    )
+    want = {r.i: r.m for r in kmv_build(solo, "item", k=16,
+                                        hash_mode="poly").collect()}
+    assert got_g2 == want
+
+
+def test_kmv_vs_native_hll_same_ballpark(spark):
+    """The replayable sketch and Spark's native HLL++ agree on the
+    same data within their combined error envelopes (the old q51's
+    approx_count_distinct seat, kept as a cross-check)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    n, k = 1200, 128
+    df = spark.createDataFrame([(str(i),) for i in range(n)], "item string")
+    kmv = kmv_estimate(
+        kmv_build(df, "item", k=k, hash_mode="poly"), k=k
+    ).first()["est"]
+    hll = df.select(
+        F.approx_count_distinct("item", rsd=0.02).alias("c")
+    ).first()["c"]
+    assert abs(kmv - hll) / hll <= 0.35
+
+
+def test_kmv_unknown_hash_mode_raises(spark):
+    from gpi_etl_spark.operators.sketches import kmv_build
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="unknown hash_mode"):
+        kmv_build(df, "item", hash_mode="md5")

@@ -1,11 +1,9 @@
 """Pin expected-output fixtures for the sketch-family registry queries.
 
-q49/q51 can never hash-match the DuckDB oracle — their outputs are
-sketch aggregates with no cross-engine twin — so the driver records
-only a rows-only check for them, and the pin is their ONLY exact-value
-gate. q33/q34/q39/q115 gained full DuckDB oracles in round 6 (the
-"poly" cross-engine hash mode and the unrolled BPE merge CTEs); their
-pins stay as a second, driver-independent drift detector. This script freezes their full sf0.01 output
+All pinned queries are fully DuckDB-oracled (q49/q51, the last
+rows-only entries, were retired in round 7; q221's k-min-registers
+sketch carries the approximate-distinct seat with a full oracle);
+the pins stay as a second, driver-independent drift detector. This script freezes their full sf0.01 output
 once, canonicalized exactly like ``tools/verify_local.py`` (sorted
 columns, sorted rows, floats rounded to 6 dp), into
 ``tests/fixtures/<query>.json``; ``tests/test_pinned_fixtures.py``
@@ -31,9 +29,8 @@ PINNED = [
     "q33_minhash_lsh",
     "q34_simhash",
     "q39_doc_fingerprint",
-    "q49_ivf_topk",
-    "q51_approx_sketches",
     "q115_bpe_merges",
+    "q221_kmv_distinct",
 ]
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
