@@ -104,6 +104,82 @@ def test_running_ewma_matches_batch_fold(spark, tmp_path):
     assert got == want  # exact doubles, not approx
 
 
+def test_running_ewma_cross_batch_ordering_contract(spark, tmp_path):
+    """Pins the make_ewma_update docstring's cross-batch contract: the
+    fold is ts-exact WITHIN each delivery and delivery-ordered ACROSS
+    deliveries. A second micro-batch that arrives entirely LATE (its
+    timestamps precede the first batch's) is folded AFTER it — the
+    final state equals the per-delivery-sorted Python replay exactly,
+    and measurably diverges from the fully-ts-sorted batch fold (the
+    thing a watermark-bounded upstream reorder would be needed for)."""
+    import time
+
+    from gpi_etl_spark.operators.windows import ewma_final
+    from gpi_etl_spark.streaming.stateful import running_user_ewma
+
+    alpha = 0.25
+    # delivery 1: ts 100..119; delivery 2 is LATE — ts 0..19
+    b1 = [(1, 100 + i, 1000 + i, float((i * 31) % 17)) for i in range(20)]
+    b2 = [(1, i, 2000 + i, float((i * 13) % 11)) for i in range(20)]
+    schema = "user_id long, ts long, event_id long, value double"
+    land = str(tmp_path / "landing")
+
+    # two files written with distinct mtimes: FileStreamSource orders
+    # new files by modification time, so with maxFilesPerTrigger=1 the
+    # late file is delivered as the SECOND micro-batch
+    df1 = spark.createDataFrame(b1, schema).withColumn("ts", F_ts("ts"))
+    df1.coalesce(1).write.mode("append").parquet(land)
+    time.sleep(1.2)
+    df2 = spark.createDataFrame(b2, schema).withColumn("ts", F_ts("ts"))
+    df2.coalesce(1).write.mode("append").parquet(land)
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        running_user_ewma(stream, alpha=alpha)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_ewma_oo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 2, "expected one micro-batch per file"
+
+    rows = spark.table("t_ewma_oo").collect()
+    # update mode emits once per (user, batch); memory sink preserves
+    # batch order, so the LAST row is the final state
+    got = (rows[-1].n_points, rows[-1].ewma)
+    assert rows[-1].n_points == 40
+
+    def fold(acc_n, acc, vals):
+        n, a = acc_n, acc
+        for x in vals:
+            a = float(x) if n == 0 else alpha * float(x) + (1 - alpha) * a
+            n += 1
+        return n, a
+
+    # delivery order: batch1 (sorted) then the late batch2 (sorted)
+    n, a = fold(0, 0.0, [v for *_k, v in sorted(b1, key=lambda r: r[1])])
+    n, a = fold(n, a, [v for *_k, v in sorted(b2, key=lambda r: r[1])])
+    assert got == (n, a)  # exact doubles — the stated contract
+
+    # and it is NOT the globally ts-sorted fold (the documented
+    # divergence late data causes without an upstream reorder)
+    full = spark.createDataFrame(b1 + b2, schema).withColumn(
+        "ts", F_ts("ts")
+    )
+    sorted_fold = ewma_final(
+        full, ["user_id"], ["ts", "event_id"], "value", alpha=alpha
+    ).collect()[0].ewma
+    assert abs(sorted_fold - got[1]) > 1e-9
+
+
 def F_ts(col):
     from pyspark.sql import functions as F
 
