@@ -835,3 +835,54 @@ def ivfadc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "score", "rank")
     )
+
+
+def ivfadc_refine_topk(
+    assigned: DataFrame,
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    coarse_centroids,
+    codebooks,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """IVFADC + refine: the ADC pass produces a ``shortlist``-deep
+    candidate ranking per query, then ONLY those Q×shortlist rows are
+    re-scored by exact full-vector cosine and cut to ``k``.
+
+    This is the measured fix for the code-bound regime
+    (docs/IVFADC_PROBE.md): at m=4 the 4-code ADC score saturates near
+    0.84–0.88 recall and widening nprobe makes it WORSE (collision
+    candidates outrank true neighbors), but the true neighbors are
+    almost always IN the shortlist — one exact re-rank recovers them.
+    Cost shape at 100 TB: the compressed scan still does all the
+    winnowing (codes are the only thing read corpus-wide); the refine
+    join touches ``Q × shortlist`` full vectors — bounded model-state
+    scale, broadcast into the vector table — so the full-precision
+    reads are proportional to the ANSWER size, not the corpus.
+    """
+    sl = ivfadc_topk(
+        assigned, codes, queries, coarse_centroids, codebooks,
+        k=shortlist, nprobe=nprobe, id_col=id_col,
+        query_id=query_id, query_vec=query_vec,
+    ).select(query_id, id_col)
+    ref = (
+        vectors.select(id_col, vec_col)
+        .join(F.broadcast(sl), id_col)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .withColumn("score", cosine(F.col(vec_col), F.col(query_vec)))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        ref.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, id_col, "score", "rank")
+    )

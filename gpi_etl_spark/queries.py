@@ -11090,12 +11090,14 @@ def q211(spark, sf_dir):
 
 def _ivfadc_oracle_sql(
     coarse_k: int, coarse_iters: int, m: int, pq_k: int, pq_iters: int,
-    nprobe: int, topk: int, dim: int = 64,
+    nprobe: int, topk: int, dim: int = 64, refine_k: int | None = None,
 ) -> str:
     """IVFADC replay: the coarse Lloyd chain (default prefix) + one
     prefixed Lloyd chain per PQ subspace, codes from the subspace
     assignments, candidates from the probed cells, ADC scores from
-    code→codebook lookups."""
+    code→codebook lookups. With ``refine_k`` the ADC ranking becomes a
+    ``topk``-deep SHORTLIST that is re-ranked by exact full-vector
+    cosine and cut to ``refine_k`` (the IVFADC+refine step — q222)."""
     sub = dim // m
     parts = _kmeans_ctes(coarse_k, coarse_iters)
     for s in range(m):
@@ -11141,7 +11143,7 @@ def _ivfadc_oracle_sql(
         f"JOIN s{s}c{pq_iters} b{s} ON b{s}.cell = w.code{s}"
         for s in range(m)
     )
-    return (
+    body = (
         "WITH " + ",\n".join(parts)
         + f""",
 scored AS (SELECT w.query_id, w.vec_id, {adc} AS score
@@ -11149,10 +11151,28 @@ scored AS (SELECT w.query_id, w.vec_id, {adc} AS score
 r AS (SELECT query_id, vec_id, score,
              cast(row_number() OVER (PARTITION BY query_id
                   ORDER BY score DESC, vec_id) AS int) AS rank
-      FROM scored)
+      FROM scored)"""
+    )
+    if refine_k is None:
+        return body + f"""
 SELECT query_id, vec_id, round(score, 6) AS score, rank
 FROM r WHERE rank <= {topk}"""
+    cos = (
+        "list_dot_product(q.qv, b.v) / "
+        "(sqrt(list_dot_product(q.qv, q.qv)) * "
+        "sqrt(list_dot_product(b.v, b.v)))"
     )
+    return body + f""",
+sl AS (SELECT query_id, vec_id FROM r WHERE rank <= {topk}),
+ref AS (SELECT s.query_id, s.vec_id, {cos} AS score
+        FROM sl s JOIN base b USING (vec_id)
+        JOIN qs q ON q.query_id = s.query_id),
+rr AS (SELECT query_id, vec_id, score,
+              cast(row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS int) AS rank
+       FROM ref)
+SELECT query_id, vec_id, round(score, 6) AS score, rank
+FROM rr WHERE rank <= {refine_k}"""
 
 
 @query("q212_ivfadc_ann", _ivfadc_oracle_sql(8, 4, 4, 8, 3, 2, 5))
@@ -11739,4 +11759,49 @@ def q221(spark, sf_dir):
         "exact_users",
         "reg_sum",
         fs6(F.col("est")).alias("est_r"),
+    )
+
+
+@query(
+    "q222_ivfadc_refine",
+    _ivfadc_oracle_sql(8, 4, 4, 8, 3, 2, 20, refine_k=5),
+)
+def q222(spark, sf_dir):
+    """IVFADC + refine (similarity.ivfadc_refine_topk): q212's
+    compressed-domain retrieval with the exact re-rank step the 10×
+    probe showed the m=4 code budget needs — ADC recall saturates near
+    0.84–0.88 and is NON-monotone in nprobe (docs/IVFADC_PROBE.md),
+    but the true neighbors sit inside a 20-deep ADC shortlist, so one
+    full-vector cosine pass over Q×20 rows (broadcast into the vector
+    table — full-precision reads proportional to the ANSWER, not the
+    corpus) recovers them. The oracle replays the entire q212 chain
+    (five Lloyd CTE chains, codes, probe, every ADC lookup) PLUS the
+    shortlist cut and the exact-cosine re-rank."""
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        ivfadc_refine_topk,
+        pq_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    coarse, assigned = distributed_kmeans(emb, k=8, iters=4)
+    books, codes = pq_train(emb, m=4, k=8, iters=3)
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
+    )
+    vectors = emb.select("vec_id", to_double.alias("embedding"))
+    out = ivfadc_refine_topk(
+        assigned.select("vec_id", "cell"),
+        codes,
+        vectors,
+        queries,
+        coarse,
+        books,
+        k=5,
+        shortlist=20,
+        nprobe=2,
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
