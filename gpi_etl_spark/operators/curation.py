@@ -980,3 +980,82 @@ def epoch_repetition_plan(
         )
         .drop("_budget", "_sup", "_k", "_rem", "_cum")
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    levels: list[list[str]],
+    k: int = 8,
+) -> DataFrame:
+    """k-anonymity via a generalization ladder (Samarati/Sweeney):
+    every row is released at the finest generalization level at which
+    it sits in a group of ≥ k rows — computed by CASCADING REMAINDER,
+    which is what makes the guarantee real: level i's groups are
+    counted over only the rows the finer levels could NOT release, so
+    every released (level, tuple) combination contains ≥ k rows of the
+    RELEASED dataset itself. (The naive variant — pick each row's
+    level from group counts over the ORIGINAL table — violates
+    k-anonymity: a big level-1 group whose members mostly released at
+    level 0 can leave an under-k sliver wearing the level-1 tuple.)
+
+    ``levels`` is the ladder, finest first — e.g.
+    ``[["nation", "segment"], ["nation"], []]``: level 0 keeps both
+    quasi-identifiers, level 1 generalizes segment away, the final
+    ``[]`` level (required) suppresses every quasi-identifier; its
+    all-NULL records reveal only existence, so it may hold < k rows.
+    Each coarser level must use a SUBSET of the finest level's columns
+    (the lattice-path property; asserted).
+
+    Returns the input plus ``anon_level`` (int) and one ``<col>_anon``
+    per finest-level column, null-masked wherever that column is
+    generalized away at the row's level.
+
+    Scale shape: one groupBy count per ladder level over a SHRINKING
+    remainder (each a map-side-combined aggregate whose output is
+    group-sized), joined back on its own key — equi-joins AQE
+    broadcasts when small. Ladder depth is a small constant, so the
+    union of per-level slices stays a flat plan; no window over a
+    quasi-identifier partition (a hot group would bottleneck one
+    reducer).
+
+    No counterpart in the reference (its only privacy op is column
+    DROPS in the site exports — HTIPPLSITE/__init__.py:392); textbook
+    k-anonymity.
+    """
+    if not levels or levels[-1]:
+        raise ValueError("levels must end with [] (the suppress-all "
+                         "fallback that makes anonymization total)")
+    base = list(levels[0])
+    for lv in levels[1:]:
+        if not set(lv) <= set(base):
+            raise ValueError(f"level {lv} is not a subset of the "
+                             f"finest level {base}")
+    slices = []
+    remaining = df
+    for i, lv in enumerate(levels[:-1]):
+        cnt = f"_kanon_n{i}"
+        grp = remaining.groupBy(*lv).agg(F.count(F.lit(1)).alias(cnt))
+        j = remaining.join(grp, lv, "left")
+        slices.append(
+            j.filter(F.col(cnt) >= k)
+            .drop(cnt)
+            .withColumn("anon_level", F.lit(i).cast("int"))
+        )
+        remaining = j.filter(F.col(cnt) < k).drop(cnt)
+    slices.append(
+        remaining.withColumn(
+            "anon_level", F.lit(len(levels) - 1).cast("int")
+        )
+    )
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    for c in base:
+        keep = F.lit(False)
+        for i, lv in enumerate(levels):
+            if c in lv:
+                keep = keep | (F.col("anon_level") == i)
+        out = out.withColumn(
+            f"{c}_anon", F.when(keep, F.col(c))
+        )
+    return out

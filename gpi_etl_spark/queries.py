@@ -11805,3 +11805,104 @@ def q222(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+@query(
+    "q223_stream_enrich",
+    f"""
+    SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment AS segment,
+           count(*) AS n, {dsum_sql('e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
+    """,
+)
+def q223(spark, sf_dir):
+    """Stream-STATIC enrichment join — the one §2.9 join shape the
+    family lacked (q211 covers stream-stream): a real readStream over
+    events joins the static customer dimension (market segment keyed
+    by user) BEFORE the windowed aggregation, the canonical streaming
+    enrichment topology. The static side needs no watermark and no
+    state — Spark re-plans it as a broadcast per micro-batch — so
+    state is bounded by the WINDOW aggregation alone, exactly as in
+    q46; at 100 TB the dimension rides the torrent as a broadcast,
+    never a shuffle of the stream. AvailableNow → memory sink, and the
+    final table must equal the batch join/DuckDB answer."""
+    cust = t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    stream = stream_events(spark, sf_dir, "q223")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "segment",
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(spark, agg, "gpi_stream_q223")
+
+
+@query(
+    "q224_k_anonymity",
+    f"""
+    WITH c0 AS (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer),
+    g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n0
+           FROM c0 GROUP BY 1, 2),
+    j0 AS (SELECT c0.*, g0.n0 FROM c0
+           JOIN g0 USING (c_nationkey, c_mktsegment)),
+    l0 AS (SELECT c_nationkey, c_mktsegment, c_acctbal FROM j0 WHERE n0 >= 8),
+    r0 AS (SELECT c_nationkey, c_mktsegment, c_acctbal FROM j0 WHERE n0 < 8),
+    g1 AS (SELECT c_nationkey, count(*) AS n1 FROM r0 GROUP BY 1),
+    j1 AS (SELECT r0.*, g1.n1 FROM r0 JOIN g1 USING (c_nationkey)),
+    rel AS (
+      SELECT 0 AS anon_level, c_nationkey AS nation_anon,
+             c_mktsegment AS segment_anon, c_acctbal FROM l0
+      UNION ALL
+      SELECT 1, c_nationkey, CAST(NULL AS VARCHAR), c_acctbal
+      FROM j1 WHERE n1 >= 8
+      UNION ALL
+      SELECT 2, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), c_acctbal
+      FROM j1 WHERE n1 < 8)
+    SELECT cast(anon_level AS int) AS anon_level, nation_anon, segment_anon,
+           count(*) AS n, {davg_sql('c_acctbal')} AS avg_bal
+    FROM rel GROUP BY 1, 2, 3
+    """,
+)
+def q224(spark, sf_dir):
+    """k-anonymous release of the customer table
+    (curation.k_anonymize): quasi-identifiers (nation, segment)
+    generalize down the ladder [(nation, segment), (nation,), ()] with
+    k=8 under CASCADING-REMAINDER semantics — level i counts only the
+    rows finer levels could not release, so every released
+    (level, tuple) group holds ≥ 8 rows of the release itself (the
+    naive original-table-counts variant leaks under-k slivers; pinned
+    in tests/test_curation.py). Output is the released aggregate: per
+    (level, generalized tuple) the group size and the decimal-exact
+    mean balance (davg — 2-dp money). The final all-NULL bucket
+    reveals only existence. The oracle replays the full cascade."""
+    from gpi_etl_spark.operators.curation import k_anonymize
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    anon = k_anonymize(
+        cust,
+        levels=[["c_nationkey", "c_mktsegment"], ["c_nationkey"], []],
+        k=8,
+    )
+    return anon.groupBy(
+        "anon_level",
+        F.col("c_nationkey_anon").alias("nation_anon"),
+        F.col("c_mktsegment_anon").alias("segment_anon"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(F.col("c_acctbal")).alias("avg_bal"),
+    )

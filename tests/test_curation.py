@@ -798,3 +798,94 @@ def test_epoch_repetition_supplies_shortcut_matches(spark):
         ).collect()
     )
     assert full == short
+
+
+# ---------------------------------------------------------------------------
+# k_anonymize (cascading-remainder k-anonymity)
+# ---------------------------------------------------------------------------
+
+
+def _kanon_adversarial(spark):
+    """The dataset that breaks the NAIVE ladder (original-table group
+    counts): nation 1 holds 20 rows, 16 of them in two k-sized
+    (nation, segment) groups and a 4-row sliver in a third segment.
+    Naive counting releases the sliver at level 1 (nation-1 count is
+    20 ≥ k) even though only 4 RELEASED rows would wear the
+    (nation=1, NULL) tuple; cascading remainder must push them to the
+    suppress-all level instead."""
+    rows = (
+        [(1, "A", float(i)) for i in range(8)]
+        + [(1, "B", float(i)) for i in range(8)]
+        + [(1, "C", float(i)) for i in range(4)]   # the sliver
+        + [(2, "A", float(i)) for i in range(9)]   # releases at level 0
+        + [(3, chr(65 + i), float(i)) for i in range(6)]  # 6 singleton
+        # segments under one nation: none release at 0, but nation 3's
+        # REMAINDER is 6 < 8 → suppress-all
+    )
+    return spark.createDataFrame(
+        rows, "nation int, segment string, bal double"
+    )
+
+
+def test_k_anonymize_released_groups_hold_k(spark):
+    df = _kanon_adversarial(spark)
+    out = curation.k_anonymize(
+        df, levels=[["nation", "segment"], ["nation"], []], k=8
+    )
+    assert out.count() == df.count()  # row conservation
+    rel = (
+        out.groupBy("anon_level", "nation_anon", "segment_anon")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in rel:
+        if r.anon_level < 2:
+            assert r.n >= 8, r  # the k-anonymity guarantee
+    by_level = {r.anon_level: r.n for r in rel if r.nation_anon in (1, None)}
+    # the nation-1 sliver and nation-3 singletons (4 + 6 rows) land in
+    # suppress-all: neither remainder reaches k at level 1
+    assert by_level.get(2) == 10
+
+
+def test_k_anonymize_masking_matches_level(spark):
+    df = _kanon_adversarial(spark)
+    out = curation.k_anonymize(
+        df, levels=[["nation", "segment"], ["nation"], []], k=8
+    ).collect()
+    for r in out:
+        if r.anon_level == 0:
+            assert r.nation_anon == r.nation and r.segment_anon == r.segment
+        elif r.anon_level == 1:
+            assert r.nation_anon == r.nation and r.segment_anon is None
+        else:
+            assert r.nation_anon is None and r.segment_anon is None
+
+
+def test_k_anonymize_naive_counterexample_is_real(spark):
+    """Documents WHY the cascade exists: counting on the original
+    table would release nation-1's 4-row sliver at level 1 (nation
+    count 20 ≥ 8) — an under-k released group."""
+    df = _kanon_adversarial(spark)
+    naive_l1 = (
+        df.groupBy("nation").agg(F.count(F.lit(1)).alias("n1"))
+        .filter(F.col("n1") >= 8)
+        .collect()
+    )
+    assert any(r.nation == 1 for r in naive_l1)  # naive would release
+    out = curation.k_anonymize(
+        df, levels=[["nation", "segment"], ["nation"], []], k=8
+    )
+    sliver = out.filter(
+        (F.col("nation") == 1) & (F.col("segment") == "C")
+    ).collect()
+    assert all(r.anon_level == 2 for r in sliver)  # cascade suppresses
+
+
+def test_k_anonymize_ladder_validation(spark):
+    df = _kanon_adversarial(spark)
+    with pytest.raises(ValueError, match="must end with"):
+        curation.k_anonymize(df, levels=[["nation"]], k=8)
+    with pytest.raises(ValueError, match="not a subset"):
+        curation.k_anonymize(
+            df, levels=[["nation"], ["segment"], []], k=8
+        )
