@@ -206,3 +206,44 @@ def seasonal_naive_backtest(
             fs6(F.col("sae") / F.col("sx").cast("double")),
         ).alias("wape"),
     )
+
+
+def seasonal_dow_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    date_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Additive day-of-week seasonal profile over an integer (cents)
+    daily series — the decomposition step before the q219-class
+    seasonal-naive baseline: per (key, weekday) the day count, the
+    exact integer total, and the int64 moment pair from which mean and
+    variance derive with NO float sum anywhere (the acf_exact
+    convention — n·Σx² − (Σx)² multiplies the variance through by n²,
+    so only the caller's final ratio leaves integer arithmetic).
+
+    Weekday is computed as ``(days_since_epoch + 4) mod 7`` (0=Sunday
+    … 6=Saturday) — explicit epoch arithmetic because engine weekday
+    FUNCTIONS disagree on numbering (Spark ``dayofweek`` is 1=Sunday,
+    DuckDB's is 0=Sunday), and an off-by-one here silently rotates the
+    whole profile.
+
+    Returns ``(*key_cols, dow int, n_days bigint, sum_cents bigint,
+    sum_sq_cents bigint)``. One aggregation, map-side combined; output
+    is |keys|×7 rows however long the series.
+    """
+    dow = F.pmod(
+        F.datediff(F.col(date_col), F.lit("1970-01-01").cast("date"))
+        + F.lit(4),
+        F.lit(7),
+    ).cast("int")
+    x = F.col(cents_col).cast("long")
+    return (
+        df.withColumn("dow", dow)
+        .groupBy(*key_cols, "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum(x).alias("sum_cents"),
+            F.sum(x * x).alias("sum_sq_cents"),
+        )
+    )

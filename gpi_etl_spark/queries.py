@@ -11906,3 +11906,162 @@ def q224(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         davg(F.col("c_acctbal")).alias("avg_bal"),
     )
+
+
+def _q225_oracle_sql() -> str:
+    """FS linkage replay: q164's candidate generation (last-token
+    block + levenshtein ≤ 2 over distinct part names — banding is
+    lossless so the plain block join yields the identical pair set),
+    then the four integer milli-nat field weights and the two-threshold
+    decision. Weights come from the SAME fs_weights() Python calls the
+    Spark side uses, so both engines score literal-for-literal."""
+    from gpi_etl_spark.operators.entities import fs_weights
+
+    w_lev = fs_weights(0.9, 0.3)
+    w_tok = fs_weights(0.95, 0.6)
+    w_first = fs_weights(0.7, 0.2)
+    w_len = fs_weights(0.85, 0.5)
+
+    def case(cond, w):
+        return f"CASE WHEN {cond} THEN {w[0]} ELSE {w[1]} END"
+
+    score = " + ".join([
+        case("levenshtein(name_a, name_b) <= 1", w_lev),
+        case("len(string_split(trim(name_a), ' ')) = "
+             "len(string_split(trim(name_b), ' '))", w_tok),
+        case("string_split(trim(name_a), ' ')[1] = "
+             "string_split(trim(name_b), ' ')[1]", w_first),
+        case("abs(length(name_a) - length(name_b)) <= 1", w_len),
+    ])
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    blk AS (SELECT name, string_split(trim(name), ' ')[-1] AS _blk
+            FROM names),
+    pairs AS (SELECT a.name AS name_a, bb.name AS name_b
+              FROM blk a JOIN blk bb USING (_blk)
+              WHERE a.name < bb.name
+                AND levenshtein(a.name, bb.name) <= 2),
+    scored AS (SELECT name_a, name_b, cast({score} AS bigint) AS fs_score
+               FROM pairs)
+    SELECT name_a, name_b, fs_score,
+           CASE WHEN fs_score >= 1500 THEN 'match'
+                WHEN fs_score >= -500 THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
+    """
+
+
+@query("q225_fs_linkage", _q225_oracle_sql())
+def q225(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage
+    (entities.fs_score): q164's blocked candidate pairs over distinct
+    part names, scored by four comparison fields (edit distance ≤ 1,
+    token-count equality, first-token equality, length band) whose
+    agreement/disagreement weights are integer milli-nats baked once
+    in Python (fs_weights — the q209 integer-scoring convention), then
+    classified match / possible / non_match by integer thresholds.
+    The principled weighted generalization of the reference's binary
+    rule chain (HTIPPLSITE/__init__.py:175-312); scoring adds ZERO
+    shuffle on top of blocking. Every pair's integer score replays
+    exactly in DuckDB."""
+    from gpi_etl_spark.operators.entities import (
+        blocked_name_pairs,
+        fs_score,
+        fs_weights,
+    )
+
+    names = (
+        t(spark, sf_dir, "part").select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    pairs = blocked_name_pairs(names, max_dist=2)
+    toks_a = F.split(F.trim(F.col("name_a")), " ")
+    toks_b = F.split(F.trim(F.col("name_b")), " ")
+    comparisons = [
+        (F.levenshtein("name_a", "name_b") <= 1, *fs_weights(0.9, 0.3)),
+        (F.size(toks_a) == F.size(toks_b), *fs_weights(0.95, 0.6)),
+        (
+            F.element_at(toks_a, 1) == F.element_at(toks_b, 1),
+            *fs_weights(0.7, 0.2),
+        ),
+        (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 1,
+            *fs_weights(0.85, 0.5),
+        ),
+    ]
+    return fs_score(
+        pairs, comparisons, match_threshold=1500, possible_threshold=-500
+    )
+
+
+@query(
+    "q226_seasonal_profile",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(date_trunc('day', ts) AS date) AS d,
+             cast(sum(cast(value AS decimal(18,2)) * 100) AS bigint)
+               AS cents
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT event_type,
+             cast(((d - DATE '1970-01-01') + 4) % 7 AS int) AS dow,
+             count(*) AS n_days,
+             sum(cents) AS sum_cents,
+             sum(cents * cents) AS sum_sq
+      FROM daily GROUP BY 1, 2)
+    SELECT event_type, dow, n_days,
+           floor((cast(sum_cents AS double)
+                  / (100.0 * cast(n_days AS double)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS seasonal_r,
+           floor((cast(n_days * sum_sq - sum_cents * sum_cents AS double)
+                  / (cast(n_days AS double) * cast(n_days AS double)
+                     * 10000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS var_r
+    FROM prof
+    """,
+)
+def q226(spark, sf_dir):
+    """Day-of-week seasonal decomposition of daily revenue per event
+    type (tsstats.seasonal_dow_profile): the additive seasonal profile
+    (mean) and its population variance, derived ENTIRELY from int64
+    moments — daily totals are exact cents, weekday comes from epoch
+    arithmetic ((days+4) mod 7, because Spark and DuckDB weekday
+    functions disagree on numbering), and the variance multiplies
+    through by n² (the acf_exact convention) so the only float ops are
+    two correctly-rounded divisions both engines compute identically,
+    then floor-scaled. Two map-side-combined aggregations; output is
+    |types|×7 rows however long the series — the profile a
+    seasonal-naive forecaster (q219) or anomaly screen consumes."""
+    from gpi_etl_spark.operators.tsstats import seasonal_dow_profile
+
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        )
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    prof = seasonal_dow_profile(
+        daily, ["event_type"], "d", "cents"
+    )
+    n = F.col("n_days").cast("double")
+    return prof.select(
+        "event_type",
+        "dow",
+        "n_days",
+        fs6(
+            F.col("sum_cents").cast("double") / (F.lit(100.0) * n)
+        ).alias("seasonal_r"),
+        fs6(
+            (
+                F.col("n_days") * F.col("sum_sq_cents")
+                - F.col("sum_cents") * F.col("sum_cents")
+            ).cast("double")
+            / (n * n * F.lit(10000.0))
+        ).alias("var_r"),
+    )

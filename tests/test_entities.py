@@ -133,3 +133,60 @@ def test_hot_block_cap_deterministic_and_resolves(spark):
     )
     assert a == b
     assert len(a) == 200
+
+
+def test_fs_weights_integer_and_signs(spark):
+    import math
+
+    from gpi_etl_spark.operators.entities import fs_weights
+
+    wa, wd = fs_weights(0.9, 0.3)
+    assert (wa, wd) == (round(math.log(3.0) * 1000),
+                        round(math.log(0.1 / 0.7) * 1000))
+    assert wa > 0 > wd  # informative field: agree adds, disagree costs
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fs_weights(0.3, 0.9)  # m must exceed u
+    with _pytest.raises(ValueError):
+        fs_weights(1.0, 0.5)  # degenerate probabilities
+
+
+def test_fs_score_decisions_and_integer_scores(spark):
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.entities import fs_score, fs_weights
+
+    pairs = spark.createDataFrame(
+        [
+            ("alpha widget", "alpha widgez"),   # near-identical
+            ("alpha widget", "omega widget"),   # shares block token only
+            ("a b", "completely different x"),  # disagrees everywhere
+        ],
+        "name_a string, name_b string",
+    )
+    comparisons = [
+        (F.levenshtein("name_a", "name_b") <= 1, *fs_weights(0.9, 0.3)),
+        (
+            F.size(F.split(F.col("name_a"), " "))
+            == F.size(F.split(F.col("name_b"), " ")),
+            *fs_weights(0.95, 0.6),
+        ),
+        (
+            F.element_at(F.split(F.col("name_a"), " "), 1)
+            == F.element_at(F.split(F.col("name_b"), " "), 1),
+            *fs_weights(0.7, 0.2),
+        ),
+    ]
+    out = {
+        (r.name_a, r.name_b): (r.fs_score, r.decision)
+        for r in fs_score(
+            pairs, comparisons, match_threshold=1500,
+            possible_threshold=-500,
+        ).collect()
+    }
+    # all three fields agree: 1099 + 460 + 1253 = 2812 → match
+    assert out[("alpha widget", "alpha widgez")] == (2812, "match")
+    # lev fails, tokens agree, first token fails: -1946+460-981=-2467
+    assert out[("alpha widget", "omega widget")][1] == "non_match"
+    mid = out[("a b", "completely different x")]
+    assert mid[0] == -1946 - 2079 - 981 and mid[1] == "non_match"

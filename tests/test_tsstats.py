@@ -134,3 +134,34 @@ def test_seasonal_backtest_gap_and_zero_actuals(spark):
     assert out["g"].m_days == 1 and out["g"].mae == 2.0
     assert out["g"].wape == 0.285714  # 2/7 (scored actual)
     assert out["z"].mae == 0.0 and out["z"].wape is None
+
+
+def test_seasonal_dow_profile_moments_and_weekday(spark):
+    """Moments are exact integers, and the explicit (days+4) mod 7
+    weekday puts 1970-01-01 (a Thursday) at code 4 / a known Sunday at
+    code 0 — the cross-engine numbering the operator exists to pin."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.tsstats import seasonal_dow_profile
+
+    rows = [
+        ("k", dt.date(1970, 1, 1), 100),   # Thursday → dow 4
+        ("k", dt.date(1970, 1, 4), 300),   # Sunday → dow 0
+        ("k", dt.date(1970, 1, 11), 500),  # Sunday → dow 0
+        ("k", dt.date(1970, 1, 8), 700),   # Thursday → dow 4
+    ]
+    df = spark.createDataFrame(rows, "k string, d date, cents long")
+    got = {
+        r.dow: (r.n_days, r.sum_cents, r.sum_sq_cents)
+        for r in seasonal_dow_profile(df, ["k"], "d", "cents").collect()
+    }
+    assert got == {
+        4: (2, 800, 100 * 100 + 700 * 700),
+        0: (2, 800, 300 * 300 + 500 * 500),
+    }
+    # variance via the n·Σx² − (Σx)² identity matches the direct form:
+    # population variance of {300, 500} is 10000
+    n, s, ss = got[0]
+    assert (n * ss - s * s) / (n * n) == 10000.0
