@@ -132,6 +132,14 @@ HEADLINE = [
     "q219_seasonal_backtest", # naive-forecast MAE/WAPE baseline (r6 add)
     "q220_benford_profile",   # first-digit fabrication screen (r6 add)
     "q221_kmv_distinct",      # k-min-registers distinct sketch (r7 add)
+    "q224_k_anonymity",       # cascading-remainder k-anonymous release (r7 add)
+    "q225_fs_linkage",        # Fellegi-Sunter integer linkage scoring (r7 add)
+    "q226_seasonal_profile",  # int64-moment day-of-week decomposition (r7 add)
+    # q222 (IVFADC+refine) stays unbenched under rule (d): its cost is
+    # q212's five quantizer trainings (already benched) plus a
+    # sub-second broadcast re-rank of Q×20 rows. q223 (stream-static
+    # enrich) is excluded for q211's reason: the landing rewrite +
+    # memory-sink drain dominate, which the noop lane would mismeasure.
 ]
 
 
