@@ -91,7 +91,11 @@ def main() -> int:
     m_flag = re.search(r"(\d+) flagged", gate_out)
     m_verify = re.search(r"\n(\d+) failures", gate_out)
     m_ver_dt = re.search(r"=== gate: verify_local OK \(([\d.]+)s\)", gate_out)
-    n_queries = len(re.findall(r"(?m)^(?:ok|FAIL) +q", gate_out))
+    # count per-query rows ONLY inside the verify_local section —
+    # plan_audit prints its own "ok qNNN" lines (first-use bug: the
+    # r7 closing line initially recorded the sum of both)
+    ver_out = gate_out.split("=== gate: verify_local ===", 1)[-1]
+    n_queries = len(re.findall(r"(?m)^(?:ok|FAIL) +q", ver_out))
     if not (m_pytest and m_audit and m_verify and m_ver_dt):
         print("REFUSED: could not parse gate evidence from the log — "
               "inspect " + log_path)
