@@ -135,6 +135,11 @@ HEADLINE = [
     "q224_k_anonymity",       # cascading-remainder k-anonymous release (r7 add)
     "q225_fs_linkage",        # Fellegi-Sunter integer linkage scoring (r7 add)
     "q226_seasonal_profile",  # int64-moment day-of-week decomposition (r7 add)
+    "q227_histogram_quantiles",  # exact fixed-domain histogram quantiles (r7 add)
+    "q229_poisson_bootstrap",    # 32-replica deterministic bootstrap (r7 add)
+    # q228 (mutual information) stays unbenched under rule (e): same
+    # presence-explode + map-side-combine + sort-limit plan shape as
+    # the benched token-aggregation family (q68/q120/q202-class).
     # q222 (IVFADC+refine) stays unbenched under rule (d): its cost is
     # q212's five quantizer trainings (already benched) plus a
     # sub-second broadcast re-rank of Q×20 rows. q223 (stream-static

@@ -264,3 +264,93 @@ def binary_classifier_report(
             ).alias("accuracy"),
         )
     )
+
+
+def poisson_thresholds(lam: float = 1.0, max_k: int = 7) -> list[int]:
+    """Integer inverse-CDF thresholds for deterministic Poisson(λ)
+    draws from a uniform hash in [0, P): ``T_k = floor(cdf(k)·P)`` for
+    k = 0..max_k−1, computed ONCE in Python and embedded as literals
+    in both engines — the draw is then pure integer comparison, no
+    float ever enters the replica weights. A hash ≥ T_{max_k−1} draws
+    ``max_k`` (the truncated tail, ~1e-5 mass at λ=1/max_k=7)."""
+    import math
+
+    from gpi_etl_spark.functions.xhash import P
+
+    pmf = math.exp(-lam)
+    cdf = 0.0
+    out = []
+    for k in range(max_k):
+        cdf += pmf
+        out.append(int(math.floor(cdf * P)))
+        pmf = pmf * lam / (k + 1)
+    return out
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    cents_col: str,
+    id_col: str,
+    replicas: int = 32,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap of a fixed-point mean — THE
+    distributed bootstrap (Chamandy et al., Google 2012): resampling
+    n rows with replacement is unshufflable at scale, but each row's
+    multiplicity in a bootstrap replica is ≈ Poisson(1), independent
+    per row — so every row draws ``replicas`` integer weights in one
+    narrow projection and each replica's statistic is one
+    map-side-combined aggregation. No RNG: replica b's draw hashes the
+    row id through the poly family (cubic premix — short digit ids,
+    the q221 finding) and the b-th affine derivation, then
+    inverse-CDF's through integer thresholds (:func:`poisson_thresholds`),
+    so the whole resampling replays bit-exactly in any engine.
+
+    Returns ``(*group_cols, b int, n_eff bigint, boot_mean_r double)``
+    — ``replicas`` rows per group; the spread of ``boot_mean_r``
+    across b IS the sampling distribution a CI reads off. The mean is
+    exact-rational (int weights × int cents / int count) → 6-dp
+    floor-scaled.
+    """
+    from gpi_etl_spark.functions.hof import let_
+    from gpi_etl_spark.functions.xhash import P, affine_hash, poly_hash
+
+    ts = poisson_thresholds()
+    p = F.lit(P)
+
+    def mix(h):
+        return (h * ((h * h) % p) + F.lit(13) * h + F.lit(7)) % p
+
+    def draw(ah):
+        w = F.when(ah < ts[0], F.lit(0))
+        for k in range(1, len(ts)):
+            w = w.when(ah < ts[k], F.lit(k))
+        return w.otherwise(F.lit(len(ts)))
+
+    weights = let_(
+        poly_hash(F.col(id_col).cast("string")),
+        lambda h: let_(
+            mix(h),
+            lambda g: F.array(
+                *[draw(affine_hash(g, b, replicas)) for b in range(replicas)]
+            ),
+        ),
+    )
+    long = df.select(
+        *group_cols,
+        F.col(cents_col).cast("long").alias("_cents"),
+        F.posexplode(weights).alias("b", "_w"),
+    )
+    agg = long.groupBy(*group_cols, F.col("b").cast("int").alias("b")).agg(
+        F.sum("_w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("_w") * F.col("_cents")).alias("_wsum"),
+    )
+    return agg.select(
+        *group_cols,
+        "b",
+        "n_eff",
+        fs6(
+            F.col("_wsum").cast("double")
+            / (F.lit(100.0) * F.col("n_eff").cast("double"))
+        ).alias("boot_mean_r"),
+    )

@@ -107,3 +107,73 @@ def chi2_token_label(
     return scored.orderBy(
         F.col("chi2_r").desc(), F.col("token").asc()
     ).limit(k)
+
+
+def mutual_info_token_label(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_support: int = 10,
+    k: int = 25,
+) -> DataFrame:
+    """Top-``k`` tokens by mutual information I(presence; label) —
+    chi-square's information-theoretic sibling (same 2×2 presence
+    table, Manning/Schütze §13.5): chi2 ranks by statistical
+    dependence strength, MI by the bits (nats here) the feature
+    actually carries about the label, which is the quantity a
+    token-budgeted filter cares about.
+
+    ``I = Σ_cells (n_ij/N)·ln(N·n_ij / (r_i·c_j))``, empty cells
+    contributing 0 (their limit). Counts are exact int64; the four
+    terms are evaluated in DOUBLE and summed in ONE FIXED literal
+    order — (present,pos) + (present,neg) + (absent,pos) +
+    (absent,neg) — so both engines run the identical IEEE chain.
+    Unlike chi2 (an exact rational → floor-scaled), MI passes through
+    ``ln`` — the transcendental class — so the output uses plain
+    ``round(·, 6)`` per functions/rounding.py's rule.
+
+    Same 100 TB shape as :func:`chi2_token_label`: one presence
+    explode with map-side combine, two collected scalars as bounded
+    model state, sort-limit top-k (no partition-less window).
+    """
+    labeled = df.select(
+        F.col(id_col), label.cast("int").alias("_y")
+    )
+    totals = labeled.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("p")
+    ).collect()[0]
+    n_docs, n_pos = int(totals["n"]), int(totals["p"])
+
+    pres = token_presence(df, text_col, id_col).join(labeled, id_col)
+    per_tok = pres.groupBy("token").agg(
+        F.sum("_y").alias("a"),
+        F.sum(1 - F.col("_y")).alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    c = F.lit(n_pos) - a
+    d = F.lit(n_docs - n_pos) - b
+    n_d = F.lit(float(n_docs))
+
+    def term(nij: Column, ri: Column, cj: Column) -> Column:
+        nij_d = nij.cast("double")
+        return F.when(nij == 0, F.lit(0.0)).otherwise(
+            (nij_d / n_d)
+            * F.log(n_d * nij_d / (ri.cast("double") * cj.cast("double")))
+        )
+
+    mi = (
+        term(a, a + b, F.lit(n_pos))
+        + term(b, a + b, F.lit(n_docs - n_pos))
+        + term(c, c + d, F.lit(n_pos))
+        + term(d, c + d, F.lit(n_docs - n_pos))
+    )
+    scored = per_tok.filter(a + b >= min_support).select(
+        "token",
+        a.alias("n_pos"),
+        b.alias("n_neg"),
+        F.round(mi, 6).alias("mi_r"),
+    )
+    return scored.orderBy(
+        F.col("mi_r").desc(), F.col("token").asc()
+    ).limit(k)

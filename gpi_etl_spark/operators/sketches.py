@@ -1,5 +1,6 @@
-"""Constant-size mergeable sketches: Count-Min (frequency) and
-k-min-registers (distinct count).
+"""Constant-size mergeable summaries: Count-Min (frequency),
+k-min-registers (distinct count), and fixed-domain histograms (exact
+quantiles for fixed-point columns).
 
 Misra-Gries (operators/heavyhitters.py) answers "which items are
 frequent" exactly; the Count-Min sketch (Cormode & Muthukrishnan '05)
@@ -271,3 +272,59 @@ def kmv_estimate(
         - F.lit(1.0)
     )
     return agg.select(*group_cols, "reg_sum", est.alias("est"))
+
+
+def fixed_histogram_quantiles(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    cents_col: str,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """EXACT quantiles of a fixed-point (integer cents) column at any
+    scale, via the histogram identity: a bounded-domain column's full
+    distribution IS a ``groupBy(value).count()`` — one map-side-
+    combined aggregation whose output is at most |domain| rows per
+    group, after which any quantile is an integer cumulative-count
+    lookup. This is the right 100 TB quantile design for money-like
+    columns: no sort of the data, no sketch error, trivially mergeable
+    (histograms add), and the per-group window runs over HISTOGRAM
+    rows (≤ |domain|), never data rows — so a hot group costs the same
+    as a cold one.
+
+    ``quantiles`` are exact rationals (num, den); each result is the
+    lower quantile — the smallest value whose cumulative count reaches
+    ``ceil(q·n)`` — selected by integer cross-multiplication
+    (``den·cum ≥ num·n``), the repo's float-free threshold rule.
+
+    Returns ``(*group_cols, n bigint, q_<num>_<den> bigint …)`` with
+    quantile columns in cents.
+
+    Contrast: q107's exact ``percentile`` (full sort per group, the
+    auditor) and ``percentile_approx`` (bounded error, unbounded
+    domains). This operator is exact AND scan-shaped, but only exists
+    because the domain is bounded — the docstring is the contract.
+    """
+    hist = df.groupBy(
+        *group_cols, F.col(cents_col).cast("long").alias("_c")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_c")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(wn)
+    )
+    aggs = [F.max("_n").cast("bigint").alias("n")]
+    for num, den in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_cum") * den >= F.col("_n") * num, F.col("_c")
+                )
+            ).cast("bigint").alias(f"q_{num}_{den}")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -12065,3 +12065,177 @@ def q226(spark, sf_dir):
             / (n * n * F.lit(10000.0))
         ).alias("var_r"),
     )
+
+
+@query(
+    "q227_histogram_quantiles",
+    """
+    WITH h AS (SELECT event_type,
+                      cast(cast(value AS decimal(18,2)) * 100 AS bigint)
+                        AS c,
+                      count(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    cum AS (SELECT event_type, c, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum,
+                   sum(cnt) OVER (PARTITION BY event_type) AS n
+            FROM h)
+    SELECT event_type, cast(max(n) AS bigint) AS n,
+           cast(min(CASE WHEN cum * 2 >= n * 1 THEN c END) AS bigint)
+             AS q_1_2,
+           cast(min(CASE WHEN cum * 10 >= n * 9 THEN c END) AS bigint)
+             AS q_9_10,
+           cast(min(CASE WHEN cum * 100 >= n * 99 THEN c END) AS bigint)
+             AS q_99_100
+    FROM cum GROUP BY event_type
+    """,
+)
+def q227(spark, sf_dir):
+    """Exact p50/p90/p99 of event values per type at histogram cost
+    (sketches.fixed_histogram_quantiles): a 2-dp money column has a
+    bounded integer-cents domain, so its FULL distribution is one
+    map-side-combined ``groupBy(cents).count()`` and every quantile is
+    an integer cumulative lookup — exact at any scale, trivially
+    mergeable (histograms add), no data sort, and the per-group window
+    runs over histogram rows (≤ |domain|), never data rows. The
+    float-free lower-quantile rule selects by integer
+    cross-multiplication (den·cum ≥ num·n). q107's sort-based exact
+    percentile stays the general-domain auditor; this is the
+    fixed-point production path."""
+    from gpi_etl_spark.operators.sketches import fixed_histogram_quantiles
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return fixed_histogram_quantiles(ev, ("event_type",), "cents")
+
+
+@query(
+    "q228_mutual_info",
+    f"""
+    WITH lab AS (SELECT doc_id,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                 FROM documents),
+    tot AS (SELECT count(*) AS n, sum(y) AS p FROM lab),
+    pres AS (SELECT doc_id, unnest(list_distinct({_TOKS_SQL})) AS token
+             FROM documents),
+    pt AS (SELECT pr.token, sum(l.y) AS a, sum(1 - l.y) AS b
+           FROM pres pr JOIN lab l USING (doc_id) GROUP BY 1),
+    cells AS (SELECT token, a, b, p - a AS c, (n - p) - b AS d,
+                     cast(n AS DOUBLE) AS nd,
+                     cast(p AS DOUBLE) AS pd,
+                     cast(n - p AS DOUBLE) AS qd
+              FROM pt CROSS JOIN tot
+              WHERE a + b >= 10),
+    sc AS (SELECT token, a, b,
+      (CASE WHEN a = 0 THEN 0.0 ELSE (cast(a AS DOUBLE) / nd)
+        * ln(nd * cast(a AS DOUBLE)
+             / (cast(a + b AS DOUBLE) * pd)) END)
+      + (CASE WHEN b = 0 THEN 0.0 ELSE (cast(b AS DOUBLE) / nd)
+        * ln(nd * cast(b AS DOUBLE)
+             / (cast(a + b AS DOUBLE) * qd)) END)
+      + (CASE WHEN c = 0 THEN 0.0 ELSE (cast(c AS DOUBLE) / nd)
+        * ln(nd * cast(c AS DOUBLE)
+             / (cast(c + d AS DOUBLE) * pd)) END)
+      + (CASE WHEN d = 0 THEN 0.0 ELSE (cast(d AS DOUBLE) / nd)
+        * ln(nd * cast(d AS DOUBLE)
+             / (cast(c + d AS DOUBLE) * qd)) END) AS mi
+      FROM cells)
+    SELECT token, cast(a AS bigint) AS n_pos, cast(b AS bigint) AS n_neg,
+           round(mi, 6) AS mi_r
+    FROM sc
+    ORDER BY round(mi, 6) DESC, token ASC
+    LIMIT 25
+    """,
+)
+def q228(spark, sf_dir):
+    """Mutual-information token–label feature selection
+    (featselect.mutual_info_token_label): chi-square's (q202)
+    information-theoretic sibling over the same 2×2 presence table —
+    ranks tokens by the nats they carry about the lang='en' label, the
+    quantity a token-budgeted filter actually optimizes. Counts stay
+    int64; the four cell terms are evaluated in double and summed in
+    ONE fixed literal order so both engines run the identical IEEE
+    chain; the ln makes the output transcendental-class, so it rounds
+    via round(·, 6) (functions/rounding.py's rule). Same scale shape
+    as q202: one presence explode with map-side combine, two collected
+    scalars, sort-limit top-k."""
+    from gpi_etl_spark.operators.featselect import mutual_info_token_label
+
+    return mutual_info_token_label(
+        t(spark, sf_dir, "documents"),
+        label=F.col("lang") == "en",
+        min_support=10,
+        k=25,
+    )
+
+
+def _q229_oracle_sql(replicas: int = 32) -> str:
+    """Poisson-bootstrap replay: base poly hash of the event id, the
+    cubic premix, one affine derivation per replica, integer
+    inverse-CDF thresholds (the SAME poisson_thresholds() literals the
+    Spark side embeds), then per-(type, replica) exact integer sums
+    and the floor-scaled mean."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.operators.evaluation import poisson_thresholds
+
+    ts = poisson_thresholds()
+    case = "CASE " + " ".join(
+        f"WHEN ah < {t} THEN {k}" for k, t in enumerate(ts)
+    ) + f" ELSE {len(ts)} END"
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT event_type,
+             cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS cents,
+             {_ph_sql("cast(event_id AS varchar)")} AS h
+      FROM events),
+    gm AS MATERIALIZED (
+      SELECT event_type, cents,
+             (h * ((h * h) % {_P}) + 13 * h + 7) % {_P} AS gh
+      FROM base),
+    r AS (SELECT event_type, cents, rb.b AS b,
+                 {_ah_sql('gh', 'rb.b', replicas)} AS ah
+          FROM gm, unnest(generate_series(0, {replicas - 1})) AS rb(b)),
+    w AS (SELECT event_type, b, cents, {case} AS w FROM r),
+    a AS (SELECT event_type, cast(b AS int) AS b,
+                 cast(sum(w) AS bigint) AS n_eff,
+                 sum(w * cents) AS wsum
+          FROM w GROUP BY 1, 2)
+    SELECT event_type, b, n_eff,
+           floor((cast(wsum AS double)
+                  / (100.0 * cast(n_eff AS double)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS boot_mean_r
+    FROM a
+    """
+
+
+@query("q229_poisson_bootstrap", _q229_oracle_sql(32))
+def q229(spark, sf_dir):
+    """Deterministic Poisson bootstrap of the mean event value per
+    type (evaluation.poisson_bootstrap_means, 32 replicas) — THE
+    distributed bootstrap: per-row Poisson(1) multiplicities replace
+    the unshufflable sample-with-replacement, so all 32 replicas
+    compute in ONE narrow projection + ONE map-side-combined
+    aggregation (5×32 output rows however large the stream). No RNG
+    anywhere: draws come from the poly hash family (cubic premix, the
+    q221 finding) through integer inverse-CDF thresholds baked once in
+    Python, so the full resampling — weights, effective sizes, means —
+    replays bit-exactly under the DuckDB hash gate. The spread of
+    boot_mean_r across b is the sampling distribution a CI reads off
+    (the z-interval twin is q147's analytic test)."""
+    from gpi_etl_spark.operators.evaluation import poisson_bootstrap_means
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return poisson_bootstrap_means(
+        ev, ("event_type",), "cents", "event_id", replicas=32
+    )

@@ -213,3 +213,49 @@ def test_partitioning_invariance(spark):
             base = row
         else:
             assert row == base
+
+
+def test_poisson_bootstrap_deterministic_and_calibrated(spark):
+    """Same input → bit-identical replicas (no RNG anywhere); the
+    effective sizes average ≈ n (Poisson(1) multiplicities) and the
+    replica means scatter around the true mean with nonzero spread."""
+    from gpi_etl_spark.operators.evaluation import poisson_bootstrap_means
+
+    n = 400
+    rows = [("g", i, ((i * 13) % 100) * 10) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, id long, cents long")
+    a = poisson_bootstrap_means(df, ("g",), "cents", "id", replicas=32)
+    got1 = sorted((r.b, r.n_eff, r.boot_mean_r) for r in a.collect())
+    got2 = sorted(
+        (r.b, r.n_eff, r.boot_mean_r)
+        for r in poisson_bootstrap_means(
+            df, ("g",), "cents", "id", replicas=32
+        ).collect()
+    )
+    assert got1 == got2 and len(got1) == 32
+    n_effs = [g[1] for g in got1]
+    assert abs(sum(n_effs) / 32 - n) / n < 0.1  # E[n_eff] = n
+    true_mean = sum(r[2] for r in rows) / (100.0 * n)
+    means = [g[2] for g in got1]
+    spread = max(means) - min(means)
+    assert spread > 0.0  # replicas genuinely differ
+    center = sum(means) / 32
+    # sampling sd of the mean ≈ sd/sqrt(n); the 32-replica center
+    # should sit well inside a few of those
+    assert abs(center - true_mean) < 0.5
+
+
+def test_poisson_thresholds_are_the_cdf(spark):
+    import math
+
+    from gpi_etl_spark.functions.xhash import P
+    from gpi_etl_spark.operators.evaluation import poisson_thresholds
+
+    ts = poisson_thresholds()
+    cdf = 0.0
+    pmf = math.exp(-1.0)
+    for k, t in enumerate(ts):
+        cdf += pmf
+        assert t == math.floor(cdf * P)
+        pmf /= (k + 1)
+    assert ts == sorted(ts) and ts[-1] < P

@@ -82,3 +82,31 @@ def test_chi2_topk_tiebreak_token_asc(spark):
         _docs(spark, rows), label=F.col("y") == 1, min_support=1, k=2
     ).collect()
     assert [r["token"] for r in out] == ["aa", "bb"]
+
+
+def test_mutual_info_perfect_and_independent(spark):
+    """MI hits ln 2 for a token that exactly determines a balanced
+    label, and ~0 for one independent of it; scores are non-negative
+    (MI is a KL divergence — float error bounded by the 6-dp round)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.featselect import mutual_info_token_label
+
+    rows = []
+    for i in range(40):
+        pos = i < 20
+        text = ("hit " if pos else "miss ") + "common filler"
+        rows.append((i, text, "en" if pos else "fr"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.token: r.mi_r
+        for r in mutual_info_token_label(
+            df, label=F.col("lang") == "en", min_support=5, k=10
+        ).collect()
+    }
+    assert abs(got["hit"] - round(math.log(2.0), 6)) < 1e-9
+    assert abs(got["miss"] - round(math.log(2.0), 6)) < 1e-9
+    assert got["common"] == 0.0 and got["filler"] == 0.0
+    assert all(v >= 0.0 for v in got.values())

@@ -192,3 +192,45 @@ def test_kmv_unknown_hash_mode_raises(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with pytest.raises(ValueError, match="unknown hash_mode"):
         kmv_build(df, "item", hash_mode="md5")
+
+
+def test_fixed_histogram_quantiles_exact_lower_quantile(spark):
+    """Matches the hand definition: smallest value whose cumulative
+    count reaches ceil(q·n) — including the duplicate-heavy and
+    exact-boundary cases interpolation definitions get wrong."""
+    from gpi_etl_spark.operators.sketches import fixed_histogram_quantiles
+
+    vals = [100] * 5 + [200] * 4 + [500]  # n=10
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, cents long"
+    )
+    row = fixed_histogram_quantiles(
+        df, ("g",), "cents",
+        quantiles=((1, 2), (9, 10), (99, 100)),
+    ).collect()[0]
+    # ceil(.5*10)=5 → cum(100)=5 → p50=100 (interpolation would say 150)
+    # ceil(.9*10)=9 → cum(200)=9 → p90=200; ceil(.99*10)=10 → 500
+    assert (row.n, row.q_1_2, row.q_9_10, row.q_99_100) == (
+        10, 100, 200, 500,
+    )
+
+
+def test_fixed_histogram_quantiles_match_python_oracle(spark):
+    """Property-style sweep vs the pure-Python lower quantile."""
+    import math
+
+    from gpi_etl_spark.operators.sketches import fixed_histogram_quantiles
+
+    vals = [((i * 37) % 50) * 10 for i in range(101)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, cents long"
+    )
+    row = fixed_histogram_quantiles(df, ("g",), "cents").collect()[0]
+    s = sorted(vals)
+
+    def lower_q(num, den):
+        return s[math.ceil(num * len(s) / den) - 1]
+
+    assert (row.q_1_2, row.q_9_10, row.q_99_100) == (
+        lower_q(1, 2), lower_q(9, 10), lower_q(99, 100),
+    )
