@@ -111,6 +111,29 @@ def affine_hash_sql(base_expr: str, i_expr: str, n: int) -> str:
     )
 
 
+def cubic_mix(h: Column) -> Column:
+    """Nonlinear premix for minima/inverse-CDF consumers of the poly
+    hash: ``(h·(h² mod P) + 13·h + 7) mod P``. The affine family alone
+    maps the clustered hashes of SHORT keys (digit ids) to arithmetic
+    progressions mod P, which biases order-statistic estimators
+    (measured: 42% KMV error at n=150 — round-7 finding); the cubic is
+    the cheapest progression-breaking nonlinearity. Every intermediate
+    is exact in signed 64-bit (h < P ≈ 10⁹ ⇒ each product < P² ≈ 10¹⁸
+    < 2⁶³), so both engines compute identical integers. The constants
+    13/7 and the operation ORDER are load-bearing — this function and
+    :func:`cubic_mix_sql` are the single shared definition."""
+    p = F.lit(P)
+    return (h * ((h * h) % p) + F.lit(13) * h + F.lit(7)) % p
+
+
+def cubic_mix_sql(expr: str) -> str:
+    """DuckDB replay of :func:`cubic_mix` for a BIGINT expression."""
+    return (
+        f"(({expr}) * ((({expr}) * ({expr})) % {P})"
+        f" + 13 * ({expr}) + 7) % {P}"
+    )
+
+
 def poly_fold_longs(arr: Column, seed: int = SEED) -> Column:
     """Polynomial fold over an array<long> whose values are already
     reduced mod P (Spark side) — used to key LSH band buckets."""

@@ -1034,8 +1034,21 @@ def k_anonymize(
     remaining = df
     for i, lv in enumerate(levels[:-1]):
         cnt = f"_kanon_n{i}"
+        # NULL-SAFE group join (review find): a NULL quasi-identifier
+        # is a legitimate group — groupBy counts it, but a null-unsafe
+        # equi-join would never match it back, silently DROPPING the
+        # row from every slice (neither released nor suppressed). Join
+        # on eqNullSafe per key instead.
         grp = remaining.groupBy(*lv).agg(F.count(F.lit(1)).alias(cnt))
-        j = remaining.join(grp, lv, "left")
+        grp = grp.select(
+            *[F.col(c).alias(f"_kanon_g_{c}") for c in lv], cnt
+        )
+        cond = F.lit(True)
+        for c in lv:
+            cond = cond & remaining[c].eqNullSafe(grp[f"_kanon_g_{c}"])
+        j = remaining.join(grp, cond, "left").drop(
+            *[f"_kanon_g_{c}" for c in lv]
+        )
         slices.append(
             j.filter(F.col(cnt) >= k)
             .drop(cnt)

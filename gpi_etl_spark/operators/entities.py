@@ -209,6 +209,9 @@ def fs_score(
     (__init__.py:175-312) resolves the same many-spellings problem
     with binary rules; FS is its principled weighted generalization.
     """
+    if not comparisons:
+        raise ValueError("fs_score needs at least one comparison field "
+                         "(an empty model scores nothing)")
     score = None
     for cond, wa, wd in comparisons:
         term = F.when(cond, F.lit(int(wa))).otherwise(F.lit(int(wd)))

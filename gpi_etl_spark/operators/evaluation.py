@@ -313,13 +313,13 @@ def poisson_bootstrap_means(
     floor-scaled.
     """
     from gpi_etl_spark.functions.hof import let_
-    from gpi_etl_spark.functions.xhash import P, affine_hash, poly_hash
+    from gpi_etl_spark.functions.xhash import (
+        affine_hash,
+        cubic_mix,
+        poly_hash,
+    )
 
     ts = poisson_thresholds()
-    p = F.lit(P)
-
-    def mix(h):
-        return (h * ((h * h) % p) + F.lit(13) * h + F.lit(7)) % p
 
     def draw(ah):
         w = F.when(ah < ts[0], F.lit(0))
@@ -330,7 +330,7 @@ def poisson_bootstrap_means(
     weights = let_(
         poly_hash(F.col(id_col).cast("string")),
         lambda h: let_(
-            mix(h),
+            cubic_mix(h),
             lambda g: F.array(
                 *[draw(affine_hash(g, b, replicas)) for b in range(replicas)]
             ),

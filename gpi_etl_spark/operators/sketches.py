@@ -206,18 +206,14 @@ def kmv_build(
     if hash_mode == "poly":
         from gpi_etl_spark.functions.hof import let_
 
-        p = F.lit(KMV_P)
-
-        def mix(h):
-            return (h * ((h * h) % p) + F.lit(13) * h + F.lit(7)) % p
-
         # bind the per-row poly fold ONCE (let_), then derive the k
-        # registers from the mixed value — k cheap integer transforms,
-        # never k re-runs of the per-character fold
+        # registers from the cubic-mixed value (xhash.cubic_mix — the
+        # shared progression-breaking premix) — k cheap integer
+        # transforms, never k re-runs of the per-character fold
         regs_arr = let_(
             xhash.poly_hash(F.col(item_col)),
             lambda h: let_(
-                mix(h),
+                xhash.cubic_mix(h),
                 lambda g: F.array(
                     *[xhash.affine_hash(g, i, k) for i in range(k)]
                 ),
@@ -253,22 +249,28 @@ def kmv_merge(*sketches: DataFrame) -> DataFrame:
 def kmv_estimate(
     sketch: DataFrame,
     group_cols: tuple[str, ...] = (),
-    k: int = 64,
 ) -> DataFrame:
     """Distinct-count estimate per group from a register table.
 
+    ``k`` is DERIVED from the sketch itself (the per-group register
+    count — every group always carries all k registers), not taken as
+    a parameter: a caller-supplied k that disagreed with the build
+    silently mis-scaled the estimate ~k_claimed/k_true× (review find).
+
     Returns ``(*group_cols, reg_sum bigint, est double)``. The float
-    path is deterministic by construction: ``reg_sum`` is an exact
-    integer (≤ k·P < 2^53, so its double cast is exact), ``k·P`` is an
-    exact double literal, and the single IEEE division is correctly
-    rounded — both engines produce the identical double.
+    path is deterministic by construction: ``reg_sum`` and ``k`` are
+    exact integers (reg_sum ≤ k·P < 2^53, so the double casts are
+    exact), the ``k·P`` product of exact doubles is correctly rounded
+    once, and the single IEEE division is correctly rounded — both
+    engines produce the identical double.
     """
     agg = sketch.groupBy(*group_cols).agg(
-        F.sum("m").cast("bigint").alias("reg_sum")
+        F.sum("m").cast("bigint").alias("reg_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
     )
     est = (
-        F.lit(float(k) * float(KMV_P))
-        / (F.col("reg_sum") + F.lit(k)).cast("double")
+        F.col("_k").cast("double") * F.lit(float(KMV_P))
+        / (F.col("reg_sum") + F.col("_k")).cast("double")
         - F.lit(1.0)
     )
     return agg.select(*group_cols, "reg_sum", est.alias("est"))

@@ -11692,6 +11692,7 @@ def _kmv_oracle_sql(k: int) -> str:
     single estimator division is the identical IEEE operation on both
     engines."""
     from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
 
     est = f"CAST({k * _P} AS DOUBLE) / cast(reg_sum + {k} AS double) - 1.0"
     return f"""
@@ -11701,8 +11702,7 @@ def _kmv_oracle_sql(k: int) -> str:
     b AS MATERIALIZED (
       SELECT event_type, {_ph_sql("uid")} AS h FROM u),
     gm AS MATERIALIZED (
-      SELECT event_type,
-             (h * ((h * h) % {_P}) + 13 * h + 7) % {_P} AS gh
+      SELECT event_type, {_cm_sql("h")} AS gh
       FROM b),
     r AS (SELECT event_type, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
           FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
@@ -11749,7 +11749,7 @@ def q221(spark, sf_dir):
     sk = sketches.kmv_build(
         dist, "uid", group_cols=("event_type",), k=128, hash_mode="poly"
     )
-    est = sketches.kmv_estimate(sk, group_cols=("event_type",), k=128)
+    est = sketches.kmv_estimate(sk, group_cols=("event_type",))
     exact = dist.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_users")
     )
@@ -12004,7 +12004,11 @@ def q225(spark, sf_dir):
       FROM events GROUP BY 1, 2),
     prof AS (
       SELECT event_type,
-             cast(((d - DATE '1970-01-01') + 4) % 7 AS int) AS dow,
+             -- pmod replay: DuckDB % follows the dividend's sign, so
+             -- pre-epoch dates would give -6..-1 where Spark's pmod
+             -- gives 0..6 — the double-% form is sign-safe
+             cast(((((d - DATE '1970-01-01') + 4) % 7) + 7) % 7 AS int)
+               AS dow,
              count(*) AS n_days,
              sum(cents) AS sum_cents,
              sum(cents * cents) AS sum_sq
@@ -12180,7 +12184,7 @@ def _q229_oracle_sql(replicas: int = 32) -> str:
     inverse-CDF thresholds (the SAME poisson_thresholds() literals the
     Spark side embeds), then per-(type, replica) exact integer sums
     and the floor-scaled mean."""
-    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
     from gpi_etl_spark.operators.evaluation import poisson_thresholds
 
     ts = poisson_thresholds()
@@ -12194,8 +12198,7 @@ def _q229_oracle_sql(replicas: int = 32) -> str:
              {_ph_sql("cast(event_id AS varchar)")} AS h
       FROM events),
     gm AS MATERIALIZED (
-      SELECT event_type, cents,
-             (h * ((h * h) % {_P}) + 13 * h + 7) % {_P} AS gh
+      SELECT event_type, cents, {_cm_sql("h")} AS gh
       FROM base),
     r AS (SELECT event_type, cents, rb.b AS b,
                  {_ah_sql('gh', 'rb.b', replicas)} AS ah

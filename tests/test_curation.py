@@ -889,3 +889,30 @@ def test_k_anonymize_ladder_validation(spark):
         curation.k_anonymize(
             df, levels=[["nation"], ["segment"], []], k=8
         )
+
+
+def test_k_anonymize_null_qi_is_a_group_not_a_leak(spark):
+    """A NULL quasi-identifier is a legitimate group: k rows with
+    nation=NULL must RELEASE at level 0 (null-safe group join), and
+    rows never vanish (the null-unsafe equi-join dropped them from
+    every slice — review find)."""
+    rows = (
+        [(None, "A", float(i)) for i in range(9)]       # NULL nation, ≥k
+        + [(7, None, float(i)) for i in range(3)]        # NULL segment sliver
+        + [(7, "B", float(i)) for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "nation int, segment string, bal double")
+    out = curation.k_anonymize(
+        df, levels=[["nation", "segment"], ["nation"], []], k=8
+    )
+    assert out.count() == len(rows)  # NOTHING dropped
+    got = {
+        (r.nation, r.segment): r.anon_level
+        for r in out.select("nation", "segment", "anon_level").distinct()
+        .collect()
+    }
+    assert got[(None, "A")] == 0       # the NULL-nation group released
+    assert got[(7, "B")] == 0
+    # (7, NULL) sliver: level-1 remainder for nation 7 is 3 < 8 →
+    # suppress-all
+    assert got[(7, None)] == 2

@@ -190,3 +190,12 @@ def test_fs_score_decisions_and_integer_scores(spark):
     assert out[("alpha widget", "omega widget")][1] == "non_match"
     mid = out[("a b", "completely different x")]
     assert mid[0] == -1946 - 2079 - 981 and mid[1] == "non_match"
+
+
+def test_fs_score_empty_comparisons_raises(spark):
+    from gpi_etl_spark.operators.entities import fs_score
+
+    pairs = spark.createDataFrame([("a", "b")], "name_a string, name_b string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one comparison"):
+        fs_score(pairs, [], match_threshold=0, possible_threshold=0)

@@ -109,7 +109,7 @@ def test_kmv_estimate_within_bound(spark, hash_mode):
     n, k = 700, 128
     df = spark.createDataFrame([(str(i),) for i in range(n)], "item string")
     est = kmv_estimate(
-        kmv_build(df, "item", k=k, hash_mode=hash_mode), k=k
+        kmv_build(df, "item", k=k, hash_mode=hash_mode)
     ).first()["est"]
     assert abs(est - n) / n <= 0.30
 
@@ -178,7 +178,7 @@ def test_kmv_vs_native_hll_same_ballpark(spark):
     n, k = 1200, 128
     df = spark.createDataFrame([(str(i),) for i in range(n)], "item string")
     kmv = kmv_estimate(
-        kmv_build(df, "item", k=k, hash_mode="poly"), k=k
+        kmv_build(df, "item", k=k, hash_mode="poly")
     ).first()["est"]
     hll = df.select(
         F.approx_count_distinct("item", rsd=0.02).alias("c")
@@ -234,3 +234,19 @@ def test_fixed_histogram_quantiles_match_python_oracle(spark):
     assert (row.q_1_2, row.q_9_10, row.q_99_100) == (
         lower_q(1, 2), lower_q(9, 10), lower_q(99, 100),
     )
+
+
+def test_kmv_estimate_k_is_derived_from_the_sketch(spark):
+    """The estimator reads k off the register table (a mismatched
+    caller parameter used to silently mis-scale — review find)."""
+    from gpi_etl_spark.functions.xhash import P
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(300)], "item string"
+    )
+    for k in (32, 128):
+        sk = kmv_build(df, "item", k=k, hash_mode="poly")
+        row = kmv_estimate(sk).first()
+        want = k * float(P) / (row.reg_sum + k) - 1.0
+        assert abs(row.est - want) < 1e-6

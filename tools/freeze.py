@@ -96,7 +96,7 @@ def main() -> int:
     # r7 closing line initially recorded the sum of both)
     ver_out = gate_out.split("=== gate: verify_local ===", 1)[-1]
     n_queries = len(re.findall(r"(?m)^(?:ok|FAIL) +q", ver_out))
-    if not (m_pytest and m_audit and m_verify and m_ver_dt):
+    if not (m_pytest and m_pyt_dt and m_audit and m_verify and m_ver_dt):
         print("REFUSED: could not parse gate evidence from the log — "
               "inspect " + log_path)
         return 1
