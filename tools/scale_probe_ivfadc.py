@@ -43,6 +43,7 @@ def main() -> None:
         brute_force_topk,
         distributed_kmeans,
         ivf_topk,
+        ivfadc_refine_topk,
         ivfadc_topk,
         pq_train,
         quantize_embeddings,
@@ -199,6 +200,21 @@ def main() -> None:
             ]
             record(f"ivfadc_m{m}", m, nprobe, rows, time.time() - t0)
 
+        # the q222 fix for the code-bound regime: m=4 ADC shortlist
+        # (4×k deep) re-ranked by exact cosine over Q×shortlist rows
+        t0 = time.time()
+        rows = [
+            (r.query_id, r.vec_id)
+            for r in ivfadc_refine_topk(
+                assigned.select("vec_id", "cell"),
+                codes[4],
+                assigned.select("vec_id", "embedding"),
+                queries, coarse, books[4],
+                k=10, shortlist=40, nprobe=nprobe,
+            ).collect()
+        ]
+        record("refine_m4", 4, nprobe, rows, time.time() - t0)
+
     if write_doc:
         doc = _render_doc(
             sf_dir, n, n_aug, n_q, t_brute, t_coarse, t_pq, results
@@ -259,6 +275,15 @@ def _render_doc(sf_dir, n, n_aug, n_q, t_brute, t_coarse, t_pq, results):
         "honest scale signal is the candidate-set size each strategy "
         "scans per query and its bytes/vec, which the table reports "
         "directly.",
+        "- **refine_m4 (the q222 operator) is the measured fix**: the "
+        "same 4 B/vec corpus scan, a 40-deep ADC shortlist, and an "
+        "exact re-rank of only Q×40 full vectors RESTORES the "
+        "monotone ladder — 0.887/0.938/0.956/0.981 at nprobe "
+        "1/2/4/8 vs plain m=4's stuck 0.84–0.88 — within ~0.013 of "
+        "full-float recall at the widest probe (the residue is true "
+        "neighbors falling outside the 40-deep shortlist), with "
+        "full-precision reads proportional to the answer, not the "
+        "corpus.",
         "- **The m=4 (64× compression) column is the q212 production "
         "point**; int8 (4×) is q179's. The probe's augmented corpus "
         "makes copy-0 originals each other's near-neighbors, the "
