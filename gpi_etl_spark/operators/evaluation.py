@@ -345,12 +345,21 @@ def poisson_bootstrap_means(
         F.sum("_w").cast("bigint").alias("n_eff"),
         F.sum(F.col("_w") * F.col("_cents")).alias("_wsum"),
     )
+    # a replica where EVERY row of a group draws weight 0 has no
+    # resample — its mean is explicitly NULL on both engines (advice
+    # find: Spark's divide-by-zero already yields NULL here, but DuckDB
+    # under default ieee_floating_point_ops returns inf, so the oracle
+    # needs the same explicit CASE; reachable only for tiny groups)
     return agg.select(
         *group_cols,
         "b",
         "n_eff",
-        fs6(
-            F.col("_wsum").cast("double")
-            / (F.lit(100.0) * F.col("n_eff").cast("double"))
-        ).alias("boot_mean_r"),
+        F.when(F.col("n_eff") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            fs6(
+                F.col("_wsum").cast("double")
+                / (F.lit(100.0) * F.col("n_eff").cast("double"))
+            )
+        )
+        .alias("boot_mean_r"),
     )

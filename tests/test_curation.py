@@ -916,3 +916,58 @@ def test_k_anonymize_null_qi_is_a_group_not_a_leak(spark):
     # (7, NULL) sliver: level-1 remainder for nation 7 is 3 < 8 →
     # suppress-all
     assert got[(7, None)] == 2
+
+
+def test_q224_oracle_null_path_matches_spark(spark, tmp_path):
+    """The q224 gate only sees TPC-H customer (no NULL QIs), so its
+    oracle's NULL-safe joins (IS NOT DISTINCT FROM — advice find: the
+    old JOIN USING silently dropped NULL-QI rows from the oracle,
+    diverging from k_anonymize's eqNullSafe cascade) are exercised
+    HERE: both engines run the registered q224 query/oracle over a
+    customer table where NULL nation/segment groups exist at every
+    cascade level, and must agree row-for-row."""
+    import math
+
+    from gpi_etl_spark import queries as Q
+
+    rows = (
+        [(None, "AUTO", float(100 + i)) for i in range(9)]  # release @0
+        + [(7, None, float(i)) for i in range(3)]           # sliver
+        + [(7, "BLDG", float(50 + i)) for i in range(9)]    # release @0
+        + [(None, None, float(i)) for i in range(2)]        # NULL/NULL
+    )
+    df = spark.createDataFrame(
+        rows, "c_nationkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+
+    sdf = Q.REGISTRY["q224_k_anonymity"][0](spark, str(tmp_path))
+    oracle = Q.REGISTRY["q224_k_anonymity"][1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"'{tmp_path}/customer.parquet/*.parquet'"
+    )
+    cur = con.execute(oracle)
+    o_cols = [d[0] for d in cur.description]
+    o_rows = cur.fetchall()
+
+    def canon(cols, recs):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        out = []
+        for r in recs:
+            out.append(tuple(
+                round(v, 6) if isinstance(v, float) and not math.isnan(v)
+                else v
+                for v in (r[i] for i in order)
+            ))
+        return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+    s_rows = canon(sdf.columns, [tuple(r) for r in sdf.collect()])
+    d_rows = canon(o_cols, o_rows)
+    assert sorted(sdf.columns) == sorted(o_cols)
+    assert s_rows == d_rows
+    n_total = sum(
+        row[sorted(sdf.columns).index("n")] for row in s_rows
+    )
+    assert n_total == len(rows)

@@ -259,3 +259,27 @@ def test_poisson_thresholds_are_the_cdf(spark):
         assert t == math.floor(cdf * P)
         pmf /= (k + 1)
     assert ts == sorted(ts) and ts[-1] < P
+
+
+def test_poisson_bootstrap_empty_replica_is_null(spark):
+    """A replica where every row of a group draws weight 0 has no
+    resample: its boot_mean_r must be NULL — explicitly, on BOTH
+    engines (advice find: Spark's divide-by-zero happened to give
+    NULL, DuckDB's IEEE division gives inf, so without the CASE the
+    oracle gate would diverge on tiny groups). A single-row group
+    makes zero-weight replicas near-certain (P(w=0) ≈ 1/e per
+    replica)."""
+    from gpi_etl_spark.operators.evaluation import poisson_bootstrap_means
+
+    df = spark.createDataFrame(
+        [("solo", 1, 500)], "g string, id long, cents long"
+    )
+    out = poisson_bootstrap_means(df, ("g",), "cents", "id", replicas=32)
+    rows = out.collect()
+    assert len(rows) == 32
+    empties = [r for r in rows if r.n_eff == 0]
+    assert empties, "no zero-weight replica drawn — pick another id"
+    assert all(r.boot_mean_r is None for r in empties)
+    assert all(
+        r.boot_mean_r == 5.0 for r in rows if r.n_eff > 0
+    )  # any nonzero multiplicity of one 500-cent row means 5.00

@@ -82,19 +82,35 @@ def main() -> int:
         return 1
 
     # parse the step evidence out of the log (fail loudly if absent —
-    # a record must never carry guessed numbers)
-    m_pytest = re.search(r"(\d+) passed", gate_out)
+    # a record must never carry guessed numbers). Every number is
+    # matched INSIDE its own step's section (advice find: unanchored
+    # re.search over the combined log would take the FIRST "N passed"
+    # / "N failures" anywhere — an earlier step, a test name, a
+    # warning line — as the closing numbers), the same slicing the
+    # verify_local row count already used.
+    def section(name: str) -> str:
+        part = gate_out.split(f"=== gate: {name} ===", 1)
+        if len(part) < 2:
+            return ""
+        return part[1].split("=== gate: ", 1)[0]
+
+    pyt_out, audit_out, ver_out = (
+        section("pytest"), section("plan_audit"), section("verify_local")
+    )
+    # pytest's own summary is the LAST line-anchored "N passed" in its
+    # section (a test id or warning could contain the phrase earlier)
+    pyt_counts = re.findall(r"(?m)^(\d+) passed", pyt_out)
+    m_pytest = re.match(r"(\d+)", pyt_counts[-1]) if pyt_counts else None
     m_pyt_dt = re.search(r"=== gate: pytest OK \(([\d.]+)s\)", gate_out)
     m_audit = re.search(
         r"=== gate: plan_audit OK \(([\d.]+)s\)", gate_out
     )
-    m_flag = re.search(r"(\d+) flagged", gate_out)
-    m_verify = re.search(r"\n(\d+) failures", gate_out)
+    m_flag = re.search(r"(\d+) flagged", audit_out)
+    m_verify = re.search(r"(?m)^(\d+) failures", ver_out)
     m_ver_dt = re.search(r"=== gate: verify_local OK \(([\d.]+)s\)", gate_out)
     # count per-query rows ONLY inside the verify_local section —
     # plan_audit prints its own "ok qNNN" lines (first-use bug: the
     # r7 closing line initially recorded the sum of both)
-    ver_out = gate_out.split("=== gate: verify_local ===", 1)[-1]
     n_queries = len(re.findall(r"(?m)^(?:ok|FAIL) +q", ver_out))
     if not (m_pytest and m_pyt_dt and m_audit and m_verify and m_ver_dt):
         print("REFUSED: could not parse gate evidence from the log — "
