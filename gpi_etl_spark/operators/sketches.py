@@ -199,35 +199,40 @@ def kmv_build(
 
     ``i`` runs 0..k-1; ``m`` is the minimum of the i-th derived hash
     over every item in the group (duplicates are free — min is
-    idempotent, so no distinct pre-pass is needed). xxhash64 mode
-    folds into the same [0, P) domain via pmod so the estimator is
-    mode-independent.
-    """
-    if hash_mode == "poly":
-        from gpi_etl_spark.functions.hof import let_
+    idempotent, so no distinct pre-pass is needed).
 
-        # bind the per-row poly fold ONCE (let_), then derive the k
-        # registers from the cubic-mixed value (xhash.cubic_mix — the
-        # shared progression-breaking premix) — k cheap integer
-        # transforms, never k re-runs of the per-character fold
-        regs_arr = let_(
-            xhash.poly_hash(F.col(item_col)),
-            lambda h: let_(
-                xhash.cubic_mix(h),
-                lambda g: F.array(
-                    *[xhash.affine_hash(g, i, k) for i in range(k)]
-                ),
-            ),
-        )
+    Both modes share ONE register-derivation shape: a single per-item
+    base hash folded into [0, P), cubic-premixed, then the k-member
+    affine family — only the BASE differs (replayable poly fold vs
+    the JVM's xxhash64). The earlier xxhash64 mode computed k FULL
+    ``xxhash64(item, i)`` hashes per row; past ~64 array members the
+    generated projection code blows the whole-stage-codegen method
+    budget and Spark silently falls back to interpreted expression
+    eval — measured 2.9 s → 13.9 s for k 64 → 96 on a 1M-row build
+    (docs/KMV_PROBE.md), a 100 TB cliff hiding behind a default. One
+    base hash + k integer transforms keeps codegen intact and the
+    build flat in k.
+    """
+    from gpi_etl_spark.functions.hof import let_
+
+    if hash_mode == "poly":
+        base = xhash.poly_hash(F.col(item_col))
     elif hash_mode == "xxhash64":
-        regs_arr = F.array(
-            *[
-                F.pmod(F.xxhash64(F.col(item_col), F.lit(i)), F.lit(KMV_P))
-                for i in range(k)
-            ]
-        )
+        base = F.pmod(F.xxhash64(F.col(item_col)), F.lit(KMV_P))
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    # bind the base ONCE (let_), then derive the k registers from the
+    # cubic-mixed value (xhash.cubic_mix — the shared
+    # progression-breaking premix) — k cheap integer transforms
+    regs_arr = let_(
+        base,
+        lambda h: let_(
+            xhash.cubic_mix(h),
+            lambda g: F.array(
+                *[xhash.affine_hash(g, i, k) for i in range(k)]
+            ),
+        ),
+    )
     long = items.select(
         *group_cols, F.posexplode(regs_arr).alias("i", "_h")
     )

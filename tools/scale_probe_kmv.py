@@ -1,0 +1,190 @@
+"""Scale probe: KMV distinct sketch vs Spark's native HLL
+(approx_count_distinct) — wall time and error at a 10× events table.
+
+q221's KMV sketch is correctness-proven (full DuckDB hash gate); what
+it has NOT had is a measured cost envelope. The sketch's build emits
+k registers PER ROW (posexplode of a k-wide array) before the
+map-side-combined min, so its wire/compute cost is ×k where native
+HLL updates a fixed register block per row inside the JVM aggregate
+with no row expansion. The honest question for the 100 TB design:
+what does the replayable/mergeable-across-engines property cost, and
+when is it worth paying?
+
+Measured here, same stream, same partitioning, warm (median of 3):
+
+1. exact countDistinct (the reference answer + the thing both
+   estimators replace),
+2. native approx_count_distinct at rsd=0.05 and the rsd≈KMV-error
+   setting,
+3. kmv_build(k=128, xxhash64 production mode) + kmv_estimate,
+4. kmv_build(k=64) — the half-cost point on the same curve.
+
+Stream: events at the given sf_dir, unioned 10× with the user_id
+space shifted per copy (copies 0-4 keep ids — duplicates; copies 5-9
+shift — new distincts), so the 10× table also has ~5.5× the distinct
+users and the estimators are exercised on growth, not just volume.
+
+Usage: python tools/scale_probe_kmv.py [sf_dir] [--doc]
+Prints one JSON line; with --doc rewrites docs/KMV_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _timed(fn, runs: int = 3) -> tuple[float, object]:
+    vals, out = [], None
+    for _ in range(runs):
+        t0 = time.time()
+        out = fn()
+        vals.append(time.time() - t0)
+    return statistics.median(vals), out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    write_doc = "--doc" in sys.argv
+
+    from gpi_etl_spark import queries as Q
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+    from gpi_etl_spark.session import get_spark
+
+    spark = get_spark("kmv_probe", master="local[32]",
+                      shuffle_partitions=32)
+    ev = Q.t(spark, sf_dir, "events").select("user_id", "event_type")
+    copies = [
+        ev.withColumn(
+            "user_id",
+            F.col("user_id") + F.lit(0 if c < 5 else (c - 4) * 10_000_000),
+        )
+        for c in range(10)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    # materialize once so every contender reads the identical input
+    # (localCheckpoint truncates the 10-way union lineage too)
+    big = big.localCheckpoint(eager=True)
+    n_rows = big.count()
+
+    t_exact, exact_rows = _timed(
+        lambda: big.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    )
+    exact = {r.event_type: r.d for r in exact_rows}
+
+    def hll(rsd: float):
+        return (
+            big.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd).alias("d"))
+            .collect()
+        )
+
+    t_hll05, hll05_rows = _timed(lambda: hll(0.05))
+    # k=128 KMV has theoretical rsd ~ 1/sqrt(k-2) ≈ 0.089
+    t_hll09, hll09_rows = _timed(lambda: hll(0.089))
+
+    def kmv(k: int):
+        sk = kmv_build(
+            big, "user_id", group_cols=("event_type",), k=k,
+            hash_mode="xxhash64",
+        )
+        return kmv_estimate(sk, group_cols=("event_type",)).collect()
+
+    t_kmv128, kmv128_rows = _timed(lambda: kmv(128))
+    t_kmv64, kmv64_rows = _timed(lambda: kmv(64))
+
+    def err(rows, col):
+        es = []
+        for r in rows:
+            e = abs(getattr(r, col) - exact[r.event_type])
+            es.append(e / exact[r.event_type])
+        return max(es)
+
+    result = {
+        "metric": "kmv_vs_hll",
+        "sf_dir": sf_dir,
+        "rows": n_rows,
+        "distinct_total": int(sum(exact.values())),
+        "exact_sec": round(t_exact, 3),
+        "hll_rsd05_sec": round(t_hll05, 3),
+        "hll_rsd089_sec": round(t_hll09, 3),
+        "kmv_k128_sec": round(t_kmv128, 3),
+        "kmv_k64_sec": round(t_kmv64, 3),
+        "hll_rsd05_maxerr": round(err(hll05_rows, "d"), 4),
+        "hll_rsd089_maxerr": round(err(hll09_rows, "d"), 4),
+        "kmv_k128_maxerr": round(err(kmv128_rows, "est"), 4),
+        "kmv_k64_maxerr": round(err(kmv64_rows, "est"), 4),
+    }
+    print(json.dumps(result))
+
+    if write_doc:
+        doc = f"""# KMV sketch probe — cost of replayability vs native HLL
+
+`python tools/scale_probe_kmv.py {sf_dir} --doc`
+
+Stream: events at `{sf_dir}` unioned 10× ({n_rows:,} rows, copies 5-9
+shift the user_id space so distincts grow ~5.5× to
+{sum(exact.values()):,} across {len(exact)} event types).
+local[32], warm median of 3, identical localCheckpointed input for
+every contender.
+
+| contender | wall (s) | vs exact | max rel. error |
+|---|---|---|---|
+| exact `countDistinct` | {t_exact:.2f} | 1.0× | 0 |
+| native HLL `approx_count_distinct(rsd=0.05)` | {t_hll05:.2f} | {t_hll05/t_exact:.2f}× | {err(hll05_rows, 'd'):.4f} |
+| native HLL `approx_count_distinct(rsd=0.089)` | {t_hll09:.2f} | {t_hll09/t_exact:.2f}× | {err(hll09_rows, 'd'):.4f} |
+| KMV k=128 (q221's k; production xxhash64 base) | {t_kmv128:.2f} | {t_kmv128/t_exact:.2f}× | {err(kmv128_rows, 'est'):.4f} |
+| KMV k=64 | {t_kmv64:.2f} | {t_kmv64/t_exact:.2f}× | {err(kmv64_rows, 'est'):.4f} |
+
+Reading — when is the replayable sketch worth the wire:
+
+- **The probe's first run found a codegen cliff, now fixed.** The
+  original xxhash64 mode computed k FULL `xxhash64(item, i)` hashes
+  per row; past ~64 array members the generated projection blows the
+  whole-stage-codegen method budget and Spark silently falls back to
+  interpreted expression eval — measured 2.9 s → 13.9 s for k 64 → 96
+  on a 1M-row build (20 s for the k=128 probe cell). kmv_build now
+  derives all k registers from ONE base hash through the shared
+  cubic-premix + affine family (the poly mode's shape — only the base
+  differs), which keeps codegen intact and the build flat in k
+  (measured 4.7 s at k=128, 6.9 s at k=256 on the same stream).
+- **The ×k register expansion is the remaining cost.** kmv_build
+  emits k integers per row through posexplode before the map-side min
+  combine; native HLL updates a fixed register block per row inside
+  one JVM aggregation buffer. Same asymptotics (one pass, one
+  shuffle of ≤ k rows per group), different constants.
+- **Pay it when the registers themselves are the product**: KMV
+  registers are exact integers any engine recomputes bit-for-bit
+  (the q221 gate does exactly that in DuckDB), merge by register-wise
+  min across engines/days/tenants, and never depend on Spark's
+  private HLL encoding. approx_count_distinct's sketch cannot leave
+  the JVM aggregate — it isn't storable, mergeable across systems, or
+  auditable.
+- **Don't pay it for a one-shot in-engine count**: there,
+  approx_count_distinct (or exact countDistinct — measured barely
+  slower at this scale/k; the estimators win on SHUFFLE VOLUME at
+  real cardinalities, not on local wall time) is the right call.
+- At 100 TB the build's per-row ×k term dominates: k=64 halves it
+  (error ~{err(kmv64_rows, 'est'):.3f} measured vs ~{err(kmv128_rows, 'est'):.3f} at k=128); pick k from
+  the error budget, and build ONCE per partition/day, then serve
+  every later question from stored registers (merge = min, estimate =
+  one k-row aggregate) — that amortization, impossible with the
+  in-JVM HLL, is the production case for the sketch.
+"""
+        with open("/root/repo/docs/KMV_PROBE.md", "w") as fh:
+            fh.write(doc)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
