@@ -177,3 +177,87 @@ def psi_drift(
             F.round(F.col("_psi"), 6).alias("psi_r"),
         )
     )
+
+
+def cusum_counts(
+    counts: DataFrame,
+    group_col: str = "event_type",
+    day_col: str = "day",
+    x_col: str = "x",
+    train_days: int = 14,
+    slack_num: int = 1,
+    slack_den: int = 20,
+    h_mult: int = 5,
+) -> DataFrame:
+    """One-sided (upward) CUSUM changepoint screen over integer daily
+    counters — the SEQUENTIAL sibling of the snapshot drift pair
+    (KS/PSI): instead of comparing two frozen segments, it watches a
+    per-group counter series and flags the first day the cumulative
+    excess over a trained baseline crosses a threshold. The drift ops'
+    use case ("did this feed change?") asked continuously.
+
+    EXACT INTEGER FORM. The textbook recursion
+    ``C_t = max(0, C_{t-1} + x_t − (1 + slack)·μ0)`` has the closed
+    form ``C_t = S_t − min(0, min_{j≤t} S_j)`` over the prefix sums
+    ``S_t = Σ_{i≤t} (x_i − (1+slack)·μ0)`` — a cumulative sum and a
+    running min, both plain windows. With ``μ0 = p/q`` (p = the
+    group's count over the first ``train_days`` days, q = train_days)
+    and ``slack = slack_num/slack_den``, scaling every term by
+    ``slack_den·q`` makes the whole statistic int64:
+
+        step'_t = slack_den·q·x_t − (slack_den + slack_num)·p
+        C'_t    = S'_t − min(0, running_min(S'_t))
+        alarm_t = C'_t > h_mult·slack_den·p        (h = h_mult·μ0)
+
+    (|step'| ≤ slack_den·q·x_max + 21·p — far inside int64 for any
+    counter a day can hold.) No float exists anywhere, so the oracle
+    replays the identical integers and the gate is hash-exact with no
+    rounding convention at all.
+
+    ``counts`` is the (group, day, x) daily series INCLUDING zero days
+    (build it on a day spine — a missing day is a real observation of
+    0, and silently skipping it would shift every later prefix sum).
+    Returns per (group, day): x, the scaled statistic ``cusum_s``, the
+    scaled threshold ``h_s``, and ``alarm``.
+
+    100 TB shape: one groupBy to train (p), one broadcastable join of
+    the per-group scalars, and two windows partitioned by group over
+    DAYS (series length, never raw rows — the raw-row reduction to
+    daily counts happens upstream with map-side combine).
+    """
+    g, d, x = F.col(group_col), F.col(day_col), F.col(x_col)
+    first_day = counts.groupBy(group_col).agg(
+        F.min(day_col).alias("_d0")
+    )
+    with_d0 = counts.join(F.broadcast(first_day), group_col)
+    trained = (
+        with_d0.filter(d < F.col("_d0") + train_days)
+        .groupBy(group_col)
+        .agg(F.sum(x_col).cast("bigint").alias("_p"))
+    )
+    base = with_d0.join(F.broadcast(trained), group_col)
+    step = (
+        F.lit(slack_den * train_days) * x.cast("bigint")
+        - F.lit(slack_den + slack_num) * F.col("_p")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two window passes over ONE window spec (same partitioning/order
+    # → a single sort, no extra shuffle): windows can't nest, so the
+    # prefix sum materializes as a column before its running min
+    with_s = base.withColumn("_s", F.sum(step).over(w))
+    cusum_s = F.col("_s") - F.least(
+        F.lit(0).cast("bigint"), F.min("_s").over(w)
+    )
+    h_s = F.lit(h_mult * slack_den) * F.col("_p")
+    return with_s.select(
+        g.alias(group_col),
+        d.alias(day_col),
+        x.alias(x_col),
+        cusum_s.cast("bigint").alias("cusum_s"),
+        h_s.cast("bigint").alias("h_s"),
+        (cusum_s > h_s).alias("alarm"),
+    )

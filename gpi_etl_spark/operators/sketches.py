@@ -281,6 +281,67 @@ def kmv_estimate(
     return agg.select(*group_cols, "reg_sum", est.alias("est"))
 
 
+def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
+    """Pairwise set-overlap estimates between every two sketched sets,
+    FROM THE REGISTERS ALONE — the planner/decontamination primitive:
+    how much do two corpora/partitions/days share, without touching
+    either again.
+
+    ``sketch`` is a register table ``(key_col, i, m)`` (kmv_build with
+    ``group_cols=(key_col,)``). Each register is an independent
+    min-hash, so per register ``P(m_a = m_b) = J(A, B)`` exactly (the
+    classic MinHash identity: the registers agree iff the union's
+    minimizing element under that register's hash order lies in the
+    intersection). The estimators, all replayable integer/fixed-order
+    arithmetic:
+
+    * ``n_match``   — registers where the two sketches agree (int);
+    * ``jaccard_e`` — n_match / k, the MinHash Jaccard estimate;
+    * ``union_e``   — kmv estimate over the register-wise min (the
+      merged sketch IS the union's sketch);
+    * ``inter_e``   — jaccard_e · union_e, evaluated as
+      ``(n_match · union_e) / k`` so both engines run the identical
+      two IEEE operations.
+
+    One self-join on the register index over k-row-per-key tables —
+    the work scales with |keys|²·k, never with the data the sketches
+    summarized. Pairs are emitted once (key_a < key_b).
+    """
+    a = sketch.select(
+        F.col(key_col).alias("key_a"), "i", F.col("m").alias("m_a")
+    )
+    b = sketch.select(
+        F.col(key_col).alias("key_b"), "i", F.col("m").alias("m_b")
+    )
+    pairs = a.join(b, "i").filter(F.col("key_a") < F.col("key_b"))
+    agg = pairs.groupBy("key_a", "key_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.sum((F.col("m_a") == F.col("m_b")).cast("int"))
+        .cast("bigint")
+        .alias("n_match"),
+        F.sum(F.least("m_a", "m_b")).cast("bigint").alias("_union_reg_sum"),
+    )
+    union_e = (
+        F.col("_k").cast("double") * F.lit(float(KMV_P))
+        / (F.col("_union_reg_sum") + F.col("_k")).cast("double")
+        - F.lit(1.0)
+    )
+    return agg.select(
+        "key_a",
+        "key_b",
+        "n_match",
+        "_union_reg_sum",
+        (F.col("n_match").cast("double") / F.col("_k").cast("double"))
+        .alias("jaccard_e"),
+        union_e.alias("union_e"),
+        (
+            F.col("n_match").cast("double")
+            * union_e
+            / F.col("_k").cast("double")
+        ).alias("inter_e"),
+    ).withColumnRenamed("_union_reg_sum", "union_reg_sum")
+
+
 def fixed_histogram_quantiles(
     df: DataFrame,
     group_cols: tuple[str, ...],

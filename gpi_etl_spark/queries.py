@@ -12341,3 +12341,239 @@ def q229(spark, sf_dir):
     return poisson_bootstrap_means(
         ev, ("event_type",), "cents", "event_id", replicas=32
     )
+
+
+@query(
+    "q230_stream_upsert",
+    """
+    WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS us, value
+                FROM events),
+    revs AS (SELECT event_id, event_type, us + 86400000000 AS us,
+                    value + CAST(1000.0 AS DOUBLE) AS value, 1 AS src
+             FROM ev WHERE event_id % 5 = 0),
+    m AS (SELECT event_id, event_type, us, value, 0 AS src FROM ev
+          UNION ALL SELECT * FROM revs),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+              ORDER BY us DESC, src DESC) AS rn FROM m)
+    SELECT event_id, event_type, us AS ts_us, value
+    FROM r WHERE rn = 1 AND event_id % 17 = 0
+    """,
+)
+def q230(spark, sf_dir):
+    """The streaming foreachBatch UPSERT sink end to end
+    (streaming/sinks.stream_upsert → upsert_batch): the loaded events
+    table receives a revision stream (every 5th event, one day later,
+    value bumped) through a REAL readStream, each micro-batch merged
+    last-write-wins into the live parquet table via the staged
+    rename-swap writer — the K4/J1 incremental family's streaming
+    twin, which until now had only pytest evidence
+    (test_stream_upsert.py), no driver gate. The final LIVE TABLE is
+    what's checked (projected to every 17th key so the gate carries
+    row-level upsert evidence — revised and unrevised keys — at
+    bounded size); the oracle replays last-write-wins over the union.
+    Delivery-invariant by construction: revision keys are unique and
+    their timestamps strictly exceed the loaded rows', so no batch
+    split can change any per-key winner
+    (tests/test_streaming_delivery.py runs this gate under the 8-file
+    split). Live-table and checkpoint dirs are cleared per run — each
+    gated run is a fresh ingest, not a checkpoint resume."""
+    import shutil
+
+    from gpi_etl_spark.streaming.sinks import stream_upsert, upsert_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    root = _landing(spark, "q230", sf_dir)
+    table, ckpt = root + "/table", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    upsert_batch(spark, ev, table, ["event_id"], "ts")
+    revs = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id",
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        (F.col("value") + F.lit(1000.0)).alias("value"),
+    )
+    stream = land_and_stream(spark, revs, "q230src", sf_dir)
+    q = stream_upsert(stream, table, ["event_id"], "ts", checkpoint=ckpt)
+    q.processAllAvailable()
+    q.stop()
+    final = spark.read.parquet(table)
+    return final.filter(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+@query(
+    "q231_cusum_changepoint",
+    """
+    WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+               FROM events),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+    types AS (SELECT DISTINCT event_type FROM d),
+    spine AS (SELECT t.event_type, u.day
+              FROM types t, b, unnest(generate_series(b.d0, b.d1)) AS u(day)),
+    c AS (SELECT event_type, day, count(*) AS x FROM d GROUP BY 1, 2),
+    s AS (SELECT sp.event_type, sp.day, coalesce(c.x, 0) AS x
+          FROM spine sp LEFT JOIN c
+            ON c.event_type = sp.event_type AND c.day = sp.day),
+    p AS (SELECT s.event_type, cast(sum(s.x) AS bigint) AS p
+          FROM s, b WHERE s.day < b.d0 + 14 GROUP BY 1),
+    st AS (SELECT s.event_type, s.day, s.x,
+                  280 * s.x - 21 * p.p AS step, p.p AS p
+           FROM s JOIN p ON p.event_type = s.event_type),
+    pre AS (SELECT event_type, day, x, p,
+                   sum(step) OVER w AS s_t
+            FROM st
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    fin AS (SELECT event_type, day, x, p,
+                   s_t - least(0, min(s_t) OVER w) AS cusum_s
+            FROM pre
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, day, cast(x AS bigint) AS x,
+           cast(cusum_s AS bigint) AS cusum_s,
+           cast(100 * p AS bigint) AS h_s,
+           cusum_s > 100 * p AS alarm
+    FROM fin
+    """,
+)
+def q231(spark, sf_dir):
+    """One-sided CUSUM changepoint screen over daily event volumes per
+    type (drift.cusum_counts) — the SEQUENTIAL member of the drift
+    family (q203 KS / q204 PSI compare frozen segments; this watches
+    the counter series and flags the first day the cumulative excess
+    over the trained baseline crosses the threshold). The statistic is
+    PURE INT64: baseline μ0 = p/q over the first 14 spine days, 5%
+    slack, h = 5·μ0, everything scaled by slack_den·q = 280 so the
+    recursion's closed form (prefix sum minus its running min — two
+    windows over one sort) never touches a float and the gate is
+    hash-exact with no rounding convention. The series runs on the
+    GLOBAL day spine with zero-days materialized — a missing day is a
+    real observation of 0; skipping it would shift every later prefix
+    sum. 100 TB: raw rows collapse to (type, day) counts with
+    map-side combine before any window; the windows run over series
+    length only."""
+    from gpi_etl_spark.operators.drift import cusum_counts
+
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    counts = days.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    bounds = days.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = (
+        days.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+        )
+    )
+    series = spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+    )
+    out = cusum_counts(
+        series, group_col="event_type", day_col="day", x_col="x",
+        train_days=14, slack_num=1, slack_den=20, h_mult=5,
+    )
+    return out.select(
+        "event_type", "day", "x", "cusum_s", "h_s", "alarm"
+    )
+
+
+def _q232_oracle_sql(k: int) -> str:
+    """Register replay shared with q221 (same distinct-pair → poly →
+    cubic → affine → min chain), then the pairwise overlap estimators:
+    per register ``P(m_a = m_b) = J(A,B)`` (MinHash identity), union
+    from the register-wise min (a merged sketch IS the union's
+    sketch), intersection as jaccard·union in the exact operation
+    order the Spark side runs."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    union_e = (
+        f"cast({k} AS DOUBLE) * CAST({_P} AS DOUBLE)"
+        f" / cast(union_reg_sum + {k} AS double) - 1.0"
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT DISTINCT event_type, cast(user_id AS varchar) AS uid
+      FROM events),
+    b AS MATERIALIZED (
+      SELECT event_type, {_ph_sql("uid")} AS h FROM u),
+    gm AS MATERIALIZED (
+      SELECT event_type, {_cm_sql("h")} AS gh FROM b),
+    r AS (SELECT event_type, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS MATERIALIZED (
+      SELECT event_type, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    pr AS (SELECT a.event_type AS key_a, bb.event_type AS key_b,
+                  a.mi AS ma, bb.mi AS mb
+           FROM m a JOIN m bb
+             ON a.i = bb.i AND a.event_type < bb.event_type),
+    agg AS (SELECT key_a, key_b,
+                   cast(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)
+                        AS bigint) AS n_match,
+                   cast(sum(least(ma, mb)) AS bigint) AS union_reg_sum
+            FROM pr GROUP BY 1, 2)
+    SELECT key_a, key_b, n_match, union_reg_sum,
+           {fs6_sql(f"cast(n_match AS double) / cast({k} AS double)")}
+             AS jaccard_r,
+           {fs6_sql(union_e)} AS union_r,
+           {fs6_sql(f"cast(n_match AS double) * ({union_e}) / cast({k} AS double)")}
+             AS inter_r
+    FROM agg
+    """
+
+
+@query("q232_kmv_overlap", _q232_oracle_sql(128))
+def q232(spark, sf_dir):
+    """Set-overlap estimation BETWEEN sketches
+    (sketches.kmv_overlap): how many distinct users do each two event
+    types share — answered from the q221 register tables alone, never
+    rescanning the data. Per register the MinHash identity gives
+    ``P(m_a = m_b) = J(A,B)`` exactly, so jaccard = n_match/k; the
+    register-wise min IS the union's sketch (the kmv_merge property),
+    so the union size estimates from it; intersection =
+    jaccard·union, both engines evaluating the identical two IEEE
+    operations on exact integers. This is the planner/decontamination
+    primitive at 100 TB — per-corpus/day/tenant sketches are built
+    once (k rows per key), and every later overlap question is a
+    |keys|²·k register join with no data touch. Integer internals
+    (n_match, union_reg_sum) ride under the hash gate; the three
+    estimates floor-scale at 6 dp (exact-rational/fixed-order-float
+    convention)."""
+    from gpi_etl_spark.operators import sketches
+
+    dist = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+        .distinct()
+    )
+    sk = sketches.kmv_build(
+        dist, "uid", group_cols=("event_type",), k=128, hash_mode="poly"
+    )
+    out = sketches.kmv_overlap(sk, "event_type")
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_match",
+        "union_reg_sum",
+        fs6(F.col("jaccard_e")).alias("jaccard_r"),
+        fs6(F.col("union_e")).alias("union_r"),
+        fs6(F.col("inter_e")).alias("inter_r"),
+    )

@@ -131,3 +131,62 @@ def test_hash_segment_deterministic_and_balanced(spark):
              spark.range(2000).select(hash_segment(F.col("id")).alias("seg"))
              .groupBy("seg").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts == again
+
+
+def test_cusum_matches_textbook_recursion_and_fires_on_shift(spark):
+    """The closed form (prefix sum minus running min) must equal the
+    textbook recursion C_t = max(0, C_{t-1} + x_t - (1+slack)*mu0)
+    computed in plain Python (scaled to the same integers), and a
+    planted level shift after the training window must raise alarm
+    while the pre-shift days stay quiet."""
+    from gpi_etl_spark.operators.drift import cusum_counts
+
+    xs = [10, 11, 9, 10, 10, 12, 8, 10, 11, 9, 10, 10, 11, 9] + [30] * 6
+    rows = [("a", d, x) for d, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, day long, x long")
+    out = {
+        r.day: (r.cusum_s, r.h_s, r.alarm)
+        for r in cusum_counts(
+            df, group_col="g", day_col="day", x_col="x",
+            train_days=14, slack_num=1, slack_den=20, h_mult=5,
+        ).collect()
+    }
+    p, q, sd, sn, hm = sum(xs[:14]), 14, 20, 1, 5
+    c = 0
+    for d, x in enumerate(xs):
+        c = max(0, c + sd * q * x - (sd + sn) * p)
+        assert out[d][0] == c, f"day {d}"
+        assert out[d][1] == hm * sd * p
+        assert out[d][2] == (c > hm * sd * p)
+    assert not any(out[d][2] for d in range(14))   # quiet baseline
+    assert any(out[d][2] for d in range(14, 20))   # shift detected
+
+
+def test_cusum_zero_days_shift_the_statistic(spark):
+    """A zero-count day is a real observation: dropping it must change
+    the trajectory (guards the day-spine requirement in q231)."""
+    from gpi_etl_spark.operators.drift import cusum_counts
+
+    # baseline 10/day, then an elevated tail (13/day → positive CUSUM
+    # drift) with ONE zero day inside it
+    full = [
+        ("a", d, (10 if d < 14 else 13) if d != 16 else 0)
+        for d in range(20)
+    ]
+    skipped = [r for r in full if r[2] != 0]
+    kw = dict(group_col="g", day_col="day", x_col="x", train_days=14)
+    c_full = {
+        r.day: r.cusum_s
+        for r in cusum_counts(
+            spark.createDataFrame(full, "g string, day long, x long"), **kw
+        ).collect()
+    }
+    c_skip = {
+        r.day: r.cusum_s
+        for r in cusum_counts(
+            spark.createDataFrame(
+                skipped, "g string, day long, x long"
+            ), **kw
+        ).collect()
+    }
+    assert c_full[19] != c_skip[19]

@@ -250,3 +250,36 @@ def test_kmv_estimate_k_is_derived_from_the_sketch(spark):
         row = kmv_estimate(sk).first()
         want = k * float(P) / (row.reg_sum + k) - 1.0
         assert abs(row.est - want) < 1e-6
+
+
+def test_kmv_overlap_identical_disjoint_and_partial(spark):
+    """kmv_overlap's three estimators against ground truth: identical
+    sets agree on every register (J=1, inter≈union≈n); disjoint sets
+    agree on ~0 (J≈0); a planted 50% overlap lands within the
+    MinHash binomial bound."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_overlap
+
+    k, n = 128, 600
+    rows = (
+        [("a", str(i)) for i in range(n)]
+        + [("b", str(i)) for i in range(n)]              # b == a
+        + [("c", str(i + 10 * n)) for i in range(n)]     # c ∩ a = ∅
+        + [("d", str(i)) for i in range(n // 2)]         # d ⊂ a, |d|=n/2
+        + [("d", str(i + 20 * n)) for i in range(n // 2)]
+    )
+    df = spark.createDataFrame(rows, "key string, item string")
+    sk = kmv_build(df, "item", group_cols=("key",), k=k, hash_mode="poly")
+    got = {
+        (r.key_a, r.key_b): r for r in kmv_overlap(sk, "key").collect()
+    }
+    assert len(got) == 6  # all pairs once, a < b ordering
+    ab = got[("a", "b")]
+    assert ab.n_match == k and ab.jaccard_e == 1.0
+    assert abs(ab.union_e - n) / n < 0.30
+    assert abs(ab.inter_e - ab.union_e) < 1e-9  # J=1 → inter == union
+    ac = got[("a", "c")]
+    assert ac.jaccard_e < 0.05  # disjoint: expected 0, binomial noise
+    ad = got[("a", "d")]
+    # true J(a, d) = (n/2) / (3n/2) = 1/3; sd ≈ sqrt(J(1-J)/k) ≈ 0.042
+    assert abs(ad.jaccard_e - 1 / 3) < 4 * 0.042
+    assert abs(ad.inter_e - n / 2) / (n / 2) < 0.5

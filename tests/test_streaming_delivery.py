@@ -55,6 +55,7 @@ STREAMING_GATES = [
     "q173_stream_dedup_watermark",
     "q211_stream_stream_join",
     "q223_stream_enrich",
+    "q230_stream_upsert",
 ]
 
 SPLIT = (8, 1)  # 8 full-span files, one file per micro-batch
@@ -78,7 +79,11 @@ def test_gate_is_delivery_schedule_invariant(spark, name, delivery_knob):
     Q._STREAM_DELIVERY = SPLIT
     adversarial = _rows(fn(spark, SF_DIR))
     # the knob must have been honored: the landing is 8 part files
-    tag = name.split("_")[0]
+    # (q230's STREAM landing is tagged q230src — its bare q230 tag is
+    # the live-table/checkpoint root, not the file-stream source)
+    tag = {"q230_stream_upsert": "q230src"}.get(
+        name, name.split("_")[0]
+    )
     landing = Q._landing(spark, tag, SF_DIR)
     parts = glob.glob(os.path.join(landing, "part-*.parquet"))
     assert len(parts) == SPLIT[0], (

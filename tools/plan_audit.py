@@ -67,7 +67,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # q214: two one-row scalar broadcasts per profiled key
                 # (the per-key stats and percentile frames) — the same
                 # whitelisted scalar-subquery pattern as q97/q162/q167.
-                "q214_key_skew_profile"}
+                "q214_key_skew_profile",
+                # q231: one-row crossJoin(broadcast(min/max-day bounds))
+                # building the global day spine — q162's exact pattern
+                # (the BNL loop side is 1 row; the spine is |types| ×
+                # |days|, series-bounded, never raw rows).
+                "q231_cusum_changepoint"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
