@@ -212,6 +212,24 @@ def kmv_build(
     (docs/KMV_PROBE.md), a 100 TB cliff hiding behind a default. One
     base hash + k integer transforms keeps codegen intact and the
     build flat in k.
+
+    COMPATIBILITY — registers are versioned by their derivation
+    family: sketches built by the pre-round-8 xxhash64 mode (k
+    independent ``xxhash64(item, i)`` draws) must NOT be kmv_merge'd
+    or kmv_overlap'd with sketches built by this one — register-wise
+    min across two hash families is meaningless and nothing would
+    error. Rebuild stored registers once after upgrading (a sketch
+    build is one pass; that is the point of the operator).
+
+    CARDINALITY CEILING — the single-base shape means two items
+    colliding in the [0, P) base collide on ALL k registers (the
+    k-independent-draws mode decorrelated this at 1/P per register).
+    Expected fraction of distincts lost to correlated collisions is
+    ~n/(2P): ≤0.5% at n = 10⁷, ~5% at n = 10⁸ — keep per-group
+    distincts well under P ≈ 10⁹ (both modes share this family-wide
+    ceiling through the shared affine stage; the replayable poly base
+    always had it). Past that, this sketch is the wrong tool — use
+    approx_count_distinct (in-JVM HLL) or widen the hash family.
     """
     from gpi_etl_spark.functions.hof import let_
 
@@ -305,7 +323,11 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
 
     One self-join on the register index over k-row-per-key tables —
     the work scales with |keys|²·k, never with the data the sketches
-    summarized. Pairs are emitted once (key_a < key_b).
+    summarized. Pairs are emitted once (key_a < key_b, with a NULL key
+    ordered LAST: kmv_build's groupBy keeps a NULL group as a real
+    set, and a bare ``<`` would evaluate NULL and silently drop that
+    set from every pair — the q224-class null-unsafe-drop, review
+    find).
     """
     a = sketch.select(
         F.col(key_col).alias("key_a"), "i", F.col("m").alias("m_a")
@@ -313,7 +335,10 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
     b = sketch.select(
         F.col(key_col).alias("key_b"), "i", F.col("m").alias("m_b")
     )
-    pairs = a.join(b, "i").filter(F.col("key_a") < F.col("key_b"))
+    once = (F.col("key_a") < F.col("key_b")) | (
+        F.col("key_a").isNotNull() & F.col("key_b").isNull()
+    )
+    pairs = a.join(b, "i").filter(once)
     agg = pairs.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_k"),
         F.sum((F.col("m_a") == F.col("m_b")).cast("int"))

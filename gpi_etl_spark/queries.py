@@ -12522,7 +12522,10 @@ def _q232_oracle_sql(k: int) -> str:
     pr AS (SELECT a.event_type AS key_a, bb.event_type AS key_b,
                   a.mi AS ma, bb.mi AS mb
            FROM m a JOIN m bb
-             ON a.i = bb.i AND a.event_type < bb.event_type),
+             ON a.i = bb.i
+            AND ((a.event_type < bb.event_type)
+                 OR (a.event_type IS NOT NULL
+                     AND bb.event_type IS NULL))),
     agg AS (SELECT key_a, key_b,
                    cast(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)
                         AS bigint) AS n_match,

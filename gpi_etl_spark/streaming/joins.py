@@ -42,3 +42,23 @@ def interval_join(
     # keep ONE copy of each key (expression joins retain both sides,
     # which would make the keys ambiguous downstream)
     return joined.drop(*[rw[k] for k in keys])
+
+
+def interval_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """The BATCH twin of :func:`interval_join` — identical pair
+    semantics (right rows within ``(left_ts - lookback, left_ts]`` per
+    key) with no watermark and no state, for oracles, backfills and
+    the delivery/state tests that need the ground-truth pair set
+    (previously hand-rolled in three places — review find)."""
+    cond = (
+        (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return left.join(right, keys).filter(cond)

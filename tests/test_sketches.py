@@ -283,3 +283,22 @@ def test_kmv_overlap_identical_disjoint_and_partial(spark):
     # true J(a, d) = (n/2) / (3n/2) = 1/3; sd ≈ sqrt(J(1-J)/k) ≈ 0.042
     assert abs(ad.jaccard_e - 1 / 3) < 4 * 0.042
     assert abs(ad.inter_e - n / 2) / (n / 2) < 0.5
+
+
+def test_kmv_overlap_null_key_is_a_set_not_a_drop(spark):
+    """kmv_build's groupBy keeps a NULL group as a real sketched set;
+    kmv_overlap must pair it (NULL ordered last), not silently drop it
+    through a null-rejecting '<' (the q224-class null-unsafe drop —
+    review find)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_overlap
+
+    rows = [("a", str(i)) for i in range(200)] + [
+        (None, str(i)) for i in range(200)  # NULL key == set a
+    ]
+    df = spark.createDataFrame(rows, "key string, item string")
+    sk = kmv_build(df, "item", group_cols=("key",), k=64, hash_mode="poly")
+    got = kmv_overlap(sk, "key").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.key_a == "a" and r.key_b is None
+    assert r.n_match == 64 and r.jaccard_e == 1.0

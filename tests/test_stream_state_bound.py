@@ -12,15 +12,14 @@ stream vs 100% under the span-wide setting).
 """
 
 import datetime as dt
-import os
 import shutil
 import tempfile
-import time
 
 import pytest
 from pyspark.sql import functions as F
 
-from gpi_etl_spark.streaming.joins import interval_join
+from gpi_etl_spark.streaming.joins import interval_join, interval_join_batch
+from gpi_etl_spark.streaming.ordered import land_ordered_slices
 
 T0 = dt.datetime(2024, 1, 1)
 
@@ -42,17 +41,7 @@ def ordered_landing(spark):
     df = spark.createDataFrame(
         rows, "user_id long, ts timestamp, event_type string"
     )
-    t_base = time.time()
-    seen = set()
-    for s in range(8):
-        df.filter(
-            (F.col("ts") >= T0 + dt.timedelta(minutes=6 * 50 * s))
-            & (F.col("ts") < T0 + dt.timedelta(minutes=6 * 50 * (s + 1)))
-        ).coalesce(1).write.mode("append").parquet(base)
-        for f in os.listdir(base):
-            if f not in seen:
-                os.utime(os.path.join(base, f), (t_base + s, t_base + s))
-                seen.add(f)
+    land_ordered_slices(df, base, ts_col="ts", n_slices=8)
     yield base, df
     shutil.rmtree(base, ignore_errors=True)
 
@@ -61,21 +50,15 @@ def test_ordered_delivery_exact_pairs_bounded_state(
     spark, ordered_landing
 ):
     base, df = ordered_landing
-    batch_pairs = (
-        df.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("k"), F.col("ts").alias("p_ts"))
-        .join(
-            df.filter(F.col("event_type") == "view").select(
-                F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
-            ),
-            "k",
-        )
-        .filter(
-            (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-            & (F.col("v_ts") <= F.col("p_ts"))
-        )
-        .count()
-    )
+    batch_pairs = interval_join_batch(
+        df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
+        ),
+        df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
+        ),
+        keys=["k"], left_ts="p_ts", right_ts="v_ts", lookback="1 hour",
+    ).count()
     assert batch_pairs > 100  # the fixture must exercise the join
 
     src = (

@@ -114,7 +114,10 @@ def test_canary_narrow_watermark_loses_pairs_under_split(
     under the 8-file/one-per-trigger schedule. If this ever passes the
     full count, the split is no longer reaching the state store as
     multiple micro-batches and the invariance tests above are void."""
-    from gpi_etl_spark.streaming.joins import interval_join
+    from gpi_etl_spark.streaming.joins import (
+        interval_join,
+        interval_join_batch,
+    )
 
     ev = Q.t(spark, SF_DIR, "events").select(
         "user_id", "ts", "event_type", "value"
@@ -125,9 +128,9 @@ def test_canary_narrow_watermark_loses_pairs_under_split(
     views_b = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
     )
-    batch_pairs = purchases_b.join(views_b, "k").filter(
-        (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
-        & (F.col("v_ts") <= F.col("p_ts"))
+    batch_pairs = interval_join_batch(
+        purchases_b, views_b,
+        keys=["k"], left_ts="p_ts", right_ts="v_ts", lookback="6 hours",
     ).count()
     assert batch_pairs > 0
 

@@ -112,7 +112,11 @@ def main() -> int:
     # plan_audit prints its own "ok qNNN" lines (first-use bug: the
     # r7 closing line initially recorded the sum of both)
     n_queries = len(re.findall(r"(?m)^(?:ok|FAIL) +q", ver_out))
-    if not (m_pytest and m_pyt_dt and m_audit and m_verify and m_ver_dt):
+    # EVERY number must have parsed — m_flag included (review find: a
+    # fallback '0 flagged' on a parse miss is exactly the guessed
+    # record this tool exists to prevent)
+    if not (m_pytest and m_pyt_dt and m_audit and m_flag and m_verify
+            and m_ver_dt):
         print("REFUSED: could not parse gate evidence from the log — "
               "inspect " + log_path)
         return 1
@@ -128,7 +132,7 @@ log `{log_path}`):
 
 - pytest **{m_pytest.group(1)} passed, 0 failed**\
  ({float(m_pyt_dt.group(1))/60:.1f} min).
-- `plan_audit` **{m_flag.group(1) if m_flag else '0'} flagged**\
+- `plan_audit` **{m_flag.group(1)} flagged**\
  ({float(m_audit.group(1)):.0f}s).
 - `verify_local` **{n_queries}-query registry vs DuckDB →\
  {m_verify.group(1)} failures** ({float(m_ver_dt.group(1)):.0f}s\

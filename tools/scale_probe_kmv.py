@@ -20,9 +20,10 @@ Measured here, same stream, same partitioning, warm (median of 3):
 4. kmv_build(k=64) — the half-cost point on the same curve.
 
 Stream: events at the given sf_dir, unioned 10× with the user_id
-space shifted per copy (copies 0-4 keep ids — duplicates; copies 5-9
-shift — new distincts), so the 10× table also has ~5.5× the distinct
-users and the estimators are exercised on growth, not just volume.
+space shifted per copy (copies 0-4 keep the base ids — duplicates;
+copies 5-9 shift to pairwise-disjoint ranges — new distincts), so the
+10× table grows distinct users 6× and the estimators are exercised on
+growth, not just volume.
 
 Usage: python tools/scale_probe_kmv.py [sf_dir] [--doc]
 Prints one JSON line; with --doc rewrites docs/KMV_PROBE.md.
@@ -132,8 +133,8 @@ def main() -> int:
 
 `python tools/scale_probe_kmv.py {sf_dir} --doc`
 
-Stream: events at `{sf_dir}` unioned 10× ({n_rows:,} rows, copies 5-9
-shift the user_id space so distincts grow ~5.5× to
+Stream: events at `{sf_dir}` unioned 10× ({n_rows:,} rows; copies 5-9
+shift the user_id space to disjoint ranges, growing distincts to
 {sum(exact.values()):,} across {len(exact)} event types).
 local[32], warm median of 3, identical localCheckpointed input for
 every contender.

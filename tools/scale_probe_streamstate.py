@@ -49,30 +49,14 @@ N_SLICES = 10
 
 
 def _land_ordered(spark, ev, base: str) -> None:
-    """Write ev as N_SLICES contiguous time slices with strictly
-    increasing file mtimes (FileStreamSource's processing order)."""
+    """Ordered landing via the shared helper (its mtime stamping is
+    the subtle part — this probe's first run had a now-relative
+    variant that re-stamped earlier slices, scrambled the processing
+    order, and reproduced the q211 late-drop: 891/2,219 pairs)."""
+    from gpi_etl_spark.streaming.ordered import land_ordered_slices
+
     shutil.rmtree(base, ignore_errors=True)
-    b = ev.agg(
-        F.min(F.unix_micros("ts")).alias("lo"),
-        F.max(F.unix_micros("ts")).alias("hi"),
-    ).first()
-    lo, hi = b.lo, b.hi + 1
-    step = (hi - lo + N_SLICES - 1) // N_SLICES
-    t0 = time.time()
-    seen: set[str] = set()
-    for i in range(N_SLICES):
-        s, e = lo + i * step, lo + (i + 1) * step
-        ev.filter(
-            (F.unix_micros("ts") >= s) & (F.unix_micros("ts") < e)
-        ).coalesce(1).write.mode("append").parquet(base)
-        # stamp ONLY this slice's new files, with a fixed increasing
-        # base (a now-relative heuristic re-stamped earlier slices and
-        # scrambled the processing order — first-run bug)
-        for f in os.listdir(base):
-            p = os.path.join(base, f)
-            if f not in seen:
-                os.utime(p, (t0 + i, t0 + i))
-                seen.add(f)
+    land_ordered_slices(ev, base, ts_col="ts", n_slices=N_SLICES)
 
 
 def _run(spark, ev, base: str, watermark: str):
@@ -129,21 +113,17 @@ def main() -> int:
     )
     n_input = ev.count()
 
-    batch_pairs = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").alias("k"), F.col("ts").alias("p_ts"))
-        .join(
-            ev.filter(F.col("event_type") == "view").select(
-                F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
-            ),
-            "k",
-        )
-        .filter(
-            (F.col("v_ts") > F.col("p_ts") - F.expr("INTERVAL 6 HOURS"))
-            & (F.col("v_ts") <= F.col("p_ts"))
-        )
-        .count()
-    )
+    from gpi_etl_spark.streaming.joins import interval_join_batch
+
+    batch_pairs = interval_join_batch(
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
+        ),
+        ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
+        ),
+        keys=["k"], left_ts="p_ts", right_ts="v_ts", lookback="6 hours",
+    ).count()
 
     base = os.path.join(tempfile.gettempdir(), "gpi_probe_ss_landing")
     _land_ordered(spark, ev, base)
