@@ -20,12 +20,35 @@ def interval_join(
     right_ts: str,
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """right rows within ``(left_ts - lookback, left_ts]`` per key.
 
     Both inputs may be streaming; each gets the same event-time
     watermark so Spark can evict matched/expired state. Column names
     (beyond ``keys``) must be disjoint.
+
+    ``how``: ``inner`` (matches emit as soon as both sides arrive —
+    the availableNow run equals the batch join, which is why the
+    inner form is the gateable one) or ``leftOuter`` (purchases with
+    NO view in the window still emit, right columns NULL). Outer
+    semantics are inherently watermark-paced: a NULL-padded row can
+    only emit once the watermark proves no match can still arrive, so
+    unmatched rows younger than the final watermark at stream end are
+    NOT emitted by an availableNow run — they are correct-but-pending,
+    not lost (they emit on the next incremental run). That pacing is
+    why the outer variant is pinned by
+    tests/test_stream_outer_join.py rather than a DuckDB-hash gate:
+    its complete answer needs either more input or a final-watermark
+    flush, both outside a single gated run's control.
+
+    Two operational facts the outer tests pin (both cost real rows if
+    forgotten): the query's global watermark is the MIN over the two
+    sides' watermark nodes, so BOTH sides must keep receiving events
+    for NULL emission to progress (a dried-up side freezes it); and a
+    batch's watermark advance only evicts/emits state in the NEXT
+    batch, so an availableNow run never flushes what its own final
+    batch proved.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -38,7 +61,7 @@ def interval_join(
             ]
         )
     )
-    joined = lw.alias("l").join(rw.alias("r"), cond, "inner")
+    joined = lw.alias("l").join(rw.alias("r"), cond, how)
     # keep ONE copy of each key (expression joins retain both sides,
     # which would make the keys ambiguous downstream)
     return joined.drop(*[rw[k] for k in keys])
