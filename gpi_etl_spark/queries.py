@@ -12580,3 +12580,68 @@ def q232(spark, sf_dir):
         fs6(F.col("union_e")).alias("union_r"),
         fs6(F.col("inter_e")).alias("inter_r"),
     )
+
+
+@query(
+    "q233_embedding_covariance",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT list_transform(embedding[1:16],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                         AS BIGINT)) AS q
+      FROM embeddings),
+    p AS (SELECT gi.i AS i, gj.j AS j,
+                 CAST(sum(q[gi.i + 1] * q[gj.j + 1]) AS DECIMAL(38,0))
+                   AS spq
+          FROM e, unnest(generate_series(0, 15)) gi(i),
+                  unnest(generate_series(0, 15)) gj(j)
+          WHERE gj.j >= gi.i GROUP BY 1, 2),
+    d AS (SELECT g.i AS i, cast(count(*) AS bigint) AS n,
+                 CAST(sum(q[g.i + 1]) AS BIGINT) AS sx,
+                 CAST(sum(q[g.i + 1] * q[g.i + 1]) AS DECIMAL(38,0))
+                   AS sxx
+          FROM e, unnest(generate_series(0, 15)) g(i) GROUP BY 1),
+    f AS (SELECT cast(p.i AS int) AS i, cast(p.j AS int) AS j, di.n,
+                 CAST(di.n AS DECIMAL(9,0)) * CAST(p.spq AS DECIMAL(28,0))
+                   - CAST(di.sx AS DECIMAL(14,0))
+                     * CAST(dj.sx AS DECIMAL(14,0)) AS cov_num,
+                 CAST(di.n AS DECIMAL(9,0)) * CAST(di.sxx AS DECIMAL(28,0))
+                   - CAST(di.sx AS DECIMAL(14,0))
+                     * CAST(di.sx AS DECIMAL(14,0)) AS var_i,
+                 CAST(di.n AS DECIMAL(9,0)) * CAST(dj.sxx AS DECIMAL(28,0))
+                   - CAST(dj.sx AS DECIMAL(14,0))
+                     * CAST(dj.sx AS DECIMAL(14,0)) AS var_j
+          FROM p JOIN d di ON di.i = p.i JOIN d dj ON dj.i = p.j)
+    SELECT i, j, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
+           {fs6_sql("CAST(cov_num AS DOUBLE) / (CAST(n AS DOUBLE)"
+                    " * CAST(n AS DOUBLE) * 1000000000000.0)")}
+             AS cov_r,
+           CASE WHEN CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE) > 0.0
+                THEN round(CAST(cov_num AS DOUBLE)
+                           / sqrt(CAST(var_i AS DOUBLE)
+                                  * CAST(var_j AS DOUBLE)), 6)
+                ELSE NULL END AS corr_r
+    FROM f
+    """,
+)
+def q233(spark, sf_dir):
+    """Exact covariance/correlation matrix of the leading 16 embedding
+    dimensions (vectorstats.covariance_matrix) — the whitening/PCA/
+    feature-diagnostic substrate, computed WITHOUT an order-dependent
+    float sum anywhere: components floor-scale to integer micro-units,
+    all three moment sums (Σq, Σq², Σq_iq_j) accumulate exactly in
+    decimal(38,0), and the centered numerators use the n·Σxy − Σx·Σy
+    identity, so the integer cov_num sits under the hash gate
+    bit-for-bit and only the two final scalings float (cov via the
+    floor scale; corr through sqrt → round 6, with a zero-variance
+    guard NULL on both engines). One scan explodes each vector into
+    its 136 upper-triangle pair products with map-side combine (the
+    wire carries ≤136 rows per partition, never the corpus); per-dim
+    sums ride a second tiny aggregate broadcast onto the pairs. PCA
+    rides on top as bounded model state (pca_components collects d²
+    numbers once; pca_project is a literal fixed-order dot product —
+    pinned against numpy in tests/test_vectorstats.py)."""
+    from gpi_etl_spark.operators.vectorstats import covariance_matrix
+
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    return covariance_matrix(emb, "embedding", 16)
