@@ -18,8 +18,10 @@ use the n·Σxy − Σx·Σy identity (the q194/q216 int-moment pattern):
 
 Value bounds (documented, asserted nowhere hot): with |x| ≤ 10 and
 n ≤ 10⁹ rows every intermediate fits decimal(38,0) through the
-decimal(9,0)×decimal(28,0) and decimal(14,0)×decimal(14,0) products
+decimal(10,0)×decimal(27,0) and decimal(17,0)×decimal(17,0) products
 used below — no silent precision-loss rescale, no overflow-to-NULL.
+(|q| ≤ 10⁷ ⇒ |Σq| ≤ 10¹⁶ inside (17,0); |Σq_iq_j| ≤ 10²³ inside
+(27,0); n inside (10,0); 10+27+1 = 38 exactly.)
 
 100 TB shape: ONE scan explodes each row into its d(d+1)/2 upper-
 triangle pair products and map-side combines, so the wire carries
@@ -61,65 +63,109 @@ def covariance_matrix(
     vector components. Returns one row per upper-triangle pair
     ``(i, j)`` with ``i ≤ j``: n, the exact integer numerator
     ``cov_num`` (decimal(38,0)), ``cov_r`` (6-dp floor-scaled) and
-    ``corr_r`` (sqrt is transcendental → round 6)."""
+    ``corr_r`` (sqrt is transcendental → round 6; NULL when either
+    dimension is constant — guarded on BOTH engines, because the
+    session runs ANSI mode where a bare divide-by-zero is a job
+    failure, not a NULL — review find, live-reproduced).
+
+    Rows whose vector is NULL or shorter than ``dims`` are EXCLUDED
+    from the moment basis up front (review find: Spark's posexplode
+    would skip them per-position while a SQL replay's cross join
+    counts them, silently skewing n — and ANSI element_at past the
+    array end throws).
+
+    ONE corpus scan: each row explodes into its d(d+1)/2 upper-
+    triangle products PLUS d marker structs (j = -1) carrying the
+    per-dim value, so Σq, n and every Σq_iq_j come out of the same
+    map-side-combined aggregation; Σq_i² is the (i, i) diagonal —
+    never recomputed (review find: the first cut scanned twice and
+    re-derived the diagonal)."""
     d = dims
-    pairs_per_row = let_(
+    df = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= d)
+    )
+    structs_per_row = let_(
         _quantized(vec_col, d),
-        lambda q: F.flatten(
+        lambda q: F.concat(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(d - 1)),
+                    lambda i: F.transform(
+                        F.sequence(i, F.lit(d - 1)),
+                        lambda j: F.struct(
+                            i.cast("int").alias("i"),
+                            j.cast("int").alias("j"),
+                            (
+                                F.element_at(q, i + 1)
+                                * F.element_at(q, j + 1)
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            ),
             F.transform(
                 F.sequence(F.lit(0), F.lit(d - 1)),
-                lambda i: F.transform(
-                    F.sequence(i, F.lit(d - 1)),
-                    lambda j: F.struct(
-                        i.cast("int").alias("i"),
-                        j.cast("int").alias("j"),
-                        (F.element_at(q, i + 1) * F.element_at(q, j + 1))
-                        .alias("p"),
-                    ),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    F.lit(-1).alias("j"),
+                    F.element_at(q, i + 1).alias("p"),
                 ),
-            )
+            ),
         ),
     )
-    spq = (
-        df.select(F.explode(pairs_per_row).alias("e"))
+    agg = (
+        df.select(F.explode(structs_per_row).alias("e"))
         .select("e.i", "e.j", "e.p")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("spq"))
-    )
-    dim_sums = (
-        df.select(
-            F.posexplode(_quantized(vec_col, d)).alias("i", "q")
-        )
-        .groupBy(F.col("i").cast("int").alias("i"))
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("q").cast("bigint").alias("sx"),
-            F.sum(
-                (F.col("q") * F.col("q")).cast("decimal(38,0)")
-            ).alias("sxx"),
+            F.sum(F.col("p").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("c"),
         )
     )
+    # the aggregate is ≤ d(d+1)/2 + d rows total — split/join freely
+    pairs = agg.filter(F.col("j") >= F.col("i")).select(
+        "i", "j", F.col("s").alias("spq")
+    )
+    dims_t = agg.filter(F.col("j") == -1).select(
+        "i", F.col("s").cast("decimal(17,0)").alias("sx"),
+        F.col("c").alias("n"),
+    )
+    diag = agg.filter(F.col("j") == F.col("i")).select(
+        F.col("i").alias("di"), F.col("s").alias("sqq")
+    )
 
-    def num(n, spq_c, sx_a, sx_b):
-        # decimal(9,0)×decimal(28,0) → (38,0) and (14,0)×(14,0) →
-        # (29,0): widths chosen so no product hits Spark's precision
-        # cap (which would silently rescale) — see module docstring
-        return n.cast("decimal(9,0)") * spq_c.cast("decimal(28,0)") - (
-            sx_a.cast("decimal(14,0)") * sx_b.cast("decimal(14,0)")
+    def num(n, s2, sx_a, sx_b):
+        # widths: n ≤ 10⁹ rows → decimal(10,0); |Σq²| ≤ n·10¹⁴
+        # (|x| ≤ 10 ⇒ |q| ≤ 10⁷) ≤ 10²³ → decimal(27,0), product
+        # 10+27+1 = 38 exactly; |Σq| ≤ 10¹⁶ → decimal(17,0), product
+        # 35 — nothing hits Spark's precision cap (which would
+        # silently rescale) and nothing overflows through the
+        # documented n ≤ 10⁹, |x| ≤ 10 envelope (review find: the
+        # first cut's (9,0)/(14,0) widths covered only n ≤ 10⁷).
+        return n.cast("decimal(10,0)") * s2.cast("decimal(27,0)") - (
+            sx_a.cast("decimal(17,0)") * sx_b.cast("decimal(17,0)")
         )
 
-    di = F.broadcast(dim_sums).alias("di")
+    di = F.broadcast(dims_t).alias("di")
     dj = F.broadcast(
-        dim_sums.select(
-            F.col("i").alias("j"),
-            F.col("sx").alias("sx_j"),
-            F.col("sxx").alias("sxx_j"),
+        dims_t.select(
+            F.col("i").alias("j"), F.col("sx").alias("sx_j")
         )
-    ).alias("dj")
-    joined = spq.join(di, "i").join(dj, "j")
+    )
+    gi = F.broadcast(diag)
+    gj = F.broadcast(
+        diag.select(F.col("di").alias("dj"), F.col("sqq").alias("sqq_j"))
+    )
+    joined = (
+        pairs.join(di, "i")
+        .join(dj, "j")
+        .join(gi, F.col("i") == F.col("di"))
+        .join(gj, F.col("j") == F.col("dj"))
+    )
     cov_num = num(F.col("n"), F.col("spq"), F.col("sx"), F.col("sx_j"))
-    var_i = num(F.col("n"), F.col("sxx"), F.col("sx"), F.col("sx"))
-    var_j = num(F.col("n"), F.col("sxx_j"), F.col("sx_j"), F.col("sx_j"))
+    var_i = num(F.col("n"), F.col("sqq"), F.col("sx"), F.col("sx"))
+    var_j = num(F.col("n"), F.col("sqq_j"), F.col("sx_j"), F.col("sx_j"))
+    var_prod = var_i.cast("double") * var_j.cast("double")
     n_d = F.col("n").cast("double")
     return joined.select(
         "i",
@@ -130,11 +176,12 @@ def covariance_matrix(
             cov_num.cast("double")
             / (n_d * n_d * F.lit(Q_SCALE * Q_SCALE))
         ).alias("cov_r"),
-        F.round(
-            cov_num.cast("double")
-            / F.sqrt(var_i.cast("double") * var_j.cast("double")),
-            6,
-        ).alias("corr_r"),
+        F.when(
+            var_prod > 0.0,
+            F.round(cov_num.cast("double") / F.sqrt(var_prod), 6),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("corr_r"),
     )
 
 

@@ -12589,7 +12589,8 @@ def q232(spark, sf_dir):
       SELECT list_transform(embedding[1:16],
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
                          AS BIGINT)) AS q
-      FROM embeddings),
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 16),
     p AS (SELECT gi.i AS i, gj.j AS j,
                  CAST(sum(q[gi.i + 1] * q[gj.j + 1]) AS DECIMAL(38,0))
                    AS spq
@@ -12602,15 +12603,15 @@ def q232(spark, sf_dir):
                    AS sxx
           FROM e, unnest(generate_series(0, 15)) g(i) GROUP BY 1),
     f AS (SELECT cast(p.i AS int) AS i, cast(p.j AS int) AS j, di.n,
-                 CAST(di.n AS DECIMAL(9,0)) * CAST(p.spq AS DECIMAL(28,0))
-                   - CAST(di.sx AS DECIMAL(14,0))
-                     * CAST(dj.sx AS DECIMAL(14,0)) AS cov_num,
-                 CAST(di.n AS DECIMAL(9,0)) * CAST(di.sxx AS DECIMAL(28,0))
-                   - CAST(di.sx AS DECIMAL(14,0))
-                     * CAST(di.sx AS DECIMAL(14,0)) AS var_i,
-                 CAST(di.n AS DECIMAL(9,0)) * CAST(dj.sxx AS DECIMAL(28,0))
-                   - CAST(dj.sx AS DECIMAL(14,0))
-                     * CAST(dj.sx AS DECIMAL(14,0)) AS var_j
+                 CAST(di.n AS DECIMAL(10,0)) * CAST(p.spq AS DECIMAL(27,0))
+                   - CAST(di.sx AS DECIMAL(17,0))
+                     * CAST(dj.sx AS DECIMAL(17,0)) AS cov_num,
+                 CAST(di.n AS DECIMAL(10,0)) * CAST(di.sxx AS DECIMAL(27,0))
+                   - CAST(di.sx AS DECIMAL(17,0))
+                     * CAST(di.sx AS DECIMAL(17,0)) AS var_i,
+                 CAST(di.n AS DECIMAL(10,0)) * CAST(dj.sxx AS DECIMAL(27,0))
+                   - CAST(dj.sx AS DECIMAL(17,0))
+                     * CAST(dj.sx AS DECIMAL(17,0)) AS var_j
           FROM p JOIN d di ON di.i = p.i JOIN d dj ON dj.i = p.j)
     SELECT i, j, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
            {fs6_sql("CAST(cov_num AS DOUBLE) / (CAST(n AS DOUBLE)"

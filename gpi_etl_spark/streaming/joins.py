@@ -50,6 +50,14 @@ def interval_join(
     batch, so an availableNow run never flushes what its own final
     batch proved.
     """
+    if how not in ("inner", "leftOuter"):
+        # rightOuter/fullOuter would need coalesce(l.k, r.k) instead
+        # of the drop below — an unmatched right row carries its only
+        # key copy on the side being dropped, so passing them through
+        # would silently emit NULL-keyed rows (review find)
+        raise ValueError(
+            f"interval_join supports inner/leftOuter, got {how!r}"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = F.expr(
@@ -74,14 +82,30 @@ def interval_join_batch(
     left_ts: str,
     right_ts: str,
     lookback: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """The BATCH twin of :func:`interval_join` — identical pair
     semantics (right rows within ``(left_ts - lookback, left_ts]`` per
     key) with no watermark and no state, for oracles, backfills and
     the delivery/state tests that need the ground-truth pair set
-    (previously hand-rolled in three places — review find)."""
+    (previously hand-rolled in three places — review find). For
+    ``leftOuter`` the interval predicate rides INSIDE the join (a
+    post-filter would delete the NULL-padded rows), mirroring the
+    streaming twin's eventual answer."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            f"interval_join_batch supports inner/leftOuter, got {how!r}"
+        )
     cond = (
         (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return left.join(right, keys).filter(cond)
+    if how == "inner":
+        return left.join(right, keys).filter(cond)
+    l, r = left.alias("l"), right.alias("r")
+    full = F.expr(" AND ".join(f"l.{k} = r.{k}" for k in keys)) & (
+        (F.col(f"r.{right_ts}")
+         > F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, full, "left").drop(*[r[k] for k in keys])

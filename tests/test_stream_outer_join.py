@@ -22,7 +22,10 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
-from gpi_etl_spark.streaming.joins import interval_join
+from gpi_etl_spark.streaming.joins import (
+    interval_join,
+    interval_join_batch,
+)
 from gpi_etl_spark.streaming.ordered import land_ordered_slices
 
 T0 = dt.datetime(2024, 3, 1)
@@ -128,19 +131,16 @@ def test_left_outer_converges_to_batch_left_join_across_runs(
     os.makedirs(base, exist_ok=True)
     land_ordered_slices(df, base, ts_col="ts", n_slices=3)
 
-    purchases_b = df.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
-    )
-    views_b = df.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
-    )
-    batch = purchases_b.join(
-        views_b,
-        (purchases_b.k == views_b.k)
-        & (views_b.v_ts > purchases_b.p_ts - F.expr("INTERVAL 30 MINUTES"))
-        & (views_b.v_ts <= purchases_b.p_ts),
-        "left",
-    ).select(purchases_b.k, "p_ts", "v_ts")
+    batch = interval_join_batch(
+        df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
+        ),
+        df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
+        ),
+        keys=["k"], left_ts="p_ts", right_ts="v_ts",
+        lookback="30 minutes", how="leftOuter",
+    ).select("k", "p_ts", "v_ts")
     expected = sorted(tuple(r) for r in batch.collect())
 
     sink = str(tmp_path / "sink")
