@@ -225,18 +225,28 @@ def pca_project(
     k: int,
 ) -> DataFrame:
     """Append ``pc`` — array<double> of the first ``k`` principal
-    scores. Each score is a FIXED-ORDER literal dot product (index 0
-    upward) over the raw components, fully inside codegen: no Python,
-    no shuffle, reproducible to the last ulp across runs and engines
-    that replay the same fold order."""
+    scores. Each score is a FIXED-ORDER dot product (index 0 upward)
+    of the vector against a LITERAL axis array, evaluated as one
+    ``aggregate`` fold per axis: no Python, no shuffle, reproducible
+    to the last ulp across runs and engines that replay the same fold
+    order. The fold matters for more than determinism — the first cut
+    unrolled k·d scalar multiply-add chains into the projection
+    (4,096 nodes at 64×64), which blew janino codegen straight into a
+    driver OOM; the fold keeps the expression O(k) with the axis
+    coefficients living in array literals (data, not code)."""
     dims = len(components[0])
     cols = []
     for a in range(k):
-        axis = components[a]
-        expr = F.lit(0.0)
-        for i in range(dims):
-            expr = expr + F.lit(axis[i]) * F.element_at(
-                F.col(vec_col), i + 1
-            ).cast("double")
-        cols.append(expr)
+        axis_lit = F.array(*[F.lit(float(c)) for c in components[a][:dims]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), 1, dims),
+                    axis_lit,
+                    lambda x, c: x.cast("double") * c,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
     return df.withColumn("pc", F.array(*cols))
