@@ -62,11 +62,20 @@ def covariance_matrix(
     """Exact population covariance + correlation of the first ``dims``
     vector components. Returns one row per upper-triangle pair
     ``(i, j)`` with ``i ≤ j``: n, the exact integer numerator
-    ``cov_num`` (decimal(38,0)), ``cov_r`` (6-dp floor-scaled) and
+    ``cov_num`` (decimal(38,0)), ``cov_r`` (6-dp floor-scaled),
     ``corr_r`` (sqrt is transcendental → round 6; NULL when either
     dimension is constant — guarded on BOTH engines, because the
     session runs ANSI mode where a bare divide-by-zero is a job
-    failure, not a NULL — review find, live-reproduced).
+    failure, not a NULL — review find, live-reproduced), plus the
+    round-9 SQRT-FREE correlation pair for gates that must carry zero
+    transcendentals and zero round(): ``corr_sign`` (the exact
+    integer sign of cov_num — corr's sign, no float at all) and
+    ``corr2_r`` (corr² = cov_num²/(var_i·var_j), three correctly-
+    rounded IEEE ops over exact-integer doubles in a pinned order,
+    then the 6-dp floor scale; same constant-dimension NULL guard).
+    corr_r is kept for callers that want the signed value (pinned
+    against numpy in tests); corr_sign/corr2_r carry the identical
+    information ulp-reproducibly (corr = corr_sign·sqrt(corr2)).
 
     Rows whose vector is NULL or shorter than ``dims`` are EXCLUDED
     from the moment basis up front (review find: Spark's posexplode
@@ -167,21 +176,37 @@ def covariance_matrix(
     var_j = num(F.col("n"), F.col("sqq_j"), F.col("sx_j"), F.col("sx_j"))
     var_prod = var_i.cast("double") * var_j.cast("double")
     n_d = F.col("n").cast("double")
+    cov_d = cov_num.cast("double")
     return joined.select(
         "i",
         "j",
         "n",
         cov_num.cast("decimal(38,0)").alias("cov_num"),
         fs6(
-            cov_num.cast("double")
-            / (n_d * n_d * F.lit(Q_SCALE * Q_SCALE))
+            cov_d / (n_d * n_d * F.lit(Q_SCALE * Q_SCALE))
         ).alias("cov_r"),
         F.when(
             var_prod > 0.0,
-            F.round(cov_num.cast("double") / F.sqrt(var_prod), 6),
+            F.round(cov_d / F.sqrt(var_prod), 6),
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("corr_r"),
+        # sign on the EXACT decimal (never the double cast — a value
+        # inside the cast's rounding band must still sign correctly)
+        F.when(cov_num > 0, F.lit(1))
+        .when(cov_num < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("corr_sign"),
+        # corr² via three pinned-order IEEE ops (num product, den
+        # product, divide) over int→double casts that both engines
+        # round identically — no sqrt, no round() anywhere
+        F.when(
+            var_prod > 0.0,
+            fs6((cov_d * cov_d) / var_prod),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("corr2_r"),
     )
 
 

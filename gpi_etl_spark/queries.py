@@ -7658,31 +7658,35 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-8 priority prefix (must stay ≤ _DRIVER_SAMPLE entries): every
-#: query whose BEHAVIOR or ORACLE changed this round, so the driver
-#: re-samples them and no stale row survives. Kept DELIBERATELY small
-#: so the remaining slots re-confirm the oldest r1–r2 evidence band
-#: (the union's only remaining debt). Sources of change:
-#:   1. q211 (round 7's one red driver row), q74, q173: gate
-#:      watermarks widened past the fixture's 30-day event-time span
-#:      so the streaming answers are invariant to micro-batch splits
-#:      (tests/test_streaming_delivery.py) — q211 FIRST: it must land
-#:      its green row.
-#:   2. q224: oracle joins became NULL-safe (IS NOT DISTINCT FROM) to
-#:      mirror k_anonymize's eqNullSafe cascade (advice find).
-#:   3. q229: explicit NULL for n_eff = 0 replicas on both engines
-#:      (advice find — DuckDB's IEEE division returned inf).
-#:   4. davg/davg_sql widened to decimal(38,s) with the count over the
-#:      cast column (advice find — silent numerator drop on overflow):
-#:      q01, q25, q26, q27, q79, q158 oracles changed textually
-#:      (values identical on in-range data; all re-verified at
-#:      sf0.01).
-_R8_PRIORITY = [
+#: Round-9 priority prefix (must stay ≤ _DRIVER_SAMPLE entries). This
+#: round is a BISECTION round: q211 is driver-red for the SECOND
+#: consecutive time and q233 joined it, both bit-exact against DuckDB
+#: in this sandbox — so the prefix is exactly the two reds plus the
+#: four discriminating gates built to localize which LAYER diverges
+#: in the driver's environment:
+#:   * q234_events_checksum — input bytes (both engines' view of
+#:     events + embeddings, column by column, component by
+#:     component). Red here ⇒ everything downstream is moot.
+#:   * q235_interval_join_batch — q211's value path under q211's
+#:     byte-identical oracle, with zero streaming machinery.
+#:   * q236_stream_pairs_count — q211's streaming machinery with
+#:     integer-only output columns.
+#:   * q237_embedding_cov_core — q233's exact-integer core (no float
+#:     of any kind in the row).
+#:   q211 itself swapped its one engine-discretion rounding (the
+#:   decimal(18,2) value cast) for exact floor-scale cents, and
+#:   q233's gate is now transcendental-free and round()-free with a
+#:   lambda-free/slice-free oracle. Any red/green pattern across the
+#:   six names the fault layer. Kept DELIBERATELY small so the ~44
+#:   remaining slots refresh the r3-vintage evidence band (q82–q104,
+#:   the oldest driver rows in the union) via the staleness sort.
+_R9_PRIORITY = [
     "q211_stream_stream_join",
-    "q74_streaming_session", "q173_stream_dedup_watermark",
-    "q224_k_anonymity", "q229_poisson_bootstrap",
-    "q01_pricing_summary", "q25_accent_fold", "q26_feature_widening",
-    "q27_transpose", "q79_date_spine_ffill", "q158_median_imputation",
+    "q234_events_checksum",
+    "q235_interval_join_batch",
+    "q236_stream_pairs_count",
+    "q233_embedding_covariance",
+    "q237_embedding_cov_core",
 ]
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
@@ -7733,9 +7737,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R8_PRIORITY)}
-    assert len(_R8_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R8_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R9_PRIORITY)}
+    assert len(_R9_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R9_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
@@ -11087,9 +11091,19 @@ def q210(spark, sf_dir):
     return out.select("node", F.col("dist").cast("int").alias("dist"))
 
 
-@query(
-    "q211_stream_stream_join",
-    """
+#: q211's oracle — SHARED verbatim with its batch twin q235 (the
+#: round-9 bisection: if the driver greens q235 under the identical
+#: oracle while q211 stays red, the fault is streaming machinery in
+#: the driver environment, not the value path). Round 9 also removed
+#: the query's ONE engine-discretion rounding: the old
+#: ``cast(value AS decimal(18,2))`` (Spark rounds double→decimal via
+#: shortest-repr BigDecimal HALF_UP; DuckDB scales in binary — they
+#: agree on this fixture's exact-2dp doubles, but the construct was
+#: the last cross-engine rounding-convention exception left in the
+#: query). ``paired_cents`` is now the repo's floor-scale convention:
+#: floor(value·100 + 0.5) is computed on the IDENTICAL double in both
+#: engines and summed as exact int64.
+_Q211_ORACLE = """
     WITH p AS (SELECT user_id, ts, epoch_us(ts) AS us, value
                FROM events WHERE event_type = 'purchase'),
     v AS (SELECT user_id, epoch_us(ts) AS us FROM events
@@ -11101,11 +11115,13 @@ def q210(spark, sf_dir):
     SELECT user_id,
            cast(count(*) AS bigint) AS n_pairs,
            cast(count(DISTINCT p_us) AS bigint) AS n_purchases_with_view,
-           cast(sum(cast(value AS decimal(18,2))) AS decimal(38,2))
-             AS paired_value
+           cast(sum(cast(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS paired_cents
     FROM j GROUP BY user_id
-    """,
-)
+    """
+
+
+@query("q211_stream_stream_join", _Q211_ORACLE)
 def q211(spark, sf_dir):
     """Stream-stream interval join (streaming/joins.interval_join),
     registered end to end: purchases join the views that preceded them
@@ -11115,10 +11131,14 @@ def q211(spark, sf_dir):
     watermark+lookback horizon (state is O(window), never O(stream)).
     Inner stream-stream matches emit as soon as both sides arrive,
     which is why the availableNow run is exactly the batch join the
-    DuckDB oracle computes; per-pair value sums go through
-    decimal(18,2) so the aggregate is order-independent. The join-pair
-    fan-out is grouped per user before returning — counts, distinct
-    matched purchases, and the paired purchase value.
+    DuckDB oracle computes; per-pair value sums are exact int64 cents
+    (floor-scale — see _Q211_ORACLE for why the decimal(18,2) cast
+    was retired) so the aggregate is order-independent with zero
+    engine-discretion rounding. The join-pair fan-out is grouped per
+    user before returning — counts, distinct matched purchases, and
+    the paired purchase cents. Round 9 bisection chain: q234 (input
+    content checksum), q235 (the batch twin under THIS oracle), q236
+    (the same streaming pipeline, integer-only columns).
 
     GATE WATERMARK: the gated run's watermark ("35 days") exceeds the
     fixture's whole 30-day event-time span ON PURPOSE — round 7's red
@@ -11172,9 +11192,16 @@ def q211(spark, sf_dir):
         F.countDistinct(F.unix_micros("p_ts")).alias(
             "n_purchases_with_view"
         ),
-        F.sum(F.col("p_value").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("paired_value"),
+        # exact int64 cents (floor-scale convention) — round 9 removed
+        # the decimal(18,2) cast, the query's one cross-engine
+        # rounding-convention exception (see _Q211_ORACLE)
+        F.sum(
+            F.floor(F.col("p_value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("paired_cents"),
     )
 
 
@@ -12582,26 +12609,57 @@ def q232(spark, sf_dir):
     )
 
 
-@query(
-    "q233_embedding_covariance",
-    f"""
+def _q233_oracle_sql(dims: int, core_only: bool = False) -> str:
+    """q233/q237 oracle builder — deliberately LAMBDA-FREE and
+    SLICE-FREE (round-9 bisection: the r8 oracle's ``list_transform``
+    arrow-lambda and ``embedding[1:16]`` slice were the two
+    DuckDB-version-sensitive constructs the exact-integer core never
+    needed; this replay uses only single-element array indexing,
+    ``generate_series`` and scalar floor/cast arithmetic — surface
+    that is stable across DuckDB releases). ``core_only`` emits just
+    the exact-integer columns (i, j, n, cov_num) — the q237 gate that
+    carries NO float of any kind."""
+
+    def qz(idx: str) -> str:
+        return (
+            f"CAST(floor(CAST(embedding[{idx} + 1] AS DOUBLE)"
+            " * 1000000.0 + 0.5) AS BIGINT)"
+        )
+
+    if core_only:
+        tail = "SELECT i, j, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num"
+    else:
+        corr2 = fs6_sql(
+            "(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE))"
+            " / (CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE))"
+        )
+        tail = f"""SELECT i, j, n,
+           CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
+           {fs6_sql("CAST(cov_num AS DOUBLE) / (CAST(n AS DOUBLE)"
+                    " * CAST(n AS DOUBLE) * 1000000000000.0)")}
+             AS cov_r,
+           CAST(CASE WHEN cov_num > 0 THEN 1
+                     WHEN cov_num < 0 THEN -1
+                     ELSE 0 END AS INT) AS corr_sign,
+           CASE WHEN CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE) > 0.0
+                THEN {corr2}
+                ELSE NULL END AS corr2_r"""
+    return f"""
     WITH e AS MATERIALIZED (
-      SELECT list_transform(embedding[1:16],
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
-                         AS BIGINT)) AS q
-      FROM embeddings
-      WHERE embedding IS NOT NULL AND len(embedding) >= 16),
+      SELECT embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= {dims}),
     p AS (SELECT gi.i AS i, gj.j AS j,
-                 CAST(sum(q[gi.i + 1] * q[gj.j + 1]) AS DECIMAL(38,0))
+                 CAST(sum({qz('gi.i')} * {qz('gj.j')}) AS DECIMAL(38,0))
                    AS spq
-          FROM e, unnest(generate_series(0, 15)) gi(i),
-                  unnest(generate_series(0, 15)) gj(j)
+          FROM e, unnest(generate_series(0, {dims - 1})) gi(i),
+                  unnest(generate_series(0, {dims - 1})) gj(j)
           WHERE gj.j >= gi.i GROUP BY 1, 2),
     d AS (SELECT g.i AS i, cast(count(*) AS bigint) AS n,
-                 CAST(sum(q[g.i + 1]) AS BIGINT) AS sx,
-                 CAST(sum(q[g.i + 1] * q[g.i + 1]) AS DECIMAL(38,0))
+                 CAST(sum({qz('g.i')}) AS BIGINT) AS sx,
+                 CAST(sum({qz('g.i')} * {qz('g.i')}) AS DECIMAL(38,0))
                    AS sxx
-          FROM e, unnest(generate_series(0, 15)) g(i) GROUP BY 1),
+          FROM e, unnest(generate_series(0, {dims - 1})) g(i)
+          GROUP BY 1),
     f AS (SELECT cast(p.i AS int) AS i, cast(p.j AS int) AS j, di.n,
                  CAST(di.n AS DECIMAL(10,0)) * CAST(p.spq AS DECIMAL(27,0))
                    - CAST(di.sx AS DECIMAL(17,0))
@@ -12613,18 +12671,12 @@ def q232(spark, sf_dir):
                    - CAST(dj.sx AS DECIMAL(17,0))
                      * CAST(dj.sx AS DECIMAL(17,0)) AS var_j
           FROM p JOIN d di ON di.i = p.i JOIN d dj ON dj.i = p.j)
-    SELECT i, j, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
-           {fs6_sql("CAST(cov_num AS DOUBLE) / (CAST(n AS DOUBLE)"
-                    " * CAST(n AS DOUBLE) * 1000000000000.0)")}
-             AS cov_r,
-           CASE WHEN CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE) > 0.0
-                THEN round(CAST(cov_num AS DOUBLE)
-                           / sqrt(CAST(var_i AS DOUBLE)
-                                  * CAST(var_j AS DOUBLE)), 6)
-                ELSE NULL END AS corr_r
+    {tail}
     FROM f
-    """,
-)
+    """
+
+
+@query("q233_embedding_covariance", _q233_oracle_sql(16))
 def q233(spark, sf_dir):
     """Exact covariance/correlation matrix of the leading 16 embedding
     dimensions (vectorstats.covariance_matrix) — the whitening/PCA/
@@ -12633,9 +12685,17 @@ def q233(spark, sf_dir):
     all three moment sums (Σq, Σq², Σq_iq_j) accumulate exactly in
     decimal(38,0), and the centered numerators use the n·Σxy − Σx·Σy
     identity, so the integer cov_num sits under the hash gate
-    bit-for-bit and only the two final scalings float (cov via the
-    floor scale; corr through sqrt → round 6, with a zero-variance
-    guard NULL on both engines). One scan explodes each vector into
+    bit-for-bit. ROUND 9 (r8 driver row red, bit-exact locally): the
+    gate now carries NO transcendental and NO round() — corr_r
+    (sqrt → round 6, the row's one engine-discretion float) is
+    replaced by the exact integer ``corr_sign`` plus ``corr2_r``
+    (corr² = cov_num²/(var_i·var_j): three pinned-order
+    correctly-rounded IEEE ops over exact-integer doubles, then the
+    6-dp floor scale); cov_r stays floor-scale. The oracle is
+    rewritten lambda-free and slice-free (see _q233_oracle_sql), and
+    q237 gates the pure-integer core alone — whichever column class
+    the driver still rejects names the divergence layer. One scan
+    explodes each vector into
     its 136 upper-triangle pair products with map-side combine (the
     wire carries ≤136 rows per partition, never the corpus); per-dim
     sums ride a second tiny aggregate broadcast onto the pairs. PCA
@@ -12645,4 +12705,248 @@ def q233(spark, sf_dir):
     from gpi_etl_spark.operators.vectorstats import covariance_matrix
 
     emb = t(spark, sf_dir, "embeddings").select("embedding")
-    return covariance_matrix(emb, "embedding", 16)
+    return covariance_matrix(emb, "embedding", 16).select(
+        "i", "j", "n", "cov_num", "cov_r", "corr_sign", "corr2_r"
+    )
+
+
+@query("q237_embedding_cov_core", _q233_oracle_sql(16, core_only=True))
+def q237(spark, sf_dir):
+    """The EXACT-INTEGER core of q233, gated alone (round-9 bisection
+    for the r8 red driver row): i, j, n and the decimal(38,0)
+    covariance numerator — every column an integer/decimal both
+    engines must compute bit-identically, no float of ANY kind in the
+    row, under the same lambda-free oracle core. Driver readout: q237
+    red ⇒ the divergence is in the moment basis itself (input bytes or
+    integer arithmetic — cross-check q234's input checksum); q237
+    green while q233 stays red ⇒ the divergence is confined to the
+    float scalings (cov_r/corr2_r double casts), which names the
+    engine build, not the algebra. Same one-scan/map-side-combine
+    plan as q233 (vectorstats.covariance_matrix)."""
+    from gpi_etl_spark.operators.vectorstats import covariance_matrix
+
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+    return covariance_matrix(emb, "embedding", 16).select(
+        "i", "j", "n", "cov_num"
+    )
+
+
+def _q234_oracle_sql() -> str:
+    from gpi_etl_spark.functions.xhash import P, poly_hash_sql
+
+    ev_canon = (
+        "concat_ws(chr(31), "
+        "coalesce(CAST(event_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(user_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(0)), "
+        "coalesce(event_type, chr(0)), "
+        "coalesce(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+        " AS VARCHAR), chr(0)), "
+        "coalesce(props, chr(0)))"
+    )
+    em_canon = (
+        "concat_ws(chr(31), "
+        "coalesce(CAST(vec_id AS VARCHAR), chr(0)), "
+        "coalesce(CAST(i AS VARCHAR), chr(0)), "
+        "coalesce(CAST(q AS VARCHAR), chr(0)))"
+    )
+    return f"""
+    WITH em_rows AS (
+      SELECT vec_id, CAST(g.i AS INT) AS i,
+             CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(generate_series(0, len(embedding) - 1)) g(i)
+      WHERE embedding IS NOT NULL),
+    h AS (
+      SELECT 'events' AS src, {poly_hash_sql(ev_canon)} AS _h
+      FROM events
+      UNION ALL
+      SELECT 'embeddings' AS src, {poly_hash_sql(em_canon)} AS _h
+      FROM em_rows)
+    SELECT src,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(bit_xor(_h) AS bigint) AS xor_checksum,
+           cast(sum(CAST(_h AS HUGEINT)) % {P} AS bigint) AS sum_checksum
+    FROM h GROUP BY src
+    """
+
+
+@query("q234_events_checksum", _q234_oracle_sql())
+def q234(spark, sf_dir):
+    """Input-layer bisection gate for the q211/q233 driver reds
+    (round 9): order-independent content checksums
+    (quality.content_checksum — the q215 bit_xor + mod-P-sum pattern)
+    of the two tables those queries read, with every column carried
+    through an engine-stable rendering — events rows canonicalize
+    every field (ids, epoch-µs timestamps, the type string, value as
+    exact floor-scaled cents, the props payload verbatim), and
+    embeddings explode to one row PER COMPONENT (vec_id, position,
+    6-dp floor-scaled micro-units), so a single differing byte,
+    component or row in the driver's parquet — or in how its DuckDB
+    build reads it — flips a checksum. Driver readout: q234 green ⇒
+    both engines see byte-identical input in the driver environment
+    and the q211/q233 faults live above the scan; q234 red ⇒ the
+    input layer itself differs there and every downstream gate is
+    moot. Spark computes over repartition(13)-shuffled copies — the
+    cross-engine match doubles as the order-independence proof."""
+    from gpi_etl_spark.operators.quality import content_checksum
+
+    ev = t(spark, sf_dir, "events").select(
+        F.lit("events").alias("src"),
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "props",
+    )
+    ev_ck = content_checksum(
+        ev.repartition(13),
+        ["event_id", "user_id", "us", "event_type", "cents", "props"],
+        group_by=("src",),
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(
+            x.cast("double") * F.lit(1000000.0) + F.lit(0.5)
+        ).cast("long"),
+    )
+    em = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.posexplode(quant).alias("i", "q"))
+        .select(
+            F.lit("embeddings").alias("src"),
+            "vec_id",
+            F.col("i").cast("int").alias("i"),
+            "q",
+        )
+    )
+    em_ck = content_checksum(
+        em.repartition(13), ["vec_id", "i", "q"], group_by=("src",)
+    )
+    return ev_ck.unionByName(em_ck)
+
+
+@query("q235_interval_join_batch", _Q211_ORACLE)
+def q235(spark, sf_dir):
+    """q211's BATCH twin under q211's byte-identical oracle
+    (streaming/joins.interval_join_batch — round-9 bisection layer 2):
+    the same purchases-join-preceding-views pair semantics, the same
+    per-user aggregate (counts, distinct matched purchases, exact
+    int64 paired cents), with NO streaming machinery — no landing
+    write, no file-stream source, no watermark, no state store, no
+    memory sink. Driver readout: q235 green while q211 stays red ⇒
+    the driver-side fault is confined to the streaming path; q235 red
+    too ⇒ the value path itself (join semantics or the aggregate)
+    diverges cross-engine in the driver environment, and q234 says
+    whether the input is even the same. Plan: one shuffle join on
+    user_id with the interval predicate as the join residual."""
+    from gpi_etl_spark.streaming.joins import interval_join_batch
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
+    )
+    pairs = interval_join_batch(
+        purchases,
+        views,
+        keys=["k"],
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lookback="6 hours",
+    )
+    return pairs.groupBy(F.col("k").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(F.unix_micros("p_ts")).alias(
+            "n_purchases_with_view"
+        ),
+        F.sum(
+            F.floor(F.col("p_value") * F.lit(100.0) + F.lit(0.5)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("paired_cents"),
+    )
+
+
+@query(
+    "q236_stream_pairs_count",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch_us(ts) AS us FROM events
+          WHERE event_type = 'view'),
+    j AS (SELECT p.user_id, p.us AS p_us
+          FROM p JOIN v ON v.user_id = p.user_id
+                       AND v.us > p.us - 21600000000
+                       AND v.us <= p.us)
+    SELECT user_id,
+           cast(count(*) AS bigint) AS n_pairs,
+           cast(count(DISTINCT p_us) AS bigint) AS n_purchases_with_view
+    FROM j GROUP BY user_id
+    """,
+)
+def q236(spark, sf_dir):
+    """q211's streaming pipeline with ONLY integer columns (round-9
+    bisection layer 3): the identical landing → file-stream →
+    watermarked interval join → availableNow → memory-sink run, but
+    the aggregate drops the value column entirely — user_id, pair
+    count and distinct matched purchases are all int64 end to end, so
+    NO cast, rounding or float of any kind rides the row. Driver
+    readout: q236 green while q211 stays red ⇒ the fault is isolated
+    to the one value column (now exact cents there too — which would
+    make that pattern near-impossible and point back at the input,
+    cross-checked by q234); q236 red with q235 green ⇒ the streaming
+    machinery itself (file-stream split, state store, sink) diverges
+    in the driver environment regardless of types. Same
+    state-bounding watermark rationale as q211 (35 days > fixture
+    span; production sizes it to the real lateness horizon)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    src = land_and_stream(spark, ev, "q236", sf_dir)
+    purchases = src.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("p_ts")
+    )
+    views = src.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("v_ts")
+    )
+    from gpi_etl_spark.streaming.joins import interval_join
+
+    joined = interval_join(
+        purchases,
+        views,
+        keys=["k"],
+        left_ts="p_ts",
+        right_ts="v_ts",
+        lookback="6 hours",
+        watermark="35 days",  # > fixture span — see q211
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gpi_stream_q236")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    pairs = spark.table("gpi_stream_q236")
+    return pairs.groupBy(F.col("k").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct(F.unix_micros("p_ts")).alias(
+            "n_purchases_with_view"
+        ),
+    )

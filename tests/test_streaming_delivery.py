@@ -56,6 +56,7 @@ STREAMING_GATES = [
     "q211_stream_stream_join",
     "q223_stream_enrich",
     "q230_stream_upsert",
+    "q236_stream_pairs_count",
 ]
 
 SPLIT = (8, 1)  # 8 full-span files, one file per micro-batch
