@@ -217,6 +217,15 @@ def cusum_counts(
     ``counts`` is the (group, day, x) daily series INCLUDING zero days
     (build it on a day spine — a missing day is a real observation of
     0, and silently skipping it would shift every later prefix sum).
+    The spine requirement is ENFORCED for the training window: a group
+    whose first ``train_days`` days contain fewer than ``train_days``
+    rows raises at execution time (advice find: the fixed ``q =
+    train_days`` scale would otherwise silently deflate that group's
+    μ0 — p summed over fewer days but divided by train_days — and
+    inflate cusum_s into false alarms). The guard rides INSIDE the
+    ``cusum_s``/``h_s`` output expressions (lazy, unprunable from the
+    columns it protects — both scale with p, so both are wrong when
+    the window is short).
     Returns per (group, day): x, the scaled statistic ``cusum_s``, the
     scaled threshold ``h_s``, and ``alarm``.
 
@@ -233,9 +242,27 @@ def cusum_counts(
     trained = (
         with_d0.filter(d < F.col("_d0") + train_days)
         .groupBy(group_col)
-        .agg(F.sum(x_col).cast("bigint").alias("_p"))
+        .agg(
+            F.sum(x_col).cast("bigint").alias("_p"),
+            F.count(F.lit(1)).alias("_q_seen"),
+        )
     )
     base = with_d0.join(F.broadcast(trained), group_col)
+
+    def spine_guard(value):
+        return F.when(F.col("_q_seen") == train_days, value).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cusum_counts: a group's training window has "
+                    f"fewer than train_days={train_days} spine days — "
+                    "the series is missing days (build it on a day "
+                    "spine; a missing day is a real 0) or is shorter "
+                    "than the training window, and the fixed "
+                    "q=train_days scale would silently deflate its "
+                    "baseline"
+                )
+            )
+        )
     step = (
         F.lit(slack_den * train_days) * x.cast("bigint")
         - F.lit(slack_den + slack_num) * F.col("_p")
@@ -257,7 +284,7 @@ def cusum_counts(
         g.alias(group_col),
         d.alias(day_col),
         x.alias(x_col),
-        cusum_s.cast("bigint").alias("cusum_s"),
-        h_s.cast("bigint").alias("h_s"),
-        (cusum_s > h_s).alias("alarm"),
+        spine_guard(cusum_s.cast("bigint")).alias("cusum_s"),
+        spine_guard(h_s.cast("bigint")).alias("h_s"),
+        (spine_guard(cusum_s) > h_s).alias("alarm"),
     )

@@ -187,6 +187,37 @@ def cms_estimate(
 #: estimator callers)
 KMV_P = xhash.P
 
+#: register-derivation family tags, stamped into every register table
+#: as a constant ``fam`` column so cross-family merges/overlaps FAIL
+#: LOUDLY instead of silently mixing incompatible register spaces
+#: (advice find: the round-8 derivation change relied on a docstring
+#: alone — register-wise min across two hash families is meaningless
+#: and nothing would have errored). The tag names the full derivation
+#: (single base hash → cubic premix → affine family) AND the base,
+#: because registers from different bases never compare either. Bump
+#: the version segment on any future derivation change.
+KMV_FAMILIES = {
+    "poly": "affine1-poly",
+    "xxhash64": "affine1-xx64",
+}
+
+
+def _kmv_fam_guard(value, nf_col, op: str):
+    """Wrap an output column so evaluating it on a mixed-family row
+    raises at execution time (lazy — no eager action on the lazy
+    DataFrame API; the guard lives IN the selected expression, so the
+    optimizer cannot prune it away from the column it protects)."""
+    return F.when(nf_col == 1, value).otherwise(
+        F.raise_error(
+            F.lit(
+                f"kmv_{op}: register tables from DIFFERENT derivation "
+                "families were mixed — register-wise comparison across "
+                "families is meaningless. Rebuild the older sketch "
+                "with the current kmv_build (one pass) and retry."
+            )
+        )
+    )
+
 
 def kmv_build(
     items: DataFrame,
@@ -214,12 +245,18 @@ def kmv_build(
     build flat in k.
 
     COMPATIBILITY — registers are versioned by their derivation
-    family: sketches built by the pre-round-8 xxhash64 mode (k
-    independent ``xxhash64(item, i)`` draws) must NOT be kmv_merge'd
-    or kmv_overlap'd with sketches built by this one — register-wise
+    family MECHANICALLY: every register table carries a constant
+    ``fam`` column (KMV_FAMILIES[hash_mode]), and kmv_merge /
+    kmv_overlap / kmv_estimate refuse mixed-family inputs at
+    execution time (advice find: the round-8 derivation change —
+    from k independent ``xxhash64(item, i)`` draws to one base hash
+    + affine family — relied on this docstring alone; register-wise
     min across two hash families is meaningless and nothing would
-    error. Rebuild stored registers once after upgrading (a sketch
-    build is one pass; that is the point of the operator).
+    have errored). Tables persisted by the pre-tag builds have no
+    ``fam`` column: a tagged/untagged mix dies in unionByName's
+    schema check, and untagged-only inputs merge unguarded — rebuild
+    stored registers once after upgrading (a sketch build is one
+    pass; that is the point of the operator).
 
     CARDINALITY CEILING — the single-base shape means two items
     colliding in the [0, P) base collide on ALL k registers (the
@@ -254,19 +291,39 @@ def kmv_build(
     long = items.select(
         *group_cols, F.posexplode(regs_arr).alias("i", "_h")
     )
-    return long.groupBy(
-        *group_cols, F.col("i").cast("int").alias("i")
-    ).agg(F.min("_h").alias("m"))
+    return (
+        long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
+        .agg(F.min("_h").alias("m"))
+        .withColumn("fam", F.lit(KMV_FAMILIES[hash_mode]))
+    )
 
 
 def kmv_merge(*sketches: DataFrame) -> DataFrame:
     """Register-wise min of same-shape sketches: union + re-min (the
-    sketch is a min-projection of the input set, so merge = min)."""
+    sketch is a min-projection of the input set, so merge = min).
+
+    Mixed derivation families fail LOUDLY: the ``fam`` tag kmv_build
+    stamps is asserted single-valued per register group at execution
+    time (and a tagged/legacy-untagged mix already dies in
+    unionByName's schema check). Legacy tables with no ``fam`` column
+    merge as before — they are unversioned; rebuild them to get the
+    guard."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    keys = [c for c in out.columns if c != "m"]
-    return out.groupBy(*keys).agg(F.min("m").alias("m"))
+    keys = [c for c in out.columns if c not in ("m", "fam")]
+    if "fam" not in out.columns:
+        return out.groupBy(*keys).agg(F.min("m").alias("m"))
+    merged = out.groupBy(*keys).agg(
+        F.min("m").alias("m"),
+        F.count_distinct("fam").alias("_nf"),
+        F.max("fam").alias("fam"),
+    )
+    return merged.select(
+        *keys,
+        _kmv_fam_guard(F.col("m"), F.col("_nf"), "merge").alias("m"),
+        "fam",
+    )
 
 
 def kmv_estimate(
@@ -287,16 +344,29 @@ def kmv_estimate(
     once, and the single IEEE division is correctly rounded — both
     engines produce the identical double.
     """
-    agg = sketch.groupBy(*group_cols).agg(
+    has_fam = "fam" in sketch.columns
+    aggs = [
         F.sum("m").cast("bigint").alias("reg_sum"),
         F.count(F.lit(1)).cast("bigint").alias("_k"),
-    )
+    ]
+    if has_fam:
+        aggs.append(F.count_distinct("fam").alias("_nf"))
+    agg = sketch.groupBy(*group_cols).agg(*aggs)
     est = (
         F.col("_k").cast("double") * F.lit(float(KMV_P))
         / (F.col("reg_sum") + F.col("_k")).cast("double")
         - F.lit(1.0)
     )
-    return agg.select(*group_cols, "reg_sum", est.alias("est"))
+    reg_sum = F.col("reg_sum")
+    if has_fam:
+        # both outputs guarded — either alone could be pruned by a
+        # downstream projection, taking the guard with it
+        nf = F.col("_nf")
+        reg_sum = _kmv_fam_guard(reg_sum, nf, "estimate")
+        est = _kmv_fam_guard(est, nf, "estimate")
+    return agg.select(
+        *group_cols, reg_sum.alias("reg_sum"), est.alias("est")
+    )
 
 
 def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
@@ -306,12 +376,17 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
     either again.
 
     ``sketch`` is a register table ``(key_col, i, m)`` (kmv_build with
-    ``group_cols=(key_col,)``). Each register is an independent
-    min-hash, so per register ``P(m_a = m_b) = J(A, B)`` exactly (the
-    classic MinHash identity: the registers agree iff the union's
-    minimizing element under that register's hash order lies in the
-    intersection). The estimators, all replayable integer/fixed-order
-    arithmetic:
+    ``group_cols=(key_col,)``). Each register is a min-hash, so per
+    register ``P(m_a = m_b) = J(A, B)`` — exact under ideal
+    per-register-independent hashing; with the single-base derivation
+    the whole sketch family shares (kmv_build), two items colliding in
+    the [0, P) base agree on ALL k registers at once, which adds a
+    correlated ~n/(2P) upward bias to the Jaccard estimate (nonzero
+    even for disjoint sets). The same ``n ≪ P`` envelope documented on
+    kmv_build's cardinality ceiling therefore bounds OVERLAP quality
+    too: keep per-set distincts well under P ≈ 10⁹ (≤0.5% bias at
+    n = 10⁷), or this is the wrong tool. The estimators, all
+    replayable integer/fixed-order arithmetic:
 
     * ``n_match``   — registers where the two sketches agree (int);
     * ``jaccard_e`` — n_match / k, the MinHash Jaccard estimate;
@@ -328,23 +403,37 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
     set, and a bare ``<`` would evaluate NULL and silently drop that
     set from every pair — the q224-class null-unsafe-drop, review
     find).
+
+    Mixed derivation families fail LOUDLY: every register comparison
+    is guarded on the two sides' ``fam`` tags agreeing, so a register
+    table that mixes kmv_build versions (or poly with xxhash64 bases)
+    raises at execution instead of returning meaningless agreements.
+    Legacy fam-less tables skip the guard — rebuild to get it.
     """
-    a = sketch.select(
-        F.col(key_col).alias("key_a"), "i", F.col("m").alias("m_a")
-    )
-    b = sketch.select(
-        F.col(key_col).alias("key_b"), "i", F.col("m").alias("m_b")
-    )
+    has_fam = "fam" in sketch.columns
+    a_cols = [F.col(key_col).alias("key_a"), "i", F.col("m").alias("m_a")]
+    b_cols = [F.col(key_col).alias("key_b"), "i", F.col("m").alias("m_b")]
+    if has_fam:
+        a_cols.append(F.col("fam").alias("fam_a"))
+        b_cols.append(F.col("fam").alias("fam_b"))
+    a = sketch.select(*a_cols)
+    b = sketch.select(*b_cols)
     once = (F.col("key_a") < F.col("key_b")) | (
         F.col("key_a").isNotNull() & F.col("key_b").isNull()
     )
     pairs = a.join(b, "i").filter(once)
+    match = (F.col("m_a") == F.col("m_b")).cast("int")
+    umin = F.least("m_a", "m_b")
+    if has_fam:
+        # guard BOTH aggregated inputs — either output column alone
+        # can survive a downstream projection
+        same = (F.col("fam_a") == F.col("fam_b")).cast("bigint")
+        match = _kmv_fam_guard(match, same, "overlap")
+        umin = _kmv_fam_guard(umin, same, "overlap")
     agg = pairs.groupBy("key_a", "key_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("_k"),
-        F.sum((F.col("m_a") == F.col("m_b")).cast("int"))
-        .cast("bigint")
-        .alias("n_match"),
-        F.sum(F.least("m_a", "m_b")).cast("bigint").alias("_union_reg_sum"),
+        F.sum(match).cast("bigint").alias("n_match"),
+        F.sum(umin).cast("bigint").alias("_union_reg_sum"),
     )
     union_e = (
         F.col("_k").cast("double") * F.lit(float(KMV_P))

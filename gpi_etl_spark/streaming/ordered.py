@@ -27,12 +27,22 @@ def land_ordered_slices(
 ) -> int:
     """Write ``df`` under ``base`` as ``n_slices`` contiguous
     event-time slices, one parquet file each, mtimes strictly
-    increasing in time order. Returns the number of non-empty slices.
-    The caller owns (pre-cleans) ``base``."""
+    increasing in time order. Returns the number of NON-EMPTY slices —
+    counted by each slice's actual row count, not by the presence of a
+    new part- file (advice find: Spark writes a schema-only part file
+    for an empty slice, so file presence over-counted). An empty
+    ``df`` raises ValueError up front (advice find: it used to crash
+    with a bare TypeError on ``None`` bounds). The caller owns
+    (pre-cleans) ``base``."""
     b = df.agg(
         F.min(F.unix_micros(ts_col)).alias("lo"),
         F.max(F.unix_micros(ts_col)).alias("hi"),
     ).first()
+    if b.lo is None:
+        raise ValueError(
+            "land_ordered_slices: input has no rows (or ts_col is "
+            "all-NULL) — nothing to slice"
+        )
     lo, hi = b.lo, b.hi + 1
     step = (hi - lo + n_slices - 1) // n_slices
     t0 = time.time()
@@ -43,15 +53,14 @@ def land_ordered_slices(
         part = df.filter(
             (F.unix_micros(ts_col) >= s) & (F.unix_micros(ts_col) < e)
         )
+        # the count costs one extra tiny job per slice — this is a
+        # test/probe utility; correctness of the return value wins
+        written += int(part.limit(1).count() > 0)
         part.coalesce(1).write.mode("append").parquet(base)
         # stamp ONLY this slice's new files, from a fixed increasing
         # base — never relative to the current clock
-        new = False
         for f in os.listdir(base):
             if f not in seen:
                 os.utime(os.path.join(base, f), (t0 + i, t0 + i))
                 seen.add(f)
-                if f.startswith("part-"):
-                    new = True
-        written += int(new)
     return written

@@ -190,3 +190,47 @@ def test_cusum_zero_days_shift_the_statistic(spark):
         ).collect()
     }
     assert c_full[19] != c_skip[19]
+
+
+def test_cusum_short_training_window_fails_loudly(spark):
+    """Advice find: a series with fewer than train_days days in the
+    training window silently deflated mu0 (p summed over fewer days
+    but scaled by train_days). The spine guard must raise instead."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.drift import cusum_counts
+
+    # 5-day series, train_days=14 (series shorter than the window)
+    short = spark.createDataFrame(
+        [("a", d, 10) for d in range(5)], "g string, day long, x long"
+    )
+    with pytest.raises(PySparkException, match="fewer than train_days"):
+        cusum_counts(
+            short, group_col="g", day_col="day", x_col="x",
+            train_days=14,
+        ).collect()
+
+    # gap INSIDE the training window (day 3 missing, not a spine)
+    gappy = spark.createDataFrame(
+        [("a", d, 10) for d in range(20) if d != 3],
+        "g string, day long, x long",
+    )
+    with pytest.raises(PySparkException, match="fewer than train_days"):
+        cusum_counts(
+            gappy, group_col="g", day_col="day", x_col="x",
+            train_days=14,
+        ).collect()
+
+    # a gap AFTER the training window is the caller's spine problem
+    # elsewhere, but must not trip THIS guard (training window intact)
+    late_gap = spark.createDataFrame(
+        [("a", d, 10) for d in range(20) if d != 16],
+        "g string, day long, x long",
+    )
+    assert len(
+        cusum_counts(
+            late_gap, group_col="g", day_col="day", x_col="x",
+            train_days=14,
+        ).collect()
+    ) == 19

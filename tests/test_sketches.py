@@ -194,6 +194,86 @@ def test_kmv_unknown_hash_mode_raises(spark):
         kmv_build(df, "item", hash_mode="md5")
 
 
+def test_kmv_registers_carry_family_tag(spark):
+    """Every register table is stamped with its derivation family —
+    the mechanical version tag the cross-family guards key on."""
+    from gpi_etl_spark.operators.sketches import KMV_FAMILIES, kmv_build
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)],
+                               "item string")
+    for mode in ("poly", "xxhash64"):
+        fams = {
+            r.fam
+            for r in kmv_build(df, "item", k=8, hash_mode=mode)
+            .select("fam").distinct().collect()
+        }
+        assert fams == {KMV_FAMILIES[mode]}
+
+
+def test_kmv_mixed_family_merge_fails_loudly(spark):
+    """Register-wise min across hash families is meaningless; the fam
+    guard must raise at execution, never return silent garbage
+    (advice find on the round-8 derivation change)."""
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_merge
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)],
+                               "item string")
+    a = kmv_build(df, "item", k=8, hash_mode="poly")
+    b = kmv_build(df, "item", k=8, hash_mode="xxhash64")
+    merged = kmv_merge(a, b)
+    with pytest.raises(PySparkException, match="DIFFERENT derivation"):
+        merged.collect()
+    # same-family merge still works and keeps the tag
+    ok = kmv_merge(a, a).collect()
+    assert len(ok) == 8 and all(r.fam == "affine1-poly" for r in ok)
+
+
+def test_kmv_mixed_family_overlap_and_estimate_fail_loudly(spark):
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [(str(i), "s1") for i in range(20)]
+        + [(str(i), "s2") for i in range(10, 30)],
+        "item string, grp string",
+    )
+    poly = kmv_build(df, "item", group_cols=("grp",), k=8,
+                     hash_mode="poly")
+    xx = kmv_build(df, "item", group_cols=("grp",), k=8,
+                   hash_mode="xxhash64")
+    mixed = poly.filter(F.col("grp") == "s1").unionByName(
+        xx.filter(F.col("grp") == "s2")
+    )
+    with pytest.raises(PySparkException, match="DIFFERENT derivation"):
+        kmv_overlap(mixed, "grp").collect()
+    with pytest.raises(PySparkException, match="DIFFERENT derivation"):
+        kmv_estimate(
+            poly.drop("grp").unionByName(xx.drop("grp"))
+        ).collect()
+    # clean inputs still work
+    assert len(kmv_overlap(poly, "grp").collect()) == 1
+    assert len(kmv_estimate(poly, group_cols=("grp",)).collect()) == 2
+
+
+def test_kmv_legacy_untagged_tables_still_merge(spark):
+    """Pre-tag register tables (no fam column) keep working unguarded
+    — the documented legacy path."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_merge
+
+    df = spark.createDataFrame([(str(i),) for i in range(20)],
+                               "item string")
+    legacy = kmv_build(df, "item", k=8, hash_mode="poly").drop("fam")
+    out = kmv_merge(legacy, legacy).collect()
+    assert len(out) == 8 and "fam" not in kmv_merge(legacy).columns
+
+
 def test_fixed_histogram_quantiles_exact_lower_quantile(spark):
     """Matches the hand definition: smallest value whose cumulative
     count reaches ceil(q·n) — including the duplicate-heavy and

@@ -103,3 +103,36 @@ def test_ordered_delivery_exact_pairs_bounded_state(
     assert peak_state < 400 // 2, (
         f"state held {peak_state} of 400 rows — eviction not engaging"
     )
+
+
+def test_land_ordered_slices_empty_input_raises(spark):
+    """Advice find: b.lo is None on an empty frame used to surface as
+    a bare TypeError deep in the arithmetic."""
+    base = tempfile.mkdtemp()
+    try:
+        empty = spark.createDataFrame(
+            [], "user_id long, ts timestamp"
+        )
+        with pytest.raises(ValueError, match="no rows"):
+            land_ordered_slices(empty, base, ts_col="ts", n_slices=4)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_land_ordered_slices_counts_only_nonempty_slices(spark):
+    """Advice find: Spark writes a schema-only part file for an empty
+    slice, so counting new part- files over-counted. Two tight event
+    clusters at the ends of the span + 8 slices => the middle slices
+    are empty and must not be counted."""
+    base = tempfile.mkdtemp()
+    try:
+        rows = [(i, T0 + dt.timedelta(minutes=i)) for i in range(10)]
+        rows += [
+            (100 + i, T0 + dt.timedelta(days=10, minutes=i))
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        written = land_ordered_slices(df, base, ts_col="ts", n_slices=8)
+        assert written == 2
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
