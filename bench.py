@@ -199,7 +199,7 @@ FAST_SKIP = {
 }
 
 #: committed two-lane detail artifact for the CURRENT round
-DETAIL_FILE = "BENCH_local_r8.json"
+DETAIL_FILE = "BENCH_local_r9.json"
 
 
 def main() -> None:
