@@ -12950,3 +12950,215 @@ def q236(spark, sf_dir):
             "n_purchases_with_view"
         ),
     )
+
+
+def _q238_oracle_sql(k: int) -> str:
+    """DuckDB replay of the ROLLING-WINDOW kmv merge: per-(type, day)
+    register tables (the q221 chain + a day key), then each target
+    day's trailing-7-day window merges by register-wise min — the
+    replay never rescans data for a window, exactly like the
+    operator."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE) / cast(reg_sum + {k} AS double) - 1.0"
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT DISTINCT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             cast(user_id AS varchar) AS uid
+      FROM events),
+    b AS MATERIALIZED (
+      SELECT event_type, day, {_ph_sql("uid")} AS h FROM u),
+    gm AS MATERIALIZED (
+      SELECT event_type, day, {_cm_sql("h")} AS gh FROM b),
+    r AS (SELECT event_type, day, g.i AS i,
+                 {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS MATERIALIZED (
+      SELECT event_type, day, i, min(ah) AS mi
+      FROM r GROUP BY 1, 2, 3),
+    days AS (SELECT DISTINCT event_type, day FROM u),
+    wm AS (SELECT d.event_type, d.day, m.i, min(m.mi) AS mi
+           FROM days d JOIN m
+             ON m.event_type = d.event_type
+            AND m.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1, 2, 3),
+    s AS (SELECT event_type, day, cast(sum(mi) AS bigint) AS reg_sum
+          FROM wm GROUP BY 1, 2),
+    e AS (SELECT d.event_type, d.day,
+                 count(DISTINCT u.uid) AS exact_users_7d
+          FROM days d JOIN u
+            ON u.event_type = d.event_type
+           AND u.day BETWEEN d.day - 6 AND d.day
+          GROUP BY 1, 2)
+    SELECT s.event_type, cast(s.day AS bigint) AS day,
+           cast({k} AS int) AS k,
+           cast(e.exact_users_7d AS bigint) AS exact_users_7d,
+           s.reg_sum,
+           {fs6_sql(est)} AS est_r
+    FROM s JOIN e USING (event_type, day)
+    """
+
+
+@query("q238_rolling_distinct_kmv", _q238_oracle_sql(64))
+def q238(spark, sf_dir):
+    """Trailing-7-day distinct users per event type, answered from
+    PER-DAY KMV REGISTER TABLES ALONE (sketches.kmv_build + a banded
+    register merge + kmv_estimate) — the composition that is the
+    entire point of a mergeable sketch at 100 TB: the corpus is
+    scanned ONCE to build |types|·|days| k-register sketches, and
+    every rolling window after that is a register-table-only merge
+    (|types|·|days|·7·k tiny rows through a band join keyed on the
+    target day), never a re-scan of the window's raw events. The
+    window merge is register-wise min — kmv_merge's law — so the
+    merged registers ARE the union set's sketch, bit-exactly; the
+    fam tag rides through the merge and kmv_estimate's mixed-family
+    guard stays armed. exact_users_7d rides along (computed from the
+    distinct triples, NOT the sketch) so the readout shows the
+    estimator's real error against the 1/sqrt(64) ≈ 12.5% envelope.
+    All sketch internals are exact integers under the hash gate;
+    only est_r floats, through the single-division + floor-scale
+    convention."""
+    from gpi_etl_spark.operators import sketches
+
+    dist = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            F.col("user_id").cast("string").alias("uid"),
+        )
+        .distinct()
+    )
+    sk = sketches.kmv_build(
+        dist, "uid", group_cols=("event_type", "day"), k=64,
+        hash_mode="poly",
+    )
+    days = dist.select("event_type", "day").distinct()
+    # banded register merge: each target day takes the min over its
+    # trailing window's registers — sketch-table rows only
+    d = days.select(
+        F.col("event_type").alias("et"), F.col("day").alias("tday")
+    )
+    win = sk.join(
+        d,
+        (sk["event_type"] == d["et"])
+        & sk["day"].between(d["tday"] - 6, d["tday"]),
+    )
+    merged = win.groupBy(
+        F.col("et").alias("event_type"),
+        F.col("tday").alias("day"),
+        "i",
+        "fam",
+    ).agg(F.min("m").alias("m"))
+    est = sketches.kmv_estimate(
+        merged, group_cols=("event_type", "day")
+    )
+    u2 = dist.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("uday"),
+        "uid",
+    )
+    d2 = days.select(
+        F.col("event_type").alias("et3"), F.col("day").alias("tday2")
+    )
+    exact = (
+        u2.join(
+            d2,
+            (F.col("et2") == F.col("et3"))
+            & F.col("uday").between(
+                F.col("tday2") - 6, F.col("tday2")
+            ),
+        )
+        .groupBy(
+            F.col("et3").alias("event_type"),
+            F.col("tday2").alias("day"),
+        )
+        .agg(F.countDistinct("uid").alias("exact_users_7d"))
+    )
+    return est.join(exact, ["event_type", "day"]).select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.lit(64).cast("int").alias("k"),
+        F.col("exact_users_7d").cast("bigint").alias("exact_users_7d"),
+        "reg_sum",
+        fs6(F.col("est")).alias("est_r"),
+    )
+
+
+@query(
+    "q239_relative_quantiles",
+    """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type,
+                 CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 count(*) AS cnt
+          FROM c GROUP BY 1, 2, 3, 4),
+    r AS (SELECT event_type,
+                 sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                 cnt
+          FROM b),
+    f AS (SELECT event_type, rep, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY rep
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM r)
+    SELECT event_type, cast(max(n) AS bigint) AS n,
+           cast(min(CASE WHEN cum * 2 >= n * 1 THEN rep END)
+                AS bigint) AS q_1_2,
+           cast(min(CASE WHEN cum * 10 >= n * 9 THEN rep END)
+                AS bigint) AS q_9_10,
+           cast(min(CASE WHEN cum * 100 >= n * 99 THEN rep END)
+                AS bigint) AS q_99_100
+    FROM f GROUP BY event_type
+    """,
+)
+def q239(spark, sf_dir):
+    """Relative-error quantiles of the event value (cents) per type
+    from the DDSketch-style decimal-bucket sketch (sketches.rq_build /
+    rq_merge / rq_quantiles) — the mergeable-quantile seat next to
+    q227's exact bounded-domain histogram: buckets keyed by the
+    magnitude's decimal length + leading 3 digits have CONSTANT
+    RELATIVE width (singleton — exact — below 10³ cents, ≤1% above),
+    so any quantile of any long-tailed column comes back within 1%
+    from a bounded table, and per-shard sketches add bucket-wise.
+    Where DDSketch buckets through floating-point logarithms
+    (engine/libm-dependent), these buckets are pure integer/string
+    arithmetic both engines replay bit-exactly — the whole gate row
+    is int64, NO float anywhere (the quantile threshold is the
+    den·cum ≥ num·n integer cross-multiplication). The gate builds
+    the sketch as TWO user-shard sketches rq_merge'd together, so
+    bucket-count additivity is itself under the gate. One map-side-
+    combined groupBy to build (≤ a few thousand bucket rows per
+    group on the wire, never the corpus); quantile extraction windows
+    over bucket rows only."""
+    from gpi_etl_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).filter(F.col("cents").isNotNull())
+    shard_a = ev.filter(F.col("user_id") % 2 == 0)
+    shard_b = ev.filter(F.col("user_id") % 2 != 0)
+    sk = sketches.rq_merge(
+        sketches.rq_build(
+            shard_a, "cents", group_cols=("event_type",), digits=3
+        ),
+        sketches.rq_build(
+            shard_b, "cents", group_cols=("event_type",), digits=3
+        ),
+    )
+    return sketches.rq_quantiles(sk, group_cols=("event_type",))

@@ -382,3 +382,94 @@ def test_kmv_overlap_null_key_is_a_set_not_a_drop(spark):
     r = got[0]
     assert r.key_a == "a" and r.key_b is None
     assert r.n_match == 64 and r.jaccard_e == 1.0
+
+
+# relative-error quantile sketch (rq_*)
+
+
+def test_rq_exact_below_bucket_threshold(spark):
+    """|v| < 10^digits => singleton buckets => quantiles are EXACT
+    (must equal the sorted-list lower quantile)."""
+    from gpi_etl_spark.operators.sketches import rq_build, rq_quantiles
+
+    vals = [7, 3, 3, 991, 15, 200, 1, 88, 500, 42]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    row = rq_quantiles(rq_build(df, "c", digits=3)).first()
+    import math
+
+    sv = sorted(vals)
+    for num, den, col in ((1, 2, "q_1_2"), (9, 10, "q_9_10"),
+                          (99, 100, "q_99_100")):
+        want = sv[math.ceil(num / den * len(sv)) - 1]
+        assert row[col] == want, col
+    assert row.n == len(vals)
+
+
+def test_rq_relative_error_bound_long_tail(spark):
+    """Pareto-ish magnitudes spanning 8 decades: every reported
+    quantile must satisfy rep <= true < rep*(1 + 10^(1-digits))."""
+    import math
+
+    from gpi_etl_spark.operators.sketches import rq_build, rq_quantiles
+
+    vals = [int(1.7 ** i) + 1 for i in range(40)]  # 2 .. ~1.6e9
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    row = rq_quantiles(rq_build(df, "c", digits=3)).first()
+    sv = sorted(vals)
+    for num, den, col in ((1, 2, "q_1_2"), (9, 10, "q_9_10"),
+                          (99, 100, "q_99_100")):
+        true = sv[math.ceil(num / den * len(sv)) - 1]
+        rep = row[col]
+        assert rep <= true, col
+        assert true < rep * (1 + 10 ** (1 - 3)) + 1, col
+
+
+def test_rq_merge_equals_whole_and_handles_signs(spark):
+    from gpi_etl_spark.operators.sketches import (
+        rq_build,
+        rq_merge,
+        rq_quantiles,
+    )
+
+    vals = [-50_000, -7, 0, 0, 3, 12_345, 9_999_999, 42, -1_234_567]
+    df = spark.createDataFrame(
+        [(v, i % 2) for i, v in enumerate(vals)], "c long, shard int"
+    )
+    whole = rq_quantiles(rq_build(df, "c", digits=3)).first()
+    merged = rq_quantiles(
+        rq_merge(
+            rq_build(df.filter("shard = 0"), "c", digits=3),
+            rq_build(df.filter("shard = 1"), "c", digits=3),
+        )
+    ).first()
+    assert whole == merged
+    # median of 9 values is the 5th ascending = 0 (exact bucket)
+    assert whole.q_1_2 == 0
+
+
+def test_rq_mixed_digits_generations_fail_loudly(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        rq_build,
+        rq_merge,
+        rq_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 50)], "c long")
+    mixed = rq_merge(
+        rq_build(df, "c", digits=3), rq_build(df, "c", digits=2)
+    )
+    with pytest.raises(PySparkException, match="digits generations"):
+        rq_quantiles(mixed).collect()
+
+
+def test_rq_build_rejects_bad_digits(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.sketches import rq_build
+
+    df = spark.createDataFrame([(1,)], "c long")
+    with pytest.raises(ValueError, match="digits"):
+        rq_build(df, "c", digits=0)
