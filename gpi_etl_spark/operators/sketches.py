@@ -664,3 +664,193 @@ def rq_quantiles(
             .alias(f"q_{num}_{den}")
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Replayable Bloom filter (membership sketch)
+# ---------------------------------------------------------------------------
+#
+# The third mergeable-summary seat: CMS answers "how often", KMV
+# answers "how many distinct", a Bloom filter (Bloom 1970) answers
+# "have I seen THIS one" with no false negatives and a tunable
+# false-positive rate — the decontamination / blocklist / semi-join
+# pre-filter primitive. At 100 TB the filter table (≤ ceil(m/63)
+# int64 words per group) broadcasts into any probe stream, so a
+# membership pre-screen costs a broadcast hash join against a
+# KB-sized table instead of a shuffle against the blocklist corpus;
+# Spark's own runtime bloom pushdown does this transparently for
+# joins, but a PERSISTED, mergeable, cross-engine-replayable filter
+# is what a pipeline ships between jobs/days/engines.
+#
+# Replayability: positions come from the poly-hash affine family
+# (one base fold → cubic premix → k affine draws mod m — exact int64
+# both engines); words pack 63 bits (NOT 64: DuckDB's `1 << 63`
+# raises Out of Range, and the sign bit buys nothing but an
+# engine-semantics edge); the build is ONE map-side-combined
+# ``bit_or`` aggregation, and two filters over the same geometry
+# merge by word-wise ``bit_or`` (set union, exactly).
+#
+# Geometry/version discipline (the kmv fam lesson, applied from
+# birth): every filter table carries a constant ``geom`` column
+# ``bloom1-<hash_mode>-m<m_bits>-k<k>``; merges refuse mixed
+# geometries and probes refuse a filter whose geom differs from the
+# probe-side parameters — the cms_estimate class of silent mismatch
+# (never-incremented buckets read as 0), made LOUD mechanically.
+
+#: usable bits per filter word (bit 63 excluded — see module note)
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_geom(hash_mode: str, m_bits: int, k: int) -> str:
+    return f"bloom1-{hash_mode}-m{m_bits}-k{k}"
+
+
+def _bloom_positions(item_col: str, m_bits: int, k: int,
+                     hash_mode: str):
+    """k bit positions in [0, m_bits) as an array Column — the shared
+    derivation of build and probe."""
+    from gpi_etl_spark.functions.hof import let_
+
+    if hash_mode == "poly":
+        base = xhash.poly_hash(F.col(item_col))
+    elif hash_mode == "xxhash64":
+        base = F.pmod(F.xxhash64(F.col(item_col)), F.lit(KMV_P))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return let_(
+        base,
+        lambda h: let_(
+            xhash.cubic_mix(h),
+            lambda g: F.array(
+                *[
+                    xhash.affine_hash(g, i, k) % F.lit(m_bits)
+                    for i in range(k)
+                ]
+            ),
+        ),
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    group_cols: tuple[str, ...] = (),
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """Build per-group Bloom filter words
+    ``(*group_cols, word int, bits bigint, geom)``. Absent words read
+    as 0 at probe time, so the table stays sparse while the filter is
+    cold. Duplicates are free (bit_or is idempotent). Expected FPR
+    for n distinct items: ``(1 − e^(−k·n/m))^k`` — size m ≈ 10·n bits
+    for ~1%% at k=4. One map-side-combined aggregation: the wire
+    carries ≤ ceil(m/63) words per group per partition, never the
+    items."""
+    pos = _bloom_positions(item_col, m_bits, k, hash_mode)
+    exploded = items.select(
+        *group_cols, F.explode(pos).alias("_pos")
+    ).select(
+        *group_cols,
+        (F.col("_pos") / F.lit(BLOOM_WORD_BITS))
+        .cast("int")
+        .alias("word"),
+        # pyspark's shiftleft() insists on a literal shift amount —
+        # the SQL form takes a column
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("_mask"),
+    )
+    return (
+        exploded.groupBy(*group_cols, "word")
+        .agg(F.bit_or("_mask").alias("bits"))
+        .withColumn(
+            "geom", F.lit(_bloom_geom(hash_mode, m_bits, k))
+        )
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Word-wise bit_or = set union of the underlying sets (no
+    false-negative creep, FPR of the union's cardinality). Mixed
+    geometries fail loudly at execution — word indexes from different
+    (m, k, hash) spaces must never OR together."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    keys = [c for c in out.columns if c not in ("bits", "geom")]
+    merged = out.groupBy(*keys).agg(
+        F.bit_or("bits").alias("bits"),
+        F.count_distinct("geom").alias("_ng"),
+        F.max("geom").alias("geom"),
+    )
+    guarded = F.when(F.col("_ng") == 1, F.col("bits")).otherwise(
+        F.raise_error(
+            F.lit(
+                "bloom_merge: filters with DIFFERENT geometries "
+                "(m_bits/k/hash_mode) were mixed — their bit spaces "
+                "are incompatible. Rebuild to one geometry."
+            )
+        )
+    )
+    return merged.select(*keys, guarded.alias("bits"), "geom")
+
+
+def bloom_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """Membership probe: appends ``maybe_present`` (boolean) to the
+    probe rows — ``false`` is CERTAIN absence, ``true`` is presence
+    up to the FPR. The filter must be ungrouped (one filter table);
+    its ``geom`` is asserted against the probe parameters ROW-WISE at
+    execution, so the cms_estimate-class silent mismatch (a wrong
+    m/k/hash reading never-set bits as 0 and waving contaminated
+    items through) raises instead. The filter broadcasts (≤ ceil(m/63)
+    words); the probe side shuffles nothing but its own k-position
+    explode + per-item AND-reduction."""
+    expected = _bloom_geom(hash_mode, m_bits, k)
+    pos = _bloom_positions(item_col, m_bits, k, hash_mode)
+    pp = probes.select(
+        item_col, F.explode(pos).alias("_pos")
+    ).select(
+        item_col,
+        (F.col("_pos") / F.lit(BLOOM_WORD_BITS))
+        .cast("int")
+        .alias("word"),
+        # pyspark's shiftleft() insists on a literal shift amount —
+        # the SQL form takes a column
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("_mask"),
+    )
+    j = pp.join(F.broadcast(bloom), ["word"], "left")
+    geom_ok = F.col("geom").isNull() | (F.col("geom") == F.lit(expected))
+    hit = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
+        == F.col("_mask")
+    ).cast("int")
+    hit_guarded = F.when(geom_ok, hit).otherwise(
+        F.raise_error(
+            F.lit(
+                "bloom_contains: filter geometry does not match the "
+                f"probe parameters ({expected}) — a mismatched m_bits/"
+                "k/hash_mode reads never-set bits as absent and "
+                "returns false negatives. Probe with the build's "
+                "parameters."
+            )
+        )
+    )
+    return (
+        j.groupBy(item_col)
+        .agg(F.min(hit_guarded).alias("_all_hit"))
+        .select(
+            item_col, (F.col("_all_hit") == 1).alias("maybe_present")
+        )
+    )

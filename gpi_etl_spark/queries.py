@@ -13162,3 +13162,93 @@ def q239(spark, sf_dir):
         ),
     )
     return sketches.rq_quantiles(sk, group_cols=("event_type",))
+
+
+def _q240_oracle_sql(m_bits: int, k: int) -> str:
+    """DuckDB replay of the Bloom membership screen: blocklist
+    positions → 63-bit words via bit_or, probe positions re-derived,
+    AND-reduction per probe — the identical integer arithmetic,
+    including the 63-bit word packing (bit 63 excluded: DuckDB's
+    ``1 << 63`` raises Out of Range — the cross-engine edge the word
+    width exists to avoid)."""
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    return f"""
+    WITH bl AS MATERIALIZED (
+      SELECT DISTINCT cast(user_id AS varchar) AS uid
+      FROM events WHERE event_type = 'purchase'),
+    pr AS MATERIALIZED (
+      SELECT DISTINCT cast(user_id AS varchar) AS uid FROM events),
+    bb AS (SELECT uid, {_cm_sql(_ph_sql("uid"))} AS gh FROM bl),
+    bpos AS (SELECT ({_ah_sql('gh', 'g.i', k)}) % {m_bits} AS pos
+             FROM bb, unnest(generate_series(0, {k - 1})) AS g(i)),
+    words AS (SELECT CAST(pos // 63 AS int) AS word,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS int)) AS bits
+              FROM bpos GROUP BY 1),
+    pb AS (SELECT uid, {_cm_sql(_ph_sql("uid"))} AS gh FROM pr),
+    ppos AS (SELECT uid,
+                    ({_ah_sql('gh', 'g.i', k)}) % {m_bits} AS pos
+             FROM pb, unnest(generate_series(0, {k - 1})) AS g(i)),
+    probe AS (SELECT uid, CAST(pos // 63 AS int) AS word,
+                     (1::BIGINT << CAST(pos % 63 AS int)) AS mask
+              FROM ppos),
+    hits AS (SELECT p.uid,
+                    min(CASE WHEN (coalesce(w.bits, 0) & p.mask) = p.mask
+                             THEN 1 ELSE 0 END) AS allhit
+             FROM probe p LEFT JOIN words w USING (word) GROUP BY 1)
+    SELECT CAST(h.uid AS BIGINT) AS user_id,
+           h.allhit = 1 AS maybe_present,
+           (bl.uid IS NOT NULL) AS actually_present
+    FROM hits h LEFT JOIN bl ON bl.uid = h.uid
+    """
+
+
+@query("q240_bloom_decontamination", _q240_oracle_sql(8192, 4))
+def q240(spark, sf_dir):
+    """Bloom-filter membership screen (sketches.bloom_build /
+    bloom_contains) — the third mergeable-summary seat after CMS
+    (frequency) and KMV (distinct): every user who ever purchased
+    becomes one bit pattern in a ceil(8192/63)-word filter, and the
+    full user population probes it with NO false negatives and a
+    ~1% theoretical FPR ((1−e^(−k·n/m))^k). The ground truth rides
+    along (``actually_present`` from the exact anti-joinable set), so
+    the gate pins the exact bit arithmetic AND the audit that counts
+    real false positives is one filter away. At 100 TB this is the
+    decontamination / blocklist pre-screen: the filter table is KBs,
+    broadcasts into any probe stream (eval-set n-grams, banned users,
+    seen-URL lists), and the certain-absence answer skips the
+    expensive exact join for the overwhelming majority of rows;
+    per-day/shard filters bit_or together (bloom_merge — set union).
+    Geometry is stamped (``geom`` column) and asserted at probe time,
+    so an m/k/hash mismatch raises instead of waving contaminated
+    rows through. Positions replay in DuckDB via the poly-hash affine
+    family over 63-bit words — the whole gate row is integer/boolean,
+    no float anywhere."""
+    from gpi_etl_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events")
+    bl = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+    )
+    pr = ev.select(
+        F.col("user_id").cast("string").alias("uid")
+    ).distinct()
+    bloom = sketches.bloom_build(
+        bl, "uid", m_bits=8192, k=4, hash_mode="poly"
+    )
+    mem = sketches.bloom_contains(
+        bloom, pr, "uid", m_bits=8192, k=4, hash_mode="poly"
+    )
+    truth = bl.withColumn("_in_bl", F.lit(True))
+    return (
+        mem.join(truth, "uid", "left")
+        .select(
+            F.col("uid").cast("bigint").alias("user_id"),
+            "maybe_present",
+            F.coalesce(F.col("_in_bl"), F.lit(False)).alias(
+                "actually_present"
+            ),
+        )
+    )

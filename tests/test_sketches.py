@@ -473,3 +473,94 @@ def test_rq_build_rejects_bad_digits(spark):
     df = spark.createDataFrame([(1,)], "c long")
     with pytest.raises(ValueError, match="digits"):
         rq_build(df, "c", digits=0)
+
+
+# replayable Bloom filter (bloom_*)
+
+
+def test_bloom_no_false_negatives_and_fpr_sane(spark):
+    from gpi_etl_spark.operators.sketches import bloom_build, bloom_contains
+
+    members = [f"user{i}" for i in range(400)]
+    outsiders = [f"ghost{i}" for i in range(800)]
+    mf = spark.createDataFrame([(v,) for v in members], "item string")
+    pf = spark.createDataFrame(
+        [(v,) for v in members + outsiders], "item string"
+    )
+    bloom = bloom_build(mf, "item", m_bits=8192, k=4)
+    got = {
+        r.item: r.maybe_present
+        for r in bloom_contains(bloom, pf, "item", m_bits=8192, k=4)
+        .collect()
+    }
+    # NEVER a false negative
+    assert all(got[m] for m in members)
+    # FPR: theory (1-e^(-k n/m))^k ~ 1.1% at n=400,m=8192,k=4;
+    # allow generous headroom
+    fps = sum(got[o] for o in outsiders)
+    assert fps / len(outsiders) < 0.06, fps
+
+
+def test_bloom_merge_is_set_union(spark):
+    from gpi_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    a = [f"a{i}" for i in range(50)]
+    b = [f"b{i}" for i in range(50)]
+    fa = spark.createDataFrame([(v,) for v in a], "item string")
+    fb = spark.createDataFrame([(v,) for v in b], "item string")
+    fall = spark.createDataFrame([(v,) for v in a + b], "item string")
+    merged = bloom_merge(
+        bloom_build(fa, "item", m_bits=4096, k=3),
+        bloom_build(fb, "item", m_bits=4096, k=3),
+    )
+    whole = bloom_build(fall, "item", m_bits=4096, k=3)
+    as_map = lambda df: {  # noqa: E731
+        r.word: r.bits for r in df.collect()
+    }
+    assert as_map(merged) == as_map(whole)
+    # and the merged filter accepts both sides' members
+    got = {
+        r.item: r.maybe_present
+        for r in bloom_contains(
+            merged, fall, "item", m_bits=4096, k=3
+        ).collect()
+    }
+    assert all(got.values())
+
+
+def test_bloom_mixed_geometry_merge_and_probe_fail_loudly(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(30)],
+                               "item string")
+    b1 = bloom_build(df, "item", m_bits=4096, k=3)
+    b2 = bloom_build(df, "item", m_bits=8192, k=4)
+    with pytest.raises(PySparkException, match="DIFFERENT geometries"):
+        bloom_merge(b1, b2).collect()
+    with pytest.raises(PySparkException, match="does not match"):
+        bloom_contains(b1, df, "item", m_bits=8192, k=4).collect()
+
+
+def test_bloom_duplicates_are_free(spark):
+    from gpi_etl_spark.operators.sketches import bloom_build
+
+    base = [f"v{i}" for i in range(40)]
+    dup = spark.createDataFrame([(v,) for v in base * 5], "item string")
+    uniq = spark.createDataFrame([(v,) for v in base], "item string")
+    as_map = lambda df: {  # noqa: E731
+        r.word: r.bits for r in df.collect()
+    }
+    assert as_map(bloom_build(dup, "item", m_bits=2048, k=4)) == as_map(
+        bloom_build(uniq, "item", m_bits=2048, k=4)
+    )
