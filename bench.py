@@ -137,6 +137,14 @@ HEADLINE = [
     "q226_seasonal_profile",  # int64-moment day-of-week decomposition (r7 add)
     "q227_histogram_quantiles",  # exact fixed-domain histogram quantiles (r7 add)
     "q229_poisson_bootstrap",    # 32-replica deterministic bootstrap (r7 add)
+    "q231_cusum_changepoint",    # int64 CUSUM screen, windows over days (r9 add)
+    "q233_embedding_covariance", # one-scan exact moment matrix (r9 add)
+    "q238_rolling_distinct_kmv", # banded register-table window merge (r9 add)
+    "q239_relative_quantiles",   # decimal-bucket DDSketch-style quantiles (r9 add)
+    "q240_bloom_decontamination",  # bitmask build + broadcast membership probe (r9 add)
+    # q241 (CMS join-size) stays unbenched under rule (d): its cost is
+    # two q188-class counter builds (the benched shape) plus a
+    # depth×width-bounded dot product — nothing new to time.
     # q228 (mutual information) stays unbenched under rule (e): same
     # presence-explode + map-side-combine + sort-limit plan shape as
     # the benched token-aggregation family (q68/q120/q202-class).

@@ -146,6 +146,61 @@ def cms_estimate(
     )
 
 
+def cms_join_size(
+    a: DataFrame,
+    b: DataFrame,
+    depth: int,
+) -> DataFrame:
+    """Equi-join SIZE estimate from two Count-Min sketches — the
+    classic CM inner-product estimator (Cormode & Muthukrishnan '05,
+    §4.3; AGMS lineage): for key-frequency vectors f_A, f_B the exact
+    join cardinality is ``|A ⋈ B| = Σ_v f_A(v)·f_B(v)``, and each
+    sketch row's bucket-wise dot product ``Σ_col a·b`` equals that sum
+    PLUS non-negative collision cross-terms — so ``min`` over the
+    ``depth`` rows never underestimates, and is exact in the
+    collision-free regime (the q188 property, lifted from point
+    queries to join sizes). This is the PLANNER primitive: estimate a
+    join's output size from two KB-sized counter tables before paying
+    for the join — per-day/shard sketches merge first (cms_merge), so
+    yesterday's sketches price today's query.
+
+    Both sketches must share geometry (width/depth/hash_mode) — the
+    same documented contract as cms_estimate: the counter table
+    carries only (row, col, c), so a mismatch is structurally
+    undetectable here (the bloom/kmv families stamp tags; CM keeps
+    its r6 wire format for q188 oracle stability). ``depth`` is
+    required for the all-rows-present check: sketch rows sharing NO
+    bucket drop out of the inner join, and fewer than ``depth``
+    surviving rows means some row's dot product is 0 ⇒ the estimate
+    is 0 (a disjoint-key join).
+
+    Envelope: the dot accumulates in int64 — exact while
+    ``N_A · N_B < 2^63`` (stream sizes' product under ~9·10^18, i.e.
+    ~3·10^9 rows a side); wider streams should sketch per-day and
+    estimate per-day anyway (join sizes add over disjoint partitions
+    of either side).
+
+    Returns one row: ``est_join_size bigint`` (never an undercount).
+    """
+    aa = a.select("row", "col", F.col("c").alias("_ca"))
+    bb = b.select("row", "col", F.col("c").alias("_cb"))
+    per_row = (
+        aa.join(bb, ["row", "col"])
+        .groupBy("row")
+        .agg(
+            F.sum(F.col("_ca") * F.col("_cb"))
+            .cast("bigint")
+            .alias("_dot")
+        )
+    )
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) == depth, F.min("_dot"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("est_join_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-min-registers distinct-count sketch (the KMV/HLL seat, replayable)
 # ---------------------------------------------------------------------------

@@ -13024,20 +13024,23 @@ def q238(spark, sf_dir):
     convention."""
     from gpi_etl_spark.operators import sketches
 
-    dist = (
-        t(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr("unix_micros(ts) div 86400000000").alias("day"),
-            F.col("user_id").cast("string").alias("uid"),
-        )
-        .distinct()
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
     )
+    dist = ev.distinct()
     sk = sketches.kmv_build(
         dist, "uid", group_cols=("event_type", "day"), k=64,
         hash_mode="poly",
     )
-    days = dist.select("event_type", "day").distinct()
+    # target days from a (type, day)-ONLY distinct — same set as
+    # dist's projection but a far cheaper subtree (map-side combines
+    # to |types|·|days| rows with no uid in the shuffle key), and the
+    # plan evaluates it twice (band-join probe + exact baseline);
+    # deriving it from `dist` would re-run the full triple-distinct
+    # shuffle each time (measured ~1.3 s/extra subtree at sf0.1)
+    days = ev.select("event_type", "day").distinct()
     # banded register merge: each target day takes the min over its
     # trailing window's registers — sketch-table rows only
     d = days.select(
@@ -13174,9 +13177,13 @@ def _q240_oracle_sql(m_bits: int, k: int) -> str:
     from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
 
     return f"""
-    WITH bl AS MATERIALIZED (
+    WITH d0 AS (SELECT min(epoch_us(ts) // 86400000000) AS d
+                FROM events),
+    bl AS MATERIALIZED (
       SELECT DISTINCT cast(user_id AS varchar) AS uid
-      FROM events WHERE event_type = 'purchase'),
+      FROM events, d0
+      WHERE event_type = 'purchase'
+        AND epoch_us(ts) // 86400000000 = d0.d),
     pr AS MATERIALIZED (
       SELECT DISTINCT cast(user_id AS varchar) AS uid FROM events),
     bb AS (SELECT uid, {_cm_sql(_ph_sql("uid"))} AS gh FROM bl),
@@ -13207,10 +13214,12 @@ def _q240_oracle_sql(m_bits: int, k: int) -> str:
 def q240(spark, sf_dir):
     """Bloom-filter membership screen (sketches.bloom_build /
     bloom_contains) — the third mergeable-summary seat after CMS
-    (frequency) and KMV (distinct): every user who ever purchased
-    becomes one bit pattern in a ceil(8192/63)-word filter, and the
-    full user population probes it with NO false negatives and a
-    ~1% theoretical FPR ((1−e^(−k·n/m))^k). The ground truth rides
+    (frequency) and KMV (distinct): every FIRST-DAY purchaser (the
+    early cohort — a blocklist with real negatives at every SF, so
+    the gate screens both answers) becomes one bit pattern in a
+    ceil(8192/63)-word filter, and the full user population probes
+    it with NO false negatives and a sub-1% theoretical FPR
+    ((1−e^(−k·n/m))^k). The ground truth rides
     along (``actually_present`` from the exact anti-joinable set), so
     the gate pins the exact bit arithmetic AND the audit that counts
     real false positives is one filter away. At 100 TB this is the
@@ -13227,9 +13236,17 @@ def q240(spark, sf_dir):
     from gpi_etl_spark.operators import sketches
 
     ev = t(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    d0 = ev.agg(F.min(day).alias("_d0"))
     bl = (
         ev.filter(F.col("event_type") == "purchase")
-        .select(F.col("user_id").cast("string").alias("uid"))
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            day.alias("_day"),
+        )
+        .crossJoin(F.broadcast(d0))  # one-row scalar, broadcast
+        .filter(F.col("_day") == F.col("_d0"))
+        .select("uid")
         .distinct()
     )
     pr = ev.select(
@@ -13251,4 +13268,97 @@ def q240(spark, sf_dir):
                 "actually_present"
             ),
         )
+    )
+
+
+def _q241_oracle_sql(width: int, depth: int) -> str:
+    """DuckDB replay of the CM inner-product join-size estimate: both
+    counter tables from the poly affine family (NO cubic premix —
+    cms buckets are raw affine-of-base, q188's convention; only the
+    kmv MIN registers need the premix's uniform marginals), row-wise
+    bucket dot products over an inner join, min over rows with the
+    all-rows-present guard, next to the exact Σ f_A·f_B."""
+
+    def counters(src: str) -> str:
+        return f"""(
+      SELECT cast(r.i AS int) AS row,
+             cast(({_ah_sql('gh', 'r.i', depth)}) % {width} AS int)
+               AS col,
+             count(*) AS c
+      FROM (SELECT {_ph_sql("uid")} AS gh FROM {src}),
+           unnest(generate_series(0, {depth - 1})) AS r(i)
+      GROUP BY 1, 2)"""
+
+    return f"""
+    WITH va AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'view'),
+    vb AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'purchase'),
+    ca AS MATERIALIZED {counters('va')},
+    cb AS MATERIALIZED {counters('vb')},
+    dots AS (SELECT a.row, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+             FROM ca a JOIN cb b USING (row, col) GROUP BY 1),
+    est AS (SELECT CASE WHEN count(*) = {depth} THEN min(dot)
+                        ELSE 0 END AS e
+            FROM dots),
+    fa AS (SELECT uid, count(*) AS n FROM va GROUP BY 1),
+    fb AS (SELECT uid, count(*) AS n FROM vb GROUP BY 1),
+    tru AS (SELECT coalesce(CAST(sum(fa.n * fb.n) AS BIGINT), 0) AS t
+            FROM fa JOIN fb USING (uid))
+    SELECT cast(est.e AS bigint) AS est_join_size,
+           cast(tru.t AS bigint) AS true_join_size,
+           cast(est.e - tru.t AS bigint) AS overcount
+    FROM est, tru
+    """
+
+
+@query("q241_cms_join_size", _q241_oracle_sql(1024, 4))
+def q241(spark, sf_dir):
+    """Join-size estimation from Count-Min sketches
+    (sketches.cms_join_size) — the CM INNER-PRODUCT estimator that
+    completes the q188 family (point frequency → join cardinality):
+    how many (view, purchase) same-user event pairs would the
+    attribution join produce, answered from two 4×1024 counter
+    tables instead of joining anything. This is the PLANNER
+    primitive at 100 TB: per-day sketches already exist for
+    monitoring (q188's build is one map-side-combined aggregation),
+    merge by addition, and price tomorrow's joins — broadcast-vs-
+    shuffle, skew salting, AQE hints — before a single shuffle runs.
+    The estimate provably never undercounts (each row's bucket dot
+    is Σ f_A·f_B plus non-negative collision terms; min over rows)
+    and is exact in the collision-free regime — pinned here by
+    true_join_size (the exact Σ f_A·f_B over per-user counts) and
+    overcount ≥ 0 riding the gate. Poly hash family → DuckDB replays
+    both counter tables and the row-dot/min arithmetic bit-exactly;
+    the whole row is int64, no float anywhere."""
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    ev = t(spark, sf_dir, "events")
+    va = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    vb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    ka = cms_build(va, "uid", width=1024, depth=4, hash_mode="poly")
+    kb = cms_build(vb, "uid", width=1024, depth=4, hash_mode="poly")
+    est = cms_join_size(ka, kb, depth=4)
+    fa = va.groupBy("uid").agg(F.count(F.lit(1)).alias("na"))
+    fb = vb.groupBy("uid").agg(F.count(F.lit(1)).alias("nb"))
+    tru = (
+        fa.join(fb, "uid")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("na") * F.col("nb")), F.lit(0)
+            ).cast("bigint").alias("true_join_size")
+        )
+    )
+    return est.crossJoin(tru).select(
+        "est_join_size",
+        "true_join_size",
+        (F.col("est_join_size") - F.col("true_join_size"))
+        .cast("bigint")
+        .alias("overcount"),
     )

@@ -564,3 +564,58 @@ def test_bloom_duplicates_are_free(spark):
     assert as_map(bloom_build(dup, "item", m_bits=2048, k=4)) == as_map(
         bloom_build(uniq, "item", m_bits=2048, k=4)
     )
+
+
+# CMS inner-product join-size estimator
+
+
+def test_cms_join_size_never_undercounts_and_exact_when_collision_free(
+    spark,
+):
+    from collections import Counter
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    a = ["u1"] * 5 + ["u2"] * 3 + ["u3"] + [f"x{i}" for i in range(20)]
+    b = ["u1"] * 2 + ["u2"] * 7 + ["u4"] * 4 + [f"y{i}" for i in range(10)]
+    fa, fb = Counter(a), Counter(b)
+    truth = sum(fa[k] * fb[k] for k in fa.keys() & fb.keys())
+    da = spark.createDataFrame([(v,) for v in a], "item string")
+    db = spark.createDataFrame([(v,) for v in b], "item string")
+    ka = cms_build(da, "item", width=1024, depth=4, hash_mode="poly")
+    kb = cms_build(db, "item", width=1024, depth=4, hash_mode="poly")
+    est = cms_join_size(ka, kb, depth=4).first().est_join_size
+    assert est >= truth
+    # 50-ish distinct items in 1024 buckets x4 rows: collision-free
+    assert est == truth
+
+
+def test_cms_join_size_disjoint_keys_is_zero_or_tiny(spark):
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    da = spark.createDataFrame([(f"a{i}",) for i in range(30)],
+                               "item string")
+    db = spark.createDataFrame([(f"b{i}",) for i in range(30)],
+                               "item string")
+    ka = cms_build(da, "item", width=1024, depth=4, hash_mode="poly")
+    kb = cms_build(db, "item", width=1024, depth=4, hash_mode="poly")
+    est = cms_join_size(ka, kb, depth=4).first().est_join_size
+    # truth is 0; collisions may add a little, min-over-rows usually 0
+    assert 0 <= est <= 5
+
+
+def test_cms_join_size_heavy_collision_still_upper_bound(spark):
+    from collections import Counter
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    a = [f"k{i}" for i in range(40)] * 2
+    b = [f"k{i}" for i in range(20, 60)]
+    fa, fb = Counter(a), Counter(b)
+    truth = sum(fa[k] * fb[k] for k in fa.keys() & fb.keys())
+    da = spark.createDataFrame([(v,) for v in a], "item string")
+    db = spark.createDataFrame([(v,) for v in b], "item string")
+    ka = cms_build(da, "item", width=4, depth=3, hash_mode="poly")
+    kb = cms_build(db, "item", width=4, depth=3, hash_mode="poly")
+    est = cms_join_size(ka, kb, depth=3).first().est_join_size
+    assert est >= truth  # never undercounts, however crowded

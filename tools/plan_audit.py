@@ -38,6 +38,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # feeding the BM25 idf/length normalization — the same
                 # scalar-subquery broadcast pattern as q68/q97.
                 "q167_bm25_retrieval",
+                # q241: the final readout crossJoins TWO one-row
+                # aggregates (the sketch estimate and the exact
+                # Σ f_A·f_B) — a 1×1 product, the same whitelisted
+                # scalar pattern as q162/q167.
+                "q241_cms_join_size",
                 # q187: inherits q167's one-row N/avgdl broadcast through
                 # bm25_scores (the sparse ranker inside the RRF fusion).
                 "q187_hybrid_rrf",
