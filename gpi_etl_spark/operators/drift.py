@@ -250,16 +250,27 @@ def cusum_counts(
     base = with_d0.join(F.broadcast(trained), group_col)
 
     def spine_guard(value):
+        # the message carries the OBSERVED row count: fewer rows than
+        # train_days means missing spine days / a short series; MORE
+        # means duplicate (group, day) rows upstream (an un-collapsed
+        # union) — naming only the "fewer" case sent the operator the
+        # wrong way on duplicates (review find)
         return F.when(F.col("_q_seen") == train_days, value).otherwise(
             F.raise_error(
-                F.lit(
-                    "cusum_counts: a group's training window has "
-                    f"fewer than train_days={train_days} spine days — "
-                    "the series is missing days (build it on a day "
-                    "spine; a missing day is a real 0) or is shorter "
-                    "than the training window, and the fixed "
-                    "q=train_days scale would silently deflate its "
-                    "baseline"
+                F.concat(
+                    F.lit(
+                        "cusum_counts: a group's training window has "
+                    ),
+                    F.col("_q_seen").cast("string"),
+                    F.lit(
+                        f" rows, expected train_days={train_days} — "
+                        "fewer means the series is missing days "
+                        "(build it on a day spine; a missing day is "
+                        "a real 0) or is shorter than the training "
+                        "window; more means duplicate (group, day) "
+                        "rows upstream. Either silently corrupts the "
+                        "fixed q=train_days baseline scale."
+                    ),
                 )
             )
         )

@@ -149,7 +149,6 @@ def cms_estimate(
 def cms_join_size(
     a: DataFrame,
     b: DataFrame,
-    depth: int,
 ) -> DataFrame:
     """Equi-join SIZE estimate from two Count-Min sketches — the
     classic CM inner-product estimator (Cormode & Muthukrishnan '05,
@@ -164,15 +163,17 @@ def cms_join_size(
     for the join — per-day/shard sketches merge first (cms_merge), so
     yesterday's sketches price today's query.
 
-    Both sketches must share geometry (width/depth/hash_mode) — the
-    same documented contract as cms_estimate: the counter table
-    carries only (row, col, c), so a mismatch is structurally
-    undetectable here (the bloom/kmv families stamp tags; CM keeps
-    its r6 wire format for q188 oracle stability). ``depth`` is
-    required for the all-rows-present check: sketch rows sharing NO
-    bucket drop out of the inner join, and fewer than ``depth``
-    surviving rows means some row's dot product is 0 ⇒ the estimate
-    is 0 (a disjoint-key join).
+    ``depth`` is DERIVED from each sketch (max row index + 1 — every
+    row of a non-empty sketch holds ≥1 counter, since every item
+    increments one bucket per row) and the two derivations are
+    asserted equal at execution: a caller-supplied depth that
+    disagreed with the build silently returned 0 — an UNDERCOUNT
+    from the one estimator whose contract is never-undercount
+    (review find; the kmv_estimate k-derivation lesson applied).
+    Width/hash_mode must still match by contract (the counter table
+    carries only (row, col, c) — cms wire format kept for q188
+    oracle stability); an EMPTY side estimates 0 (an empty stream
+    joins to nothing).
 
     Envelope: the dot accumulates in int64 — exact while
     ``N_A · N_B < 2^63`` (stream sizes' product under ~9·10^18, i.e.
@@ -182,6 +183,9 @@ def cms_join_size(
 
     Returns one row: ``est_join_size bigint`` (never an undercount).
     """
+    meta = a.agg((F.max("row") + 1).alias("_da")).crossJoin(
+        b.agg((F.max("row") + 1).alias("_db"))
+    )
     aa = a.select("row", "col", F.col("c").alias("_ca"))
     bb = b.select("row", "col", F.col("c").alias("_cb"))
     per_row = (
@@ -193,12 +197,32 @@ def cms_join_size(
             .alias("_dot")
         )
     )
-    return per_row.agg(
-        F.when(F.count(F.lit(1)) == depth, F.min("_dot"))
+    agg = per_row.agg(
+        F.count(F.lit(1)).alias("_nr"), F.min("_dot").alias("_mind")
+    ).crossJoin(F.broadcast(meta))
+    est = (
+        F.when(
+            F.col("_da").isNull() | F.col("_db").isNull(), F.lit(0)
+        )
+        .when(
+            F.col("_da") != F.col("_db"),
+            F.raise_error(
+                F.lit(
+                    "cms_join_size: the two sketches have DIFFERENT "
+                    "depths (derived from their row indexes) — they "
+                    "were built with different geometries and their "
+                    "row dot products are meaningless together. "
+                    "Rebuild to one width/depth/hash_mode."
+                )
+            ).cast("bigint"),
+        )
+        # _nr < depth: some row pair shares no bucket, so that row's
+        # dot is 0 and the min over all depth rows is 0 (a join with
+        # no shared keys)
+        .when(F.col("_nr") == F.col("_da"), F.col("_mind"))
         .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("est_join_size")
     )
+    return agg.select(est.cast("bigint").alias("est_join_size"))
 
 
 # ---------------------------------------------------------------------------
@@ -591,9 +615,12 @@ def fixed_histogram_quantiles(
 # the buckets are singletons (EXACT); above that lead has exactly
 # ``digits`` digits, giving relative width 1/lead ≤ 10^(1-digits)
 # (digits=3 ⇒ ≤ 1%). Zero and signs get their own buckets; a negative
-# bucket's representative is its edge NEARER zero, so reported
-# quantiles are within one bucket width toward −∞ of the truth there
-# (toward +∞ for positives) — the one-sided bound DDSketch also gives.
+# bucket's representative is its edge NEARER zero, so a reported
+# quantile is one-sidedly biased TOWARD ZERO: for positives
+# rep ≤ true < rep·(1 + 1/lead) (bias toward −∞ — what the long-tail
+# test asserts), for negatives true ∈ (rep − 10^p, rep] (bias toward
+# +∞). The direction was stated backwards here originally — review
+# find; "never overestimates a positive quantile" is the guarantee.
 #
 # Scale shape mirrors the other sketches: build is ONE map-side-
 # combined groupBy (≤ ~9·digits·19 + 1 buckets per group per sign —
@@ -760,6 +787,38 @@ def _bloom_geom(hash_mode: str, m_bits: int, k: int) -> str:
     return f"bloom1-{hash_mode}-m{m_bits}-k{k}"
 
 
+def _bloom_words(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int,
+    k: int,
+    hash_mode: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The ONE word/mask derivation build and probe share (a fix
+    applied to one site and not the other would manifest as false
+    negatives — review find): explode the k positions, then
+    ``word = pos div 63`` (integer division, mirroring the oracle's
+    ``pos // 63`` — no float detour on the gate path; review find)
+    and ``_mask = 1 << (pos mod 63)``."""
+    pos = _bloom_positions(item_col, m_bits, k, hash_mode)
+    return df.select(
+        *extra_cols, item_col, F.explode(pos).alias("_pos")
+    ).select(
+        *extra_cols,
+        item_col,
+        F.expr(
+            f"CAST(_pos div {BLOOM_WORD_BITS} AS INT)"
+        ).alias("word"),
+        # pyspark's shiftleft() insists on a literal shift amount —
+        # the SQL form takes a column
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("_mask"),
+    )
+
+
 def _bloom_positions(item_col: str, m_bits: int, k: int,
                      hash_mode: str):
     """k bit positions in [0, m_bits) as an array Column — the shared
@@ -802,20 +861,8 @@ def bloom_build(
     for ~1%% at k=4. One map-side-combined aggregation: the wire
     carries ≤ ceil(m/63) words per group per partition, never the
     items."""
-    pos = _bloom_positions(item_col, m_bits, k, hash_mode)
-    exploded = items.select(
-        *group_cols, F.explode(pos).alias("_pos")
-    ).select(
-        *group_cols,
-        (F.col("_pos") / F.lit(BLOOM_WORD_BITS))
-        .cast("int")
-        .alias("word"),
-        # pyspark's shiftleft() insists on a literal shift amount —
-        # the SQL form takes a column
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("_mask"),
+    exploded = _bloom_words(
+        items, item_col, m_bits, k, hash_mode, extra_cols=group_cols
     )
     return (
         exploded.groupBy(*group_cols, "word")
@@ -829,8 +876,13 @@ def bloom_build(
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Word-wise bit_or = set union of the underlying sets (no
     false-negative creep, FPR of the union's cardinality). Mixed
-    geometries fail loudly at execution — word indexes from different
-    (m, k, hash) spaces must never OR together."""
+    geometries fail loudly at execution when their word rows collide
+    — word indexes from different (m, k, hash) spaces must never OR
+    together. Two sparse filters whose word sets happen to be
+    DISJOINT pass this per-word check vacuously (the rq_merge
+    pitfall); the whole-table geometry assertion in bloom_contains is
+    the backstop that catches such a mix the first time the merged
+    filter is probed (review find)."""
     out = filters[0]
     for f in filters[1:]:
         out = out.unionByName(f)
@@ -860,45 +912,47 @@ def bloom_contains(
     k: int = 4,
     hash_mode: str = "poly",
 ) -> DataFrame:
-    """Membership probe: appends ``maybe_present`` (boolean) to the
-    probe rows — ``false`` is CERTAIN absence, ``true`` is presence
-    up to the FPR. The filter must be ungrouped (one filter table);
-    its ``geom`` is asserted against the probe parameters ROW-WISE at
-    execution, so the cms_estimate-class silent mismatch (a wrong
-    m/k/hash reading never-set bits as 0 and waving contaminated
-    items through) raises instead. The filter broadcasts (≤ ceil(m/63)
-    words); the probe side shuffles nothing but its own k-position
-    explode + per-item AND-reduction."""
+    """Membership probe: returns ONE ROW PER DISTINCT ``item_col``
+    value with ``maybe_present`` (boolean) — ``false`` is CERTAIN
+    absence, ``true`` is presence up to the FPR. (Not an append to
+    the probe rows: other probe columns and row multiplicity are
+    dropped — join the result back by item if you need them; review
+    find on the original docstring's claim.) The filter must be
+    ungrouped (one filter table). Its ``geom`` is asserted as a
+    WHOLE-FILTER scalar (one-row aggregate broadcast onto every
+    probe row): single distinct value AND equal to the probe
+    parameters — a per-word row-wise check would silently pass for
+    probe words absent from the sparse filter table (NULL geom) and
+    for mixed-geometry filters whose word sets don't collide, both
+    exactly the silent-false-negative class the guard exists to kill
+    (review find). This probe-time whole-filter check is also the
+    backstop bloom_merge's per-word guard defers to. The filter
+    broadcasts (≤ ceil(m/63) words); the probe side shuffles nothing
+    but its own k-position explode + per-item AND-reduction."""
     expected = _bloom_geom(hash_mode, m_bits, k)
-    pos = _bloom_positions(item_col, m_bits, k, hash_mode)
-    pp = probes.select(
-        item_col, F.explode(pos).alias("_pos")
-    ).select(
-        item_col,
-        (F.col("_pos") / F.lit(BLOOM_WORD_BITS))
-        .cast("int")
-        .alias("word"),
-        # pyspark's shiftleft() insists on a literal shift amount —
-        # the SQL form takes a column
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("_mask"),
+    pp = _bloom_words(probes, item_col, m_bits, k, hash_mode)
+    gscalar = bloom.agg(
+        F.count_distinct("geom").alias("_ng"),
+        F.max("geom").alias("_geom"),
     )
-    j = pp.join(F.broadcast(bloom), ["word"], "left")
-    geom_ok = F.col("geom").isNull() | (F.col("geom") == F.lit(expected))
+    j = pp.join(
+        F.broadcast(bloom.select("word", "bits")), ["word"], "left"
+    ).crossJoin(F.broadcast(gscalar))
     hit = (
         F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_mask"))
         == F.col("_mask")
     ).cast("int")
-    hit_guarded = F.when(geom_ok, hit).otherwise(
+    hit_guarded = F.when(
+        (F.col("_ng") == 1) & (F.col("_geom") == F.lit(expected)), hit
+    ).otherwise(
         F.raise_error(
             F.lit(
                 "bloom_contains: filter geometry does not match the "
-                f"probe parameters ({expected}) — a mismatched m_bits/"
-                "k/hash_mode reads never-set bits as absent and "
-                "returns false negatives. Probe with the build's "
-                "parameters."
+                f"probe parameters ({expected}), or the filter table "
+                "mixes geometries — a mismatched m_bits/k/hash_mode "
+                "reads never-set bits as absent and returns false "
+                "negatives. Probe with the build's parameters; "
+                "rebuild mixed tables to one geometry."
             )
         )
     )

@@ -13154,8 +13154,14 @@ def q239(spark, sf_dir):
         .cast("long")
         .alias("cents"),
     ).filter(F.col("cents").isNotNull())
-    shard_a = ev.filter(F.col("user_id") % 2 == 0)
-    shard_b = ev.filter(F.col("user_id") % 2 != 0)
+    # NULL-SAFE shard split: user_id % 2 is NULL for a NULL user_id,
+    # which would land the row in NEITHER shard — dropping its cents
+    # from the Spark sketch while the oracle (no shard) counts it
+    # (review find; fixture-safe today, latent red otherwise). The
+    # coalesced expression partitions every row exactly once.
+    shard = F.coalesce(F.pmod(F.col("user_id"), F.lit(2)), F.lit(0))
+    shard_a = ev.filter(shard == 0)
+    shard_b = ev.filter(shard != 0)
     sk = sketches.rq_merge(
         sketches.rq_build(
             shard_a, "cents", group_cols=("event_type",), digits=3
@@ -13182,10 +13188,11 @@ def _q240_oracle_sql(m_bits: int, k: int) -> str:
     bl AS MATERIALIZED (
       SELECT DISTINCT cast(user_id AS varchar) AS uid
       FROM events, d0
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
         AND epoch_us(ts) // 86400000000 = d0.d),
     pr AS MATERIALIZED (
-      SELECT DISTINCT cast(user_id AS varchar) AS uid FROM events),
+      SELECT DISTINCT cast(user_id AS varchar) AS uid FROM events
+      WHERE user_id IS NOT NULL),
     bb AS (SELECT uid, {_cm_sql(_ph_sql("uid"))} AS gh FROM bl),
     bpos AS (SELECT ({_ah_sql('gh', 'g.i', k)}) % {m_bits} AS pos
              FROM bb, unnest(generate_series(0, {k - 1})) AS g(i)),
@@ -13239,7 +13246,10 @@ def q240(spark, sf_dir):
     day = F.expr("unix_micros(ts) div 86400000000")
     d0 = ev.agg(F.min(day).alias("_d0"))
     bl = (
-        ev.filter(F.col("event_type") == "purchase")
+        ev.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("user_id").isNotNull()
+        )
         .select(
             F.col("user_id").cast("string").alias("uid"),
             day.alias("_day"),
@@ -13249,9 +13259,16 @@ def q240(spark, sf_dir):
         .select("uid")
         .distinct()
     )
-    pr = ev.select(
-        F.col("user_id").cast("string").alias("uid")
-    ).distinct()
+    # NULL user_ids are excluded on BOTH engines up front: a NULL
+    # probe key hashes to NULL positions, which Spark's explode drops
+    # (row vanishes) while SQL CASE logic keeps it as false — the
+    # cross-engine divergence class the round's gates exist to kill
+    # (review find; fixture-safe today).
+    pr = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .distinct()
+    )
     bloom = sketches.bloom_build(
         bl, "uid", m_bits=8192, k=4, hash_mode="poly"
     )
@@ -13292,10 +13309,10 @@ def _q241_oracle_sql(width: int, depth: int) -> str:
     return f"""
     WITH va AS MATERIALIZED (
       SELECT cast(user_id AS varchar) AS uid FROM events
-      WHERE event_type = 'view'),
+      WHERE event_type = 'view' AND user_id IS NOT NULL),
     vb AS MATERIALIZED (
       SELECT cast(user_id AS varchar) AS uid FROM events
-      WHERE event_type = 'purchase'),
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
     ca AS MATERIALIZED {counters('va')},
     cb AS MATERIALIZED {counters('vb')},
     dots AS (SELECT a.row, CAST(sum(a.c * b.c) AS BIGINT) AS dot
@@ -13336,15 +13353,18 @@ def q241(spark, sf_dir):
     from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
 
     ev = t(spark, sf_dir, "events")
-    va = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").cast("string").alias("uid")
-    )
-    vb = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").cast("string").alias("uid")
-    )
+    # NULL user_ids excluded both engines (same class as q240 —
+    # NULL keys hash to NULL buckets with engine-specific fates)
+    va = ev.filter(
+        (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("uid"))
+    vb = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("user_id").isNotNull()
+    ).select(F.col("user_id").cast("string").alias("uid"))
     ka = cms_build(va, "uid", width=1024, depth=4, hash_mode="poly")
     kb = cms_build(vb, "uid", width=1024, depth=4, hash_mode="poly")
-    est = cms_join_size(ka, kb, depth=4)
+    est = cms_join_size(ka, kb)
     fa = va.groupBy("uid").agg(F.count(F.lit(1)).alias("na"))
     fb = vb.groupBy("uid").agg(F.count(F.lit(1)).alias("nb"))
     tru = (

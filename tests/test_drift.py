@@ -205,7 +205,7 @@ def test_cusum_short_training_window_fails_loudly(spark):
     short = spark.createDataFrame(
         [("a", d, 10) for d in range(5)], "g string, day long, x long"
     )
-    with pytest.raises(PySparkException, match="fewer than train_days"):
+    with pytest.raises(PySparkException, match="expected train_days"):
         cusum_counts(
             short, group_col="g", day_col="day", x_col="x",
             train_days=14,
@@ -216,7 +216,7 @@ def test_cusum_short_training_window_fails_loudly(spark):
         [("a", d, 10) for d in range(20) if d != 3],
         "g string, day long, x long",
     )
-    with pytest.raises(PySparkException, match="fewer than train_days"):
+    with pytest.raises(PySparkException, match="expected train_days"):
         cusum_counts(
             gappy, group_col="g", day_col="day", x_col="x",
             train_days=14,

@@ -584,7 +584,7 @@ def test_cms_join_size_never_undercounts_and_exact_when_collision_free(
     db = spark.createDataFrame([(v,) for v in b], "item string")
     ka = cms_build(da, "item", width=1024, depth=4, hash_mode="poly")
     kb = cms_build(db, "item", width=1024, depth=4, hash_mode="poly")
-    est = cms_join_size(ka, kb, depth=4).first().est_join_size
+    est = cms_join_size(ka, kb).first().est_join_size
     assert est >= truth
     # 50-ish distinct items in 1024 buckets x4 rows: collision-free
     assert est == truth
@@ -599,7 +599,7 @@ def test_cms_join_size_disjoint_keys_is_zero_or_tiny(spark):
                                "item string")
     ka = cms_build(da, "item", width=1024, depth=4, hash_mode="poly")
     kb = cms_build(db, "item", width=1024, depth=4, hash_mode="poly")
-    est = cms_join_size(ka, kb, depth=4).first().est_join_size
+    est = cms_join_size(ka, kb).first().est_join_size
     # truth is 0; collisions may add a little, min-over-rows usually 0
     assert 0 <= est <= 5
 
@@ -617,5 +617,34 @@ def test_cms_join_size_heavy_collision_still_upper_bound(spark):
     db = spark.createDataFrame([(v,) for v in b], "item string")
     ka = cms_build(da, "item", width=4, depth=3, hash_mode="poly")
     kb = cms_build(db, "item", width=4, depth=3, hash_mode="poly")
-    est = cms_join_size(ka, kb, depth=3).first().est_join_size
+    est = cms_join_size(ka, kb).first().est_join_size
     assert est >= truth  # never undercounts, however crowded
+
+
+def test_cms_join_size_depth_mismatch_fails_loudly(spark):
+    """A caller mixing sketches of different depths used to get a
+    silent 0 — an undercount from the never-undercount estimator
+    (review find). Depth is now derived from each table and asserted
+    equal."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    da = spark.createDataFrame([(f"k{i}",) for i in range(30)],
+                               "item string")
+    ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
+    kb = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    with pytest.raises(PySparkException, match="DIFFERENT depths"):
+        cms_join_size(ka, kb).collect()
+
+
+def test_cms_join_size_empty_side_is_zero(spark):
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    da = spark.createDataFrame([(f"k{i}",) for i in range(10)],
+                               "item string")
+    empty = spark.createDataFrame([], "item string")
+    ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
+    ke = cms_build(empty, "item", width=64, depth=4, hash_mode="poly")
+    assert cms_join_size(ka, ke).first().est_join_size == 0
