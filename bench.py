@@ -142,6 +142,11 @@ HEADLINE = [
     "q238_rolling_distinct_kmv", # banded register-table window merge (r9 add)
     "q239_relative_quantiles",   # decimal-bucket DDSketch-style quantiles (r9 add)
     "q240_bloom_decontamination",  # bitmask build + broadcast membership probe (r9 add)
+    "q242_kmv_rollup_cube",      # grouping-sets cube from registers alone (r9 add)
+    "q243_range_partition_plan", # deterministic range-cut planner + balance (r9 add)
+    # q244 (quantile rollup) stays unbenched under rule (d): its cost
+    # is q239's bucket build (the benched rq shape) plus q242-class
+    # tiny per-level re-aggregations of the bucket table.
     # q241 (CMS join-size) stays unbenched under rule (d): its cost is
     # two q188-class counter builds (the benched shape) plus a
     # depth×width-bounded dot product — nothing new to time.

@@ -535,6 +535,75 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
     ).withColumnRenamed("_union_reg_sum", "union_reg_sum")
 
 
+def kmv_rollup(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...],
+    sets: tuple[tuple[str, ...], ...] | None = None,
+) -> DataFrame:
+    """GROUPING-SETS distinct-count estimates from ONE register table —
+    the sketch-cube pattern: build registers once at the FINEST grain
+    (``kmv_build(..., group_cols=group_cols)``), then answer every
+    coarser rollup level by register-wise min over the dropped
+    dimensions, never re-scanning the data the sketch summarized.
+
+    At 100 TB this is the entire point of a mergeable sketch: an exact
+    ``COUNT(DISTINCT x) GROUP BY GROUPING SETS (...)`` re-shuffles the
+    full corpus once PER LEVEL (Spark physically expands grouping sets
+    before the exchange), while the cube here re-aggregates a
+    ``|finest groups| · k``-row register table per level — KBs, not
+    TBs — and the same register table keeps answering tomorrow after a
+    ``kmv_merge`` with tomorrow's build.
+
+    ``sets`` defaults to the ROLLUP chain (finest grain, then drop the
+    trailing column one at a time, down to the grand total); pass
+    explicit subsets of ``group_cols`` for CUBE or arbitrary grouping
+    sets. Returns one row per group per level with the standard SQL
+    ``GROUPING_ID`` convention: ``gid`` has bit ``1 << (len-1-pos)``
+    set when ``group_cols[pos]`` is rolled away, and rolled-away
+    columns are NULL (callers whose real group values can be NULL must
+    disambiguate by ``gid``, exactly as in SQL). Output:
+    ``(*group_cols, gid bigint, reg_sum bigint, est double)`` — the
+    estimate columns are kmv_estimate's, so the mixed-family guard
+    stays armed per level (``fam`` rides the re-min as a grouping key
+    and a family mix dies inside kmv_estimate's protected outputs).
+    """
+    if sets is None:
+        sets = tuple(
+            tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
+        )
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"kmv_rollup: grouping set {s!r} names non-group "
+                f"columns {bad!r} (group_cols={group_cols!r})"
+            )
+    has_fam = "fam" in sketch.columns
+    dtypes = dict(sketch.dtypes)
+    out = None
+    for s in sets:
+        keep = [c for c in group_cols if c in s]
+        keys = [*keep, "i", *(["fam"] if has_fam else [])]
+        level = sketch.groupBy(*keys).agg(F.min("m").alias("m"))
+        est = kmv_estimate(level, group_cols=tuple(keep))
+        gid = sum(
+            1 << (len(group_cols) - 1 - pos)
+            for pos, c in enumerate(group_cols)
+            if c not in s
+        )
+        row = est.select(
+            *[
+                (F.col(c) if c in s else F.lit(None).cast(dtypes[c])).alias(c)
+                for c in group_cols
+            ],
+            F.lit(gid).cast("bigint").alias("gid"),
+            "reg_sum",
+            "est",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def fixed_histogram_quantiles(
     df: DataFrame,
     group_cols: tuple[str, ...],
@@ -746,6 +815,67 @@ def rq_quantiles(
             .alias(f"q_{num}_{den}")
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def rq_rollup(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...],
+    sets: tuple[tuple[str, ...], ...] | None = None,
+    quantiles: tuple[tuple[int, int], ...] = ((1, 2), (9, 10), (99, 100)),
+) -> DataFrame:
+    """GROUPING-SETS quantiles from ONE bucket table — kmv_rollup's
+    twin for the rq sketch: build buckets once at the finest grain
+    (``rq_build(..., group_cols=group_cols)``), then answer every
+    coarser level by bucket-wise count ADDITION over the dropped
+    dimensions (rq_merge's law — histograms add), never re-scanning or
+    re-sorting the data. An exact grouped-quantile cube needs a full
+    sort (or one windowed pass) of the corpus PER LEVEL; this
+    re-aggregates a few-thousand-row bucket table per level.
+
+    Same conventions as kmv_rollup: ``sets`` defaults to the ROLLUP
+    chain; ``gid`` is the SQL GROUPING_ID bit pattern; rolled-away
+    columns are NULL. Output ``(*group_cols, gid bigint, n bigint,
+    q_<num>_<den> bigint …)`` — whole rows int64, and each level runs
+    through rq_quantiles so the mixed-``dig``-generation guard stays
+    armed per level (``dig`` rides the re-aggregation as a bucket
+    key)."""
+    if sets is None:
+        sets = tuple(
+            tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
+        )
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"rq_rollup: grouping set {s!r} names non-group "
+                f"columns {bad!r} (group_cols={group_cols!r})"
+            )
+    dtypes = dict(sketch.dtypes)
+    qcols = [f"q_{num}_{den}" for num, den in quantiles]
+    out = None
+    for s in sets:
+        keep = [c for c in group_cols if c in s]
+        keys = [*keep, "sign", "p", "lead", "dig"]
+        level = sketch.groupBy(*keys).agg(
+            F.sum("cnt").cast("bigint").alias("cnt")
+        )
+        qs = rq_quantiles(level, tuple(keep), quantiles)
+        gid = sum(
+            1 << (len(group_cols) - 1 - pos)
+            for pos, c in enumerate(group_cols)
+            if c not in s
+        )
+        row = qs.select(
+            *[
+                (F.col(c) if c in s else F.lit(None).cast(dtypes[c])).alias(c)
+                for c in group_cols
+            ],
+            F.lit(gid).cast("bigint").alias("gid"),
+            "n",
+            *qcols,
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -72,3 +72,120 @@ def salted_join(
         f = facts.withColumn(SALT, scatter)
         d = dims.withColumn(SALT, replicate)
     return f.join(d, [on, SALT], how).drop(SALT)
+
+
+def range_cuts(
+    df: DataFrame,
+    cents_col: str,
+    parts: int,
+    digits: int = 3,
+) -> list[int]:
+    """``parts - 1`` range-partition cut points for an integer
+    (cents-like) column, picked from the rq quantile sketch
+    (operators/sketches.py) — a DETERMINISTIC, replayable alternative
+    to ``repartitionByRange``'s reservoir sampling, whose boundaries
+    change run to run and are invisible to any cross-engine audit.
+
+    One map-side-combined pass builds the bucket table (≤ a few
+    thousand rows at ``digits=3``); the cuts are the j/parts lower
+    quantiles selected by integer cross-multiplication, collected as
+    bounded model state (``parts - 1`` int64s — the same class as a
+    broadcast model). Each cut is exact below 10^digits magnitude and
+    within 10^(1-digits) relative error above, which bounds the
+    balance error of the resulting plan to the same factor plus the
+    mass of any single repeated value (a value heavier than n/parts
+    CANNOT be split by any range partitioner — salting is the tool
+    there, not more quantiles).
+    """
+    from gpi_etl_spark.operators.sketches import rq_build, rq_quantiles
+
+    if parts < 2:
+        raise ValueError(f"range_cuts: parts must be >= 2, got {parts}")
+    sk = rq_build(df, cents_col, (), digits)
+    qs = tuple((j, parts) for j in range(1, parts))
+    row = rq_quantiles(sk, (), qs).collect()
+    # an empty sketch (no rows / all-NULL column) still yields ONE
+    # global-agg row, with every quantile NULL — reject both shapes
+    cuts = [row[0][f"q_{j}_{parts}"] for j in range(1, parts)] if row else []
+    if not cuts or any(c is None for c in cuts):
+        raise ValueError("range_cuts: no non-NULL rows to plan from")
+    return cuts
+
+
+def range_plan(
+    df: DataFrame,
+    cents_col: str,
+    parts: int,
+    digits: int = 3,
+) -> DataFrame:
+    """Plan a range partitioning of ``df`` on an integer column and
+    REPORT its expected balance before paying for the shuffle: assign
+    every row to the bucket its value falls in under
+    :func:`range_cuts`' deterministic boundaries, then emit one row
+    per bucket. At 100 TB this is the pre-flight check that catches a
+    straggler plan while it still costs a sketch pass instead of a
+    failed 4-hour stage.
+
+    Output, one row per bucket id 0..parts-1 (empty buckets included —
+    a duplicated cut under heavy skew leaves holes, and a hole IS the
+    skew diagnostic): ``lo`` (exclusive lower cut, NULL for bucket 0),
+    ``hi`` (inclusive upper cut, NULL for the last), ``cnt``, ``n``
+    (total non-NULL rows) — all int64 — and ``bal_r``, the bucket's
+    load relative to the ideal n/parts (floor-scaled 6dp; cnt·parts
+    and n are exact int64s ≤ 2^53, so the single IEEE division is
+    correctly rounded and identical cross-engine). bal_r ≈ 1.0
+    everywhere is a green light; a bucket at 3.0 holds 3× its share
+    and will straggle. Assignment is ``parts - 1`` codegen'd integer
+    comparisons per row — no UDF, no shuffle beyond the count's
+    map-side combine."""
+    from functools import reduce
+
+    cuts = range_cuts(df, cents_col, parts, digits)
+    v = F.col(cents_col).cast("long")
+    bucket = reduce(
+        lambda acc, c: acc + (v > F.lit(c)).cast("int"),
+        cuts,
+        F.lit(0),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(parts).select(F.col("id").cast("int").alias("bucket"))
+    lo = F.when(
+        F.col("bucket") > 0,
+        F.element_at(
+            F.array(*[F.lit(c).cast("long") for c in cuts]), F.col("bucket")
+        ),
+    )
+    hi = F.when(
+        F.col("bucket") < parts - 1,
+        F.element_at(
+            F.array(*[F.lit(c).cast("long") for c in cuts]),
+            F.col("bucket") + 1,
+        ),
+    )
+    full = (
+        spine.join(counts, "bucket", "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0).cast("bigint")))
+        .withColumn("lo", lo.cast("long"))
+        .withColumn("hi", hi.cast("long"))
+    )
+    n_total = full.select(F.sum("cnt").cast("bigint").alias("n"))
+    out = full.crossJoin(F.broadcast(n_total))
+    from gpi_etl_spark.functions.rounding import fs6
+
+    bal = (F.col("cnt") * F.lit(parts)).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    return out.select(
+        "bucket",
+        "lo",
+        "hi",
+        "cnt",
+        "n",
+        fs6(bal).alias("bal_r"),
+    )

@@ -13382,3 +13382,269 @@ def q241(spark, sf_dir):
         .cast("bigint")
         .alias("overcount"),
     )
+
+
+def _q242_oracle_sql(k: int) -> str:
+    """DuckDB replay of the KMV ROLLUP CUBE: registers at the finest
+    (status, priority) grain via the q221/q238 chain, then every
+    coarser level by register-wise min over the dropped dimension —
+    the replay answers each level from the register CTE alone,
+    exactly like the operator. The exact baseline uses GROUPING SETS
+    with the standard grouping_id bit convention (status bit 2,
+    priority bit 1 — group_cols order)."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE) / cast(s.reg_sum + {k} AS double)"
+        " - 1.0"
+    )
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT o_orderstatus AS st, o_orderpriority AS pri,
+             cast(o_custkey AS varchar) AS cust
+      FROM orders),
+    hb AS MATERIALIZED (
+      SELECT st, pri, {_ph_sql("cust")} AS h FROM src),
+    gm AS MATERIALIZED (
+      SELECT st, pri, {_cm_sql("h")} AS gh FROM hb),
+    r AS (SELECT st, pri, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS MATERIALIZED (
+      SELECT st, pri, i, min(ah) AS mi FROM r GROUP BY 1, 2, 3),
+    lv AS (
+      SELECT st, pri, 0 AS gid, i, mi FROM m
+      UNION ALL
+      SELECT st, NULL, 1, i, min(mi) FROM m GROUP BY st, i
+      UNION ALL
+      SELECT NULL, pri, 2, i, min(mi) FROM m GROUP BY pri, i
+      UNION ALL
+      SELECT NULL, NULL, 3, i, min(mi) FROM m GROUP BY i),
+    s AS (SELECT st, pri, gid, cast(sum(mi) AS bigint) AS reg_sum
+          FROM lv GROUP BY 1, 2, 3),
+    e AS (SELECT st, pri,
+                 cast(grouping(st) * 2 + grouping(pri) AS bigint)
+                   AS gid,
+                 count(DISTINCT cust) AS exact_custs
+          FROM src
+          GROUP BY GROUPING SETS ((st, pri), (st), (pri), ()))
+    SELECT s.st AS o_orderstatus, s.pri AS o_orderpriority,
+           cast(s.gid AS bigint) AS gid,
+           cast({k} AS int) AS k,
+           cast(e.exact_custs AS bigint) AS exact_custs,
+           s.reg_sum,
+           {fs6_sql(est)} AS est_r
+    FROM s JOIN e
+      ON s.gid = e.gid
+     AND s.st IS NOT DISTINCT FROM e.st
+     AND s.pri IS NOT DISTINCT FROM e.pri
+    """
+
+
+@query("q242_kmv_rollup_cube", _q242_oracle_sql(64))
+def q242(spark, sf_dir):
+    """Distinct customers per (status, priority) GROUPING SETS cube,
+    answered from ONE register table (sketches.kmv_build at the finest
+    grain + sketches.kmv_rollup) — the sketch-cube pattern that makes
+    mergeable summaries pay at 100 TB: an exact COUNT(DISTINCT)
+    grouping-sets query re-shuffles the corpus once PER LEVEL (Spark
+    physically expands grouping sets before the exchange), while the
+    rollup here re-aggregates a |groups|·k register table per level —
+    KBs, not TBs — and the SAME register table answers tomorrow after
+    a kmv_merge with tomorrow's build. exact_custs rides along per
+    level (computed by a real grouping-sets countDistinct, NOT the
+    sketch) so the readout shows the estimator's error against the
+    1/sqrt(64) ≈ 12.5% envelope at every rollup altitude. gid follows
+    the SQL GROUPING_ID bit convention on both engines (F.grouping_id
+    == grouping(st)·2 + grouping(pri)); all sketch internals are exact
+    integers under the hash gate; only est_r floats, through the
+    single-division + floor-scale convention."""
+    from gpi_etl_spark.operators import sketches
+
+    gcols = ("o_orderstatus", "o_orderpriority")
+    o = t(spark, sf_dir, "orders").select(
+        *gcols, F.col("o_custkey").cast("string").alias("cust")
+    )
+    sk = sketches.kmv_build(
+        o, "cust", group_cols=gcols, k=64, hash_mode="poly"
+    )
+    cube_sets = (gcols, (gcols[0],), (gcols[1],), ())
+    est = sketches.kmv_rollup(sk, gcols, cube_sets)
+    exact = (
+        o.cube(*gcols)
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid2"),
+            F.countDistinct("cust").alias("exact_custs"),
+        )
+        .select(
+            F.col(gcols[0]).alias("st2"),
+            F.col(gcols[1]).alias("pri2"),
+            "gid2",
+            "exact_custs",
+        )
+    )
+    joined = est.join(
+        exact,
+        (F.col("gid") == F.col("gid2"))
+        & F.col(gcols[0]).eqNullSafe(F.col("st2"))
+        & F.col(gcols[1]).eqNullSafe(F.col("pri2")),
+    )
+    return joined.select(
+        *gcols,
+        "gid",
+        F.lit(64).cast("int").alias("k"),
+        F.col("exact_custs").cast("bigint").alias("exact_custs"),
+        "reg_sum",
+        fs6(F.col("est")).alias("est_r"),
+    )
+
+
+_Q243_ORACLE = f"""
+    WITH c AS MATERIALIZED (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    b AS (SELECT CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 count(*) AS cnt
+          FROM c GROUP BY 1, 2, 3),
+    r AS (SELECT sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                 cnt
+          FROM b),
+    f AS MATERIALIZED (
+      SELECT rep, cnt,
+             sum(cnt) OVER (ORDER BY rep ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+      FROM r),
+    cuts AS MATERIALIZED (
+      SELECT g.j AS j,
+             (SELECT min(rep) FROM f WHERE cum * 8 >= n * g.j) AS cut
+      FROM unnest(generate_series(1, 7)) AS g(j)),
+    a AS (SELECT c.o_orderkey, count(q.cut) AS bucket
+          FROM c LEFT JOIN cuts q ON c.c > q.cut GROUP BY 1),
+    bc AS (SELECT bucket, cast(count(*) AS bigint) AS cnt
+           FROM a GROUP BY 1),
+    spine AS (SELECT cast(g.b AS int) AS bucket
+              FROM unnest(generate_series(0, 7)) AS g(b)),
+    fl AS (SELECT s.bucket,
+                  (SELECT cut FROM cuts WHERE j = s.bucket) AS lo,
+                  (SELECT cut FROM cuts WHERE j = s.bucket + 1) AS hi,
+                  coalesce(bc.cnt, 0) AS cnt
+           FROM spine s LEFT JOIN bc ON bc.bucket = s.bucket),
+    tot AS (SELECT cast(sum(cnt) AS bigint) AS n FROM fl)
+    SELECT fl.bucket, cast(fl.lo AS bigint) AS lo,
+           cast(fl.hi AS bigint) AS hi,
+           cast(fl.cnt AS bigint) AS cnt, tot.n,
+           {fs6_sql("cast(fl.cnt * 8 AS double) / cast(tot.n AS double)")}
+             AS bal_r
+    FROM fl, tot
+    """
+
+
+@query("q243_range_partition_plan", _Q243_ORACLE)
+def q243(spark, sf_dir):
+    """Deterministic range-partition plan + balance report
+    (skew.range_cuts / skew.range_plan): pick 8-way
+    repartitionByRange-style boundaries for the order-value column
+    from the rq quantile sketch (one map-side-combined pass over a
+    few-thousand-row bucket table, cuts collected as parts-1 int64s
+    of bounded model state), assign every row with 7 codegen'd
+    integer comparisons, and report per-bucket load BEFORE paying for
+    the shuffle. This is the pre-flight that Spark's own
+    repartitionByRange cannot give you: its reservoir sampling draws
+    different boundaries every run (invisible to any cross-engine
+    audit), while these cuts replay bit-exactly in DuckDB through the
+    rq bucket walk and integer cross-multiplied quantile rule. Empty
+    buckets ARE emitted (a duplicated cut under heavy skew leaves
+    holes — the hole is the diagnostic); lo is exclusive, hi
+    inclusive, NULL at the open ends. Whole row int64 except bal_r
+    (cnt·8/n: exact int64s → one correctly-rounded IEEE division →
+    floor-scale 6dp)."""
+    from gpi_etl_spark.operators.skew import range_plan
+
+    o = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    return range_plan(o, "cents", parts=8, digits=3).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "lo",
+        "hi",
+        "cnt",
+        "n",
+        "bal_r",
+    )
+
+
+_Q244_ORACLE = """
+    WITH c AS (SELECT event_type,
+                      CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+    b AS (SELECT event_type,
+                 CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 count(*) AS cnt
+          FROM c GROUP BY 1, 2, 3, 4),
+    lv AS (SELECT event_type, 0 AS gid, sign, p, lead, cnt FROM b
+           UNION ALL
+           SELECT NULL, 1, sign, p, lead, sum(cnt)
+           FROM b GROUP BY sign, p, lead),
+    r AS (SELECT event_type, gid,
+                 sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                 cnt
+          FROM lv),
+    f AS (SELECT event_type, gid, rep, cnt,
+                 sum(cnt) OVER (PARTITION BY gid, event_type
+                                ORDER BY rep
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY gid, event_type) AS n
+          FROM r)
+    SELECT event_type, cast(gid AS bigint) AS gid,
+           cast(max(n) AS bigint) AS n,
+           cast(min(CASE WHEN cum * 2 >= n * 1 THEN rep END)
+                AS bigint) AS q_1_2,
+           cast(min(CASE WHEN cum * 10 >= n * 9 THEN rep END)
+                AS bigint) AS q_9_10,
+           cast(min(CASE WHEN cum * 100 >= n * 99 THEN rep END)
+                AS bigint) AS q_99_100
+    FROM f GROUP BY event_type, gid
+    """
+
+
+@query("q244_quantile_rollup", _Q244_ORACLE)
+def q244(spark, sf_dir):
+    """Median/p90/p99 of event value per type AND overall from ONE
+    bucket table (sketches.rq_build at the finest grain +
+    sketches.rq_rollup) — kmv_rollup's twin for quantiles: the
+    grand-total level is answered by bucket-wise count ADDITION over
+    the per-type buckets (rq_merge's law — histograms add), never by
+    re-scanning or re-sorting the corpus, which is what an exact
+    grouped-quantile cube costs per level. gid follows the SQL
+    GROUPING_ID convention (0 = per-type row, 1 = the rolled-up
+    grand total, event_type NULL); the ENTIRE row is int64 — the
+    quantile thresholds are the den·cum ≥ num·n integer
+    cross-multiplication and the bucket representative is
+    reconstructed exactly via string concatenation, so no float
+    exists on either engine. The mixed-dig guard stays armed per
+    level (dig rides the re-aggregation as a bucket key)."""
+    from gpi_etl_spark.operators import sketches
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    sk = sketches.rq_build(ev, "cents", ("event_type",), digits=3)
+    return sketches.rq_rollup(sk, ("event_type",)).select(
+        "event_type", "gid", "n", "q_1_2", "q_9_10", "q_99_100"
+    )

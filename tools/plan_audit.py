@@ -77,7 +77,16 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # building the global day spine — q162's exact pattern
                 # (the BNL loop side is 1 row; the spine is |types| ×
                 # |days|, series-bounded, never raw rows).
-                "q231_cusum_changepoint"}
+                "q231_cusum_changepoint",
+                # q240: bloom_contains crossJoins the ONE-ROW geometry
+                # scalar (max word index + geom tag) onto the probe
+                # stream — the q162/q167 scalar-broadcast pattern; the
+                # filter words themselves ride a broadcast EQUI-join.
+                "q240_bloom_decontamination",
+                # q243: range_plan crossJoins the ONE-ROW total-count
+                # aggregate onto the parts-row bucket spine for the
+                # balance ratio — q241's exact 1×parts scalar pattern.
+                "q243_range_partition_plan"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
@@ -106,6 +115,12 @@ EXPECTED_GLOBAL_WIN: set[str] = {
     # q200 inherits q198's bin-frame window (grid-bounded).
     "q200_ml_curation_capstone",
     "q214_key_skew_profile",
+    # q244: the grand-total rollup level runs rq_quantiles' cumulative
+    # walk with no partition columns — over the BUCKET table (≤ a few
+    # thousand rows at digits=3, bounded by the sketch geometry, never
+    # the corpus; the corpus-scale work is rq_build's map-side-combined
+    # bucket aggregation). q194's aggregate-frame class.
+    "q244_quantile_rollup",
 }
 
 
