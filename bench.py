@@ -150,6 +150,9 @@ HEADLINE = [
     # q241 (CMS join-size) stays unbenched under rule (d): its cost is
     # two q188-class counter builds (the benched shape) plus a
     # depth×width-bounded dot product — nothing new to time.
+    # q245 (CMS CDC forget) stays unbenched under rule (d): two
+    # q188-class builds plus a depth×width-bounded counter fold and
+    # two scalar checksums — the builds dominate and are benched.
     # q228 (mutual information) stays unbenched under rule (e): same
     # presence-explode + map-side-combine + sort-limit plan shape as
     # the benched token-aggregation family (q68/q120/q202-class).

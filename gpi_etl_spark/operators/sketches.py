@@ -101,6 +101,69 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
 
 
+def cms_build_weighted(
+    items: DataFrame,
+    item_col: str,
+    weight_col: str,
+    width: int = 512,
+    depth: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min counters over a WEIGHTED item stream — each row
+    contributes ``weight`` (any int64, including negative) to its
+    ``depth`` buckets instead of 1. This is what makes the CM sketch a
+    LINEAR projection in practice: a CDC/correction stream encoded as
+    (item, +n) inserts and (item, -n) retractions becomes a delta
+    sketch, and :func:`cms_apply` folds it into a maintained sketch by
+    counter addition — no rebuild, no rescan of the base corpus.
+
+    ESTIMATOR VALIDITY under retractions, stated honestly: the ``min``
+    estimator (cms_estimate, cms_join_size) keeps its never-undercount
+    guarantee only while every key's NET weight stays ≥ 0 — true for
+    the CDC case (you only retract rows you previously inserted), the
+    intended use. A general turnstile stream where keys can go net
+    negative makes collision terms negative and ``min`` can undershoot;
+    the textbook remedy is the count-MEDIAN estimator over the depth
+    rows (Cormode & Muthukrishnan '05 §4.2), which this module does
+    not implement — enforce net ≥ 0 upstream instead.
+
+    Zero-weight rows contribute nothing but still cost a shuffle row
+    per bucket; filter them out upstream when the delta stream is
+    sparse. Output rows may carry c = 0 or c < 0 (a delta sketch is
+    not a state sketch); :func:`cms_apply` restores the canonical
+    zeros-omitted form after folding."""
+    base = (
+        xhash.poly_hash(F.col(item_col))
+        if hash_mode == "poly"
+        else F.xxhash64(F.col(item_col))
+    )
+    bucketed = items.select(
+        F.col(weight_col).cast("bigint").alias("_w"),
+        F.posexplode(
+            F.array(*_bucket_cols(base, depth, width, hash_mode))
+        ).alias("row", "col"),
+    )
+    return bucketed.groupBy(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+    ).agg(F.sum("_w").alias("c"))
+
+
+def cms_apply(sketch: DataFrame, *deltas: DataFrame) -> DataFrame:
+    """Fold delta sketches (:func:`cms_build_weighted` over a CDC
+    stream) into a maintained sketch: counter-wise addition, then drop
+    exact-zero counters so the result is bit-identical to a fresh
+    ``cms_build`` over the corrected corpus (cms_build omits zero
+    counters by construction; a retraction that cancels a bucket
+    exactly must therefore REMOVE the row, not keep a 0 — the
+    linearity law ``apply(build(base), delta(changes)) ==
+    build(corrected)`` is pinned by test and is what lets a 100 TB
+    pipeline maintain its frequency/join-size sketches from the
+    day's CDC feed alone)."""
+    folded = cms_merge(sketch, *deltas)
+    return folded.filter(F.col("c") != 0)
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -13648,3 +13648,146 @@ def q244(spark, sf_dir):
     return sketches.rq_rollup(sk, ("event_type",)).select(
         "event_type", "gid", "n", "q_1_2", "q_9_10", "q_99_100"
     )
+
+
+def _q245_oracle_sql(width: int, depth: int) -> str:
+    """DuckDB replay of CMS CDC maintenance: base counters (q188's
+    bucket convention — raw affine of base, no premix), the deletion
+    delta as NEGATED per-bucket counts of the forgotten cohort's rows,
+    counter addition with exact-zero rows dropped, and the rebuilt
+    sketch from the corrected corpus — plus the probe walk over the
+    MAINTAINED table and both counter-table checksums."""
+    cs = f"sum(c * (row * {width} + col + 1))"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT user_id, cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL),
+    hb AS MATERIALIZED (
+      SELECT user_id, uid, {_ph_sql("uid")} AS h FROM v),
+    bk AS MATERIALIZED (
+      SELECT user_id, cast(r.i AS int) AS row,
+             cast(({_ah_sql('h', 'r.i', depth)}) % {width} AS int) AS col
+      FROM hb, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    base AS (SELECT row, col, count(*) AS c FROM bk GROUP BY 1, 2),
+    delta AS (SELECT row, col, -count(*) AS c FROM bk
+              WHERE user_id % 13 = 0 GROUP BY 1, 2),
+    maint AS MATERIALIZED (
+      SELECT row, col, sum(c) AS c
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY 1, 2 HAVING sum(c) <> 0),
+    reb AS (SELECT row, col, count(*) AS c FROM bk
+            WHERE user_id % 13 <> 0 GROUP BY 1, 2),
+    cs_m AS (SELECT {cs} AS mcs FROM maint),
+    cs_r AS (SELECT {cs} AS rcs FROM reb),
+    probes AS (SELECT DISTINCT user_id, uid FROM v WHERE user_id % 7 = 0),
+    ph AS (SELECT user_id, {_ph_sql("uid")} AS h FROM probes),
+    pbk AS (SELECT user_id, cast(r.i AS int) AS row,
+                   cast(({_ah_sql('h', 'r.i', depth)}) % {width} AS int)
+                     AS col
+            FROM ph, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    est AS (SELECT p.user_id, min(coalesce(m.c, 0)) AS est
+            FROM pbk p LEFT JOIN maint m USING (row, col)
+            GROUP BY 1),
+    kept AS (SELECT user_id, count(*) AS n FROM v
+             WHERE user_id % 13 <> 0 GROUP BY 1)
+    SELECT cast(e.user_id AS bigint) AS user_id,
+           cast(CASE WHEN e.user_id % 13 = 0 THEN 1 ELSE 0 END AS int)
+             AS deleted,
+           cast(e.est AS bigint) AS est,
+           cast(coalesce(k.n, 0) AS bigint) AS exact_views,
+           cast(e.est - coalesce(k.n, 0) AS bigint) AS overcount,
+           cast(cs_m.mcs AS bigint) AS maintained_checksum,
+           cast(cs_r.rcs AS bigint) AS rebuilt_checksum
+    FROM est e LEFT JOIN kept k USING (user_id), cs_m, cs_r
+    """
+
+
+@query("q245_cms_cdc_forget", _q245_oracle_sql(512, 4))
+def q245(spark, sf_dir):
+    """Right-to-be-forgotten absorbed by a LINEAR sketch
+    (sketches.cms_build_weighted + sketches.cms_apply): the
+    per-user view-frequency CM sketch is maintained under a deletion
+    CDC stream — each forgotten user contributes one (uid, -n_views)
+    delta row, the delta sketch folds in by counter ADDITION, and
+    exact-zero counters drop so the maintained table is BIT-IDENTICAL
+    to a fresh build over the corrected corpus (both checksums ride
+    the gate and must agree). At 100 TB this is the difference
+    between a deletion feed costing a KB-sized counter fold and
+    costing a full corpus rebuild: cms_build scans the base once,
+    ever; every day after, the feed's delta sketch is depth×width
+    bounded however many users are forgotten. The min estimator's
+    never-undercount guarantee survives because nets stay ≥ 0 (you
+    only retract rows you inserted — enforced here by deriving the
+    delta from the base's own rows); overcount ≥ 0 rides every probe
+    row, including forgotten users, whose estimates read collisions
+    or exact 0. Poly hash family → DuckDB replays buckets, fold,
+    zero-drop, probe walk and checksums bit-exactly; whole row
+    int64."""
+    from gpi_etl_spark.operators.sketches import (
+        cms_apply,
+        cms_build,
+        cms_build_weighted,
+        cms_estimate,
+    )
+
+    W, D = 512, 4
+    v = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "view") & F.col("user_id").isNotNull())
+        .select("user_id", F.col("user_id").cast("string").alias("uid"))
+    )
+    base = cms_build(v, "uid", width=W, depth=D, hash_mode="poly")
+    forget = (
+        v.filter(F.col("user_id") % 13 == 0)
+        .groupBy("uid")
+        .agg((-F.count(F.lit(1))).alias("w"))
+    )
+    delta = cms_build_weighted(
+        forget, "uid", "w", width=W, depth=D, hash_mode="poly"
+    )
+    maint = cms_apply(base, delta)
+    probes = v.filter(F.col("user_id") % 7 == 0).select(
+        "user_id", "uid"
+    ).distinct()
+    est = cms_estimate(
+        maint, probes.select("uid"), "uid", width=W, depth=D,
+        hash_mode="poly",
+    )
+    kept = (
+        v.filter(F.col("user_id") % 13 != 0)
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rebuilt = cms_build(
+        v.filter(F.col("user_id") % 13 != 0), "uid", width=W, depth=D,
+        hash_mode="poly",
+    )
+
+    def _cksum(sk, alias):
+        return sk.select(
+            F.sum(
+                F.col("c")
+                * (F.col("row").cast("bigint") * W + F.col("col") + 1)
+            ).cast("bigint").alias(alias)
+        )
+
+    out = (
+        probes.join(est, "uid")
+        .join(kept, "uid", "left")
+        .crossJoin(F.broadcast(_cksum(maint, "maintained_checksum")))
+        .crossJoin(F.broadcast(_cksum(rebuilt, "rebuilt_checksum")))
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.when(F.col("user_id") % 13 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("deleted"),
+        F.col("est").cast("bigint").alias("est"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("exact_views"),
+        (F.col("est") - F.coalesce(F.col("n"), F.lit(0)))
+        .cast("bigint")
+        .alias("overcount"),
+        "maintained_checksum",
+        "rebuilt_checksum",
+    )

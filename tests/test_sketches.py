@@ -648,3 +648,84 @@ def test_cms_join_size_empty_side_is_zero(spark):
     ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
     ke = cms_build(empty, "item", width=64, depth=4, hash_mode="poly")
     assert cms_join_size(ka, ke).first().est_join_size == 0
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "poly"])
+def test_cms_apply_equals_rebuild(spark, hash_mode):
+    """The linearity law: folding a retraction delta into the base
+    sketch is BIT-IDENTICAL (as a set of counter rows, zeros dropped)
+    to building fresh over the corrected corpus — including buckets
+    that cancel to exactly 0, which must DISAPPEAR, not persist as
+    0-rows."""
+    from gpi_etl_spark.operators.sketches import (
+        cms_apply,
+        cms_build,
+        cms_build_weighted,
+    )
+
+    rows = [("a",)] * 3 + [("b",)] * 2 + [("c",)] * 4
+    df = spark.createDataFrame(rows, "item string")
+    base = cms_build(df, "item", width=64, depth=4, hash_mode=hash_mode)
+    # retract ALL of a (a's solo buckets must vanish entirely)
+    delta = cms_build_weighted(
+        spark.createDataFrame([("a", -3)], "item string, w long"),
+        "item", "w", width=64, depth=4, hash_mode=hash_mode,
+    )
+    maint = sorted(map(tuple, cms_apply(base, delta).collect()))
+    rebuilt = sorted(map(tuple, cms_build(
+        spark.createDataFrame(rows[3:], "item string"),
+        "item", width=64, depth=4, hash_mode=hash_mode,
+    ).collect()))
+    assert maint == rebuilt
+
+
+def test_cms_weighted_positive_equals_repeated_rows(spark):
+    from gpi_etl_spark.operators.sketches import cms_build, cms_build_weighted
+
+    rep = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 2, "item string"
+    )
+    wtd = spark.createDataFrame(
+        [("x", 5), ("y", 2)], "item string, w long"
+    )
+    a = sorted(map(tuple, cms_build(
+        rep, "item", width=32, depth=3, hash_mode="poly").collect()))
+    b = sorted(map(tuple, cms_build_weighted(
+        wtd, "item", "w", width=32, depth=3, hash_mode="poly").collect()))
+    assert a == b
+
+
+def test_cms_apply_keeps_never_undercount_for_subset_retraction(spark):
+    """Retracting only previously-inserted rows keeps every net ≥ 0,
+    so the min estimator over the maintained sketch never undercounts
+    the corrected truth — including forgotten keys (truth 0)."""
+    from gpi_etl_spark.operators.sketches import (
+        cms_apply,
+        cms_build,
+        cms_build_weighted,
+        cms_estimate,
+    )
+
+    data = [(f"k{i % 20}",) for i in range(200)]
+    df = spark.createDataFrame(data, "item string")
+    base = cms_build(df, "item", width=16, depth=4, hash_mode="poly")
+    # forget k0..k4 entirely (10 rows each)
+    delta = cms_build_weighted(
+        spark.createDataFrame(
+            [(f"k{i}", -10) for i in range(5)], "item string, w long"
+        ),
+        "item", "w", width=16, depth=4, hash_mode="poly",
+    )
+    maint = cms_apply(base, delta)
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(20)], "item string"
+    )
+    est = {
+        r.item: r.est
+        for r in cms_estimate(
+            maint, probes, "item", width=16, depth=4, hash_mode="poly"
+        ).collect()
+    }
+    for i in range(20):
+        truth = 0 if i < 5 else 10
+        assert est[f"k{i}"] >= truth, (i, est[f"k{i}"])

@@ -86,7 +86,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # q243: range_plan crossJoins the ONE-ROW total-count
                 # aggregate onto the parts-row bucket spine for the
                 # balance ratio — q241's exact 1×parts scalar pattern.
-                "q243_range_partition_plan"}
+                "q243_range_partition_plan",
+                # q245: the equality proof crossJoins TWO one-row
+                # counter-table checksums (maintained vs rebuilt) onto
+                # the probe rows — q241's 1×1 scalar pattern.
+                "q245_cms_cdc_forget"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
