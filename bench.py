@@ -153,6 +153,8 @@ HEADLINE = [
     # q245 (CMS CDC forget) stays unbenched under rule (d): two
     # q188-class builds plus a depth×width-bounded counter fold and
     # two scalar checksums — the builds dominate and are benched.
+    # q246 (rq CDC forget) stays unbenched under rule (d) the same
+    # way: two q239-class bucket builds plus a bucket-table fold.
     # q228 (mutual information) stays unbenched under rule (e): same
     # presence-explode + map-side-combine + sort-limit plan shape as
     # the benched token-aggregation family (q68/q120/q202-class).

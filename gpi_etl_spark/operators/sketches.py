@@ -129,16 +129,35 @@ def cms_build_weighted(
 
     Zero-weight rows contribute nothing but still cost a shuffle row
     per bucket; filter them out upstream when the delta stream is
-    sparse. Output rows may carry c = 0 or c < 0 (a delta sketch is
-    not a state sketch); :func:`cms_apply` restores the canonical
-    zeros-omitted form after folding."""
+    sparse. NULL weights are REJECTED at execution (a NULL in a CDC
+    weight column is a malformed feed row, and sum() silently
+    skipping it would under-apply the delta). Output rows may carry
+    c = 0 or c < 0 (a delta sketch is not a state sketch);
+    :func:`cms_apply` restores the canonical zeros-omitted form after
+    folding."""
     base = (
         xhash.poly_hash(F.col(item_col))
         if hash_mode == "poly"
         else F.xxhash64(F.col(item_col))
     )
+    # lazy NULL guard INSIDE the summed expression (unprunable): a
+    # NULL CDC weight is a malformed feed row — sum() skipping it
+    # would silently under-apply the delta
+    w = F.when(
+        F.col(weight_col).isNotNull(),
+        F.col(weight_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "cms_build_weighted: NULL weight in the delta stream "
+                "— a CDC feed row with no weight is malformed; fix or "
+                "filter it upstream (0 means 'no change', NULL means "
+                "'bug')."
+            )
+        )
+    )
     bucketed = items.select(
-        F.col(weight_col).cast("bigint").alias("_w"),
+        w.alias("_w"),
         F.posexplode(
             F.array(*_bucket_cols(base, depth, width, hash_mode))
         ).alias("row", "col"),
@@ -147,6 +166,26 @@ def cms_build_weighted(
         F.col("row").cast("int").alias("row"),
         F.col("col").cast("int").alias("col"),
     ).agg(F.sum("_w").alias("c"))
+
+
+def _retraction_guard(c, what: str):
+    """Lazy execution-time guard on a folded counter: a NEGATIVE
+    count PROVES over-retraction (if every key's net is ≥ 0, every
+    counter — a sum of nets — is ≥ 0), i.e. the CDC contract "only
+    retract previously-inserted rows" was violated upstream. Failing
+    loudly here beats the silent alternative (min estimates /
+    quantile walks quietly undercount forever after)."""
+    return F.when(c >= 0, c).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{what}: folded counter went NEGATIVE — the delta "
+                "stream retracted more than was ever inserted for "
+                "some key(s) (the CDC contract is retract-what-you-"
+                "inserted). The maintained sketch is corrupt; fix "
+                "the feed and rebuild."
+            )
+        )
+    )
 
 
 def cms_apply(sketch: DataFrame, *deltas: DataFrame) -> DataFrame:
@@ -159,9 +198,13 @@ def cms_apply(sketch: DataFrame, *deltas: DataFrame) -> DataFrame:
     linearity law ``apply(build(base), delta(changes)) ==
     build(corrected)`` is pinned by test and is what lets a 100 TB
     pipeline maintain its frequency/join-size sketches from the
-    day's CDC feed alone)."""
+    day's CDC feed alone). A counter that folds NEGATIVE raises at
+    execution (over-retraction proof — see _retraction_guard)."""
     folded = cms_merge(sketch, *deltas)
-    return folded.filter(F.col("c") != 0)
+    return folded.select(
+        "row", "col",
+        _retraction_guard(F.col("c"), "cms_apply").alias("c"),
+    ).filter(F.col("c") != 0)
 
 
 def cms_estimate(
@@ -400,6 +443,14 @@ def kmv_build(
     stored registers once after upgrading (a sketch build is one
     pass; that is the point of the operator).
 
+    PARALLELISM — the build emits k register rows per input row
+    BEFORE the map-side-combined min, so input partitioning is
+    amplified 1:1 into the expansion: a few-partition input (one
+    small file, a collapsed coalesce) runs the whole ×k explode on
+    those few tasks. Repartition slim inputs first (q242: 4.1 s →
+    2.0 s warm at sf0.1 from `.repartition(defaultParallelism)` on a
+    single-file scan); well-partitioned lake inputs need nothing.
+
     CARDINALITY CEILING — the single-base shape means two items
     colliding in the [0, P) base collide on ALL k registers (the
     k-independent-draws mode decorrelated this at 1/P per register).
@@ -627,13 +678,27 @@ def kmv_rollup(
     disambiguate by ``gid``, exactly as in SQL). Output:
     ``(*group_cols, gid bigint, reg_sum bigint, est double)`` — the
     estimate columns are kmv_estimate's, so the mixed-family guard
-    stays armed per level (``fam`` rides the re-min as a grouping key
-    and a family mix dies inside kmv_estimate's protected outputs).
+    stays armed per level (``fam`` rides every grouping set and a
+    family mix dies inside kmv_estimate's protected outputs).
+
+    PLAN SHAPE — one pass, deliberately: all levels come from a SINGLE
+    ``groupingSets`` aggregation over the register table (every set
+    keeps ``i``/``fam``, so Expand multiplies the |groups|·k register
+    stream by the level count — KBs), then one kmv_estimate grouped by
+    (*group_cols, gid). The obvious per-level-loop alternative plans
+    each level as its own branch, and column pruning specializes each
+    branch's copy of the UPSTREAM sketch subtree (a level that drops
+    g2 never reads g2), so exchange reuse fails and a lazily-built
+    sketch re-runs its corpus scan once per level — measured 6.6 s →
+    this shape's cost at the q242 bench scale.
     """
     if sets is None:
         sets = tuple(
             tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
         )
+    if not sets:
+        raise ValueError("kmv_rollup: sets must name at least one "
+                         "grouping set (use ((),) for the grand total)")
     for s in sets:
         bad = [c for c in s if c not in group_cols]
         if bad:
@@ -642,29 +707,25 @@ def kmv_rollup(
                 f"columns {bad!r} (group_cols={group_cols!r})"
             )
     has_fam = "fam" in sketch.columns
-    dtypes = dict(sketch.dtypes)
-    out = None
-    for s in sets:
-        keep = [c for c in group_cols if c in s]
-        keys = [*keep, "i", *(["fam"] if has_fam else [])]
-        level = sketch.groupBy(*keys).agg(F.min("m").alias("m"))
-        est = kmv_estimate(level, group_cols=tuple(keep))
-        gid = sum(
-            1 << (len(group_cols) - 1 - pos)
-            for pos, c in enumerate(group_cols)
-            if c not in s
-        )
-        row = est.select(
-            *[
-                (F.col(c) if c in s else F.lit(None).cast(dtypes[c])).alias(c)
-                for c in group_cols
-            ],
-            F.lit(gid).cast("bigint").alias("gid"),
-            "reg_sum",
-            "est",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    extra = ["i"] + (["fam"] if has_fam else [])
+    gsets = [
+        [*(c for c in group_cols if c in s), *extra] for s in sets
+    ]
+    # grouping_id covers (*group_cols, *extra); the extra cols are in
+    # every set, so their (low) bits are always 0 — shift them off to
+    # recover the group_cols-only convention
+    levels = sketch.groupingSets(gsets, *group_cols, *extra).agg(
+        F.min("m").alias("m"),
+        F.shiftright(F.grouping_id(), len(extra))
+        .cast("bigint")
+        .alias("gid"),
+    )
+    est = kmv_estimate(
+        levels.select(*group_cols, "gid", "m",
+                      *(["fam"] if has_fam else [])),
+        group_cols=(*group_cols, "gid"),
+    )
+    return est
 
 
 def fixed_histogram_quantiles(
@@ -816,6 +877,87 @@ def rq_merge(*sketches: DataFrame) -> DataFrame:
     )
 
 
+def rq_build_weighted(
+    df: DataFrame,
+    cents_col: str,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    digits: int = 3,
+) -> DataFrame:
+    """rq bucket counts over a WEIGHTED stream — cms_build_weighted's
+    twin for the quantile sketch: each row contributes ``weight`` (any
+    int64, negatives = retractions) to its bucket, so a CDC feed
+    becomes a delta bucket table that :func:`rq_apply` folds into a
+    maintained sketch by count addition. The quantile walk stays valid
+    only while every bucket's folded count is ≥ 0 — guaranteed when
+    you only retract previously-inserted rows, and enforced loudly at
+    apply time. NULL weights are REJECTED at execution (same contract
+    as cms_build_weighted: sum() silently skipping a malformed feed
+    row would under-apply the delta)."""
+    if digits < 1:
+        raise ValueError(
+            f"rq_build_weighted: digits must be >= 1, got {digits}"
+        )
+    c = F.col(cents_col).cast("long")
+    a = F.abs(c)
+    s = a.cast("string")
+    sign = (
+        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("int")
+    p = F.greatest(F.length(s) - F.lit(digits), F.lit(0)).cast("int")
+    lead = F.substring(s, 1, digits).cast("long")
+    w = F.when(
+        F.col(weight_col).isNotNull(),
+        F.col(weight_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "rq_build_weighted: NULL weight in the delta stream — "
+                "a CDC feed row with no weight is malformed; fix or "
+                "filter it upstream (0 means 'no change', NULL means "
+                "'bug')."
+            )
+        )
+    )
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(
+            *group_cols,
+            sign.alias("sign"),
+            p.alias("p"),
+            lead.alias("lead"),
+        )
+        .agg(F.sum(w).cast("bigint").alias("cnt"))
+        .withColumn("dig", F.lit(digits).cast("int"))
+    )
+
+
+def rq_apply(sketch: DataFrame, *deltas: DataFrame) -> DataFrame:
+    """Fold delta bucket tables (:func:`rq_build_weighted` over a CDC
+    stream) into a maintained rq sketch: bucket-wise count addition
+    (rq_merge's law), exact-zero buckets dropped so the result is
+    bit-identical to a fresh ``rq_build`` over the corrected corpus,
+    and a NEGATIVE folded bucket raises at execution (over-retraction
+    proof — a corrupted quantile walk would otherwise undercount
+    silently; see _retraction_guard). Deletion feeds therefore cost a
+    bucket-table fold, never a corpus re-scan — the same linearity
+    the CM sketch gets from cms_apply, available here because
+    histograms are linear too. (The KMV register sketch has NO such
+    path: min is not invertible, a deletion can only be absorbed by
+    rebuilding the register table — inherent to order-statistic
+    sketches, not an implementation gap; kmv_build's one-pass cost is
+    the budget for that rebuild.)"""
+    folded = rq_merge(sketch, *deltas)
+    keys = [c for c in folded.columns if c != "cnt"]
+    guarded = folded.select(
+        *keys,
+        _retraction_guard(F.col("cnt"), "rq_apply").alias("cnt"),
+    ).filter(F.col("cnt") != 0)
+    # restore rq_build's column order (cnt before dig) so the
+    # maintained table is bit-identical to a rebuild, columns included
+    return guarded.select(*sketch.columns)
+
+
 def rq_quantiles(
     sketch: DataFrame,
     group_cols: tuple[str, ...] = (),
@@ -898,14 +1040,19 @@ def rq_rollup(
     Same conventions as kmv_rollup: ``sets`` defaults to the ROLLUP
     chain; ``gid`` is the SQL GROUPING_ID bit pattern; rolled-away
     columns are NULL. Output ``(*group_cols, gid bigint, n bigint,
-    q_<num>_<den> bigint …)`` — whole rows int64, and each level runs
+    q_<num>_<den> bigint …)`` — whole rows int64, and every level runs
     through rq_quantiles so the mixed-``dig``-generation guard stays
-    armed per level (``dig`` rides the re-aggregation as a bucket
-    key)."""
+    armed per level (``dig`` rides every grouping set as a bucket
+    key). Same one-pass ``groupingSets`` plan shape as kmv_rollup
+    (see its docstring for why the per-level-loop alternative
+    re-scans the corpus once per level)."""
     if sets is None:
         sets = tuple(
             tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
         )
+    if not sets:
+        raise ValueError("rq_rollup: sets must name at least one "
+                         "grouping set (use ((),) for the grand total)")
     for s in sets:
         bad = [c for c in s if c not in group_cols]
         if bad:
@@ -913,32 +1060,21 @@ def rq_rollup(
                 f"rq_rollup: grouping set {s!r} names non-group "
                 f"columns {bad!r} (group_cols={group_cols!r})"
             )
-    dtypes = dict(sketch.dtypes)
-    qcols = [f"q_{num}_{den}" for num, den in quantiles]
-    out = None
-    for s in sets:
-        keep = [c for c in group_cols if c in s]
-        keys = [*keep, "sign", "p", "lead", "dig"]
-        level = sketch.groupBy(*keys).agg(
-            F.sum("cnt").cast("bigint").alias("cnt")
-        )
-        qs = rq_quantiles(level, tuple(keep), quantiles)
-        gid = sum(
-            1 << (len(group_cols) - 1 - pos)
-            for pos, c in enumerate(group_cols)
-            if c not in s
-        )
-        row = qs.select(
-            *[
-                (F.col(c) if c in s else F.lit(None).cast(dtypes[c])).alias(c)
-                for c in group_cols
-            ],
-            F.lit(gid).cast("bigint").alias("gid"),
-            "n",
-            *qcols,
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    extra = ["sign", "p", "lead", "dig"]
+    gsets = [
+        [*(c for c in group_cols if c in s), *extra] for s in sets
+    ]
+    levels = sketch.groupingSets(gsets, *group_cols, *extra).agg(
+        F.sum("cnt").cast("bigint").alias("cnt"),
+        F.shiftright(F.grouping_id(), len(extra))
+        .cast("bigint")
+        .alias("gid"),
+    )
+    return rq_quantiles(
+        levels.select(*group_cols, "gid", *extra, "cnt"),
+        (*group_cols, "gid"),
+        quantiles,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -13465,8 +13465,14 @@ def q242(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         *gcols, F.col("o_custkey").cast("string").alias("cust")
     )
+    # the ×k register expansion amplifies input parallelism 1:1 — a
+    # single-file scan would run the whole explode on ONE task
+    # (measured 4.1 s → 2.0 s warm build after the repartition at
+    # sf0.1; the 150k slim rows shuffle in ~ms). A real lake's input
+    # is already many-partitioned; this pins the property locally.
     sk = sketches.kmv_build(
-        o, "cust", group_cols=gcols, k=64, hash_mode="poly"
+        o.repartition(spark.sparkContext.defaultParallelism),
+        "cust", group_cols=gcols, k=64, hash_mode="poly",
     )
     cube_sets = (gcols, (gcols[0],), (gcols[1],), ())
     est = sketches.kmv_rollup(sk, gcols, cube_sets)
@@ -13790,4 +13796,218 @@ def q245(spark, sf_dir):
         .alias("overcount"),
         "maintained_checksum",
         "rebuilt_checksum",
+    )
+
+
+_Q246_ORACLE = """
+    WITH c AS MATERIALIZED (
+      SELECT event_type, user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    bk AS MATERIALIZED (
+      SELECT event_type, user_id,
+             CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                  ELSE 0 END AS sign,
+             greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+             CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+               AS lead
+      FROM c),
+    mb AS MATERIALIZED (
+      SELECT event_type, sign, p, lead, sum(w) AS cnt
+      FROM (SELECT event_type, sign, p, lead, 1 AS w FROM bk
+            UNION ALL
+            SELECT event_type, sign, p, lead, -1 FROM bk
+            WHERE user_id % 13 = 0)
+      GROUP BY 1, 2, 3, 4 HAVING sum(w) <> 0),
+    reb AS (SELECT event_type, sign, p, lead, count(*) AS cnt
+            FROM bk WHERE user_id % 13 <> 0 GROUP BY 1, 2, 3, 4),
+    mr AS (SELECT event_type,
+                  sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                  cnt
+           FROM mb),
+    f AS (SELECT event_type, rep, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY rep
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM mr),
+    q AS (SELECT event_type, cast(max(n) AS bigint) AS n,
+                 cast(min(CASE WHEN cum * 2 >= n * 1 THEN rep END)
+                      AS bigint) AS q_1_2,
+                 cast(min(CASE WHEN cum * 10 >= n * 9 THEN rep END)
+                      AS bigint) AS q_9_10,
+                 cast(min(CASE WHEN cum * 100 >= n * 99 THEN rep END)
+                      AS bigint) AS q_99_100
+          FROM f GROUP BY event_type),
+    cs_m AS (SELECT sum(cnt * (rep + 1000003)) AS mcs FROM mr),
+    cs_r AS (SELECT sum(cnt *
+               (sign * CAST(lead || repeat('0', p) AS BIGINT)
+                + 1000003)) AS rcs
+             FROM reb)
+    SELECT q.event_type, q.n, q.q_1_2, q.q_9_10, q.q_99_100,
+           cast(cs_m.mcs AS bigint) AS maintained_checksum,
+           cast(cs_r.rcs AS bigint) AS rebuilt_checksum
+    FROM q, cs_m, cs_r
+    """
+
+
+@query("q246_rq_cdc_forget", _Q246_ORACLE)
+def q246(spark, sf_dir):
+    """Right-to-be-forgotten absorbed by the QUANTILE sketch
+    (sketches.rq_build_weighted + sketches.rq_apply) — q245's
+    linearity story on the rq family, because histograms are linear
+    too: the forgotten cohort's value rows retract through a delta
+    bucket table (weight -1 per row) folded in by count addition,
+    exact-zero buckets drop, negative folds raise (over-retraction
+    proof), and the maintained bucket table is bit-identical to a
+    fresh build over the kept corpus — both bucket-table checksums
+    ride the gate and must agree. Per-type median/p90/p99 are then
+    walked from the MAINTAINED table. Deletion feeds cost a
+    bucket-table fold, never a corpus re-scan or re-sort; the KMV
+    register family deliberately has no such path (min is not
+    invertible — stated in rq_apply's docstring). Whole row int64;
+    DuckDB replays buckets, weighted fold, zero-drop, walk and
+    checksums bit-exactly."""
+    from gpi_etl_spark.operators.sketches import (
+        rq_apply,
+        rq_build,
+        rq_build_weighted,
+        rq_quantiles,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    base = rq_build(ev, "cents", ("event_type",), digits=3)
+    cohort = ev.filter(F.col("user_id") % 13 == 0).withColumn(
+        "w", F.lit(-1).cast("bigint")
+    )
+    delta = rq_build_weighted(
+        cohort, "cents", "w", ("event_type",), digits=3
+    )
+    maint = rq_apply(base, delta)
+    qs = rq_quantiles(maint, ("event_type",))
+    rebuilt = rq_build(
+        ev.filter(F.col("user_id") % 13 != 0), "cents",
+        ("event_type",), digits=3,
+    )
+
+    def _cksum(sk, alias):
+        rep = (
+            F.col("sign").cast("bigint")
+            * F.concat(
+                F.col("lead").cast("string"),
+                F.repeat(F.lit("0"), F.col("p")),
+            ).cast("long")
+        )
+        return sk.select(
+            F.sum(F.col("cnt") * (rep + F.lit(1000003)))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return (
+        qs.crossJoin(F.broadcast(_cksum(maint, "maintained_checksum")))
+        .crossJoin(F.broadcast(_cksum(rebuilt, "rebuilt_checksum")))
+        .select(
+            "event_type", "n", "q_1_2", "q_9_10", "q_99_100",
+            "maintained_checksum", "rebuilt_checksum",
+        )
+    )
+
+
+def _q247_oracle_sql(k: int) -> str:
+    """DuckDB replay of the STREAMED register table: per-type
+    registers via the q221/q238 chain over the whole corpus — equal
+    to the streamed fold's final state by min's algebra (commutative,
+    associative, idempotent), whatever the micro-batch schedule
+    was."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE) / cast(s.reg_sum + {k} AS double)"
+        " - 1.0"
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT event_type, cast(user_id AS varchar) AS uid FROM events),
+    b AS MATERIALIZED (
+      SELECT event_type, {_ph_sql("uid")} AS h FROM u),
+    gm AS MATERIALIZED (
+      SELECT event_type, {_cm_sql("h")} AS gh FROM b),
+    r AS (SELECT event_type, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS (SELECT event_type, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    s AS (SELECT event_type, cast(sum(mi) AS bigint) AS reg_sum
+          FROM m GROUP BY 1),
+    e AS (SELECT event_type, count(DISTINCT uid) AS exact_users
+          FROM u GROUP BY 1)
+    SELECT s.event_type, cast({k} AS int) AS k,
+           cast(e.exact_users AS bigint) AS exact_users,
+           s.reg_sum,
+           {fs6_sql(est)} AS est_r
+    FROM s JOIN e USING (event_type)
+    """
+
+
+@query("q247_stream_kmv_distinct", _q247_oracle_sql(64))
+def q247(spark, sf_dir):
+    """Distinct users per event type maintained AS STREAMING STATE by
+    the KMV register fold (streaming/sinks.stream_kmv →
+    kmv_fold_batch): events arrive through a real file stream, each
+    micro-batch's registers merge register-wise (min) into the live
+    table via the staged rename-swap writer, and the FINAL STATE is
+    estimated — never the raw stream re-scanned. Unlike q230's
+    last-write-wins upsert, this sink is idempotent BY ALGEBRA: min
+    is commutative, associative and idempotent, so at-least-once
+    batch replays and ANY delivery split fold to the bit-identical
+    register table (tests/test_streaming_delivery.py runs this gate
+    under the 8-file split; the oracle replays the whole-corpus
+    registers, which equal the streamed state for every schedule).
+    At 100 TB the state is |types|·k rows however much data streams
+    through — the distinct-count aggregate a pipeline can actually
+    keep warm forever, and the same table q238 windows and q242
+    rolls up. exact_users rides along; fam rides the state so a
+    checkpoint straddling a kmv_build family upgrade dies loudly at
+    the first merge. State/checkpoint dirs are cleared per run —
+    each gated run is a fresh ingest."""
+    import shutil
+
+    from gpi_etl_spark.operators import sketches
+    from gpi_etl_spark.streaming.sinks import stream_kmv
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    root = _landing(spark, "q247", sf_dir)
+    table, ckpt = root + "/regs", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, ev, "q247src", sf_dir)
+    q = stream_kmv(
+        stream, table, "uid", checkpoint=ckpt,
+        group_cols=("event_type",), k=64, hash_mode="poly",
+    )
+    q.processAllAvailable()
+    q.stop()
+    regs = spark.read.parquet(table)
+    est = sketches.kmv_estimate(regs, ("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("uid").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.lit(64).cast("int").alias("k"),
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        "reg_sum",
+        fs6(F.col("est")).alias("est_r"),
     )

@@ -140,3 +140,88 @@ def stream_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def kmv_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> None:
+    """Fold one micro-batch into the maintained KMV register table at
+    ``path``: build the batch's registers (operators/sketches.py
+    kmv_build) and merge register-wise (kmv_merge — min), through the
+    same staged ``_SUCCESS``-gated rename-swap and crash recovery as
+    upsert_batch.
+
+    This sink is IDEMPOTENT BY ALGEBRA, which upsert_batch is not:
+    min is commutative, associative and idempotent, so an
+    at-least-once foreachBatch REPLAY of any batch folds to the
+    identical register table (a batch's registers re-min to
+    themselves), and any delivery split of the source produces the
+    identical final state. The state is ``|groups|·k`` rows however
+    much data streamed through — the sketch IS the streaming
+    aggregate a 100 TB pipeline can actually keep. The ``fam``
+    derivation tag rides the state table, so a checkpoint that
+    straddles a kmv_build family upgrade fails loudly at the first
+    merge instead of mixing register families silently."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_merge
+
+    delta = kmv_build(
+        batch, item_col, group_cols=group_cols, k=k, hash_mode=hash_mode
+    )
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+    if fs.exists(live):
+        merged = kmv_merge(spark.read.parquet(path), delta)
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(base + "__staging")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_live = fs.exists(live)
+    if had_live:
+        _retire_live(fs, live, old)
+    try:
+        _promote_staged(fs, staged, live)
+    except BaseException:
+        if had_live:
+            fs.rename(old, live)
+        raise
+    fs.delete(old, True)
+
+
+def stream_kmv(
+    stream: DataFrame,
+    path: str,
+    item_col: str,
+    checkpoint: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Attach the KMV register-fold sink to a streaming DataFrame —
+    a distinct-count sketch maintained as micro-batch state. Returns
+    the StreamingQuery (caller awaits/stops it)."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        kmv_fold_batch(
+            spark, batch_df, path, item_col,
+            group_cols=group_cols, k=k, hash_mode=hash_mode,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -152,3 +152,14 @@ def test_range_cuts_empty_and_all_null_raise(spark):
         range_cuts(nulls, "cents", 4)
     with pytest.raises(ValueError, match="parts"):
         range_cuts(empty, "cents", 1)
+
+
+def test_rollup_empty_sets_raise(spark, items):
+    fine = kmv_build(items, "item", group_cols=("g1",), k=8)
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_rollup(fine, ("g1",), ())
+    rq = rq_build(
+        spark.createDataFrame([(1,)], "cents long"), "cents", ()
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        rq_rollup(rq, (), ())

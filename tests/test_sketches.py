@@ -729,3 +729,92 @@ def test_cms_apply_keeps_never_undercount_for_subset_retraction(spark):
     for i in range(20):
         truth = 0 if i < 5 else 10
         assert est[f"k{i}"] >= truth, (i, est[f"k{i}"])
+
+
+def test_cms_weighted_null_weight_raises(spark):
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build_weighted
+
+    bad = spark.createDataFrame(
+        [("x", 3), ("y", None)], "item string, w long"
+    )
+    with pytest.raises(PySparkException, match="NULL weight"):
+        cms_build_weighted(
+            bad, "item", "w", width=32, depth=3, hash_mode="poly"
+        ).collect()
+
+
+def test_rq_apply_equals_rebuild(spark):
+    """rq linearity law: folding a retraction delta into the base
+    bucket table is bit-identical to building fresh over the kept
+    rows — including buckets canceling to exactly 0 (dropped)."""
+    from gpi_etl_spark.operators.sketches import (
+        rq_apply,
+        rq_build,
+        rq_build_weighted,
+    )
+
+    rows = [("a", 120), ("a", 120), ("a", 4500), ("b", 77), ("b", 99)]
+    df = spark.createDataFrame(rows, "g string, cents long")
+    base = rq_build(df, "cents", ("g",), digits=3)
+    # retract both 120s (their bucket cancels to 0) and one 77
+    delta = rq_build_weighted(
+        spark.createDataFrame(
+            [("a", 120, -2), ("b", 77, -1)], "g string, cents long, w long"
+        ),
+        "cents", "w", ("g",), digits=3,
+    )
+    maint = sorted(map(tuple, rq_apply(base, delta).collect()))
+    rebuilt = sorted(map(tuple, rq_build(
+        spark.createDataFrame(
+            [("a", 4500), ("b", 99)], "g string, cents long"
+        ),
+        "cents", ("g",), digits=3,
+    ).collect()))
+    assert maint == rebuilt
+
+
+def test_apply_over_retraction_raises(spark):
+    """A fold that drives any bucket negative proves the CDC contract
+    was violated — both apply paths must fail loudly, not walk on."""
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        cms_apply,
+        cms_build,
+        cms_build_weighted,
+        rq_apply,
+        rq_build,
+        rq_build_weighted,
+    )
+
+    df = spark.createDataFrame([("x",)], "item string")
+    base = cms_build(df, "item", width=32, depth=3, hash_mode="poly")
+    over = cms_build_weighted(
+        spark.createDataFrame([("x", -2)], "item string, w long"),
+        "item", "w", width=32, depth=3, hash_mode="poly",
+    )
+    with pytest.raises(PySparkException, match="NEGATIVE"):
+        cms_apply(base, over).collect()
+
+    dfq = spark.createDataFrame([(500,)], "cents long")
+    rbase = rq_build(dfq, "cents", (), digits=3)
+    rover = rq_build_weighted(
+        spark.createDataFrame([(500, -2)], "cents long, w long"),
+        "cents", "w", (), digits=3,
+    )
+    with pytest.raises(PySparkException, match="NEGATIVE"):
+        rq_apply(rbase, rover).collect()
+
+
+def test_rq_weighted_null_weight_raises(spark):
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import rq_build_weighted
+
+    bad = spark.createDataFrame(
+        [(100, 1), (200, None)], "cents long, w long"
+    )
+    with pytest.raises(PySparkException, match="NULL weight"):
+        rq_build_weighted(bad, "cents", "w", (), digits=3).collect()

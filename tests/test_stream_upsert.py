@@ -137,3 +137,34 @@ def test_upsert_batch_schema_drift_raises_instead_of_overwriting(spark, tmp_path
         upsert_batch(spark, bad, path, ["k"], "ts")  # missing column v
     # table history survives the failed merge
     assert spark.read.parquet(path).count() == 1
+
+
+def test_kmv_fold_batch_matches_batch_build_and_is_idempotent(spark, dirs):
+    """The streamed register table must equal a one-shot batch build
+    over the union (min's algebra), and REPLAYING a batch — the
+    at-least-once foreachBatch failure mode — must not change it."""
+    from gpi_etl_spark.operators.sketches import kmv_build
+    from gpi_etl_spark.streaming.sinks import kmv_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/regs"
+    b1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(30)], "g string, item string"
+    )
+    b2 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20, 50)]
+        + [("b", f"v{i}") for i in range(10)],
+        "g string, item string",
+    )
+    kmv_fold_batch(spark, b1, path, "item", ("g",), k=16, hash_mode="poly")
+    kmv_fold_batch(spark, b2, path, "item", ("g",), k=16, hash_mode="poly")
+    streamed = sorted(map(tuple, spark.read.parquet(path).collect()))
+    direct = sorted(map(tuple, kmv_build(
+        b1.unionByName(b2), "item", group_cols=("g",), k=16,
+        hash_mode="poly",
+    ).collect()))
+    assert streamed == direct
+    # replay b2 (duplicate delivery) — idempotent by min
+    kmv_fold_batch(spark, b2, path, "item", ("g",), k=16, hash_mode="poly")
+    again = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert again == direct

@@ -57,6 +57,7 @@ STREAMING_GATES = [
     "q223_stream_enrich",
     "q230_stream_upsert",
     "q236_stream_pairs_count",
+    "q247_stream_kmv_distinct",
 ]
 
 SPLIT = (8, 1)  # 8 full-span files, one file per micro-batch
@@ -82,9 +83,10 @@ def test_gate_is_delivery_schedule_invariant(spark, name, delivery_knob):
     # the knob must have been honored: the landing is 8 part files
     # (q230's STREAM landing is tagged q230src — its bare q230 tag is
     # the live-table/checkpoint root, not the file-stream source)
-    tag = {"q230_stream_upsert": "q230src"}.get(
-        name, name.split("_")[0]
-    )
+    tag = {
+        "q230_stream_upsert": "q230src",
+        "q247_stream_kmv_distinct": "q247src",
+    }.get(name, name.split("_")[0])
     landing = Q._landing(spark, tag, SF_DIR)
     parts = glob.glob(os.path.join(landing, "part-*.parquet"))
     assert len(parts) == SPLIT[0], (

@@ -90,7 +90,9 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # q245: the equality proof crossJoins TWO one-row
                 # counter-table checksums (maintained vs rebuilt) onto
                 # the probe rows — q241's 1×1 scalar pattern.
-                "q245_cms_cdc_forget"}
+                "q245_cms_cdc_forget",
+                # q246: same two one-row checksum scalars, rq family.
+                "q246_rq_cdc_forget"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
