@@ -155,6 +155,13 @@ HEADLINE = [
     # two scalar checksums — the builds dominate and are benched.
     # q246 (rq CDC forget) stays unbenched under rule (d) the same
     # way: two q239-class bucket builds plus a bucket-table fold.
+    # q247/q248 (streamed sketch state) are excluded for q211/q230's
+    # reason: their cost is landing rewrite + per-batch state swaps,
+    # which the noop lane would mismeasure; their compute shapes
+    # (q221/q188-class builds) are benched.
+    # q249 (band-join bounds) stays unbenched under rule (d): two
+    # q239-class bucket builds, a geometry-bounded pair product, and
+    # the q213-class banded exact baseline — all benched shapes.
     # q228 (mutual information) stays unbenched under rule (e): same
     # presence-explode + map-side-combine + sort-limit plan shape as
     # the benched token-aggregation family (q68/q120/q202-class).

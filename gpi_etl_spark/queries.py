@@ -14011,3 +14011,260 @@ def q247(spark, sf_dir):
         "reg_sum",
         fs6(F.col("est")).alias("est_r"),
     )
+
+
+def _q248_oracle_sql(width: int, depth: int) -> str:
+    """DuckDB replay of the STREAMED counter table: the q188 bucket
+    chain over the whole view stream — equal to the ledgered fold's
+    final counters because addition is schedule-invariant ONCE each
+    batch applies exactly once (which the batch-id ledger enforces;
+    the replay needs no ledger because it sees each row once by
+    construction). Probe walk + the table checksum, emitted twice
+    (streamed and direct-batch builds must agree bit-exactly)."""
+    cs = f"sum(c * (row * {width} + col + 1))"
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT user_id, cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL),
+    hb AS MATERIALIZED (
+      SELECT user_id, uid, {_ph_sql("uid")} AS h FROM v),
+    bk AS MATERIALIZED (
+      SELECT user_id, cast(r.i AS int) AS row,
+             cast(({_ah_sql('h', 'r.i', depth)}) % {width} AS int) AS col
+      FROM hb, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    ctr AS MATERIALIZED (
+      SELECT row, col, count(*) AS c FROM bk GROUP BY 1, 2),
+    cs AS (SELECT {cs} AS tcs FROM ctr),
+    probes AS (SELECT DISTINCT user_id, uid FROM v WHERE user_id % 7 = 0),
+    ph AS (SELECT user_id, {_ph_sql("uid")} AS h FROM probes),
+    pbk AS (SELECT user_id, cast(r.i AS int) AS row,
+                   cast(({_ah_sql('h', 'r.i', depth)}) % {width} AS int)
+                     AS col
+            FROM ph, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    est AS (SELECT p.user_id, min(coalesce(m.c, 0)) AS est
+            FROM pbk p LEFT JOIN ctr m USING (row, col)
+            GROUP BY 1),
+    ex AS (SELECT user_id, count(*) AS n FROM v GROUP BY 1)
+    SELECT cast(e.user_id AS bigint) AS user_id,
+           cast(e.est AS bigint) AS est,
+           cast(x.n AS bigint) AS exact_views,
+           cast(e.est - x.n AS bigint) AS overcount,
+           cast(cs.tcs AS bigint) AS streamed_checksum,
+           cast(cs.tcs AS bigint) AS batch_checksum
+    FROM est e JOIN ex x USING (user_id), cs
+    """
+
+
+@query("q248_stream_cms_freq", _q248_oracle_sql(512, 4))
+def q248(spark, sf_dir):
+    """Per-user view-frequency CM sketch maintained AS STREAMING
+    STATE with EXACTLY-ONCE folds (streaming/sinks.stream_cms →
+    cms_fold_batch): counter ADDITION is not idempotent — an
+    at-least-once foreachBatch replay that q247's min-fold absorbs
+    for free would double count here — so each batch folds under a
+    batch-id ledger embedded in the state table (one atomic swap
+    covers counters AND ledger; a replayed id is skipped before
+    anything merges). The gate emits the streamed table's checksum
+    NEXT TO a direct batch build's checksum — bit-equality is the
+    claim that the ledgered fold over whatever micro-batch schedule
+    the source produced equals one-shot aggregation (and the
+    delivery-adversarial harness re-runs this gate under an 8-file
+    split). State stays depth×width + n_batches rows at any corpus
+    size; the maintained table keeps feeding q188-class point
+    estimates and q241 join-size pricing without rescanning
+    anything. Probe rows (every 7th user) carry est, exact and the
+    never-undercount overcount ≥ 0; whole row int64, poly family —
+    DuckDB replays buckets, counters, probe walk and checksum
+    bit-exactly."""
+    import shutil
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+    from gpi_etl_spark.streaming.sinks import cms_state, stream_cms
+
+    W, D = 512, 4
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.col("user_id").cast("string").alias("uid"))
+    )
+    root = _landing(spark, "q248", sf_dir)
+    table, ckpt = root + "/ctrs", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, v, "q248src", sf_dir)
+    q = stream_cms(
+        stream, table, "uid", checkpoint=ckpt, width=W, depth=D,
+        hash_mode="poly",
+    )
+    q.processAllAvailable()
+    q.stop()
+    regs = cms_state(spark, table)
+    probes = v.filter(F.col("user_id") % 7 == 0).select(
+        "user_id", "uid"
+    ).distinct()
+    est = cms_estimate(
+        regs, probes.select("uid"), "uid", width=W, depth=D,
+        hash_mode="poly",
+    )
+    exact = v.groupBy("uid").agg(F.count(F.lit(1)).alias("n"))
+    direct = cms_build(v, "uid", width=W, depth=D, hash_mode="poly")
+
+    def _cksum(sk, alias):
+        return sk.select(
+            F.sum(
+                F.col("c")
+                * (F.col("row").cast("bigint") * W + F.col("col") + 1)
+            ).cast("bigint").alias(alias)
+        )
+
+    return (
+        probes.join(est, "uid")
+        .join(exact, "uid")
+        .crossJoin(F.broadcast(_cksum(regs, "streamed_checksum")))
+        .crossJoin(F.broadcast(_cksum(direct, "batch_checksum")))
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("est").cast("bigint").alias("est"),
+            F.col("n").cast("bigint").alias("exact_views"),
+            (F.col("est") - F.col("n")).cast("bigint").alias("overcount"),
+            "streamed_checksum",
+            "batch_checksum",
+        )
+    )
+
+
+_Q249_ORACLE = """
+    WITH c AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    av AS MATERIALIZED (SELECT c FROM c WHERE event_type = 'view'),
+    bp AS MATERIALIZED (SELECT c FROM c WHERE event_type = 'purchase'),
+    ba AS (SELECT CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                       ELSE 0 END AS sign,
+                  greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                  CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                    AS lead,
+                  count(*) AS cnt
+           FROM av GROUP BY 1, 2, 3),
+    bb AS (SELECT CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                       ELSE 0 END AS sign,
+                  greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                  CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                    AS lead,
+                  count(*) AS cnt
+           FROM bp GROUP BY 1, 2, 3),
+    ea AS (SELECT CASE WHEN sign < 0 THEN rep - w ELSE rep END AS lo,
+                  CASE WHEN sign > 0 THEN rep + w ELSE rep END AS hi,
+                  cnt
+           FROM (SELECT sign,
+                        sign * CAST(lead || repeat('0', p) AS BIGINT)
+                          AS rep,
+                        CAST('1' || repeat('0', p) AS BIGINT) - 1 AS w,
+                        cnt
+                 FROM ba)),
+    eb AS (SELECT CASE WHEN sign < 0 THEN rep - w ELSE rep END AS lo,
+                  CASE WHEN sign > 0 THEN rep + w ELSE rep END AS hi,
+                  cnt
+           FROM (SELECT sign,
+                        sign * CAST(lead || repeat('0', p) AS BIGINT)
+                          AS rep,
+                        CAST('1' || repeat('0', p) AS BIGINT) - 1 AS w,
+                        cnt
+                 FROM bb)),
+    pr AS (SELECT greatest(ea.hi - eb.lo, eb.hi - ea.lo) AS far,
+                  greatest(eb.lo - ea.hi, ea.lo - eb.hi, 0) AS gap,
+                  ea.cnt * eb.cnt AS prod
+           FROM ea, eb),
+    s AS (SELECT cast(coalesce(sum(CASE WHEN far <= 500 THEN prod END),
+                               0) AS bigint) AS lo_bound,
+                 cast(coalesce(sum(CASE WHEN gap <= 500 THEN prod END),
+                               0) AS bigint) AS up_bound
+          FROM pr),
+    ex AS (SELECT cast(count(*) AS bigint) AS exact_pairs
+           FROM av, bp WHERE abs(av.c - bp.c) <= 500),
+    na AS (SELECT cast(count(*) AS bigint) AS n_a FROM av),
+    nb AS (SELECT cast(count(*) AS bigint) AS n_b FROM bp)
+    SELECT na.n_a, nb.n_b, s.lo_bound, ex.exact_pairs, s.up_bound
+    FROM na, nb, s, ex
+    """
+
+
+@query("q249_band_join_bounds", _Q249_ORACLE)
+def q249(spark, sf_dir):
+    """Tolerance-join size BOUNDS from two rq bucket tables
+    (sketches.rq_band_join_size): how many (view, purchase) value
+    pairs within 5.00 of each other would the band join produce —
+    sandwiched as ``lo_bound <= exact <= up_bound`` from two
+    KB-sized bucket tables the pipeline already maintains for
+    quantiles (and that fold under CDC via rq_apply). At 100 TB this
+    prices an as-of/tolerance join — broadcast vs shuffle vs
+    don't-run-it — before a single row of either side shuffles; the
+    bound gap is set by bucket width at the band boundary (tighten
+    with digits). The bucket-pair product is geometry-bounded (≤ a
+    few thousand rows per side regardless of corpus — the q198
+    lattice class). exact_pairs rides the gate computed by a REAL
+    banded join (bucketed equi-join on pmod-floored 500-cent cells
+    ±1, then the exact |Δ| filter — the q47/q213 production shape,
+    not a corpus cross join); the sandwich inequality is asserted by
+    unit test and visible in the row. Whole row int64; interval ends
+    and 10^p reconstruct via string concatenation — no pow(), no
+    float on either engine."""
+    from gpi_etl_spark.operators.sketches import (
+        rq_band_join_size,
+        rq_build,
+    )
+
+    BAND = 500
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    views = ev.filter(F.col("event_type") == "view").select("cents")
+    purch = ev.filter(F.col("event_type") == "purchase").select("cents")
+    bounds = rq_band_join_size(
+        rq_build(views, "cents", (), digits=3),
+        rq_build(purch, "cents", (), digits=3),
+        BAND,
+    )
+    # exact baseline via the banded equi-join production shape:
+    # pmod-floored cells are engine-agnostic floor division, and the
+    # ±1 cell explosion guarantees coverage of every |Δ| <= BAND pair
+    cell = lambda c: ((c - F.pmod(c, F.lit(BAND))) / F.lit(BAND)).cast(
+        "long"
+    )
+    va = views.select(
+        F.col("cents").alias("ca"), cell(F.col("cents")).alias("cella")
+    )
+    vb = purch.select(
+        F.col("cents").alias("cb"),
+        F.explode(
+            F.array(
+                cell(F.col("cents")) - 1,
+                cell(F.col("cents")),
+                cell(F.col("cents")) + 1,
+            )
+        ).alias("cella"),
+    )
+    exact = (
+        va.join(vb, "cella")
+        .filter(F.abs(F.col("ca") - F.col("cb")) <= BAND)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"))
+    )
+    return (
+        bounds.crossJoin(F.broadcast(exact)).select(
+            "n_a",
+            "n_b",
+            F.col("lower").alias("lo_bound"),
+            "exact_pairs",
+            F.col("upper").alias("up_bound"),
+        )
+    )

@@ -225,3 +225,123 @@ def stream_kmv(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: sentinel row index marking applied-batch-id ledger rows inside a
+#: streamed CMS state table (real counter rows always have row >= 0)
+CMS_LEDGER_ROW = -1
+
+
+def cms_state(spark: SparkSession, path: str) -> DataFrame:
+    """The COUNTER rows of a streamed CMS state table (strips the
+    applied-batch ledger rows cms_fold_batch embeds — see its
+    docstring). Feed this to cms_estimate / cms_join_size."""
+    t = spark.read.parquet(path)
+    return t.filter(F.col("row") != CMS_LEDGER_ROW)
+
+
+def cms_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    item_col: str,
+    width: int = 512,
+    depth: int = 4,
+    hash_mode: str = "xxhash64",
+) -> None:
+    """Fold one micro-batch into a maintained CMS counter table —
+    with an APPLIED-BATCH LEDGER, because counter ADDITION is not
+    idempotent: an at-least-once foreachBatch replay of a batch the
+    min-fold sink (kmv_fold_batch) absorbs for free would DOUBLE
+    COUNT here. The standard remedy is idempotence by batch id —
+    Structured Streaming replays a failed batch under the SAME
+    ``batch_id``, so a ledger of applied ids makes the fold
+    exactly-once: a replayed id is skipped before anything merges.
+
+    The ledger lives INSIDE the state table as sentinel rows
+    ``(row = CMS_LEDGER_ROW, col = batch_id, c = 1)`` — one parquet
+    dir, one atomic rename-swap, so no crash point can commit
+    counters without their ledger entry or vice versa (two tables
+    would need a cross-dir transaction the filesystem cannot give).
+    Read counters back through :func:`cms_state`. Same staged
+    ``_SUCCESS``-gated swap and crash recovery as upsert_batch;
+    state stays ``depth × width + n_batches`` rows however much data
+    streams through."""
+    from gpi_etl_spark.operators.sketches import cms_build, cms_merge
+
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+
+    ledger_row = spark.createDataFrame(
+        [(CMS_LEDGER_ROW, int(batch_id), 1)], "row int, col int, c bigint"
+    )
+    if fs.exists(live):
+        state = spark.read.parquet(path)
+        applied = (
+            state.filter(
+                (F.col("row") == CMS_LEDGER_ROW)
+                & (F.col("col") == int(batch_id))
+            ).limit(1).count()
+        )
+        if applied:
+            return  # replayed batch — already folded, exactly-once
+        counters = state.filter(F.col("row") != CMS_LEDGER_ROW)
+        ledger = state.filter(F.col("row") == CMS_LEDGER_ROW)
+        delta = cms_build(
+            batch, item_col, width=width, depth=depth, hash_mode=hash_mode
+        )
+        merged = cms_merge(counters, delta).unionByName(ledger).unionByName(
+            ledger_row
+        )
+    else:
+        delta = cms_build(
+            batch, item_col, width=width, depth=depth, hash_mode=hash_mode
+        )
+        merged = delta.unionByName(ledger_row)
+    merged.write.mode("overwrite").parquet(base + "__staging")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_live = fs.exists(live)
+    if had_live:
+        _retire_live(fs, live, old)
+    try:
+        _promote_staged(fs, staged, live)
+    except BaseException:
+        if had_live:
+            fs.rename(old, live)
+        raise
+    fs.delete(old, True)
+
+
+def stream_cms(
+    stream: DataFrame,
+    path: str,
+    item_col: str,
+    checkpoint: str,
+    width: int = 512,
+    depth: int = 4,
+    hash_mode: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Attach the ledgered CMS counter-fold sink to a streaming
+    DataFrame — a frequency sketch maintained as exactly-once
+    micro-batch state. Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cms_fold_batch(
+            spark, batch_df, batch_id, path, item_col,
+            width=width, depth=depth, hash_mode=hash_mode,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -163,3 +163,58 @@ def test_rollup_empty_sets_raise(spark, items):
     )
     with pytest.raises(ValueError, match="at least one"):
         rq_rollup(rq, (), ())
+
+
+def test_band_join_bounds_sandwich_and_exact_collapse(spark):
+    from gpi_etl_spark.operators.sketches import (
+        rq_band_join_size,
+        rq_build,
+    )
+
+    # values below 10^3 magnitude are singleton buckets at digits=3 —
+    # both bounds must COLLAPSE to the exact band-join size
+    a_small = [(v,) for v in (-900, -5, 0, 10, 250, 999)]
+    b_small = [(v,) for v in (-910, -4, 240, 260, 998, 500)]
+    da = spark.createDataFrame(a_small, "cents long")
+    db = spark.createDataFrame(b_small, "cents long")
+    got = rq_band_join_size(
+        rq_build(da, "cents", ()), rq_build(db, "cents", ()), 20
+    ).first()
+    exact = sum(
+        1
+        for (x,) in a_small
+        for (y,) in b_small
+        if abs(x - y) <= 20
+    )
+    assert got.n_a == len(a_small) and got.n_b == len(b_small)
+    assert got.lower == exact == got.upper
+
+    # wide-bucket values (>= 10^4): bounds must SANDWICH the truth
+    a_big = [(v,) for v in (10_000, 12_345, 99_999, 123_456, -45_000)]
+    b_big = [(v,) for v in (10_400, 12_999, 100_001, 123_900, -44_700)]
+    da = spark.createDataFrame(a_big, "cents long")
+    db = spark.createDataFrame(b_big, "cents long")
+    got = rq_band_join_size(
+        rq_build(da, "cents", ()), rq_build(db, "cents", ()), 500
+    ).first()
+    exact = sum(
+        1
+        for (x,) in a_big
+        for (y,) in b_big
+        if abs(x - y) <= 500
+    )
+    assert got.lower <= exact <= got.upper
+    assert got.upper <= len(a_big) * len(b_big)
+
+
+def test_band_join_bounds_rejects_negative_band(spark):
+    from gpi_etl_spark.operators.sketches import (
+        rq_band_join_size,
+        rq_build,
+    )
+
+    sk = rq_build(
+        spark.createDataFrame([(1,)], "cents long"), "cents", ()
+    )
+    with pytest.raises(ValueError, match="band"):
+        rq_band_join_size(sk, sk, -1)

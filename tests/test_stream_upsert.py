@@ -168,3 +168,36 @@ def test_kmv_fold_batch_matches_batch_build_and_is_idempotent(spark, dirs):
     kmv_fold_batch(spark, b2, path, "item", ("g",), k=16, hash_mode="poly")
     again = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert again == direct
+
+
+def test_cms_fold_batch_ledger_makes_replay_exactly_once(spark, dirs):
+    """Counter addition is NOT idempotent — the ledger must make it
+    so: replaying a batch under its original batch_id is a no-op,
+    and the final counters equal a one-shot batch build."""
+    from gpi_etl_spark.operators.sketches import cms_build
+    from gpi_etl_spark.streaming.sinks import cms_fold_batch, cms_state
+
+    _, sink, _ = dirs
+    path = sink + "/ctrs"
+    b1 = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(40)], "item string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"u{i % 11}",) for i in range(30)], "item string"
+    )
+    cms_fold_batch(spark, b1, 0, path, "item", width=64, depth=3,
+                   hash_mode="poly")
+    cms_fold_batch(spark, b2, 1, path, "item", width=64, depth=3,
+                   hash_mode="poly")
+    # replay batch 1 (same id) — MUST be skipped, not double-counted
+    cms_fold_batch(spark, b2, 1, path, "item", width=64, depth=3,
+                   hash_mode="poly")
+    streamed = sorted(map(tuple, cms_state(spark, path).collect()))
+    direct = sorted(map(tuple, cms_build(
+        b1.unionByName(b2), "item", width=64, depth=3, hash_mode="poly"
+    ).collect()))
+    assert streamed == direct
+    # the ledger itself carries exactly the two applied ids
+    ledger = {r.col for r in spark.read.parquet(path)
+              .filter("row = -1").collect()}
+    assert ledger == {0, 1}

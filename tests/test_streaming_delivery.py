@@ -58,6 +58,7 @@ STREAMING_GATES = [
     "q230_stream_upsert",
     "q236_stream_pairs_count",
     "q247_stream_kmv_distinct",
+    "q248_stream_cms_freq",
 ]
 
 SPLIT = (8, 1)  # 8 full-span files, one file per micro-batch
@@ -86,6 +87,7 @@ def test_gate_is_delivery_schedule_invariant(spark, name, delivery_knob):
     tag = {
         "q230_stream_upsert": "q230src",
         "q247_stream_kmv_distinct": "q247src",
+        "q248_stream_cms_freq": "q248src",
     }.get(name, name.split("_")[0])
     landing = Q._landing(spark, tag, SF_DIR)
     parts = glob.glob(os.path.join(landing, "part-*.parquet"))

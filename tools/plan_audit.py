@@ -92,7 +92,17 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # the probe rows — q241's 1×1 scalar pattern.
                 "q245_cms_cdc_forget",
                 # q246: same two one-row checksum scalars, rq family.
-                "q246_rq_cdc_forget"}
+                "q246_rq_cdc_forget",
+                # q248: same two one-row checksum scalars (streamed
+                # vs direct-build counter tables).
+                "q248_stream_cms_freq",
+                # q249: the bucket-pair product is a crossJoin of two
+                # GEOMETRY-bounded bucket tables (≤ a few thousand
+                # rows each at digits=3 regardless of corpus — q198's
+                # lattice class), plus q241-class one-row scalars;
+                # the exact baseline runs the banded equi-join shape,
+                # not a corpus cross join.
+                "q249_band_join_bounds"}
 
 # queries where a GLOBAL (partition-less) window is the declared
 # semantics on a bounded/pre-aggregated frame — e.g. a global top-k over
