@@ -58,6 +58,58 @@ def _bucket_cols(base, depth: int, width: int, hash_mode: str) -> list:
     ]
 
 
+def _null_weight_guard(weight_col: str, what: str):
+    """Lazy NULL guard INSIDE a summed weight expression (unprunable):
+    a NULL CDC weight is a malformed feed row — sum() skipping it
+    would silently under-apply the delta. Shared by both weighted
+    builders so the contract cannot drift between them."""
+    return F.when(
+        F.col(weight_col).isNotNull(),
+        F.col(weight_col).cast("bigint"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{what}: NULL weight in the delta stream — a CDC "
+                "feed row with no weight is malformed; fix or filter "
+                "it upstream (0 means 'no change', NULL means 'bug')."
+            )
+        )
+    )
+
+
+def _cms_counters(
+    items: DataFrame,
+    item_col: str,
+    width: int,
+    depth: int,
+    hash_mode: str,
+    weight=None,
+) -> DataFrame:
+    """The ONE copy of the CMS bucket/aggregate pipeline (review
+    find: cms_build and cms_build_weighted carried verbatim twins of
+    the explode shape, and the apply()==rebuild linearity law depends
+    on the two derivations staying bit-identical). ``weight=None``
+    counts rows; a Column sums it."""
+    base = (
+        xhash.poly_hash(F.col(item_col))
+        if hash_mode == "poly"
+        else F.xxhash64(F.col(item_col))
+    )
+    pos = F.posexplode(
+        F.array(*_bucket_cols(base, depth, width, hash_mode))
+    ).alias("row", "col")
+    if weight is None:
+        bucketed = items.select(pos)
+        agg = F.count(F.lit(1)).alias("c")
+    else:
+        bucketed = items.select(weight.alias("_w"), pos)
+        agg = F.sum("_w").alias("c")
+    return bucketed.groupBy(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+    ).agg(agg)
+
+
 def cms_build(
     items: DataFrame,
     item_col: str,
@@ -74,20 +126,7 @@ def cms_build(
     ``depth × width`` rows per input partition however large the
     stream is.
     """
-    base = (
-        xhash.poly_hash(F.col(item_col))
-        if hash_mode == "poly"
-        else F.xxhash64(F.col(item_col))
-    )
-    bucketed = items.select(
-        F.posexplode(
-            F.array(*_bucket_cols(base, depth, width, hash_mode))
-        ).alias("row", "col")
-    )
-    return bucketed.groupBy(
-        F.col("row").cast("int").alias("row"),
-        F.col("col").cast("int").alias("col"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    return _cms_counters(items, item_col, width, depth, hash_mode)
 
 
 def cms_merge(*sketches: DataFrame) -> DataFrame:
@@ -134,38 +173,13 @@ def cms_build_weighted(
     skipping it would under-apply the delta). Output rows may carry
     c = 0 or c < 0 (a delta sketch is not a state sketch);
     :func:`cms_apply` restores the canonical zeros-omitted form after
-    folding."""
-    base = (
-        xhash.poly_hash(F.col(item_col))
-        if hash_mode == "poly"
-        else F.xxhash64(F.col(item_col))
+    folding. Shares its bucket pipeline with cms_build through
+    ``_cms_counters`` — the linearity law depends on the two
+    derivations being the same code."""
+    return _cms_counters(
+        items, item_col, width, depth, hash_mode,
+        weight=_null_weight_guard(weight_col, "cms_build_weighted"),
     )
-    # lazy NULL guard INSIDE the summed expression (unprunable): a
-    # NULL CDC weight is a malformed feed row — sum() skipping it
-    # would silently under-apply the delta
-    w = F.when(
-        F.col(weight_col).isNotNull(),
-        F.col(weight_col).cast("bigint"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "cms_build_weighted: NULL weight in the delta stream "
-                "— a CDC feed row with no weight is malformed; fix or "
-                "filter it upstream (0 means 'no change', NULL means "
-                "'bug')."
-            )
-        )
-    )
-    bucketed = items.select(
-        w.alias("_w"),
-        F.posexplode(
-            F.array(*_bucket_cols(base, depth, width, hash_mode))
-        ).alias("row", "col"),
-    )
-    return bucketed.groupBy(
-        F.col("row").cast("int").alias("row"),
-        F.col("col").cast("int").alias("col"),
-    ).agg(F.sum("_w").alias("c"))
 
 
 def _retraction_guard(c, what: str):
@@ -649,6 +663,45 @@ def kmv_overlap(sketch: DataFrame, key_col: str) -> DataFrame:
     ).withColumnRenamed("_union_reg_sum", "union_reg_sum")
 
 
+def _rollup_sets(
+    what: str,
+    group_cols: tuple[str, ...],
+    sets: tuple[tuple[str, ...], ...] | None,
+) -> tuple[tuple[str, ...], ...]:
+    """Shared grouping-set validation for the rollup cubes (review
+    find: the two rollups carried twin copies, and neither rejected
+    DUPLICATE sets — Spark's groupingSets emits a duplicated level
+    twice under the same gid, and the downstream re-aggregation then
+    silently doubles that level's n / reg_sum, the exact
+    silent-corruption class the fam/dig guards exist to prevent).
+    Defaults to the ROLLUP chain; rejects unknown columns and
+    duplicate (or order-/repeat-equivalent) sets loudly."""
+    if sets is None:
+        sets = tuple(
+            tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
+        )
+    if not sets:
+        raise ValueError(f"{what}: sets must name at least one "
+                         "grouping set (use ((),) for the grand total)")
+    seen: set[frozenset] = set()
+    for s in sets:
+        bad = [c for c in s if c not in group_cols]
+        if bad:
+            raise ValueError(
+                f"{what}: grouping set {s!r} names non-group "
+                f"columns {bad!r} (group_cols={group_cols!r})"
+            )
+        key = frozenset(c for c in group_cols if c in s)
+        if key in seen:
+            raise ValueError(
+                f"{what}: duplicate grouping set {s!r} — groupingSets "
+                "emits the level twice under one gid and the level's "
+                "counts/register sums would silently double"
+            )
+        seen.add(key)
+    return sets
+
+
 def kmv_rollup(
     sketch: DataFrame,
     group_cols: tuple[str, ...],
@@ -692,20 +745,7 @@ def kmv_rollup(
     sketch re-runs its corpus scan once per level — measured 6.6 s →
     this shape's cost at the q242 bench scale.
     """
-    if sets is None:
-        sets = tuple(
-            tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
-        )
-    if not sets:
-        raise ValueError("kmv_rollup: sets must name at least one "
-                         "grouping set (use ((),) for the grand total)")
-    for s in sets:
-        bad = [c for c in s if c not in group_cols]
-        if bad:
-            raise ValueError(
-                f"kmv_rollup: grouping set {s!r} names non-group "
-                f"columns {bad!r} (group_cols={group_cols!r})"
-            )
+    sets = _rollup_sets("kmv_rollup", group_cols, sets)
     has_fam = "fam" in sketch.columns
     extra = ["i"] + (["fam"] if has_fam else [])
     gsets = [
@@ -825,6 +865,44 @@ def fixed_histogram_quantiles(
 # buckets mix ``digits`` generations, loudly.
 
 
+def _rq_buckets(
+    df: DataFrame,
+    cents_col: str,
+    group_cols: tuple[str, ...],
+    digits: int,
+    what: str,
+    weight=None,
+) -> DataFrame:
+    """The ONE copy of the rq bucket law — sign / p / lead derivation
+    + the grouped count-or-weighted aggregate (review find: rq_build
+    and rq_build_weighted carried verbatim twins, and the
+    apply()==rebuild linearity law depends on the derivations staying
+    bit-identical). ``weight=None`` counts rows; a Column sums it."""
+    if digits < 1:
+        raise ValueError(f"{what}: digits must be >= 1, got {digits}")
+    c = F.col(cents_col).cast("long")
+    s = F.abs(c).cast("string")
+    sign = (
+        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("int")
+    p = F.greatest(F.length(s) - F.lit(digits), F.lit(0)).cast("int")
+    lead = F.substring(s, 1, digits).cast("long")
+    agg = (
+        F.count(F.lit(1)) if weight is None else F.sum(weight)
+    ).cast("bigint").alias("cnt")
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(
+            *group_cols,
+            sign.alias("sign"),
+            p.alias("p"),
+            lead.alias("lead"),
+        )
+        .agg(agg)
+        .withColumn("dig", F.lit(digits).cast("int"))
+    )
+
+
 def rq_build(
     df: DataFrame,
     cents_col: str,
@@ -838,27 +916,7 @@ def rq_build(
     ``digits`` ≥ 1 sets the accuracy/size trade: relative bucket
     width ≤ 10^(1-digits), bucket count per group ≤ a few thousand
     at digits=3."""
-    if digits < 1:
-        raise ValueError(f"rq_build: digits must be >= 1, got {digits}")
-    c = F.col(cents_col).cast("long")
-    a = F.abs(c)
-    s = a.cast("string")
-    sign = (
-        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
-    ).cast("int")
-    p = F.greatest(F.length(s) - F.lit(digits), F.lit(0)).cast("int")
-    lead = F.substring(s, 1, digits).cast("long")
-    return (
-        df.filter(c.isNotNull())
-        .groupBy(
-            *group_cols,
-            sign.alias("sign"),
-            p.alias("p"),
-            lead.alias("lead"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .withColumn("dig", F.lit(digits).cast("int"))
-    )
+    return _rq_buckets(df, cents_col, group_cols, digits, "rq_build")
 
 
 def rq_merge(*sketches: DataFrame) -> DataFrame:
@@ -893,42 +951,12 @@ def rq_build_weighted(
     you only retract previously-inserted rows, and enforced loudly at
     apply time. NULL weights are REJECTED at execution (same contract
     as cms_build_weighted: sum() silently skipping a malformed feed
-    row would under-apply the delta)."""
-    if digits < 1:
-        raise ValueError(
-            f"rq_build_weighted: digits must be >= 1, got {digits}"
-        )
-    c = F.col(cents_col).cast("long")
-    a = F.abs(c)
-    s = a.cast("string")
-    sign = (
-        F.when(c > 0, F.lit(1)).when(c < 0, F.lit(-1)).otherwise(F.lit(0))
-    ).cast("int")
-    p = F.greatest(F.length(s) - F.lit(digits), F.lit(0)).cast("int")
-    lead = F.substring(s, 1, digits).cast("long")
-    w = F.when(
-        F.col(weight_col).isNotNull(),
-        F.col(weight_col).cast("bigint"),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "rq_build_weighted: NULL weight in the delta stream — "
-                "a CDC feed row with no weight is malformed; fix or "
-                "filter it upstream (0 means 'no change', NULL means "
-                "'bug')."
-            )
-        )
-    )
-    return (
-        df.filter(c.isNotNull())
-        .groupBy(
-            *group_cols,
-            sign.alias("sign"),
-            p.alias("p"),
-            lead.alias("lead"),
-        )
-        .agg(F.sum(w).cast("bigint").alias("cnt"))
-        .withColumn("dig", F.lit(digits).cast("int"))
+    row would under-apply the delta). Shares the bucket law with
+    rq_build through ``_rq_buckets`` — the linearity law depends on
+    the two derivations being the same code."""
+    return _rq_buckets(
+        df, cents_col, group_cols, digits, "rq_build_weighted",
+        weight=_null_weight_guard(weight_col, "rq_build_weighted"),
     )
 
 
@@ -1046,20 +1074,7 @@ def rq_rollup(
     key). Same one-pass ``groupingSets`` plan shape as kmv_rollup
     (see its docstring for why the per-level-loop alternative
     re-scans the corpus once per level)."""
-    if sets is None:
-        sets = tuple(
-            tuple(group_cols[:i]) for i in range(len(group_cols), -1, -1)
-        )
-    if not sets:
-        raise ValueError("rq_rollup: sets must name at least one "
-                         "grouping set (use ((),) for the grand total)")
-    for s in sets:
-        bad = [c for c in s if c not in group_cols]
-        if bad:
-            raise ValueError(
-                f"rq_rollup: grouping set {s!r} names non-group "
-                f"columns {bad!r} (group_cols={group_cols!r})"
-            )
+    sets = _rollup_sets("rq_rollup", group_cols, sets)
     extra = ["sign", "p", "lead", "dig"]
     gsets = [
         [*(c for c in group_cols if c in s), *extra] for s in sets
@@ -1314,7 +1329,12 @@ def rq_band_join_size(
     widths at the band's boundary (tighten with more ``digits``).
     Whole computation is exact int64 — interval ends reconstruct via
     string concatenation like rq_quantiles' representatives, and
-    ``10^p`` is built the same way (no pow(), no doubles anywhere).
+    ``10^p`` is built the same way (no pow(), no doubles anywhere) —
+    WITHIN the same envelope cms_join_size documents: the bound sums
+    are Σ cnt_a·cnt_b terms capped by ``n_a·n_b``, so keep
+    ``n_a·n_b < 2^63`` (~3·10⁹ rows per side). Past that the
+    aggregation overflows (ANSI: job error; non-ANSI: silent wrap) —
+    pre-aggregate or sample a side first.
 
     The bucket-pair product is a crossJoin of two GEOMETRY-BOUNDED
     tables (≤ a few thousand rows each at digits=3, regardless of

@@ -55,6 +55,30 @@ def _promote_staged(fs, staged, live) -> None:
         raise IOError(f"could not promote staged table {staged} -> {live}")
 
 
+def _swap_in(df: DataFrame, fs, live, staged, old, base: str) -> None:
+    """Materialize ``df`` to the staging dir, then atomically swap it
+    live: retire live → promote staged → rollback on failure → clean
+    up the retired copy. The ONE copy of the recovery-critical swap
+    protocol — every sink (upsert, kmv fold, cms fold) goes through
+    here, so a protocol fix lands everywhere at once (review find:
+    three verbatim copies had tripled the surface a missed edit could
+    silently reintroduce a crash-loss bug on). Callers run
+    ``_recover`` first."""
+    df.write.mode("overwrite").parquet(base + "__staging")
+    if fs.exists(old):
+        fs.delete(old, True)
+    had_live = fs.exists(live)
+    if had_live:
+        _retire_live(fs, live, old)
+    try:
+        _promote_staged(fs, staged, live)
+    except BaseException:
+        if had_live:
+            fs.rename(old, live)  # put the previous table back
+        raise
+    fs.delete(old, True)
+
+
 def upsert_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -101,20 +125,7 @@ def upsert_batch(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    winner.write.mode("overwrite").parquet(base + "__staging")
-
-    if fs.exists(old):
-        fs.delete(old, True)
-    had_live = fs.exists(live)
-    if had_live:
-        _retire_live(fs, live, old)
-    try:
-        _promote_staged(fs, staged, live)
-    except BaseException:
-        if had_live:
-            fs.rename(old, live)  # put the previous table back
-        raise
-    fs.delete(old, True)
+    _swap_in(winner, fs, live, staged, old, base)
 
 
 def stream_upsert(
@@ -181,19 +192,7 @@ def kmv_fold_batch(
         merged = kmv_merge(spark.read.parquet(path), delta)
     else:
         merged = delta
-    merged.write.mode("overwrite").parquet(base + "__staging")
-    if fs.exists(old):
-        fs.delete(old, True)
-    had_live = fs.exists(live)
-    if had_live:
-        _retire_live(fs, live, old)
-    try:
-        _promote_staged(fs, staged, live)
-    except BaseException:
-        if had_live:
-            fs.rename(old, live)
-        raise
-    fs.delete(old, True)
+    _swap_in(merged, fs, live, staged, old, base)
 
 
 def stream_kmv(
@@ -301,19 +300,7 @@ def cms_fold_batch(
             batch, item_col, width=width, depth=depth, hash_mode=hash_mode
         )
         merged = delta.unionByName(ledger_row)
-    merged.write.mode("overwrite").parquet(base + "__staging")
-    if fs.exists(old):
-        fs.delete(old, True)
-    had_live = fs.exists(live)
-    if had_live:
-        _retire_live(fs, live, old)
-    try:
-        _promote_staged(fs, staged, live)
-    except BaseException:
-        if had_live:
-            fs.rename(old, live)
-        raise
-    fs.delete(old, True)
+    _swap_in(merged, fs, live, staged, old, base)
 
 
 def stream_cms(

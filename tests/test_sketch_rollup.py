@@ -218,3 +218,26 @@ def test_band_join_bounds_rejects_negative_band(spark):
     )
     with pytest.raises(ValueError, match="band"):
         rq_band_join_size(sk, sk, -1)
+
+
+def test_rollup_duplicate_sets_raise(spark, items):
+    """A duplicated (or order-equivalent) grouping set would make
+    groupingSets emit the level twice under one gid, silently
+    doubling that level's n / reg_sum downstream — both rollups must
+    reject it loudly (review find)."""
+    fine = kmv_build(items, "item", group_cols=("g1", "g2"), k=8)
+    # duplicated grand total
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        kmv_rollup(fine, ("g1", "g2"), (("g1",), (), ()))
+    # explicit duplicate
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        kmv_rollup(fine, ("g1", "g2"), (("g1",), ("g1",)))
+    # order-equivalent duplicate
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        kmv_rollup(fine, ("g1", "g2"), (("g1", "g2"), ("g2", "g1")))
+    rq = rq_build(
+        spark.createDataFrame([("a", 1)], "g string, cents long"),
+        "cents", ("g",),
+    )
+    with pytest.raises(ValueError, match="duplicate grouping set"):
+        rq_rollup(rq, ("g",), ((), ()))
