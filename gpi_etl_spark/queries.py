@@ -7677,9 +7677,11 @@ _DRIVER_SAMPLE = 50
 #:   decimal(18,2) value cast) for exact floor-scale cents, and
 #:   q233's gate is now transcendental-free and round()-free with a
 #:   lambda-free/slice-free oracle. Any red/green pattern across the
-#:   six names the fault layer. Kept DELIBERATELY small so the ~44
-#:   remaining slots refresh the r3-vintage evidence band (q82–q104,
-#:   the oldest driver rows in the union) via the staleness sort.
+#:   six names the fault layer. Kept DELIBERATELY small; after the
+#:   prefix, the staleness sort spends the remaining slots on the
+#:   never-sampled band first (q238–q249, this round's new gates)
+#:   and then the r3-vintage evidence band (q82–q104, the oldest
+#:   driver rows in the union).
 _R9_PRIORITY = [
     "q211_stream_stream_join",
     "q234_events_checksum",
