@@ -162,6 +162,9 @@ HEADLINE = [
     # q249 (band-join bounds) stays unbenched under rule (d): two
     # q239-class bucket builds, a geometry-bounded pair product, and
     # the q213-class banded exact baseline — all benched shapes.
+    # q250 (weighted quantile sketch) stays unbenched under rule (d):
+    # a q239-class weighted bucket build plus a q177-class exact
+    # weighted-median baseline — both benched shapes.
     # q228 (mutual information) stays unbenched under rule (e): same
     # presence-explode + map-side-combine + sort-limit plan shape as
     # the benched token-aggregation family (q68/q120/q202-class).

@@ -14270,3 +14270,122 @@ def q249(spark, sf_dir):
             F.col("upper").alias("up_bound"),
         )
     )
+
+
+_Q250_ORACLE = """
+    WITH c AS MATERIALIZED (
+      SELECT l_returnflag AS rf,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    b AS (SELECT rf,
+                 CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 sum(w) AS cnt
+          FROM c GROUP BY 1, 2, 3, 4),
+    r AS (SELECT rf,
+                 sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                 cnt
+          FROM b),
+    f AS (SELECT rf, rep, cnt,
+                 sum(cnt) OVER (PARTITION BY rf ORDER BY rep
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER (PARTITION BY rf) AS n
+          FROM r),
+    q AS (SELECT rf, cast(max(n) AS bigint) AS n,
+                 cast(min(CASE WHEN cum * 2 >= n * 1 THEN rep END)
+                      AS bigint) AS q_1_2,
+                 cast(min(CASE WHEN cum * 10 >= n * 9 THEN rep END)
+                      AS bigint) AS q_9_10,
+                 cast(min(CASE WHEN cum * 100 >= n * 99 THEN rep END)
+                      AS bigint) AS q_99_100
+          FROM f GROUP BY rf),
+    vals AS (SELECT rf, c, sum(w) AS wv FROM c GROUP BY 1, 2),
+    vf AS (SELECT rf, c,
+                  sum(wv) OVER (PARTITION BY rf ORDER BY c
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                  sum(wv) OVER (PARTITION BY rf) AS tot
+           FROM vals),
+    ex AS (SELECT rf, cast(min(CASE WHEN cum * 2 >= tot THEN c END)
+                          AS bigint) AS exact_p50
+           FROM vf GROUP BY rf)
+    SELECT q.rf AS l_returnflag, q.n, q.q_1_2, q.q_9_10, q.q_99_100,
+           ex.exact_p50
+    FROM q JOIN ex USING (rf)
+    """
+
+
+@query("q250_weighted_quantile_sketch", _Q250_ORACLE)
+def q250(spark, sf_dir):
+    """WEIGHTED quantiles from the rq sketch — rq_build_weighted's
+    second production use beyond CDC deltas: feeding POSITIVE weights
+    (here l_quantity — units sold) makes every downstream walk a
+    weighted quantile, because rq_quantiles' den·cum ≥ num·n
+    threshold is already a walk over weight SUMS. Per returnflag:
+    the quantity-weighted median/p90/p99 unit price, mergeable across
+    shards/days like every rq table and foldable under CDC via
+    rq_apply — the "median price per unit actually transacted" a
+    100 TB pipeline cannot afford to compute exactly per refresh
+    (a full sort per group per level). The exact weighted median
+    rides the gate (per-value weight aggregation FIRST, then the
+    cumulative walk over distinct values — tie-order-free on both
+    engines, q177's convention) so the readout shows the bucket
+    error against the ≤10^(1-digits) envelope. Whole row int64."""
+    from pyspark.sql import Window
+
+    from gpi_etl_spark.operators.sketches import (
+        rq_build_weighted,
+        rq_quantiles,
+    )
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_extendedprice").isNotNull()
+            & F.col("l_quantity").isNotNull()
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    sk = rq_build_weighted(li, "cents", "w", ("rf",), digits=3)
+    qs = rq_quantiles(sk, ("rf",))
+    vals = li.groupBy("rf", "cents").agg(F.sum("w").alias("wv"))
+    wcum = (
+        Window.partitionBy("rf")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("rf")
+    exact = (
+        vals.withColumn("cum", F.sum("wv").over(wcum))
+        .withColumn("tot", F.sum("wv").over(wtot))
+        .groupBy("rf")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 2 >= F.col("tot"), F.col("cents"))
+            )
+            .cast("bigint")
+            .alias("exact_p50")
+        )
+    )
+    return qs.join(exact, "rf").select(
+        F.col("rf").alias("l_returnflag"),
+        "n",
+        "q_1_2",
+        "q_9_10",
+        "q_99_100",
+        "exact_p50",
+    )

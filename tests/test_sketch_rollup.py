@@ -241,3 +241,27 @@ def test_rollup_duplicate_sets_raise(spark, items):
     )
     with pytest.raises(ValueError, match="duplicate grouping set"):
         rq_rollup(rq, ("g",), ((), ()))
+
+
+def test_weighted_quantiles_match_expanded_rows(spark):
+    """A weight-w row must be indistinguishable from w repeated
+    rows — the weighted walk's defining law."""
+    from gpi_etl_spark.operators.sketches import (
+        rq_build,
+        rq_build_weighted,
+        rq_quantiles,
+    )
+
+    weighted = spark.createDataFrame(
+        [(100, 3), (250, 1), (999, 5), (40, 2)], "cents long, w long"
+    )
+    expanded = spark.createDataFrame(
+        [(100,)] * 3 + [(250,)] + [(999,)] * 5 + [(40,)] * 2,
+        "cents long",
+    )
+    a = rq_quantiles(
+        rq_build_weighted(weighted, "cents", "w", ()), ()
+    ).collect()[0]
+    b = rq_quantiles(rq_build(expanded, "cents", ()), ()).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a.n == 11
