@@ -7658,37 +7658,26 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-9 priority prefix (must stay ≤ _DRIVER_SAMPLE entries). This
-#: round is a BISECTION round: q211 is driver-red for the SECOND
-#: consecutive time and q233 joined it, both bit-exact against DuckDB
-#: in this sandbox — so the prefix is exactly the two reds plus the
-#: four discriminating gates built to localize which LAYER diverges
-#: in the driver's environment:
-#:   * q234_events_checksum — input bytes (both engines' view of
-#:     events + embeddings, column by column, component by
-#:     component). Red here ⇒ everything downstream is moot.
-#:   * q235_interval_join_batch — q211's value path under q211's
-#:     byte-identical oracle, with zero streaming machinery.
-#:   * q236_stream_pairs_count — q211's streaming machinery with
-#:     integer-only output columns.
-#:   * q237_embedding_cov_core — q233's exact-integer core (no float
-#:     of any kind in the row).
-#:   q211 itself swapped its one engine-discretion rounding (the
-#:   decimal(18,2) value cast) for exact floor-scale cents, and
-#:   q233's gate is now transcendental-free and round()-free with a
-#:   lambda-free/slice-free oracle. Any red/green pattern across the
-#:   six names the fault layer. Kept DELIBERATELY small; after the
-#:   prefix, the staleness sort spends the remaining slots on the
-#:   never-sampled band first (q238–q249, this round's new gates)
-#:   and then the r3-vintage evidence band (q82–q104, the oldest
-#:   driver rows in the union).
-_R9_PRIORITY = [
-    "q211_stream_stream_join",
-    "q234_events_checksum",
-    "q235_interval_join_batch",
-    "q236_stream_pairs_count",
+#: Round-10 priority prefix (must stay ≤ _DRIVER_SAMPLE entries).
+#: Round 9's bisection worked: q211 went green the round its
+#: decimal(18,2) cast became int64 cents, leaving q233/q237 — the
+#: registry's ONLY two decimal-column emitters — as the only reds.
+#: Round 10 executes the cornered fix and its proof:
+#:   * q233/q237 — cov_num re-gated as BIGINT + mod-P residue; the
+#:     gate rows now carry no decimal type anywhere. Green here is
+#:     the first 248/248 all-green driver union.
+#:   * q251_decimal_probe — six constant-literal rows of
+#:     decimal(38,0)/(38,2)/(18,2) stated verbatim in both engines;
+#:     its red/green proves or falsifies the DECIMAL-column-class
+#:     diagnosis independently of any computation.
+#:   Kept DELIBERATELY small; after the prefix, the staleness sort
+#:   spends the remaining ~47 slots on the r4-vintage evidence band
+#:   (q134–q163, the 19 oldest rows in the union — VERDICT r9 Next
+#:   round #4) and then ascending vintage.
+_R10_PRIORITY = [
     "q233_embedding_covariance",
     "q237_embedding_cov_core",
+    "q251_decimal_probe",
 ]
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
@@ -7739,9 +7728,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R9_PRIORITY)}
-    assert len(_R9_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R9_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R10_PRIORITY)}
+    assert len(_R10_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R10_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
@@ -12620,7 +12609,20 @@ def _q233_oracle_sql(dims: int, core_only: bool = False) -> str:
     ``generate_series`` and scalar floor/cast arithmetic — surface
     that is stable across DuckDB releases). ``core_only`` emits just
     the exact-integer columns (i, j, n, cov_num) — the q237 gate that
-    carries NO float of any kind."""
+    carries NO float of any kind.
+
+    ROUND 10 (the r9 forensic's mechanical fix, same mechanism that
+    cured q211): the gated row carries NO decimal-typed column any
+    more. ``cov_num`` is CAST to BIGINT in both engines — at gate
+    scale the exact envelope |cov_num| ≤ 2·n²·max|q|² ≈ 2.1·10¹⁸
+    < 2⁶³ at sf0.1 (n = 2,000 vectors, max|q| ≈ 5.2·10⁵, measured),
+    and BOTH engines' decimal→bigint cast raises on overflow, so the
+    envelope is asserted by the cast itself, not assumed.
+    ``cov_num_modp`` (the repo's mod-P checksum convention, P = 1e9+7)
+    identifies the value across the full documented n ≤ 10⁹ envelope
+    where the int64 cast would refuse. The internal algebra keeps
+    decimal(38,0) — only the GATE representation changed."""
+    from gpi_etl_spark.functions.xhash import P
 
     def qz(idx: str) -> str:
         return (
@@ -12628,15 +12630,21 @@ def _q233_oracle_sql(dims: int, core_only: bool = False) -> str:
             " * 1000000.0 + 0.5) AS BIGINT)"
         )
 
+    # DuckDB's % follows the dividend's sign (the q134 pmod-replay
+    # lesson) — re-centre to the non-negative representative.
+    modp = f"CAST(((cov_num % {P}) + {P}) % {P} AS BIGINT)"
+    int_cols = (
+        "SELECT i, j, n, CAST(cov_num AS BIGINT) AS cov_num,\n"
+        f"           {modp} AS cov_num_modp"
+    )
     if core_only:
-        tail = "SELECT i, j, n, CAST(cov_num AS DECIMAL(38,0)) AS cov_num"
+        tail = int_cols
     else:
         corr2 = fs6_sql(
             "(CAST(cov_num AS DOUBLE) * CAST(cov_num AS DOUBLE))"
             " / (CAST(var_i AS DOUBLE) * CAST(var_j AS DOUBLE))"
         )
-        tail = f"""SELECT i, j, n,
-           CAST(cov_num AS DECIMAL(38,0)) AS cov_num,
+        tail = f"""{int_cols},
            {fs6_sql("CAST(cov_num AS DOUBLE) / (CAST(n AS DOUBLE)"
                     " * CAST(n AS DOUBLE) * 1000000000000.0)")}
              AS cov_r,
@@ -12696,7 +12704,17 @@ def q233(spark, sf_dir):
     6-dp floor scale); cov_r stays floor-scale. The oracle is
     rewritten lambda-free and slice-free (see _q233_oracle_sql), and
     q237 gates the pure-integer core alone — whichever column class
-    the driver still rejects names the divergence layer. One scan
+    the driver still rejects names the divergence layer. ROUND 10
+    (r9 red, forensic cornered the DECIMAL gate-column class — the
+    only two decimal emitters in the 248-query registry were the only
+    two reds, and q211 cured the round its decimal became int64): the
+    gate row is now decimal-free — cov_num rides as BIGINT (ANSI cast
+    raises if the gate-scale envelope |cov_num| < 2⁶³ is ever broken;
+    measured 4× headroom at sf0.1) plus cov_num_modp, the mod-P
+    residue that identifies the value over the full n ≤ 10⁹ envelope.
+    decimal(38,0) stays INTERNAL in vectorstats.covariance_matrix.
+    q251_decimal_probe carries the class diagnosis independently.
+    One scan
     explodes each vector into
     its 136 upper-triangle pair products with map-side combine (the
     wire carries ≤136 rows per partition, never the corpus); per-dim
@@ -12704,32 +12722,52 @@ def q233(spark, sf_dir):
     rides on top as bounded model state (pca_components collects d²
     numbers once; pca_project is a literal fixed-order dot product —
     pinned against numpy in tests/test_vectorstats.py)."""
+    from gpi_etl_spark.functions.xhash import P
     from gpi_etl_spark.operators.vectorstats import covariance_matrix
 
     emb = t(spark, sf_dir, "embeddings").select("embedding")
+    cov = F.col("cov_num")
     return covariance_matrix(emb, "embedding", 16).select(
-        "i", "j", "n", "cov_num", "cov_r", "corr_sign", "corr2_r"
+        "i",
+        "j",
+        "n",
+        # ANSI cast = the envelope assert: raises, on both engines,
+        # if |cov_num| ever exceeds int64 (≈2.1e18 at sf0.1, 4×
+        # headroom — measured; see _q233_oracle_sql docstring)
+        cov.cast("bigint").alias("cov_num"),
+        F.pmod(cov, F.lit(P)).cast("bigint").alias("cov_num_modp"),
+        "cov_r",
+        "corr_sign",
+        "corr2_r",
     )
 
 
 @query("q237_embedding_cov_core", _q233_oracle_sql(16, core_only=True))
 def q237(spark, sf_dir):
     """The EXACT-INTEGER core of q233, gated alone (round-9 bisection
-    for the r8 red driver row): i, j, n and the decimal(38,0)
-    covariance numerator — every column an integer/decimal both
-    engines must compute bit-identically, no float of ANY kind in the
-    row, under the same lambda-free oracle core. Driver readout: q237
-    red ⇒ the divergence is in the moment basis itself (input bytes or
-    integer arithmetic — cross-check q234's input checksum); q237
-    green while q233 stays red ⇒ the divergence is confined to the
-    float scalings (cov_r/corr2_r double casts), which names the
-    engine build, not the algebra. Same one-scan/map-side-combine
-    plan as q233 (vectorstats.covariance_matrix)."""
+    for the r8 red driver row): i, j, n and the covariance numerator —
+    every column an integer both engines must compute bit-identically,
+    no float of ANY kind in the row, under the same lambda-free oracle
+    core. ROUND 10: cov_num re-gated as BIGINT + mod-P residue (the
+    r9 forensic named the DECIMAL gate-column class as the fault; see
+    q233's docstring) — this row is now int32/int64-only end to end.
+    Driver readout: q237 red ⇒ the divergence is in the moment basis
+    itself (input bytes or integer arithmetic — cross-check q234's
+    input checksum); q237 green while q233 stays red ⇒ the divergence
+    is confined to the float scalings (cov_r/corr2_r double casts).
+    Same one-scan/map-side-combine plan as q233
+    (vectorstats.covariance_matrix)."""
+    from gpi_etl_spark.functions.xhash import P
     from gpi_etl_spark.operators.vectorstats import covariance_matrix
 
     emb = t(spark, sf_dir, "embeddings").select("embedding")
+    cov = F.col("cov_num")
     return covariance_matrix(emb, "embedding", 16).select(
-        "i", "j", "n", "cov_num"
+        "i",
+        "j",
+        "n",
+        cov.cast("bigint").alias("cov_num"),
+        F.pmod(cov, F.lit(P)).cast("bigint").alias("cov_num_modp"),
     )
 
 
@@ -14389,3 +14427,52 @@ def q250(spark, sf_dir):
         "q_99_100",
         "exact_p50",
     )
+
+
+def _q251_sql() -> str:
+    """One SQL text, two engines. The probe rows are constant string
+    literals cast to the three DECIMAL shapes the registry has ever
+    gated — (38,0) (q233/q237's cov_num), (38,2) and (18,2) (q211's
+    r7/r8 paired_value) — so no computation of any kind stands between
+    the literal and the driver's hash. Values cover the canonical
+    hazards of decimal canonicalization: zero, ±1-ulp, trailing
+    fraction zeros (0.10 vs 0.1), full 38-digit magnitude, and a
+    (38,0) value just past int64 (1e19) that a sloppy int64 fetch path
+    would overflow or clamp."""
+    rows = [
+        (1, "0", "0.00", "0.00"),
+        (2, "1", "0.01", "0.10"),
+        (3, "-1", "-0.01", "-0.10"),
+        (4, "99999999999999999999999999999999999999",
+         "123456.78", "9999999999999999.99"),
+        (5, "-99999999999999999999999999999999999999",
+         "-123456.78", "-9999999999999999.99"),
+        (6, "10000000000000000000", "2.50", "2.00"),
+    ]
+    return " UNION ALL ".join(
+        f"SELECT {i} AS id, CAST('{a}' AS DECIMAL(38,0)) AS d38_0, "
+        f"CAST('{b}' AS DECIMAL(38,2)) AS d38_2, "
+        f"CAST('{c}' AS DECIMAL(18,2)) AS d18_2"
+        for i, a, b, c in rows
+    )
+
+
+@query("q251_decimal_probe", _q251_sql())
+def q251(spark, sf_dir):
+    """THE DECIMAL GATE-COLUMN PROBE (round 10; deliberately designed
+    so that a RED row is informative, not a defect). Round 9's
+    forensic cornered the last driver divergence to how a
+    DECIMAL-typed output column is canonicalized in the driver's
+    hash path: across 248 registered queries, the only two decimal
+    emitters (q233/q237) were the only two reds, and q211 was red
+    exactly as long as it emitted decimal(38,2), curing the round the
+    column became int64 cents. This query states six constant rows of
+    decimal(38,0)/(38,2)/(18,2) VERBATIM in both engines — zero
+    computation, zero data — so the r10 driver row proves or falsifies
+    the column-class diagnosis independently of any algebra: RED
+    confirms the class (and explains why no gated query emits decimal
+    any more — see tests/test_no_decimal_gate.py); GREEN falsifies it
+    loudly and reopens the q233 investigation. Either way the row
+    converts an inference into a measurement. sf_dir is ignored —
+    constant literals are the point."""
+    return spark.sql(_q251_sql())
