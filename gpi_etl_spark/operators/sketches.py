@@ -77,6 +77,37 @@ def _null_weight_guard(weight_col: str, what: str):
     )
 
 
+def cms_geo(width: int, depth: int, hash_mode: str) -> str:
+    """The geometry/derivation stamp every CMS counter table carries
+    as a constant ``geo`` column (advice find, mirroring the kmv
+    ``fam`` tag): counters from different (width, depth, hash family)
+    builds live in incompatible bucket spaces, and before the stamp
+    cms_merge / cms_apply / the streamed cms_fold_batch state would
+    ADD them without error — every later estimate quietly wrong, with
+    the persisted/CDC paths letting the corruption outlive the
+    process. Bump the ``cms1`` version segment on any future bucket-
+    derivation change (the kmv lesson: a derivation change with no
+    tag bump is indistinguishable from compatible state)."""
+    return f"cms1-{hash_mode}-w{width}-d{depth}"
+
+
+def _cms_geo_guard(value, ok_col, op: str, msg: str | None = None):
+    """Wrap an output column so evaluating it on a geometry-mixed row
+    raises at execution time (lazy — the guard lives IN the protected
+    expression, so no eager action and no optimizer pruning)."""
+    return F.when(ok_col, value).otherwise(
+        F.raise_error(
+            F.lit(
+                msg
+                or f"{op}: CMS counter tables with DIFFERENT geometry "
+                "stamps (width/depth/hash family) were mixed — their "
+                "bucket spaces are incompatible and counter addition "
+                "is meaningless. Rebuild to one geometry and retry."
+            )
+        )
+    )
+
+
 def _cms_counters(
     items: DataFrame,
     item_col: str,
@@ -89,7 +120,8 @@ def _cms_counters(
     find: cms_build and cms_build_weighted carried verbatim twins of
     the explode shape, and the apply()==rebuild linearity law depends
     on the two derivations staying bit-identical). ``weight=None``
-    counts rows; a Column sums it."""
+    counts rows; a Column sums it. Every counter table is stamped
+    with its :func:`cms_geo` geometry."""
     base = (
         xhash.poly_hash(F.col(item_col))
         if hash_mode == "poly"
@@ -107,7 +139,7 @@ def _cms_counters(
     return bucketed.groupBy(
         F.col("row").cast("int").alias("row"),
         F.col("col").cast("int").alias("col"),
-    ).agg(agg)
+    ).agg(agg).withColumn("geo", F.lit(cms_geo(width, depth, hash_mode)))
 
 
 def cms_build(
@@ -133,11 +165,35 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Counter-wise sum of same-shape sketches (linearity of the CM
     projection): union + re-aggregate. Merging per-day / per-shard
     sketches this way is the whole point of shipping a sketch instead
-    of exact counts."""
+    of exact counts.
+
+    Mixed GEOMETRIES fail LOUDLY (advice find, the kmv_merge pattern):
+    the ``geo`` stamp cms_build writes is asserted single-valued per
+    (row, col) cell at execution time. The per-cell check suffices in
+    practice — real counter tables are dense over their bucket grid
+    (thousands of items over depth×width cells), so two different
+    geometries always collide on shared cells; a tagged/legacy-
+    untagged mix dies in unionByName's schema check, and legacy-only
+    inputs merge unguarded — rebuild stored sketches once after
+    upgrading (one pass; that is the point of the operator)."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    if "geo" not in out.columns:
+        return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    merged = out.groupBy("row", "col").agg(
+        F.sum("c").alias("c"),
+        F.count_distinct("geo").alias("_ng"),
+        F.max("geo").alias("geo"),
+    )
+    return merged.select(
+        "row",
+        "col",
+        _cms_geo_guard(
+            F.col("c"), F.col("_ng") == 1, "cms_merge"
+        ).alias("c"),
+        "geo",
+    )
 
 
 def cms_build_weighted(
@@ -215,9 +271,14 @@ def cms_apply(sketch: DataFrame, *deltas: DataFrame) -> DataFrame:
     day's CDC feed alone). A counter that folds NEGATIVE raises at
     execution (over-retraction proof — see _retraction_guard)."""
     folded = cms_merge(sketch, *deltas)
+    # cms_merge's geo guard already rejects base/delta geometry
+    # mismatches; carry the stamp so the maintained sketch stays
+    # guarded through the NEXT apply.
+    keep = (["geo"] if "geo" in folded.columns else [])
     return folded.select(
         "row", "col",
         _retraction_guard(F.col("c"), "cms_apply").alias("c"),
+        *keep,
     ).filter(F.col("c") != 0)
 
 
@@ -238,18 +299,38 @@ def cms_estimate(
     the final per-item min, however many probes arrive.
 
     ``width``/``depth``/``hash_mode`` MUST match the ``cms_build``
-    call that produced the sketch: the sketch frame carries only
-    (row, col, c), so a mismatch is structurally undetectable here and
-    would read never-incremented buckets as 0 — silently breaking the
-    never-undercount guarantee. Callers shipping sketches across jobs
-    should ship the three parameters alongside (they ARE the sketch's
-    schema).
+    call that produced the sketch — a mismatch would read
+    never-incremented buckets as 0, silently breaking the
+    never-undercount guarantee. Since round 10 the counter table
+    carries its :func:`cms_geo` stamp, so the mismatch IS detected:
+    a stamped sketch whose geometry disagrees with the caller's
+    parameters raises at execution time (legacy unstamped tables
+    still estimate unguarded — rebuild them once to get the guard).
     """
     base = (
         xhash.poly_hash(F.col(item_col))
         if hash_mode == "poly"
         else F.xxhash64(F.col(item_col))
     )
+    if "geo" in sketch.columns:
+        expected = cms_geo(width, depth, hash_mode)
+        sketch = sketch.select(
+            "row",
+            "col",
+            _cms_geo_guard(
+                F.col("c"),
+                F.col("geo") == expected,
+                "cms_estimate",
+                msg=(
+                    "cms_estimate: the sketch's geometry stamp "
+                    "disagrees with the caller's width/depth/"
+                    f"hash_mode (expected {expected}) — estimates "
+                    "from the wrong bucket space silently break the "
+                    "never-undercount guarantee. Pass the build's "
+                    "parameters or rebuild the sketch."
+                ),
+            ).alias("c"),
+        )
     pb = probes.select(
         item_col,
         F.posexplode(
@@ -303,9 +384,22 @@ def cms_join_size(
 
     Returns one row: ``est_join_size bigint`` (never an undercount).
     """
-    meta = a.agg((F.max("row") + 1).alias("_da")).crossJoin(
-        b.agg((F.max("row") + 1).alias("_db"))
-    )
+    both_geo = "geo" in a.columns and "geo" in b.columns
+    a_aggs = [(F.max("row") + 1).alias("_da")]
+    b_aggs = [(F.max("row") + 1).alias("_db")]
+    if both_geo:
+        # round 10: with stamped sketches the full geometry (width/
+        # depth/hash family) is asserted equal across the two sides,
+        # closing the width/hash_mode "by contract" gap below
+        a_aggs += [
+            F.count_distinct("geo").alias("_nga"),
+            F.max("geo").alias("_ga"),
+        ]
+        b_aggs += [
+            F.count_distinct("geo").alias("_ngb"),
+            F.max("geo").alias("_gb"),
+        ]
+    meta = a.agg(*a_aggs).crossJoin(b.agg(*b_aggs))
     aa = a.select("row", "col", F.col("c").alias("_ca"))
     bb = b.select("row", "col", F.col("c").alias("_cb"))
     per_row = (
@@ -320,9 +414,29 @@ def cms_join_size(
     agg = per_row.agg(
         F.count(F.lit(1)).alias("_nr"), F.min("_dot").alias("_mind")
     ).crossJoin(F.broadcast(meta))
+    geo_mixed = (
+        (
+            (F.col("_nga") > 1)
+            | (F.col("_ngb") > 1)
+            | (F.col("_ga") != F.col("_gb"))
+        )
+        if both_geo
+        else F.lit(False)
+    )
     est = (
         F.when(
             F.col("_da").isNull() | F.col("_db").isNull(), F.lit(0)
+        )
+        .when(
+            geo_mixed,
+            F.raise_error(
+                F.lit(
+                    "cms_join_size: the two sketches carry different "
+                    "geometry stamps (width/depth/hash family) — "
+                    "their bucket-wise dot products are meaningless "
+                    "together. Rebuild to one geometry."
+                )
+            ).cast("bigint"),
         )
         .when(
             F.col("_da") != F.col("_db"),

@@ -178,7 +178,11 @@ def kmv_fold_batch(
     aggregate a 100 TB pipeline can actually keep. The ``fam``
     derivation tag rides the state table, so a checkpoint that
     straddles a kmv_build family upgrade fails loudly at the first
-    merge instead of mixing register families silently."""
+    merge instead of mixing register families silently; the caller's
+    ``k`` is likewise checked against the state's own k (max register
+    index + 1 — kmv_build emits all k registers per group) before
+    merging, because k drift was the one compatibility axis the fam
+    tag could not see (advice find)."""
     from gpi_etl_spark.operators.sketches import kmv_build, kmv_merge
 
     delta = kmv_build(
@@ -189,7 +193,26 @@ def kmv_fold_batch(
     staged, old = Path(base + "__staging"), Path(base + "__old")
     _recover(fs, Path, live, staged, old)
     if fs.exists(live):
-        merged = kmv_merge(spark.read.parquet(path), delta)
+        state = spark.read.parquet(path)
+        # k-drift guard (advice find): the fam tag catches hash-family
+        # drift but not k drift — folding k=16 deltas into a k=64
+        # state would merge silently, leaving per-group register
+        # counts inconsistent and mis-scaling every later
+        # kmv_estimate (which derives k from the row count). k is
+        # derived from the state itself: kmv_build always emits ALL
+        # registers i = 0..k-1 for every group, so max(i) + 1 IS the
+        # build's k. One tiny aggregate over |groups|·k bounded state
+        # rows, in a sink that already runs driver-side FS probes.
+        row = state.agg(F.max("i").alias("mi")).collect()[0]
+        if row.mi is not None and row.mi + 1 != k:
+            raise ValueError(
+                f"kmv_fold_batch: live state at {path} was built with "
+                f"k={row.mi + 1} but the caller supplied k={k} — "
+                "register-wise min across different k merges "
+                "inconsistent register sets silently. Use the "
+                "state's k or rebuild the state."
+            )
+        merged = kmv_merge(state, delta)
     else:
         merged = delta
     _swap_in(merged, fs, live, staged, old, base)
@@ -267,18 +290,45 @@ def cms_fold_batch(
     ``_SUCCESS``-gated swap and crash recovery as upsert_batch;
     state stays ``depth × width + n_batches`` rows however much data
     streams through."""
-    from gpi_etl_spark.operators.sketches import cms_build, cms_merge
+    from gpi_etl_spark.operators.sketches import (
+        cms_build,
+        cms_geo,
+        cms_merge,
+    )
 
     base = path.rstrip("/")
     fs, Path, live = _hadoop_fs(spark, base)
     staged, old = Path(base + "__staging"), Path(base + "__old")
     _recover(fs, Path, live, staged, old)
 
+    geo = cms_geo(width, depth, hash_mode)
+    # ledger rows carry the state's geometry stamp too — one schema,
+    # one table, and cms_merge's geo guard stays satisfiable
     ledger_row = spark.createDataFrame(
-        [(CMS_LEDGER_ROW, int(batch_id), 1)], "row int, col int, c bigint"
+        [(CMS_LEDGER_ROW, int(batch_id), 1, geo)],
+        "row int, col int, c bigint, geo string",
     )
     if fs.exists(live):
         state = spark.read.parquet(path)
+        # geometry-drift guard (advice find, eager twin of the lazy
+        # cms_merge guard): a checkpoint that straddles a width/depth/
+        # hash_mode change must die HERE, before counters from two
+        # bucket spaces ever add. One first() over KB-bounded state in
+        # a sink already running driver-side ledger probes.
+        if "geo" not in state.columns:
+            raise ValueError(
+                f"cms_fold_batch: live state at {path} predates the "
+                "geometry stamp — rebuild the streamed state once "
+                "(drop the table + checkpoint) to upgrade."
+            )
+        got = state.select("geo").first()
+        if got is not None and got.geo != geo:
+            raise ValueError(
+                f"cms_fold_batch: live state at {path} was built "
+                f"with geometry {got.geo} but the caller supplied "
+                f"{geo} — counter addition across bucket spaces is "
+                "meaningless. Use the state's geometry or rebuild."
+            )
         applied = (
             state.filter(
                 (F.col("row") == CMS_LEDGER_ROW)

@@ -625,7 +625,9 @@ def test_cms_join_size_depth_mismatch_fails_loudly(spark):
     """A caller mixing sketches of different depths used to get a
     silent 0 — an undercount from the never-undercount estimator
     (review find). Depth is now derived from each table and asserted
-    equal."""
+    equal; since round 10 the geometry STAMP comparison catches the
+    mismatch first (it sees width and hash family too — the
+    row-derived depth check remains as the legacy-table fallback)."""
     import pytest
     from pyspark.errors import PySparkException
 
@@ -635,8 +637,11 @@ def test_cms_join_size_depth_mismatch_fails_loudly(spark):
                                "item string")
     ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
     kb = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
-    with pytest.raises(PySparkException, match="DIFFERENT depths"):
+    with pytest.raises(PySparkException, match="geometry stamps"):
         cms_join_size(ka, kb).collect()
+    # legacy (unstamped) tables still die on the derived-depth check
+    with pytest.raises(PySparkException, match="DIFFERENT depths"):
+        cms_join_size(ka.drop("geo"), kb.drop("geo")).collect()
 
 
 def test_cms_join_size_empty_side_is_zero(spark):
@@ -818,3 +823,90 @@ def test_rq_weighted_null_weight_raises(spark):
     )
     with pytest.raises(PySparkException, match="NULL weight"):
         rq_build_weighted(bad, "cents", "w", (), digits=3).collect()
+
+
+def test_cms_merge_mixed_geometry_raises(spark):
+    """Counters from different (width, depth, hash family) builds are
+    incompatible bucket spaces; before the geo stamp cms_merge added
+    them without error (advice find). Same-geometry merges keep the
+    stamp; legacy unstamped tables still merge (unguarded)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_merge
+
+    da = spark.createDataFrame([(f"k{i}",) for i in range(50)],
+                               "item string")
+    a = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    b = cms_build(da, "item", width=32, depth=3, hash_mode="poly")
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_merge(a, b).collect()
+    # hash-family drift at identical width/depth is ALSO a mismatch
+    c = cms_build(da, "item", width=64, depth=3, hash_mode="xxhash64")
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_merge(a, c).collect()
+    merged = cms_merge(a, a).collect()
+    assert all(r.geo == "cms1-poly-w64-d3" for r in merged)
+    # legacy path: no geo column, no guard, same counters as before
+    legacy = cms_merge(a.drop("geo"), a.drop("geo"))
+    assert sorted((r.row, r.col, r.c) for r in legacy.collect()) == sorted(
+        (r.row, r.col, r.c) for r in merged
+    )
+
+
+def test_cms_estimate_param_mismatch_raises(spark):
+    """cms_estimate's docstring used to say a width/depth/hash_mode
+    mismatch was 'structurally undetectable' — the stamp makes it
+    detectable, and silent never-undercount breakage becomes a loud
+    error."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    da = spark.createDataFrame([(f"k{i}",) for i in range(50)],
+                               "item string")
+    sk = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    probes = spark.createDataFrame([("k1",)], "item string")
+    with pytest.raises(PySparkException, match="geometry stamp"):
+        cms_estimate(sk, probes, "item", width=32, depth=3,
+                     hash_mode="poly").collect()
+    ok = cms_estimate(sk, probes, "item", width=64, depth=3,
+                      hash_mode="poly").collect()
+    assert ok[0].est >= 1
+
+
+def test_cms_apply_carries_geo_stamp(spark):
+    """The maintained sketch must stay guarded through the NEXT apply:
+    cms_apply output carries the stamp, and folding a delta of a
+    different geometry raises."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        cms_apply,
+        cms_build,
+        cms_build_weighted,
+    )
+
+    # 200 distinct items over a 3×64 grid: every cell of the narrower
+    # 3×32 bad-delta grid is occupied in the maintained sketch, so the
+    # per-cell geo guard deterministically sees the mix (fixed hashes)
+    da = spark.createDataFrame(
+        [(f"k{i % 200}",) for i in range(400)], "item string"
+    )
+    base = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    delta = cms_build_weighted(
+        spark.createDataFrame([("k1", -2)], "item string, w bigint"),
+        "item", "w", width=64, depth=3, hash_mode="poly",
+    )
+    maint = cms_apply(base, delta)
+    assert "geo" in maint.columns
+    # POSITIVE weight: the retraction guard cannot fire, so the error
+    # below is attributable to the geometry guard alone
+    bad = cms_build_weighted(
+        spark.createDataFrame([("k1", 1)], "item string, w bigint"),
+        "item", "w", width=32, depth=3, hash_mode="poly",
+    )
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_apply(maint, bad).collect()

@@ -201,3 +201,50 @@ def test_cms_fold_batch_ledger_makes_replay_exactly_once(spark, dirs):
     ledger = {r.col for r in spark.read.parquet(path)
               .filter("row = -1").collect()}
     assert ledger == {0, 1}
+
+
+def test_kmv_fold_batch_k_drift_raises(spark, dirs):
+    """The fam tag catches hash-family drift but not k drift (advice
+    find): folding k=8 deltas into a k=16 state would merge silently
+    and kmv_estimate — which derives k from the register count —
+    would mis-scale forever after. The sink must derive the state's k
+    and refuse a mismatched caller before anything merges."""
+    import pytest
+
+    from gpi_etl_spark.streaming.sinks import kmv_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/regs_k"
+    b1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20)], "g string, item string"
+    )
+    kmv_fold_batch(spark, b1, path, "item", ("g",), k=16, hash_mode="poly")
+    with pytest.raises(ValueError, match="k=16"):
+        kmv_fold_batch(
+            spark, b1, path, "item", ("g",), k=8, hash_mode="poly"
+        )
+    # and the state is untouched (the guard fired before the swap)
+    assert spark.read.parquet(path).count() == 16
+
+
+def test_cms_fold_batch_geometry_drift_raises(spark, dirs):
+    """A checkpoint straddling a width/depth/hash_mode change must die
+    at the sink, not add counters across bucket spaces (advice find —
+    the CMS twin of the kmv fam guard)."""
+    import pytest
+
+    from gpi_etl_spark.streaming.sinks import cms_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/ctrs_geo"
+    b1 = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(40)], "item string"
+    )
+    cms_fold_batch(spark, b1, 0, path, "item", width=64, depth=3,
+                   hash_mode="poly")
+    with pytest.raises(ValueError, match="geometry"):
+        cms_fold_batch(spark, b1, 1, path, "item", width=32, depth=3,
+                       hash_mode="poly")
+    with pytest.raises(ValueError, match="geometry"):
+        cms_fold_batch(spark, b1, 1, path, "item", width=64, depth=3,
+                       hash_mode="xxhash64")
