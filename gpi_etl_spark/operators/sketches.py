@@ -1505,3 +1505,170 @@ def rq_band_join_size(
         .crossJoin(F.broadcast(agg))
         .select("n_a", "n_b", "lower", "upper")
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war sketch (second frequency moment / self-join size)
+# ---------------------------------------------------------------------------
+#
+# F₂ = Σ_v f(v)² — the second frequency moment — is the SELF-JOIN size
+# of a key column and the planner's skew number: F₂/n is the expected
+# rows-per-probe of an equi-join against that key, and F₂ ≫ n_distinct
+# means a hot-key shuffle. Computing it exactly needs a full groupBy;
+# the AMS "tug-of-war" sketch (Alon, Matias & Szegedy '96) estimates
+# it from k signed counters: for k independent ±1 sign hashes s_i,
+# keep X_i = Σ_rows s_i(item). Then E[X_i²] = F₂ exactly (cross terms
+# cancel in expectation), so mean(X_i²) estimates F₂ with relative sd
+# ≈ sqrt(2/k). Each X_i is a plain SUM — the sketch is LINEAR: per-day
+# sketches merge by component-wise addition, and a CDC retraction
+# stream folds in as negative contributions, same as the CM counters.
+#
+# Replayability: signs derive from the repo's standard derivation
+# chain (poly base → cubic premix → affine family → parity), so in
+# ``poly`` mode both engines compute identical integers and the whole
+# sketch sits under the DuckDB hash gate.
+
+#: AMS derivation-family tags (the cms_geo/kmv-fam lesson applied from
+#: day one: state that can outlive a process carries its versioned
+#: derivation, and mixing raises). k derives from the component table
+#: itself (i = 0..k-1 are all always present per group).
+AMS_FAMILIES = {
+    "poly": "ams1-poly",
+    "xxhash64": "ams1-xx64",
+}
+
+
+def _ams_fam_guard(value, nf_col, op: str):
+    """Lazy mixed-family guard, in-expression (unprunable)."""
+    return F.when(nf_col == 1, value).otherwise(
+        F.raise_error(
+            F.lit(
+                f"ams_{op}: sketch components from DIFFERENT "
+                "derivation families were mixed — their sign hashes "
+                "are incompatible and component-wise addition is "
+                "meaningless. Rebuild to one family and retry."
+            )
+        )
+    )
+
+
+def ams_build(
+    items: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Build per-group AMS components ``(*group_cols, i int, x bigint,
+    fam string)`` — ``x_i`` is the signed row count under the i-th
+    ±1 hash. ONE scan: each row explodes into its k (i, ±1)
+    contributions and the sum map-side combines, so the wire carries
+    ≤ k rows per group per partition however large the stream
+    (the kmv_build expansion shape — repartition slim single-file
+    inputs first, the ×k explode inherits input parallelism 1:1).
+
+    Sign derivation: parity of the standard chain
+    ``affine_hash(cubic_mix(base), i, k)`` — the affine output is
+    near-uniform on [0, P), so its low bit is a fair ±1 coin, and the
+    cubic premix de-structures short-key (digit id) hash clusters the
+    same way it does for the KMV minima. Duplicates are NOT free here
+    (unlike kmv's min): every row contributes, which is the point —
+    f(v) enters X_i with multiplicity.
+
+    Envelope: |x_i| ≤ n_rows(group) — exact in int64 through any
+    realistic group (< 9·10¹⁸ rows). The F₂ ESTIMATE accumulates
+    Σx_i² in decimal(38,0) (see :func:`ams_f2`), so nothing overflows
+    through n ≤ 10⁹ per group either."""
+    if hash_mode == "poly":
+        base = xhash.poly_hash(F.col(item_col))
+    elif hash_mode == "xxhash64":
+        base = F.pmod(F.xxhash64(F.col(item_col)), F.lit(KMV_P))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    from gpi_etl_spark.functions.hof import let_
+
+    signs_arr = let_(
+        base,
+        lambda h: let_(
+            xhash.cubic_mix(h),
+            lambda g: F.array(
+                *[
+                    F.lit(1)
+                    - F.lit(2) * (xhash.affine_hash(g, i, k) % F.lit(2))
+                    for i in range(k)
+                ]
+            ),
+        ),
+    )
+    long = items.select(
+        *group_cols, F.posexplode(signs_arr).alias("i", "_s")
+    )
+    return (
+        long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
+        .agg(F.sum(F.col("_s").cast("bigint")).alias("x"))
+        .withColumn("fam", F.lit(AMS_FAMILIES[hash_mode]))
+    )
+
+
+def ams_merge(*sketches: DataFrame) -> DataFrame:
+    """Component-wise SUM of same-family sketches (the sketch is a
+    linear projection of the frequency vector — merge = add; a CDC
+    delta built over retraction rows with sign-flipped contributions
+    folds in the same way). Mixed families raise via the ``fam``
+    stamp; a tagged/untagged mix dies in unionByName's schema
+    check."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c not in ("x", "fam")]
+    merged = out.groupBy(*keys).agg(
+        F.sum("x").alias("x"),
+        F.count_distinct("fam").alias("_nf"),
+        F.max("fam").alias("fam"),
+    )
+    return merged.select(
+        *keys,
+        _ams_fam_guard(F.col("x"), F.col("_nf"), "merge").alias("x"),
+        "fam",
+    )
+
+
+def ams_f2(
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """F₂ estimate per group from an AMS component table. Returns
+    ``(*group_cols, k int, f2_num decimal(38,0), f2_r double)`` where
+    ``f2_num = Σ_i x_i²`` (exact integer — x_i² ≤ 10¹⁸ at n = 10⁹
+    rows and the k-sum accumulates in decimal(38,0), far inside
+    precision) and ``f2_r = f2_num / k`` floor-scaled at 6 dp (two
+    exact-int double casts + one IEEE divide, both engines identical).
+    k derives from the table (component count per group — the
+    kmv_estimate lesson: a caller-supplied k that disagreed with the
+    build silently mis-scales). GATE NOTE: f2_num is decimal-typed —
+    gated queries must re-emit it as BIGINT (+ mod-P residue past the
+    int64 envelope), the q233/q251 decimal gate-column convention."""
+    # widths: |x| ≤ n ≤ 10⁹ → decimal(10,0) (the ANSI cast IS the
+    # envelope assert); x² → decimal(21,0); Spark's sum adds 10
+    # digits → decimal(31,0); final cast to the documented (38,0)
+    aggs = [
+        F.sum(
+            F.col("x").cast("decimal(10,0)")
+            * F.col("x").cast("decimal(10,0)")
+        ).cast("decimal(38,0)").alias("f2_num"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.count_distinct("fam").alias("_nf"),
+    ]
+    agg = sketch.groupBy(*group_cols).agg(*aggs)
+    f2_num = _ams_fam_guard(F.col("f2_num"), F.col("_nf"), "f2")
+    from gpi_etl_spark.functions.rounding import fs6
+
+    est = fs6(
+        F.col("f2_num").cast("double") / F.col("k").cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        "k",
+        f2_num.alias("f2_num"),
+        _ams_fam_guard(est, F.col("_nf"), "f2").alias("f2_r"),
+    )

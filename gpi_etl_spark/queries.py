@@ -14476,3 +14476,99 @@ def q251(spark, sf_dir):
     converts an inference into a measurement. sf_dir is ignored —
     constant literals are the point."""
     return spark.sql(_q251_sql())
+
+
+def _q252_oracle_sql(k: int) -> str:
+    """DuckDB replay of the AMS tug-of-war F₂ sketch: per (event_type,
+    user) frequency for the exact F₂ baseline, and for the sketch the
+    standard derivation chain — poly base, cubic premix, k affine
+    derivations — with sign = 1 − 2·(affine % 2) (affine output is
+    non-negative in BOTH engines, so parity is engine-agnostic).
+    Components sum exactly; Σx² accumulates in decimal and re-gates
+    as BIGINT + mod-P (the q233/q251 decimal gate-column convention);
+    the single f2_num/k divide is one IEEE op over exact-int doubles."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah_sql
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph_sql
+
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT event_type, cast(user_id AS varchar) AS uid
+      FROM events WHERE user_id IS NOT NULL),
+    b AS MATERIALIZED (
+      SELECT event_type, {_ph_sql("uid")} AS h FROM v),
+    g AS MATERIALIZED (
+      SELECT event_type, {_cm_sql("h")} AS gh FROM b),
+    s AS (SELECT event_type, gi.i AS i,
+                 CAST(sum(1 - 2 * ({_ah_sql('gh', 'gi.i', k)} % 2))
+                      AS BIGINT) AS x
+          FROM g, unnest(generate_series(0, {k - 1})) gi(i)
+          GROUP BY 1, 2),
+    f AS (SELECT event_type, CAST(count(*) AS INT) AS k,
+                 CAST(sum(CAST(x AS DECIMAL(10,0))
+                          * CAST(x AS DECIMAL(10,0)))
+                      AS DECIMAL(38,0)) AS f2_num
+          FROM s GROUP BY 1),
+    e AS (SELECT event_type, CAST(sum(f * f) AS BIGINT) AS f2_exact,
+                 CAST(sum(f) AS BIGINT) AS n_rows
+          FROM (SELECT event_type, uid, count(*) AS f
+                FROM v GROUP BY 1, 2) GROUP BY 1)
+    SELECT f.event_type, e.n_rows, e.f2_exact, f.k,
+           CAST(f2_num AS BIGINT) AS f2_num,
+           CAST(((f2_num % {_P}) + {_P}) % {_P} AS BIGINT) AS f2_modp,
+           {fs6_sql("CAST(f2_num AS DOUBLE) / CAST(k AS DOUBLE)")} AS f2_r
+    FROM f JOIN e USING (event_type)
+    """
+
+
+@query("q252_ams_f2_selfjoin", _q252_oracle_sql(64))
+def q252(spark, sf_dir):
+    """Second frequency moment / SELF-JOIN SIZE per event type via the
+    AMS tug-of-war sketch (sketches.ams_build/ams_f2) — the planner
+    number cms_join_size cannot give you about a key column's OWN
+    skew: F₂ = Σf(u)² is the exact output size of events ⋈ events on
+    user within a type, F₂/n is the expected fan-out per probe, and
+    F₂ ≫ distinct means a hot-key shuffle ahead (feed q243's planner).
+    The sketch is k = 64 signed counters X_i = Σ ±1 built in ONE scan
+    with map-side combine (≤ k rows per group per partition on the
+    wire), LINEAR like the CM counters — per-day sketches merge by
+    addition (ams_merge), CDC retractions fold as sign flips — and
+    fam-stamped from day one (the round-10 cms_geo lesson). E[X_i²] =
+    F₂ exactly; mean over k has relative sd ≈ sqrt(2/64) ≈ 18%
+    (accuracy pinned in tests/test_sketches.py; exact_f2 rides the
+    gate so the readout shows the actual error). Everything gated is
+    exact integer arithmetic both engines replay (poly mode): f2_num
+    re-gates as BIGINT + mod-P residue per the q233/q251 decimal
+    convention. Reference seat: none — its only frequency logic is
+    pandas value_counts (HTIPPLSITE/__init__.py:315)."""
+    from gpi_etl_spark.functions.xhash import P
+    from gpi_etl_spark.operators import sketches
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+    )
+    sk = sketches.ams_build(
+        ev, "uid", group_cols=("event_type",), k=64, hash_mode="poly"
+    )
+    est = sketches.ams_f2(sk, ("event_type",))
+    freq = ev.groupBy("event_type", "uid").agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    exact = freq.groupBy("event_type").agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+        F.sum("f").cast("bigint").alias("n_rows"),
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_rows",
+        "f2_exact",
+        "k",
+        F.col("f2_num").cast("bigint").alias("f2_num"),
+        F.pmod(F.col("f2_num"), F.lit(P)).cast("bigint").alias("f2_modp"),
+        "f2_r",
+    )

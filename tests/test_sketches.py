@@ -910,3 +910,92 @@ def test_cms_apply_carries_geo_stamp(spark):
     )
     with pytest.raises(PySparkException, match="geometry stamps"):
         cms_apply(maint, bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch (ams_*)
+# ---------------------------------------------------------------------------
+
+
+def _f2(counter):
+    return sum(v * v for v in counter.values())
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "poly"])
+def test_ams_f2_within_bound(spark, hash_mode):
+    """mean(X_i²) estimates F₂ with relative sd ≈ sqrt(2/k); assert a
+    ~3-sd envelope at k=128 (≈ 12.5% sd → 38% bound) on a skewed
+    multiset where F₂ is 6× the distinct count."""
+    from gpi_etl_spark.operators.sketches import ams_build, ams_f2
+
+    data = [f"u{i}" for i in range(200)] + ["hot"] * 30 + ["warm"] * 10
+    truth = _f2(Counter(data))
+    df = spark.createDataFrame([(v,) for v in data], "item string")
+    sk = ams_build(df, "item", k=128, hash_mode=hash_mode)
+    row = ams_f2(sk).first()
+    assert row.k == 128
+    est = float(row.f2_num) / row.k
+    assert abs(est - truth) / truth <= 0.38
+    assert abs(row.f2_r - est) < 1e-5
+
+
+def test_ams_merge_equals_single_build(spark):
+    """Linearity: component-wise sum of shard sketches == sketch of
+    the concatenation (multiplicities ADD — unlike kmv's min, overlap
+    double-counts by design, that is what F₂ means)."""
+    from gpi_etl_spark.operators.sketches import ams_build, ams_merge
+
+    a = [f"u{i}" for i in range(40)] + ["hot"] * 5
+    b = [f"u{i}" for i in range(20, 60)] + ["hot"] * 7
+    fa = spark.createDataFrame([(v,) for v in a], "item string")
+    fb = spark.createDataFrame([(v,) for v in b], "item string")
+    fall = spark.createDataFrame([(v,) for v in a + b], "item string")
+    as_map = lambda df: {r.i: r.x for r in df.collect()}  # noqa: E731
+    merged = ams_merge(
+        ams_build(fa, "item", k=32, hash_mode="poly"),
+        ams_build(fb, "item", k=32, hash_mode="poly"),
+    )
+    whole = ams_build(fall, "item", k=32, hash_mode="poly")
+    assert as_map(merged) == as_map(whole)
+
+
+def test_ams_mixed_family_raises(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        ams_build,
+        ams_f2,
+        ams_merge,
+    )
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(30)],
+                               "item string")
+    a = ams_build(df, "item", k=16, hash_mode="poly")
+    b = ams_build(df, "item", k=16, hash_mode="xxhash64")
+    with pytest.raises(PySparkException, match="DIFFERENT"):
+        ams_merge(a, b).collect()
+    with pytest.raises(PySparkException, match="DIFFERENT"):
+        ams_f2(a.unionByName(b)).collect()
+
+
+def test_ams_retraction_fold_matches_rebuild(spark):
+    """The sketch is linear: folding a sign-flipped delta (CDC
+    retractions as an x-negated component table) equals rebuilding
+    over the corrected corpus — component for component."""
+    from gpi_etl_spark.operators.sketches import ams_build, ams_merge
+
+    base = [f"u{i % 9}" for i in range(60)]
+    gone = [v for v in base if v in ("u1", "u4")]
+    kept = [v for v in base if v not in ("u1", "u4")]
+    fb = spark.createDataFrame([(v,) for v in base], "item string")
+    fg = spark.createDataFrame([(v,) for v in gone], "item string")
+    fk = spark.createDataFrame([(v,) for v in kept], "item string")
+    delta = ams_build(fg, "item", k=32, hash_mode="poly").withColumn(
+        "x", -F.col("x")
+    )
+    maint = ams_merge(ams_build(fb, "item", k=32, hash_mode="poly"),
+                      delta)
+    rebuilt = ams_build(fk, "item", k=32, hash_mode="poly")
+    as_map = lambda df: {r.i: r.x for r in df.collect()}  # noqa: E731
+    assert as_map(maint) == as_map(rebuilt)
