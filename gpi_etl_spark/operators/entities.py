@@ -224,3 +224,94 @@ def fs_score(
     return pairs.withColumn(
         "fs_score", score.cast("bigint")
     ).withColumn("decision", decision)
+
+
+def survivorship(
+    df: DataFrame,
+    cluster_col: str,
+    rules: "dict[str, tuple]",
+) -> DataFrame:
+    """Golden-record construction: collapse each entity CLUSTER to one
+    canonical row, field by field, under explicit per-field merge
+    rules — the step after :func:`resolve_entities` that record-
+    linkage pipelines need before the deduped entity can feed
+    downstream joins (and that LLM metadata curation needs to merge
+    duplicate document records into one provenance row).
+
+    ``rules`` maps output field → rule tuple:
+
+    * ``("latest", ts_col)`` — value with the greatest timestamp,
+      NULL values excluded; ties break by the value itself (greatest),
+      so the pick is total and deterministic.
+    * ``("longest",)`` — longest string (ties → greatest value).
+    * ``("mode",)`` — most frequent value (ties → SMALLEST value —
+      majority vote with a deterministic runoff).
+    * ``("max",)`` / ``("min",)`` — plain extremes.
+
+    Determinism is the design constraint: every rule is expressed as
+    a min/max over a struct whose LAST component is the value itself,
+    so no two inputs ever compare equal and the golden record is
+    independent of row order, partitioning, and engine — which is
+    what lets q254 sit under the DuckDB hash gate. NULL discipline:
+    a NULL value never wins a field (the struct is nulled when the
+    value is null and min/max skip nulls); a cluster whose every
+    value is NULL yields NULL.
+
+    Scale shape: all latest/longest/max/min fields compute in ONE
+    map-side-combined groupBy over the cluster key; each ``mode``
+    field adds one (cluster, value) pre-aggregation and an equi-join
+    of |clusters|-sized results (AQE broadcasts them). No windows
+    over the raw rows, no collect — the output is |clusters| rows
+    however many records each entity has."""
+    plain_aggs = []
+    mode_fields = []
+    for out, rule in rules.items():
+        kind = rule[0]
+        if kind == "latest":
+            ts = rule[1]
+            val = rule[2] if len(rule) > 2 else out
+            s = F.when(
+                F.col(val).isNotNull(),
+                F.struct(F.col(ts).alias("o"), F.col(val).alias("v")),
+            )
+            plain_aggs.append(F.max(s).getField("v").alias(out))
+        elif kind == "longest":
+            val = rule[1] if len(rule) > 1 else out
+            s = F.when(
+                F.col(val).isNotNull(),
+                F.struct(
+                    F.length(val).alias("o"), F.col(val).alias("v")
+                ),
+            )
+            plain_aggs.append(F.max(s).getField("v").alias(out))
+        elif kind == "max":
+            val = rule[1] if len(rule) > 1 else out
+            plain_aggs.append(F.max(val).alias(out))
+        elif kind == "min":
+            val = rule[1] if len(rule) > 1 else out
+            plain_aggs.append(F.min(val).alias(out))
+        elif kind == "mode":
+            mode_fields.append((out, rule[1] if len(rule) > 1 else out))
+        else:
+            raise ValueError(f"unknown survivorship rule {rule!r}")
+    plain_aggs.append(F.count(F.lit(1)).cast("bigint").alias("n_records"))
+    golden = df.groupBy(cluster_col).agg(*plain_aggs)
+    for out, val in mode_fields:
+        counted = (
+            df.filter(F.col(val).isNotNull())
+            .groupBy(cluster_col, F.col(val).alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        # min over (-count, value): majority first, smallest-value
+        # runoff — one struct ordering, no window
+        pick = counted.groupBy(cluster_col).agg(
+            F.min(
+                F.struct(
+                    (-F.col("_c")).alias("o"), F.col("_v").alias("v")
+                )
+            )
+            .getField("v")
+            .alias(out)
+        )
+        golden = golden.join(pick, cluster_col, "left")
+    return golden

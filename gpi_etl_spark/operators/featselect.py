@@ -177,3 +177,113 @@ def mutual_info_token_label(
     return scored.orderBy(
         F.col("mi_r").desc(), F.col("token").asc()
     ).limit(k)
+
+
+def equi_depth_woe(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    nbins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-depth binning + Weight-of-Evidence / Information-Value per
+    bin — the standard credit-scoring/feature-engineering transform
+    (Siddiqi's scorecard construction; public method) for turning a
+    numeric feature into a monotonic categorical one and scoring its
+    predictive power against a binary label.
+
+    Binning is DETERMINISTIC BY CONSTRUCTION, not ntile: per group the
+    distinct values aggregate to a histogram, and a value's bin is
+
+        bin = (rows_strictly_below · nbins) DIV rows_total
+
+    — exact integer arithmetic on cumulative counts, so TIED values
+    always share a bin (ntile splits ties by arbitrary row order,
+    which no cross-engine gate can survive) and every engine assigns
+    identical bins. Bins are equi-depth up to tie granularity: a value
+    spanning a boundary stays whole.
+
+    Per bin: ``n, pos, neg``, the value span ``lo/hi``, and
+
+        woe = ln( (pos_i · neg_tot) / (neg_i · pos_tot) )
+        iv_term = (pos_i/pos_tot − neg_i/neg_tot) · woe
+
+    woe/iv_term are NULL when a bin has a zero cell (the standard
+    undefined case — smooth upstream if you need every bin scored).
+    Both emit through round(·, 6) after a PINNED float order: one
+    exact-int division, one ln, one/two multiplies (the q97 logprob
+    convention — ln of a single quotient, never ln(a)−ln(b), which
+    differs in ulps). The total IV is the SUM of iv_terms — left to
+    the caller because a float sum is order-dependent; per-bin terms
+    are what the cross-engine gate can certify.
+
+    100 TB shape: the histogram is one map-side-combined groupBy over
+    (group, value) — the window that assigns bins runs over DISTINCT
+    values per group (bounded by the value domain, not the row
+    count), and everything after is |bins| rows. Keep groups real
+    (date, tenant, shard): a global ungrouped call puts all distinct
+    values in one window partition."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("int")
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum(lab).cast("bigint").alias("_pos"),
+    )
+    w_before = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    binned = (
+        hist.withColumn(
+            "_cum", F.coalesce(F.sum("_n").over(w_before), F.lit(0))
+        )
+        .withColumn("_tot", F.sum("_n").over(w_all))
+        .withColumn(
+            "bin",
+            F.expr(f"(_cum * {int(nbins)}) div _tot").cast("int"),
+        )
+    )
+    per_bin = binned.groupBy(*group_cols, "bin").agg(
+        F.sum("_n").cast("bigint").alias("n"),
+        F.sum("_pos").cast("bigint").alias("pos"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+    tot = per_bin.groupBy(*group_cols).agg(
+        F.sum("pos").cast("bigint").alias("_pt"),
+        (F.sum("n") - F.sum("pos")).cast("bigint").alias("_nt"),
+    )
+    if group_cols:
+        joined = per_bin.join(F.broadcast(tot), list(group_cols))
+    else:
+        joined = per_bin.crossJoin(F.broadcast(tot))
+    neg = (F.col("n") - F.col("pos")).cast("bigint")
+    ok = (F.col("pos") > 0) & (neg > 0) & (F.col("_pt") > 0) & (
+        F.col("_nt") > 0
+    )
+    ratio = (
+        F.col("pos").cast("double") * F.col("_nt").cast("double")
+    ) / (neg.cast("double") * F.col("_pt").cast("double"))
+    woe = F.round(F.log(ratio), 6)
+    iv = F.round(
+        (
+            F.col("pos").cast("double") / F.col("_pt").cast("double")
+            - neg.cast("double") / F.col("_nt").cast("double")
+        )
+        * F.log(ratio),
+        6,
+    )
+    return joined.select(
+        *group_cols,
+        "bin",
+        "n",
+        "pos",
+        neg.alias("neg"),
+        "lo",
+        "hi",
+        F.when(ok, woe).alias("woe_r"),
+        F.when(ok, iv).alias("iv_term_r"),
+    )

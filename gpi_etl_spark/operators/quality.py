@@ -674,3 +674,68 @@ def benford_profile(
             _fs6(F.col("share") - F.col("benford")),
         )
     )
+
+
+def inclusion_profile(
+    pairs: "list[tuple[str, DataFrame, str, DataFrame, str]]",
+) -> DataFrame:
+    """Inclusion-dependency discovery: for each candidate
+    ``(name, child, child_col, parent, parent_col)`` measure how much
+    of the child column's DISTINCT value set is contained in the
+    parent's — the schema-profiling sweep that finds undeclared
+    foreign keys (containment 1.0), near-FKs rotted by dirty rows
+    (0.99…), and refutes false candidates, across a whole candidate
+    lattice in one report. Complements :func:`referential_check`
+    (row-level orphan RATE for one known FK) and :func:`fd_check`
+    (within-table determinism): this is the cross-table DISCOVERY
+    primitive (Bauckmann et al.'s SPIDER lineage; public method).
+
+    Returns one row per pair: ``(pair, lhs_card, contained,
+    containment_r, is_fk_candidate)`` — all counts exact int64, the
+    ratio 6-dp floor-scaled, and the flag decided by INTEGER equality
+    (contained == lhs_card), never a float threshold. NULLs are
+    excluded from both sides (a NULL key asserts nothing about
+    inclusion).
+
+    Scale shape: per pair, one distinct on each column (map-side
+    combined) and a semi-join keyed on the value — broadcast when the
+    parent's distinct set is small, shuffle-hash otherwise (AQE
+    decides). For very wide candidate lattices at 100 TB, pre-filter
+    with the replayable Bloom filter (sketches.bloom_build /
+    bloom_contains): a probe that misses the parent's filter proves
+    non-containment without the join; only near-1.0 survivors need
+    this exact pass."""
+    reports = []
+    for name, child, child_col, parent, parent_col in pairs:
+        ca = (
+            child.filter(F.col(child_col).isNotNull())
+            .select(F.col(child_col).cast("string").alias("_v"))
+            .distinct()
+        )
+        pa = (
+            parent.filter(F.col(parent_col).isNotNull())
+            .select(F.col(parent_col).cast("string").alias("_v"))
+            .distinct()
+        )
+        lhs = ca.agg(F.count(F.lit(1)).cast("bigint").alias("lhs_card"))
+        inter = ca.join(pa, "_v", "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("contained")
+        )
+        reports.append(
+            lhs.crossJoin(inter).select(
+                F.lit(name).alias("pair"),
+                "lhs_card",
+                "contained",
+                _fs6(
+                    F.col("contained").cast("double")
+                    / F.col("lhs_card").cast("double")
+                ).alias("containment_r"),
+                (F.col("contained") == F.col("lhs_card"))
+                .cast("int")
+                .alias("is_fk_candidate"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1,0 +1,121 @@
+"""Consistent (coordinated) key sampling: deterministic, mergeable,
+join-preserving samples for 100 TB pipelines.
+
+``df.sample(fraction)`` draws a DIFFERENT sample every run, cannot be
+replayed across engines, and samples ROWS — so joining two sampled
+tables keeps ~fraction² of the joinable pairs, which makes naive
+sampling useless for join-shaped questions (data debugging, pipeline
+dry runs, profile-before-you-shuffle). Hash-priority sampling fixes
+all three at once: give every KEY the priority
+``cubic_mix(poly_hash(key))`` (the repo's standard near-uniform
+derivation, functions/xhash.py) and
+
+* **bottom-k** (:func:`sample_keys_bottomk`): the k smallest
+  priorities per group — a fixed-SIZE sample that is deterministic,
+  replayable in DuckDB bit-for-bit, and MERGEABLE:
+  ``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))`` (min-heap
+  algebra, same reason kmv registers merge), so per-day samples
+  compose without rescanning.
+* **threshold** (:func:`sample_keys_threshold`): priorities below
+  ``rate·P`` — a fixed-RATE Bernoulli sample with the same
+  determinism; the sample for rate r is a SUBSET of the sample for
+  r' > r (nested samples: grow a 0.1% debug slice into a 1% QA slice
+  without re-drawing).
+* **coordination**: the SAME key hashes identically in every table,
+  so ``sample(A) ⋈ sample(B)`` on the sampled key IS
+  ``sample(A ⋈ B)`` — the property that lets a planner profile a
+  100 TB join on a 0.1% slice and trust the fan-out it sees
+  (Bernoulli case: exact; bottom-k case: exact when both sides
+  sample the same key universe).
+
+Sampling KEYS (all rows of a chosen key survive) rather than rows is
+what preserves join structure and per-key statistics (a key's full
+fan-out is either fully present or fully absent — per-key aggregates
+over the sample are exact for sampled keys).
+
+Scale shape: the priority is one hash per row (no shuffle); bottom-k
+reduces per group via the ``top_k_per_group`` window over DISTINCT
+keys (the window input is |distinct keys|, not |rows|), and the
+chosen-key set semi-joins back — broadcast when k·|groups| is small,
+which is the point of a sample. Threshold sampling is a pure filter:
+zero shuffles, full codegen.
+
+No counterpart in the reference (its only sampling is pandas
+``head``-style slicing); textbook coordinated/bottom-k sampling
+(Broder '97 lineage; Cohen & Kaplan's coordinated samples).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.functions import xhash
+
+#: priority domain size (priorities are uniform on [0, P))
+P = xhash.P
+
+
+def key_priority(key_col: str | Column) -> Column:
+    """The sampling priority of a key: ``cubic_mix(poly_hash(key))``,
+    uniform on [0, P) and identical in both engines (the cubic premix
+    matters here for the same reason it does for kmv minima: ORDER
+    STATISTICS of the raw poly hash of short keys are biased by its
+    arithmetic-progression structure). Cast non-string keys to string
+    first — canonically, no padding — so coordination holds across
+    tables that store the key at different widths."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return xhash.cubic_mix(xhash.poly_hash(c.cast("string")))
+
+
+def key_priority_sql(expr: str) -> str:
+    """DuckDB replay of :func:`key_priority` for a VARCHAR expr."""
+    return xhash.cubic_mix_sql(xhash.poly_hash_sql(expr))
+
+
+def sample_keys_bottomk(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The sampled KEY SET: ``(*group_cols, key_col, pri bigint)`` —
+    the k distinct keys of smallest priority per group (ties on
+    priority break by key value, so the choice is total and
+    deterministic even under hash collisions). Semi-join the result
+    against any table sharing the key to materialize that table's
+    sample; results from disjoint shards merge by re-applying
+    bottom-k to the union of their key sets (pinned by test)."""
+    keys = df.select(*group_cols, key_col).distinct()
+    w = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(
+            F.col("pri").asc(), F.col(key_col).asc()
+        )
+    )
+    return (
+        keys.withColumn("pri", key_priority(key_col))
+        .withColumn("_rn", w)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def sample_keys_threshold(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+) -> DataFrame:
+    """Filter ``df`` to rows whose key priority falls below
+    ``rate·P`` — a consistent Bernoulli KEY sample. Pure filter (no
+    shuffle, stays in codegen); nested across rates; coordinated
+    across tables (the join-preservation property — pinned by test).
+    The integer threshold ``floor(rate·P)`` is computed once on the
+    driver so both engines compare against the identical literal."""
+    thr = int(rate * P)
+    return df.filter(key_priority(key_col) < F.lit(thr))
+
+
+def threshold_literal(rate: float) -> int:
+    """The integer priority threshold for ``rate`` — exposed so SQL
+    replays and documentation state the same literal."""
+    return int(rate * P)

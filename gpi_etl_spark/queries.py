@@ -14572,3 +14572,384 @@ def q252(spark, sf_dir):
         F.pmod(F.col("f2_num"), F.lit(P)).cast("bigint").alias("f2_modp"),
         "f2_r",
     )
+
+
+def _q253_oracle_sql(k: int, rate: float) -> str:
+    """DuckDB replay of coordinated key sampling — DELIBERATELY via
+    the OTHER code path: Spark samples orders and lineitem
+    independently and joins the two samples; the oracle samples the
+    JOIN. Coordinated sampling makes those identical (the property
+    under test), so a hash match here certifies join-preservation
+    cross-engine, not just hash parity. Priorities replay through
+    key_priority_sql (poly fold + cubic premix, exact int64)."""
+    from gpi_etl_spark.operators.sampling import (
+        key_priority_sql,
+        threshold_literal,
+    )
+
+    pri = key_priority_sql("cast(o_orderkey AS varchar)")
+    thr = threshold_literal(rate)
+    return f"""
+    WITH pr AS MATERIALIZED (
+      SELECT o_orderpriority, o_orderkey, {pri} AS pri FROM orders),
+    bk AS (SELECT *, row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY pri, o_orderkey) AS rn
+           FROM pr),
+    b AS (SELECT o_orderpriority AS grp, CAST(count(*) AS INT) AS n_keys,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(min(pri) AS BIGINT) AS pri_min,
+                 CAST(sum(pri) AS BIGINT) AS pri_sum
+          FROM bk WHERE rn <= {k} GROUP BY 1),
+    th AS MATERIALIZED (
+      SELECT o_orderpriority, o_orderkey FROM pr WHERE pri < {thr}),
+    tb AS (SELECT o_orderpriority AS grp,
+                  CAST(count(*) AS BIGINT) AS n_bern_keys
+           FROM th GROUP BY 1),
+    tj AS (SELECT t.o_orderpriority AS grp,
+                  CAST(count(*) AS BIGINT) AS n_bern_li_rows,
+                  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM th t JOIN lineitem l ON l.l_orderkey = t.o_orderkey
+           GROUP BY 1)
+    SELECT b.grp, b.n_keys, b.key_sum, b.pri_min, b.pri_sum,
+           coalesce(tb.n_bern_keys, 0) AS n_bern_keys,
+           coalesce(tj.n_bern_li_rows, 0) AS n_bern_li_rows,
+           coalesce(tj.rev_cents, 0) AS rev_cents
+    FROM b LEFT JOIN tb ON tb.grp = b.grp
+           LEFT JOIN tj ON tj.grp = b.grp
+    """
+
+
+@query("q253_consistent_sample", _q253_oracle_sql(30, 0.02))
+def q253(spark, sf_dir):
+    """Coordinated key sampling (operators/sampling.py) — the debug/
+    profiling primitive naive df.sample() cannot be at 100 TB: hash-
+    priority samples are DETERMINISTIC (replayable across runs and
+    engines), MERGEABLE (bottom-k of shard samples == sample of the
+    union, pinned by test), NESTED across rates, and JOIN-PRESERVING —
+    the same key draws the same priority in every table, so sampling
+    orders and lineitem independently at 2% and joining keeps exactly
+    the joinable pairs of sampled keys, where row-Bernoulli keeps
+    ~0.04% of them. The gate exploits that algebra cross-engine: the
+    Spark side joins two independently-sampled tables, the ORACLE
+    samples the join — a hash match certifies the coordination
+    property itself, not just arithmetic parity. Per-priority-class
+    row: the bottom-30 key sample (count, key/priority checksums) and
+    the 2%-threshold sample's order count + lineitem fan-out + exact
+    revenue cents. Scale shape: priorities are one hash per row (no
+    shuffle); the bottom-k window runs over DISTINCT keys only; the
+    threshold path is a pure filter inside codegen. Reference seat:
+    none (its only sampling is pandas head-slicing)."""
+    from gpi_etl_spark.operators import sampling
+
+    od = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    sk = sampling.sample_keys_bottomk(
+        od, "o_orderkey", 30, ("o_orderpriority",)
+    )
+    bk = sk.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_keys"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.min("pri").cast("bigint").alias("pri_min"),
+        F.sum("pri").cast("bigint").alias("pri_sum"),
+    )
+    so = sampling.sample_keys_threshold(od, "o_orderkey", 0.02)
+    tb = so.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bern_keys")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sl = sampling.sample_keys_threshold(li, "l_orderkey", 0.02)
+    tj = (
+        so.join(sl, so.o_orderkey == sl.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bern_li_rows"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    return (
+        bk.join(tb, "grp", "left")
+        .join(tj, "grp", "left")
+        .select(
+            "grp",
+            "n_keys",
+            "key_sum",
+            "pri_min",
+            "pri_sum",
+            F.coalesce(F.col("n_bern_keys"), F.lit(0).cast("bigint"))
+            .alias("n_bern_keys"),
+            F.coalesce(
+                F.col("n_bern_li_rows"), F.lit(0).cast("bigint")
+            ).alias("n_bern_li_rows"),
+            F.coalesce(F.col("rev_cents"), F.lit(0).cast("bigint"))
+            .alias("rev_cents"),
+        )
+    )
+
+
+_Q254_ORACLE = """
+WITH o AS MATERIALIZED (
+  SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+lc AS (SELECT o_custkey, o_orderstatus AS latest_status FROM (
+         SELECT o_custkey, o_orderstatus,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderstatus DESC) AS rn
+         FROM o WHERE o_orderstatus IS NOT NULL) WHERE rn = 1),
+gc AS (SELECT o_custkey, o_orderpriority AS longest_priority FROM (
+         SELECT o_custkey, o_orderpriority,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY length(o_orderpriority) DESC,
+                           o_orderpriority DESC) AS rn
+         FROM o WHERE o_orderpriority IS NOT NULL) WHERE rn = 1),
+mc AS (SELECT o_custkey, o_orderpriority AS _v,
+              CAST(count(*) AS BIGINT) AS _c
+       FROM o WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
+mp AS (SELECT o_custkey, _v AS mode_priority FROM (
+         SELECT o_custkey, _v,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY _c DESC, _v ASC) AS rn
+         FROM mc) WHERE rn = 1),
+base AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_records,
+                CAST(max(cents) AS BIGINT) AS max_total_cents,
+                min(o_orderdate) AS first_seen
+         FROM o GROUP BY 1)
+SELECT b.o_custkey, lc.latest_status, gc.longest_priority,
+       mp.mode_priority, b.max_total_cents, b.first_seen, b.n_records
+FROM base b
+LEFT JOIN lc ON lc.o_custkey = b.o_custkey
+LEFT JOIN gc ON gc.o_custkey = b.o_custkey
+LEFT JOIN mp ON mp.o_custkey = b.o_custkey
+"""
+
+
+@query("q254_survivorship_golden", _Q254_ORACLE)
+def q254(spark, sf_dir):
+    """Golden-record survivorship (entities.survivorship) — the step
+    after entity resolution: each cluster of duplicate records
+    collapses to ONE canonical row under explicit per-field merge
+    rules (latest-non-null by timestamp, longest string, majority
+    vote with deterministic runoff, plain extremes). Here the
+    "cluster" is a customer's order history and the golden row is
+    their canonical profile: the status of their most recent order,
+    their longest priority label (the variable-length column the
+    tables offer — lengths 5..15 chars), their modal priority, their
+    largest order in exact cents, their first-seen date. Every rule
+    is a min/max over a struct whose
+    LAST component is the value itself, so ties cannot exist and the
+    golden record is independent of row order, partitioning and
+    engine — that totality is precisely what the DuckDB gate
+    certifies (the oracle replays each rule as a DESC/ASC window,
+    a deliberately different formulation of the same total order).
+    Scale shape: one map-side-combined groupBy for all non-mode
+    fields; the mode field adds one (cluster, value) pre-agg and an
+    AQE-broadcast join of |clusters| rows; no window ever touches the
+    raw records. Reference seat: HTIPPLSITE keeps first-row-wins on
+    dedup (__init__.py:315 drop_duplicates) — survivorship is the
+    principled replacement."""
+    from gpi_etl_spark.operators.entities import survivorship
+
+    od = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = survivorship(
+        od,
+        "o_custkey",
+        {
+            "latest_status": ("latest", "o_orderdate", "o_orderstatus"),
+            "longest_priority": ("longest", "o_orderpriority"),
+            "mode_priority": ("mode", "o_orderpriority"),
+            "max_total_cents": ("max", "cents"),
+            "first_seen": ("min", "o_orderdate"),
+        },
+    )
+    return g.select(
+        "o_custkey",
+        "latest_status",
+        "longest_priority",
+        "mode_priority",
+        F.col("max_total_cents").cast("bigint").alias("max_total_cents"),
+        "first_seen",
+        "n_records",
+    )
+
+
+_Q255_ORACLE = """
+WITH li AS MATERIALIZED (
+  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+  FROM lineitem WHERE l_shipdate IS NOT NULL),
+hist AS (SELECT yr, cents, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(lab) AS BIGINT) AS pos
+         FROM li GROUP BY 1, 2),
+binned AS (SELECT yr, cents, n, pos,
+                  coalesce(sum(n) OVER (PARTITION BY yr ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cum,
+                  sum(n) OVER (PARTITION BY yr) AS tot
+           FROM hist),
+pb AS (SELECT yr, CAST((cum * 10) // tot AS INT) AS bin,
+              CAST(sum(n) AS BIGINT) AS n,
+              CAST(sum(pos) AS BIGINT) AS pos,
+              CAST(min(cents) AS BIGINT) AS lo,
+              CAST(max(cents) AS BIGINT) AS hi
+       FROM binned GROUP BY 1, 2),
+tt AS (SELECT yr, CAST(sum(pos) AS BIGINT) AS pt,
+              CAST(sum(n) - sum(pos) AS BIGINT) AS nt
+       FROM pb GROUP BY 1)
+SELECT pb.yr, pb.bin, pb.n, pb.pos,
+       CAST(pb.n - pb.pos AS BIGINT) AS neg, pb.lo, pb.hi,
+       CASE WHEN pb.pos > 0 AND pb.n - pb.pos > 0
+                 AND tt.pt > 0 AND tt.nt > 0 THEN
+         round(ln((CAST(pb.pos AS DOUBLE) * CAST(tt.nt AS DOUBLE))
+                  / (CAST(pb.n - pb.pos AS DOUBLE)
+                     * CAST(tt.pt AS DOUBLE))), 6) END AS woe_r,
+       CASE WHEN pb.pos > 0 AND pb.n - pb.pos > 0
+                 AND tt.pt > 0 AND tt.nt > 0 THEN
+         round((CAST(pb.pos AS DOUBLE) / CAST(tt.pt AS DOUBLE)
+                - CAST(pb.n - pb.pos AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+               * ln((CAST(pb.pos AS DOUBLE) * CAST(tt.nt AS DOUBLE))
+                    / (CAST(pb.n - pb.pos AS DOUBLE)
+                       * CAST(tt.pt AS DOUBLE))), 6) END AS iv_term_r
+FROM pb JOIN tt USING (yr)
+"""
+
+
+@query("q255_woe_binning", _Q255_ORACLE)
+def q255(spark, sf_dir):
+    """Equi-depth binning + Weight-of-Evidence / Information-Value
+    (featselect.equi_depth_woe) — the scorecard-construction feature
+    transform: per ship-year, revenue cents bin into 10 equal-depth
+    buckets and each bin scores its association with the returned
+    flag. The binning is the operator's point cross-engine: bins
+    assign by EXACT integer arithmetic over cumulative counts of the
+    DISTINCT-value histogram ((rows_below · nbins) DIV rows_total),
+    so ties always share a bin — where ntile's row-order tie
+    splitting could never hash-match between engines. WOE/IV follow
+    the q97 float discipline (ln of ONE quotient of exact-int
+    doubles, pinned multiply order, round 6). Scale shape: one
+    map-side-combined (year, cents) histogram; the bin window runs
+    over distinct values per year (domain-bounded, not row-bounded);
+    everything after is |bins| rows. Reference seat: none (its only
+    numeric transform is fixed-width rounding ladders, SURVEY §2
+    F-M)."""
+    from gpi_etl_spark.operators.featselect import equi_depth_woe
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("l_returnflag") == "R").cast("int").alias("lab"),
+        )
+    )
+    out = equi_depth_woe(li, "cents", "lab", 10, ("yr",))
+    return out.select(
+        "yr",
+        "bin",
+        "n",
+        "pos",
+        "neg",
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        "woe_r",
+        "iv_term_r",
+    )
+
+
+def _q256_oracle_sql() -> str:
+    """Per-pair DuckDB replay: distinct both sides as VARCHAR (the
+    Spark side's canonical cast), count containment via EXISTS, flag
+    by integer equality."""
+
+    def one(name, child_t, child_c, parent_t, parent_c):
+        return f"""
+    SELECT '{name}' AS pair,
+           CAST(count(*) AS BIGINT) AS lhs_card,
+           CAST(sum(CASE WHEN _v IN (
+             SELECT DISTINCT CAST({parent_c} AS VARCHAR)
+             FROM {parent_t} WHERE {parent_c} IS NOT NULL)
+             THEN 1 ELSE 0 END) AS BIGINT) AS contained
+    FROM (SELECT DISTINCT CAST({child_c} AS VARCHAR) AS _v
+          FROM {child_t} WHERE {child_c} IS NOT NULL)"""
+
+    pairs_sql = "\n    UNION ALL\n".join(
+        one(*p) for p in _Q256_PAIRS
+    )
+    ratio = fs6_sql(
+        "CAST(contained AS DOUBLE) / CAST(lhs_card AS DOUBLE)"
+    )
+    return f"""
+    WITH r AS ({pairs_sql})
+    SELECT pair, lhs_card, contained, {ratio} AS containment_r,
+           CAST(CASE WHEN contained = lhs_card THEN 1 ELSE 0 END
+                AS INT) AS is_fk_candidate
+    FROM r
+    """
+
+
+_Q256_PAIRS = [
+    ("orders_custkey_in_customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem_orderkey_in_orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("customer_custkey_in_orders", "customer", "c_custkey",
+     "orders", "o_custkey"),
+    ("lineitem_partkey_in_part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("events_user_in_customer", "events", "user_id",
+     "customer", "c_custkey"),
+    ("part_size_in_supplier_nation", "part", "p_size",
+     "supplier", "s_nationkey"),
+]
+
+
+@query("q256_inclusion_profile", _q256_oracle_sql())
+def q256(spark, sf_dir):
+    """Inclusion-dependency discovery (quality.inclusion_profile):
+    sweep a candidate column-pair lattice and measure what fraction
+    of each child column's distinct values the parent contains — the
+    cross-table schema-profiling primitive that finds undeclared
+    foreign keys before a planner trusts a join. Six candidates: four
+    true FK directions (containment 1.0 — the flag decides by integer
+    equality contained == lhs_card, never a float threshold), the
+    reverse customer→orders direction (customers without orders keep
+    it below 1), and a deliberately-false numeric pair as the
+    negative control. Scale shape: per pair one map-side-combined
+    distinct per column + a semi-join AQE broadcasts when the parent
+    side is small; the docstring's Bloom pre-filter
+    (sketches.bloom_build) prunes wide lattices at 100 TB so only
+    near-1.0 survivors pay the exact pass. Complements q159's
+    within-table FD profile and the row-level referential check.
+    Reference seat: none (no schema profiling of any kind)."""
+    from gpi_etl_spark.operators.quality import inclusion_profile
+
+    tables = {
+        name: t(spark, sf_dir, name)
+        for name in {p[1] for p in _Q256_PAIRS}
+        | {p[3] for p in _Q256_PAIRS}
+    }
+    return inclusion_profile(
+        [
+            (name, tables[ct], cc, tables[pt], pc)
+            for name, ct, cc, pt, pc in _Q256_PAIRS
+        ]
+    )

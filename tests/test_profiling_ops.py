@@ -1,0 +1,99 @@
+"""equi_depth_woe binning totality + inclusion_profile semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_equi_depth_bins_keep_ties_whole_and_are_order_free(spark):
+    from gpi_etl_spark.operators.featselect import equi_depth_woe
+
+    # 30 rows, value 5 repeated 12 times straddling the bin-3 boundary
+    rows = [(v, 1 if v % 2 else 0) for v in range(10) for _ in range(1)]
+    rows += [(5, 1)] * 11 + [(i, 0) for i in range(10, 19)]
+    df = spark.createDataFrame(rows, "v int, lab int")
+    out = equi_depth_woe(df, "v", "lab", 4).collect()
+    # every distinct value lands in exactly one bin: lo/hi spans of
+    # consecutive bins never overlap
+    spans = sorted((r.bin, r.lo, r.hi) for r in out)
+    for (b1, _l1, h1), (b2, l2, _h2) in zip(spans, spans[1:]):
+        assert h1 < l2 and b1 < b2
+    # order independence
+    out_rev = equi_depth_woe(
+        spark.createDataFrame(rows[::-1], "v int, lab int"),
+        "v", "lab", 4,
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out_rev))
+
+
+def test_woe_matches_hand_computation(spark):
+    from gpi_etl_spark.operators.featselect import equi_depth_woe
+
+    # two clean bins: values 0..9 (1 pos of 10), 10..19 (9 pos of 10)
+    rows = [(v, 1 if v == 0 else 0) for v in range(10)]
+    rows += [(v, 0 if v == 10 else 1) for v in range(10, 20)]
+    df = spark.createDataFrame(rows, "v int, lab int")
+    out = {r.bin: r for r in equi_depth_woe(df, "v", "lab", 2).collect()}
+    assert out[0].pos == 1 and out[0].neg == 9
+    assert out[1].pos == 9 and out[1].neg == 1
+    want0 = round(math.log((1 * 10) / (9 * 10)), 6)
+    assert abs(out[0].woe_r - want0) < 1e-9
+    # iv terms are symmetric here
+    assert abs(out[0].iv_term_r - out[1].iv_term_r) < 1e-9
+
+
+def test_woe_zero_cell_is_null_not_error(spark):
+    from gpi_etl_spark.operators.featselect import equi_depth_woe
+
+    rows = [(v, 0) for v in range(10)] + [(v, 1) for v in range(10, 20)]
+    df = spark.createDataFrame(rows, "v int, lab int")
+    out = {r.bin: r for r in equi_depth_woe(df, "v", "lab", 2).collect()}
+    assert out[0].woe_r is None and out[1].iv_term_r is None
+
+
+def test_inclusion_profile_flags_by_integer_equality(spark):
+    from gpi_etl_spark.operators.quality import inclusion_profile
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,)], "k bigint"
+    )
+    parent_full = spark.createDataFrame([(1,), (2,), (3,), (9,)],
+                                        "p bigint")
+    parent_part = spark.createDataFrame([(1,), (2,)], "p bigint")
+    out = {
+        r.pair: r
+        for r in inclusion_profile(
+            [
+                ("full", child, "k", parent_full, "p"),
+                ("partial", child, "k", parent_part, "p"),
+            ]
+        ).collect()
+    }
+    assert out["full"].lhs_card == 3  # NULL excluded
+    assert out["full"].contained == 3
+    assert out["full"].is_fk_candidate == 1
+    assert out["partial"].contained == 2
+    assert out["partial"].is_fk_candidate == 0
+    assert abs(out["partial"].containment_r - 0.666667) < 1e-6
+
+
+def test_inclusion_profile_counts_distinct_not_rows(spark):
+    from gpi_etl_spark.operators.quality import inclusion_profile
+
+    child = spark.createDataFrame([(1,)] * 50 + [(7,)], "k bigint")
+    parent = spark.createDataFrame([(1,)], "p bigint")
+    r = inclusion_profile([("x", child, "k", parent, "p")]).first()
+    assert r.lhs_card == 2 and r.contained == 1
+
+
+def test_inclusion_profile_is_type_canonical(spark):
+    """int child vs string parent: the cast-to-string canonicalization
+    makes cross-typed FK candidates comparable."""
+    from gpi_etl_spark.operators.quality import inclusion_profile
+
+    child = spark.createDataFrame([(7,), (8,)], "k bigint")
+    parent = spark.createDataFrame([("7",), ("8",)], "p string")
+    r = inclusion_profile([("x", child, "k", parent, "p")]).first()
+    assert r.is_fk_candidate == 1

@@ -1,0 +1,98 @@
+"""Coordinated key sampling: deterministic, mergeable, nested, and
+join-preserving (the algebra q253 gates cross-engine)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gpi_etl_spark.operators.sampling import (
+    key_priority,
+    sample_keys_bottomk,
+    sample_keys_threshold,
+    threshold_literal,
+)
+
+
+def _keys(df, col="k"):
+    return sorted(r[col] for r in df.select(col).distinct().collect())
+
+
+def test_bottomk_is_deterministic_and_sized(spark):
+    df = spark.createDataFrame([(f"k{i}",) for i in range(200)],
+                               "k string")
+    a = _keys(sample_keys_bottomk(df, "k", 25))
+    b = _keys(sample_keys_bottomk(df, "k", 25))
+    assert a == b and len(a) == 25
+
+
+def test_bottomk_merges_like_min_heap(spark):
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — per-shard
+    samples compose without rescanning (overlapping shards included:
+    a shared key carries one priority, min-heap algebra dedups it)."""
+    a = spark.createDataFrame([(f"k{i}",) for i in range(120)],
+                              "k string")
+    b = spark.createDataFrame([(f"k{i}",) for i in range(80, 250)],
+                              "k string")
+    union = a.unionByName(b)
+    direct = _keys(sample_keys_bottomk(union, "k", 20))
+    sa = sample_keys_bottomk(a, "k", 20).select("k")
+    sb = sample_keys_bottomk(b, "k", 20).select("k")
+    remerged = _keys(
+        sample_keys_bottomk(sa.unionByName(sb), "k", 20)
+    )
+    assert remerged == direct
+
+
+def test_threshold_samples_nest_across_rates(spark):
+    """sample(rate=0.05) ⊆ sample(rate=0.2): grow a debug slice
+    without re-drawing."""
+    df = spark.createDataFrame([(f"k{i}",) for i in range(2000)],
+                               "k string")
+    small = set(_keys(sample_keys_threshold(df, "k", 0.05)))
+    big = set(_keys(sample_keys_threshold(df, "k", 0.20)))
+    assert small <= big
+    # rate is roughly honored (Bernoulli on ~uniform priorities)
+    assert 0.01 <= len(small) / 2000 <= 0.12
+    assert 0.10 <= len(big) / 2000 <= 0.33
+
+
+def test_threshold_join_of_samples_is_sample_of_join(spark):
+    """The coordination property, exactly: sampling two tables
+    independently and joining == joining first and sampling the
+    join's key."""
+    left = spark.createDataFrame(
+        [(f"k{i % 50}", i) for i in range(300)], "k string, a int"
+    )
+    right = spark.createDataFrame(
+        [(f"k{i % 70}", i * 2) for i in range(400)], "k string, b int"
+    )
+    rate = 0.3
+    sl = sample_keys_threshold(left, "k", rate)
+    sr = sample_keys_threshold(right, "k", rate)
+    join_of_samples = sorted(
+        map(tuple, sl.join(sr, "k").select("k", "a", "b").collect())
+    )
+    sample_of_join = sorted(
+        map(
+            tuple,
+            sample_keys_threshold(left.join(right, "k"), "k", rate)
+            .select("k", "a", "b")
+            .collect(),
+        )
+    )
+    assert join_of_samples == sample_of_join and join_of_samples
+
+
+def test_priority_is_width_canonical(spark):
+    """An int key and its string form draw the same priority (the
+    cast-to-string canonicalization) — coordination must hold across
+    tables storing the key at different types."""
+    df = spark.createDataFrame([(7,), (42,)], "k bigint")
+    ds = spark.createDataFrame([("7",), ("42",)], "k string")
+    pi = {r.k: r.p for r in df.select(
+        F.col("k").cast("string").alias("k"),
+        key_priority("k").alias("p")).collect()}
+    ps = {r.k: r.p for r in ds.select(
+        "k", key_priority("k").alias("p")).collect()}
+    assert pi == ps
+    assert threshold_literal(0.5) == 500_000_003
