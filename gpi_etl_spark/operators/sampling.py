@@ -119,3 +119,83 @@ def threshold_literal(rate: float) -> int:
     """The integer priority threshold for ``rate`` — exposed so SQL
     replays and documentation state the same literal."""
     return int(rate * P)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard placement
+# ---------------------------------------------------------------------------
+
+#: fixed score-family size: per-shard scores must NOT depend on the
+#: current shard COUNT (that is the whole point — resizing N → N+1
+#: must leave scores of existing shards untouched), so the affine
+#: family is sized once at this ceiling and `n_shards` merely bounds
+#: the argmax. Raising it later changes every placement — it is a
+#: layout version, not a tuning knob.
+RENDEZVOUS_MAX_SHARDS = 64
+
+
+def rendezvous_shard(key_col: str | Column, n_shards: int) -> Column:
+    """The rendezvous / highest-random-weight shard of a key
+    (Thaler & Ravishankar '96; the placement rule behind consistent
+    cache/partition assignment): shard = argmax over i < n_shards of
+    score_i(key), with score_i the repo's standard replayable
+    derivation ``affine_hash(cubic_mix(poly_hash(key)), i, 64)``.
+
+    THE property, and why a 100 TB layout wants it: growing N → N+1
+    relocates ONLY the keys whose new shard WINS the argmax —
+    ~1/(N+1) of them, each moving INTO the new shard, with no key
+    ever reshuffled BETWEEN surviving shards (modulo-hash resharding
+    moves ~N/(N+1) of everything). Pinned by test and by the q257
+    gate. Ties break to the smallest index (total order: scores are
+    distinct integers almost surely, index breaks the rest), so
+    placement is deterministic and engine-replayable.
+
+    One hash + 64 integer transforms per row, no shuffle — a pure
+    projection that stays inside codegen."""
+    if not 1 <= n_shards <= RENDEZVOUS_MAX_SHARDS:
+        raise ValueError(
+            f"n_shards must be in [1, {RENDEZVOUS_MAX_SHARDS}] "
+            f"(got {n_shards}) — the score family is sized once at "
+            "the ceiling so placements survive resizing"
+        )
+    from gpi_etl_spark.functions.hof import let_
+
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    base = xhash.cubic_mix(xhash.poly_hash(c.cast("string")))
+    scores = let_(
+        base,
+        lambda g: F.array(
+            *[
+                xhash.affine_hash(g, i, RENDEZVOUS_MAX_SHARDS)
+                for i in range(n_shards)
+            ]
+        ),
+    )
+    # array_position returns the FIRST index of the max (1-based) —
+    # the smallest-index tie-break, deterministic on both engines
+    return (
+        F.array_position(scores, F.array_max(scores)) - F.lit(1)
+    ).cast("int")
+
+
+def rendezvous_shard_sql(expr: str, n_shards: int) -> str:
+    """DuckDB replay of :func:`rendezvous_shard` for a VARCHAR expr
+    (list_position finds the first max, matching the tie-break)."""
+    if not 1 <= n_shards <= RENDEZVOUS_MAX_SHARDS:
+        raise ValueError(f"n_shards out of range: {n_shards}")
+    g = xhash.cubic_mix_sql(xhash.poly_hash_sql(expr))
+    scores = (
+        "["
+        + ", ".join(
+            xhash.affine_hash_sql("__rg", str(i), RENDEZVOUS_MAX_SHARDS)
+            for i in range(n_shards)
+        )
+        + "]"
+    )
+    # bind the premixed base once via a scalar subquery-free lambda:
+    # DuckDB evaluates the list literal per row; list_position is
+    # 1-based like Spark's array_position
+    return (
+        f"(SELECT list_position(__sc, list_max(__sc)) - 1 FROM ("
+        f"SELECT {scores} AS __sc FROM (SELECT ({g}) AS __rg) ))"
+    )

@@ -14953,3 +14953,189 @@ def q256(spark, sf_dir):
             for name, ct, cc, pt, pc in _Q256_PAIRS
         ]
     )
+
+
+def _q257_oracle_sql() -> str:
+    from gpi_etl_spark.operators.sampling import rendezvous_shard_sql
+
+    s8 = rendezvous_shard_sql("cast(o_orderkey AS varchar)", 8)
+    s9 = rendezvous_shard_sql("cast(o_orderkey AS varchar)", 9)
+    return f"""
+    WITH a AS MATERIALIZED (
+      SELECT o_orderkey, {s8} AS s8, {s9} AS s9 FROM orders),
+    g AS (SELECT s8 AS shard, CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                 CAST(sum(CASE WHEN s9 <> s8 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_moved,
+                 CAST(sum(CASE WHEN s9 <> s8 AND s9 <> 8
+                               THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_bad_moves
+          FROM a GROUP BY 1)
+    SELECT CAST(shard AS INT) AS shard, n_keys, key_sum, n_moved,
+           n_bad_moves
+    FROM g
+    """
+
+
+@query("q257_rendezvous_sharding", _q257_oracle_sql())
+def q257(spark, sf_dir):
+    """Rendezvous / highest-random-weight shard placement
+    (sampling.rendezvous_shard) — the layout-assignment rule a 100 TB
+    store wants when shard counts change: each key goes to the shard
+    whose per-key score wins the argmax, so growing 8 → 9 shards
+    relocates ONLY the ~1/9 of keys the NEW shard wins, each moving
+    INTO shard 8 (0-based index of the new one) and never between
+    survivors — where modulo-hash resharding moves ~8/9 of
+    everything. The gate carries the property itself, not just the
+    placement: per shard, the keys moved by the 8→9 resize and
+    ``n_bad_moves`` — moves to any OTHER survivor — which both
+    engines must count as exactly ZERO (also pinned cheaply in
+    tests/test_sampling.py). Scores run the standard replayable
+    derivation over a FIXED family ceiling (64) so they are
+    independent of the current N; placement is a pure per-row
+    projection, no shuffle, full codegen. Reference seat: none (no
+    placement logic of any kind)."""
+    from gpi_etl_spark.operators.sampling import rendezvous_shard
+
+    od = t(spark, sf_dir, "orders").select("o_orderkey")
+    d = od.select(
+        "o_orderkey",
+        rendezvous_shard("o_orderkey", 8).alias("s8"),
+        rendezvous_shard("o_orderkey", 9).alias("s9"),
+    )
+    moved = (F.col("s9") != F.col("s8")).cast("int")
+    bad = ((F.col("s9") != F.col("s8")) & (F.col("s9") != 8)).cast(
+        "int"
+    )
+    return d.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        F.sum(moved).cast("bigint").alias("n_moved"),
+        F.sum(bad).cast("bigint").alias("n_bad_moves"),
+    )
+
+
+def _q258_oracle_sql(k: int) -> str:
+    """Exactly-once streamed AMS state ≡ one-shot batch build, so the
+    oracle replays the BATCH sketch (the q252 derivation over the
+    'view' uid stream) and states the same component checksum for
+    both the streamed and direct columns — any ledger failure
+    (double-fold, dropped batch) breaks the streamed side's equality
+    while the direct side still matches, naming the fault."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah_sql
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph_sql
+
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL),
+    b AS MATERIALIZED (SELECT {_ph_sql("uid")} AS h FROM v),
+    g AS MATERIALIZED (SELECT {_cm_sql("h")} AS gh FROM b),
+    s AS (SELECT gi.i AS i,
+                 CAST(sum(1 - 2 * ({_ah_sql('gh', 'gi.i', k)} % 2))
+                      AS BIGINT) AS x
+          FROM g, unnest(generate_series(0, {k - 1})) gi(i)
+          GROUP BY 1),
+    f AS (SELECT CAST(count(*) AS INT) AS k,
+                 CAST(sum(CAST(x AS DECIMAL(10,0))
+                          * CAST(x AS DECIMAL(10,0)))
+                      AS DECIMAL(38,0)) AS f2_num,
+                 CAST(sum(x * (i + 1)) AS BIGINT) AS cks
+          FROM s),
+    e AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact,
+                 CAST(sum(f) AS BIGINT) AS n_rows
+          FROM (SELECT uid, count(*) AS f FROM v GROUP BY 1))
+    SELECT f.k, e.n_rows, e.f2_exact,
+           CAST(f2_num AS BIGINT) AS f2_num,
+           CAST(((f2_num % {_P}) + {_P}) % {_P} AS BIGINT) AS f2_modp,
+           {fs6_sql("CAST(f2_num AS DOUBLE) / CAST(k AS DOUBLE)")} AS f2_r,
+           f.cks AS streamed_checksum,
+           f.cks AS batch_checksum
+    FROM f CROSS JOIN e
+    """
+
+
+@query("q258_stream_ams_f2", _q258_oracle_sql(64))
+def q258(spark, sf_dir):
+    """STREAMED self-join-size monitoring (streaming/sinks.stream_ams):
+    the AMS F₂ sketch maintained as exactly-once micro-batch state —
+    a pipeline watches a key column's skew number grow in real time
+    for k int64s of state, and alerts (or re-plans the downstream
+    join, q243) BEFORE the hot key hits a shuffle. Component addition
+    is not idempotent, so the sink reuses the q248 ledger design:
+    applied batch ids ride the SAME parquet table and atomic
+    rename-swap as the components (no crash point that splits them),
+    and at-least-once redelivery folds each batch exactly once. The
+    round-10 compatibility lesson is applied at birth: the state's
+    fam tag AND derived k are checked eagerly per micro-batch, so a
+    checkpoint straddling a derivation change dies loudly. The gate:
+    streamed state checksum must equal the one-shot batch build's
+    (the oracle states ONE value for both columns — a ledger fault
+    breaks exactly one of them, naming the layer), plus the full q252
+    F₂ readout from the streamed state. Delivery adversaries
+    (replay, crash-mid-swap) are pinned in tests/test_stream_upsert
+    and the 11-gate harness in tests/test_streaming_delivery."""
+    import shutil
+
+    from gpi_etl_spark.functions.xhash import P
+    from gpi_etl_spark.operators.sketches import ams_f2
+    from gpi_etl_spark.streaming.sinks import ams_state, stream_ams
+
+    K = 64
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "view") & F.col("user_id").isNotNull()
+        )
+        .select("user_id", F.col("user_id").cast("string").alias("uid"))
+    )
+    root = _landing(spark, "q258", sf_dir)
+    table, ckpt = root + "/comps", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, v, "q258src", sf_dir)
+    q = stream_ams(
+        stream, table, "uid", checkpoint=ckpt, k=K, hash_mode="poly"
+    )
+    q.processAllAvailable()
+    q.stop()
+    comps = ams_state(spark, table)
+    est = ams_f2(comps)
+    exact = (
+        v.groupBy("uid")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
+            F.sum("f").cast("bigint").alias("n_rows"),
+        )
+    )
+
+    def _cksum(sk, alias):
+        return sk.select(
+            F.sum(F.col("x") * (F.col("i") + 1))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    from gpi_etl_spark.operators.sketches import ams_build
+
+    direct = ams_build(v, "uid", k=K, hash_mode="poly")
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(_cksum(comps, "streamed_checksum")))
+        .crossJoin(F.broadcast(_cksum(direct, "batch_checksum")))
+        .select(
+            "k",
+            "n_rows",
+            "f2_exact",
+            F.col("f2_num").cast("bigint").alias("f2_num"),
+            F.pmod(F.col("f2_num"), F.lit(P))
+            .cast("bigint")
+            .alias("f2_modp"),
+            "f2_r",
+            "streamed_checksum",
+            "batch_checksum",
+        )
+    )

@@ -382,3 +382,132 @@ def stream_cms(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: sentinel register index marking applied-batch-id ledger rows inside
+#: a streamed AMS state table (real components always have i >= 0)
+AMS_LEDGER_I = -1
+
+
+def ams_state(spark: SparkSession, path: str) -> DataFrame:
+    """The COMPONENT rows of a streamed AMS state table (strips the
+    applied-batch ledger rows ams_fold_batch embeds). Feed this to
+    sketches.ams_f2 / ams_merge."""
+    t = spark.read.parquet(path)
+    return t.filter(F.col("i") != AMS_LEDGER_I)
+
+
+def ams_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    item_col: str,
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> None:
+    """Fold one micro-batch into a maintained AMS component table —
+    the streaming F₂/self-join-size monitor: per micro-batch the
+    batch's signed counters ADD into the state (the sketch is linear),
+    so a pipeline can watch a key column's skew number grow in real
+    time for the cost of k int64s of state. Addition is not
+    idempotent, so the sink reuses the CMS sink's APPLIED-BATCH LEDGER
+    design verbatim: sentinel rows ``(i = AMS_LEDGER_I, x = batch_id,
+    fam = <family>)`` ride INSIDE the state table and a replayed
+    batch_id is skipped before anything merges — one parquet dir, one
+    atomic rename-swap, no crash point that commits components
+    without their ledger entry. Same staged ``_SUCCESS``-gated swap
+    and recovery as upsert_batch; read components back through
+    :func:`ams_state`.
+
+    Compatibility guards (the round-10 lesson, applied at birth):
+    the state's ``fam`` tag and its derived k (max component index
+    + 1) are BOTH checked eagerly against the caller before merging —
+    family or k drift across a checkpoint raises instead of silently
+    mixing sign-hash spaces."""
+    from gpi_etl_spark.operators.sketches import (
+        AMS_FAMILIES,
+        ams_build,
+        ams_merge,
+    )
+
+    if hash_mode not in AMS_FAMILIES:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    fam = AMS_FAMILIES[hash_mode]
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+
+    ledger_row = spark.createDataFrame(
+        [(AMS_LEDGER_I, int(batch_id), fam)],
+        "i int, x bigint, fam string",
+    )
+    if fs.exists(live):
+        state = spark.read.parquet(path)
+        comps = state.filter(F.col("i") != AMS_LEDGER_I)
+        got = comps.agg(
+            F.max("i").alias("mi"), F.max("fam").alias("fam")
+        ).collect()[0]
+        if got.mi is not None and got.mi + 1 != k:
+            raise ValueError(
+                f"ams_fold_batch: live state at {path} was built with "
+                f"k={got.mi + 1} but the caller supplied k={k} — "
+                "component-wise addition across different k merges "
+                "inconsistent component sets silently. Use the "
+                "state's k or rebuild."
+            )
+        if got.fam is not None and got.fam != fam:
+            raise ValueError(
+                f"ams_fold_batch: live state at {path} carries family "
+                f"{got.fam} but the caller supplied {fam} — sign "
+                "hashes from different families are incompatible. "
+                "Use the state's hash_mode or rebuild."
+            )
+        applied = (
+            state.filter(
+                (F.col("i") == AMS_LEDGER_I)
+                & (F.col("x") == int(batch_id))
+            ).limit(1).count()
+        )
+        if applied:
+            return  # replayed batch — already folded, exactly-once
+        ledger = state.filter(F.col("i") == AMS_LEDGER_I)
+        delta = ams_build(batch, item_col, k=k, hash_mode=hash_mode)
+        merged = ams_merge(comps, delta).unionByName(ledger).unionByName(
+            ledger_row
+        )
+    else:
+        delta = ams_build(batch, item_col, k=k, hash_mode=hash_mode)
+        merged = delta.unionByName(ledger_row)
+    _swap_in(merged, fs, live, staged, old, base)
+
+
+def stream_ams(
+    stream: DataFrame,
+    path: str,
+    item_col: str,
+    checkpoint: str,
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Attach the ledgered AMS component-fold sink to a streaming
+    DataFrame — a self-join-size / skew sketch maintained as
+    exactly-once micro-batch state. Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ams_fold_batch(
+            spark, batch_df, batch_id, path, item_col,
+            k=k, hash_mode=hash_mode,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

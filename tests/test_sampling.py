@@ -96,3 +96,67 @@ def test_priority_is_width_canonical(spark):
         "k", key_priority("k").alias("p")).collect()}
     assert pi == ps
     assert threshold_literal(0.5) == 500_000_003
+
+
+def test_rendezvous_resize_moves_only_into_new_shard(spark):
+    """HRW's reason to exist: N → N+1 relocates ~1/(N+1) of keys, all
+    INTO the new shard, none between survivors."""
+    from gpi_etl_spark.operators.sampling import rendezvous_shard
+
+    n = 3000
+    df = spark.createDataFrame([(f"key{i}",) for i in range(n)],
+                               "k string")
+    d = df.select(
+        rendezvous_shard("k", 10).alias("s10"),
+        rendezvous_shard("k", 11).alias("s11"),
+    )
+    moved = d.filter(F.col("s10") != F.col("s11"))
+    n_moved = moved.count()
+    # every move lands in the new shard (index 10)
+    assert moved.filter(F.col("s11") != 10).count() == 0
+    # expected n/11 ≈ 273; allow ±40%
+    assert 0.6 * n / 11 <= n_moved <= 1.4 * n / 11
+
+
+def test_rendezvous_balance_and_determinism(spark):
+    from gpi_etl_spark.operators.sampling import rendezvous_shard
+
+    n, shards = 4000, 8
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)],
+                               "k string")
+    counts = {
+        r.s: r.c
+        for r in df.select(rendezvous_shard("k", shards).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(counts) == set(range(shards))
+    # uniform within ±35% of n/shards
+    for c in counts.values():
+        assert 0.65 * n / shards <= c <= 1.35 * n / shards
+    again = {
+        r.s: r.c
+        for r in df.select(rendezvous_shard("k", shards).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_rendezvous_rejects_out_of_range_n(spark):
+    import pytest
+
+    from gpi_etl_spark.operators.sampling import (
+        RENDEZVOUS_MAX_SHARDS,
+        rendezvous_shard,
+        rendezvous_shard_sql,
+    )
+
+    with pytest.raises(ValueError, match="n_shards"):
+        rendezvous_shard("k", 0)
+    with pytest.raises(ValueError, match="n_shards"):
+        rendezvous_shard("k", RENDEZVOUS_MAX_SHARDS + 1)
+    with pytest.raises(ValueError, match="out of range"):
+        rendezvous_shard_sql("k", 100)

@@ -248,3 +248,54 @@ def test_cms_fold_batch_geometry_drift_raises(spark, dirs):
     with pytest.raises(ValueError, match="geometry"):
         cms_fold_batch(spark, b1, 1, path, "item", width=64, depth=3,
                        hash_mode="xxhash64")
+
+
+def test_ams_fold_batch_ledger_makes_replay_exactly_once(spark, dirs):
+    """AMS component addition is not idempotent — the ledger must make
+    it so, and the final components must equal a one-shot build."""
+    from gpi_etl_spark.operators.sketches import ams_build
+    from gpi_etl_spark.streaming.sinks import ams_fold_batch, ams_state
+
+    _, sink, _ = dirs
+    path = sink + "/ams"
+    b1 = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(40)], "item string"
+    )
+    b2 = spark.createDataFrame(
+        [(f"u{i % 11}",) for i in range(30)], "item string"
+    )
+    ams_fold_batch(spark, b1, 0, path, "item", k=16, hash_mode="poly")
+    ams_fold_batch(spark, b2, 1, path, "item", k=16, hash_mode="poly")
+    # replay batch 1 (same id) — MUST be skipped, not double-added
+    ams_fold_batch(spark, b2, 1, path, "item", k=16, hash_mode="poly")
+    streamed = sorted(
+        (r.i, r.x) for r in ams_state(spark, path).collect()
+    )
+    direct = sorted(
+        (r.i, r.x)
+        for r in ams_build(
+            b1.unionByName(b2), "item", k=16, hash_mode="poly"
+        ).collect()
+    )
+    assert streamed == direct
+
+
+def test_ams_fold_batch_k_and_family_drift_raise(spark, dirs):
+    import pytest
+
+    from gpi_etl_spark.streaming.sinks import ams_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/ams_drift"
+    b = spark.createDataFrame([(f"u{i}",) for i in range(20)],
+                              "item string")
+    ams_fold_batch(spark, b, 0, path, "item", k=16, hash_mode="poly")
+    with pytest.raises(ValueError, match="k=16"):
+        ams_fold_batch(spark, b, 1, path, "item", k=8,
+                       hash_mode="poly")
+    with pytest.raises(ValueError, match="family"):
+        ams_fold_batch(spark, b, 1, path, "item", k=16,
+                       hash_mode="xxhash64")
+    with pytest.raises(ValueError, match="unknown hash_mode"):
+        ams_fold_batch(spark, b, 1, path, "item", k=16,
+                       hash_mode="Poly")

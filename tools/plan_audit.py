@@ -73,6 +73,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # (the per-key stats and percentile frames) — the same
                 # whitelisted scalar-subquery pattern as q97/q162/q167.
                 "q214_key_skew_profile",
+                # q256: per candidate pair the report row crossJoins
+                # TWO one-row aggregates (lhs distinct count x contained
+                # count) -- six 1x1 products, the q241/q162 scalar
+                # class; the corpus-scale work is the distinct+semi-join
+                # upstream of each pair.
+                "q256_inclusion_profile",
                 # q231: one-row crossJoin(broadcast(min/max-day bounds))
                 # building the global day spine — q162's exact pattern
                 # (the BNL loop side is 1 row; the spine is |types| ×
