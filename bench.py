@@ -144,6 +144,12 @@ HEADLINE = [
     "q240_bloom_decontamination",  # bitmask build + broadcast membership probe (r9 add)
     "q242_kmv_rollup_cube",      # grouping-sets cube from registers alone (r9 add)
     "q243_range_partition_plan", # deterministic range-cut planner + balance (r9 add)
+    "q252_ams_f2_selfjoin",      # AMS tug-of-war F2 sketch + exact baseline (r10 add)
+    "q253_consistent_sample",    # coordinated bottom-k/threshold key sampling (r10 add)
+    "q254_survivorship_golden",  # per-field golden-record merge rules (r10 add)
+    "q255_woe_binning",          # exact equi-depth bins + WOE/IV scoring (r10 add)
+    "q256_inclusion_profile",    # cross-table FK containment sweep (r10 add)
+    "q257_rendezvous_sharding",  # HRW placement + resize-move property (r10 add)
     # q244 (quantile rollup) stays unbenched under rule (d): its cost
     # is q239's bucket build (the benched rq shape) plus q242-class
     # tiny per-level re-aggregations of the bucket table.
@@ -173,6 +179,10 @@ HEADLINE = [
     # sub-second broadcast re-rank of Q×20 rows. q223 (stream-static
     # enrich) is excluded for q211's reason: the landing rewrite +
     # memory-sink drain dominate, which the noop lane would mismeasure.
+    # q258 (streamed AMS state) is excluded for q247/q248's reason:
+    # landing rewrite + per-batch state swaps dominate, which the
+    # noop lane would mismeasure; its compute shape (q252-class
+    # builds) is benched.
 ]
 
 
@@ -227,7 +237,7 @@ FAST_SKIP = {
 }
 
 #: committed two-lane detail artifact for the CURRENT round
-DETAIL_FILE = "BENCH_local_r9.json"
+DETAIL_FILE = "BENCH_local_r10.json"
 
 
 def main() -> None:

@@ -56,16 +56,29 @@ from gpi_etl_spark.functions import xhash
 P = xhash.P
 
 
-def key_priority(key_col: str | Column) -> Column:
-    """The sampling priority of a key: ``cubic_mix(poly_hash(key))``,
-    uniform on [0, P) and identical in both engines (the cubic premix
-    matters here for the same reason it does for kmv minima: ORDER
-    STATISTICS of the raw poly hash of short keys are biased by its
-    arithmetic-progression structure). Cast non-string keys to string
-    first — canonically, no padding — so coordination holds across
-    tables that store the key at different widths."""
+def key_priority(
+    key_col: str | Column, hash_mode: str = "xxhash64"
+) -> Column:
+    """The sampling priority of a key: ``cubic_mix(base(key))``,
+    uniform on [0, P) (the cubic premix matters here for the same
+    reason it does for kmv minima: ORDER STATISTICS of the raw poly
+    hash of short keys are biased by its arithmetic-progression
+    structure). Cast non-string keys to string first — canonically,
+    no padding — so coordination holds across tables that store the
+    key at different widths. ``hash_mode``: ``xxhash64`` (JVM
+    intrinsic, production default) or ``poly`` (the per-character
+    replayable fold DuckDB replays bit-exactly — the q253 gate mode).
+    Coordination only holds WITHIN one mode: sample every
+    participating table with the same mode, like the sketch fam
+    tags."""
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return xhash.cubic_mix(xhash.poly_hash(c.cast("string")))
+    if hash_mode == "poly":
+        h = xhash.poly_hash(c.cast("string"))
+    elif hash_mode == "xxhash64":
+        h = F.pmod(F.xxhash64(c.cast("string")), F.lit(P))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return xhash.cubic_mix(h)
 
 
 def key_priority_sql(expr: str) -> str:
@@ -78,6 +91,7 @@ def sample_keys_bottomk(
     key_col: str,
     k: int,
     group_cols: tuple[str, ...] = (),
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """The sampled KEY SET: ``(*group_cols, key_col, pri bigint)`` —
     the k distinct keys of smallest priority per group (ties on
@@ -93,7 +107,7 @@ def sample_keys_bottomk(
         )
     )
     return (
-        keys.withColumn("pri", key_priority(key_col))
+        keys.withColumn("pri", key_priority(key_col, hash_mode))
         .withColumn("_rn", w)
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -104,6 +118,7 @@ def sample_keys_threshold(
     df: DataFrame,
     key_col: str,
     rate: float,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Filter ``df`` to rows whose key priority falls below
     ``rate·P`` — a consistent Bernoulli KEY sample. Pure filter (no
@@ -112,7 +127,7 @@ def sample_keys_threshold(
     The integer threshold ``floor(rate·P)`` is computed once on the
     driver so both engines compare against the identical literal."""
     thr = int(rate * P)
-    return df.filter(key_priority(key_col) < F.lit(thr))
+    return df.filter(key_priority(key_col, hash_mode) < F.lit(thr))
 
 
 def threshold_literal(rate: float) -> int:
@@ -134,7 +149,9 @@ def threshold_literal(rate: float) -> int:
 RENDEZVOUS_MAX_SHARDS = 64
 
 
-def rendezvous_shard(key_col: str | Column, n_shards: int) -> Column:
+def rendezvous_shard(
+    key_col: str | Column, n_shards: int, hash_mode: str = "xxhash64"
+) -> Column:
     """The rendezvous / highest-random-weight shard of a key
     (Thaler & Ravishankar '96; the placement rule behind consistent
     cache/partition assignment): shard = argmax over i < n_shards of
@@ -150,8 +167,15 @@ def rendezvous_shard(key_col: str | Column, n_shards: int) -> Column:
     distinct integers almost surely, index breaks the rest), so
     placement is deterministic and engine-replayable.
 
-    One hash + 64 integer transforms per row, no shuffle — a pure
-    projection that stays inside codegen."""
+    One hash + n_shards integer transforms per row, no shuffle — a
+    pure projection that stays inside codegen. ``hash_mode``: the
+    repo's standard pair — ``xxhash64`` (JVM intrinsic, the
+    production default: the per-character poly fold costs ~6 µs/key,
+    measured at sf0.1) or ``poly`` (the replayable audit mode the
+    q257 gate runs; the DuckDB twin :func:`rendezvous_shard_sql`
+    replays only this mode). The two modes are DIFFERENT layouts —
+    pick one per table and stamp it in the layout metadata, exactly
+    like the sketch fam tags."""
     if not 1 <= n_shards <= RENDEZVOUS_MAX_SHARDS:
         raise ValueError(
             f"n_shards must be in [1, {RENDEZVOUS_MAX_SHARDS}] "
@@ -161,7 +185,13 @@ def rendezvous_shard(key_col: str | Column, n_shards: int) -> Column:
     from gpi_etl_spark.functions.hof import let_
 
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    base = xhash.cubic_mix(xhash.poly_hash(c.cast("string")))
+    if hash_mode == "poly":
+        h = xhash.poly_hash(c.cast("string"))
+    elif hash_mode == "xxhash64":
+        h = F.pmod(F.xxhash64(c.cast("string")), F.lit(P))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    base = xhash.cubic_mix(h)
     scores = let_(
         base,
         lambda g: F.array(

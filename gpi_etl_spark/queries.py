@@ -14647,7 +14647,7 @@ def q253(spark, sf_dir):
         "o_orderkey", "o_orderpriority"
     )
     sk = sampling.sample_keys_bottomk(
-        od, "o_orderkey", 30, ("o_orderpriority",)
+        od, "o_orderkey", 30, ("o_orderpriority",), hash_mode="poly"
     )
     bk = sk.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).cast("int").alias("n_keys"),
@@ -14655,7 +14655,9 @@ def q253(spark, sf_dir):
         F.min("pri").cast("bigint").alias("pri_min"),
         F.sum("pri").cast("bigint").alias("pri_sum"),
     )
-    so = sampling.sample_keys_threshold(od, "o_orderkey", 0.02)
+    so = sampling.sample_keys_threshold(
+        od, "o_orderkey", 0.02, hash_mode="poly"
+    )
     tb = so.groupBy(F.col("o_orderpriority").alias("grp")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bern_keys")
     )
@@ -14665,7 +14667,9 @@ def q253(spark, sf_dir):
         .cast("bigint")
         .alias("cents"),
     )
-    sl = sampling.sample_keys_threshold(li, "l_orderkey", 0.02)
+    sl = sampling.sample_keys_threshold(
+        li, "l_orderkey", 0.02, hash_mode="poly"
+    )
     tj = (
         so.join(sl, so.o_orderkey == sl.l_orderkey)
         .groupBy(F.col("o_orderpriority").alias("grp"))
@@ -15000,8 +15004,8 @@ def q257(spark, sf_dir):
     od = t(spark, sf_dir, "orders").select("o_orderkey")
     d = od.select(
         "o_orderkey",
-        rendezvous_shard("o_orderkey", 8).alias("s8"),
-        rendezvous_shard("o_orderkey", 9).alias("s9"),
+        rendezvous_shard("o_orderkey", 8, hash_mode="poly").alias("s8"),
+        rendezvous_shard("o_orderkey", 9, hash_mode="poly").alias("s9"),
     )
     moved = (F.col("s9") != F.col("s8")).cast("int")
     bad = ((F.col("s9") != F.col("s8")) & (F.col("s9") != 8)).cast(
