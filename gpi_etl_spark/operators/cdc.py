@@ -67,3 +67,94 @@ def cdc_merge(
     )
     applied = latest.filter(F.col(op_col) != "D").select(*out_cols)
     return untouched.unionByName(applied)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: "list[str]",
+    compare_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Keyed reconciliation of two table snapshots — the audit that
+    closes a migration/backfill: one full-outer join on the key,
+    classifying every key as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` and, for changed keys, counting WHICH columns moved.
+    Returns one summary row per status: ``(status, n_keys,
+    col_changes map<string,bigint>)`` — the bounded artifact two teams
+    can compare instead of eyeballing row dumps. Pair with
+    quality.content_checksum (the order-free whole-table audit): the
+    checksum says WHETHER the tables differ, this says WHERE.
+
+    Column comparison is NULL-safe (``<=>``): NULL → value and value →
+    NULL count as changes, NULL → NULL does not. ``compare_cols``
+    defaults to every shared non-key column; columns missing from
+    either side are rejected loudly (a schema drift is its own
+    finding, not something to silently skip).
+
+    100 TB shape: ONE shuffle per side (the full-outer join on the
+    key — with both snapshots bucketed by the key, zero); the
+    per-column comparisons are codegen'd projections on the joined
+    stream, and the output aggregates map-side to ≤ 4 rows. The
+    col_changes map is built from per-column conditional sums, not
+    per-row explode — the wire never carries a row per (key, column)
+    pair."""
+    shared = [c for c in old.columns if c in set(new.columns)]
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in shared if c not in keys]
+    )
+    missing = [
+        c
+        for c in cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot_diff: compare columns missing from a side: "
+            f"{missing} — schema drift must be handled explicitly"
+        )
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.lit(1).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    changed_any = None
+    for c in cols:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        changed_any = d if changed_any is None else (changed_any | d)
+    if changed_any is None:
+        changed_any = F.lit(False)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(changed_any, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    rows = j.select(status.alias("status"), *[
+        (
+            (F.col("_in_old").isNotNull())
+            & (F.col("_in_new").isNotNull())
+            & ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        ).cast("bigint").alias(f"_chg_{c}")
+        for c in cols
+    ])
+    agg = rows.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        *[F.sum(f"_chg_{c}").cast("bigint").alias(f"_chg_{c}")
+          for c in cols],
+    )
+    pairs = []
+    for c in cols:
+        pairs.extend([F.lit(c), F.col(f"_chg_{c}")])
+    return agg.select(
+        "status",
+        "n_keys",
+        F.create_map(*pairs).alias("col_changes"),
+    )

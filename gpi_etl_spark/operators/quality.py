@@ -739,3 +739,50 @@ def inclusion_profile(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def column_affinity(
+    columns: "list[tuple[str, DataFrame, str]]",
+    k: int = 128,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Pairwise column-CONTENT affinity across tables — the data-
+    catalog / schema-matching sweep: for every two candidate columns,
+    estimate the Jaccard similarity, union size and intersection size
+    of their DISTINCT value sets from KMV register tables alone. Where
+    :func:`inclusion_profile` answers the directed FK question with an
+    exact pass per pair, this answers the undirected "which columns
+    hold the same kind of values" question for a WHOLE lattice at
+    sketch cost: each column is summarized once (k registers — one
+    scan per table however many of its columns participate in
+    principle; this helper builds per column), and every pairwise
+    question is a |columns|²·k register join with no data touch —
+    the economics that make a 10,000-column estate's affinity matrix
+    computable at all. Registers carry the kmv fam tag, so
+    cross-family mixes raise.
+
+    Returns sketches.kmv_overlap's schema keyed by ``column_id`` =
+    the caller's name per column: (key_a, key_b, n_match,
+    union_reg_sum, jaccard_e, union_e, inter_e)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_overlap
+
+    regs = []
+    for name, df, col in columns:
+        d = (
+            df.filter(F.col(col).isNotNull())
+            .select(
+                F.lit(name).alias("column_id"),
+                F.col(col).cast("string").alias("_v"),
+            )
+            .distinct()
+        )
+        regs.append(
+            kmv_build(
+                d, "_v", group_cols=("column_id",), k=k,
+                hash_mode=hash_mode,
+            )
+        )
+    sk = regs[0]
+    for r in regs[1:]:
+        sk = sk.unionByName(r)
+    return kmv_overlap(sk, "column_id")

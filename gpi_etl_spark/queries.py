@@ -15143,3 +15143,192 @@ def q258(spark, sf_dir):
             "batch_checksum",
         )
     )
+
+
+_Q259_ORACLE = """
+WITH old AS MATERIALIZED (
+  SELECT o_orderkey AS k,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         o_orderstatus AS st
+  FROM orders),
+new AS MATERIALIZED (
+  SELECT k,
+         CASE WHEN k % 5 = 0 THEN cents + 100 ELSE cents END AS cents,
+         CASE WHEN k % 7 = 0 THEN 'X' ELSE st END AS st
+  FROM old WHERE k % 17 <> 0
+  UNION ALL
+  SELECT k + 1000000000, CAST(1 AS BIGINT), 'N'
+  FROM old WHERE k % 23 = 0),
+j AS (SELECT coalesce(o.k, n.k) AS k,
+             o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+             CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.cents IS DISTINCT FROM n.cents
+                  THEN 1 ELSE 0 END AS chg_cents,
+             CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                       AND o.st IS DISTINCT FROM n.st
+                  THEN 1 ELSE 0 END AS chg_st
+      FROM old o FULL OUTER JOIN new n ON n.k = o.k),
+c AS (SELECT CASE WHEN NOT in_old THEN 'added'
+                  WHEN NOT in_new THEN 'removed'
+                  WHEN chg_cents + chg_st > 0 THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             chg_cents, chg_st
+      FROM j)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(chg_cents) AS BIGINT) AS chg_cents,
+       CAST(sum(chg_st) AS BIGINT) AS chg_status
+FROM c GROUP BY 1
+"""
+
+
+@query("q259_snapshot_diff", _Q259_ORACLE)
+def q259(spark, sf_dir):
+    """Keyed snapshot reconciliation (cdc.snapshot_diff) — the audit
+    that closes a migration or backfill: every key classified
+    added/removed/changed/unchanged in ONE full-outer join, with
+    per-column change counts for the changed class, so two teams
+    compare a four-row artifact instead of row dumps. Complements
+    q234/q215's order-free content checksums (whether the tables
+    differ) with WHERE they differ. The "new" snapshot is synthesized
+    deterministically from orders in BOTH engines (drop keys %17,
+    bump cents %5, flip status %7, add %23 under shifted keys), so
+    the gate exercises all four classes plus the overlap case (a key
+    hit by both %5 and %7 counts once as changed, twice in the
+    per-column map). NULL-safe comparison semantics (<=> / IS
+    DISTINCT FROM) ride the operator. Scale shape: one shuffle per
+    side (zero if bucketed), codegen'd per-column comparisons, ≤ 4
+    output rows via map-side combine — the col_changes map is built
+    from conditional sums, never a per-(key,column) explode.
+    Reference seat: its reconciliation is the blind DELETE+reinsert
+    watermark cycle (HTGPIPROPHEDEX/__init__.py) — this is the audit
+    it never had."""
+    from gpi_etl_spark.operators.cdc import snapshot_diff
+
+    old = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    kept = old.filter(F.col("k") % 17 != 0).select(
+        "k",
+        F.when(F.col("k") % 5 == 0, F.col("cents") + 100)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+        F.when(F.col("k") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("st"))
+        .alias("st"),
+    )
+    added = old.filter(F.col("k") % 23 == 0).select(
+        (F.col("k") + F.lit(1000000000)).alias("k"),
+        F.lit(1).cast("bigint").alias("cents"),
+        F.lit("N").alias("st"),
+    )
+    new = kept.unionByName(added)
+    d = snapshot_diff(old, new, ["k"])
+    return d.select(
+        "status",
+        "n_keys",
+        F.element_at(F.col("col_changes"), "cents").alias("chg_cents"),
+        F.element_at(F.col("col_changes"), "st").alias("chg_status"),
+    )
+
+
+_Q260_COLUMNS = [
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("events.user_id", "events", "user_id"),
+    ("part.p_brand", "part", "p_brand"),
+]
+
+
+def _q260_oracle_sql(k: int) -> str:
+    """The q232 register-overlap replay over a UNION of per-column
+    distinct value sets, each labeled by its catalog id."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph
+
+    cols_sql = "\n      UNION ALL\n".join(
+        f"""      SELECT DISTINCT '{name}' AS column_id,
+             CAST({col} AS VARCHAR) AS v
+      FROM {table} WHERE {col} IS NOT NULL"""
+        for name, table, col in _Q260_COLUMNS
+    )
+    union_e = (
+        f"cast({k} AS DOUBLE) * CAST({_P} AS DOUBLE)"
+        f" / cast(union_reg_sum + {k} AS double) - 1.0"
+    )
+    return f"""
+    WITH u AS MATERIALIZED (
+{cols_sql}),
+    b AS MATERIALIZED (
+      SELECT column_id, {_ph("v")} AS h FROM u),
+    gm AS MATERIALIZED (
+      SELECT column_id, {_cm("h")} AS gh FROM b),
+    r AS (SELECT column_id, g.i AS i, {_ah('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS MATERIALIZED (
+      SELECT column_id, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    pr AS (SELECT a.column_id AS key_a, bb.column_id AS key_b,
+                  a.mi AS ma, bb.mi AS mb
+           FROM m a JOIN m bb
+             ON a.i = bb.i AND a.column_id < bb.column_id),
+    agg AS (SELECT key_a, key_b,
+                   cast(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)
+                        AS bigint) AS n_match,
+                   cast(sum(least(ma, mb)) AS bigint) AS union_reg_sum
+            FROM pr GROUP BY 1, 2)
+    SELECT key_a, key_b, n_match, union_reg_sum,
+           {fs6_sql(f"cast(n_match AS double) / cast({k} AS double)")}
+             AS jaccard_r,
+           {fs6_sql(union_e)} AS union_r,
+           {fs6_sql(f"cast(n_match AS double) * ({union_e}) / cast({k} AS double)")}
+             AS inter_r
+    FROM agg
+    """
+
+
+@query("q260_column_affinity", _q260_oracle_sql(128))
+def q260(spark, sf_dir):
+    """Data-catalog column-content affinity (quality.column_affinity):
+    the undirected companion to q256's directed FK sweep — for every
+    two of six candidate columns ACROSS FOUR TABLES, estimate the
+    Jaccard/union/intersection of their distinct value sets from KMV
+    register tables alone. The id-space structure falls out in the
+    readout: orders.o_orderkey ≡ lineitem.l_orderkey (J ≈ 1),
+    customer.c_custkey ⊃ orders.o_custkey (high J), part.p_brand ⊥
+    everything. The 100 TB economics are the point: each column is
+    sketched ONCE (k = 128 registers), and the whole affinity matrix —
+    for a 10,000-column estate, ~5·10⁷ pairs — is a register join
+    with no data touch, which is what makes catalog-wide schema
+    matching computable at all. Poly mode so DuckDB replays registers
+    AND estimates bit-exactly (q221/q232's chain); production runs
+    xxhash64. Reference seat: none (no cross-table profiling)."""
+    from gpi_etl_spark.operators.quality import column_affinity
+
+    tables = {
+        tn: t(spark, sf_dir, tn)
+        for tn in {tb for _, tb, _ in _Q260_COLUMNS}
+    }
+    out = column_affinity(
+        [
+            (name, tables[tb], col)
+            for name, tb, col in _Q260_COLUMNS
+        ],
+        k=128,
+        hash_mode="poly",
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "n_match",
+        "union_reg_sum",
+        fs6(F.col("jaccard_e")).alias("jaccard_r"),
+        fs6(F.col("union_e")).alias("union_r"),
+        fs6(F.col("inter_e")).alias("inter_r"),
+    )
