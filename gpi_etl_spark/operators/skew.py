@@ -189,3 +189,118 @@ def range_plan(
         "n",
         fs6(bal).alias("bal_r"),
     )
+
+
+def join_order_first(
+    pairs: "list[tuple[str, DataFrame, DataFrame]]",
+) -> DataFrame:
+    """The first greedy join-ordering decision, made ENTIRELY from
+    sketches: given CMS counter tables for the relations' join-key
+    columns, estimate every candidate pair's join size
+    (sketches.cms_join_size — never undercounts, exact collision-
+    free) and mark the cheapest pair as the one a left-deep greedy
+    planner would join first. This is the System R selection step
+    with sketch cardinalities instead of catalog statistics — and
+    because the sketches are mergeable per-day tables that already
+    exist for monitoring, the decision costs |pairs| KB-sized
+    register joins and ZERO data touches.
+
+    Returns one row per candidate: ``(pair, est_join_size,
+    chosen int)`` with exactly one chosen = 1. The argmin runs
+    IN-PLAN (min over a (est, pair) struct broadcast back over the
+    |pairs| rows — no driver collect), and ties break by pair name,
+    so the decision is deterministic and engine-replayable (the q261
+    gate replays estimates AND the choice in DuckDB). For the
+    recursive left-deep continuation, sketch the intermediate's key
+    column once materialized, or bound it with the chosen estimate —
+    both documented planner practice; this operator deliberately
+    exposes the DECISION primitive, not a full dynamic program."""
+    from gpi_etl_spark.operators.sketches import cms_join_size
+
+    ests = []
+    for name, a, b in pairs:
+        ests.append(
+            cms_join_size(a, b).select(
+                F.lit(name).alias("pair"), "est_join_size"
+            )
+        )
+    u = ests[0]
+    for e in ests[1:]:
+        u = u.unionByName(e)
+    best = u.agg(
+        F.min(
+            F.struct(
+                F.col("est_join_size").alias("e"),
+                F.col("pair").alias("p"),
+            )
+        ).alias("_b")
+    )
+    return u.crossJoin(F.broadcast(best)).select(
+        "pair",
+        "est_join_size",
+        (
+            (F.col("est_join_size") == F.col("_b.e"))
+            & (F.col("pair") == F.col("_b.p"))
+        )
+        .cast("int")
+        .alias("chosen"),
+    )
+
+
+def bloom_semi_filter(
+    facts: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m_bits: int = 8192,
+    k: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Runtime-filter pushdown: drop fact rows that CANNOT join —
+    before the join's shuffle ever sees them — by probing a Bloom
+    filter of the dim side's keys (sketches.bloom_build/contains).
+    The Bloom guarantee is one-sided exactly the right way round: no
+    false negatives means every joinable row survives (the join's
+    result is bit-identical with or without the filter — the q262
+    gate carries that equality), and the sub-1% false-positive rows
+    that sneak through are eliminated by the real join anyway. This
+    is the manual form of the runtime row-group filter a warehouse
+    planner injects for selective dim predicates: when the dim
+    filters to 4% of suppliers, ~96% of a 100 TB fact stream drops
+    at the SCAN — a pure codegen'd filter — instead of riding the
+    shuffle to die in the join.
+
+    Returns ``facts`` filtered, schema unchanged. The filter table is
+    ≤ ceil(m_bits/63) words and broadcasts; the probe runs over the
+    fact side's DISTINCT keys and the maybe-set semi-joins back (AQE
+    broadcasts it when small — the selective case, which is when you
+    use this). NULL fact keys drop (a NULL key joins to nothing).
+    Keys canonicalize to string on both sides, so cross-typed
+    fact/dim key columns coordinate."""
+    from gpi_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+    )
+
+    bloom = bloom_build(
+        dim.filter(F.col(dim_key).isNotNull()).select(
+            F.col(dim_key).cast("string").alias("_k")
+        ),
+        "_k",
+        m_bits,
+        k,
+        hash_mode=hash_mode,
+    )
+    probes = (
+        facts.filter(F.col(fact_key).isNotNull())
+        .select(F.col(fact_key).cast("string").alias("_k"))
+        .distinct()
+    )
+    maybe = bloom_contains(
+        bloom, probes, "_k", m_bits, k, hash_mode=hash_mode
+    ).filter(F.col("maybe_present"))
+    return facts.join(
+        maybe.select("_k"),
+        facts[fact_key].cast("string") == F.col("_k"),
+        "left_semi",
+    )

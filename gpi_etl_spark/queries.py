@@ -15332,3 +15332,213 @@ def q260(spark, sf_dir):
         fs6(F.col("union_e")).alias("union_r"),
         fs6(F.col("inter_e")).alias("inter_r"),
     )
+
+
+def _q261_oracle_sql(width: int, depth: int) -> str:
+    """Three q241-class CM join-size replays (view/click/purchase uid
+    streams), then the greedy first-join choice as a min over the
+    (est, pair) pairs — the identical integer comparison the Spark
+    side's in-plan argmin runs."""
+
+    def counters(src: str) -> str:
+        return f"""(
+      SELECT cast(r.i AS int) AS row,
+             cast(({_ah_sql('gh', 'r.i', depth)}) % {width} AS int)
+               AS col,
+             count(*) AS c
+      FROM (SELECT {_ph_sql("uid")} AS gh FROM {src}),
+           unnest(generate_series(0, {depth - 1})) AS r(i)
+      GROUP BY 1, 2)"""
+
+    def est(ca: str, cb: str) -> str:
+        return f"""(
+      SELECT CASE WHEN count(*) = {depth} THEN min(dot) ELSE 0 END
+      FROM (SELECT a.row, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            FROM {ca} a JOIN {cb} b USING (row, col) GROUP BY 1))"""
+
+    return f"""
+    WITH va AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'view' AND user_id IS NOT NULL),
+    vc AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL),
+    vp AS MATERIALIZED (
+      SELECT cast(user_id AS varchar) AS uid FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+    ca AS MATERIALIZED {counters('va')},
+    cc AS MATERIALIZED {counters('vc')},
+    cp AS MATERIALIZED {counters('vp')},
+    ests AS (
+      SELECT 'click_x_purchase' AS pair,
+             CAST({est('cc', 'cp')} AS BIGINT) AS est_join_size
+      UNION ALL
+      SELECT 'view_x_click', CAST({est('ca', 'cc')} AS BIGINT)
+      UNION ALL
+      SELECT 'view_x_purchase', CAST({est('ca', 'cp')} AS BIGINT)),
+    best AS (SELECT min(ROW(est_join_size, pair)) AS b FROM ests)
+    SELECT pair, est_join_size,
+           CAST(CASE WHEN ROW(est_join_size, pair) = best.b
+                THEN 1 ELSE 0 END AS INT) AS chosen
+    FROM ests, best
+    """
+
+
+@query("q261_join_order_advisor", _q261_oracle_sql(1024, 4))
+def q261(spark, sf_dir):
+    """Greedy join-order selection from sketches alone
+    (skew.join_order_first) — the sketch family composed into an
+    actual PLANNER DECISION: which two of the view/click/purchase
+    uid streams should a left-deep plan join first? The System R
+    selection step, with the q241 CM inner-product estimates in
+    place of catalog statistics: three KB-sized counter tables (the
+    per-day monitoring sketches that already exist, mergeable by
+    addition) price all three candidate joins and the argmin marks
+    the first join — zero data touched, and at 100 TB the decision
+    costs the same three register joins it costs here. The argmin
+    runs IN-PLAN (min over an (est, pair) struct broadcast back —
+    no driver collect; ties break by pair name), so the gate replays
+    estimates AND the choice as identical integer comparisons in
+    DuckDB. Never-undercount and exactness-collision-free ride q241;
+    the decision's determinism rides here."""
+    from gpi_etl_spark.operators.sketches import cms_build
+    from gpi_etl_spark.operators.skew import join_order_first
+
+    ev = t(spark, sf_dir, "events")
+
+    def stream(et):
+        return ev.filter(
+            (F.col("event_type") == et) & F.col("user_id").isNotNull()
+        ).select(F.col("user_id").cast("string").alias("uid"))
+
+    def sk(et):
+        return cms_build(
+            stream(et), "uid", width=1024, depth=4, hash_mode="poly"
+        )
+
+    ka, kc, kp = sk("view"), sk("click"), sk("purchase")
+    return join_order_first(
+        [
+            ("view_x_click", ka, kc),
+            ("view_x_purchase", ka, kp),
+            ("click_x_purchase", kc, kp),
+        ]
+    )
+
+
+def _q262_oracle_sql(m_bits: int, k: int) -> str:
+    """Bloom replay (the q240 word/probe arithmetic) over the
+    nation-3 supplier keys, probed by lineitem's distinct suppkeys;
+    counts and the exact joined revenue ride one row."""
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    return f"""
+    WITH dim AS MATERIALIZED (
+      SELECT DISTINCT cast(s_suppkey AS varchar) AS sk
+      FROM supplier WHERE s_nationkey = 3),
+    pr AS MATERIALIZED (
+      SELECT DISTINCT cast(l_suppkey AS varchar) AS sk
+      FROM lineitem WHERE l_suppkey IS NOT NULL),
+    bb AS (SELECT {_cm_sql(_ph_sql("sk"))} AS gh FROM dim),
+    bpos AS (SELECT ({_ah_sql('gh', 'g.i', k)}) % {m_bits} AS pos
+             FROM bb, unnest(generate_series(0, {k - 1})) AS g(i)),
+    words AS (SELECT CAST(pos // 63 AS int) AS word,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS int)) AS bits
+              FROM bpos GROUP BY 1),
+    pb AS (SELECT sk, {_cm_sql(_ph_sql("sk"))} AS gh FROM pr),
+    ppos AS (SELECT sk, ({_ah_sql('gh', 'g.i', k)}) % {m_bits} AS pos
+             FROM pb, unnest(generate_series(0, {k - 1})) AS g(i)),
+    probe AS (SELECT sk, CAST(pos // 63 AS int) AS word,
+                     (1::BIGINT << CAST(pos % 63 AS int)) AS mask
+              FROM ppos),
+    maybe AS (SELECT sk FROM (
+                SELECT p.sk,
+                       min(CASE WHEN (coalesce(w.bits, 0) & p.mask)
+                                     = p.mask THEN 1 ELSE 0 END) AS ok
+                FROM probe p LEFT JOIN words w USING (word)
+                GROUP BY 1) WHERE ok = 1),
+    li AS MATERIALIZED (
+      SELECT cast(l_suppkey AS varchar) AS sk,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+               AS cents
+      FROM lineitem WHERE l_suppkey IS NOT NULL),
+    stats AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM li) AS n_fact_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM li
+          WHERE sk IN (SELECT sk FROM maybe)) AS n_after_bloom,
+        (SELECT CAST(count(*) AS BIGINT) FROM li
+          WHERE sk IN (SELECT sk FROM dim)) AS n_joinable,
+        (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM li
+          WHERE sk IN (SELECT sk FROM dim)) AS rev_cents)
+    SELECT n_fact_rows, n_after_bloom, n_joinable,
+           CAST(n_after_bloom - n_joinable AS BIGINT) AS fp_rows,
+           rev_cents
+    FROM stats
+    """
+
+
+@query("q262_bloom_join_filter", _q262_oracle_sql(8192, 4))
+def q262(spark, sf_dir):
+    """Bloom runtime-filter pushdown (skew.bloom_semi_filter) — the
+    manual form of the row-group runtime filter a warehouse injects
+    for selective dim predicates: suppliers filter to one nation
+    (~4%), their keys become a KB-sized broadcast Bloom filter, and
+    the lineitem stream drops every certainly-non-joinable row AT THE
+    SCAN instead of riding the shuffle to die in the join. The gate
+    carries the two guarantees separately: rev_cents through the
+    bloom-filtered-then-exact-joined path must equal the plain join's
+    (no false negatives — result identity), and n_after_bloom — which
+    INCLUDES the filter's deterministic false-positive rows — is
+    replayed bit-exactly from the same word/probe arithmetic
+    (fp_rows = after_bloom − joinable ≥ 0 quantifies the FPR the
+    exact join then eliminates). Poly mode for the replay; production
+    runs xxhash64. Composes q240's membership machinery into the
+    join-optimization seat next to q243 (range planner), q257
+    (placement) and q261 (join order)."""
+    from gpi_etl_spark.operators.skew import bloom_semi_filter
+
+    sup = t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select(
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    filtered = bloom_semi_filter(
+        li, "l_suppkey", sup, "s_suppkey", 8192, 4, hash_mode="poly"
+    )
+    joined = filtered.join(
+        F.broadcast(
+            sup.select(F.col("s_suppkey").alias("l_suppkey"))
+        ),
+        "l_suppkey",
+        "left_semi",
+    )
+    n_fact = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fact_rows")
+    )
+    n_bloom = filtered.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after_bloom")
+    )
+    n_join = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_joinable"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    return (
+        n_fact.crossJoin(F.broadcast(n_bloom))
+        .crossJoin(F.broadcast(n_join))
+        .select(
+            "n_fact_rows",
+            "n_after_bloom",
+            "n_joinable",
+            (F.col("n_after_bloom") - F.col("n_joinable"))
+            .cast("bigint")
+            .alias("fp_rows"),
+            "rev_cents",
+        )
+    )

@@ -57,3 +57,81 @@ def test_salt_actually_scatters(spark, skewed):
     salted = facts.withColumn(SALT, F.floor(F.rand(42) * 8).cast("int"))
     n_buckets = salted.filter("k = 1").select(SALT).distinct().count()
     assert n_buckets >= 6  # 400 rows over 8 salts: all buckets hit w.h.p.
+
+
+def test_join_order_first_picks_min_and_is_deterministic(spark):
+    """The greedy first-join choice must follow the estimates (which
+    never undercount and are exact collision-free here), mark exactly
+    one candidate, and break ties by pair name."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import cms_build
+    from gpi_etl_spark.operators.skew import join_order_first
+
+    def rel(n_keys, reps):
+        rows = [(f"k{i}",) for i in range(n_keys) for _ in range(reps)]
+        return spark.createDataFrame(rows, "k string")
+
+    # |A⋈B| = 40, |A⋈C| = 400, |B⋈C| = 1000 (shared key spaces)
+    a, b, c = rel(40, 1), rel(40, 1), rel(40, 25)
+    sk = {
+        n: cms_build(d, "k", width=512, depth=4, hash_mode="poly")
+        for n, d in (("a", a), ("b", b), ("c", c))
+    }
+    out = {
+        r.pair: r
+        for r in join_order_first(
+            [("a_x_b", sk["a"], sk["b"]),
+             ("a_x_c", sk["a"], sk["c"]),
+             ("b_x_c", sk["b"], sk["c"])]
+        ).collect()
+    }
+    assert out["a_x_b"].est_join_size == 40      # exact, no collisions
+    assert out["a_x_c"].est_join_size == 1000
+    assert sum(r.chosen for r in out.values()) == 1
+    assert out["a_x_b"].chosen == 1
+    # tie: identical relations -> smallest pair name wins
+    tied = {
+        r.pair: r.chosen
+        for r in join_order_first(
+            [("z_pair", sk["a"], sk["b"]),
+             ("a_pair", sk["a"], sk["b"])]
+        ).collect()
+    }
+    assert tied == {"a_pair": 1, "z_pair": 0}
+
+
+def test_bloom_semi_filter_keeps_every_joinable_row(spark):
+    """No false negatives: the filtered fact stream must contain ALL
+    joinable rows (result identity after the real join), and the
+    false-positive passthrough stays under a loose FPR envelope."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.skew import bloom_semi_filter
+
+    facts = spark.createDataFrame(
+        [(i % 500, i) for i in range(4000)], "k bigint, v bigint"
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 25)], "d bigint"  # 20 keys (4%)
+    )
+    filtered = bloom_semi_filter(
+        facts, "k", dim, "d", m_bits=4096, k=4, hash_mode="poly"
+    )
+    joinable = facts.join(
+        dim.select(F.col("d").alias("k")), "k", "left_semi"
+    )
+    got = set(map(tuple, filtered.collect()))
+    want = set(map(tuple, joinable.collect()))
+    assert want <= got                      # every joinable row kept
+    # FPR envelope: 20 keys in 4096 bits, k=4 -> well under 1% of the
+    # 480 non-joinable keys; allow 5% slack
+    extra_keys = {r[0] for r in got - want}
+    assert len(extra_keys) <= 24
+    # NULL fact keys never pass
+    with_null = facts.unionByName(
+        spark.createDataFrame([(None, -1)], "k bigint, v bigint")
+    )
+    f2 = bloom_semi_filter(with_null, "k", dim, "d", 4096, 4,
+                           hash_mode="poly")
+    assert f2.filter(F.col("k").isNull()).count() == 0

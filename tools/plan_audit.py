@@ -79,6 +79,15 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # class; the corpus-scale work is the distinct+semi-join
                 # upstream of each pair.
                 "q256_inclusion_profile",
+                # q261: three q241-class estimate rows (each already a
+                # whitelisted 1x1 scalar product) plus the in-plan
+                # argmin broadcast back over the 3-row candidate table
+                # -- bounded planner state, not corpus rows.
+                "q261_join_order_advisor",
+                # q262: the readout crossJoins three one-row count
+                # aggregates (q241/q162's scalar class); the fact
+                # stream itself rides a semi-join, never a BNL.
+                "q262_bloom_join_filter",
                 # q231: one-row crossJoin(broadcast(min/max-day bounds))
                 # building the global day spine — q162's exact pattern
                 # (the BNL loop side is 1 row; the spine is |types| ×
