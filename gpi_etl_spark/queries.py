@@ -15542,3 +15542,67 @@ def q262(spark, sf_dir):
             "rev_cents",
         )
     )
+
+
+_Q263_ORACLE = f"""
+WITH v AS (SELECT CAST(event_type AS VARCHAR) AS g,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(v) AS BIGINT) AS sum_cents,
+       {fs6_sql("CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         AS mean_r
+FROM v GROUP BY 1
+"""
+
+
+@query("q263_stream_agg_view", _Q263_ORACLE)
+def q263(spark, sf_dir):
+    """EXACT incremental materialized aggregate
+    (streaming/sinks.stream_agg_view) — the most common production
+    streaming ask (the revenue-by-type dashboard table), maintained
+    as exactly-once micro-batch state: per-group sum of exact cents +
+    row count, folded through the same applied-batch-id ledger and
+    atomic rename-swap as the sketch sinks (sums are not idempotent;
+    a replayed batch folds once), state bounded at |groups| +
+    n_batches rows forever. The EXACT sibling completing the sink
+    family: upsert (row state), kmv (min-fold), cms/ams (ledgered
+    linear sketches), and now the ledgered exact aggregate. NULL
+    values raise at execution rather than silently skewing the view's
+    mean (the cms weighted-builder lesson); the maintained state is
+    gated directly against DuckDB's one-shot aggregate over the same
+    stream — any ledger fault (double-fold, dropped batch) breaks the
+    integer sums. Delivery adversaries pinned in
+    tests/test_stream_upsert."""
+    import shutil
+
+    from gpi_etl_spark.streaming.sinks import agg_state, stream_agg_view
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    root = _landing(spark, "q263", sf_dir)
+    table, ckpt = root + "/aggs", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, v, "q263src", sf_dir)
+    q = stream_agg_view(
+        stream, table, "event_type", "cents", checkpoint=ckpt
+    )
+    q.processAllAvailable()
+    q.stop()
+    st = agg_state(spark, table)
+    return st.select(
+        F.col("g").alias("event_type"),
+        F.col("c").alias("n_rows"),
+        F.col("s").alias("sum_cents"),
+        fs6(F.col("s").cast("double") / F.col("c").cast("double"))
+        .alias("mean_r"),
+    )

@@ -511,3 +511,123 @@ def stream_ams(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def agg_state(spark: SparkSession, path: str) -> DataFrame:
+    """The AGGREGATE rows of a streamed agg-view state table
+    ``(g, s, c)`` — strips the applied-batch ledger rows
+    agg_fold_batch embeds (``is_ledger`` column dropped)."""
+    t = spark.read.parquet(path)
+    return t.filter(~F.col("is_ledger")).select("g", "s", "c")
+
+
+def agg_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    group_col: str,
+    value_col: str,
+) -> None:
+    """Fold one micro-batch into an EXACT incremental materialized
+    aggregate — per-group ``sum(value)`` + ``count`` maintained as
+    micro-batch state. This is the most common production ask of a
+    streaming pipeline (the revenue-by-type dashboard table), and the
+    EXACT sibling of the sketch sinks: same applied-batch-id ledger
+    (sums are not idempotent — a replayed batch_id is skipped before
+    anything merges), same one-parquet-dir atomic rename-swap (no
+    crash point splits aggregates from their ledger entry), state
+    bounded at |groups| + n_batches rows forever. Ledger rows ride as
+    ``is_ledger = true`` with the batch id in ``c`` — a dedicated
+    flag column, NOT a sentinel group value, because ANY group value
+    (including NULL) is legitimate aggregate state here.
+
+    ``value_col`` must be an exact integer column (cents, micro-units
+    — the repo's convention; floats would make the maintained view
+    order-dependent) and NON-NULL: a NULL value raises at execution
+    (sum() silently skipping it while count() counts the row would
+    corrupt the view's mean forever — the cms weighted-builder
+    lesson). Σ|value| must stay inside int64 across the stream's
+    lifetime — the ANSI sum overflow raises rather than wrapping.
+    Read back through :func:`agg_state`."""
+    vg = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("bigint")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "agg_fold_batch: NULL value in the aggregate stream — "
+                "sum() would skip it while count() counts the row, "
+                "silently corrupting the maintained view. Filter or "
+                "impute upstream."
+            )
+        )
+    )
+    delta = batch.groupBy(
+        F.col(group_col).cast("string").alias("g")
+    ).agg(
+        F.sum(vg).cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    ).select(
+        "g", "s", "c", F.lit(False).alias("is_ledger")
+    )
+    ledger_row = spark.createDataFrame(
+        [(None, None, int(batch_id), True)],
+        "g string, s bigint, c bigint, is_ledger boolean",
+    )
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+    if fs.exists(live):
+        state = spark.read.parquet(path)
+        applied = (
+            state.filter(
+                F.col("is_ledger") & (F.col("c") == int(batch_id))
+            ).limit(1).count()
+        )
+        if applied:
+            return  # replayed batch — already folded, exactly-once
+        aggs = state.filter(~F.col("is_ledger"))
+        ledger = state.filter(F.col("is_ledger"))
+        merged = (
+            aggs.unionByName(delta)
+            .groupBy("g")
+            .agg(
+                F.sum("s").cast("bigint").alias("s"),
+                F.sum("c").cast("bigint").alias("c"),
+            )
+            .select("g", "s", "c", F.lit(False).alias("is_ledger"))
+            .unionByName(ledger)
+            .unionByName(ledger_row)
+        )
+    else:
+        merged = delta.unionByName(ledger_row)
+    _swap_in(merged, fs, live, staged, old, base)
+
+
+def stream_agg_view(
+    stream: DataFrame,
+    path: str,
+    group_col: str,
+    value_col: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Attach the exact incremental-aggregate sink to a streaming
+    DataFrame — a per-group sum/count materialized view maintained
+    exactly-once. Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg_fold_batch(
+            spark, batch_df, batch_id, path, group_col, value_col
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

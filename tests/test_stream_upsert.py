@@ -299,3 +299,44 @@ def test_ams_fold_batch_k_and_family_drift_raise(spark, dirs):
     with pytest.raises(ValueError, match="unknown hash_mode"):
         ams_fold_batch(spark, b, 1, path, "item", k=16,
                        hash_mode="Poly")
+
+
+def test_agg_fold_batch_exactly_once_and_matches_direct(spark, dirs):
+    """The exact-aggregate view: replayed batch ids fold once, the
+    final state equals a one-shot aggregate, and NULL groups are
+    legitimate state (the ledger uses a flag column, not a sentinel
+    group)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.streaming.sinks import agg_fold_batch, agg_state
+
+    _, sink, _ = dirs
+    path = sink + "/aggview"
+    b1 = spark.createDataFrame(
+        [("a", 10), ("a", 5), (None, 7)], "g string, v bigint"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 3)], "g string, v bigint"
+    )
+    agg_fold_batch(spark, b1, 0, path, "g", "v")
+    agg_fold_batch(spark, b2, 1, path, "g", "v")
+    agg_fold_batch(spark, b2, 1, path, "g", "v")  # replay — no-op
+    got = {
+        r.g: (r.s, r.c) for r in agg_state(spark, path).collect()
+    }
+    assert got == {"a": (16, 3), "b": (2, 1), None: (10, 2)}
+
+
+def test_agg_fold_batch_null_value_raises(spark, dirs):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.streaming.sinks import agg_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/aggnull"
+    bad = spark.createDataFrame(
+        [("a", 1), ("a", None)], "g string, v bigint"
+    )
+    with pytest.raises(PySparkException, match="NULL value"):
+        agg_fold_batch(spark, bad, 0, path, "g", "v")
