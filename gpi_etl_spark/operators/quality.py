@@ -721,16 +721,26 @@ def inclusion_profile(
         inter = ca.join(pa, "_v", "left_semi").agg(
             F.count(F.lit(1)).cast("bigint").alias("contained")
         )
+        # empty/all-NULL child column (review find: ANSI divide-by-
+        # zero killed the whole sweep, and 0 == 0 would flag a
+        # vacuous column as an FK candidate): ratio NULL, flag 0 —
+        # an empty column asserts nothing about inclusion
         reports.append(
             lhs.crossJoin(inter).select(
                 F.lit(name).alias("pair"),
                 "lhs_card",
                 "contained",
-                _fs6(
-                    F.col("contained").cast("double")
-                    / F.col("lhs_card").cast("double")
+                F.when(
+                    F.col("lhs_card") > 0,
+                    _fs6(
+                        F.col("contained").cast("double")
+                        / F.col("lhs_card").cast("double")
+                    ),
                 ).alias("containment_r"),
-                (F.col("contained") == F.col("lhs_card"))
+                (
+                    (F.col("lhs_card") > 0)
+                    & (F.col("contained") == F.col("lhs_card"))
+                )
                 .cast("int")
                 .alias("is_fk_candidate"),
             )

@@ -184,14 +184,10 @@ def rendezvous_shard(
         )
     from gpi_etl_spark.functions.hof import let_
 
-    c = F.col(key_col) if isinstance(key_col, str) else key_col
-    if hash_mode == "poly":
-        h = xhash.poly_hash(c.cast("string"))
-    elif hash_mode == "xxhash64":
-        h = F.pmod(F.xxhash64(c.cast("string")), F.lit(P))
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    base = xhash.cubic_mix(h)
+    # the shared priority derivation IS the per-key base (review
+    # find: a verbatim copy here meant a future derivation change
+    # could silently de-coordinate the two operators' hash spaces)
+    base = key_priority(key_col, hash_mode)
     scores = let_(
         base,
         lambda g: F.array(

@@ -186,13 +186,15 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
         F.count_distinct("geo").alias("_ng"),
         F.max("geo").alias("geo"),
     )
+    # BOTH outputs guarded (the kmv_overlap both-columns rule): a
+    # consumer projecting only the stamp must not see a clean-looking
+    # max(geo) from a corrupt mix (review find)
+    ok = F.col("_ng") == 1
     return merged.select(
         "row",
         "col",
-        _cms_geo_guard(
-            F.col("c"), F.col("_ng") == 1, "cms_merge"
-        ).alias("c"),
-        "geo",
+        _cms_geo_guard(F.col("c"), ok, "cms_merge").alias("c"),
+        _cms_geo_guard(F.col("geo"), ok, "cms_merge").alias("geo"),
     )
 
 
@@ -1528,19 +1530,34 @@ def rq_band_join_size(
 # ``poly`` mode both engines compute identical integers and the whole
 # sketch sits under the DuckDB hash gate.
 
-#: AMS derivation-family tags (the cms_geo/kmv-fam lesson applied from
-#: day one: state that can outlive a process carries its versioned
-#: derivation, and mixing raises). k derives from the component table
-#: itself (i = 0..k-1 are all always present per group).
+#: AMS derivation-family prefixes (the cms_geo/kmv-fam lesson applied
+#: from day one: state that can outlive a process carries its
+#: versioned derivation, and mixing raises). The FULL stamp is
+#: :func:`ams_fam` — it includes k, because two same-family sketches
+#: built with different k share low component indexes and would
+#: otherwise ADD cleanly into an inconsistent component set
+#: (review find: measured a silently biased F2 from a k=8 + k=16
+#: merge before the stamp carried k — exactly the cms width/depth
+#: hole the geo stamp closes).
 AMS_FAMILIES = {
     "poly": "ams1-poly",
     "xxhash64": "ams1-xx64",
 }
 
 
+def ams_fam(hash_mode: str, k: int) -> str:
+    """The geometry stamp an AMS component table carries: derivation
+    family AND k."""
+    return f"{AMS_FAMILIES[hash_mode]}-k{k}"
+
+
 def _ams_fam_guard(value, nf_col, op: str):
-    """Lazy mixed-family guard, in-expression (unprunable)."""
-    return F.when(nf_col == 1, value).otherwise(
+    """Lazy mixed-family guard, in-expression (unprunable). An EMPTY
+    aggregate (nf = 0 — e.g. a global ams_f2 over a filtered-to-empty
+    corpus) is NOT a mix: it passes the guard and the caller's
+    NULL/zero semantics apply (review find: the empty case used to
+    die claiming a family mix that never happened)."""
+    return F.when(nf_col <= 1, value).otherwise(
         F.raise_error(
             F.lit(
                 f"ams_{op}: sketch components from DIFFERENT "
@@ -1606,7 +1623,7 @@ def ams_build(
     return (
         long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
         .agg(F.sum(F.col("_s").cast("bigint")).alias("x"))
-        .withColumn("fam", F.lit(AMS_FAMILIES[hash_mode]))
+        .withColumn("fam", F.lit(ams_fam(hash_mode, k)))
     )
 
 
@@ -1663,8 +1680,13 @@ def ams_f2(
     f2_num = _ams_fam_guard(F.col("f2_num"), F.col("_nf"), "f2")
     from gpi_etl_spark.functions.rounding import fs6
 
-    est = fs6(
-        F.col("f2_num").cast("double") / F.col("k").cast("double")
+    # k = 0 (empty ungrouped sketch) -> NULL estimate, not an ANSI
+    # 0/0 failure; f2_num is already NULL (sum over nothing)
+    est = F.when(
+        F.col("k") > 0,
+        fs6(
+            F.col("f2_num").cast("double") / F.col("k").cast("double")
+        ),
     )
     return agg.select(
         *group_cols,

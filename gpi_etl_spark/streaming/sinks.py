@@ -428,12 +428,13 @@ def ams_fold_batch(
     from gpi_etl_spark.operators.sketches import (
         AMS_FAMILIES,
         ams_build,
+        ams_fam,
         ams_merge,
     )
 
     if hash_mode not in AMS_FAMILIES:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    fam = AMS_FAMILIES[hash_mode]
+    fam = ams_fam(hash_mode, k)
     base = path.rstrip("/")
     fs, Path, live = _hadoop_fs(spark, base)
     staged, old = Path(base + "__staging"), Path(base + "__old")

@@ -97,3 +97,17 @@ def test_inclusion_profile_is_type_canonical(spark):
     parent = spark.createDataFrame([("7",), ("8",)], "p string")
     r = inclusion_profile([("x", child, "k", parent, "p")]).first()
     assert r.is_fk_candidate == 1
+
+
+def test_inclusion_profile_empty_child_is_not_a_candidate(spark):
+    """Review find: an all-NULL child column used to kill the sweep
+    with an ANSI divide-by-zero — and 0 == 0 would have flagged a
+    vacuous column as an FK candidate. Now: ratio NULL, flag 0."""
+    from gpi_etl_spark.operators.quality import inclusion_profile
+
+    child = spark.createDataFrame([(None,), (None,)], "k bigint")
+    parent = spark.createDataFrame([(1,)], "p bigint")
+    r = inclusion_profile([("empty", child, "k", parent, "p")]).first()
+    assert r.lhs_card == 0 and r.contained == 0
+    assert r.containment_r is None
+    assert r.is_fk_candidate == 0

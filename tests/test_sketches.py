@@ -999,3 +999,49 @@ def test_ams_retraction_fold_matches_rebuild(spark):
     rebuilt = ams_build(fk, "item", k=32, hash_mode="poly")
     as_map = lambda df: {r.i: r.x for r in df.collect()}  # noqa: E731
     assert as_map(maint) == as_map(rebuilt)
+
+
+def test_ams_k_drift_raises_and_empty_sketch_is_null(spark):
+    """Review finds, round 10: (a) same-family different-k sketches
+    share low component indexes and used to ADD silently into a
+    biased F2 — the fam stamp now carries k and the merge raises;
+    (b) an EMPTY global sketch used to die claiming a family mix —
+    it now returns k=0 with NULL estimates."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import (
+        ams_build,
+        ams_f2,
+        ams_merge,
+    )
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(30)],
+                               "item string")
+    a8 = ams_build(df, "item", k=8, hash_mode="poly")
+    a16 = ams_build(df, "item", k=16, hash_mode="poly")
+    with pytest.raises(PySparkException, match="DIFFERENT"):
+        ams_merge(a8, a16).collect()
+    empty = ams_build(
+        spark.createDataFrame([], "item string"), "item", k=8,
+        hash_mode="poly",
+    )
+    row = ams_f2(empty).first()
+    assert row.k == 0 and row.f2_num is None and row.f2_r is None
+
+
+def test_cms_merge_guards_geo_output_too(spark):
+    """The both-columns rule: a consumer projecting ONLY the stamp
+    from a mixed-geometry merge must hit the guard, not read a
+    clean-looking max(geo)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_merge
+
+    da = spark.createDataFrame([(f"k{i}",) for i in range(50)],
+                               "item string")
+    a = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    b = cms_build(da, "item", width=32, depth=3, hash_mode="poly")
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_merge(a, b).select("row", "col", "geo").collect()

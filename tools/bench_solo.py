@@ -13,8 +13,12 @@ Usage:
     python tools/bench_solo.py q210_shortest_paths q209_naive_bayes
     python tools/bench_solo.py --child <name>   # internal per-process
 
-Prints one line per entry:
-    <name> anchor=<q01 cold> cold=<s> warm=<s> ratio=<cold/anchor>
+Prints one JSON line per entry:
+    {"name", "anchor_min", "cold", "warm_min", "warms", "ratio_warm"}
+where ratio_warm = warm_min/anchor_min (BOTH minima over the repeat
+set — the steady-state anchored ratio; the single fresh-process cold
+number is reported raw and is NOT comparable to lane colds, which run
+mid-lane with a warm JIT).
 
 Names accept registry entries plus the bench-only twins from
 bench._extra_entries (q161_persist, q33_xxhash64 variants).
