@@ -88,6 +88,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # aggregates (q241/q162's scalar class); the fact
                 # stream itself rides a semi-join, never a BNL.
                 "q262_bloom_join_filter",
+                # q258: the readout crossJoins three one-row
+                # aggregates (exact totals + the two state checksums)
+                # onto the one-row F2 estimate -- q248's scalar class;
+                # the streamed state itself is |k|-bounded.
+                "q258_stream_ams_f2",
                 # q231: one-row crossJoin(broadcast(min/max-day bounds))
                 # building the global day spine — q162's exact pattern
                 # (the BNL loop side is 1 row; the spine is |types| ×
