@@ -287,3 +287,180 @@ def equi_depth_woe(
         F.when(ok, woe).alias("woe_r"),
         F.when(ok, iv).alias("iv_term_r"),
     )
+
+
+def equi_depth_bin_map(
+    df: DataFrame,
+    value_col: str,
+    nbins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The (group, value) → bin assignment table behind
+    :func:`equi_depth_woe`, exposed for consumers that need per-ROW
+    bins (join it back on (group, value)): same exact integer
+    cumulative-count arithmetic, same tie-keeps-bin totality, same
+    distinct-values-only window. Returns ``(*group_cols, value_col,
+    bin int)`` — |distinct values| rows, broadcastable for bounded
+    value domains."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(*group_cols, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    w_before = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    return (
+        hist.withColumn(
+            "_cum", F.coalesce(F.sum("_n").over(w_before), F.lit(0))
+        )
+        .withColumn("_tot", F.sum("_n").over(w_all))
+        .select(
+            *group_cols,
+            value_col,
+            F.expr(f"(_cum * {int(nbins)}) div _tot")
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+
+
+def binned_mi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    nbins: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Numeric-numeric dependence via binned mutual information — the
+    third leg of the association-profiling suite (chi²/MI score
+    token↔label, equi_depth_woe scores numeric↔binary; this scores
+    numeric↔numeric, the feature-redundancy question a model-input
+    audit asks). Both columns bin independently through the exact
+    equi-depth integer binning (ties share bins — cross-engine
+    total), then one contingency aggregation yields per-cell MI
+    terms:
+
+        term_ij = (n_ij / n) · ln( (n_ij · n) / (n_i · n_j) )
+
+    Every count is exact int64; the float path is PINNED — one ln of
+    a single integer-ratio quotient, one multiply by the exact-int
+    probability — and emitted through round(·, 6) per CELL. The
+    total MI is the sum of terms and is left to the caller (a float
+    sum is order-dependent; per-cell terms are what a cross-engine
+    gate certifies — the q255 IV convention). Empty cells (n_ij = 0)
+    simply do not appear (their MI contribution is the 0·ln(0)
+    limit = 0).
+
+    Scale shape: two distinct-value histograms + bin windows
+    (domain-bounded), two map joins back onto the rows (shuffles on
+    (group, value) — broadcast when the domains are bounded), one
+    map-side-combined contingency groupBy of ≤ nbins² cells per
+    group, and the marginals derive FROM the cells (never a second
+    corpus pass). Returns ``(*group_cols, bx, by, n_ij, n_i, n_j, n,
+    mi_term_r)``."""
+    xm = equi_depth_bin_map(df, x_col, nbins, group_cols).select(
+        *group_cols, x_col, F.col("bin").alias("bx")
+    )
+    ym = equi_depth_bin_map(df, y_col, nbins, group_cols).select(
+        *group_cols, y_col, F.col("bin").alias("by")
+    )
+    keys_x = [*group_cols, x_col]
+    keys_y = [*group_cols, y_col]
+    binned = df.join(xm, keys_x).join(ym, keys_y)
+    cells = binned.groupBy(*group_cols, "bx", "by").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy(*group_cols)
+    wx = Window.partitionBy(*group_cols, "bx")
+    wy = Window.partitionBy(*group_cols, "by")
+    # marginals from the ≤ nbins² cell table — window cost is over
+    # cells, not rows
+    out = (
+        cells.withColumn("n_i", F.sum("n_ij").over(wx).cast("bigint"))
+        .withColumn("n_j", F.sum("n_ij").over(wy).cast("bigint"))
+        .withColumn("n", F.sum("n_ij").over(wg).cast("bigint"))
+    )
+    ratio = (
+        F.col("n_ij").cast("double") * F.col("n").cast("double")
+    ) / (F.col("n_i").cast("double") * F.col("n_j").cast("double"))
+    term = (
+        F.col("n_ij").cast("double") / F.col("n").cast("double")
+    ) * F.log(ratio)
+    return out.select(
+        *group_cols,
+        "bx",
+        "by",
+        "n_ij",
+        "n_i",
+        "n_j",
+        "n",
+        F.round(term, 6).alias("mi_term_r"),
+    )
+
+
+def contingency_profile(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Categorical-categorical association profile — the fourth leg
+    of the suite (numeric↔numeric is :func:`binned_mi`): one
+    contingency aggregation per group over two categorical columns,
+    with the exact integer deviation and the pinned per-cell χ² term
+
+        dev_ij  = n_ij·n − n_i·n_j                (exact int64)
+        term_ij = (dev/n) · (dev/(n_i·n_j))       (two divides, one
+                                                   multiply, round 6)
+
+    Σ term_ij = χ², and χ²/(n·(min(r,c)−1)) = Cramér's V² — both left
+    to the caller because float sums are order-dependent; the exact
+    ``dev`` column and the per-cell terms are what a cross-engine
+    gate certifies (the q255/q264 convention). The dev identity keeps
+    everything pre-float exact: (observed − expected)²/expected =
+    dev²/(n·n_i·n_j), but dev² overflows int64 near n ≈ 3·10⁹ cell
+    products, so the term splits the square across the two divides
+    instead of squaring the integer. NULL categories are real
+    categories (a missingness pattern IS association signal); filter
+    upstream to exclude them.
+
+    Scale: one map-side-combined groupBy to the |x_domain|·|y_domain|
+    cell table per group; marginals and totals derive from the cells
+    via windows over cells, never a second corpus pass."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(*group_cols, x_col, y_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    wg = Window.partitionBy(*group_cols)
+    wx = Window.partitionBy(*group_cols, x_col)
+    wy = Window.partitionBy(*group_cols, y_col)
+    out = (
+        cells.withColumn("n_i", F.sum("n_ij").over(wx).cast("bigint"))
+        .withColumn("n_j", F.sum("n_ij").over(wy).cast("bigint"))
+        .withColumn("n", F.sum("n_ij").over(wg).cast("bigint"))
+    )
+    dev = (
+        F.col("n_ij") * F.col("n") - F.col("n_i") * F.col("n_j")
+    ).cast("bigint")
+    term = (dev.cast("double") / F.col("n").cast("double")) * (
+        dev.cast("double")
+        / (F.col("n_i").cast("double") * F.col("n_j").cast("double"))
+    )
+    return out.select(
+        *group_cols,
+        x_col,
+        y_col,
+        "n_ij",
+        "n_i",
+        "n_j",
+        "n",
+        dev.alias("dev"),
+        F.round(term, 6).alias("chi2_term_r"),
+    )

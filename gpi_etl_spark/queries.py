@@ -15606,3 +15606,137 @@ def q263(spark, sf_dir):
         fs6(F.col("s").cast("double") / F.col("c").cast("double"))
         .alias("mean_r"),
     )
+
+
+_Q264_ORACLE = """
+WITH li AS MATERIALIZED (
+  SELECT CAST(year(l_shipdate) AS INT) AS yr,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_shipdate IS NOT NULL),
+hx AS (SELECT yr, q, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1, 2),
+bx AS (SELECT yr, q, CAST((coalesce(sum(n) OVER (PARTITION BY yr
+             ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) * 8)
+             // (sum(n) OVER (PARTITION BY yr)) AS INT) AS bx
+       FROM hx),
+hy AS (SELECT yr, cents, CAST(count(*) AS BIGINT) AS n
+       FROM li GROUP BY 1, 2),
+by_ AS (SELECT yr, cents, CAST((coalesce(sum(n) OVER (PARTITION BY yr
+              ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) * 8)
+              // (sum(n) OVER (PARTITION BY yr)) AS INT) AS by
+        FROM hy),
+j AS (SELECT li.yr, bx.bx, by_.by
+      FROM li JOIN bx ON bx.yr = li.yr AND bx.q = li.q
+              JOIN by_ ON by_.yr = li.yr AND by_.cents = li.cents),
+cells AS (SELECT yr, bx, by, CAST(count(*) AS BIGINT) AS n_ij
+          FROM j GROUP BY 1, 2, 3),
+m AS (SELECT yr, bx, by, n_ij,
+             CAST(sum(n_ij) OVER (PARTITION BY yr, bx) AS BIGINT) AS n_i,
+             CAST(sum(n_ij) OVER (PARTITION BY yr, by) AS BIGINT) AS n_j,
+             CAST(sum(n_ij) OVER (PARTITION BY yr) AS BIGINT) AS n
+      FROM cells)
+SELECT yr, bx, by, n_ij, n_i, n_j, n,
+       round((CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))
+             * ln((CAST(n_ij AS DOUBLE) * CAST(n AS DOUBLE))
+                  / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE))), 6)
+         AS mi_term_r
+FROM m
+"""
+
+
+@query("q264_binned_mi", _Q264_ORACLE)
+def q264(spark, sf_dir):
+    """Numeric-numeric dependence profiling (featselect.binned_mi) —
+    the third leg of the association suite: q228/chi² score
+    token↔label, q255 scores numeric↔binary (WOE/IV), this scores
+    numeric↔numeric (is quantity informative about revenue within a
+    ship year? — the feature-redundancy audit a model-input pipeline
+    runs before training). Both columns bin through the exact
+    equi-depth integer binning (q255's arithmetic — ties share bins,
+    so both engines assign identically), one contingency aggregation
+    per year, marginals derived FROM the ≤ 8×8 cell table, and the
+    per-cell MI terms emit under the pinned float order (one ln of a
+    single integer-ratio quotient × the exact-int probability, round
+    6). Total MI is the caller's sum — per-cell terms are what the
+    gate certifies (the q255 IV convention). Scale: two
+    domain-bounded histograms + bin windows, two (group, value) map
+    joins, windows only over cells. Reference seat: none."""
+    from gpi_etl_spark.operators.featselect import binned_mi
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .select(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("bigint")
+            .alias("q"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    return binned_mi(li, "q", "cents", 8, ("yr",)).select(
+        "yr", "bx", "by", "n_ij", "n_i", "n_j", "n", "mi_term_r"
+    )
+
+
+_Q265_ORACLE = """
+WITH o AS MATERIALIZED (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+         o_orderpriority AS pri, o_orderstatus AS st
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+    AND o_orderstatus IS NOT NULL),
+cells AS (SELECT yr, pri, st, CAST(count(*) AS BIGINT) AS n_ij
+          FROM o GROUP BY 1, 2, 3),
+m AS (SELECT yr, pri, st, n_ij,
+             CAST(sum(n_ij) OVER (PARTITION BY yr, pri) AS BIGINT) AS n_i,
+             CAST(sum(n_ij) OVER (PARTITION BY yr, st) AS BIGINT) AS n_j,
+             CAST(sum(n_ij) OVER (PARTITION BY yr) AS BIGINT) AS n
+      FROM cells)
+SELECT yr, pri, st, n_ij, n_i, n_j, n,
+       CAST(n_ij * n - n_i * n_j AS BIGINT) AS dev,
+       round((CAST(n_ij * n - n_i * n_j AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(n_ij * n - n_i * n_j AS DOUBLE)
+                / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE))), 6)
+         AS chi2_term_r
+FROM m
+"""
+
+
+@query("q265_contingency_profile", _Q265_ORACLE)
+def q265(spark, sf_dir):
+    """Categorical-categorical association
+    (featselect.contingency_profile) — the suite's fourth leg: does
+    order priority associate with order status within a year (the
+    dirty-dimension / leakage screen a feature audit runs on
+    categorical pairs)? One contingency aggregation per year;
+    marginals derive from the ≤ 5×3 cell table; the exact integer
+    deviation n_ij·n − n_i·n_j rides the gate next to the pinned
+    per-cell χ² term (two divides and a multiply — splitting the
+    square across the divides keeps every pre-float value exact where
+    dev² would overflow int64 near 3·10⁹ cell products). Σ terms =
+    χ² and V² = χ²/(n·(min(r,c)−1)) are the caller's sums (the
+    q255/q264 per-cell convention). Reference seat: none."""
+    from gpi_etl_spark.operators.featselect import contingency_profile
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_orderpriority").isNotNull()
+            & F.col("o_orderstatus").isNotNull()
+        )
+        .select(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    )
+    return contingency_profile(o, "pri", "st", ("yr",)).select(
+        "yr", "pri", "st", "n_ij", "n_i", "n_j", "n", "dev",
+        "chi2_term_r",
+    )

@@ -111,3 +111,72 @@ def test_inclusion_profile_empty_child_is_not_a_candidate(spark):
     assert r.lhs_card == 0 and r.contained == 0
     assert r.containment_r is None
     assert r.is_fk_candidate == 0
+
+
+def test_binned_mi_detects_dependence_and_independence(spark):
+    import math
+
+    from gpi_etl_spark.operators.featselect import binned_mi
+
+    # y == x: perfect dependence; 4 exact bins over 0..99 -> MI = ln 4
+    rows = [(v, v) for v in range(100)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    dep = binned_mi(df, "x", "y", 4)
+    total = sum(r.mi_term_r for r in dep.collect())
+    assert abs(total - math.log(4)) < 1e-4
+    # diagonal cells only
+    assert all(r.bx == r.by for r in dep.collect())
+    # y independent of x (cartesian-balanced): every term ~0
+    rows = [(x, y) for x in range(20) for y in range(20)]
+    ind = binned_mi(
+        spark.createDataFrame(rows, "x bigint, y bigint"), "x", "y", 4
+    )
+    assert all(abs(r.mi_term_r) < 1e-9 for r in ind.collect())
+
+
+def test_binned_mi_marginals_consistency(spark):
+    from gpi_etl_spark.operators.featselect import binned_mi
+
+    rows = [(i % 7, (i * 13) % 11) for i in range(500)]
+    out = binned_mi(
+        spark.createDataFrame(rows, "x bigint, y bigint"), "x", "y", 3
+    ).collect()
+    n = out[0].n
+    assert sum(r.n_ij for r in out) == n == 500
+    # per-bx marginal equals the sum of its cells
+    from collections import defaultdict
+
+    by_bx = defaultdict(int)
+    for r in out:
+        by_bx[r.bx] += r.n_ij
+    assert all(by_bx[r.bx] == r.n_i for r in out)
+
+
+def test_contingency_profile_exact_dev_and_chi2(spark):
+    """Hand-checked 2x2: rows (a,p)=30 (a,q)=10 (b,p)=10 (b,q)=30;
+    n=80, n_a=n_b=40, n_p=n_q=40 -> dev = 30*80-40*40 = 800 for the
+    diagonal, -800 off it; chi2 term = 800^2/(80*40*40) = 5.0 each,
+    chi2 = 20."""
+    from gpi_etl_spark.operators.featselect import contingency_profile
+
+    rows = (
+        [("a", "p")] * 30 + [("a", "q")] * 10
+        + [("b", "p")] * 10 + [("b", "q")] * 30
+    )
+    out = {
+        (r.x, r.y): r
+        for r in contingency_profile(
+            spark.createDataFrame(rows, "x string, y string"), "x", "y"
+        ).collect()
+    }
+    assert out[("a", "p")].dev == 800 and out[("a", "q")].dev == -800
+    assert abs(out[("a", "p")].chi2_term_r - 5.0) < 1e-9
+    assert abs(sum(r.chi2_term_r for r in out.values()) - 20.0) < 1e-9
+    # independence -> dev exactly 0 everywhere
+    ind = [("a", "p")] * 6 + [("a", "q")] * 2 + [("b", "p")] * 3 + [
+        ("b", "q")
+    ] * 1
+    z = contingency_profile(
+        spark.createDataFrame(ind, "x string, y string"), "x", "y"
+    ).collect()
+    assert all(r.dev == 0 for r in z)
