@@ -1072,3 +1072,51 @@ def k_anonymize(
             f"{c}_anon", F.when(keep, F.col(c))
         )
     return out
+
+
+def l_diversity_audit(
+    released: DataFrame,
+    class_cols: "list[str]",
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit of an anonymized release (Machanavajjhala et
+    al. '06; public method) — the check k-anonymity alone cannot
+    make: a ≥ k equivalence class whose SENSITIVE attribute is
+    uniform still discloses that attribute for every member
+    (the homogeneity attack). Per equivalence class (the released
+    quasi-identifier tuple, generalization level included) this
+    reports the class size, the number of DISTINCT sensitive values,
+    and the integer flag ``is_l_diverse`` (distinct ≥ l). Run it on
+    every :func:`k_anonymize` release before publication; classes
+    failing the flag need coarser generalization or suppression.
+
+    Distinct-l is the standard first line (entropy-l and recursive
+    (c,l) are strictly stronger refinements — out of scope here,
+    stated for honesty). NULL sensitive values count as one distinct
+    value (a visible missingness category IS a disclosure).
+
+    Scale: one map-side-combined groupBy over the release; output is
+    |classes| rows."""
+    return (
+        released.groupBy(*class_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count_distinct(F.col(sensitive_col))
+            .cast("bigint")
+            .alias("_nd"),
+            F.max(F.col(sensitive_col).isNull().cast("int")).alias(
+                "_has_null"
+            ),
+        )
+        .select(
+            *class_cols,
+            "n",
+            (F.col("_nd") + F.col("_has_null"))
+            .cast("bigint")
+            .alias("n_sensitive"),
+            ((F.col("_nd") + F.col("_has_null")) >= l)
+            .cast("int")
+            .alias("is_l_diverse"),
+        )
+    )

@@ -15740,3 +15740,83 @@ def q265(spark, sf_dir):
         "yr", "pri", "st", "n_ij", "n_i", "n_j", "n", "dev",
         "chi2_term_r",
     )
+
+
+_Q266_ORACLE = """
+WITH c0 AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+            FROM customer),
+g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n0
+       FROM c0 GROUP BY 1, 2),
+j0 AS (SELECT c0.*, g0.n0 FROM c0
+       JOIN g0 ON c0.c_nationkey IS NOT DISTINCT FROM g0.c_nationkey
+              AND c0.c_mktsegment IS NOT DISTINCT FROM g0.c_mktsegment),
+l0 AS (SELECT c_nationkey, c_mktsegment, band FROM j0 WHERE n0 >= 8),
+r0 AS (SELECT c_nationkey, c_mktsegment, band FROM j0 WHERE n0 < 8),
+g1 AS (SELECT c_nationkey, count(*) AS n1 FROM r0 GROUP BY 1),
+j1 AS (SELECT r0.*, g1.n1 FROM r0
+       JOIN g1 ON r0.c_nationkey IS NOT DISTINCT FROM g1.c_nationkey),
+rel AS (
+  SELECT 0 AS anon_level, c_nationkey AS nation_anon,
+         c_mktsegment AS segment_anon, band FROM l0
+  UNION ALL
+  SELECT 1, c_nationkey, CAST(NULL AS VARCHAR), band
+  FROM j1 WHERE n1 >= 8
+  UNION ALL
+  SELECT 2, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), band
+  FROM j1 WHERE n1 < 8)
+SELECT CAST(anon_level AS INT) AS anon_level, nation_anon, segment_anon,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT band)
+            + max(CASE WHEN band IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN count(DISTINCT band)
+                      + max(CASE WHEN band IS NULL THEN 1 ELSE 0 END)
+                      >= 3 THEN 1 ELSE 0 END AS INT) AS is_l_diverse
+FROM rel GROUP BY 1, 2, 3
+"""
+
+
+@query("q266_l_diversity_audit", _Q266_ORACLE)
+def q266(spark, sf_dir):
+    """l-diversity audit of the q224 k-anonymous release
+    (curation.l_diversity_audit) — the disclosure check k-anonymity
+    alone cannot make: a ≥ 8 equivalence class whose SENSITIVE
+    attribute (here the $2,000 account-balance band) is uniform still
+    tells an attacker every member's balance band (the homogeneity
+    attack). The release replays q224's cascading-remainder ladder
+    exactly (same NULL-SAFE cascade in the oracle), then every
+    released class reports its size, its count of distinct sensitive
+    bands (NULL band counted as one visible category — missingness
+    discloses), and the integer l=3 flag. One map-side-combined
+    groupBy over the release; |classes| output rows. Completes the
+    privacy seat next to q224 and the PII redaction ops
+    (curation.redact_pii). Reference seat: none (its only privacy op
+    is column drops)."""
+    from gpi_etl_spark.operators.curation import (
+        k_anonymize,
+        l_diversity_audit,
+    )
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+    )
+    anon = k_anonymize(
+        cust,
+        levels=[["c_nationkey", "c_mktsegment"], ["c_nationkey"], []],
+        k=8,
+    )
+    rel = anon.select(
+        "anon_level",
+        F.col("c_nationkey_anon").alias("nation_anon"),
+        F.col("c_mktsegment_anon").alias("segment_anon"),
+        "band",
+    )
+    return l_diversity_audit(
+        rel,
+        ["anon_level", "nation_anon", "segment_anon"],
+        "band",
+        l=3,
+    )

@@ -971,3 +971,27 @@ def test_q224_oracle_null_path_matches_spark(spark, tmp_path):
         row[sorted(sdf.columns).index("n")] for row in s_rows
     )
     assert n_total == len(rows)
+
+
+def test_l_diversity_audit_flags_homogeneous_classes(spark):
+    """k-anonymity's blind spot: a big class with ONE sensitive value
+    must flag is_l_diverse = 0; NULL sensitive counts as a visible
+    category."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.curation import l_diversity_audit
+
+    rows = (
+        [("g1", "hiv")] * 10                      # homogeneous — leak
+        + [("g2", "flu")] * 4 + [("g2", "ok")] * 4
+        + [("g2", "hiv")] * 2                     # 3 values — diverse
+        + [("g3", None)] * 3 + [("g3", "ok")] * 3
+        + [("g3", "flu")] * 2                     # NULL + 2 = 3
+    )
+    df = spark.createDataFrame(rows, "cls string, s string")
+    out = {r.cls: r for r in l_diversity_audit(
+        df, ["cls"], "s", l=3).collect()}
+    assert out["g1"].n == 10 and out["g1"].n_sensitive == 1
+    assert out["g1"].is_l_diverse == 0
+    assert out["g2"].is_l_diverse == 1
+    assert out["g3"].n_sensitive == 3 and out["g3"].is_l_diverse == 1
