@@ -36,5 +36,11 @@ def oracle_sql() -> dict[str, str]:
     hash mode, the BPE loop replays via unrolled merge CTEs, and the
     last two rows-only entries were retired (q49, superseded by the
     gated q176/q179/q212 ANN chain) or replaced by a replayable
-    sketch (q51 → q221 k-min-registers)."""
+    sketch (q51 → q221 k-min-registers). Round 11 retired
+    q251_decimal_probe: its r10 driver row (rows/schema match, hash
+    mismatch on six constant decimal literals) completed the planned
+    experiment confirming the driver-side DECIMAL canonicalization as
+    the historical q211/q233/q237 divergence layer; the registry-wide
+    no-decimal-output invariant lives on in
+    tests/test_no_decimal_gate.py with an empty whitelist."""
     return Q.oracles()

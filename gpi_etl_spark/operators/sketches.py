@@ -1664,7 +1664,8 @@ def ams_f2(
     kmv_estimate lesson: a caller-supplied k that disagreed with the
     build silently mis-scales). GATE NOTE: f2_num is decimal-typed —
     gated queries must re-emit it as BIGINT (+ mod-P residue past the
-    int64 envelope), the q233/q251 decimal gate-column convention."""
+    int64 envelope), the q233 decimal gate-column convention
+    (tests/test_no_decimal_gate.py)."""
     # widths: |x| ≤ n ≤ 10⁹ → decimal(10,0) (the ANSI cast IS the
     # envelope assert); x² → decimal(21,0); Spark's sum adds 10
     # digits → decimal(31,0); final cast to the documented (38,0)

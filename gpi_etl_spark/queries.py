@@ -7658,27 +7658,16 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-10 priority prefix (must stay ≤ _DRIVER_SAMPLE entries).
-#: Round 9's bisection worked: q211 went green the round its
-#: decimal(18,2) cast became int64 cents, leaving q233/q237 — the
-#: registry's ONLY two decimal-column emitters — as the only reds.
-#: Round 10 executes the cornered fix and its proof:
-#:   * q233/q237 — cov_num re-gated as BIGINT + mod-P residue; the
-#:     gate rows now carry no decimal type anywhere. Green here is
-#:     the first 248/248 all-green driver union.
-#:   * q251_decimal_probe — six constant-literal rows of
-#:     decimal(38,0)/(38,2)/(18,2) stated verbatim in both engines;
-#:     its red/green proves or falsifies the DECIMAL-column-class
-#:     diagnosis independently of any computation.
-#:   Kept DELIBERATELY small; after the prefix, the staleness sort
-#:   spends the remaining ~47 slots on the r4-vintage evidence band
-#:   (q134–q163, the 19 oldest rows in the union — VERDICT r9 Next
-#:   round #4) and then ascending vintage.
-_R10_PRIORITY = [
-    "q233_embedding_covariance",
-    "q237_embedding_cov_core",
-    "q251_decimal_probe",
-]
+#: Round-11 priority prefix (must stay ≤ _DRIVER_SAMPLE entries).
+#: EMPTY — round 10 closed the decimal investigation (q233/q237 green
+#: with BIGINT+mod-P gates; the q251 probe red-as-designed, confirming
+#: the driver's DECIMAL canonicalization as the divergence layer, and
+#: retired this round per the q49/q51 precedent). With no open
+#: forensic, every slot goes to the staleness sort: the round's new
+#: never-sampled queries first, then the r5-vintage evidence band
+#: (q114–q176, 29 queries — VERDICT r10 Next round #6) and ascending
+#: vintage, moving the union freshness floor to r6.
+_R11_PRIORITY: list[str] = []
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
 #: twin) are pushed to the back of their staleness band since a driver
@@ -7728,9 +7717,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R10_PRIORITY)}
-    assert len(_R10_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R10_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R11_PRIORITY)}
+    assert len(_R11_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R11_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
@@ -12713,7 +12702,9 @@ def q233(spark, sf_dir):
     measured 4× headroom at sf0.1) plus cov_num_modp, the mod-P
     residue that identifies the value over the full n ≤ 10⁹ envelope.
     decimal(38,0) stays INTERNAL in vectorstats.covariance_matrix.
-    q251_decimal_probe carries the class diagnosis independently.
+    The q251 probe carried the class diagnosis independently (r10
+    driver row red-as-designed; retired round 11, see the tombstone
+    above _q252_oracle_sql).
     One scan
     explodes each vector into
     its 136 upper-triangle pair products with map-side combine (the
@@ -14429,53 +14420,18 @@ def q250(spark, sf_dir):
     )
 
 
-def _q251_sql() -> str:
-    """One SQL text, two engines. The probe rows are constant string
-    literals cast to the three DECIMAL shapes the registry has ever
-    gated — (38,0) (q233/q237's cov_num), (38,2) and (18,2) (q211's
-    r7/r8 paired_value) — so no computation of any kind stands between
-    the literal and the driver's hash. Values cover the canonical
-    hazards of decimal canonicalization: zero, ±1-ulp, trailing
-    fraction zeros (0.10 vs 0.1), full 38-digit magnitude, and a
-    (38,0) value just past int64 (1e19) that a sloppy int64 fetch path
-    would overflow or clamp."""
-    rows = [
-        (1, "0", "0.00", "0.00"),
-        (2, "1", "0.01", "0.10"),
-        (3, "-1", "-0.01", "-0.10"),
-        (4, "99999999999999999999999999999999999999",
-         "123456.78", "9999999999999999.99"),
-        (5, "-99999999999999999999999999999999999999",
-         "-123456.78", "-9999999999999999.99"),
-        (6, "10000000000000000000", "2.50", "2.00"),
-    ]
-    return " UNION ALL ".join(
-        f"SELECT {i} AS id, CAST('{a}' AS DECIMAL(38,0)) AS d38_0, "
-        f"CAST('{b}' AS DECIMAL(38,2)) AS d38_2, "
-        f"CAST('{c}' AS DECIMAL(18,2)) AS d18_2"
-        for i, a, b, c in rows
-    )
-
-
-@query("q251_decimal_probe", _q251_sql())
-def q251(spark, sf_dir):
-    """THE DECIMAL GATE-COLUMN PROBE (round 10; deliberately designed
-    so that a RED row is informative, not a defect). Round 9's
-    forensic cornered the last driver divergence to how a
-    DECIMAL-typed output column is canonicalized in the driver's
-    hash path: across 248 registered queries, the only two decimal
-    emitters (q233/q237) were the only two reds, and q211 was red
-    exactly as long as it emitted decimal(38,2), curing the round the
-    column became int64 cents. This query states six constant rows of
-    decimal(38,0)/(38,2)/(18,2) VERBATIM in both engines — zero
-    computation, zero data — so the r10 driver row proves or falsifies
-    the column-class diagnosis independently of any algebra: RED
-    confirms the class (and explains why no gated query emits decimal
-    any more — see tests/test_no_decimal_gate.py); GREEN falsifies it
-    loudly and reopens the q233 investigation. Either way the row
-    converts an inference into a measurement. sf_dir is ignored —
-    constant literals are the point."""
-    return spark.sql(_q251_sql())
+# q251_decimal_probe — RETIRED round 11 (q49/q51 precedent). The probe
+# (six constant decimal(38,0)/(38,2)/(18,2) literals stated verbatim in
+# both engines, zero computation, zero data) ran exactly once in the r10
+# driver lane and delivered the measurement it was built for: rows and
+# schema matched while the value hash did not, confirming the driver's
+# DECIMAL canonicalization — not any repo computation — as the
+# q211/q233/q237 divergence layer (q233/q237 went green the same round
+# they shipped BIGINT+mod-P gates). The invariant it established is now
+# mechanical: tests/test_no_decimal_gate.py forbids DECIMAL in every
+# gated output schema with an EMPTY whitelist, and the full history
+# lives in docs/ROUND11_NOTES.md. The six literal rows are preserved in
+# git history at tag-commit aa444b0 (queries.py:14432-14478).
 
 
 def _q252_oracle_sql(k: int) -> str:
@@ -14485,7 +14441,8 @@ def _q252_oracle_sql(k: int) -> str:
     derivations — with sign = 1 − 2·(affine % 2) (affine output is
     non-negative in BOTH engines, so parity is engine-agnostic).
     Components sum exactly; Σx² accumulates in decimal and re-gates
-    as BIGINT + mod-P (the q233/q251 decimal gate-column convention);
+    as BIGINT + mod-P (the q233 decimal gate-column convention —
+    test_no_decimal_gate.py);
     the single f2_num/k divide is one IEEE op over exact-int doubles."""
     from gpi_etl_spark.functions.xhash import P as _P
     from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah_sql
@@ -14539,7 +14496,7 @@ def q252(spark, sf_dir):
     (accuracy pinned in tests/test_sketches.py; exact_f2 rides the
     gate so the readout shows the actual error). Everything gated is
     exact integer arithmetic both engines replay (poly mode): f2_num
-    re-gates as BIGINT + mod-P residue per the q233/q251 decimal
+    re-gates as BIGINT + mod-P residue per the q233 decimal
     convention. Reference seat: none — its only frequency logic is
     pandas value_counts (HTIPPLSITE/__init__.py:315)."""
     from gpi_etl_spark.functions.xhash import P

@@ -12,10 +12,14 @@ query may emit a decimal-typed output column, at any nesting depth.
 DECIMAL stays welcome INTERNALLY (vectorstats keeps exact
 decimal(38,0) moments); only the driver-hashed schema is constrained.
 
-The single whitelisted name is q251_decimal_probe — the query whose
-entire PURPOSE is to emit constant decimal literals so the driver's
-row proves/falsifies the column-class diagnosis. Nothing else may
-join it.
+The whitelist is EMPTY since round 11. Its single-ever member,
+q251_decimal_probe, emitted constant decimal literals precisely so the
+driver's row would prove/falsify the column-class diagnosis; the r10
+driver row came back rows/schema-match + hash-mismatch — the predicted
+red — converting the diagnosis into a measurement. The probe was then
+retired from the gated registry (q49/q51 precedent; tombstone in
+gpi_etl_spark/queries.py, history in docs/ROUND11_NOTES.md). Nothing
+may re-enter the whitelist without an equally deliberate experiment.
 """
 
 import os
@@ -27,8 +31,8 @@ import __spark_entry__ as entry
 
 SF_DIR = "/root/testdata/sf0.001"
 
-#: the deliberate class probe — the ONLY allowed decimal emitter
-WHITELIST = {"q251_decimal_probe"}
+#: empty since round 11 — NO gated query may emit a decimal column
+WHITELIST: set[str] = set()
 
 
 def _decimal_paths(dt, path=""):
@@ -67,17 +71,10 @@ def test_no_gated_query_emits_decimal(spark):
     )
 
 
-def test_probe_is_registered_and_decimal(spark):
-    """The probe itself must exist, be gated, and actually emit all
-    three decimal shapes — otherwise the whitelist is dead weight and
-    the driver row proves nothing."""
-    qs = entry.queries()
-    assert "q251_decimal_probe" in qs
-    assert "q251_decimal_probe" in entry.oracle_sql()
-    schema = qs["q251_decimal_probe"](spark, SF_DIR).schema
-    shapes = {
-        (f.dataType.precision, f.dataType.scale)
-        for f in schema.fields
-        if isinstance(f.dataType, T.DecimalType)
-    }
-    assert shapes == {(38, 0), (38, 2), (18, 2)}
+def test_probe_stays_retired():
+    """The q251 probe delivered its measurement in the r10 driver lane
+    and was retired; a re-registration would re-introduce a
+    permanently-red row into every future round's driver file."""
+    assert "q251_decimal_probe" not in entry.queries()
+    assert "q251_decimal_probe" not in entry.oracle_sql()
+    assert not WHITELIST, "whitelist must stay empty (see module doc)"
