@@ -301,7 +301,15 @@ def equi_depth_bin_map(
     cumulative-count arithmetic, same tie-keeps-bin totality, same
     distinct-values-only window. Returns ``(*group_cols, value_col,
     bin int)`` — |distinct values| rows, broadcastable for bounded
-    value domains."""
+    value domains.
+
+    NULL values: NULL is a distinct histogram value like any other
+    (it sorts FIRST in the bin window, so its count shifts every
+    cumulative boundary) and receives a bin row — but an equi-join
+    back onto the source silently drops it (NULL never equi-matches).
+    Callers that join back (binned_mi does) must pre-filter NULLs
+    from BOTH the histogram input and the rows, or boundaries and
+    cells silently disagree (round-11 advice find)."""
     from pyspark.sql import Window
 
     hist = df.groupBy(*group_cols, value_col).agg(
@@ -361,16 +369,26 @@ def binned_mi(
     map-side-combined contingency groupBy of ≤ nbins² cells per
     group, and the marginals derive FROM the cells (never a second
     corpus pass). Returns ``(*group_cols, bx, by, n_ij, n_i, n_j, n,
-    mi_term_r)``."""
-    xm = equi_depth_bin_map(df, x_col, nbins, group_cols).select(
+    mi_term_r)``.
+
+    NULL x/y rows are DROPPED up front (round-11 advice find: they
+    used to count in the bin-boundary histograms — shifting every
+    cumulative boundary — while the equi-join back silently excluded
+    them from the cells, so cells/n disagreed with the boundaries).
+    MI is defined over jointly-observed pairs; a missingness audit is
+    a different query (count the NULLs separately)."""
+    src = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
+    xm = equi_depth_bin_map(src, x_col, nbins, group_cols).select(
         *group_cols, x_col, F.col("bin").alias("bx")
     )
-    ym = equi_depth_bin_map(df, y_col, nbins, group_cols).select(
+    ym = equi_depth_bin_map(src, y_col, nbins, group_cols).select(
         *group_cols, y_col, F.col("bin").alias("by")
     )
     keys_x = [*group_cols, x_col]
     keys_y = [*group_cols, y_col]
-    binned = df.join(xm, keys_x).join(ym, keys_y)
+    binned = src.join(xm, keys_x).join(ym, keys_y)
     cells = binned.groupBy(*group_cols, "bx", "by").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ij")
     )

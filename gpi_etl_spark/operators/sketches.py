@@ -168,14 +168,21 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     of exact counts.
 
     Mixed GEOMETRIES fail LOUDLY (advice find, the kmv_merge pattern):
-    the ``geo`` stamp cms_build writes is asserted single-valued per
-    (row, col) cell at execution time. The per-cell check suffices in
-    practice — real counter tables are dense over their bucket grid
-    (thousands of items over depth×width cells), so two different
-    geometries always collide on shared cells; a tagged/legacy-
-    untagged mix dies in unionByName's schema check, and legacy-only
-    inputs merge unguarded — rebuild stored sketches once after
-    upgrading (one pass; that is the point of the operator)."""
+    the ``geo`` stamp cms_build writes is asserted single-valued at
+    execution time, BOTH per (row, col) cell and — since round 11 —
+    across the WHOLE merged table (advice find: two sparse sketches of
+    different geometries with disjoint populated cells never collide
+    on a shared cell, so the per-cell check alone was probabilistic
+    where the kmv fam check is deterministic). The whole-table check
+    is a min/max window over the merged counter table — bounded at
+    Σ depth×width rows (KB), and the single-partition WindowExec it
+    implies is exactly the right plan at that size. Both guards stay
+    lazy in-expression (no eager action, no optimizer pruning). A
+    tagged/legacy-untagged mix dies in unionByName's schema check, and
+    legacy-only inputs merge unguarded — rebuild stored sketches once
+    after upgrading (one pass; that is the point of the operator)."""
+    from pyspark.sql import Window
+
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
@@ -189,7 +196,10 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     # BOTH outputs guarded (the kmv_overlap both-columns rule): a
     # consumer projecting only the stamp must not see a clean-looking
     # max(geo) from a corrupt mix (review find)
-    ok = F.col("_ng") == 1
+    w_all = Window.partitionBy()
+    ok = (F.col("_ng") == 1) & (
+        F.min("geo").over(w_all) == F.max("geo").over(w_all)
+    )
     return merged.select(
         "row",
         "col",
@@ -373,10 +383,16 @@ def cms_join_size(
     disagreed with the build silently returned 0 — an UNDERCOUNT
     from the one estimator whose contract is never-undercount
     (review find; the kmv_estimate k-derivation lesson applied).
-    Width/hash_mode must still match by contract (the counter table
-    carries only (row, col, c) — cms wire format kept for q188
-    oracle stability); an EMPTY side estimates 0 (an empty stream
-    joins to nothing).
+    Geometry stamps: both sides stamped → full (width/depth/hash
+    family) equality asserted. Exactly ONE side stamped (a stamped ×
+    legacy pair) → since round 11 the stamped side's d-segment is
+    asserted against the untagged side's derived depth and the stamped
+    side must be single-geometry; the untagged side's width/hash_mode
+    remain unverifiable by construction and must match by contract
+    (documented asymmetry — rebuild legacy sketches for the full
+    check; legacy wire format (row, col, c) kept for q188 oracle
+    stability). An EMPTY side estimates 0 (an empty stream joins to
+    nothing).
 
     Envelope: the dot accumulates in int64 — exact while
     ``N_A · N_B < 2^63`` (stream sizes' product under ~9·10^18, i.e.
@@ -386,10 +402,11 @@ def cms_join_size(
 
     Returns one row: ``est_join_size bigint`` (never an undercount).
     """
-    both_geo = "geo" in a.columns and "geo" in b.columns
+    a_geo = "geo" in a.columns
+    b_geo = "geo" in b.columns
     a_aggs = [(F.max("row") + 1).alias("_da")]
     b_aggs = [(F.max("row") + 1).alias("_db")]
-    if both_geo:
+    if a_geo:
         # round 10: with stamped sketches the full geometry (width/
         # depth/hash family) is asserted equal across the two sides,
         # closing the width/hash_mode "by contract" gap below
@@ -397,6 +414,7 @@ def cms_join_size(
             F.count_distinct("geo").alias("_nga"),
             F.max("geo").alias("_ga"),
         ]
+    if b_geo:
         b_aggs += [
             F.count_distinct("geo").alias("_ngb"),
             F.max("geo").alias("_gb"),
@@ -416,15 +434,33 @@ def cms_join_size(
     agg = per_row.agg(
         F.count(F.lit(1)).alias("_nr"), F.min("_dot").alias("_mind")
     ).crossJoin(F.broadcast(meta))
-    geo_mixed = (
-        (
+    # Stamp parsing for the ONE-side-stamped case (advice find, round
+    # 11): previously a stamped × legacy-untagged pair skipped the
+    # geometry assertion entirely — unlike cms_merge, where such a mix
+    # dies in unionByName. The untagged side exposes only its depth
+    # (max(row)+1), so the stamped side's d-segment is asserted
+    # against it; width/hash family on the untagged side remain
+    # unverifiable BY CONSTRUCTION (documented asymmetry — rebuild
+    # legacy sketches to get the full check).
+    def _stamp_depth(geo_col):
+        return F.regexp_extract(geo_col, r"-d(\d+)$", 1).cast("bigint")
+
+    if a_geo and b_geo:
+        geo_mixed = (
             (F.col("_nga") > 1)
             | (F.col("_ngb") > 1)
             | (F.col("_ga") != F.col("_gb"))
         )
-        if both_geo
-        else F.lit(False)
-    )
+    elif a_geo:
+        geo_mixed = (F.col("_nga") > 1) | (
+            _stamp_depth(F.col("_ga")) != F.col("_db")
+        )
+    elif b_geo:
+        geo_mixed = (F.col("_ngb") > 1) | (
+            _stamp_depth(F.col("_gb")) != F.col("_da")
+        )
+    else:
+        geo_mixed = F.lit(False)
     est = (
         F.when(
             F.col("_da").isNull() | F.col("_db").isNull(), F.lit(0)

@@ -14839,7 +14839,10 @@ def q255(spark, sf_dir):
 def _q256_oracle_sql() -> str:
     """Per-pair DuckDB replay: distinct both sides as VARCHAR (the
     Spark side's canonical cast), count containment via EXISTS, flag
-    by integer equality."""
+    by integer equality UNDER the same lhs_card > 0 guard the operator
+    applies (round-11 advice find: without it an empty/all-NULL child
+    column made the oracle flag 0 == 0 as a vacuous FK candidate and
+    divide 0/0 while Spark NULLs the ratio and refuses the flag)."""
 
     def one(name, child_t, child_c, parent_t, parent_c):
         return f"""
@@ -14860,9 +14863,10 @@ def _q256_oracle_sql() -> str:
     )
     return f"""
     WITH r AS ({pairs_sql})
-    SELECT pair, lhs_card, contained, {ratio} AS containment_r,
-           CAST(CASE WHEN contained = lhs_card THEN 1 ELSE 0 END
-                AS INT) AS is_fk_candidate
+    SELECT pair, lhs_card, contained,
+           CASE WHEN lhs_card > 0 THEN {ratio} END AS containment_r,
+           CAST(CASE WHEN lhs_card > 0 AND contained = lhs_card
+                THEN 1 ELSE 0 END AS INT) AS is_fk_candidate
     FROM r
     """
 

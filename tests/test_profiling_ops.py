@@ -180,3 +180,33 @@ def test_contingency_profile_exact_dev_and_chi2(spark):
         spark.createDataFrame(ind, "x string, y string"), "x", "y"
     ).collect()
     assert all(r.dev == 0 for r in z)
+
+
+def test_binned_mi_drops_null_pairs_consistently(spark):
+    """Round-11 advice find: NULL x/y used to count in the
+    bin-boundary histograms (shifting every cumulative boundary)
+    while the equi-join back silently dropped them — so cells/n
+    disagreed with the boundaries. Now NULL pairs are dropped up
+    front: the result over data-with-NULLs must equal the result
+    over the pre-filtered data, boundary-for-boundary."""
+    from gpi_etl_spark.operators.featselect import binned_mi
+
+    clean = [(float(v), float(v)) for v in range(100)]
+    noisy = clean + [(None, 5.0), (3.0, None), (None, None)] * 30
+    key = lambda r: (r.bx, r.by)  # noqa: E731
+    got = sorted(
+        binned_mi(
+            spark.createDataFrame(noisy, "x double, y double"),
+            "x", "y", 4,
+        ).collect(),
+        key=key,
+    )
+    want = sorted(
+        binned_mi(
+            spark.createDataFrame(clean, "x double, y double"),
+            "x", "y", 4,
+        ).collect(),
+        key=key,
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got[0].n == 100  # NULL pairs are not in n

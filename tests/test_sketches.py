@@ -1045,3 +1045,61 @@ def test_cms_merge_guards_geo_output_too(spark):
     b = cms_build(da, "item", width=32, depth=3, hash_mode="poly")
     with pytest.raises(PySparkException, match="geometry stamps"):
         cms_merge(a, b).select("row", "col", "geo").collect()
+
+
+def test_cms_merge_disjoint_cells_mixed_geometry_raises(spark):
+    """Round-11 advice find: the per-cell stamp check only fired when
+    two geometries COLLIDED on a shared (row, col) cell, so two sparse
+    sketches of different geometries with disjoint populated cells
+    merged silently — probabilistic where the kmv fam check is
+    deterministic. The whole-table min/max-geo window makes the check
+    deterministic; hand-built single-cell counter tables are the
+    adversarial case (no shared cell at all)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_merge
+
+    schema = "row int, col int, c bigint, geo string"
+    a = spark.createDataFrame([(0, 0, 5, "cms1-poly-w64-d3")], schema)
+    b = spark.createDataFrame([(1, 1, 7, "cms1-poly-w32-d3")], schema)
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_merge(a, b).collect()
+    # same stamp on disjoint cells is of course fine
+    b_same = spark.createDataFrame(
+        [(1, 1, 7, "cms1-poly-w64-d3")], schema
+    )
+    rows = {(r.row, r.col): r.c for r in cms_merge(a, b_same).collect()}
+    assert rows == {(0, 0): 5, (1, 1): 7}
+
+
+def test_cms_join_size_one_side_stamped_checks_depth(spark):
+    """Round-11 advice find: a stamped x legacy-untagged pair used to
+    skip the geometry assertion entirely (both_geo was False), so a
+    stamped sketch whose geometry disagreed with the untagged side's
+    implied depth estimated silently. Now the stamped side's
+    d-segment is asserted against the other side's derived depth;
+    width/hash family on the untagged side remain by-contract
+    (documented asymmetry)."""
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    da = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], "item string"
+    )
+    ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
+    kb = cms_build(da, "item", width=64, depth=3, hash_mode="poly")
+    # depth disagreement now raises in BOTH one-sided orientations
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_join_size(ka, kb.drop("geo")).collect()
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_join_size(ka.drop("geo"), kb).collect()
+    # depth agreement: the one-sided estimate equals the both-stamped
+    # estimate (the stamp adds checking, never changes the number)
+    both = cms_join_size(ka, ka).first().est_join_size
+    one = cms_join_size(ka, ka.drop("geo")).first().est_join_size
+    assert one == both == cms_join_size(
+        ka.drop("geo"), ka
+    ).first().est_join_size
