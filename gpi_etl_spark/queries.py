@@ -15781,3 +15781,171 @@ def q266(spark, sf_dir):
         "band",
         l=3,
     )
+
+
+def _q267_oracle_sql(width: int, depth: int) -> str:
+    """Full greedy-sequence replay: exact CM counter tables for every
+    base key stream, every one-join intermediate's remaining keys,
+    and every two-join intermediate's forced key (the intermediate
+    CONTENT depends only on the joined SET, so three two-join
+    counters cover all six ordered combos); the per-step winner is
+    the identical (est, pair) integer min the Spark side's collected
+    planner state uses, and later steps filter the pre-priced branch
+    lattice to the actual winner sequence — SQL's branch-free form of
+    the same greedy walk."""
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph
+
+    def counters(sel: str) -> str:
+        return f"""(
+      SELECT cast(r.i AS int) AS row,
+             cast(({_ah('gh', 'r.i', depth)}) % {width} AS int) AS col,
+             count(*) AS c
+      FROM (SELECT {_ph('v')} AS gh FROM {sel} WHERE v IS NOT NULL),
+           unnest(generate_series(0, {depth - 1})) AS r(i)
+      GROUP BY 1, 2)"""
+
+    def est(ca: str, cb: str) -> str:
+        return f"""(
+      SELECT CASE WHEN count(*) = {depth} THEN min(dot) ELSE 0 END
+      FROM (SELECT a.row, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+            FROM {ca} a JOIN {cb} b USING (row, col) GROUP BY 1))"""
+
+    return f"""
+    WITH li AS MATERIALIZED (
+      SELECT CAST(l_orderkey AS VARCHAR) AS ko,
+             CAST(l_partkey AS VARCHAR) AS kp,
+             CAST(l_suppkey AS VARCHAR) AS ks
+      FROM lineitem),
+    odim AS MATERIALIZED (
+      SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+      WHERE o_orderstatus = 'F'),
+    pdim AS MATERIALIZED (
+      SELECT CAST(p_partkey AS VARCHAR) AS k FROM part
+      WHERE p_size <= 15),
+    sdim AS MATERIALIZED (
+      SELECT CAST(s_suppkey AS VARCHAR) AS k FROM supplier),
+    int_o AS MATERIALIZED (
+      SELECT li.* FROM li JOIN odim ON li.ko = odim.k),
+    int_p AS MATERIALIZED (
+      SELECT li.* FROM li JOIN pdim ON li.kp = pdim.k),
+    int_s AS MATERIALIZED (
+      SELECT li.* FROM li JOIN sdim ON li.ks = sdim.k),
+    int_op AS MATERIALIZED (
+      SELECT int_o.* FROM int_o JOIN pdim ON int_o.kp = pdim.k),
+    int_os AS MATERIALIZED (
+      SELECT int_o.* FROM int_o JOIN sdim ON int_o.ks = sdim.k),
+    int_ps AS MATERIALIZED (
+      SELECT int_p.* FROM int_p JOIN sdim ON int_p.ks = sdim.k),
+    c_do AS MATERIALIZED {counters("(SELECT k AS v FROM odim)")},
+    c_dp AS MATERIALIZED {counters("(SELECT k AS v FROM pdim)")},
+    c_ds AS MATERIALIZED {counters("(SELECT k AS v FROM sdim)")},
+    c1o AS MATERIALIZED {counters("(SELECT ko AS v FROM li)")},
+    c1p AS MATERIALIZED {counters("(SELECT kp AS v FROM li)")},
+    c1s AS MATERIALIZED {counters("(SELECT ks AS v FROM li)")},
+    c2_o_p AS MATERIALIZED {counters("(SELECT kp AS v FROM int_o)")},
+    c2_o_s AS MATERIALIZED {counters("(SELECT ks AS v FROM int_o)")},
+    c2_p_o AS MATERIALIZED {counters("(SELECT ko AS v FROM int_p)")},
+    c2_p_s AS MATERIALIZED {counters("(SELECT ks AS v FROM int_p)")},
+    c2_s_o AS MATERIALIZED {counters("(SELECT ko AS v FROM int_s)")},
+    c2_s_p AS MATERIALIZED {counters("(SELECT kp AS v FROM int_s)")},
+    c3_op AS MATERIALIZED {counters("(SELECT ks AS v FROM int_op)")},
+    c3_os AS MATERIALIZED {counters("(SELECT kp AS v FROM int_os)")},
+    c3_ps AS MATERIALIZED {counters("(SELECT ko AS v FROM int_ps)")},
+    s1 AS (
+      SELECT 'orders_f' AS pair,
+             CAST({est('c1o', 'c_do')} AS BIGINT) AS est
+      UNION ALL
+      SELECT 'part_small', CAST({est('c1p', 'c_dp')} AS BIGINT)
+      UNION ALL
+      SELECT 'supplier_all', CAST({est('c1s', 'c_ds')} AS BIGINT)),
+    w1 AS (SELECT pair AS wp FROM s1 ORDER BY est, pair LIMIT 1),
+    s2all AS (
+      SELECT 'orders_f' AS first, 'part_small' AS pair,
+             CAST({est('c2_o_p', 'c_dp')} AS BIGINT) AS est
+      UNION ALL SELECT 'orders_f', 'supplier_all',
+             CAST({est('c2_o_s', 'c_ds')} AS BIGINT)
+      UNION ALL SELECT 'part_small', 'orders_f',
+             CAST({est('c2_p_o', 'c_do')} AS BIGINT)
+      UNION ALL SELECT 'part_small', 'supplier_all',
+             CAST({est('c2_p_s', 'c_ds')} AS BIGINT)
+      UNION ALL SELECT 'supplier_all', 'orders_f',
+             CAST({est('c2_s_o', 'c_do')} AS BIGINT)
+      UNION ALL SELECT 'supplier_all', 'part_small',
+             CAST({est('c2_s_p', 'c_dp')} AS BIGINT)),
+    s2 AS (SELECT pair, est FROM s2all, w1 WHERE first = w1.wp),
+    w2 AS (SELECT pair AS wp FROM s2 ORDER BY est, pair LIMIT 1),
+    s3all AS (
+      SELECT 'supplier_all' AS pair,
+             ['orders_f', 'part_small'] AS inset,
+             CAST({est('c3_op', 'c_ds')} AS BIGINT) AS est
+      UNION ALL SELECT 'part_small', ['orders_f', 'supplier_all'],
+             CAST({est('c3_os', 'c_dp')} AS BIGINT)
+      UNION ALL SELECT 'orders_f', ['part_small', 'supplier_all'],
+             CAST({est('c3_ps', 'c_do')} AS BIGINT)),
+    s3 AS (SELECT pair, est FROM s3all, w1, w2
+           WHERE list_contains(inset, w1.wp)
+             AND list_contains(inset, w2.wp))
+    SELECT CAST(1 AS INT) AS step, pair, est AS est_join_size,
+           CAST(CASE WHEN pair = w1.wp THEN 1 ELSE 0 END AS INT)
+             AS chosen
+    FROM s1, w1
+    UNION ALL
+    SELECT CAST(2 AS INT), pair, est,
+           CAST(CASE WHEN pair = w2.wp THEN 1 ELSE 0 END AS INT)
+    FROM s2, w2
+    UNION ALL
+    SELECT CAST(3 AS INT), pair, est, CAST(1 AS INT)
+    FROM s3
+    """
+
+
+@query("q267_join_order_greedy", _q267_oracle_sql(1024, 4))
+def q267(spark, sf_dir):
+    """The greedy LEFT-DEEP join-order planner (skew.join_order_greedy)
+    — q261's single System R selection step extended one decision at a
+    time until the plan is fixed (VERDICT r10 item 7). Fact lineitem
+    against three dim candidates with genuinely different
+    selectivities: orders filtered to status 'F' (~half the keys),
+    part filtered to p_size <= 15 (the cheapest — chosen first), and
+    unfiltered supplier (always the full fact cardinality — priced
+    last). Step 1 prices all three candidates from base-table CM
+    sketches (zero data touch — the per-day monitoring sketches);
+    each later step re-sketches the chosen intermediate's remaining
+    key columns (one pass over the intermediate — sketch propagation,
+    the replayable form of System R's statistics propagation) and
+    re-runs the selection; the last candidate's position is forced
+    and its estimate is the plan's final cardinality. The branch
+    decision collects <= |dims|^2 integer rows of planner state (the
+    pca_components bounded-model-state class); every estimate and
+    every choice replays in DuckDB, where the pre-priced branch
+    lattice filtered to the winner sequence is the branch-free form
+    of the same walk. Reference seat: none (no planner of any kind);
+    textbook greedy System R with sketch cardinalities."""
+    from gpi_etl_spark.operators.skew import join_order_greedy
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey")
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey")
+    return join_order_greedy(
+        li,
+        [
+            ("orders_f", "l_orderkey", orders, "o_orderkey"),
+            ("part_small", "l_partkey", part, "p_partkey"),
+            ("supplier_all", "l_suppkey", supplier, "s_suppkey"),
+        ],
+        width=1024,
+        depth=4,
+        hash_mode="poly",
+    )

@@ -135,3 +135,76 @@ def test_bloom_semi_filter_keeps_every_joinable_row(spark):
     f2 = bloom_semi_filter(with_null, "k", dim, "d", 4096, 4,
                            hash_mode="poly")
     assert f2.filter(F.col("k").isNull()).count() == 0
+
+
+def test_join_order_greedy_collision_free_matches_exact_walk(spark):
+    """With key domains far under the sketch width every estimate is
+    EXACT, so the greedy walk must reproduce the hand-computed
+    left-deep order, price each step exactly, and emit one chosen
+    row per step (the last step forced)."""
+    from gpi_etl_spark.operators.skew import join_order_greedy
+
+    # fact: 60 rows — keys ka 0..5 (x10), kb 0..29 (x2), kc 0..59 (x1)
+    rows = [(i % 6, i % 30, i) for i in range(60)]
+    fact = spark.createDataFrame(rows, "ka int, kb int, kc int")
+    # dims: da keeps half the ka domain, db all kb, dc a third of kc
+    da = spark.createDataFrame([(k,) for k in range(3)], "a int")
+    db = spark.createDataFrame([(k,) for k in range(30)], "b int")
+    dc = spark.createDataFrame([(k,) for k in range(0, 60, 3)], "c int")
+    out = join_order_greedy(
+        fact,
+        [("dim_a", "ka", da, "a"),
+         ("dim_b", "kb", db, "b"),
+         ("dim_c", "kc", dc, "c")],
+        width=512, depth=4, hash_mode="poly",
+    )
+    got = {
+        (r.step, r.pair): (r.est_join_size, r.chosen)
+        for r in out.collect()
+    }
+    # step 1 exact sizes: a=30 (half the rows), b=60, c=20 -> pick c
+    assert got[(1, "dim_a")] == (30, 0)
+    assert got[(1, "dim_b")] == (60, 0)
+    assert got[(1, "dim_c")] == (20, 1)
+    # intermediate = rows with kc % 3 == 0 (20 rows; ka hits 0,3 ten
+    # rows each -> only ka=3 in da? no: da={0,1,2} so ka=0 -> 10 rows)
+    # exact: |int x da| = rows kc%3==0 and ka in {0,1,2}
+    inter = [r for r in rows if r[2] % 3 == 0]
+    exp_a = sum(1 for r in inter if r[0] < 3)
+    exp_b = sum(1 for r in inter if r[1] < 30)
+    assert got[(2, "dim_a")] == (exp_a, 1 if exp_a < exp_b else 0)
+    assert got[(2, "dim_b")][0] == exp_b
+    assert sum(c for (_, c) in got.values()) == 3  # one per step
+    # step 3 forced: the remaining dim, priced over the 2-join prefix
+    step3 = [(s, p) for (s, p) in got if s == 3]
+    assert len(step3) == 1 and got[step3[0]][1] == 1
+    inter2 = [r for r in inter if (r[0] < 3 if exp_a < exp_b else True)]
+    final_dim = "dim_b" if exp_a < exp_b else "dim_a"
+    assert step3[0][1] == final_dim
+
+
+def test_join_order_greedy_drops_null_keys_and_breaks_ties_by_name(
+    spark,
+):
+    from gpi_etl_spark.operators.skew import join_order_greedy
+
+    fact = spark.createDataFrame(
+        [(1, 1), (2, 2), (None, 3), (3, None)],
+        "kx int, ky int",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "d int")
+    out = join_order_greedy(
+        fact,
+        [("z_dim", "kx", dim, "d"), ("a_dim", "ky", dim, "d")],
+        width=256, depth=4, hash_mode="poly",
+    )
+    got = {
+        (r.step, r.pair): (r.est_join_size, r.chosen)
+        for r in out.collect()
+    }
+    # both candidates join 3 non-null keys -> tie, a_dim wins by name
+    assert got[(1, "a_dim")] == (3, 1)
+    assert got[(1, "z_dim")] == (3, 0)
+    # intermediate keeps rows with ky in dim (ky non-null): kx 1,2,None
+    # -> z_dim joins 2 rows at step 2 (forced)
+    assert got[(2, "z_dim")] == (2, 1)

@@ -88,6 +88,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # aggregates (q241/q162's scalar class); the fact
                 # stream itself rides a semi-join, never a BNL.
                 "q262_bloom_join_filter",
+                # q267: the forced-last-step estimate is one
+                # q241-class cms_join_size readout (1x1 scalar
+                # crossJoins); earlier steps' rows are collected
+                # planner-state literals with no join at all, and
+                # every intermediate rides an equi-join. Same class
+                # as q261.
+                "q267_join_order_greedy",
                 # q258: the readout crossJoins three one-row
                 # aggregates (exact totals + the two state checksums)
                 # onto the one-row F2 estimate -- q248's scalar class;
