@@ -1120,3 +1120,118 @@ def l_diversity_audit(
             .alias("is_l_diverse"),
         )
     )
+
+
+def t_closeness_audit(
+    released: DataFrame,
+    class_cols: "list[str]",
+    sensitive_col: str,
+    t_num: int = 1,
+    t_den: int = 5,
+) -> DataFrame:
+    """t-closeness audit of an anonymized release (Li, Li &
+    Venkatasubramanian ICDE '07; public method) — the distributional
+    check l-diversity cannot make: a class can hold l distinct
+    sensitive values and STILL disclose (the skewness attack — e.g. a
+    class that is 90% one rare disease when the population is 1%).
+    t-closeness requires each equivalence class's sensitive
+    distribution to sit within Earth-Mover's Distance t of the global
+    one. For an ORDINAL sensitive attribute with unit ground distance
+    the EMD has the classic closed form over the ordered domain
+    v_1 < … < v_m:
+
+        EMD(P_c, Q) = (1/(m-1)) · Σ_i | Σ_{j<=i} (p_j − q_j) |
+
+    Everything gates as exact integers: with class counts n_cj, class
+    size n_c, global counts N_j, total N, the cumulative deviation at
+    position i is cum_i = Σ_{j<=i} (n_cj·N − N_j·n_c) (int64 exact;
+    the full-domain sum telescopes to 0 — a built-in sanity check),
+    ``sum_abs_cum_dev = Σ_i |cum_i|`` rides the gate as BIGINT, the
+    one float is the final divide emd = sum_abs / ((m−1)·n_c·N), and
+    the t-flag compares by INTEGER cross-multiplication —
+    ``t_num·(m−1)·n_c·N ≥ t_den·sum_abs`` — never a float threshold
+    (t = t_num/t_den, default 1/5). Envelope: m·n_c·N < 2⁶³ (ANSI
+    BIGINT casts assert it).
+
+    NULL sensitive values are EXCLUDED from both distributions (an
+    unordered value has no position in the EMD ground distance);
+    audit missingness disclosure with :func:`l_diversity_audit`,
+    which counts NULL as a visible category. A single-value domain
+    (m = 1) is t-close by definition (emd 0).
+
+    Scale: three map-side-combined groupBys over the release, then a
+    |classes| × |domain| lattice (geometry-bounded crossJoin — never
+    corpus rows) with per-class windows ordered over the ≤ m-row
+    domain; the global (N, m) scalar broadcasts. Output is |classes|
+    rows."""
+    base = released.filter(F.col(sensitive_col).isNotNull())
+    dom = base.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tot"),
+        F.count_distinct(F.col(sensitive_col))
+        .cast("bigint")
+        .alias("m"),
+    )
+    classes = base.groupBy(*class_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    cells = base.groupBy(*class_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cj")
+    )
+    cells_r = cells.select(
+        *[F.col(c).alias(f"_t_{c}") for c in class_cols],
+        F.col(sensitive_col).alias("_t_v"),
+        "n_cj",
+    )
+    grid = classes.crossJoin(F.broadcast(dom))
+    cond = grid[sensitive_col] == cells_r["_t_v"]
+    for c in class_cols:
+        cond = cond & grid[c].eqNullSafe(cells_r[f"_t_{c}"])
+    filled = grid.join(cells_r, cond, "left").select(
+        *[grid[c] for c in class_cols],
+        "n_c",
+        grid[sensitive_col],
+        "n_j",
+        F.coalesce(F.col("n_cj"), F.lit(0)).cast("bigint").alias("n_cj"),
+    )
+    w = (
+        Window.partitionBy(*class_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = F.col("n_cj") * F.col("n_tot") - F.col("n_j") * F.col("n_c")
+    per_class = (
+        filled.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum(dev).over(w).cast("bigint"))
+        .groupBy(*class_cols, "n_c", "m", "n_tot")
+        .agg(
+            F.sum(F.abs(F.col("_cum")))
+            .cast("bigint")
+            .alias("sum_abs_cum_dev")
+        )
+    )
+    denom = (
+        (F.col("m") - 1) * F.col("n_c") * F.col("n_tot")
+    ).cast("bigint")
+    emd = F.when(F.col("m") <= 1, F.lit(0.0)).otherwise(
+        F.col("sum_abs_cum_dev").cast("double")
+        / denom.cast("double")
+    )
+    t_ok = F.when(
+        F.col("m") <= 1, F.lit(1)
+    ).otherwise(
+        (
+            F.lit(int(t_num)) * denom
+            >= F.lit(int(t_den)) * F.col("sum_abs_cum_dev")
+        ).cast("int")
+    )
+    return per_class.select(
+        *class_cols,
+        "n_c",
+        "m",
+        "sum_abs_cum_dev",
+        fs6(emd).alias("emd_r"),
+        t_ok.cast("int").alias("is_t_close"),
+    )

@@ -15949,3 +15949,121 @@ def q267(spark, sf_dir):
         depth=4,
         hash_mode="poly",
     )
+
+
+_Q268_ORACLE = f"""
+WITH c0 AS (SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+            FROM customer),
+g0 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n0
+       FROM c0 GROUP BY 1, 2),
+j0 AS (SELECT c0.*, g0.n0 FROM c0
+       JOIN g0 ON c0.c_nationkey IS NOT DISTINCT FROM g0.c_nationkey
+              AND c0.c_mktsegment IS NOT DISTINCT FROM g0.c_mktsegment),
+l0 AS (SELECT c_nationkey, c_mktsegment, band FROM j0 WHERE n0 >= 8),
+r0 AS (SELECT c_nationkey, c_mktsegment, band FROM j0 WHERE n0 < 8),
+g1 AS (SELECT c_nationkey, count(*) AS n1 FROM r0 GROUP BY 1),
+j1 AS (SELECT r0.*, g1.n1 FROM r0
+       JOIN g1 ON r0.c_nationkey IS NOT DISTINCT FROM g1.c_nationkey),
+rel AS (
+  SELECT 0 AS anon_level, c_nationkey AS nation_anon,
+         c_mktsegment AS segment_anon, band FROM l0
+  UNION ALL
+  SELECT 1, c_nationkey, CAST(NULL AS VARCHAR), band
+  FROM j1 WHERE n1 >= 8
+  UNION ALL
+  SELECT 2, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), band
+  FROM j1 WHERE n1 < 8),
+base AS (SELECT * FROM rel WHERE band IS NOT NULL),
+dom AS (SELECT band, CAST(count(*) AS BIGINT) AS n_j
+        FROM base GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(count(DISTINCT band) AS BIGINT) AS m FROM base),
+cls AS (SELECT anon_level, nation_anon, segment_anon,
+               CAST(count(*) AS BIGINT) AS n_c
+        FROM base GROUP BY 1, 2, 3),
+cells AS (SELECT anon_level, nation_anon, segment_anon, band,
+                 CAST(count(*) AS BIGINT) AS n_cj
+          FROM base GROUP BY 1, 2, 3, 4),
+grid AS (SELECT cls.anon_level, cls.nation_anon, cls.segment_anon,
+                cls.n_c, dom.band, dom.n_j
+         FROM cls CROSS JOIN dom),
+filled AS (
+  SELECT g.anon_level, g.nation_anon, g.segment_anon, g.n_c,
+         g.band, g.n_j, COALESCE(c.n_cj, 0) AS n_cj
+  FROM grid g LEFT JOIN cells c
+    ON g.band = c.band
+   AND g.anon_level IS NOT DISTINCT FROM c.anon_level
+   AND g.nation_anon IS NOT DISTINCT FROM c.nation_anon
+   AND g.segment_anon IS NOT DISTINCT FROM c.segment_anon),
+cum AS (
+  SELECT f.anon_level, f.nation_anon, f.segment_anon, f.n_c,
+         t.n_tot, t.m,
+         CAST(sum(f.n_cj * t.n_tot - f.n_j * f.n_c) OVER (
+             PARTITION BY f.anon_level, f.nation_anon, f.segment_anon
+             ORDER BY f.band
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cumd
+  FROM filled f, tot t),
+agg AS (
+  SELECT anon_level, nation_anon, segment_anon, n_c, m, n_tot,
+         CAST(sum(abs(cumd)) AS BIGINT) AS sum_abs_cum_dev
+  FROM cum GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT CAST(anon_level AS INT) AS anon_level, nation_anon,
+       segment_anon, n_c, m, sum_abs_cum_dev,
+       CASE WHEN m <= 1 THEN 0.0 ELSE
+         {fs6_sql("CAST(sum_abs_cum_dev AS DOUBLE)"
+                  " / CAST((m - 1) * n_c * n_tot AS DOUBLE)")}
+       END AS emd_r,
+       CAST(CASE WHEN m <= 1 THEN 1
+                 WHEN 1 * (m - 1) * n_c * n_tot
+                      >= 5 * sum_abs_cum_dev THEN 1 ELSE 0 END
+            AS INT) AS is_t_close
+FROM agg
+"""
+
+
+@query("q268_t_closeness_audit", _Q268_ORACLE)
+def q268(spark, sf_dir):
+    """t-closeness audit of the q224 k-anonymous release
+    (curation.t_closeness_audit) — the third privacy-audit leg after
+    k-anonymity (q224) and l-diversity (q266): a class can pass both
+    and still disclose by SKEW (90% of one rare band when the
+    population holds 1%). Each released class's band distribution is
+    compared to the global one by the ordinal-EMD closed form; the
+    cumulative deviations gate as exact int64 (the full-domain sum
+    telescopes to 0), the single float is the final divide, and the
+    t = 1/5 flag decides by integer cross-multiplication. The release
+    replays q224's cascading-remainder ladder exactly (the q266
+    oracle's NULL-SAFE cascade); the audit itself is three
+    map-side-combined groupBys + a |classes| × |domain| lattice with
+    per-class windows over the ≤ m-row domain. Reference seat: none
+    (no privacy analytics of any kind)."""
+    from gpi_etl_spark.operators.curation import (
+        k_anonymize,
+        t_closeness_audit,
+    )
+
+    cust = t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+    )
+    anon = k_anonymize(
+        cust,
+        levels=[["c_nationkey", "c_mktsegment"], ["c_nationkey"], []],
+        k=8,
+    )
+    rel = anon.select(
+        "anon_level",
+        F.col("c_nationkey_anon").alias("nation_anon"),
+        F.col("c_mktsegment_anon").alias("segment_anon"),
+        "band",
+    )
+    return t_closeness_audit(
+        rel,
+        ["anon_level", "nation_anon", "segment_anon"],
+        "band",
+        t_num=1,
+        t_den=5,
+    )

@@ -94,3 +94,61 @@ def test_kmv_registers_duplication_and_merge_invariant(spark, items, cut):
             )
         )
         assert merged == whole
+
+
+def test_t_closeness_hand_computed_emd(spark):
+    """Three classes over a 2-value ordinal domain: global 10/10.
+    A=(4,1): EMD 0.3 (fails t=1/5); B=(1,4): symmetric 0.3;
+    C=(5,5): exactly the global mix, EMD 0 (passes)."""
+    from gpi_etl_spark.operators.curation import t_closeness_audit
+
+    rows = (
+        [("A", 1)] * 4 + [("A", 2)] * 1
+        + [("B", 1)] * 1 + [("B", 2)] * 4
+        + [("C", 1)] * 5 + [("C", 2)] * 5
+    )
+    df = spark.createDataFrame(rows, "cls string, v int")
+    got = {
+        r.cls: r
+        for r in t_closeness_audit(df, ["cls"], "v", 1, 5).collect()
+    }
+    assert got["A"].sum_abs_cum_dev == 30  # |4*20 - 10*5|
+    assert abs(got["A"].emd_r - 0.3) < 1e-9
+    assert got["A"].is_t_close == 0
+    assert got["B"].is_t_close == 0
+    assert got["C"].sum_abs_cum_dev == 0 and got["C"].is_t_close == 1
+    assert all(r.m == 2 and r.n_c in (5, 10) for r in got.values())
+
+
+def test_t_closeness_null_sensitive_excluded_and_m1_trivial(spark):
+    from gpi_etl_spark.operators.curation import t_closeness_audit
+
+    # NULL sensitive rows must not move boundaries OR counts
+    rows = [("A", 1), ("A", 1), ("B", 1), ("B", None), ("A", None)]
+    out = {
+        r.cls: r
+        for r in t_closeness_audit(
+            spark.createDataFrame(rows, "cls string, v int"),
+            ["cls"], "v",
+        ).collect()
+    }
+    # single-value domain: everyone t-close by definition, emd 0
+    assert out["A"].n_c == 2 and out["B"].n_c == 1
+    assert all(
+        r.m == 1 and r.emd_r == 0.0 and r.is_t_close == 1
+        for r in out.values()
+    )
+
+
+def test_t_closeness_null_class_is_a_real_class(spark):
+    """Anonymized releases carry NULL quasi-identifier columns (the
+    generalization); the lattice join must be NULL-safe so those
+    classes audit like any other."""
+    from gpi_etl_spark.operators.curation import t_closeness_audit
+
+    rows = [(None, 1), (None, 2), ("x", 1), ("x", 2)]
+    out = t_closeness_audit(
+        spark.createDataFrame(rows, "cls string, v int"), ["cls"], "v"
+    ).collect()
+    assert len(out) == 2
+    assert all(r.sum_abs_cum_dev == 0 and r.is_t_close == 1 for r in out)

@@ -88,6 +88,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # aggregates (q241/q162's scalar class); the fact
                 # stream itself rides a semi-join, never a BNL.
                 "q262_bloom_join_filter",
+                # q268: the |classes| x |domain| EMD lattice is a
+                # geometry-bounded crossJoin of two AGGREGATES (never
+                # corpus rows) plus the one-row (N, m) scalar
+                # broadcast — the q198/q256 bounded-lattice class;
+                # the corpus-scale work is three map-side-combined
+                # groupBys upstream.
+                "q268_t_closeness_audit",
                 # q267: the forced-last-step estimate is one
                 # q241-class cms_join_size readout (1x1 scalar
                 # crossJoins); earlier steps' rows are collected
