@@ -796,3 +796,77 @@ def column_affinity(
     for r in regs[1:]:
         sk = sk.unionByName(r)
     return kmv_overlap(sk, "column_id")
+
+
+def fd_g3(
+    df: DataFrame,
+    lhs: "str | list[str]",
+    rhs: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Approximate-FD g3 error (Kivinen & Mannila '95; the TANE/Pyro
+    measure — public method): the minimum FRACTION of rows that must
+    be removed for ``lhs → rhs`` to hold exactly. :func:`fd_check`
+    answers yes/no; g3 answers "how dirty, and what would the repair
+    cost" — per determinant group, every row not carrying the group's
+    most frequent dependent value is a violation:
+
+        g3 = (n − Σ_lhs max_rhs count(lhs, rhs)) / n
+
+    All counts are exact int64 and ride ONE corpus groupBy to the
+    |lhs × rhs| cell table; the per-determinant (sum, max) and the
+    global sum are cell-table algebra (map-side combined at every
+    level). The one float is the final divide (fs6-pinned);
+    ``holds_exact`` decides by integer equality (violations = 0) and
+    agrees with :func:`fd_check` on NULL-free data.
+
+    NULL semantics: a NULL DETERMINANT row is excluded (a key can't
+    be NULL — fd_check's rule); a NULL dependent is a real value (the
+    dirty-dimension case) and groups like any other. Multi-column
+    determinants pass ``lhs`` as a list.
+
+    Returns one row: ``(fd, n, keep_rows, g3_violations bigint,
+    g3_r double, holds_exact int)``. At 100 TB the corpus pass is the
+    one cell groupBy; a wide candidate sweep shares scans by running
+    several fd_g3 calls over the same cached cell-ish projection."""
+    lhs_cols = [lhs] if isinstance(lhs, str) else list(lhs)
+    label = name or f"{','.join(lhs_cols)} -> {rhs}"
+    keep = F.col(lhs_cols[0]).isNotNull()
+    for c in lhs_cols[1:]:
+        keep = keep & F.col(c).isNotNull()
+    cells = (
+        df.filter(keep)
+        .groupBy(*lhs_cols, rhs)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    per_lhs = cells.groupBy(*lhs_cols).agg(
+        F.sum("_c").cast("bigint").alias("_cnt"),
+        F.max("_c").cast("bigint").alias("_mx"),
+    )
+    return per_lhs.agg(
+        F.lit(label).alias("fd"),
+        F.coalesce(F.sum("_cnt"), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+        F.coalesce(F.sum("_mx"), F.lit(0))
+        .cast("bigint")
+        .alias("keep_rows"),
+    ).select(
+        "fd",
+        "n",
+        "keep_rows",
+        (F.col("n") - F.col("keep_rows"))
+        .cast("bigint")
+        .alias("g3_violations"),
+        F.when(F.col("n") == 0, F.lit(0.0))
+        .otherwise(
+            _fs6(
+                (F.col("n") - F.col("keep_rows")).cast("double")
+                / F.col("n").cast("double")
+            )
+        )
+        .alias("g3_r"),
+        (F.col("n") == F.col("keep_rows")).cast("int").alias(
+            "holds_exact"
+        ),
+    )

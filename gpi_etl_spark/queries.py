@@ -16067,3 +16067,84 @@ def q268(spark, sf_dir):
         t_num=1,
         t_den=5,
     )
+
+
+def _q269_oracle_sql() -> str:
+    """Per-candidate DuckDB replay of the g3 arithmetic: one cell
+    GROUP BY, per-determinant (sum, max), global sums — identical
+    integer algebra, fs6 on the single divide."""
+
+    def one(label, tbl, lhs, rhs):
+        lhs_cols = lhs if isinstance(lhs, list) else [lhs]
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in lhs_cols)
+        lhs_sel = ", ".join(lhs_cols)
+        ratio = fs6_sql(
+            "CAST(sum(cnt) - sum(mx) AS DOUBLE)"
+            " / CAST(sum(cnt) AS DOUBLE)"
+        )
+        return f"""
+    SELECT '{label}' AS fd,
+           CAST(sum(cnt) AS BIGINT) AS n,
+           CAST(sum(mx) AS BIGINT) AS keep_rows,
+           CAST(sum(cnt) - sum(mx) AS BIGINT) AS g3_violations,
+           CASE WHEN sum(cnt) = 0 THEN 0.0 ELSE {ratio} END AS g3_r,
+           CAST(CASE WHEN sum(cnt) = sum(mx) THEN 1 ELSE 0 END
+                AS INT) AS holds_exact
+    FROM (SELECT {lhs_sel}, sum(c) AS cnt, max(c) AS mx
+          FROM (SELECT {lhs_sel}, {rhs}, count(*) AS c
+                FROM {tbl} WHERE {notnull}
+                GROUP BY ALL)
+          GROUP BY ALL)"""
+
+    cands = [
+        ("o_orderkey -> o_custkey", "orders", "o_orderkey",
+         "o_custkey"),
+        ("c_nationkey -> c_mktsegment", "customer", "c_nationkey",
+         "c_mktsegment"),
+        ("l_orderkey -> l_returnflag", "lineitem", "l_orderkey",
+         "l_returnflag"),
+        ("l_partkey -> l_suppkey", "lineitem", "l_partkey",
+         "l_suppkey"),
+        ("l_orderkey,l_linenumber -> l_quantity", "lineitem",
+         ["l_orderkey", "l_linenumber"], "l_quantity"),
+    ]
+    return "\n    UNION ALL\n".join(one(*c) for c in cands)
+
+
+@query("q269_fd_g3_profile", _q269_oracle_sql())
+def q269(spark, sf_dir):
+    """Approximate-FD profiling with the g3 repair-cost measure
+    (quality.fd_g3) — the graded companion to q159's boolean fd_check
+    (Kivinen-Mannila '95; the TANE/Pyro error): per candidate
+    dependency, the minimum fraction of rows whose removal makes it
+    hold. Five candidates: two that hold exactly (order key determines
+    customer; the lineitem PK determines quantity — g3 = 0 must agree
+    with q159's booleans), and three genuinely dirty ones whose
+    violation DEGREE is the deliverable (nation -> segment, order ->
+    returnflag, part -> supplier). One corpus groupBy per candidate to
+    the |lhs x rhs| cell table; per-determinant (sum, max) and the
+    global sums are cell-table algebra, every level map-side
+    combined. Counts gate exact; the one float divide is fs6-pinned;
+    holds_exact decides by integer equality. Reference seat: none
+    (no dependency profiling of any kind)."""
+    from gpi_etl_spark.operators.quality import fd_g3
+
+    li = t(spark, sf_dir, "lineitem")
+    checks = [
+        fd_g3(t(spark, sf_dir, "orders"), "o_orderkey", "o_custkey"),
+        fd_g3(
+            t(spark, sf_dir, "customer"), "c_nationkey", "c_mktsegment"
+        ),
+        fd_g3(li, "l_orderkey", "l_returnflag"),
+        fd_g3(li, "l_partkey", "l_suppkey"),
+        fd_g3(
+            li,
+            ["l_orderkey", "l_linenumber"],
+            "l_quantity",
+            name="l_orderkey,l_linenumber -> l_quantity",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

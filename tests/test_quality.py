@@ -424,3 +424,49 @@ def test_benford_profile_real_benford_data_fits(spark):
     assert 0.25 < out[1].share < 0.36
     assert out[9].share < 0.09
     assert abs(out[1].dev) < 0.06
+
+
+def test_fd_g3_hand_computed_and_agrees_with_fd_check(spark):
+    """g3 on a hand-built frame: k=1 rows split 2a/1b (1 violation),
+    k=2 rows uniform (0). g3 = 1/5; holds_exact mirrors fd_check."""
+    from gpi_etl_spark.operators.quality import fd_check, fd_g3
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "c"),
+            (None, "z")]
+    df = spark.createDataFrame(rows, "k int, v string")
+    g3 = fd_g3(df, "k", "v").first()
+    assert (g3.n, g3.keep_rows, g3.g3_violations) == (5, 4, 1)
+    assert abs(g3.g3_r - 0.2) < 1e-9 and g3.holds_exact == 0
+    assert bool(fd_check(df, "k", "v").first().holds) is False
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "k int, v string"
+    )
+    g3c = fd_g3(clean, "k", "v").first()
+    assert g3c.g3_violations == 0 and g3c.holds_exact == 1
+    assert bool(fd_check(clean, "k", "v").first().holds) is True
+
+
+def test_fd_g3_null_dependent_is_a_value_and_multi_lhs(spark):
+    from gpi_etl_spark.operators.quality import fd_g3
+
+    # (1,'x') vs (1,NULL): the dirty-dimension case — one violation
+    df = spark.createDataFrame(
+        [(1, "x"), (1, None)], "k int, v string"
+    )
+    r = fd_g3(df, "k", "v").first()
+    assert r.g3_violations == 1 and r.holds_exact == 0
+    # multi-column determinant: (a, b) -> v holds here
+    df2 = spark.createDataFrame(
+        [(1, 1, "p"), (1, 2, "q"), (2, 1, "p")],
+        "a int, b int, v string",
+    )
+    r2 = fd_g3(df2, ["a", "b"], "v").first()
+    assert r2.holds_exact == 1 and r2.fd == "a,b -> v"
+
+
+def test_fd_g3_empty_input_is_zero_not_nan(spark):
+    from gpi_etl_spark.operators.quality import fd_g3
+
+    empty = spark.createDataFrame([], "k int, v string")
+    r = fd_g3(empty, "k", "v").first()
+    assert (r.n, r.g3_violations, r.g3_r, r.holds_exact) == (0, 0, 0.0, 1)
