@@ -225,3 +225,110 @@ def rendezvous_shard_sql(expr: str, n_shards: int) -> str:
         f"(SELECT list_position(__sc, list_max(__sc)) - 1 FROM ("
         f"SELECT {scores} AS __sc FROM (SELECT ({g}) AS __rg) ))"
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Priority sampling for weighted subset-sum estimation
+    (Duffield, Lund & Thorup '05/'07 — public method; the scheme
+    proven within a factor of the optimal variance for ANY subset-sum
+    workload). Bottom-k/threshold sampling treats every key alike; a
+    revenue-weighted question wants heavy keys in the sample with
+    certainty and light keys by lottery. Each item gets the priority
+
+        q_i = w_i / u01_i,   u01_i = (key_priority(key_i) + 1) / P
+                             ∈ (0, 1]
+
+    (the +1 dodges u01 = 0, where the priority is infinite; u01 is
+    the repo's deterministic uniform scaled to the unit interval the
+    DLT theorem requires — an UNSCALED integer uniform would leave τ
+    ~P× too small and collapse the estimator to the sampled weights).
+    The k largest priorities are the sample; the (k+1)-th priority is
+    the threshold τ; the unbiased per-item estimator is
+    ``est_w = max(w, τ)`` — Σ est_w over the sample estimates the
+    group's true Σw for ANY selected subset, E-exactly (the DLT
+    theorem). Every arithmetic step is cross-engine exact: w and u
+    are int64; u01 and q are TWO pinned-order IEEE divides of
+    exact-integer doubles (division is correctly rounded —
+    bit-identical in both engines); ties on q break by key so
+    selection is total.
+
+    Items are (group, key) with ``weight = sum(weight_col)``
+    aggregated internally (rows of a key never split). NULL keys are
+    excluded; weights must be POSITIVE integers — a NULL/zero/negative
+    aggregate weight raises at execution (the null-weight-guard
+    convention), because DLT is undefined there.
+
+    Returns the k selected items per group:
+    ``(*group_cols, key_col, w bigint, n_items bigint, tau_r double,
+    est_w_r double)`` — τ is 0 when the group has ≤ k items (the
+    sample is the whole group and est_w = w exactly). fs6-pinned
+    floats; the selection itself is gated by the emitted key set.
+
+    Scale shape: one map-side-combined groupBy to the item table
+    (|keys| rows, never the corpus on the wire), one priority
+    projection, per-group top-(k+1) via the row_number window over
+    ITEMS, and a per-group τ broadcast back. Per-shard samples merge:
+    re-run the operator over the union of per-shard top-(k+1) item
+    sets (q recomputes from (key, w) — pinned by test)."""
+    wcol = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    )
+    items = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(*group_cols, key_col)
+        .agg(F.sum(wcol).cast("bigint").alias("w"))
+    )
+    bad = F.col("w").isNull() | (F.col("w") <= 0)
+    guarded_w = F.when(
+        ~bad, F.col("w")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "priority_sample: item weights must be positive "
+                "integers (NULL/zero/negative aggregate weight) — "
+                "DLT priorities w/u are undefined there."
+            )
+        )
+    )
+    u01 = (
+        (key_priority(key_col, hash_mode) + F.lit(1)).cast("double")
+        / F.lit(float(P))
+    )
+    q = guarded_w.cast("double") / u01
+    wspec = Window.partitionBy(*group_cols).orderBy(
+        F.col("_q").desc(), F.col(key_col).asc()
+    )
+    wgrp = Window.partitionBy(*group_cols)
+    ranked = (
+        items.withColumn("_q", q)
+        .withColumn("_rn", F.row_number().over(wspec))
+        .withColumn(
+            "_tau",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("_rn") == k + 1, F.col("_q"))
+                ).over(wgrp),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wgrp).cast("bigint"))
+    )
+    from gpi_etl_spark.functions.rounding import fs6
+
+    return ranked.filter(F.col("_rn") <= k).select(
+        *group_cols,
+        key_col,
+        "w",
+        F.col("_n").alias("n_items"),
+        fs6(F.col("_tau")).alias("tau_r"),
+        fs6(
+            F.greatest(F.col("w").cast("double"), F.col("_tau"))
+        ).alias("est_w_r"),
+    )

@@ -16148,3 +16148,77 @@ def q269(spark, sf_dir):
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def _q270_oracle_sql(k: int) -> str:
+    """DLT replay: item weights, w/u01 priorities from the shared
+    poly-hash uniform scaled to (0, 1], row_number rank with key
+    tiebreak, τ = the (k+1)-th priority, est_w = max(w, τ). The two
+    pinned-order divides are IEEE ops over exact-integer doubles —
+    bit-identical cross-engine."""
+    from gpi_etl_spark.operators.sampling import P, key_priority_sql
+
+    u = key_priority_sql("pk")
+    return f"""
+    WITH items AS MATERIALIZED (
+      SELECT l_returnflag AS rf, CAST(l_partkey AS VARCHAR) AS pk,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem WHERE l_partkey IS NOT NULL
+      GROUP BY 1, 2),
+    pr AS MATERIALIZED (
+      SELECT rf, pk, w,
+             CAST(w AS DOUBLE)
+               / (CAST(({u}) + 1 AS DOUBLE) / CAST({P} AS DOUBLE))
+               AS q
+      FROM items),
+    rk AS (
+      SELECT rf, pk, w, q,
+             row_number() OVER (PARTITION BY rf
+                                ORDER BY q DESC, pk ASC) AS rn,
+             CAST(count(*) OVER (PARTITION BY rf) AS BIGINT)
+               AS n_items
+      FROM pr),
+    tau AS (
+      SELECT rf, COALESCE(max(CASE WHEN rn = {k + 1} THEN q END),
+                          0.0) AS tau
+      FROM rk GROUP BY 1)
+    SELECT rk.rf AS l_returnflag, rk.pk, rk.w, rk.n_items,
+           {fs6_sql("tau.tau")} AS tau_r,
+           {fs6_sql("greatest(CAST(rk.w AS DOUBLE), tau.tau)")}
+             AS est_w_r
+    FROM rk JOIN tau ON rk.rf = tau.rf
+    WHERE rk.rn <= {k}
+    """
+
+
+@query("q270_priority_sample", _q270_oracle_sql(32))
+def q270(spark, sf_dir):
+    """Weighted priority sampling (sampling.priority_sample) — the
+    Duffield-Lund-Thorup scheme that completes the sampling seat next
+    to q253's unweighted coordinated samples: per return flag, the 32
+    part keys whose quantity-weighted priorities w/u are largest,
+    with the (k+1)-th priority as the threshold τ and the unbiased
+    per-item estimator est_w = max(w, τ) (Σ est_w over ANY selected
+    subset estimates that subset's true quantity total — the DLT
+    theorem; heavy parts enter with certainty, light parts by
+    coordinated lottery). Every number gates: the item weights and
+    sample SET exactly as int64/keys, the priorities and τ as single
+    IEEE divides of exact-integer doubles (correctly rounded in both
+    engines). Scale: one map-side-combined groupBy to the item table,
+    a priority projection, per-group top-(k+1) windows over ITEMS
+    (never corpus rows); per-shard samples merge by re-running over
+    unioned top-(k+1) item sets. Reference seat: none (pandas head
+    slicing only)."""
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_partkey").cast("string").alias("pk"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    return priority_sample(
+        li, "pk", "qty", 32, ("l_returnflag",), hash_mode="poly"
+    )

@@ -160,3 +160,86 @@ def test_rendezvous_rejects_out_of_range_n(spark):
         rendezvous_shard("k", RENDEZVOUS_MAX_SHARDS + 1)
     with pytest.raises(ValueError, match="out of range"):
         rendezvous_shard_sql("k", 100)
+
+
+def test_priority_sample_small_group_is_exact_and_tau_zero(spark):
+    """k >= |items|: the sample IS the group, tau = 0 and est_w = w —
+    the estimator degenerates to the exact total."""
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    rows = [("g", f"k{i}", i + 1) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, k string, w int")
+    out = priority_sample(df, "k", "w", 8, ("g",)).collect()
+    assert len(out) == 5
+    assert all(r.tau_r == 0.0 and r.est_w_r == float(r.w) for r in out)
+    assert all(r.n_items == 5 for r in out)
+
+
+def test_priority_sample_heavy_keys_enter_with_certainty(spark):
+    """A weight far above the threshold is ALWAYS sampled (w > tau
+    implies q = w/u > tau for any u <= P... specifically w >= tau
+    guarantees q >= w/P * P/w... checked empirically here) and its
+    estimator is its own weight."""
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    rows = [("g", f"k{i}", 1) for i in range(200)] + [
+        ("g", "whale", 10**9)
+    ]
+    df = spark.createDataFrame(rows, "g string, k string, w long")
+    out = {r.k: r for r in priority_sample(df, "k", "w", 16, ("g",)).collect()}
+    assert "whale" in out
+    assert out["whale"].est_w_r == float(10**9)  # w > tau: est = w
+
+
+def test_priority_sample_estimator_is_calibrated(spark):
+    """Sanity bound on the DLT estimator: the sampled est_w sum lands
+    within 35% of the true group total on a 500-item uniform-ish
+    weight spread at k=64 (loose envelope; the determinism is the
+    contract, the calibration is the sanity check)."""
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    rows = [("g", f"key{i:04d}", (i * 37) % 100 + 1) for i in range(500)]
+    true_total = sum(w for _, _, w in rows)
+    df = spark.createDataFrame(rows, "g string, k string, w int")
+    out = priority_sample(df, "k", "w", 64, ("g",)).collect()
+    est = sum(r.est_w_r for r in out)
+    assert abs(est - true_total) / true_total < 0.35
+    assert len(out) == 64
+
+
+def test_priority_sample_merges_from_shard_states(spark):
+    """Distributed merge law: running the operator over the UNION of
+    per-shard top-(k+1) item sets reproduces the global sample and
+    threshold exactly (q recomputes from (key, w))."""
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    rows = [("g", f"key{i:04d}", (i * 17) % 50 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, k string, w int")
+    k = 16
+    whole = sorted(
+        (r.k, r.w, r.tau_r, r.est_w_r)
+        for r in priority_sample(df, "k", "w", k, ("g",)).collect()
+    )
+    shard_a = df.filter("substring(k, 7, 1) in ('0','1','2','3','4')")
+    shard_b = df.subtract(shard_a)
+    state = priority_sample(shard_a, "k", "w", k + 1, ("g",)).unionByName(
+        priority_sample(shard_b, "k", "w", k + 1, ("g",))
+    ).select("g", "k", "w")
+    merged = sorted(
+        (r.k, r.w, r.tau_r, r.est_w_r)
+        for r in priority_sample(state, "k", "w", k, ("g",)).collect()
+    )
+    assert merged == whole
+
+
+def test_priority_sample_rejects_nonpositive_weights(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [("g", "a", 5), ("g", "b", 0)], "g string, k string, w int"
+    )
+    with pytest.raises(PySparkException, match="positive"):
+        priority_sample(df, "k", "w", 4, ("g",)).collect()
