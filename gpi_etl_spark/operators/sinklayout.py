@@ -171,3 +171,124 @@ def write_zordered(
         .drop("_z")
     )
     out.write.mode(mode).parquet(path)
+
+
+def zone_map_advisor(
+    df: DataFrame,
+    key_col: str,
+    n_files: int,
+    predicates: "Sequence[tuple[int, int]]",
+) -> DataFrame:
+    """Quantify what a sort-by-key layout is WORTH before paying for
+    the rewrite: simulate the parquet zone-map (row-group min/max)
+    skipping a range predicate gets under (a) a RANGE layout — files
+    hold equal-width key zones, the write_range_sorted outcome — and
+    (b) a HASH layout, the what-you-get-by-default strawman where
+    every file spans the whole key range and nothing ever prunes.
+    This is the planner-facing half of the sinklayout family: the
+    min/max-skipping claim on write_range_sorted's docstring, measured
+    instead of asserted.
+
+    Mechanics (every number exact int64, fully DuckDB-replayable):
+    file ids are ``(key − min)·n_files div (max − min + 1)`` for the
+    range layout (integer zone arithmetic off the global min/max
+    scalar) and ``poly_hash(key) mod n_files`` for the hash layout;
+    ONE corpus pass builds both layouts' zone tables (explode of two
+    (layout, fid) structs, map-side-combined groupBy to ≤ 2·n_files
+    rows); a file is PRUNED for predicate [lo, hi] iff its zone
+    ``max < lo`` or ``min > hi`` (the parquet row-group rule). The
+    exact per-predicate match counts ride the same corpus pass as
+    conditional sums, so the report states selectivity next to scan
+    fraction.
+
+    NULL keys are excluded from both layouts (parquet null-count
+    stats prune them separately — out of scope, documented). Returns
+    one row per (predicate, layout): ``(pred_id int, lo, hi, layout,
+    n_files int, files_pruned bigint, rows_scanned bigint,
+    rows_matching bigint)``. Scale: the corpus touches two aggregates
+    (zone build + match counts); the prune decision is a
+    |preds| × 2·n_files lattice join — KB."""
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("bigint").alias("_k")
+    )
+    bounds = base.agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+    from gpi_etl_spark.functions import xhash
+
+    fid_hash = F.pmod(
+        xhash.poly_hash(F.col("_k").cast("string")), F.lit(n_files)
+    ).cast("int")
+    keyed = base.crossJoin(F.broadcast(bounds))
+    fid_range = F.expr(
+        f"CAST((_k - _mn) * {int(n_files)} DIV (_mx - _mn + 1) AS INT)"
+    )
+    tagged = keyed.select(
+        "_k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("range").alias("layout"),
+                    fid_range.alias("fid"),
+                ),
+                F.struct(
+                    F.lit("hash").alias("layout"),
+                    fid_hash.alias("fid"),
+                ),
+            )
+        ).alias("_lf"),
+    ).select("_k", "_lf.layout", "_lf.fid")
+    zones = tagged.groupBy("layout", "fid").agg(
+        F.min("_k").alias("zmin"),
+        F.max("_k").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("zrows"),
+    )
+    preds = df.sparkSession.createDataFrame(
+        [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(predicates)],
+        "pred_id int, lo bigint, hi bigint",
+    )
+    match_aggs = [
+        F.sum(
+            ((F.col("_k") >= int(lo)) & (F.col("_k") <= int(hi)))
+            .cast("bigint")
+        ).alias(f"_m{i}")
+        for i, (lo, hi) in enumerate(predicates)
+    ]
+    matches = base.agg(*match_aggs)
+    match_rows = preds.crossJoin(F.broadcast(matches)).select(
+        "pred_id",
+        "lo",
+        "hi",
+        F.coalesce(
+            *[
+                F.when(F.col("pred_id") == i, F.col(f"_m{i}"))
+                for i in range(len(predicates))
+            ]
+        )
+        .cast("bigint")
+        .alias("rows_matching"),
+    )
+    lattice = preds.crossJoin(F.broadcast(zones))
+    pruned = F.col("zmax") < F.col("lo")
+    pruned = pruned | (F.col("zmin") > F.col("hi"))
+    report = lattice.groupBy("pred_id", "lo", "hi", "layout").agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum(pruned.cast("bigint")).cast("bigint").alias(
+            "files_pruned"
+        ),
+        F.sum(
+            F.when(~pruned, F.col("zrows")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rows_scanned"),
+    )
+    return report.join(match_rows, ["pred_id", "lo", "hi"]).select(
+        "pred_id",
+        "lo",
+        "hi",
+        "layout",
+        "n_files",
+        "files_pruned",
+        "rows_scanned",
+        "rows_matching",
+    )

@@ -16222,3 +16222,86 @@ def q270(spark, sf_dir):
     return priority_sample(
         li, "pk", "qty", 32, ("l_returnflag",), hash_mode="poly"
     )
+
+
+def _q271_oracle_sql(n_files: int, preds: "list[tuple[int, int]]") -> str:
+    """Zone-table replay: identical integer zone arithmetic for the
+    range layout, the shared poly hash for the hash layout, the
+    parquet min/max prune rule over the preds x zones lattice, and
+    conditional-sum exact match counts."""
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph
+
+    values = ", ".join(
+        f"({i}, {int(lo)}, {int(hi)})" for i, (lo, hi) in enumerate(preds)
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS k
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (SELECT min(k) AS mn, max(k) AS mx FROM base),
+    tagged AS MATERIALIZED (
+      SELECT 'range' AS layout,
+             CAST((k - mn) * {n_files} // (mx - mn + 1) AS INT) AS fid,
+             k
+      FROM base, b
+      UNION ALL
+      SELECT 'hash',
+             CAST(({_ph("CAST(k AS VARCHAR)")}) % {n_files} AS INT), k
+      FROM base),
+    zones AS (
+      SELECT layout, fid, min(k) AS zmin, max(k) AS zmax,
+             CAST(count(*) AS BIGINT) AS zrows
+      FROM tagged GROUP BY 1, 2),
+    preds(pred_id, lo, hi) AS (VALUES {values}),
+    mt AS (
+      SELECT p.pred_id,
+             CAST(sum(CASE WHEN base.k BETWEEN p.lo AND p.hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS rows_matching
+      FROM base, preds p GROUP BY 1),
+    rep AS (
+      SELECT p.pred_id, p.lo, p.hi, z.layout,
+             CAST(count(*) AS INT) AS n_files,
+             CAST(sum(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+             CAST(sum(CASE WHEN z.zmax < p.lo OR z.zmin > p.hi
+                      THEN 0 ELSE z.zrows END) AS BIGINT)
+               AS rows_scanned
+      FROM preds p CROSS JOIN zones z GROUP BY 1, 2, 3, 4)
+    SELECT CAST(rep.pred_id AS INT) AS pred_id,
+           CAST(rep.lo AS BIGINT) AS lo, CAST(rep.hi AS BIGINT) AS hi,
+           rep.layout, rep.n_files, rep.files_pruned,
+           rep.rows_scanned, mt.rows_matching
+    FROM rep JOIN mt ON rep.pred_id = mt.pred_id
+    """
+
+
+_Q271_PREDS = [(0, 2_000_000), (4_000_000, 4_500_000), (0, 11_000_000)]
+
+
+@query("q271_zonemap_advisor", _q271_oracle_sql(64, _Q271_PREDS))
+def q271(spark, sf_dir):
+    """Zone-map / data-skipping advisor (sinklayout.zone_map_advisor)
+    — the measured form of the range-sorted-layout claim the sink
+    family makes: simulate parquet row-group min/max skipping for
+    three price-range predicates under (a) the equal-width RANGE
+    layout write_range_sorted produces and (b) the default-ish HASH
+    layout where every file spans the whole domain. One corpus pass
+    builds BOTH layouts' 64-file zone tables (explode of two
+    (layout, fid) structs, map-side combined); the prune decision is
+    the parquet rule (zmax < lo OR zmin > hi) over the preds × zones
+    KB lattice; exact match counts ride the same corpus pass as
+    conditional sums so selectivity sits next to scan fraction. All
+    integers — zone ids by exact integer zone arithmetic off the
+    global min/max scalar, the hash layout on the shared poly hash.
+    At 100 TB this is the advisor a layout rewrite decision reads:
+    here the narrow predicate scans ~|match| rows under range and the
+    WHOLE table under hash. Reference seat: none (no layout control
+    of any kind)."""
+    from gpi_etl_spark.operators.sinklayout import zone_map_advisor
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    return zone_map_advisor(li, "cents", 64, _Q271_PREDS)

@@ -148,3 +148,49 @@ def test_write_zordered_tiles_are_compact(spark, tmp_path):
         assert max(xs) - min(xs) == 15 and max(ys) - min(ys) == 15
         boxes.append((min(xs), min(ys)))
     assert sorted(boxes) == [(0, 0), (0, 16), (16, 0), (16, 16)]
+
+
+def test_zone_map_advisor_range_prunes_hash_does_not(spark):
+    """0..999 over 10 files: a [0,99] predicate prunes 9/10 range
+    files and scans only its own zone; the hash layout's every file
+    spans the domain, so nothing prunes and the whole table scans."""
+    from gpi_etl_spark.operators.sinklayout import zone_map_advisor
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    out = {
+        (r.pred_id, r.layout): r
+        for r in zone_map_advisor(
+            df, "k", 10, [(0, 99), (450, 549)]
+        ).collect()
+    }
+    r0 = out[(0, "range")]
+    assert (r0.files_pruned, r0.rows_scanned, r0.rows_matching) == (
+        9, 100, 100,
+    )
+    h0 = out[(0, "hash")]
+    assert (h0.files_pruned, h0.rows_scanned, h0.rows_matching) == (
+        0, 1000, 100,
+    )
+    # the straddling predicate touches exactly its two range zones
+    r1 = out[(1, "range")]
+    assert (r1.files_pruned, r1.rows_scanned) == (8, 200)
+    assert all(r.n_files == 10 for r in out.values())
+
+
+def test_zone_map_advisor_null_keys_excluded_and_empty_pred(spark):
+    from gpi_etl_spark.operators.sinklayout import zone_map_advisor
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(None,)] * 20, "k long"
+    )
+    out = {
+        (r.pred_id, r.layout): r
+        for r in zone_map_advisor(
+            df, "k", 4, [(1000, 2000)]
+        ).collect()
+    }
+    # a predicate outside the domain prunes EVERY file in both layouts
+    assert out[(0, "range")].files_pruned == 4
+    assert out[(0, "range")].rows_scanned == 0
+    assert out[(0, "hash")].files_pruned == 4
+    assert out[(0, "range")].rows_matching == 0

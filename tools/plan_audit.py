@@ -88,6 +88,13 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # aggregates (q241/q162's scalar class); the fact
                 # stream itself rides a semi-join, never a BNL.
                 "q262_bloom_join_filter",
+                # q271: three bounded crossJoins — the one-row
+                # min/max bounds scalar onto the key stream (q162's
+                # exact pattern), the one-row match-count aggregate
+                # onto the |preds| literal table, and the
+                # |preds| x 2*n_files zone lattice (KB) — never
+                # corpus x corpus.
+                "q271_zonemap_advisor",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
