@@ -131,3 +131,79 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return counted.filter(F.col("n") * k >= F.lit(total))
+
+
+def superspreaders(
+    df: DataFrame,
+    key_col: str,
+    partner_col: str,
+    top_n: int = 20,
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Distinct-cardinality heavy hitters — the F₀ sibling of
+    :func:`heavy_hitters` (which ranks by FREQUENCY): which keys
+    touch the most DISTINCT partners? The superspreader question —
+    users contacting the most distinct hosts, suppliers reaching the
+    most distinct customers, IPs scanning the most distinct ports —
+    where frequency is the wrong score (one partner hit a million
+    times is not spread).
+
+    The q171 candidates-then-exact-recount pattern applied to
+    distinct counts: per key, a k-min-registers sketch over the
+    partner set (sketches.kmv_build — constant size per key however
+    many partners) scores every key; the ``top_n`` keys by estimate
+    (ties by key) become candidates; the EXACT distinct partner count
+    is then recounted for the candidates alone — so the ranking is
+    sketch-cheap over the full key population and the reported
+    numbers are exact where it matters. The distinct (key, partner)
+    pre-pass trades one dedup shuffle for a k× smaller register
+    expansion (the q221 rationale — right when pairs repeat;
+    superspreader streams repeat heavily).
+
+    NULL keys/partners drop (no identity, no spread). Returns
+    ``top_n`` rows: ``(key_col, reg_sum bigint, est_r double,
+    exact_distinct bigint)``. The candidate cut is top-n-by-estimate:
+    a key whose TRUE cardinality belongs in the top n can miss when
+    its ±1/√k estimate falls below the n-th estimate — the standard
+    sketch-ranking caveat; size k to the gap you need to resolve.
+
+    Scale: register build is one map-side-combined aggregation (≤ k
+    rows per key per partition on the wire); the top-n cut is a
+    sort-limit (per-partition top-n + tiny merge — never a global
+    window); the recount semi-joins the distinct pair stream to
+    ``top_n`` keys (broadcast). Output is top_n rows."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+    from gpi_etl_spark.functions.rounding import fs6
+
+    pairs = (
+        df.filter(
+            F.col(key_col).isNotNull() & F.col(partner_col).isNotNull()
+        )
+        .select(
+            F.col(key_col).alias("_sk"),
+            F.col(partner_col).cast("string").alias("_sp"),
+        )
+        .distinct()
+    )
+    regs = kmv_build(pairs, "_sp", ("_sk",), k=k, hash_mode=hash_mode)
+    est = kmv_estimate(regs, ("_sk",))
+    cands = est.orderBy(
+        F.col("est").desc(), F.col("_sk").asc()
+    ).limit(top_n)
+    exact = (
+        pairs.join(
+            F.broadcast(cands.select("_sk")), "_sk", "left_semi"
+        )
+        .groupBy("_sk")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    )
+    return (
+        cands.join(exact, "_sk")
+        .select(
+            F.col("_sk").alias(key_col),
+            "reg_sum",
+            fs6(F.col("est")).alias("est_r"),
+            "exact_distinct",
+        )
+    )

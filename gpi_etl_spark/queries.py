@@ -16305,3 +16305,71 @@ def q271(spark, sf_dir):
         .alias("cents")
     )
     return zone_map_advisor(li, "cents", 64, _Q271_PREDS)
+
+
+def _q272_oracle_sql(top_n: int, k: int) -> str:
+    """Grouped q221-class register replay keyed by supplier over the
+    DISTINCT (supplier, customer) pairs of lineitem x orders, the
+    method-of-moments estimate, a raw-est ORDER BY ... LIMIT cut
+    (ties by key — Spark's sort-limit twin), then the exact recount
+    for the candidates."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE)"
+        f" / CAST(reg_sum + {k} AS DOUBLE) - 1.0"
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT l.l_suppkey AS sk,
+             CAST(o.o_custkey AS VARCHAR) AS sp
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_suppkey IS NOT NULL AND o.o_custkey IS NOT NULL),
+    b AS MATERIALIZED (
+      SELECT sk, {_ph_sql("sp")} AS h FROM pairs),
+    gm AS MATERIALIZED (SELECT sk, {_cm_sql("h")} AS gh FROM b),
+    r AS (SELECT sk, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS (SELECT sk, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    s AS (SELECT sk, CAST(sum(mi) AS BIGINT) AS reg_sum
+          FROM m GROUP BY 1),
+    cand AS (SELECT sk, reg_sum, {est} AS est FROM s
+             ORDER BY est DESC, sk ASC LIMIT {top_n}),
+    e AS (SELECT sk, CAST(count(*) AS BIGINT) AS exact_distinct
+          FROM pairs GROUP BY 1)
+    SELECT cand.sk AS l_suppkey, cand.reg_sum,
+           {fs6_sql("cand.est")} AS est_r, e.exact_distinct
+    FROM cand JOIN e ON cand.sk = e.sk
+    """
+
+
+@query("q272_superspreaders", _q272_oracle_sql(20, 64))
+def q272(spark, sf_dir):
+    """Distinct-cardinality heavy hitters
+    (heavyhitters.superspreaders) — the F₀ sibling of q171's
+    frequency heavy hitters: the 20 suppliers reaching the most
+    DISTINCT customers (lineitem x orders), ranked by a per-supplier
+    k-min-registers sketch of the customer set and then EXACTLY
+    recounted for the candidates alone — the q171
+    candidates-then-recount pattern applied to distinct counts, so
+    the full supplier population pays constant sketch state per key
+    and only the top 20 pay an exact pass. The distinct-pair
+    pre-pass, the register build, the sort-limit candidate cut
+    (per-partition top-n + tiny merge, never a global window) and
+    the broadcast-semi-join recount all replay in DuckDB; the
+    estimate's single division is the q221 pinned IEEE op. Reference
+    seat: none (pandas nunique only)."""
+    from gpi_etl_spark.operators.heavyhitters import superspreaders
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    joined = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "inner"
+    ).select("l_suppkey", "o_custkey")
+    return superspreaders(
+        joined, "l_suppkey", "o_custkey", top_n=20, k=64,
+        hash_mode="poly",
+    )

@@ -132,3 +132,40 @@ def test_non_string_items(spark):
     df = spark.createDataFrame([(v,) for v in data], "user_id long")
     got = {r.user_id: r.n for r in heavy_hitters(df, "user_id", k=6).collect()}
     assert got == {7: 50, 9: 30}
+
+
+def test_superspreaders_ranks_by_distinct_not_frequency(spark):
+    """One key with 3 distinct partners repeated 100x each must lose
+    to a key with 30 distinct partners seen once — the F0/F1 split
+    this operator exists for. Exact recounts are exact."""
+    from gpi_etl_spark.operators.heavyhitters import superspreaders
+
+    rows = (
+        [("noisy", f"p{i % 3}") for i in range(300)]
+        + [("spreader", f"q{i}") for i in range(30)]
+        + [("mid", f"r{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, p string")
+    out = superspreaders(df, "k", "p", top_n=2, k=64)
+    got = {r.k: r for r in out.collect()}
+    assert set(got) == {"spreader", "mid"}
+    assert got["spreader"].exact_distinct == 30
+    assert got["mid"].exact_distinct == 10
+    # estimates land within the advertised ~1/sqrt(k) envelope (x3)
+    for r in got.values():
+        assert abs(r.est_r - r.exact_distinct) <= max(
+            3 * r.exact_distinct / 8.0, 3
+        )
+
+
+def test_superspreaders_null_keys_and_partners_drop(spark):
+    from gpi_etl_spark.operators.heavyhitters import superspreaders
+
+    rows = [("a", "x"), ("a", None), (None, "y"), ("b", "x"),
+            ("b", "y")]
+    df = spark.createDataFrame(rows, "k string, p string")
+    got = {
+        r.k: r.exact_distinct
+        for r in superspreaders(df, "k", "p", top_n=5, k=16).collect()
+    }
+    assert got == {"a": 1, "b": 2}
