@@ -16373,3 +16373,78 @@ def q272(spark, sf_dir):
         joined, "l_suppkey", "o_custkey", top_n=20, k=64,
         hash_mode="poly",
     )
+
+
+def _q273_oracle_sql(k: int) -> str:
+    """One-shot batch replay of the maintained stream sample: the
+    whole-table bottom-k per event type IS the correct final state of
+    ANY micro-batch fold sequence (min-heap algebra) — a hash match
+    here certifies the fold's delivery invariance cross-engine, not
+    just priority parity."""
+    from gpi_etl_spark.operators.sampling import key_priority_sql
+
+    pri = key_priority_sql("uid")
+    return f"""
+    WITH u AS MATERIALIZED (
+      SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+      FROM events WHERE user_id IS NOT NULL),
+    p AS MATERIALIZED (
+      SELECT event_type, uid, {pri} AS pri FROM u),
+    bk AS (SELECT event_type, uid, pri, row_number() OVER (
+             PARTITION BY event_type ORDER BY pri, uid) AS rn
+           FROM p)
+    SELECT event_type, uid, CAST(pri AS BIGINT) AS pri
+    FROM bk WHERE rn <= {k}
+    """
+
+
+@query("q273_stream_key_sample", _q273_oracle_sql(32))
+def q273(spark, sf_dir):
+    """Streamed coordinated bottom-k key sample
+    (streaming/sinks.stream_key_sample) — the sampling seat joining
+    the sink family: maintain "a deterministic 32-user debug slice
+    per event type, forever" as micro-batch state bounded at
+    k·|groups| rows however much data streams through. The fold is
+    idempotent BY ALGEBRA (bottom-k of a union with priorities
+    recomputed from the keys — min-heap algebra), so unlike the
+    cms/ams/exact-agg sinks it needs NO applied-batch ledger: any
+    replay or delivery split folds to the identical state, and the
+    gate exploits exactly that — the maintained stream state is
+    hash-matched against DuckDB's ONE-SHOT whole-table bottom-k, so
+    any fold fault (lost batch, double fold, priority drift) breaks
+    the match. fam stamp guards k/hash-family drift across
+    checkpoints eagerly. The DLT weighted sampler deliberately has no
+    streamed twin (accumulating weights re-order priorities — not
+    maintainable from bounded state; documented on the sink).
+    Reference seat: none (no streaming of any kind)."""
+    import shutil
+
+    from gpi_etl_spark.streaming.sinks import (
+        sample_state,
+        stream_key_sample,
+    )
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+    )
+    root = _landing(spark, "q273", sf_dir)
+    table, ckpt = root + "/sample", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, v, "q273src", sf_dir)
+    q = stream_key_sample(
+        stream,
+        table,
+        "uid",
+        checkpoint=ckpt,
+        k=32,
+        group_cols=("event_type",),
+        hash_mode="poly",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sample_state(spark, table).select("event_type", "uid", "pri")

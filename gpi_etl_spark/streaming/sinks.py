@@ -632,3 +632,125 @@ def stream_agg_view(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sample_fam(k: int, hash_mode: str) -> str:
+    """The geometry/derivation stamp a streamed bottom-k sample state
+    table carries (the cms_geo/kmv-fam lesson applied at birth):
+    priorities depend on the hash family, and the retained-set size
+    IS the state's geometry — folding a k=16 delta into a k=64 state,
+    or xxhash64 priorities into poly state, silently corrupts the
+    sample. Bump the ``samp1`` segment on any future priority-
+    derivation change."""
+    return f"samp1-{hash_mode}-k{k}"
+
+
+def sample_state(spark: SparkSession, path: str) -> DataFrame:
+    """The sampled key rows of a streamed bottom-k sample —
+    ``(*group_cols, key_col, pri)``, the fam stamp stripped. Semi-join
+    any table sharing the key to materialize its sample (the
+    coordination property holds against BATCH samples of the same
+    hash_mode — one key universe, one priority)."""
+    return spark.read.parquet(path).drop("fam")
+
+
+def sample_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key_col: str,
+    k: int,
+    group_cols: tuple[str, ...] = (),
+    hash_mode: str = "xxhash64",
+) -> None:
+    """Fold one micro-batch into a maintained coordinated bottom-k
+    KEY sample (operators/sampling.py::sample_keys_bottomk as
+    streamed state) — "keep a deterministic k-key debug slice of this
+    stream, forever" at ``k·|groups|`` state rows however much data
+    flows. Like the kmv sink (and unlike cms/ams/agg), this fold is
+    IDEMPOTENT BY ALGEBRA, so no applied-batch ledger is needed: the
+    sample is a pure function of the SET of keys seen — bottom-k of a
+    union, with the per-key priority recomputed from the key itself —
+    so an at-least-once replay or any delivery split folds to the
+    identical state (min-heap algebra; delivery invariance pinned in
+    tests). The batch reduces to its own bottom-k first (≤ k·|groups|
+    rows enter the merge), then the union with live state re-reduces.
+
+    The ``fam`` stamp (:func:`sample_fam`) guards both drift axes
+    eagerly, the stream_cms pattern: a checkpoint straddling a k or
+    hash_mode change dies at the first fold instead of merging
+    incompatible priorities. NOTE the DLT weighted sampler
+    (sampling.priority_sample) deliberately has NO streamed twin:
+    accumulating key weights re-order priorities, so its sample is
+    not maintainable from bounded state — the unweighted coordinated
+    sample is the one that streams."""
+    from gpi_etl_spark.operators.sampling import sample_keys_bottomk
+
+    fam = sample_fam(k, hash_mode)
+    delta = sample_keys_bottomk(
+        batch, key_col, k, group_cols, hash_mode
+    ).withColumn("fam", F.lit(fam))
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+    if fs.exists(live):
+        state = spark.read.parquet(path)
+        if "fam" not in state.columns:
+            raise ValueError(
+                f"sample_fold_batch: live state at {path} predates "
+                "the fam stamp — rebuild the streamed sample once "
+                "(drop the table + checkpoint) to upgrade."
+            )
+        got = state.select("fam").first()
+        if got is not None and got.fam != fam:
+            raise ValueError(
+                f"sample_fold_batch: live state at {path} was built "
+                f"as {got.fam} but the caller supplied {fam} — "
+                "bottom-k over mixed priority families or k sizes "
+                "corrupts the sample. Use the state's geometry or "
+                "rebuild."
+            )
+        merged = sample_keys_bottomk(
+            state.drop("fam", "pri").unionByName(
+                delta.drop("fam", "pri")
+            ),
+            key_col,
+            k,
+            group_cols,
+            hash_mode,
+        ).withColumn("fam", F.lit(fam))
+    else:
+        merged = delta
+    _swap_in(merged, fs, live, staged, old, base)
+
+
+def stream_key_sample(
+    stream: DataFrame,
+    path: str,
+    key_col: str,
+    checkpoint: str,
+    k: int = 64,
+    group_cols: tuple[str, ...] = (),
+    hash_mode: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Attach the bottom-k sample-fold sink to a streaming DataFrame —
+    a coordinated key sample maintained as micro-batch state. Returns
+    the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        sample_fold_batch(
+            spark, batch_df, path, key_col, k,
+            group_cols=group_cols, hash_mode=hash_mode,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

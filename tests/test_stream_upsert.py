@@ -340,3 +340,69 @@ def test_agg_fold_batch_null_value_raises(spark, dirs):
     )
     with pytest.raises(PySparkException, match="NULL value"):
         agg_fold_batch(spark, bad, 0, path, "g", "v")
+
+
+def test_sample_fold_batch_matches_batch_bottomk_and_is_idempotent(
+    spark, dirs
+):
+    """The maintained sample must equal the one-shot bottom-k over
+    the union under ANY batch split (min-heap algebra), and replaying
+    a batch — at-least-once delivery — must not change it. No ledger
+    exists to save it: the algebra is the exactly-once mechanism."""
+    from gpi_etl_spark.operators.sampling import sample_keys_bottomk
+    from gpi_etl_spark.streaming.sinks import (
+        sample_fold_batch,
+        sample_state,
+    )
+
+    _, sink, _ = dirs
+    path = sink + "/samp"
+    b1 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(40)], "g string, key string"
+    )
+    b2 = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(30, 80)]
+        + [("b", f"v{i}") for i in range(5)],
+        "g string, key string",
+    )
+    for b in (b1, b2):
+        sample_fold_batch(
+            spark, b, path, "key", 8, ("g",), hash_mode="poly"
+        )
+    streamed = sorted(map(tuple, sample_state(spark, path).collect()))
+    direct = sorted(map(tuple, sample_keys_bottomk(
+        b1.unionByName(b2), "key", 8, ("g",), hash_mode="poly"
+    ).collect()))
+    assert streamed == direct
+    # small group: fewer than k keys -> the whole group is the sample
+    assert sum(1 for r in streamed if r[0] == "b") == 5
+    # replay b1 — idempotent by algebra
+    sample_fold_batch(
+        spark, b1, path, "key", 8, ("g",), hash_mode="poly"
+    )
+    again = sorted(map(tuple, sample_state(spark, path).collect()))
+    assert again == direct
+
+
+def test_sample_fold_batch_geometry_drift_raises(spark, dirs):
+    """A checkpoint straddling a k or hash-family change must die at
+    the first fold — bottom-k over mixed priority families or sizes
+    corrupts the sample silently otherwise."""
+    import pytest
+
+    from gpi_etl_spark.streaming.sinks import sample_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/sampdrift"
+    b = spark.createDataFrame(
+        [("a", f"u{i}") for i in range(20)], "g string, key string"
+    )
+    sample_fold_batch(spark, b, path, "key", 8, ("g",), hash_mode="poly")
+    with pytest.raises(ValueError, match="samp1-poly-k8"):
+        sample_fold_batch(
+            spark, b, path, "key", 16, ("g",), hash_mode="poly"
+        )
+    with pytest.raises(ValueError, match="samp1-poly-k8"):
+        sample_fold_batch(
+            spark, b, path, "key", 8, ("g",), hash_mode="xxhash64"
+        )
