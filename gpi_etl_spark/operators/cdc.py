@@ -158,3 +158,86 @@ def snapshot_diff(
         "n_keys",
         F.create_map(*pairs).alias("col_changes"),
     )
+
+
+def join_view_delta(
+    a_old: DataFrame,
+    da: DataFrame,
+    b_old: DataFrame,
+    db: DataFrame,
+    a_key: str,
+    b_key: str,
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Incremental maintenance of an equi-JOIN view from signed deltas
+    — the bilinear delta rule (classic incremental view maintenance;
+    Blakeley et al. '86 lineage, the z-relation/DBSP formulation):
+
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    with row multiplicities carried as a SIGN column on the deltas
+    (+1 insert, −1 retraction; base tables are multiplicity 1 per
+    row) and the output sign the PRODUCT of input signs for the
+    ΔA ⋈ ΔB term. Appending the returned signed rows to the old view
+    and consolidating (:func:`consolidate_view`) reproduces
+    ``(A ∪ ΔA) ⋈ (B ∪ ΔB)`` exactly — the law the q274 gate carries
+    as a zero.
+
+    At 100 TB this is the point of CDC: a maintained join view costs
+    |ΔA|·fanout + |ΔB|·fanout + |ΔA ⋈ ΔB| per refresh instead of
+    re-joining two full tables — three equi-joins whose small sides
+    are the deltas (broadcast when deltas are small, which is the
+    use case). Column sets: the output carries a_old's and b_old's
+    columns plus ``sign_col``; the deltas must carry their base
+    table's full column set plus ``sign_col``."""
+    a_cols = a_old.columns
+    b_cols = b_old.columns
+    a1 = da.alias("l").join(
+        b_old.alias("r"),
+        F.col(f"l.{a_key}") == F.col(f"r.{b_key}"),
+        "inner",
+    ).select(
+        *[F.col(f"l.{c}") for c in a_cols],
+        *[F.col(f"r.{c}") for c in b_cols],
+        F.col(f"l.{sign_col}").cast("int").alias(sign_col),
+    )
+    a2 = a_old.alias("l").join(
+        db.alias("r"),
+        F.col(f"l.{a_key}") == F.col(f"r.{b_key}"),
+        "inner",
+    ).select(
+        *[F.col(f"l.{c}") for c in a_cols],
+        *[F.col(f"r.{c}") for c in b_cols],
+        F.col(f"r.{sign_col}").cast("int").alias(sign_col),
+    )
+    a3 = da.alias("l").join(
+        db.alias("r"),
+        F.col(f"l.{a_key}") == F.col(f"r.{b_key}"),
+        "inner",
+    ).select(
+        *[F.col(f"l.{c}") for c in a_cols],
+        *[F.col(f"r.{c}") for c in b_cols],
+        (F.col(f"l.{sign_col}") * F.col(f"r.{sign_col}"))
+        .cast("int")
+        .alias(sign_col),
+    )
+    return a1.unionByName(a2).unionByName(a3)
+
+
+def consolidate_view(
+    rows: DataFrame, sign_col: str = "sign"
+) -> DataFrame:
+    """Collapse a signed multiset to net multiplicities: group by
+    every non-sign column, sum signs, drop rows that cancel to zero.
+    Returns the value columns plus ``mult int`` (net multiplicity —
+    positive for a consistent view; a negative mult means a
+    retraction had no matching row, i.e. the delta stream is
+    inconsistent with the base, and is deliberately KEPT visible
+    rather than clamped). One map-side-combined groupBy over the
+    signed rows."""
+    value_cols = [c for c in rows.columns if c != sign_col]
+    return (
+        rows.groupBy(*value_cols)
+        .agg(F.sum(sign_col).cast("int").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )

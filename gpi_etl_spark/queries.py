@@ -16448,3 +16448,175 @@ def q273(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return sample_state(spark, table).select("event_type", "uid", "pri")
+
+
+_Q274_ORACLE = """
+WITH a_old AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'),
+a_new AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1997-01-01'
+     OR o_orderpriority <> '5-LOW'),
+b_old AS MATERIALIZED (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_acctbal >= 0),
+b_new AS MATERIALIZED (
+  SELECT c_custkey, c_mktsegment FROM customer),
+vo AS (SELECT a.o_orderkey, a.o_orderpriority, a.cents,
+              b.c_custkey, b.c_mktsegment,
+              CAST(count(*) AS BIGINT) AS m
+       FROM a_old a JOIN b_old b ON a.o_custkey = b.c_custkey
+       GROUP BY ALL),
+vn AS (SELECT a.o_orderkey, a.o_orderpriority, a.cents,
+              b.c_custkey, b.c_mktsegment,
+              CAST(count(*) AS BIGINT) AS m
+       FROM a_new a JOIN b_new b ON a.o_custkey = b.c_custkey
+       GROUP BY ALL),
+d AS (SELECT COALESCE(vn.o_orderkey, vo.o_orderkey) AS o_orderkey,
+             COALESCE(vn.c_mktsegment, vo.c_mktsegment) AS seg,
+             COALESCE(vn.cents, vo.cents) AS cents,
+             COALESCE(vn.m, 0) - COALESCE(vo.m, 0) AS dm
+      FROM vn FULL OUTER JOIN vo
+        ON vn.o_orderkey IS NOT DISTINCT FROM vo.o_orderkey
+       AND vn.o_orderpriority IS NOT DISTINCT FROM vo.o_orderpriority
+       AND vn.cents IS NOT DISTINCT FROM vo.cents
+       AND vn.c_custkey IS NOT DISTINCT FROM vo.c_custkey
+       AND vn.c_mktsegment IS NOT DISTINCT FROM vo.c_mktsegment
+      WHERE COALESCE(vn.m, 0) <> COALESCE(vo.m, 0))
+SELECT seg AS c_mktsegment,
+       CAST(CASE WHEN dm > 0 THEN 1 ELSE -1 END AS INT) AS s,
+       CAST(sum(abs(dm)) AS BIGINT) AS n_rows,
+       CAST(sum(dm * cents) AS BIGINT) AS cents_net,
+       CAST(0 AS BIGINT) AS law_violations
+FROM d GROUP BY 1, 2
+"""
+
+
+@query("q274_join_view_delta", _Q274_ORACLE)
+def q274(spark, sf_dir):
+    """Incremental join-view maintenance (cdc.join_view_delta) — the
+    bilinear delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB over signed
+    deltas, the classic IVM result the CDC family was missing: a
+    maintained orders⋈customer view refreshed from deltas (new 1997+
+    orders inserted, all '5-LOW' old orders retracted, negative-
+    balance customers inserted) at delta-join cost instead of a full
+    re-join. The gate runs the algebra against the OTHER path (the
+    q253 lesson): Spark consolidates the old view + computed delta
+    and summarizes the CONSOLIDATED delta per (segment, sign); the
+    DuckDB oracle never sees the delta rule — it diffs the fully
+    re-joined new view against the old one as a multiset. The law
+    itself (consolidated old+delta == re-joined new view, row
+    multiplicities included) rides as the gated-zero law_violations
+    column (the q257 pattern). Three equi-joins whose small sides
+    are the deltas — broadcast at real delta:base ratios; the
+    summary is one map-side-combined groupBy over the consolidated
+    delta. Reference seat: none (full-reload only)."""
+    from gpi_etl_spark.operators.cdc import (
+        consolidate_view,
+        join_view_delta,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderdate",
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+    a_old = orders.filter(F.col("o_orderdate") < cutoff).drop(
+        "o_orderdate"
+    )
+    inserts = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .drop("o_orderdate")
+        .withColumn("sign", F.lit(1))
+    )
+    retractions = a_old.filter(
+        F.col("o_orderpriority") == "5-LOW"
+    ).withColumn("sign", F.lit(-1))
+    da = inserts.unionByName(retractions)
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    b_old = cust.filter(F.col("c_acctbal") >= 0).drop("c_acctbal")
+    db = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .drop("c_acctbal")
+        .withColumn("sign", F.lit(1))
+    )
+    delta = join_view_delta(
+        a_old, da, b_old, db, "o_custkey", "c_custkey"
+    )
+    cdelta = consolidate_view(delta)
+    summary = (
+        cdelta.groupBy(
+            "c_mktsegment",
+            F.when(F.col("mult") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("s"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("mult"))).cast("bigint").alias("n_rows"),
+            F.sum(F.col("mult") * F.col("cents"))
+            .cast("bigint")
+            .alias("cents_net"),
+        )
+    )
+    # the law, gated as a zero: consolidate(old_view + delta) must
+    # equal the re-joined new view with multiplicities
+    old_view = a_old.alias("l").join(
+        b_old.alias("r"),
+        F.col("l.o_custkey") == F.col("r.c_custkey"),
+        "inner",
+    ).select(
+        "l.o_orderkey", "l.o_custkey", "l.o_orderpriority", "l.cents",
+        "r.c_custkey", "r.c_mktsegment",
+    ).withColumn("sign", F.lit(1))
+    lhs = consolidate_view(old_view.unionByName(delta))
+    a_new = consolidate_view(
+        a_old.withColumn("sign", F.lit(1)).unionByName(da)
+    ).drop("mult")
+    b_new = consolidate_view(
+        b_old.withColumn("sign", F.lit(1)).unionByName(db)
+    ).drop("mult")
+    vcols = [
+        "o_orderkey", "o_custkey", "o_orderpriority", "cents",
+        "c_custkey", "c_mktsegment",
+    ]
+    rhs = (
+        a_new.alias("l")
+        .join(
+            b_new.alias("r"),
+            F.col("l.o_custkey") == F.col("r.c_custkey"),
+            "inner",
+        )
+        .select(
+            "l.o_orderkey", "l.o_custkey", "l.o_orderpriority",
+            "l.cents", "r.c_custkey", "r.c_mktsegment",
+        )
+        .groupBy(*vcols)
+        .agg(F.count(F.lit(1)).cast("int").alias("mult"))
+    )
+    cond = None
+    for c in vcols:
+        eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        cond = eq if cond is None else cond & eq
+    law = (
+        lhs.alias("a")
+        .join(rhs.alias("b"), cond, "full_outer")
+        .filter(
+            ~F.coalesce(F.col("a.mult"), F.lit(0)).eqNullSafe(
+                F.coalesce(F.col("b.mult"), F.lit(0))
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("law_violations"))
+    )
+    return summary.crossJoin(F.broadcast(law))

@@ -153,3 +153,65 @@ def test_cdc_merge_same_seq_same_op_deterministic(spark):
         ).repartition(4)
         got = cdc_merge(snap, tie, ["k"]).collect()
         assert len(got) == 1 and got[0].v == 5.0
+
+
+def test_join_view_delta_law_inserts_and_retractions(spark):
+    """The bilinear rule: appending the delta to the old view and
+    consolidating must reproduce the re-joined new tables exactly —
+    inserts, retractions, and the delta-x-delta corner all at once."""
+    from gpi_etl_spark.operators.cdc import (
+        consolidate_view,
+        join_view_delta,
+    )
+
+    a_old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "ak int, av string"
+    )
+    da = spark.createDataFrame(
+        [(4, "w", 1), (2, "y", -1)], "ak int, av string, sign int"
+    )
+    b_old = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (4, "r")], "bk int, bv string"
+    )
+    db = spark.createDataFrame(
+        [(1, "p2", 1), (4, "r2", 1)], "bk int, bv string, sign int"
+    )
+    delta = join_view_delta(a_old, da, b_old, db, "ak", "bk")
+    old_view = a_old.join(
+        b_old, a_old["ak"] == b_old["bk"], "inner"
+    ).withColumn("sign", __import__("pyspark").sql.functions.lit(1))
+    lhs = consolidate_view(old_view.unionByName(delta))
+    import pyspark.sql.functions as F
+
+    a_new = consolidate_view(
+        a_old.withColumn("sign", F.lit(1)).unionByName(da)
+    ).drop("mult")
+    b_new = consolidate_view(
+        b_old.withColumn("sign", F.lit(1)).unionByName(db)
+    ).drop("mult")
+    rhs = (
+        a_new.join(b_new, a_new["ak"] == b_new["bk"], "inner")
+        .groupBy("ak", "av", "bk", "bv")
+        .agg(F.count(F.lit(1)).cast("int").alias("mult"))
+    )
+    assert sorted(map(tuple, lhs.collect())) == sorted(
+        map(tuple, rhs.collect())
+    )
+    # the retracted (2,y)x(2,q) pair is gone; the dAxdB corner
+    # (4,w)x(4,r2) is present exactly once
+    keys = {(r.ak, r.av, r.bv) for r in lhs.collect()}
+    assert (2, "y", "q") not in keys
+    assert (4, "w", "r2") in keys and (4, "w", "r") in keys
+
+
+def test_consolidate_view_keeps_negative_mult_visible(spark):
+    """A retraction with no matching base row must stay visible as a
+    negative multiplicity (inconsistent delta stream), never be
+    silently clamped."""
+    from gpi_etl_spark.operators.cdc import consolidate_view
+
+    rows = spark.createDataFrame(
+        [("a", 1), ("a", -1), ("ghost", -1)], "v string, sign int"
+    )
+    got = {r.v: r.mult for r in consolidate_view(rows).collect()}
+    assert got == {"ghost": -1}

@@ -88,6 +88,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # aggregates (q241/q162's scalar class); the fact
                 # stream itself rides a semi-join, never a BNL.
                 "q262_bloom_join_filter",
+                # q274: the one-row law_violations aggregate
+                # crossJoins onto the 10-row delta summary (q241's
+                # 1x1 scalar class); every data-path join in the
+                # delta algebra and the law check is an equi/full-
+                # outer join on keys or value tuples.
+                "q274_join_view_delta",
                 # q271: three bounded crossJoins — the one-row
                 # min/max bounds scalar onto the key stream (q162's
                 # exact pattern), the one-row match-count aggregate
