@@ -150,6 +150,21 @@ HEADLINE = [
     "q255_woe_binning",          # exact equi-depth bins + WOE/IV scoring (r10 add)
     "q256_inclusion_profile",    # cross-table FK containment sweep (r10 add)
     "q257_rendezvous_sharding",  # HRW placement + resize-move property (r10 add)
+    "q267_join_order_greedy",    # sketch-priced greedy left-deep planner (r11 add)
+    "q268_t_closeness_audit",    # ordinal-EMD privacy lattice (r11 add)
+    "q270_priority_sample",      # DLT weighted subset-sum sampling (r11 add)
+    "q272_superspreaders",       # per-key KMV F0 heavy hitters + recount (r11 add)
+    "q274_join_view_delta",      # bilinear IVM delta joins + law check (r11 add)
+    # q269 (FD g3) stays unbenched under rule (d): one corpus groupBy
+    # to a cell table + cell algebra — the q50/q159-class aggregate
+    # shapes, all benched.
+    # q271 (zone-map advisor) stays unbenched under rule (d): one
+    # explode-to-2x corpus aggregate (the q188-class expansion shape)
+    # plus KB lattice algebra.
+    # q273 (streamed bottom-k sample) is excluded for q247/q248's
+    # reason: landing rewrite + per-batch state swaps dominate, which
+    # the noop lane would mismeasure; its compute shape (q253-class
+    # bottom-k) is benched.
     # q244 (quantile rollup) stays unbenched under rule (d): its cost
     # is q239's bucket build (the benched rq shape) plus q242-class
     # tiny per-level re-aggregations of the bucket table.

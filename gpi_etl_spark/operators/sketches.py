@@ -174,32 +174,30 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     different geometries with disjoint populated cells never collide
     on a shared cell, so the per-cell check alone was probabilistic
     where the kmv fam check is deterministic). The whole-table check
-    is a min/max window over the merged counter table — bounded at
-    Σ depth×width rows (KB), and the single-partition WindowExec it
-    implies is exactly the right plan at that size. Both guards stay
-    lazy in-expression (no eager action, no optimizer pruning). A
+    rides a ONE-ROW count_distinct(geo) aggregate crossJoined back
+    onto the counters (the q241-class 1×1 scalar-broadcast pattern,
+    already the audit-whitelisted shape for every cms consumer —
+    deliberately NOT a partition-less window, which would put a
+    WindowExec funnel in every merging plan). Both guards stay lazy
+    in-expression (no eager action, no optimizer pruning). A
     tagged/legacy-untagged mix dies in unionByName's schema check, and
     legacy-only inputs merge unguarded — rebuild stored sketches once
     after upgrading (one pass; that is the point of the operator)."""
-    from pyspark.sql import Window
-
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
     if "geo" not in out.columns:
         return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+    whole = out.agg(F.count_distinct("geo").alias("_ngall"))
     merged = out.groupBy("row", "col").agg(
         F.sum("c").alias("c"),
         F.count_distinct("geo").alias("_ng"),
         F.max("geo").alias("geo"),
-    )
+    ).crossJoin(F.broadcast(whole))
     # BOTH outputs guarded (the kmv_overlap both-columns rule): a
     # consumer projecting only the stamp must not see a clean-looking
     # max(geo) from a corrupt mix (review find)
-    w_all = Window.partitionBy()
-    ok = (F.col("_ng") == 1) & (
-        F.min("geo").over(w_all) == F.max("geo").over(w_all)
-    )
+    ok = (F.col("_ng") == 1) & (F.col("_ngall") == 1)
     return merged.select(
         "row",
         "col",
