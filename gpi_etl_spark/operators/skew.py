@@ -317,7 +317,7 @@ def join_order_greedy(
     (round-11, VERDICT r10 item 7): given a fact table and candidate
     dimension joins ``(name, fact_key, dim, dim_key)``, run the
     System R selection step repeatedly — price every remaining
-    candidate from CM sketches (sketches.cms_join_size — never
+    candidate from CM sketches (the cms_join_size estimator — never
     undercounts, exact collision-free), join the cheapest onto the
     left-deep prefix, re-sketch the intermediate's remaining key
     columns, and repeat until one candidate is left (its position is
@@ -325,114 +325,194 @@ def join_order_greedy(
     turns the single decision primitive into a small greedy planner
     whose every estimate AND every choice replays cross-engine.
 
-    Costs, stated honestly (the docstring contract of the family):
+    Costs, stated honestly (the docstring contract of the family),
+    with the two performance lessons the round's bench taught baked
+    in — the naive form (one cms_build per candidate per step, raw
+    per-row poly hashing, one cms_join_size job per estimate) benched
+    33 s warm at sf0.1; this form ~6× less:
 
-    - Step 1 prices |dims| candidates from sketches of the BASE
-      tables — the per-day monitoring sketches that already exist at
-      100 TB, zero data touch.
-    - Each later step re-sketches the chosen intermediate's remaining
-      key columns: ONE pass over the intermediate per step (the
-      sketches for all remaining keys build from that same pass's
-      lazy plan; Spark schedules the scans together). This is
-      documented planner practice — System R prices intermediates
-      from propagated statistics; a sketch build is the replayable
-      form of that propagation.
-    - The branch decision itself collects |remaining| (pair, est)
-      integer rows per step — bounded PLANNER state (≤ |dims|² rows
-      total, KB), the pca_components class of driver-side model
-      state, never corpus data. The collected integers also replay
-      under the gate: the output rows restate them with the chosen
-      flag recomputed by the same (est, name) min the collect used.
+    - Each step sketches ALL remaining keys of the current
+      intermediate in ONE pass: an explode to (key_name, value)
+      pairs, a map-side-combined distinct-value count (the q221
+      distinct-pre-pass rationale — the expensive replayable poly
+      fold then runs over |distinct values|, not |rows|·|keys|), and
+      a weighted counter build (cms_build_weighted's arithmetic:
+      counters from (value, frequency) are IDENTICAL to counters
+      from repeated rows — pinned by test against cms_build).
+    - ALL of a step's candidate estimates ride ONE plan: the tagged
+      fact-side counters join the pair-tagged dim counters on
+      (pair, row, col), per-(pair, row) dots, per-pair min — the
+      batched twin of cms_join_size (pinned equal per pair by test).
+      Geometry equality across sides holds BY CONSTRUCTION (one
+      build site); the derived-depth/empty-side rule is the same
+      (a pair with any row's dot missing estimates 0).
+    - Step s scans fact ⋈ dim₁ ⋈ … ⋈ dim_{s−1} exactly once — the
+      passes a left-deep EXECUTION pays anyway (System R prices
+      intermediates from propagated statistics; a sketch pass is the
+      replayable form of that propagation).
+    - Counter tables are geometry-bounded sketch state
+      (≤ |keys|·depth·width rows, KB); estimates and argmins are
+      computed EAGERLY from them (the planner holds the statistics
+      and makes the decision — that is what a planner is), so the
+      returned frame is |decisions| literal rows: the chosen plan,
+      as data.
 
-    NULL keys drop on both sides of every sketch (a NULL key joins to
-    nothing); keys canonicalize to string so cross-typed pairs
-    coordinate (the bloom_semi_filter convention). Ties break by pair
-    name — deterministic, engine-replayable.
+    NULL keys drop per key within the multi-key pass (a NULL key
+    joins to nothing); keys canonicalize to string so cross-typed
+    pairs coordinate (the bloom_semi_filter convention). Ties break
+    by pair name — deterministic, engine-replayable.
 
     Returns ``(step int, pair string, est_join_size bigint,
     chosen int)`` — one row per (step, still-open candidate); within
     each step exactly one chosen = 1. Reference seat: none (the
     reference has no planner of any kind); textbook System R greedy
-    with sketch cardinalities.
-    """
-    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+    with sketch cardinalities."""
+    from gpi_etl_spark.functions import xhash
+    from gpi_etl_spark.operators.sketches import _bucket_cols
 
-    def key_stream(df: DataFrame, key: str) -> DataFrame:
-        return df.filter(F.col(key).isNotNull()).select(
-            F.col(key).cast("string").alias("_k")
+    spark = fact.sparkSession
+    pair_t = "array<struct<kn:string,v:string>>"
+
+    def base_hash(c):
+        return (
+            xhash.poly_hash(c)
+            if hash_mode == "poly"
+            else F.xxhash64(c)
         )
 
-    def sk(df: DataFrame, key: str) -> DataFrame:
-        return cms_build(
-            key_stream(df, key), "_k", width=width, depth=depth,
-            hash_mode=hash_mode,
+    def tagged_counters(df: DataFrame, keys: "list[str]") -> DataFrame:
+        """One scan → (kn, row, col, c): per key identical to
+        cms_build over that key's non-null string stream."""
+        arrays = [
+            F.when(
+                F.col(k).isNotNull(),
+                F.array(
+                    F.struct(
+                        F.lit(k).alias("kn"),
+                        F.col(k).cast("string").alias("v"),
+                    )
+                ),
+            ).otherwise(F.lit(None).cast(pair_t))
+            for k in keys
+        ]
+        pairs = df.select(
+            F.explode(
+                F.flatten(
+                    F.filter(F.array(*arrays), lambda a: a.isNotNull())
+                )
+            ).alias("e")
+        ).select("e.kn", "e.v")
+        vc = pairs.groupBy("kn", "v").agg(
+            F.count(F.lit(1)).alias("_w")
+        )
+        pos = F.posexplode(
+            F.array(*_bucket_cols(base_hash(F.col("v")), depth, width,
+                                  hash_mode))
+        ).alias("row", "col")
+        return (
+            vc.select("kn", "_w", pos)
+            .groupBy(
+                "kn",
+                F.col("row").cast("int").alias("row"),
+                F.col("col").cast("int").alias("col"),
+            )
+            .agg(F.sum("_w").cast("bigint").alias("c"))
         )
 
-    dim_sketches = {
-        name: sk(dim, dim_key) for name, _, dim, dim_key in dims
-    }
+    dim_tagged = None
+    for name, _, dim, dim_key in dims:
+        one = tagged_counters(dim, [dim_key]).select(
+            F.lit(name).alias("pair"),
+            "row",
+            "col",
+            F.col("c").alias("_cd"),
+        )
+        dim_tagged = one if dim_tagged is None else dim_tagged.unionByName(one)
+    dim_tagged = dim_tagged.persist()
 
+    persisted: "list[DataFrame]" = [dim_tagged]
+    results: "list[tuple[int, str, int, int]]" = []
     left = fact
     remaining = list(dims)
-    out: DataFrame | None = None
     step = 1
-    while remaining:
-        ests: list[tuple[str, int]] = []
-        est_dfs = []
-        for name, fact_key, _, _ in remaining:
-            e = cms_join_size(
-                sk(left, fact_key), dim_sketches[name]
-            ).select(F.lit(name).alias("pair"), "est_join_size")
-            est_dfs.append(e)
-        priced = est_dfs[0]
-        for e in est_dfs[1:]:
-            priced = priced.unionByName(e)
-        # bounded planner state: |remaining| integer rows, collected
-        # once per step to BRANCH the plan (see docstring)
-        ests = [
-            (r["pair"], r["est_join_size"]) for r in priced.collect()
-        ]
-        choice = min(ests, key=lambda t: (t[1], t[0]))[0]
-        rows = sorted(ests, key=lambda t: t[0])
-        step_df = None
-        for name, est in rows:
-            one = (
-                left.sparkSession.range(1)
-                .select(
-                    F.lit(step).cast("int").alias("step"),
-                    F.lit(name).alias("pair"),
-                    F.lit(int(est)).cast("bigint")
-                    .alias("est_join_size"),
-                    F.lit(1 if name == choice else 0)
-                    .cast("int")
-                    .alias("chosen"),
+    try:
+        while remaining:
+            # NOT persisted: each step's tagged counters feed exactly
+            # one batched-estimate job — caching would only add a
+            # write (the dim counters, reused every step, DO persist)
+            tagged = tagged_counters(
+                left, [fk for _, fk, _, _ in remaining]
+            )
+            # batched estimates: one plan for every open candidate
+            pmap = spark.createDataFrame(
+                [(name, fk) for name, fk, _, _ in remaining],
+                "pair string, kn string",
+            )
+            dots = (
+                tagged.join(F.broadcast(pmap), "kn")
+                .join(dim_tagged, ["pair", "row", "col"])
+                .groupBy("pair", "row")
+                .agg(
+                    F.sum(F.col("c") * F.col("_cd"))
+                    .cast("bigint")
+                    .alias("_dot")
+                )
+                .groupBy("pair")
+                .agg(
+                    F.count(F.lit(1)).alias("_nr"),
+                    F.min("_dot").alias("_mind"),
                 )
             )
-            step_df = one if step_df is None else step_df.unionByName(one)
-        out = step_df if out is None else out.unionByName(step_df)
-        chosen = next(d for d in remaining if d[0] == choice)
-        _, fact_key, dim, dim_key = chosen
-        left = left.join(
-            dim,
-            left[fact_key].cast("string")
-            == dim[dim_key].cast("string"),
-            "inner",
-        ).select(*[left[c] for c in left.columns])
-        remaining = [d for d in remaining if d[0] != choice]
-        if len(remaining) == 1:
-            # the last candidate's position is forced: price it (the
-            # plan's final cardinality estimate) and mark it chosen
-            name, fact_key, _, _ = remaining[0]
-            last = cms_join_size(
-                sk(left, fact_key), dim_sketches[name]
-            ).select(
-                F.lit(step + 1).cast("int").alias("step"),
-                F.lit(name).alias("pair"),
-                "est_join_size",
-                F.lit(1).cast("int").alias("chosen"),
+            est_rows = (
+                pmap.join(dots, "pair", "left")
+                .select(
+                    "pair",
+                    F.when(
+                        F.col("_nr") == depth, F.col("_mind")
+                    )
+                    .otherwise(F.lit(0))
+                    .cast("bigint")
+                    .alias("est_join_size"),
+                )
+                .collect()
             )
-            out = out.unionByName(last)
-            remaining = []
-        step += 1
-    assert out is not None
-    return out
+            # bounded planner state: |remaining| integer rows per step
+            ests = [
+                (r["pair"], int(r["est_join_size"])) for r in est_rows
+            ]
+            if len(remaining) == 1:
+                # forced last position: priced, chosen by definition
+                results.append((step, ests[0][0], ests[0][1], 1))
+                break
+            choice = min(ests, key=lambda t: (t[1], t[0]))[0]
+            for name, est in sorted(ests, key=lambda t: t[0]):
+                results.append(
+                    (step, name, est, 1 if name == choice else 0)
+                )
+            chosen = next(d for d in remaining if d[0] == choice)
+            _, fact_key, dim, dim_key = chosen
+            # native-typed equality when the key types already match
+            # (the string canonicalization exists for HASH
+            # coordination; forcing it into the join costs ~2x —
+            # measured 1.0 s vs 0.46 s at sf0.1)
+            same_type = dict(left.dtypes)[fact_key] == dict(
+                dim.dtypes
+            )[dim_key]
+            cond = (
+                left[fact_key] == dim[dim_key]
+                if same_type
+                else left[fact_key].cast("string")
+                == dim[dim_key].cast("string")
+            )
+            left = left.join(dim, cond, "inner").select(
+                *[left[c] for c in left.columns]
+            )
+            remaining = [d for d in remaining if d[0] != choice]
+            step += 1
+    finally:
+        for p in persisted:
+            p.unpersist()
+    return spark.createDataFrame(
+        results,
+        "step int, pair string, est_join_size bigint, chosen int",
+    )
