@@ -108,13 +108,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # the corpus-scale work is three map-side-combined
                 # groupBys upstream.
                 "q268_t_closeness_audit",
-                # q267: the forced-last-step estimate is one
-                # q241-class cms_join_size readout (1x1 scalar
-                # crossJoins); earlier steps' rows are collected
-                # planner-state literals with no join at all, and
-                # every intermediate rides an equi-join. Same class
-                # as q261.
-                "q267_join_order_greedy",
+                # q267 needs no entry: since the batched-estimate
+                # rework its OUTPUT plan is |decisions| literal rows
+                # (the eager planner holds its sketch statistics; the
+                # corpus work happens in equi-join/groupBy jobs during
+                # construction, audited by their own shapes).
                 # q258: the readout crossJoins three one-row
                 # aggregates (exact totals + the two state checksums)
                 # onto the one-row F2 estimate -- q248's scalar class;
