@@ -208,3 +208,48 @@ def test_join_order_greedy_drops_null_keys_and_breaks_ties_by_name(
     # intermediate keeps rows with ky in dim (ky non-null): kx 1,2,None
     # -> z_dim joins 2 rows at step 2 (forced)
     assert got[(2, "z_dim")] == (2, 1)
+
+
+def test_join_order_greedy_estimates_equal_cms_join_size(spark):
+    """The docstring's parity pins: the planner's one-pass weighted
+    counter build and batched estimate plan must produce, per
+    candidate, the EXACT integer cms_join_size would give over
+    cms_build sketches of the same key streams — including in the
+    collision regime (width 32 << |keys|), where the estimates are
+    inflated but must still agree bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+    from gpi_etl_spark.operators.skew import join_order_greedy
+
+    rows = [(i % 97, (i * 7) % 203, i % 11) for i in range(3000)]
+    fact = spark.createDataFrame(rows, "ka int, kb int, kc int")
+    da = spark.createDataFrame([(k,) for k in range(0, 97, 2)], "a int")
+    db = spark.createDataFrame([(k,) for k in range(140)], "b int")
+    dc = spark.createDataFrame([(k,) for k in range(11)], "c int")
+    out = {
+        (r.step, r.pair): r.est_join_size
+        for r in join_order_greedy(
+            fact,
+            [("dim_a", "ka", da, "a"),
+             ("dim_b", "kb", db, "b"),
+             ("dim_c", "kc", dc, "c")],
+            width=32, depth=4, hash_mode="poly",
+        ).collect()
+    }
+
+    def sk(df, key):
+        return cms_build(
+            df.filter(F.col(key).isNotNull()).select(
+                F.col(key).cast("string").alias("_k")
+            ),
+            "_k", width=32, depth=4, hash_mode="poly",
+        )
+
+    for name, fk, dim, dk in (
+        ("dim_a", "ka", da, "a"),
+        ("dim_b", "kb", db, "b"),
+        ("dim_c", "kc", dc, "c"),
+    ):
+        ref = cms_join_size(sk(fact, fk), sk(dim, dk)).first()
+        assert out[(1, name)] == ref.est_join_size, name
