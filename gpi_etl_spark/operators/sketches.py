@@ -1729,3 +1729,201 @@ def ams_f2(
         f2_num.alias("f2_num"),
         _ams_fam_guard(est, F.col("_nf"), "f2").alias("f2_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Invertible Bloom lookup table (set reconciliation from KB state)
+# ---------------------------------------------------------------------------
+#
+# q259's snapshot_diff reconciles two replicas EXACTLY with one
+# full-outer join — the right tool when both tables sit in one
+# cluster. When they don't (two sites, a replica and its DR copy, two
+# vendors' extracts), shipping 100 TB to diff it is the wrong plan:
+# the IBLT (Goodrich & Mitzenmacher '11; Eppstein et al. '11 "What's
+# the Difference?" — public method) reconciles from CONSTANT-size
+# state. Each side summarizes its key set into m cells; cells
+# subtract cell-wise (linearity); the difference decodes the exact
+# symmetric difference by peeling, whp while |diff| ≲ m/1.3 at k = 3.
+# Ship KB, recover the keys themselves — not an estimate of how many
+# (kmv_overlap's seat), the actual keys.
+#
+# Replayable arithmetic: cell indexes are the affine family over the
+# cubic-premixed poly hash (one derivation, i = 0..2 of a size-4
+# family; i = 3 is the check hash), and every cell field is an exact
+# signed int64 sum reduced mod P — both engines compute identical
+# integers, so the CELL TABLE itself can sit under the hash gate, and
+# the decoded difference is gated against the direct anti-join truth.
+
+#: IBLT cell-index/check derivations share one affine family of this
+#: size (i = 0..2 index the k = 3 cells, i = 3 is the check hash).
+#: A size change is a wire-format change — bump deliberately.
+IBLT_FAMILY = 4
+IBLT_K = 3
+
+
+def iblt_cells(
+    df: DataFrame,
+    key_col: str,
+    sign_col,
+    m: int,
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """Build the (subtracted) IBLT cell table over a SIGNED key
+    stream: rows from replica A carry sign +1, rows from replica B
+    sign −1, and because every cell field is a linear sum the result
+    IS iblt(A) − iblt(B) built in one pass over the union (ship the
+    per-side cell tables and subtract cell-wise for the two-site
+    deployment — same algebra). Keys must be non-negative int64
+    BELOW P (≈1e9; asserted lazily) so a pure cell's key is recovered
+    exactly from its mod-P sum; duplicate keys within one side are
+    the caller's contract to avoid (a doubled insert is
+    indistinguishable from two distinct inserts — dedupe first, the
+    operator does NOT pay a distinct for you).
+
+    Returns ``(cell int, cnt bigint, key_sum bigint, chk_sum
+    bigint)`` — exactly ``m`` rows (empty cells included: an
+    all-zeros row is load-bearing for the decode-complete check).
+    One map-side-combined groupBy; ≤ k·m rows per partition on the
+    wire; NULL keys raise (a replica row without a key is corrupt
+    input, not an empty set)."""
+    sign = (
+        F.col(sign_col) if isinstance(sign_col, str) else sign_col
+    ).cast("bigint")
+    key = F.col(key_col).cast("bigint")
+    guarded = F.when(
+        key.isNotNull() & (key >= 0) & (key < xhash.P), key
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "iblt_cells: keys must be non-negative int64 below "
+                f"P={xhash.P} (NULL/negative/too-wide key seen) — "
+                "hash wider keys down to [0, P) first."
+            )
+        )
+    )
+    base = (
+        xhash.poly_hash(guarded.cast("string"))
+        if hash_mode == "poly"
+        else F.pmod(F.xxhash64(guarded.cast("string")), F.lit(xhash.P))
+    )
+    gh = xhash.cubic_mix(base)
+    chk = xhash.affine_hash(gh, IBLT_K, IBLT_FAMILY)
+    entries = F.array(*[
+        F.struct(
+            (xhash.affine_hash(gh, i, IBLT_FAMILY) % m)
+            .cast("int")
+            .alias("cell"),
+        )
+        for i in range(IBLT_K)
+    ])
+    contrib = (
+        df.select(
+            sign.alias("_s"),
+            guarded.alias("_k"),
+            chk.alias("_c"),
+            F.explode(entries).alias("_e"),
+        )
+        .select(
+            F.col("_e.cell").alias("cell"), "_s", "_k", "_c"
+        )
+        .groupBy("cell")
+        .agg(
+            F.sum("_s").cast("bigint").alias("cnt"),
+            F.pmod(F.sum(F.col("_s") * F.col("_k")), F.lit(xhash.P))
+            .cast("bigint")
+            .alias("key_sum"),
+            F.pmod(F.sum(F.col("_s") * F.col("_c")), F.lit(xhash.P))
+            .cast("bigint")
+            .alias("chk_sum"),
+        )
+    )
+    spark = df.sparkSession
+    spine = spark.range(m).select(F.col("id").cast("int").alias("cell"))
+    return (
+        spine.join(contrib, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            F.coalesce("key_sum", F.lit(0))
+            .cast("bigint")
+            .alias("key_sum"),
+            F.coalesce("chk_sum", F.lit(0))
+            .cast("bigint")
+            .alias("chk_sum"),
+        )
+    )
+
+
+def _iblt_check(key: int) -> int:
+    """Driver-side twin of the check-hash derivation (exact integer
+    arithmetic — matches the Column path bit-for-bit)."""
+    P = xhash.P
+    h = 7
+    for ch in str(key):
+        h = (h * 131 + ord(ch)) % P
+    g = (h * ((h * h) % P) + 13 * h + 7) % P
+    a, b = xhash._affine_coeffs(IBLT_FAMILY)
+    return (a[IBLT_K] * g + b[IBLT_K]) % P
+
+
+def _iblt_cells_of(key: int, m: int) -> "list[int]":
+    P = xhash.P
+    h = 7
+    for ch in str(key):
+        h = (h * 131 + ord(ch)) % P
+    g = (h * ((h * h) % P) + 13 * h + 7) % P
+    a, b = xhash._affine_coeffs(IBLT_FAMILY)
+    return [((a[i] * g + b[i]) % P) % m for i in range(IBLT_K)]
+
+
+def iblt_decode(
+    cells_rows: "list",
+    m: int,
+) -> "tuple[list[tuple[int, int]], bool]":
+    """Peel a subtracted IBLT (collected ``iblt_cells`` rows — KB of
+    bounded sketch state; the decode is INHERENTLY a small-state
+    sequential algorithm, which is the whole point: the 100 TB tables
+    never move). Returns ``(decoded, ok)`` where ``decoded`` is
+    [(key, side)] with side +1 = A-only, −1 = B-only, and ``ok`` is
+    True iff every cell drained to zeros (decode complete — whp while
+    |diff| ≲ m/1.3 at k = 3; a False return means m was sized too
+    small for the actual difference: rebuild bigger, the linearity
+    makes that one more pass)."""
+    P = xhash.P
+    cnt = [0] * m
+    ksum = [0] * m
+    csum = [0] * m
+    for r in cells_rows:
+        cnt[r["cell"]] = int(r["cnt"])
+        ksum[r["cell"]] = int(r["key_sum"]) % P
+        csum[r["cell"]] = int(r["chk_sum"]) % P
+    decoded: "list[tuple[int, int]]" = []
+    queue = list(range(m))
+    while queue:
+        nxt: "list[int]" = []
+        progressed = False
+        for c in queue:
+            s = cnt[c]
+            if s not in (1, -1):
+                continue
+            key = (ksum[c] * s) % P
+            if (csum[c] * s) % P != _iblt_check(key):
+                continue  # not pure (colliding residues) — keep
+            decoded.append((key, s))
+            chk = _iblt_check(key)
+            for cc in _iblt_cells_of(key, m):
+                cnt[cc] -= s
+                ksum[cc] = (ksum[cc] - s * key) % P
+                csum[cc] = (csum[cc] - s * chk) % P
+                nxt.append(cc)
+            progressed = True
+        if not progressed:
+            break
+        queue = [c for c in set(nxt) if cnt[c] != 0]
+        # re-scan everything still non-zero too: peeling one key can
+        # purify any cell it shared
+        queue = list({*queue, *[c for c in range(m) if cnt[c] != 0]})
+    ok = all(
+        cnt[c] == 0 and ksum[c] == 0 and csum[c] == 0 for c in range(m)
+    )
+    return decoded, ok

@@ -16620,3 +16620,66 @@ def q274(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("law_violations"))
     )
     return summary.crossJoin(F.broadcast(law))
+
+
+_Q275_ORACLE = """
+WITH a AS MATERIALIZED (SELECT o_orderkey AS k FROM orders),
+b AS MATERIALIZED (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 997 <> 3
+  UNION ALL
+  SELECT o_orderkey + 100000000 FROM orders
+  WHERE o_orderkey % 1009 = 7)
+SELECT CAST(1 AS INT) AS side, CAST(k AS BIGINT) AS o_orderkey
+FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+UNION ALL
+SELECT CAST(-1 AS INT), CAST(k AS BIGINT)
+FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+"""
+
+
+@query("q275_iblt_reconcile", _Q275_ORACLE)
+def q275(spark, sf_dir):
+    """Set reconciliation from constant-size state
+    (sketches.iblt_cells/iblt_decode) — the two-site sibling of
+    q259's full-outer snapshot_diff: two replicas of the orders key
+    set (site B deterministically missing every key ≡ 3 mod 997 and
+    carrying phantom keys for every key ≡ 7 mod 1009) are each
+    summarized into m = 1024 IBLT cells; the cells SUBTRACT
+    (linearity — built here in one signed pass over the union, the
+    same algebra as shipping per-site tables); and the symmetric
+    difference is PEELED back out of the KB-sized difference table —
+    the actual missing/phantom keys, not an estimate of how many.
+    The decode is driver-side by nature (m bounded cells — the whole
+    point is the 100 TB tables never move); the gate hash-matches the
+    decoded keys against DuckDB's direct EXCEPT ground truth, so an
+    incomplete or wrong peel cannot pass. Cell arithmetic is exact
+    signed int64 reduced mod P on the shared derivation family —
+    replayable bit-for-bit. Reference seat: none (no reconciliation
+    of any kind)."""
+    from gpi_etl_spark.operators.sketches import iblt_cells, iblt_decode
+
+    M = 1024
+    keys = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("bigint").alias("k")
+    )
+    a = keys.withColumn("s", F.lit(1))
+    b = (
+        keys.filter(F.col("k") % 997 != 3)
+        .unionByName(
+            keys.filter(F.col("k") % 1009 == 7).select(
+                (F.col("k") + F.lit(100000000)).alias("k")
+            )
+        )
+        .withColumn("s", F.lit(-1))
+    )
+    cells = iblt_cells(a.unionByName(b), "k", "s", M, hash_mode="poly")
+    decoded, ok = iblt_decode(cells.collect(), M)
+    if not ok:
+        raise ValueError(
+            "q275: IBLT decode incomplete — m sized too small for the "
+            "actual difference; rebuild with larger m."
+        )
+    rows = [(int(s), int(k)) for k, s in decoded]
+    return spark.createDataFrame(
+        rows, "side int, o_orderkey bigint"
+    )

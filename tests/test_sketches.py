@@ -1103,3 +1103,68 @@ def test_cms_join_size_one_side_stamped_checks_depth(spark):
     assert one == both == cms_join_size(
         ka.drop("geo"), ka
     ).first().est_join_size
+
+
+def test_iblt_reconciles_inserts_and_deletes_exactly(spark):
+    """The subtracted IBLT must peel back the EXACT symmetric
+    difference — A-only keys with side +1, B-only with -1 — and
+    drain every cell to zeros (ok=True)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import iblt_cells, iblt_decode
+
+    a = spark.createDataFrame(
+        [(k, 1) for k in range(2000)], "k long, s int"
+    )
+    b_keys = [k for k in range(2000) if k % 131 != 5] + [
+        900000 + k for k in range(9)
+    ]
+    b = spark.createDataFrame([(k, -1) for k in b_keys], "k long, s int")
+    cells = iblt_cells(a.unionByName(b), "k", "s", 256, hash_mode="poly")
+    decoded, ok = iblt_decode(cells.collect(), 256)
+    assert ok
+    a_only = sorted(k for k, s in decoded if s == 1)
+    b_only = sorted(k for k, s in decoded if s == -1)
+    assert a_only == [k for k in range(2000) if k % 131 == 5]
+    assert b_only == [900000 + k for k in range(9)]
+
+
+def test_iblt_identical_replicas_decode_empty(spark):
+    from gpi_etl_spark.operators.sketches import iblt_cells, iblt_decode
+
+    a = spark.createDataFrame([(k, 1) for k in range(500)], "k long, s int")
+    b = spark.createDataFrame([(k, -1) for k in range(500)], "k long, s int")
+    cells = iblt_cells(a.unionByName(b), "k", "s", 128, hash_mode="poly")
+    decoded, ok = iblt_decode(cells.collect(), 128)
+    assert ok and decoded == []
+    # every cell row exists and is all-zeros (the m-row spine)
+    rows = cells.collect()
+    assert len(rows) == 128
+    assert all(r.cnt == 0 and r.key_sum == 0 and r.chk_sum == 0 for r in rows)
+
+
+def test_iblt_undersized_m_reports_not_ok(spark):
+    """A difference far beyond m/1.3 cannot fully peel: ok must be
+    False (the caller's rebuild signal), never a silent partial
+    answer presented as complete."""
+    from gpi_etl_spark.operators.sketches import iblt_cells, iblt_decode
+
+    a = spark.createDataFrame([(k, 1) for k in range(400)], "k long, s int")
+    b = spark.createDataFrame([(90000, -1)], "k long, s int")
+    cells = iblt_cells(a.unionByName(b), "k", "s", 16, hash_mode="poly")
+    decoded, ok = iblt_decode(cells.collect(), 16)
+    assert not ok
+
+
+def test_iblt_rejects_bad_keys(spark):
+    import pytest
+    from pyspark.errors import PySparkException
+
+    from gpi_etl_spark.operators.sketches import iblt_cells
+
+    bad = spark.createDataFrame([(-5, 1)], "k long, s int")
+    with pytest.raises(PySparkException, match="non-negative"):
+        iblt_cells(bad, "k", "s", 64).collect()
+    wide = spark.createDataFrame([(10**15, 1)], "k long, s int")
+    with pytest.raises(PySparkException, match="below"):
+        iblt_cells(wide, "k", "s", 64).collect()
