@@ -165,6 +165,10 @@ HEADLINE = [
     # reason: landing rewrite + per-batch state swaps dominate, which
     # the noop lane would mismeasure; its compute shape (q253-class
     # bottom-k) is benched.
+    # q275 (IBLT reconciliation) stays unbenched under rule (d): one
+    # q188-class signed explode + map-side-combined groupBy to m
+    # cells, then a driver-side peel over KB state — the corpus
+    # shape is benched, the peel is sub-millisecond.
     # q244 (quantile rollup) stays unbenched under rule (d): its cost
     # is q239's bucket build (the benched rq shape) plus q242-class
     # tiny per-level re-aggregations of the bucket table.
