@@ -16683,3 +16683,100 @@ def q275(spark, sf_dir):
     return spark.createDataFrame(
         rows, "side int, o_orderkey bigint"
     )
+
+
+_Q276_ORACLE = """
+SELECT l.l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus = 'F' AND p.p_size <= 15
+GROUP BY 1
+"""
+
+
+@query("q276_planner_capstone", _Q276_ORACLE)
+def q276(spark, sf_dir):
+    """The planner-family capstone (the q200 composition pattern):
+    RUN the plan q267's greedy advisor chooses. The same three dim
+    candidates are sketch-priced by skew.join_order_greedy; the
+    returned decision rows fix the left-deep join order; the fact
+    stream first rides skew.bloom_semi_filter on the FIRST chosen
+    (most selective) dim's key — the q262 runtime pushdown, dropping
+    certainly-non-joinable rows before any shuffle — and the chain
+    then executes in the chosen order with broadcast dims, ending in
+    a revenue-by-returnflag aggregate. The gate is the JOIN-ORDER
+    IDENTITY LAW: the oracle computes the same aggregate from a flat
+    SQL join and lets DuckDB pick whatever order it likes — any
+    disagreement means the composed plan (advisor order, bloom
+    filter, broadcast joins) changed RESULTS, which no planner may
+    ever do. Also the Bloom no-false-negatives law rides implicitly
+    (a dropped joinable row would break the counts). Unbenched under
+    rule (d): its cost is q267 (benched) + one three-way broadcast
+    join chain (benched shapes throughout). Reference seat: none."""
+    from gpi_etl_spark.operators.skew import (
+        bloom_semi_filter,
+        join_order_greedy,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dims = {
+        "orders_f": (
+            "l_orderkey",
+            t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey"),
+            "o_orderkey",
+        ),
+        "part_small": (
+            "l_partkey",
+            t(spark, sf_dir, "part")
+            .filter(F.col("p_size") <= 15)
+            .select("p_partkey"),
+            "p_partkey",
+        ),
+        "supplier_all": (
+            "l_suppkey",
+            t(spark, sf_dir, "supplier").select("s_suppkey"),
+            "s_suppkey",
+        ),
+    }
+    plan = join_order_greedy(
+        li.select("l_orderkey", "l_partkey", "l_suppkey"),
+        [(n, fk, d, dk) for n, (fk, d, dk) in dims.items()],
+        width=1024,
+        depth=4,
+        hash_mode="poly",
+    )
+    order = [
+        r.pair
+        for r in sorted(plan.collect(), key=lambda r: r.step)
+        if r.chosen == 1
+    ]
+    # q262 pushdown on the first (cheapest-join, most selective) dim
+    first_fk, first_dim, first_dk = dims[order[0]]
+    left = bloom_semi_filter(
+        li, first_fk, first_dim, first_dk, m_bits=8192, k=4,
+        hash_mode="poly",
+    )
+    for name in order:
+        fk, dim, dk = dims[name]
+        left = left.join(
+            F.broadcast(dim), left[fk] == dim[dk], "inner"
+        ).select(*[left[c] for c in left.columns])
+    return left.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )

@@ -101,6 +101,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # |preds| x 2*n_files zone lattice (KB) — never
                 # corpus x corpus.
                 "q271_zonemap_advisor",
+                # q276: inherits bloom_semi_filter's bounded-bitset
+                # broadcast (the q240/q262 class — the Bloom word
+                # table, ceil(m_bits/63) rows, crossJoins onto the
+                # DISTINCT probe keys); the fact stream itself rides
+                # the semi-join and three broadcast hash joins.
+                "q276_planner_capstone",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
