@@ -7658,16 +7658,14 @@ def _qnum(name: str) -> int:
 #: budget and _ordered_names asserts it.
 _DRIVER_SAMPLE = 50
 
-#: Round-11 priority prefix (must stay ≤ _DRIVER_SAMPLE entries).
-#: EMPTY — round 10 closed the decimal investigation (q233/q237 green
-#: with BIGINT+mod-P gates; the q251 probe red-as-designed, confirming
-#: the driver's DECIMAL canonicalization as the divergence layer, and
-#: retired this round per the q49/q51 precedent). With no open
-#: forensic, every slot goes to the staleness sort: the round's new
-#: never-sampled queries first, then the r5-vintage evidence band
-#: (q114–q176, 29 queries — VERDICT r10 Next round #6) and ascending
-#: vintage, moving the union freshness floor to r6.
-_R11_PRIORITY: list[str] = []
+#: Round-12 priority prefix (must stay ≤ _DRIVER_SAMPLE entries).
+#: EMPTY — no open forensic (round 11 delivered the first zero-red
+#: driver file and a 273/273 latest-green union). Every slot goes to
+#: the staleness sort: the round's new never-sampled queries first,
+#: then the r6-vintage evidence band (37 queries — q99/q105/q111/...
+#: per VERDICT r11 Next round #2) and ascending vintage, moving the
+#: union freshness floor to r7.
+_R12_PRIORITY: list[str] = []
 
 #: rows-only-by-design entries (engine-specific internals, no DuckDB
 #: twin) are pushed to the back of their staleness band since a driver
@@ -7717,9 +7715,9 @@ def _ordered_names() -> list[str]:
     purely dict ordering.
     """
     names = list(REGISTRY)
-    prio = {n: i for i, n in enumerate(_R11_PRIORITY)}
-    assert len(_R11_PRIORITY) <= _DRIVER_SAMPLE, (
-        f"priority prefix {len(_R11_PRIORITY)} > driver sample budget "
+    prio = {n: i for i, n in enumerate(_R12_PRIORITY)}
+    assert len(_R12_PRIORITY) <= _DRIVER_SAMPLE, (
+        f"priority prefix {len(_R12_PRIORITY)} > driver sample budget "
         f"{_DRIVER_SAMPLE} — tail entries would never get driver rows"
     )
     seen = _driver_rounds_seen()
