@@ -441,7 +441,13 @@ def cms_join_size(
     # unverifiable BY CONSTRUCTION (documented asymmetry — rebuild
     # legacy sketches to get the full check).
     def _stamp_depth(geo_col):
-        return F.regexp_extract(geo_col, r"-d(\d+)$", 1).cast("bigint")
+        # try_cast, not cast: regexp_extract yields '' when the stamp
+        # misses the pattern, and under ANSI a bare cast('') dies with
+        # an opaque CAST_INVALID_INPUT instead of reaching the
+        # coalesce-to-True below that raises the real diagnostic.
+        return F.regexp_extract(geo_col, r"-d(\d+)$", 1).try_cast(
+            "bigint"
+        )
 
     if a_geo and b_geo:
         geo_mixed = (
@@ -450,12 +456,22 @@ def cms_join_size(
             | (F.col("_ga") != F.col("_gb"))
         )
     elif a_geo:
-        geo_mixed = (F.col("_nga") > 1) | (
-            _stamp_depth(F.col("_ga")) != F.col("_db")
+        # coalesce-to-True: if the stamp ever fails the '-d(\d+)$'
+        # parse, _stamp_depth is NULL, the inequality is NULL, and a
+        # bare F.when(NULL, raise) would silently SKIP the assertion —
+        # reopening the very gap this check closes. An unparseable
+        # stamp is a geometry-format drift and must fail loudly
+        # (ADVICE r11).
+        geo_mixed = F.coalesce(
+            (F.col("_nga") > 1)
+            | (_stamp_depth(F.col("_ga")) != F.col("_db")),
+            F.lit(True),
         )
     elif b_geo:
-        geo_mixed = (F.col("_ngb") > 1) | (
-            _stamp_depth(F.col("_gb")) != F.col("_da")
+        geo_mixed = F.coalesce(
+            (F.col("_ngb") > 1)
+            | (_stamp_depth(F.col("_gb")) != F.col("_da")),
+            F.lit(True),
         )
     else:
         geo_mixed = F.lit(False)
@@ -1801,11 +1817,19 @@ def iblt_cells(
             )
         )
     )
-    base = (
-        xhash.poly_hash(guarded.cast("string"))
-        if hash_mode == "poly"
-        else F.pmod(F.xxhash64(guarded.cast("string")), F.lit(xhash.P))
-    )
+    if hash_mode != "poly":
+        # Decode is poly-only: iblt_decode's driver-side twins
+        # (_iblt_check/_iblt_cells_of) derive the cell/check hashes
+        # from the poly chain, so cells built under any other mode
+        # could never peel (every decode would return ok=False). Fail
+        # at build time instead of letting a dead parameter produce a
+        # sketch that silently cannot reconcile (ADVICE r11).
+        raise ValueError(
+            "iblt_cells: hash_mode must be 'poly' — the peeling "
+            "decode's driver-side hash twins are poly-only, so cells "
+            f"built with {hash_mode!r} can never decode."
+        )
+    base = xhash.poly_hash(guarded.cast("string"))
     gh = xhash.cubic_mix(base)
     chk = xhash.affine_hash(gh, IBLT_K, IBLT_FAMILY)
     entries = F.array(*[

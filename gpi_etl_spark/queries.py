@@ -16642,7 +16642,7 @@ def q275(spark, sf_dir):
     q259's full-outer snapshot_diff: two replicas of the orders key
     set (site B deterministically missing every key ≡ 3 mod 997 and
     carrying phantom keys for every key ≡ 7 mod 1009) are each
-    summarized into m = 1024 IBLT cells; the cells SUBTRACT
+    summarized into m IBLT cells; the cells SUBTRACT
     (linearity — built here in one signed pass over the union, the
     same algebra as shipping per-site tables); and the symmetric
     difference is PEELED back out of the KB-sized difference table —
@@ -16652,14 +16652,22 @@ def q275(spark, sf_dir):
     decoded keys against DuckDB's direct EXCEPT ground truth, so an
     incomplete or wrong peel cannot pass. Cell arithmetic is exact
     signed int64 reduced mod P on the shared derivation family —
-    replayable bit-for-bit. Reference seat: none (no reconciliation
-    of any kind)."""
+    replayable bit-for-bit. m is DERIVED from the corpus scale
+    (ADVICE r11: the engineered difference is ~|orders|/499, so a
+    constant m only worked at the gate sf) — one metadata-cheap
+    count sizes m to ≥ 4× the 1.3·|diff| decode bound, floor 1024,
+    power of two; in the two-site deployment both replicas derive
+    the same m from their coordinated counts before exchanging
+    cells. Reference seat: none (no reconciliation of any kind)."""
     from gpi_etl_spark.operators.sketches import iblt_cells, iblt_decode
 
-    M = 1024
     keys = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("bigint").alias("k")
     )
+    n = keys.count()
+    # engineered diff ≈ n·(1/997 + 1/1009) ≈ n/499; decode capacity
+    # ≈ m/1.3 → need m ≥ 1.3·n/499 ≈ n/384; take 4× headroom (n/96)
+    M = max(1024, 1 << (n // 96).bit_length())
     a = keys.withColumn("s", F.lit(1))
     b = (
         keys.filter(F.col("k") % 997 != 3)

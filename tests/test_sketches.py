@@ -1168,3 +1168,40 @@ def test_iblt_rejects_bad_keys(spark):
     wide = spark.createDataFrame([(10**15, 1)], "k long, s int")
     with pytest.raises(PySparkException, match="below"):
         iblt_cells(wide, "k", "s", 64).collect()
+
+
+def test_cms_join_size_unparseable_stamp_fails_loudly(spark):
+    """Round-12 (ADVICE r11): if the stamp fails the '-d(\\d+)$'
+    parse, the derived depth is NULL and a bare F.when(NULL, raise)
+    would silently SKIP the one-side-stamped assertion — the exact
+    failure mode the round-11 change closed would reopen on any
+    stamp-format drift. The predicate is coalesced to True, so an
+    unparseable stamp raises instead of estimating."""
+    import pytest
+    from pyspark.errors import PySparkException
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+
+    da = spark.createDataFrame(
+        [(f"k{i}",) for i in range(30)], "item string"
+    )
+    ka = cms_build(da, "item", width=64, depth=4, hash_mode="poly")
+    drifted = ka.withColumn("geo", F.lit("w64-poly-vNEXT"))  # no -d<N>
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_join_size(drifted, ka.drop("geo")).collect()
+    with pytest.raises(PySparkException, match="geometry stamps"):
+        cms_join_size(ka.drop("geo"), drifted).collect()
+
+
+def test_iblt_cells_rejects_non_poly_hash_mode(spark):
+    """Round-12 (ADVICE r11): decode's driver-side hash twins are
+    poly-only, so xxhash64-built cells could never peel (every decode
+    ok=False). The dead parameter now fails at build time."""
+    import pytest
+
+    from gpi_etl_spark.operators.sketches import iblt_cells
+
+    a = spark.createDataFrame([(1, 1)], "k long, s int")
+    with pytest.raises(ValueError, match="poly-only"):
+        iblt_cells(a, "k", "s", 64, hash_mode="xxhash64")
