@@ -516,3 +516,166 @@ def join_order_greedy(
         results,
         "step int, pair string, est_join_size bigint, chosen int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor: broadcast vs shuffled-hash vs sort-merge
+# ---------------------------------------------------------------------------
+#
+# q267 (join_order_greedy) settles the remaining System R axis of
+# WHICH ORDER; this advisor settles HOW each join executes — the
+# three physical strategies every shuffle engine offers (Spark's own
+# selection rule in SparkStrategies: broadcast-hash when the build
+# side fits one executor's memory, shuffled-hash when a single
+# PARTITION of the build side fits and the build side is much
+# smaller than the probe, sort-merge otherwise). The decision inputs
+# are the statistics layer's MERGEABLE one-pass state, never a
+# runtime peek: an additive byte total per table (the simplest
+# sketch there is — sums merge) and the k-min-registers distinct
+# sketch over the build key (the hash table the two hash strategies
+# would build holds one entry per DISTINCT key, so its size is a
+# KMV readout, not a row count). Every number in the trace is exact
+# int64 or the KMV estimator's single correctly-rounded IEEE
+# division, so the full decision table replays bit-for-bit in DuckDB
+# — a planner whose choices are themselves under the hash gate.
+
+#: Flat serialized-width model shared by advisor and oracle: every
+#: fixed-width column (ints, doubles, dates, timestamps) counts 8
+#: bytes, strings count their octet length (NULL → 0), and each row
+#: pays this constant overhead (null bitmap + offsets). A MODEL, not
+#: a parquet measurement — the point is a deterministic figure both
+#: engines derive from the same rows, monotone in real size.
+FLAT_ROW_OVERHEAD = 16
+FLAT_FIXED_BYTES = 8
+
+_FLAT_FIXED_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "boolean",
+}
+
+
+def flat_row_bytes(df: DataFrame) -> F.Column:
+    """Per-row byte size under the flat width model (see constants
+    above). Raises on column types outside the model (arrays, maps,
+    structs, decimals) — a table carrying those needs its own model,
+    not a silently-wrong number."""
+    terms = [F.lit(FLAT_ROW_OVERHEAD)]
+    for name, dtype in df.dtypes:
+        if dtype in _FLAT_FIXED_TYPES:
+            terms.append(F.lit(FLAT_FIXED_BYTES))
+        elif dtype == "string":
+            terms.append(
+                F.coalesce(F.octet_length(F.col(name)), F.lit(0))
+            )
+        else:
+            raise ValueError(
+                f"flat_row_bytes: column {name!r} has type {dtype!r} "
+                "outside the flat width model (fixed-width + string) "
+                "— project it away or extend the model deliberately."
+            )
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = out + t_
+    return out.cast("bigint")
+
+
+def table_bytes(df: DataFrame) -> DataFrame:
+    """One row ``tbl_bytes bigint``: the table's additive byte total
+    under the flat width model. Additive ⇒ mergeable ⇒ maintainable
+    incrementally at ingest (per-partition subtotals sum) — the
+    statistics layer keeps this, production advisors never rescan."""
+    return df.agg(
+        F.coalesce(F.sum(flat_row_bytes(df)), F.lit(0))
+        .cast("bigint")
+        .alias("tbl_bytes")
+    )
+
+
+def join_strategy_advisor(
+    fact: DataFrame,
+    dims: "list[tuple[str, str, DataFrame, str]]",
+    broadcast_bytes: int = 10 * 1024 * 1024,
+    shuffle_partitions: int = 8,
+    smaller_factor: int = 3,
+    k: int = 64,
+) -> DataFrame:
+    """Pick the physical join strategy for each candidate dim join
+    ``(name, fact_key, dim, dim_key)`` from sketch statistics:
+
+    - ``broadcast``      iff dim_bytes ≤ broadcast_bytes (the build
+      side ships to every executor — Spark's
+      autoBroadcastJoinThreshold rule);
+    - ``shuffled_hash``  iff dim_bytes ≤ broadcast_bytes ×
+      shuffle_partitions AND dim_bytes × smaller_factor ≤ fact_bytes
+      (one PARTITION of the build side fits the per-task budget, and
+      building a hash table beats sorting the much larger probe side
+      — Spark's canBuildLocalHashMap ∧ muchSmaller);
+    - ``sort_merge``     otherwise (the always-safe spill path).
+
+    ``est_build_entries`` (KMV distinct of the build key, the hash
+    table's entry count) rides the trace: the two hash strategies
+    size their table by DISTINCT keys, and a dim whose key is heavily
+    duplicated would mislead a rows-based estimate. All thresholds
+    are literals; all inputs are one-pass mergeable statistics (an
+    additive byte sum + k min-registers), so at 100 TB the advisor
+    reads the statistics layer and touches no corpus at decision
+    time — and the whole decision table, estimates AND choices,
+    replays in DuckDB under the hash gate.
+
+    Returns one row per candidate: ``(pair string, dim_bytes bigint,
+    fact_bytes bigint, reg_sum bigint, est_build_entries bigint,
+    strategy string)``, fully lazy (no driver collect — the trace IS
+    the result)."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    per_dim = None
+    for name, _, dim, dim_key in dims:
+        sk = kmv_build(
+            dim.filter(F.col(dim_key).isNotNull()).select(
+                F.col(dim_key).cast("string").alias("_k")
+            ),
+            "_k",
+            k=k,
+            hash_mode="poly",
+        )
+        est = kmv_estimate(sk).select(
+            "reg_sum",
+            F.floor(F.col("est")).cast("bigint").alias(
+                "est_build_entries"
+            ),
+        )
+        one = (
+            table_bytes(dim)
+            .crossJoin(F.broadcast(est))
+            .select(
+                F.lit(name).alias("pair"),
+                F.col("tbl_bytes").alias("dim_bytes"),
+                "reg_sum",
+                "est_build_entries",
+            )
+        )
+        per_dim = one if per_dim is None else per_dim.unionByName(one)
+    fact_b = table_bytes(fact).select(
+        F.col("tbl_bytes").alias("fact_bytes")
+    )
+    bt = F.lit(int(broadcast_bytes))
+    strategy = (
+        F.when(F.col("dim_bytes") <= bt, F.lit("broadcast"))
+        .when(
+            (F.col("dim_bytes") <= bt * F.lit(int(shuffle_partitions)))
+            & (
+                F.col("dim_bytes") * F.lit(int(smaller_factor))
+                <= F.col("fact_bytes")
+            ),
+            F.lit("shuffled_hash"),
+        )
+        .otherwise(F.lit("sort_merge"))
+    )
+    return per_dim.crossJoin(F.broadcast(fact_b)).select(
+        "pair",
+        "dim_bytes",
+        "fact_bytes",
+        "reg_sum",
+        "est_build_entries",
+        strategy.alias("strategy"),
+    )

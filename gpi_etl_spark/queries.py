@@ -16786,3 +16786,111 @@ def q276(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+def _q277_oracle_sql(k: int = 64) -> str:
+    """DuckDB replay of the FULL join-strategy decision table: the
+    flat byte model (16/row + 8 per fixed col + strlen per string,
+    the skew.flat_row_bytes contract), the k-min-registers replay
+    over each dim key (poly base, cubic premix, affine family — the
+    q221 chain), the single-division KMV estimate floored to int64,
+    and the same literal-threshold CASE. Choices AND estimates sit
+    under the hash gate."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah_sql
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm_sql
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph_sql
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE) / CAST(reg_sum + {k} AS DOUBLE)"
+        " - 1.0"
+    )
+    return f"""
+    WITH db AS (
+      SELECT 'orders' AS pair,
+             CAST(sum(16 + 8*4 + strlen(o_orderstatus)
+                      + strlen(o_orderpriority)) AS BIGINT) AS dim_bytes
+      FROM orders
+      UNION ALL
+      SELECT 'part',
+             CAST(sum(16 + 8*3 + strlen(p_name) + strlen(p_brand)
+                      + strlen(p_type)) AS BIGINT)
+      FROM part
+      UNION ALL
+      SELECT 'supplier',
+             CAST(sum(16 + 8*3 + strlen(s_name)) AS BIGINT)
+      FROM supplier),
+    keys AS MATERIALIZED (
+      SELECT 'orders' AS pair, cast(o_orderkey AS varchar) AS kk
+      FROM orders
+      UNION ALL
+      SELECT 'part', cast(p_partkey AS varchar) FROM part
+      UNION ALL
+      SELECT 'supplier', cast(s_suppkey AS varchar) FROM supplier),
+    b AS MATERIALIZED (
+      SELECT pair, {_ph_sql('kk')} AS h FROM keys),
+    gm AS MATERIALIZED (
+      SELECT pair, {_cm_sql('h')} AS gh FROM b),
+    r AS (SELECT pair, g.i AS i, {_ah_sql('gh', 'g.i', k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS (SELECT pair, i, min(ah) AS mi FROM r GROUP BY 1, 2),
+    s AS (SELECT pair, CAST(sum(mi) AS BIGINT) AS reg_sum
+          FROM m GROUP BY 1),
+    fb AS (SELECT CAST(sum(16 + 8*9 + strlen(l_returnflag)
+                           + strlen(l_linestatus)) AS BIGINT)
+                  AS fact_bytes
+           FROM lineitem),
+    j AS (SELECT db.pair, db.dim_bytes, fb.fact_bytes, s.reg_sum,
+                 CAST(floor({est}) AS BIGINT) AS est_build_entries
+          FROM db JOIN s USING (pair) CROSS JOIN fb)
+    SELECT pair, dim_bytes, fact_bytes, reg_sum, est_build_entries,
+           CASE WHEN dim_bytes <= 65536 THEN 'broadcast'
+                WHEN dim_bytes <= 65536 * 8
+                     AND dim_bytes * 3 <= fact_bytes
+                  THEN 'shuffled_hash'
+                ELSE 'sort_merge' END AS strategy
+    FROM j
+    """
+
+
+@query("q277_join_strategy", _q277_oracle_sql(64))
+def q277(spark, sf_dir):
+    """Sketch-priced physical join-strategy selection
+    (skew.join_strategy_advisor) — the System R axis q267's greedy
+    ORDER planner left open: for each candidate dim join against
+    lineitem (orders / part / supplier), choose broadcast-hash vs
+    shuffled-hash vs sort-merge from the statistics layer's
+    mergeable one-pass state — an additive flat-model byte total
+    per table and a 64-register KMV distinct sketch over the build
+    key (the hash table both hash strategies would build holds one
+    entry per DISTINCT key). The rule is Spark's own selection
+    shape (SparkStrategies): broadcast when the build side fits the
+    ship-everywhere budget (65536-byte literal here), shuffled-hash
+    when one partition of it fits (×8 partitions) AND it is 3×
+    smaller than the probe, sort-merge otherwise. Every number in
+    the trace is exact int64 or the KMV estimator's single
+    correctly-rounded IEEE division, so the decision table —
+    estimates AND choices — replays bit-for-bit in DuckDB under the
+    hash gate. At the gate sf the three candidates split three ways
+    (supplier broadcast, part shuffled-hash, orders sort-merge);
+    the split legitimately shifts with sf because the inputs scale
+    — decisions replay, they are not pinned. At 100 TB the advisor
+    reads maintained statistics and touches no corpus at decision
+    time. Reference seat: none (no planner of any kind)."""
+    from gpi_etl_spark.operators.skew import join_strategy_advisor
+
+    return join_strategy_advisor(
+        t(spark, sf_dir, "lineitem"),
+        [
+            ("orders", "l_orderkey", t(spark, sf_dir, "orders"),
+             "o_orderkey"),
+            ("part", "l_partkey", t(spark, sf_dir, "part"),
+             "p_partkey"),
+            ("supplier", "l_suppkey", t(spark, sf_dir, "supplier"),
+             "s_suppkey"),
+        ],
+        broadcast_bytes=65536,
+        shuffle_partitions=8,
+        smaller_factor=3,
+        k=64,
+    )

@@ -253,3 +253,115 @@ def test_join_order_greedy_estimates_equal_cms_join_size(spark):
     ):
         ref = cms_join_size(sk(fact, fk), sk(dim, dk)).first()
         assert out[(1, name)] == ref.est_join_size, name
+
+
+# ---------------------------------------------------------------------------
+# Join-strategy advisor (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_flat_row_bytes_model_exact(spark):
+    """16/row + 8 per fixed-width col + octet length per string
+    (NULL string -> 0) — the exact contract the DuckDB oracle
+    re-derives, so the model itself is pinned here."""
+    from gpi_etl_spark.operators.skew import flat_row_bytes
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "abc"), (2, 3.0, None)],
+        "a bigint, b double, s string",
+    )
+    got = sorted(
+        r.n for r in df.select(flat_row_bytes(df).alias("n")).collect()
+    )
+    # 16 + 8 + 8 + len("abc")=3 -> 35 ; NULL string -> 32
+    assert got == [32, 35]
+
+
+def test_flat_row_bytes_rejects_nested_types(spark):
+    """A column outside the model (array/map/struct/decimal) must
+    raise, not contribute a silently-wrong width."""
+    from gpi_etl_spark.operators.skew import flat_row_bytes
+
+    df = spark.createDataFrame([(1, [1, 2])], "a bigint, xs array<bigint>")
+    with pytest.raises(ValueError, match="outside the flat width model"):
+        flat_row_bytes(df)
+
+
+def test_table_bytes_additive_and_empty(spark):
+    """The byte total is an additive sketch: the sum over two halves
+    equals the whole (the mergeability that lets the statistics layer
+    maintain it incrementally), and an empty table reads 0, not NULL."""
+    from gpi_etl_spark.operators.skew import table_bytes
+
+    df = spark.createDataFrame(
+        [(i, "x" * (i % 7)) for i in range(50)], "k bigint, s string"
+    )
+    whole = table_bytes(df).first().tbl_bytes
+    lo = table_bytes(df.filter(F.col("k") < 25)).first().tbl_bytes
+    hi = table_bytes(df.filter(F.col("k") >= 25)).first().tbl_bytes
+    assert whole == lo + hi
+    assert table_bytes(df.filter(F.lit(False))).first().tbl_bytes == 0
+
+
+def test_join_strategy_advisor_three_way_split(spark):
+    """Engineered sizes hit all three branches of the literal rule:
+    a dim under the broadcast budget, a dim that only clears the
+    per-partition budget while 3x smaller than the fact, and a dim
+    over both. est_build_entries must match the standalone
+    kmv_build/kmv_estimate readout bit-for-bit (same sketch family),
+    and a heavily-duplicated build key must be priced by DISTINCT
+    keys, not rows."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+    from gpi_etl_spark.operators.skew import join_strategy_advisor
+
+    fact = spark.createDataFrame(
+        [(i % 13, i % 50, i % 200, float(i)) for i in range(400)],
+        "ka bigint, kb bigint, kc bigint, v double",
+    )  # 400 rows * (16 + 8*4) = 19200 bytes
+    # 10 rows * 24 = 240 <= 400 -> broadcast; key duplicated: 5 distinct
+    d_small = spark.createDataFrame(
+        [(i % 5,) for i in range(10)], "d bigint"
+    )
+    # 40 rows * 24 = 960: > 400, <= 400*4 = 1600, 960*3 = 2880 <= 19200
+    # -> shuffled_hash
+    d_mid = spark.createDataFrame([(i,) for i in range(40)], "d bigint")
+    # 100 rows * 24 = 2400 > 1600 -> sort_merge
+    d_big = spark.createDataFrame([(i,) for i in range(100)], "d bigint")
+
+    out = {
+        r.pair: r
+        for r in join_strategy_advisor(
+            fact,
+            [
+                ("small", "ka", d_small, "d"),
+                ("mid", "kb", d_mid, "d"),
+                ("big", "kc", d_big, "d"),
+            ],
+            broadcast_bytes=400,
+            shuffle_partitions=4,
+            smaller_factor=3,
+            k=64,
+        ).collect()
+    }
+    assert out["small"].strategy == "broadcast"
+    assert out["mid"].strategy == "shuffled_hash"
+    assert out["big"].strategy == "sort_merge"
+    assert out["small"].dim_bytes == 240
+    assert out["mid"].dim_bytes == 960
+    assert out["big"].dim_bytes == 2400
+    assert all(r.fact_bytes == 19200 for r in out.values())
+
+    # distinct-key pricing + bit parity with the standalone KMV chain
+    for name, dim in (("small", d_small), ("mid", d_mid), ("big", d_big)):
+        sk = kmv_build(
+            dim.filter(F.col("d").isNotNull()).select(
+                F.col("d").cast("string").alias("_k")
+            ),
+            "_k", k=64, hash_mode="poly",
+        )
+        ref = kmv_estimate(sk).first()
+        assert out[name].reg_sum == ref.reg_sum, name
+        import math
+        assert out[name].est_build_entries == math.floor(ref.est), name
+    # the duplicated key prices at ~5 entries, nowhere near 10 rows
+    assert out["small"].est_build_entries <= 7

@@ -107,6 +107,14 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # DISTINCT probe keys); the fact stream itself rides
                 # the semi-join and three broadcast hash joins.
                 "q276_planner_capstone",
+                # q277: per candidate dim the advisor crossJoins the
+                # one-row flat-byte total onto the one-row KMV readout
+                # (1x1), then the |dims|-row decision table onto the
+                # one-row fact byte total — q241/q162's bounded scalar
+                # class; the corpus-scale work is the per-dim
+                # kmv_build groupBy and the byte-sum aggregates, all
+                # map-side-combined single passes.
+                "q277_join_strategy",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
