@@ -173,6 +173,154 @@ def write_zordered(
     out.write.mode(mode).parquet(path)
 
 
+def _keyed_with_fids(base: DataFrame, n_files: int):
+    """Shared file-id derivation for the zone-map family — the ONE
+    definition both the simulating advisor and the executing writer
+    use, so the simulation and the physical layout cannot drift:
+
+    * range fid: ``(key − min)·n_files div (max − min + 1)`` (equal-
+      width integer zones off the global min/max scalar);
+    * hash fid:  ``poly_hash(key) mod n_files``.
+
+    Returns ``(keyed, fid_range, fid_hash)`` where ``keyed`` is
+    ``base`` with the one-row bounds scalar broadcast on, and the two
+    fid expressions evaluate against it.
+
+    Envelope (ADVICE r11): the range fid multiplies the key offset by
+    ``n_files`` in int64, so the key span must satisfy
+    ``(max − min)·n_files < 2^63`` — wider would silently wrap to
+    wrong fids in non-ANSI mode. A conservative guard (double span
+    test at HALF the true bound, wide margin over the 53-bit mantissa
+    blur; the double subtraction itself cannot overflow) raises loudly
+    instead — domains that wide should be laid out on
+    ``poly_hash(key)`` or a truncated key. Evaluated against the
+    one-row scalar riding every row — a comparison, not a corpus job.
+    """
+    from gpi_etl_spark.functions import xhash
+
+    bounds = base.agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+    fid_hash = F.pmod(
+        xhash.poly_hash(F.col("_k").cast("string")), F.lit(n_files)
+    ).cast("int")
+    keyed = base.crossJoin(F.broadcast(bounds))
+    span_ok = (
+        F.col("_mx").cast("double") - F.col("_mn").cast("double")
+    ) <= F.lit(float(2**62) / float(int(n_files)))
+    fid_range_raw = F.expr(
+        f"CAST((_k - _mn) * {int(n_files)} DIV (_mx - _mn + 1) AS INT)"
+    )
+    fid_range = F.when(span_ok, fid_range_raw).otherwise(
+        F.raise_error(
+            F.lit(
+                "zone_map_advisor: key span * n_files would exceed "
+                "the int64 envelope ((max-min)*n_files >= 2^62 "
+                "conservative bound) — the range-layout file id "
+                "would silently wrap. Advise on poly_hash(key) or a "
+                "truncated key for domains this wide."
+            )
+        ).cast("int")
+    )
+    return keyed, fid_range, fid_hash
+
+
+def write_zone_layout(
+    df: DataFrame,
+    key_col: str,
+    n_files: int,
+    layout: str,
+    path: str,
+) -> None:
+    """EXECUTE one of the layouts zone_map_advisor simulates: compute
+    the same fid the advisor predicted for every row (shared
+    derivation — :func:`_keyed_with_fids`, so simulation and physics
+    cannot drift), route each fid's rows to exactly one task, and
+    write one hive directory per fid with the key rows inside
+    (range layout additionally sorted by key within the file, the
+    write_range_sorted discipline). The written dataset's parquet
+    footer min/max over ``k`` IS the zone map the advisor predicted —
+    measurable with :func:`measure_zone_map`.
+
+    Distributed end-to-end: the only scalar is the one-row min/max
+    bounds broadcast the fid derivation rides; the repartition is a
+    single hash shuffle on fid (each fid lands in one task, so the
+    layout is ≤ n_files files regardless of upstream parallelism).
+    """
+    if layout not in ("range", "hash"):
+        raise ValueError(
+            f"write_zone_layout: layout must be 'range' or 'hash', "
+            f"got {layout!r}"
+        )
+    base = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).cast("bigint").alias("_k")
+    )
+    keyed, fid_range, fid_hash = _keyed_with_fids(base, n_files)
+    fid = fid_range if layout == "range" else fid_hash
+    routed = keyed.select(
+        F.col("_k").alias("k"), fid.alias("fid")
+    ).repartition(n_files, F.col("fid"))
+    if layout == "range":
+        routed = routed.sortWithinPartitions("fid", "k")
+    routed.write.mode("overwrite").partitionBy("fid").parquet(path)
+
+
+def measure_zone_map(
+    spark: SparkSession, path: str, layout: str
+) -> DataFrame:
+    """Read the REAL zone map back out of a :func:`write_zone_layout`
+    dataset: walk each ``fid=N`` directory's parquet footers (pyarrow
+    metadata — no data pages touched) and aggregate the row-group
+    statistics of ``k`` to per-file zones ``(layout, fid, zmin, zmax,
+    zrows)`` — the exact table the advisor predicts from its corpus
+    pass. Driver-side by design and bounded by design: n_files footer
+    reads of KB metadata each (the same driver cost every parquet
+    planner pays to plan a scan), never rows. Raises if any footer is
+    missing the statistics — an absent zone map would make every
+    downstream skip claim vacuous."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in sorted(glob.glob(os.path.join(path, "fid=*"))):
+        fid = int(os.path.basename(d).split("=", 1)[1])
+        zmin = None
+        zmax = None
+        zrows = 0
+        for fpath in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(fpath).metadata
+            col_idx = None
+            for i in range(md.num_columns):
+                if md.schema.column(i).name == "k":
+                    col_idx = i
+                    break
+            if col_idx is None:
+                raise ValueError(
+                    f"measure_zone_map: no 'k' column in {fpath}"
+                )
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                st = group.column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        "measure_zone_map: parquet footer carries no "
+                        f"min/max statistics for {fpath} row group "
+                        f"{rg} — the zone map is the product here, "
+                        "an absent one must fail loudly."
+                    )
+                zmin = st.min if zmin is None else min(zmin, st.min)
+                zmax = st.max if zmax is None else max(zmax, st.max)
+                zrows += group.num_rows
+        if zrows:
+            rows.append((layout, fid, int(zmin), int(zmax), int(zrows)))
+    return spark.createDataFrame(
+        rows,
+        "layout string, fid int, zmin bigint, zmax bigint, zrows bigint",
+    )
+
+
 def zone_map_advisor(
     df: DataFrame,
     key_col: str,
@@ -201,6 +349,15 @@ def zone_map_advisor(
     conditional sums, so the report states selectivity next to scan
     fraction.
 
+    Envelope (ADVICE r11): the range-layout file id multiplies the
+    key offset by ``n_files`` in int64, so the key span must satisfy
+    ``(max − min) · n_files < 2^63`` — a span wider than that would
+    silently wrap to wrong fids in non-ANSI mode. A conservative
+    guard (double-precision span test at half the true bound, wide
+    margin over the 53-bit mantissa blur) raises loudly instead;
+    domains that wide should be advised on ``poly_hash(key)`` or a
+    truncated key instead.
+
     NULL keys are excluded from both layouts (parquet null-count
     stats prune them separately — out of scope, documented). Returns
     one row per (predicate, layout): ``(pred_id int, lo, hi, layout,
@@ -211,18 +368,7 @@ def zone_map_advisor(
     base = df.filter(F.col(key_col).isNotNull()).select(
         F.col(key_col).cast("bigint").alias("_k")
     )
-    bounds = base.agg(
-        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
-    )
-    from gpi_etl_spark.functions import xhash
-
-    fid_hash = F.pmod(
-        xhash.poly_hash(F.col("_k").cast("string")), F.lit(n_files)
-    ).cast("int")
-    keyed = base.crossJoin(F.broadcast(bounds))
-    fid_range = F.expr(
-        f"CAST((_k - _mn) * {int(n_files)} DIV (_mx - _mn + 1) AS INT)"
-    )
+    keyed, fid_range, fid_hash = _keyed_with_fids(base, n_files)
     tagged = keyed.select(
         "_k",
         F.explode(
@@ -243,10 +389,26 @@ def zone_map_advisor(
         F.max("_k").alias("zmax"),
         F.count(F.lit(1)).cast("bigint").alias("zrows"),
     )
-    preds = df.sparkSession.createDataFrame(
+    preds = _pred_frame(df.sparkSession, predicates)
+    match_rows = _match_counts(base, preds, predicates)
+    return zone_prune_report(zones, preds, match_rows)
+
+
+def _pred_frame(spark: SparkSession, predicates) -> DataFrame:
+    """``(pred_id int, lo bigint, hi bigint)`` literal frame shared by
+    the advisor and the executed capstone."""
+    return spark.createDataFrame(
         [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(predicates)],
         "pred_id int, lo bigint, hi bigint",
     )
+
+
+def _match_counts(
+    base: DataFrame, preds: DataFrame, predicates
+) -> DataFrame:
+    """Exact per-predicate match counts in ONE pass over ``base``
+    (conditional sums), pivoted onto the preds frame via a one-row
+    scalar broadcast. Returns ``(pred_id, lo, hi, rows_matching)``."""
     match_aggs = [
         F.sum(
             ((F.col("_k") >= int(lo)) & (F.col("_k") <= int(hi)))
@@ -255,7 +417,7 @@ def zone_map_advisor(
         for i, (lo, hi) in enumerate(predicates)
     ]
     matches = base.agg(*match_aggs)
-    match_rows = preds.crossJoin(F.broadcast(matches)).select(
+    return preds.crossJoin(F.broadcast(matches)).select(
         "pred_id",
         "lo",
         "hi",
@@ -268,6 +430,17 @@ def zone_map_advisor(
         .cast("bigint")
         .alias("rows_matching"),
     )
+
+
+def zone_prune_report(
+    zones: DataFrame, preds: DataFrame, match_rows: DataFrame
+) -> DataFrame:
+    """The preds × zones prune lattice shared by the SIMULATED advisor
+    and the EXECUTED capstone: a zone is pruned for [lo, hi] iff its
+    ``zmax < lo`` or ``zmin > hi`` (the parquet row-group rule).
+    ``zones`` is ``(layout, fid, zmin, zmax, zrows)`` — from the
+    advisor's corpus pass or from real parquet footers; the lattice is
+    |preds| × Σ zones rows, KB either way."""
     lattice = preds.crossJoin(F.broadcast(zones))
     pruned = F.col("zmax") < F.col("lo")
     pruned = pruned | (F.col("zmin") > F.col("hi"))

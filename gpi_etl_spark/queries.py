@@ -16894,3 +16894,58 @@ def q277(spark, sf_dir):
         smaller_factor=3,
         k=64,
     )
+
+
+@query("q278_zonemap_executed", _q271_oracle_sql(64, _Q271_PREDS))
+def q278(spark, sf_dir):
+    """The zone-map advisor's recommendation EXECUTED (the q276
+    pattern: advisor decides, capstone does, an identity law gates
+    that doing changed nothing) — q271 predicted what min/max
+    skipping each layout would give; this query physically WRITES
+    both 64-file layouts (sinklayout.write_zone_layout — same fid
+    derivation as the simulation by shared code, range files sorted
+    by key), reads the REAL zone map back out of the parquet footers
+    (sinklayout.measure_zone_map — pyarrow metadata only, n_files
+    KB-sized footer reads, never data pages), re-reads the rewritten
+    rows from disk for the exact per-predicate match counts, and
+    emits the same report shape as q271. The oracle is the PURE
+    SIMULATION from the source table, so the hash gate proves two
+    physical claims at once: the footer zone map equals the
+    advisor's predicted zones (predicted files_pruned/rows_scanned
+    == measured), and the rewrite lost/duplicated/mutated no row
+    (match counts from the read-back equal the source's). At 100 TB
+    this is the layout-rewrite acceptance test: footer-metadata
+    measurement costs n_files KB reads, the identity check one scan
+    of the rewritten data. Reference seat: none (no layout control
+    of any kind)."""
+    import os as _os
+
+    from gpi_etl_spark.operators.sinklayout import (
+        _match_counts,
+        _pred_frame,
+        measure_zone_map,
+        write_zone_layout,
+        zone_prune_report,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    landing = _landing(spark, "q278", sf_dir)
+    paths = {
+        layout: _os.path.join(landing, layout)
+        for layout in ("range", "hash")
+    }
+    for layout, path in paths.items():
+        write_zone_layout(li, "cents", 64, layout, path)
+    zones = measure_zone_map(spark, paths["range"], "range").unionByName(
+        measure_zone_map(spark, paths["hash"], "hash")
+    )
+    preds = _pred_frame(spark, _Q271_PREDS)
+    back = spark.read.parquet(paths["range"]).select(
+        F.col("k").alias("_k")
+    )
+    match_rows = _match_counts(back, preds, _Q271_PREDS)
+    return zone_prune_report(zones, preds, match_rows)

@@ -115,6 +115,15 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # kmv_build groupBy and the byte-sum aggregates, all
                 # map-side-combined single passes.
                 "q277_join_strategy",
+                # q278: inherits q271's bounded lattice with MEASURED
+                # zones — the preds × (≤128 footer-derived zone rows)
+                # crossJoin plus the one-row match-count scalar onto
+                # the |preds| literal table; the corpus-scale work is
+                # the two layout writes (hash-shuffle repartitions)
+                # and one read-back aggregate, plus the fid
+                # derivation's one-row bounds broadcast (q162's
+                # pattern). Never corpus × corpus.
+                "q278_zonemap_executed",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
