@@ -231,6 +231,7 @@ def write_zone_layout(
     n_files: int,
     layout: str,
     path: str,
+    carry_cols: Sequence[str] = (),
 ) -> None:
     """EXECUTE one of the layouts zone_map_advisor simulates: compute
     the same fid the advisor predicted for every row (shared
@@ -246,6 +247,12 @@ def write_zone_layout(
     bounds broadcast the fid derivation rides; the repartition is a
     single hash shuffle on fid (each fid lands in one task, so the
     layout is ≤ n_files files regardless of upstream parallelism).
+
+    ``carry_cols`` ride along into the files unchanged (written next
+    to ``k``) — the multi-dimensional path: lay out on a computed
+    clustering key (e.g. the Z-order interleave) while the footer
+    min/max of the carried ORIGINAL dimensions becomes the 2-D zone
+    map readers actually prune on.
     """
     if layout not in ("range", "hash"):
         raise ValueError(
@@ -253,12 +260,13 @@ def write_zone_layout(
             f"got {layout!r}"
         )
     base = df.filter(F.col(key_col).isNotNull()).select(
-        F.col(key_col).cast("bigint").alias("_k")
+        F.col(key_col).cast("bigint").alias("_k"),
+        *[F.col(c) for c in carry_cols],
     )
     keyed, fid_range, fid_hash = _keyed_with_fids(base, n_files)
     fid = fid_range if layout == "range" else fid_hash
     routed = keyed.select(
-        F.col("_k").alias("k"), fid.alias("fid")
+        F.col("_k").alias("k"), *carry_cols, fid.alias("fid")
     ).repartition(n_files, F.col("fid"))
     if layout == "range":
         routed = routed.sortWithinPartitions("fid", "k")
@@ -318,6 +326,111 @@ def measure_zone_map(
     return spark.createDataFrame(
         rows,
         "layout string, fid int, zmin bigint, zmax bigint, zrows bigint",
+    )
+
+
+def zone_prune_report_dims(
+    zones: DataFrame, preds: DataFrame, match_rows: DataFrame
+) -> DataFrame:
+    """Multi-dimensional prune lattice: ``zones`` is the long-format
+    per-(file, column) table of :func:`measure_zone_map_cols` (or a
+    simulated twin), ``preds`` is ``(pred_id int, dim string,
+    lo bigint, hi bigint)`` — each predicate prunes on the footer
+    stats of ITS dimension (the parquet row-group rule, zone join on
+    ``col = dim``). KB lattice either way."""
+    lattice = preds.join(zones, preds["dim"] == zones["col"])
+    pruned = F.col("cmax") < F.col("lo")
+    pruned = pruned | (F.col("cmin") > F.col("hi"))
+    report = lattice.groupBy(
+        "pred_id", "dim", "lo", "hi", "layout"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_files"),
+        F.sum(pruned.cast("bigint")).cast("bigint").alias(
+            "files_pruned"
+        ),
+        F.sum(
+            F.when(~pruned, F.col("zrows")).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rows_scanned"),
+    )
+    return report.join(match_rows, ["pred_id"]).select(
+        "pred_id",
+        "dim",
+        "lo",
+        "hi",
+        "layout",
+        "n_files",
+        "files_pruned",
+        "rows_scanned",
+        "rows_matching",
+    )
+
+
+def measure_zone_map_cols(
+    spark: SparkSession, path: str, layout: str, cols: Sequence[str]
+) -> DataFrame:
+    """Multi-dimensional twin of :func:`measure_zone_map`: one walk
+    over the ``fid=N`` parquet footers, emitting a zone row per
+    (file, measured column) — ``(layout, fid, col, cmin, cmax,
+    zrows)``. This is what makes a computed clustering key (Z-order)
+    USEFUL: the layout sorts on the interleave, but readers prune on
+    the footer stats of the ORIGINAL dimensions carried in the file.
+    Driver-side and bounded: n_files footers × |cols| stat lookups of
+    KB metadata, never data pages. Raises on absent statistics (an
+    absent zone map must fail loudly, not report zero pruning)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in sorted(glob.glob(os.path.join(path, "fid=*"))):
+        fid = int(os.path.basename(d).split("=", 1)[1])
+        stats = {c: [None, None, 0] for c in cols}
+        for fpath in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(fpath).metadata
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for c in cols:
+                if c not in idx:
+                    raise ValueError(
+                        f"measure_zone_map_cols: no {c!r} column in "
+                        f"{fpath}"
+                    )
+            for rg in range(md.num_row_groups):
+                group = md.row_group(rg)
+                for c in cols:
+                    st = group.column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            "measure_zone_map_cols: parquet footer "
+                            f"carries no min/max statistics for {c!r}"
+                            f" in {fpath} row group {rg} — the zone "
+                            "map is the product here, an absent one "
+                            "must fail loudly."
+                        )
+                    cur = stats[c]
+                    cur[0] = st.min if cur[0] is None else min(
+                        cur[0], st.min
+                    )
+                    cur[1] = st.max if cur[1] is None else max(
+                        cur[1], st.max
+                    )
+                stats[cols[0]][2] += group.num_rows
+        zrows = stats[cols[0]][2]
+        if zrows:
+            for c in cols:
+                rows.append(
+                    (layout, fid, c, int(stats[c][0]),
+                     int(stats[c][1]), int(zrows))
+                )
+    return spark.createDataFrame(
+        rows,
+        "layout string, fid int, col string, cmin bigint, "
+        "cmax bigint, zrows bigint",
     )
 
 

@@ -16949,3 +16949,149 @@ def q278(spark, sf_dir):
     )
     match_rows = _match_counts(back, preds, _Q271_PREDS)
     return zone_prune_report(zones, preds, match_rows)
+
+
+_Q279_PREDS = [(0, "x", 100, 149), (1, "y", 512, 575), (2, "x", 900, 1023)]
+
+
+def _q279_oracle_sql() -> str:
+    """Pure simulation of BOTH physical layouts from the source
+    table: the Z-order interleave (zorder_sql — the exact bit chain
+    the Spark writer clusters on), equal-width fid zones off the
+    global min/max scalars (the shared _keyed_with_fids arithmetic),
+    per-(file, dimension) min/max/rowcount zone rows, the parquet
+    prune rule over the preds lattice joined on each predicate's OWN
+    dimension, and exact match counts. All int64."""
+    from gpi_etl_spark.operators.sinklayout import zorder_sql
+
+    z = zorder_sql("(l_partkey & 1023)", "(l_suppkey & 1023)", bits=10)
+    values = ", ".join(
+        f"({i}, '{dim}', {lo}, {hi})" for i, dim, lo, hi in _Q279_PREDS
+    )
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_partkey & 1023 AS BIGINT) AS x,
+             CAST(l_suppkey & 1023 AS BIGINT) AS y,
+             CAST({z} AS BIGINT) AS zk
+      FROM lineitem),
+    b AS (SELECT min(zk) AS mnz, max(zk) AS mxz,
+                 min(x) AS mnx, max(x) AS mxx FROM base),
+    tagged AS MATERIALIZED (
+      SELECT 'zorder' AS layout,
+             CAST((zk - mnz) * 64 // (mxz - mnz + 1) AS INT) AS fid,
+             x, y
+      FROM base, b
+      UNION ALL
+      SELECT 'range_x',
+             CAST((x - mnx) * 64 // (mxx - mnx + 1) AS INT), x, y
+      FROM base, b),
+    zones AS (
+      SELECT layout, fid, 'x' AS col, min(x) AS cmin, max(x) AS cmax,
+             CAST(count(*) AS BIGINT) AS zrows
+      FROM tagged GROUP BY 1, 2
+      UNION ALL
+      SELECT layout, fid, 'y', min(y), max(y),
+             CAST(count(*) AS BIGINT)
+      FROM tagged GROUP BY 1, 2),
+    preds(pred_id, dim, lo, hi) AS (VALUES {values}),
+    mt AS (
+      SELECT p.pred_id,
+             CAST(sum(CASE WHEN (CASE p.dim WHEN 'x' THEN base.x
+                                 ELSE base.y END)
+                      BETWEEN p.lo AND p.hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS rows_matching
+      FROM base, preds p GROUP BY 1),
+    rep AS (
+      SELECT p.pred_id, p.dim, p.lo, p.hi, z.layout,
+             CAST(count(*) AS INT) AS n_files,
+             CAST(sum(CASE WHEN z.cmax < p.lo OR z.cmin > p.hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS files_pruned,
+             CAST(sum(CASE WHEN z.cmax < p.lo OR z.cmin > p.hi
+                      THEN 0 ELSE z.zrows END) AS BIGINT)
+               AS rows_scanned
+      FROM preds p JOIN zones z ON z.col = p.dim
+      GROUP BY 1, 2, 3, 4, 5)
+    SELECT CAST(rep.pred_id AS INT) AS pred_id, rep.dim,
+           CAST(rep.lo AS BIGINT) AS lo, CAST(rep.hi AS BIGINT) AS hi,
+           rep.layout, rep.n_files, rep.files_pruned,
+           rep.rows_scanned, mt.rows_matching
+    FROM rep JOIN mt ON rep.pred_id = mt.pred_id
+    """
+
+
+@query("q279_zorder_executed", _q279_oracle_sql())
+def q279(spark, sf_dir):
+    """Z-order clustering EXECUTED and measured in two dimensions —
+    the multi-dim completion of q278 (and the physical half of
+    q138's key-only gate): lineitem laid out 64-file on (a) the
+    Morton interleave of (l_partkey & 1023, l_suppkey & 1023)
+    (write_zone_layout on the zorder_key column, x/y carried into
+    the files) and (b) a single-dimension range sort on x alone.
+    The REAL per-file min/max of BOTH original dimensions comes back
+    from the parquet footers (measure_zone_map_cols — metadata only),
+    each predicate prunes on its OWN dimension's stats, and exact
+    match counts are recomputed from the rewritten rows on disk. The
+    oracle is the pure simulation, so the hash gate proves the
+    written tiles equal the predicted tiles and the rewrite is
+    row-lossless. The measured story is the Delta/Iceberg OPTIMIZE
+    ZORDER claim with receipts: the x-only layout prunes x
+    predicates perfectly and y predicates not at all; the z layout
+    prunes BOTH dimensions (each 64-file zone is a 128x128 tile of
+    the key plane). At 100 TB: two hash-shuffle writes, one
+    read-back aggregate, n_files x 2 footer stats — the layout
+    acceptance test before a manifest swap. Reference seat: none."""
+    import os as _os
+
+    from gpi_etl_spark.operators.sinklayout import (
+        measure_zone_map_cols,
+        write_zone_layout,
+        zone_prune_report_dims,
+        zorder_key,
+    )
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").bitwiseAND(F.lit(1023))
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_suppkey").bitwiseAND(F.lit(1023))
+        .cast("bigint")
+        .alias("y"),
+    )
+    zc = li.select(
+        zorder_key("x", "y", bits=10).alias("zk"), "x", "y"
+    )
+    xc = li.select(F.col("x").alias("xk"), "x", "y")
+    landing = _landing(spark, "q279", sf_dir)
+    pz = _os.path.join(landing, "zorder")
+    px = _os.path.join(landing, "range_x")
+    write_zone_layout(zc, "zk", 64, "range", pz, carry_cols=("x", "y"))
+    write_zone_layout(xc, "xk", 64, "range", px, carry_cols=("x", "y"))
+    zones = measure_zone_map_cols(
+        spark, pz, "zorder", ("x", "y")
+    ).unionByName(measure_zone_map_cols(spark, px, "range_x", ("x", "y")))
+    preds = spark.createDataFrame(
+        _Q279_PREDS, "pred_id int, dim string, lo bigint, hi bigint"
+    )
+    back = spark.read.parquet(pz).select("x", "y")
+    match_aggs = [
+        F.sum(
+            ((F.col(dim) >= int(lo)) & (F.col(dim) <= int(hi)))
+            .cast("bigint")
+        ).alias(f"_m{i}")
+        for i, dim, lo, hi in _Q279_PREDS
+    ]
+    matches = back.agg(*match_aggs)
+    match_rows = preds.select("pred_id").crossJoin(
+        F.broadcast(matches)
+    ).select(
+        "pred_id",
+        F.coalesce(
+            *[
+                F.when(F.col("pred_id") == i, F.col(f"_m{i}"))
+                for i, _, _, _ in _Q279_PREDS
+            ]
+        )
+        .cast("bigint")
+        .alias("rows_matching"),
+    )
+    return zone_prune_report_dims(zones, preds, match_rows)

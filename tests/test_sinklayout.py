@@ -269,3 +269,53 @@ def test_write_zone_layout_footers_match_simulation(spark, tmp_path):
     for (lo1, hi1, _), (lo2, _hi2, _) in zip(rng, rng[1:]):
         assert hi1 < lo2 or (hi1 < 1000 and lo2 > lo1)
     assert sum(z[2] for z in measured["hash"].values()) == 3000
+
+
+def test_zorder_layout_prunes_both_dims_from_real_footers(spark, tmp_path):
+    """Round-12 q279 plumbing: lay a 32x32 grid out z-ordered into 16
+    files (each a 8x8 tile) and range-on-x into 16 files; the REAL
+    footer stats must prune a narrow x predicate AND a narrow y
+    predicate under zorder, but only the x predicate under range_x."""
+    import os
+
+    from gpi_etl_spark.operators.sinklayout import (
+        measure_zone_map_cols,
+        write_zone_layout,
+        zone_prune_report_dims,
+        zorder_key,
+    )
+
+    grid = spark.createDataFrame(
+        [(i % 32, i // 32) for i in range(1024)], "x bigint, y bigint"
+    )
+    zc = grid.select(zorder_key("x", "y", bits=5).alias("zk"), "x", "y")
+    xc = grid.select(F.col("x").alias("xk"), "x", "y")
+    pz, px = os.path.join(str(tmp_path), "z"), os.path.join(
+        str(tmp_path), "x"
+    )
+    write_zone_layout(zc, "zk", 16, "range", pz, carry_cols=("x", "y"))
+    write_zone_layout(xc, "xk", 16, "range", px, carry_cols=("x", "y"))
+    zones = measure_zone_map_cols(
+        spark, pz, "zorder", ("x", "y")
+    ).unionByName(measure_zone_map_cols(spark, px, "range_x", ("x", "y")))
+    preds = spark.createDataFrame(
+        [(0, "x", 0, 7), (1, "y", 8, 15)],
+        "pred_id int, dim string, lo bigint, hi bigint",
+    )
+    back = spark.read.parquet(pz)
+    match_rows = spark.createDataFrame(
+        [(0, back.filter(F.col("x") <= 7).count()),
+         (1, back.filter((F.col("y") >= 8) & (F.col("y") <= 15)).count())],
+        "pred_id int, rows_matching bigint",
+    )
+    out = {
+        (r.pred_id, r.layout): (r.n_files, r.files_pruned, r.rows_scanned)
+        for r in zone_prune_report_dims(zones, preds, match_rows).collect()
+    }
+    # z tiles are 8x8: x<=7 keeps one 8-wide column of tiles = 4 of 16
+    assert out[(0, "zorder")] == (16, 12, 256)
+    assert out[(1, "zorder")] == (16, 12, 256)
+    # range_x: x<=7 keeps 4 of 16 x-stripes; y pred prunes nothing
+    assert out[(0, "range_x")] == (16, 12, 256)
+    assert out[(1, "range_x")][1] == 0
+    assert out[(1, "range_x")][2] == 1024

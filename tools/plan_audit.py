@@ -124,6 +124,14 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # derivation's one-row bounds broadcast (q162's
                 # pattern). Never corpus × corpus.
                 "q278_zonemap_executed",
+                # q279: q278's class in two dimensions — the
+                # |preds| x (≤ 2 layouts · n_files · 2 cols)
+                # footer-zone lattice (KB, an equi-join on col=dim
+                # plus the bounded groupBy) and the one-row
+                # match-count scalar onto the |preds| literal table;
+                # corpus-scale work is the two layout writes and one
+                # read-back aggregate.
+                "q279_zorder_executed",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
