@@ -1258,6 +1258,85 @@ def rq_rollup(
     )
 
 
+def rq_range_estimate(
+    sketch: DataFrame,
+    predicates: "tuple[tuple[int, int], ...]",
+) -> DataFrame:
+    """Range-predicate SELECTIVITY from the rq bucket table — the
+    System R optimizer statistic the planner family reads before
+    choosing anything (q243's partition plan, q267's order, q277's
+    strategy all start from "how many rows survive this filter"):
+    for each ``[lo, hi]`` estimate the surviving row count as
+
+        Σ_buckets  (cnt · overlap(bucket, [lo, hi])) div width(bucket)
+
+    — full interior buckets contribute their exact count, the two
+    boundary buckets interpolate uniformly. Every term is int64: the
+    bucket bounds come from the decimal bucket law (sign/p/lead —
+    ``lead·10^p`` built by string concatenation, exact at any p),
+    ``div`` truncates identically in Spark and DuckDB for the
+    non-negative operands here, so the ESTIMATE itself is replayable
+    bit-for-bit — an estimator under the hash gate, like the KMV/CMS
+    planner numbers. Relative bucket width ≤ 10^(1−digits) bounds the
+    interpolation error to the boundary buckets' contents; a
+    predicate aligned on bucket edges is answered EXACTLY (pinned in
+    tests). Envelope: ``cnt · overlap`` must stay < 2^63 (cnt ≤ corpus
+    rows, overlap ≤ bucket width ≤ 10^p — states with p ≥ 12 and
+    trillion-row buckets are out; the digits knob shrinks p).
+
+    Scale: the sketch is the ≤ few-thousand-row maintained bucket
+    table (rq_build / rq_apply — histograms add, CDC folds), so at
+    100 TB this decision costs a |preds| × |buckets| KB lattice and
+    ZERO corpus reads. Returns ``(pred_id int, lo bigint, hi bigint,
+    n_buckets int, est_rows bigint)``."""
+    spark = sketch.sparkSession
+    preds = spark.createDataFrame(
+        [(i, int(lo), int(hi)) for i, (lo, hi) in enumerate(predicates)],
+        "pred_id int, lo bigint, hi bigint",
+    )
+    tenp = F.concat(
+        F.lit("1"), F.repeat(F.lit("0"), F.col("p"))
+    ).cast("bigint")
+    lead0 = F.concat(
+        F.col("lead").cast("string"), F.repeat(F.lit("0"), F.col("p"))
+    ).cast("bigint")
+    blo = (
+        F.when(F.col("sign") == 1, lead0)
+        .when(F.col("sign") == 0, F.lit(0))
+        .otherwise(-(lead0 + tenp - F.lit(1)))
+    )
+    bhi = (
+        F.when(F.col("sign") == 1, lead0 + tenp - F.lit(1))
+        .when(F.col("sign") == 0, F.lit(0))
+        .otherwise(-lead0)
+    )
+    buckets = sketch.select(
+        blo.alias("blo"), bhi.alias("bhi"), F.col("cnt")
+    )
+    lattice = preds.crossJoin(F.broadcast(buckets))
+    ov = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("hi"), F.col("bhi"))
+        - F.greatest(F.col("lo"), F.col("blo"))
+        + F.lit(1),
+    )
+    width = F.col("bhi") - F.col("blo") + F.lit(1)
+    contrib = F.expr(
+        "CAST((cnt * _ov) DIV _width AS BIGINT)"
+    )
+    return (
+        lattice.withColumn("_ov", ov)
+        .withColumn("_width", width)
+        .groupBy("pred_id", "lo", "hi")
+        .agg(
+            F.sum((F.col("_ov") > 0).cast("int"))
+            .cast("int")
+            .alias("n_buckets"),
+            F.sum(contrib).cast("bigint").alias("est_rows"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Replayable Bloom filter (membership sketch)
 # ---------------------------------------------------------------------------

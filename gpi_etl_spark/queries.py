@@ -17095,3 +17095,118 @@ def q279(spark, sf_dir):
         .alias("rows_matching"),
     )
     return zone_prune_report_dims(zones, preds, match_rows)
+
+
+_Q280_PREDS = [(0, 2_000_000), (4_000_000, 4_500_000), (0, 11_000_000),
+               (3_000_000, 3_000_099)]
+
+
+def _q280_oracle_sql() -> str:
+    """Full replay of the histogram-selectivity estimator: the rq
+    decimal bucket law (sign/p/lead — q244's CTE), exact int64 bucket
+    bounds by string concatenation, the preds x buckets lattice with
+    (cnt * overlap) // width interpolation (DuckDB's // floors ==
+    Spark's div truncation on these non-negative operands), and the
+    exact counts from the same source rows."""
+    values = ", ".join(
+        f"({i}, {int(lo)}, {int(hi)})"
+        for i, (lo, hi) in enumerate(_Q280_PREDS)
+    )
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    b AS (SELECT CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY 1, 2, 3),
+    bb AS (SELECT cnt,
+                  CASE WHEN sign = 1
+                         THEN CAST(lead || repeat('0', p) AS BIGINT)
+                       WHEN sign = 0 THEN 0
+                       ELSE -(CAST(lead || repeat('0', p) AS BIGINT)
+                              + CAST('1' || repeat('0', p) AS BIGINT)
+                              - 1) END AS blo,
+                  CASE WHEN sign = 1
+                         THEN CAST(lead || repeat('0', p) AS BIGINT)
+                              + CAST('1' || repeat('0', p) AS BIGINT)
+                              - 1
+                       WHEN sign = 0 THEN 0
+                       ELSE -CAST(lead || repeat('0', p) AS BIGINT)
+                  END AS bhi
+           FROM b),
+    preds(pred_id, lo, hi) AS (VALUES {values}),
+    lat AS (SELECT p.pred_id, p.lo, p.hi, bb.cnt,
+                   greatest(CAST(0 AS BIGINT),
+                            least(p.hi, bb.bhi)
+                            - greatest(p.lo, bb.blo) + 1) AS ov,
+                   bb.bhi - bb.blo + 1 AS width
+            FROM preds p CROSS JOIN bb),
+    est AS (SELECT pred_id, lo, hi,
+                   CAST(sum(CASE WHEN ov > 0 THEN 1 ELSE 0 END)
+                        AS INT) AS n_buckets,
+                   CAST(sum((cnt * ov) // width) AS BIGINT)
+                     AS est_rows
+            FROM lat GROUP BY 1, 2, 3),
+    mt AS (SELECT p.pred_id,
+                  CAST(sum(CASE WHEN c.c BETWEEN p.lo AND p.hi
+                           THEN 1 ELSE 0 END) AS BIGINT) AS exact_rows
+           FROM c, preds p GROUP BY 1)
+    SELECT est.pred_id, est.lo, est.hi, est.n_buckets, est.est_rows,
+           mt.exact_rows
+    FROM est JOIN mt ON est.pred_id = mt.pred_id
+    """
+
+
+@query("q280_histogram_selectivity", _q280_oracle_sql())
+def q280(spark, sf_dir):
+    """Histogram range-selectivity estimation
+    (sketches.rq_range_estimate) — the System R statistic the
+    planner family reads FIRST: how many rows survive a filter,
+    answered from the maintained rq bucket table (digits=3, relative
+    bucket width <= 1%) instead of the corpus. Full interior buckets
+    contribute exactly; boundary buckets interpolate uniformly with
+    (cnt * overlap) div width — every term int64, so the ESTIMATE
+    replays bit-for-bit in DuckDB and sits under the hash gate next
+    to the exact counts (the readout shows est vs exact per
+    predicate; the sub-bucket-width pred 3 shows where uniform
+    interpolation earns its keep). At 100 TB the decision costs a
+    |preds| x |buckets| KB lattice and zero corpus reads — the
+    sketch is built once (one map-side-combined pass) and maintained
+    by rq_apply's CDC fold; the exact side here is the measurement,
+    not the production path. Reference seat: none (no statistics of
+    any kind)."""
+    from gpi_etl_spark.operators.sketches import rq_build, rq_range_estimate
+
+    cents = t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    sk = rq_build(cents, "cents", digits=3)
+    est = rq_range_estimate(sk, _Q280_PREDS)
+    match_aggs = [
+        F.sum(
+            ((F.col("cents") >= int(lo)) & (F.col("cents") <= int(hi)))
+            .cast("bigint")
+        ).alias(f"_m{i}")
+        for i, (lo, hi) in enumerate(_Q280_PREDS)
+    ]
+    matches = cents.agg(*match_aggs)
+    exact = est.select("pred_id").crossJoin(F.broadcast(matches)).select(
+        "pred_id",
+        F.coalesce(
+            *[
+                F.when(F.col("pred_id") == i, F.col(f"_m{i}"))
+                for i in range(len(_Q280_PREDS))
+            ]
+        )
+        .cast("bigint")
+        .alias("exact_rows"),
+    )
+    return est.join(exact, "pred_id").select(
+        "pred_id", "lo", "hi", "n_buckets", "est_rows", "exact_rows"
+    )

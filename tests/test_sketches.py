@@ -1205,3 +1205,66 @@ def test_iblt_cells_rejects_non_poly_hash_mode(spark):
     a = spark.createDataFrame([(1, 1)], "k long, s int")
     with pytest.raises(ValueError, match="poly-only"):
         iblt_cells(a, "k", "s", 64, hash_mode="xxhash64")
+
+
+def test_rq_range_estimate_bucket_aligned_is_exact(spark):
+    """A predicate whose bounds lie ON bucket edges sums whole-bucket
+    counts — the estimate must equal the exact count (no
+    interpolation), and the replayed arithmetic is pure int64."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import rq_build, rq_range_estimate
+
+    # values 1000..9999: digits=3 buckets are width-10 [d000, d009]...
+    vals = [(1000 + (i * 7919) % 9000,) for i in range(5000)]
+    df = spark.createDataFrame(vals, "v long")
+    sk = rq_build(df, "v", digits=3)
+    # [2000, 4999] aligns on digits=3 bucket edges at this magnitude
+    out = {
+        r.pred_id: r
+        for r in rq_range_estimate(sk, [(2000, 4999)]).collect()
+    }
+    exact = df.filter((F.col("v") >= 2000) & (F.col("v") <= 4999)).count()
+    assert out[0].est_rows == exact
+    assert out[0].n_buckets > 0
+
+
+def test_rq_range_estimate_negative_and_disjoint(spark):
+    """Negative-value bucket bounds (sign=-1 mirror) and a predicate
+    disjoint from the data must both behave: the disjoint predicate
+    estimates 0 over 0 buckets; a full-domain predicate returns n."""
+    from gpi_etl_spark.operators.sketches import rq_build, rq_range_estimate
+
+    df = spark.createDataFrame(
+        [(-(1000 + i),) for i in range(500)] + [(1000 + i,) for i in range(500)],
+        "v long",
+    )
+    sk = rq_build(df, "v", digits=3)
+    out = {
+        r.pred_id: r
+        for r in rq_range_estimate(
+            sk, [(-2000, 2000), (50_000, 60_000), (-1499, -1000)]
+        ).collect()
+    }
+    assert out[0].est_rows == 1000
+    assert out[1] .est_rows == 0 and out[1].n_buckets == 0
+    assert out[2].est_rows == 500
+
+
+def test_rq_range_estimate_interpolation_envelope(spark):
+    """A sub-bucket predicate interpolates uniformly: on uniform data
+    the estimate lands within the boundary buckets' mass of exact
+    (relative bucket width <= 1% at digits=3)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.operators.sketches import rq_build, rq_range_estimate
+
+    df = spark.createDataFrame(
+        [(100_000 + i,) for i in range(100_000)], "v long"
+    )
+    sk = rq_build(df, "v", digits=3)
+    lo, hi = 123_456, 154_321
+    est = rq_range_estimate(sk, [(lo, hi)]).first().est_rows
+    exact = df.filter((F.col("v") >= lo) & (F.col("v") <= hi)).count()
+    # digits=3 buckets at this magnitude hold 1000 uniform values
+    assert abs(est - exact) <= 2000

@@ -132,6 +132,14 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # corpus-scale work is the two layout writes and one
                 # read-back aggregate.
                 "q279_zorder_executed",
+                # q280: the |preds| x |buckets| selectivity lattice —
+                # a literal table crossJoined onto the broadcast
+                # bucket AGGREGATE (≤ a few thousand rows at
+                # digits=3, bounded by the rq geometry, never corpus
+                # rows) plus the one-row exact-count scalar; the
+                # corpus-scale work is rq_build's map-side-combined
+                # pass and the conditional-sum aggregate.
+                "q280_histogram_selectivity",
                 # q268: the |classes| x |domain| EMD lattice is a
                 # geometry-bounded crossJoin of two AGGREGATES (never
                 # corpus rows) plus the one-row (N, m) scalar
