@@ -679,3 +679,90 @@ def join_strategy_advisor(
         "est_build_entries",
         strategy.alias("strategy"),
     )
+
+
+def correlation_advisor(
+    df: DataFrame,
+    pairs: "list[tuple[str, str, str]]",
+    k: int = 64,
+    factor: int = 4,
+) -> DataFrame:
+    """Column-group correlation detector — the CREATE STATISTICS
+    decision every mature optimizer exposes (DB2/Oracle column
+    groups, Postgres extended statistics): the independence
+    assumption prices a conjunctive predicate or a grouped aggregate
+    by ``d(A)·d(B)``, and when the columns correlate the product
+    over-predicts the true group count ``d(A,B)`` by orders of
+    magnitude (wrong aggregation strategy, wrong join order
+    upstream). Detection needs only DISTINCT counts, so it reads the
+    statistics layer: per candidate pair, three k-min-registers
+    sketches (A, B, and the ``A|B`` composite) built in ONE tagged
+    union pass grouped by (pair, role) — at ingest these are 3·|pairs|
+    maintained register tables, and the advisor touches no corpus at
+    decision time. Flag rule, exact integer arithmetic on the floored
+    estimates: ``est_da · est_db ≥ factor · est_dab``.
+
+    The exact composite distinct rides the output (the measurement
+    the estimates are judged against — at 100 TB you'd drop it);
+    everything gates: floored KMV estimates replay via the shared
+    derivation chain, the flag is an integer comparison, and
+    ``exact_dab`` is a plain COUNT DISTINCT. Returns ``(pair string,
+    est_da bigint, est_db bigint, est_dab bigint, exact_dab bigint,
+    flagged boolean)``."""
+    from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
+
+    tagged = None
+    for name, ca, cb in pairs:
+        src = df.filter(
+            F.col(ca).isNotNull() & F.col(cb).isNotNull()
+        )
+        parts = [
+            ("a", F.col(ca).cast("string")),
+            ("b", F.col(cb).cast("string")),
+            ("ab", F.concat_ws(
+                "|", F.col(ca).cast("string"), F.col(cb).cast("string")
+            )),
+        ]
+        for role, key in parts:
+            one = src.select(
+                F.lit(name).alias("pair"),
+                F.lit(role).alias("role"),
+                key.alias("key"),
+            )
+            tagged = one if tagged is None else tagged.unionByName(one)
+    sk = kmv_build(
+        tagged, "key", group_cols=("pair", "role"), k=k,
+        hash_mode="poly",
+    )
+    est = kmv_estimate(sk, ("pair", "role")).select(
+        "pair",
+        "role",
+        F.floor(F.col("est")).cast("bigint").alias("d"),
+    )
+    wide = est.groupBy("pair").agg(
+        F.max(F.when(F.col("role") == "a", F.col("d")))
+        .cast("bigint")
+        .alias("est_da"),
+        F.max(F.when(F.col("role") == "b", F.col("d")))
+        .cast("bigint")
+        .alias("est_db"),
+        F.max(F.when(F.col("role") == "ab", F.col("d")))
+        .cast("bigint")
+        .alias("est_dab"),
+    )
+    exact = (
+        tagged.filter(F.col("role") == "ab")
+        .groupBy("pair")
+        .agg(F.count_distinct("key").cast("bigint").alias("exact_dab"))
+    )
+    return wide.join(exact, "pair").select(
+        "pair",
+        "est_da",
+        "est_db",
+        "est_dab",
+        "exact_dab",
+        (
+            F.col("est_da") * F.col("est_db")
+            >= F.lit(int(factor)) * F.col("est_dab")
+        ).alias("flagged"),
+    )

@@ -17210,3 +17210,114 @@ def q280(spark, sf_dir):
     return est.join(exact, "pred_id").select(
         "pred_id", "lo", "hi", "n_buckets", "est_rows", "exact_rows"
     )
+
+
+def _q281_oracle_sql(k: int = 64, factor: int = 4) -> str:
+    """Nine q221-class register chains (3 pairs x roles a/b/ab) over
+    the tagged union, floored single-division estimates, the pivot,
+    the exact composite distinct, and the integer flag rule —
+    choices AND estimates under the hash gate."""
+    from gpi_etl_spark.functions.xhash import P as _P
+    from gpi_etl_spark.functions.xhash import affine_hash_sql as _ah
+    from gpi_etl_spark.functions.xhash import cubic_mix_sql as _cm
+    from gpi_etl_spark.functions.xhash import poly_hash_sql as _ph
+
+    est = (
+        f"CAST({k * _P} AS DOUBLE) / CAST(reg_sum + {k} AS DOUBLE)"
+        " - 1.0"
+    )
+    arms = []
+    for name, a, b in (
+        ("flag_status", "rf", "ls"),
+        ("line_tax", "ln", "txc"),
+        ("okey_skey", "ok4", "sk2"),
+    ):
+        w = f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+        arms.append(
+            f"SELECT '{name}' AS pair, 'a' AS role, {a} AS key "
+            f"FROM src {w}"
+        )
+        arms.append(
+            f"SELECT '{name}', 'b', {b} FROM src {w}"
+        )
+        arms.append(
+            f"SELECT '{name}', 'ab', {a} || '|' || {b} FROM src {w}"
+        )
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(l_linenumber AS VARCHAR) AS ln,
+             CAST(CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)
+                  AS VARCHAR) AS txc,
+             CAST(l_orderkey % 10000 AS VARCHAR) AS ok4,
+             CAST(l_suppkey % 100 AS VARCHAR) AS sk2
+      FROM lineitem),
+    tagged AS MATERIALIZED (
+      {union}),
+    b AS MATERIALIZED (
+      SELECT pair, role, {_ph("key")} AS h FROM tagged),
+    gm AS MATERIALIZED (
+      SELECT pair, role, {_cm("h")} AS gh FROM b),
+    r AS (SELECT pair, role, g.i AS i, {_ah("gh", "g.i", k)} AS ah
+          FROM gm, unnest(generate_series(0, {k - 1})) AS g(i)),
+    m AS (SELECT pair, role, i, min(ah) AS mi FROM r GROUP BY 1, 2, 3),
+    s AS (SELECT pair, role, CAST(sum(mi) AS BIGINT) AS reg_sum
+          FROM m GROUP BY 1, 2),
+    d AS (SELECT pair, role, CAST(floor({est}) AS BIGINT) AS d FROM s),
+    w AS (SELECT pair,
+                 max(CASE WHEN role = 'a' THEN d END) AS est_da,
+                 max(CASE WHEN role = 'b' THEN d END) AS est_db,
+                 max(CASE WHEN role = 'ab' THEN d END) AS est_dab
+          FROM d GROUP BY 1),
+    e AS (SELECT pair, CAST(count(DISTINCT key) AS BIGINT)
+                   AS exact_dab
+          FROM tagged WHERE role = 'ab' GROUP BY 1)
+    SELECT w.pair, w.est_da, w.est_db, w.est_dab, e.exact_dab,
+           (w.est_da * w.est_db >= {int(factor)} * w.est_dab)
+             AS flagged
+    FROM w JOIN e USING (pair)
+    """
+
+
+@query("q281_correlation_advisor", _q281_oracle_sql(64, 4))
+def q281(spark, sf_dir):
+    """Column-group correlation detection (skew.correlation_advisor)
+    — the CREATE STATISTICS decision: the independence assumption
+    prices conjunctions and grouped aggregates by d(A)*d(B), and
+    correlated columns make that over-predict d(A,B) by orders of
+    magnitude. Three lineitem pairs probe the three regimes: the
+    classic correlated pair (returnflag, linestatus) whose joint
+    domain is smaller than the product, an independent-ish pair
+    (shipmode, shipinstruct) whose composite fills the product, and
+    a sparse key pair (orderkey%10000, suppkey%100) where the
+    product wildly over-predicts — the regime that breaks
+    aggregation sizing. All distinct counts come from NINE
+    k-min-registers sketches built in ONE tagged union pass grouped
+    by (pair, role) — the maintained statistics-layer state — and
+    the flag is exact integer arithmetic on the floored estimates,
+    so choices AND estimates replay in DuckDB under the hash gate.
+    exact_dab rides as the measurement column. Reference seat: none
+    (no statistics of any kind)."""
+    from gpi_etl_spark.operators.skew import correlation_advisor
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_linenumber").cast("string").alias("ln"),
+        F.floor(F.col("l_tax") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("txc"),
+        (F.col("l_orderkey") % 10000).alias("ok4"),
+        (F.col("l_suppkey") % 100).alias("sk2"),
+    )
+    return correlation_advisor(
+        li,
+        [
+            ("flag_status", "l_returnflag", "l_linestatus"),
+            ("line_tax", "ln", "txc"),
+            ("okey_skey", "ok4", "sk2"),
+        ],
+        k=64,
+        factor=4,
+    )

@@ -365,3 +365,25 @@ def test_join_strategy_advisor_three_way_split(spark):
         assert out[name].est_build_entries == math.floor(ref.est), name
     # the duplicated key prices at ~5 entries, nowhere near 10 rows
     assert out["small"].est_build_entries <= 7
+
+
+def test_correlation_advisor_flags_dependent_pair_only(spark):
+    """A functionally-dependent pair (b = a // 10: d(ab) == d(a), the
+    product over-predicts ~|b|x) must flag; an independent full-cross
+    pair (d(ab) == d(a)*d(b)) must not. The flag is integer
+    arithmetic on floored KMV estimates — deterministic."""
+    from gpi_etl_spark.operators.skew import correlation_advisor
+
+    rows = [(i % 200, (i % 200) // 10, i % 8, (i * 7) % 5)
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "a bigint, fb bigint, c bigint, d bigint")
+    out = {
+        r.pair: r
+        for r in correlation_advisor(
+            df, [("dep", "a", "fb"), ("ind", "c", "d")], k=64, factor=4
+        ).collect()
+    }
+    assert out["dep"].flagged
+    assert not out["ind"].flagged
+    assert out["dep"].exact_dab == 200
+    assert out["ind"].exact_dab == 40
