@@ -17321,3 +17321,121 @@ def q281(spark, sf_dir):
         k=64,
         factor=4,
     )
+
+
+def _q282_oracle_sql(width: int = 512, depth: int = 4) -> str:
+    """Strategy-blind replay: the engineered key stream, the q188 CMS
+    bucket chain (build + candidate probe walk), the est*8 >= n hot
+    rule, the poly-hash dim attribute, a PLAIN join, and the grouped
+    readout by the replayed hot classification — if Spark's salted
+    execution loses, duplicates, or mis-replicates one row, or
+    classifies one key differently, a group row's hash breaks."""
+    return f"""
+    WITH f AS MATERIALIZED (
+      SELECT CASE WHEN l_linenumber = 1 THEN 0
+                  ELSE l_orderkey % 1000 END AS k,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+    cand AS MATERIALIZED (SELECT DISTINCT k FROM f),
+    hb AS MATERIALIZED (
+      SELECT k, {_ph_sql("CAST(k AS VARCHAR)")} AS h FROM f),
+    bk AS MATERIALIZED (
+      SELECT cast(r.i AS int) AS row,
+             cast(({_ah_sql('h', 'r.i', depth)}) % {width} AS int)
+               AS col
+      FROM hb, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    ctr AS MATERIALIZED (
+      SELECT row, col, CAST(count(*) AS BIGINT) AS c
+      FROM bk GROUP BY 1, 2),
+    ph AS (SELECT k, {_ph_sql("CAST(k AS VARCHAR)")} AS h FROM cand),
+    pbk AS (SELECT k, cast(r.i AS int) AS row,
+                   cast(({_ah_sql('h', 'r.i', depth)}) % {width}
+                        AS int) AS col
+            FROM ph, unnest(generate_series(0, {depth - 1})) AS r(i)),
+    est AS (SELECT p.k, min(coalesce(m.c, 0)) AS est
+            FROM pbk p LEFT JOIN ctr m USING (row, col) GROUP BY 1),
+    hot AS (SELECT est.k, (est.est * 8 >= nn.n) AS is_hot
+            FROM est, nn),
+    dim AS (SELECT k,
+                   ({_ph_sql("CAST(k AS VARCHAR)")}) % 97 AS grp
+            FROM cand),
+    j AS (SELECT f.k, f.qty, d.grp FROM f JOIN dim d USING (k))
+    SELECT h.is_hot,
+           CAST(count(DISTINCT j.k) AS BIGINT) AS n_keys,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(j.qty) AS BIGINT) AS qty_sum,
+           CAST(sum(j.grp) AS BIGINT) AS grp_sum
+    FROM j JOIN hot h ON j.k = h.k
+    GROUP BY 1
+    """
+
+
+@query("q282_adaptive_skew_join", _q282_oracle_sql(512, 4))
+def q282(spark, sf_dir):
+    """Sketch-triggered skew mitigation, EXECUTED (the q277/q278
+    pattern on the remaining physical-join axis — AQE's skew-join
+    decision made from maintained statistics instead of a runtime
+    shuffle autopsy): an engineered hot key (every first lineitem
+    line collapses to key 0, ~25% of the fact) is detected from the
+    CM frequency sketch — one candidate-probe walk, hot iff
+    est_freq * 8 >= n — and ONLY the flagged keys are salted in
+    skew.salted_join (hot rows scatter over 8 sub-keys, the dim side
+    replicates its hot rows 8x, everything else joins unsalted).
+    The oracle is strategy-blind: a PLAIN DuckDB join grouped by the
+    REPLAYED hot classification, so the hash gate proves the
+    identity law (salting changed the partition layout, not one
+    row: counts, qty sums, and the dim-attribute checksum that
+    would inflate on any mis-replication) AND the decision (each
+    key's hot flag from the replayed CMS chain). Driver state is
+    the bounded hot-key list + one scalar n (the q267 planner-state
+    class). At 100 TB: the sketch is the maintained statistics
+    layer, detection costs a |candidates| probe against a broadcast
+    KB counter table, and the hot list is by construction tiny —
+    the plan changes only where the data is pathological.
+    Reference seat: none (no skew concept of any kind)."""
+    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+    from gpi_etl_spark.operators.skew import salted_join
+
+    from gpi_etl_spark.functions import xhash
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_linenumber") == 1, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 1000)
+        .cast("bigint")
+        .alias("k"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    n = li.count()
+    items = li.select(F.col("k").cast("string").alias("item"))
+    sk = cms_build(items, "item", width=512, depth=4, hash_mode="poly")
+    cand = li.select("k").distinct()
+    est = cms_estimate(
+        sk,
+        cand.select(F.col("k").cast("string").alias("item")),
+        "item",
+        width=512,
+        depth=4,
+        hash_mode="poly",
+    )
+    hot_rows = est.filter(F.col("est") * 8 >= F.lit(int(n))).collect()
+    hot = [int(r.item) for r in hot_rows]
+    dim = cand.select(
+        "k",
+        F.pmod(
+            xhash.poly_hash(F.col("k").cast("string")), F.lit(97)
+        ).cast("bigint").alias("grp"),
+    )
+    joined = salted_join(li, dim, "k", n_salts=8, hot_keys=hot)
+    return joined.groupBy(
+        F.col("k").isin(hot).alias("is_hot")
+        if hot
+        else F.lit(False).alias("is_hot")
+    ).agg(
+        F.countDistinct("k").cast("bigint").alias("n_keys"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("qty_sum"),
+        F.sum("grp").cast("bigint").alias("grp_sum"),
+    )
