@@ -17439,3 +17439,122 @@ def q282(spark, sf_dir):
         F.sum("qty").cast("bigint").alias("qty_sum"),
         F.sum("grp").cast("bigint").alias("grp_sum"),
     )
+
+
+def _q283_oracle_sql() -> str:
+    """q244's decimal bucket CTE + global quantile walk over events
+    value cents, plus the injective bucket-table checksum
+    (cnt * (lead*100 + p*4 + sign + 2): p*4 strides past sign+2 in
+    {1,2,3} and lead*100 past both, so distinct bucket keys get
+    distinct coefficients), emitted twice — the streamed ledgered
+    fold and the direct batch build must both equal this replay."""
+    cs = "sum(cnt * (lead * 100 + p * 4 + sign + 2))"
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    b AS (SELECT CASE WHEN c > 0 THEN 1 WHEN c < 0 THEN -1
+                      ELSE 0 END AS sign,
+                 greatest(length(CAST(abs(c) AS VARCHAR)) - 3, 0) AS p,
+                 CAST(substr(CAST(abs(c) AS VARCHAR), 1, 3) AS BIGINT)
+                   AS lead,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY 1, 2, 3),
+    r AS (SELECT sign * CAST(lead || repeat('0', p) AS BIGINT) AS rep,
+                 cnt, sign, p, lead
+          FROM b),
+    f AS (SELECT rep, cnt,
+                 sum(cnt) OVER (ORDER BY rep
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                 sum(cnt) OVER () AS n
+          FROM r),
+    q AS (SELECT cast(max(n) AS bigint) AS n,
+                 cast(min(CASE WHEN cum * 2 >= n * 1 THEN rep END)
+                      AS bigint) AS q_1_2,
+                 cast(min(CASE WHEN cum * 10 >= n * 9 THEN rep END)
+                      AS bigint) AS q_9_10,
+                 cast(min(CASE WHEN cum * 100 >= n * 99 THEN rep END)
+                      AS bigint) AS q_99_100
+          FROM f),
+    cs AS (SELECT CAST({cs} AS BIGINT) AS tcs FROM b)
+    SELECT q.n, q.q_1_2, q.q_9_10, q.q_99_100,
+           cs.tcs AS streamed_checksum, cs.tcs AS batch_checksum
+    FROM q, cs
+    """
+
+
+@query("q283_stream_rq_quantiles", _q283_oracle_sql())
+def q283(spark, sf_dir):
+    """Quantile sketch maintained AS STREAMING STATE with
+    EXACTLY-ONCE folds (streaming/sinks.stream_rq → rq_fold_batch)
+    — the distribution monitor next to q247's distinct count, q248's
+    frequencies and q258's F2: histograms are linear, so each
+    micro-batch's bucket counts ADD into a few-thousand-row state
+    table under the same applied-batch-id ledger design as the CMS
+    sink (addition is not idempotent; a replayed batch id is skipped
+    before anything merges, ledger and buckets swap atomically in
+    one parquet dir). The maintained state answers ANY quantile
+    (rq_quantiles walk) and any range selectivity
+    (rq_range_estimate) without rescanning the stream; digits drift
+    across a checkpoint raises eagerly (bucket addition across
+    granularities would corrupt every walk silently). The gate
+    emits the streamed table's injective checksum NEXT TO a direct
+    batch build's — bit-equality claims the ledgered fold over
+    whatever micro-batch schedule the source produced equals
+    one-shot aggregation — plus the median/p90/p99 walk, all
+    replayed in DuckDB. Reference seat: none (no streaming, no
+    quantiles)."""
+    import shutil
+
+    from gpi_etl_spark.operators.sketches import rq_build, rq_quantiles
+    from gpi_etl_spark.streaming.sinks import rq_state, stream_rq
+
+    v = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    root = _landing(spark, "q283", sf_dir)
+    table, ckpt = root + "/buckets", root + "/ckpt"
+    for d in (table, table + "__staging", table + "__old", ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    stream = land_and_stream(spark, v, "q283src", sf_dir)
+    q = stream_rq(stream, table, "cents", checkpoint=ckpt, digits=3)
+    q.processAllAvailable()
+    q.stop()
+    st = rq_state(spark, table)
+    quant = rq_quantiles(st, (), ((1, 2), (9, 10), (99, 100)))
+    direct = rq_build(v, "cents", (), 3)
+
+    def _cksum(sk, alias):
+        return sk.select(
+            F.sum(
+                F.col("cnt")
+                * (
+                    F.col("lead") * 100
+                    + F.col("p") * 4
+                    + F.col("sign")
+                    + 2
+                )
+            )
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return (
+        quant.crossJoin(F.broadcast(_cksum(st, "streamed_checksum")))
+        .crossJoin(F.broadcast(_cksum(direct, "batch_checksum")))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "q_1_2",
+            "q_9_10",
+            "q_99_100",
+            "streamed_checksum",
+            "batch_checksum",
+        )
+    )

@@ -754,3 +754,114 @@ def stream_key_sample(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+#: sentinel sign marking applied-batch-id ledger rows inside a
+#: streamed rq bucket state table (real signs are -1 / 0 / 1)
+RQ_LEDGER_SIGN = 2
+
+
+def rq_state(spark: SparkSession, path: str) -> DataFrame:
+    """The BUCKET rows of a streamed rq state table (strips the
+    applied-batch ledger rows rq_fold_batch embeds). Feed this to
+    sketches.rq_quantiles / rq_rollup / rq_range_estimate."""
+    t = spark.read.parquet(path)
+    return t.filter(F.col("sign") != RQ_LEDGER_SIGN)
+
+
+def rq_fold_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    path: str,
+    cents_col: str,
+    digits: int = 3,
+) -> None:
+    """Fold one micro-batch into a maintained rq bucket table — the
+    streaming QUANTILE monitor: histograms are linear, so each
+    batch's bucket counts ADD into the state (rq_merge's law) and a
+    pipeline watches a value column's full distribution (any
+    quantile, any range selectivity via rq_range_estimate) for a few
+    thousand int64s of state. Addition is not idempotent, so this
+    reuses the CMS sink's APPLIED-BATCH LEDGER design verbatim:
+    sentinel rows ``(sign = RQ_LEDGER_SIGN, p = 0, lead = batch_id,
+    cnt = 1, dig = digits)`` ride INSIDE the state table and a
+    replayed batch_id is skipped before anything merges — one
+    parquet dir, one atomic rename-swap, no crash point that commits
+    buckets without their ledger entry. Same staged
+    ``_SUCCESS``-gated swap and recovery as upsert_batch; read
+    buckets back through :func:`rq_state`.
+
+    Geometry guard (the cms_fold_batch twin): ``dig`` rides in every
+    row, and a live state whose digits disagree with the caller dies
+    HERE — bucket addition across granularities is meaningless (two
+    dig generations rarely share bucket keys, so the mix would pass
+    rq_merge silently and corrupt every quantile walk)."""
+    from gpi_etl_spark.operators.sketches import rq_build, rq_merge
+
+    base = path.rstrip("/")
+    fs, Path, live = _hadoop_fs(spark, base)
+    staged, old = Path(base + "__staging"), Path(base + "__old")
+    _recover(fs, Path, live, staged, old)
+
+    ledger_row = spark.createDataFrame(
+        [(RQ_LEDGER_SIGN, 0, int(batch_id), 1, int(digits))],
+        "sign int, p int, lead long, cnt bigint, dig int",
+    )
+    if fs.exists(live):
+        state = spark.read.parquet(path)
+        got = state.select("dig").first()
+        if got is not None and got.dig != int(digits):
+            raise ValueError(
+                f"rq_fold_batch: live state at {path} was built with "
+                f"digits={got.dig} but the caller supplied "
+                f"digits={digits} — bucket addition across "
+                "granularities is meaningless. Use the state's "
+                "digits or rebuild."
+            )
+        applied = (
+            state.filter(
+                (F.col("sign") == RQ_LEDGER_SIGN)
+                & (F.col("lead") == int(batch_id))
+            ).limit(1).count()
+        )
+        if applied:
+            return  # replayed batch — already folded, exactly-once
+        buckets = state.filter(F.col("sign") != RQ_LEDGER_SIGN)
+        ledger = state.filter(F.col("sign") == RQ_LEDGER_SIGN)
+        delta = rq_build(batch, cents_col, (), digits)
+        merged = rq_merge(buckets, delta).unionByName(ledger).unionByName(
+            ledger_row
+        )
+    else:
+        delta = rq_build(batch, cents_col, (), digits)
+        merged = delta.unionByName(ledger_row)
+    _swap_in(merged, fs, live, staged, old, base)
+
+
+def stream_rq(
+    stream: DataFrame,
+    path: str,
+    cents_col: str,
+    checkpoint: str,
+    digits: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Attach the ledgered rq bucket-fold sink to a streaming
+    DataFrame — a quantile/selectivity sketch maintained as
+    exactly-once micro-batch state. Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rq_fold_batch(
+            spark, batch_df, batch_id, path, cents_col, digits=digits
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

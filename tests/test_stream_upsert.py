@@ -406,3 +406,47 @@ def test_sample_fold_batch_geometry_drift_raises(spark, dirs):
         sample_fold_batch(
             spark, b, path, "key", 8, ("g",), hash_mode="xxhash64"
         )
+
+
+def test_rq_fold_batch_ledger_makes_replay_exactly_once(spark, dirs):
+    """Bucket-count addition is NOT idempotent — the embedded ledger
+    must make it so: replaying a batch under its original batch_id
+    is a no-op and the final buckets equal a one-shot build."""
+    from gpi_etl_spark.operators.sketches import rq_build
+    from gpi_etl_spark.streaming.sinks import rq_fold_batch, rq_state
+
+    _, sink, _ = dirs
+    path = sink + "/rqbuckets"
+    b1 = spark.createDataFrame(
+        [(1000 + (i * 13) % 500,) for i in range(40)], "c long"
+    )
+    b2 = spark.createDataFrame(
+        [(-(2000 + i),) for i in range(30)], "c long"
+    )
+    rq_fold_batch(spark, b1, 0, path, "c", digits=3)
+    rq_fold_batch(spark, b2, 1, path, "c", digits=3)
+    rq_fold_batch(spark, b2, 1, path, "c", digits=3)  # replay
+    cols = ["sign", "p", "lead", "cnt", "dig"]
+    streamed = sorted(
+        map(tuple, rq_state(spark, path).select(*cols).collect())
+    )
+    direct = sorted(map(tuple, rq_build(
+        b1.unionByName(b2), "c", (), 3
+    ).select(*cols).collect()))
+    assert streamed == direct
+
+
+def test_rq_fold_batch_digits_drift_raises(spark, dirs):
+    """A checkpoint that straddles a digits change must die eagerly —
+    bucket addition across granularities corrupts every quantile walk
+    silently (two dig generations rarely share bucket keys)."""
+    import pytest
+
+    from gpi_etl_spark.streaming.sinks import rq_fold_batch
+
+    _, sink, _ = dirs
+    path = sink + "/rqdrift"
+    b = spark.createDataFrame([(123456,)], "c long")
+    rq_fold_batch(spark, b, 0, path, "c", digits=3)
+    with pytest.raises(ValueError, match="digits"):
+        rq_fold_batch(spark, b, 1, path, "c", digits=2)

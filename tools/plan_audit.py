@@ -157,6 +157,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # onto the one-row F2 estimate -- q248's scalar class;
                 # the streamed state itself is |k|-bounded.
                 "q258_stream_ams_f2",
+                # q283: the readout crossJoins two one-row checksum
+                # aggregates onto the one-row quantile walk — q258's
+                # scalar class; the streamed state is bucket-geometry
+                # bounded (a few thousand rows at digits=3).
+                "q283_stream_rq_quantiles",
                 # q231: one-row crossJoin(broadcast(min/max-day bounds))
                 # building the global day spine — q162's exact pattern
                 # (the BNL loop side is 1 row; the spine is |types| ×
