@@ -155,6 +155,9 @@ HEADLINE = [
     "q270_priority_sample",      # DLT weighted subset-sum sampling (r11 add)
     "q272_superspreaders",       # per-key KMV F0 heavy hitters + recount (r11 add)
     "q274_join_view_delta",      # bilinear IVM delta joins + law check (r11 add)
+    "q278_zonemap_executed",     # dual layout write + footer measure (r12 add)
+    "q279_zorder_executed",      # 2-D z-order write + footer measure (r12 add)
+    "q282_adaptive_skew_join",   # CMS-triggered hot-key salted join (r12 add)
     # q269 (FD g3) stays unbenched under rule (d): one corpus groupBy
     # to a cell table + cell algebra — the q50/q159-class aggregate
     # shapes, all benched.
@@ -202,6 +205,19 @@ HEADLINE = [
     # landing rewrite + per-batch state swaps dominate, which the
     # noop lane would mismeasure; its compute shape (q252-class
     # builds) is benched.
+    # q276 (planner capstone) stays unbenched under rule (d): q267's
+    # planner (benched) + q262's Bloom-pushdown execution shape.
+    # q277 (join strategy) stays unbenched under rule (d): three
+    # q221-class kmv builds (benched) plus trivial byte-sum
+    # aggregates and a |dims|-row decision readout.
+    # q280 (histogram selectivity) stays unbenched under rule (d): a
+    # q239-class bucket build (benched) plus a KB lattice.
+    # q281 (correlation advisor) stays unbenched under rule (d):
+    # nine q221-class register chains over a tagged union — the
+    # benched kmv shape at 9x, nothing structurally new.
+    # q283 (streamed rq state) is excluded for q247/q248's reason:
+    # landing rewrite + per-batch state swaps dominate; its compute
+    # shape (q239-class bucket build) is benched.
 ]
 
 

@@ -434,6 +434,139 @@ def measure_zone_map_cols(
     )
 
 
+def layout_workload_advisor(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    n_files: int,
+    workload: "Sequence[tuple[int, str, int, int, int]]",
+    bits: int = 10,
+) -> DataFrame:
+    """Choose the table LAYOUT for a whole WORKLOAD — the decision
+    q271/q278/q279 feed: given weighted range predicates over two
+    dimensions ``(pred_id, dim 'x'|'y', lo, hi, weight)``, price four
+    candidate 64-file layouts by total weighted rows scanned under
+    parquet min/max skipping and pick the argmin:
+
+    * ``range_x`` / ``range_y`` — equal-width zones of one dimension
+      (perfect pruning there, none on the other);
+    * ``zorder``  — equal-width zones of the Morton interleave
+      (both dimensions prune at tile granularity);
+    * ``hash``    — poly_hash of the composite key (the no-layout
+      strawman: every file spans everything).
+
+    ONE corpus pass builds all four layouts' zone tables (explode of
+    four (layout, fid) structs off the one-row six-scalar bounds
+    broadcast, map-side-combined groupBy to ≤ 4·n_files rows carrying
+    BOTH dimensions' min/max); the cost model is the q279 prune rule
+    on each predicate's OWN dimension, weighted and summed — exact
+    int64 end to end (weight · zrows sums; envelope: Σ weight · rows
+    < 2^63). The argmin broadcasts the one-row (min cost, first
+    layout name) back over the 4-row cost table (q261's bounded
+    pattern); ties break by layout name so the choice is total.
+    Returns ``(layout string, wcost bigint, chosen boolean)`` — the
+    decision AND its price trace, replayable bit-for-bit. At 100 TB
+    the pass is one scan; the decision is what a layout migration
+    (q278/q279's executed writes) is justified by."""
+    from gpi_etl_spark.functions import xhash
+
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        F.col(x_col).cast("bigint").alias("_x"),
+        F.col(y_col).cast("bigint").alias("_y"),
+    ).withColumn("_z", zorder_key("_x", "_y", bits))
+    bounds = base.agg(
+        F.min("_x").alias("_mnx"), F.max("_x").alias("_mxx"),
+        F.min("_y").alias("_mny"), F.max("_y").alias("_mxy"),
+        F.min("_z").alias("_mnz"), F.max("_z").alias("_mxz"),
+    )
+    keyed = base.crossJoin(F.broadcast(bounds))
+
+    def _fid(k, mn, mx):
+        return F.expr(
+            f"CAST(({k} - {mn}) * {int(n_files)} "
+            f"DIV ({mx} - {mn} + 1) AS INT)"
+        )
+
+    fid_hash = F.pmod(
+        xhash.poly_hash(
+            F.concat_ws(
+                "|", F.col("_x").cast("string"),
+                F.col("_y").cast("string"),
+            )
+        ),
+        F.lit(n_files),
+    ).cast("int")
+    tagged = keyed.select(
+        "_x",
+        "_y",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("range_x").alias("layout"),
+                    _fid("_x", "_mnx", "_mxx").alias("fid"),
+                ),
+                F.struct(
+                    F.lit("range_y").alias("layout"),
+                    _fid("_y", "_mny", "_mxy").alias("fid"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    _fid("_z", "_mnz", "_mxz").alias("fid"),
+                ),
+                F.struct(
+                    F.lit("hash").alias("layout"),
+                    fid_hash.alias("fid"),
+                ),
+            )
+        ).alias("_lf"),
+    ).select("_x", "_y", "_lf.layout", "_lf.fid")
+    zones = tagged.groupBy("layout", "fid").agg(
+        F.min("_x").alias("xmin"),
+        F.max("_x").alias("xmax"),
+        F.min("_y").alias("ymin"),
+        F.max("_y").alias("ymax"),
+        F.count(F.lit(1)).cast("bigint").alias("zrows"),
+    )
+    preds = df.sparkSession.createDataFrame(
+        [
+            (int(i), str(d), int(lo), int(hi), int(w))
+            for i, d, lo, hi, w in workload
+        ],
+        "pred_id int, dim string, lo bigint, hi bigint, w bigint",
+    )
+    lattice = preds.crossJoin(F.broadcast(zones))
+    pruned = F.when(
+        F.col("dim") == "x",
+        (F.col("xmax") < F.col("lo")) | (F.col("xmin") > F.col("hi")),
+    ).otherwise(
+        (F.col("ymax") < F.col("lo")) | (F.col("ymin") > F.col("hi"))
+    )
+    costs = lattice.groupBy("layout").agg(
+        F.sum(
+            F.when(~pruned, F.col("w") * F.col("zrows")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("wcost")
+    )
+    best = costs.agg(
+        F.min(F.struct("wcost", "layout")).alias("_b")
+    ).select(
+        F.col("_b.wcost").alias("_bc"), F.col("_b.layout").alias("_bl")
+    )
+    return costs.crossJoin(F.broadcast(best)).select(
+        "layout",
+        "wcost",
+        (
+            (F.col("wcost") == F.col("_bc"))
+            & (F.col("layout") == F.col("_bl"))
+        ).alias("chosen"),
+    )
+
+
 def zone_map_advisor(
     df: DataFrame,
     key_col: str,

@@ -17558,3 +17558,101 @@ def q283(spark, sf_dir):
             "batch_checksum",
         )
     )
+
+
+_Q284_WORKLOAD = [(0, "x", 100, 149, 5), (1, "y", 512, 575, 3),
+                  (2, "x", 900, 1023, 1), (3, "y", 0, 100, 2)]
+
+
+def _q284_oracle_sql() -> str:
+    """Four-layout simulation replay: the zorder_sql bit chain, the
+    shared equal-width fid arithmetic off the six-scalar bounds, the
+    poly-hash composite for the hash strawman, wide per-zone x/y
+    stats, the weighted prune-cost model, and the (wcost, layout)
+    argmin with total tie-break."""
+    from gpi_etl_spark.operators.sinklayout import zorder_sql
+
+    z = zorder_sql("(l_partkey & 1023)", "(l_orderkey & 1023)", bits=10)
+    values = ", ".join(
+        f"({i}, '{d}', {lo}, {hi}, {w})"
+        for i, d, lo, hi, w in _Q284_WORKLOAD
+    )
+    ph = _ph_sql("CAST(x AS VARCHAR) || '|' || CAST(y AS VARCHAR)")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(l_partkey & 1023 AS BIGINT) AS x,
+             CAST(l_orderkey & 1023 AS BIGINT) AS y,
+             CAST({z} AS BIGINT) AS zk
+      FROM lineitem),
+    b AS (SELECT min(x) AS mnx, max(x) AS mxx,
+                 min(y) AS mny, max(y) AS mxy,
+                 min(zk) AS mnz, max(zk) AS mxz FROM base),
+    tagged AS MATERIALIZED (
+      SELECT 'range_x' AS layout,
+             CAST((x - mnx) * 64 // (mxx - mnx + 1) AS INT) AS fid,
+             x, y
+      FROM base, b
+      UNION ALL
+      SELECT 'range_y',
+             CAST((y - mny) * 64 // (mxy - mny + 1) AS INT), x, y
+      FROM base, b
+      UNION ALL
+      SELECT 'zorder',
+             CAST((zk - mnz) * 64 // (mxz - mnz + 1) AS INT), x, y
+      FROM base, b
+      UNION ALL
+      SELECT 'hash', CAST(({ph}) % 64 AS INT), x, y FROM base),
+    zones AS (
+      SELECT layout, fid, min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax,
+             CAST(count(*) AS BIGINT) AS zrows
+      FROM tagged GROUP BY 1, 2),
+    preds(pred_id, dim, lo, hi, w) AS (VALUES {values}),
+    costs AS (
+      SELECT z.layout,
+             CAST(sum(CASE WHEN (CASE WHEN p.dim = 'x'
+                                 THEN z.xmax < p.lo OR z.xmin > p.hi
+                                 ELSE z.ymax < p.lo OR z.ymin > p.hi
+                                 END)
+                      THEN 0 ELSE p.w * z.zrows END) AS BIGINT)
+               AS wcost
+      FROM preds p CROSS JOIN zones z GROUP BY 1),
+    best AS (SELECT wcost AS bc, layout AS bl FROM costs
+             ORDER BY wcost, layout LIMIT 1)
+    SELECT c.layout, c.wcost,
+           (c.wcost = best.bc AND c.layout = best.bl) AS chosen
+    FROM costs c, best
+    """
+
+
+@query("q284_layout_workload", _q284_oracle_sql())
+def q284(spark, sf_dir):
+    """Workload-weighted layout CHOICE
+    (sinklayout.layout_workload_advisor) — the decision the whole
+    layout family feeds: q271 priced one rewrite, q278/q279 executed
+    and accepted them; q284 picks WHICH layout a mixed workload
+    (weighted x- and y-range predicates) deserves, among range_x /
+    range_y / zorder / hash, by total weighted rows scanned under
+    the parquet prune rule. ONE corpus pass builds all four zone
+    tables (explode of four (layout, fid) structs off the one-row
+    six-scalar bounds broadcast); the cost and the argmin (ties
+    total-ordered by layout name) are exact int64, so the CHOICE
+    itself hash-gates. The choice legitimately shifts with the data
+    (it replays, it is not pinned): where both dimensions span, the
+    z tiling undercuts the single-axis layouts that give one
+    predicate class up entirely; hash never prunes. At 100 TB:
+    one scan prices the migration q278/q279 would then execute and
+    verify. Reference seat: none (no layout control of any kind)."""
+    from gpi_etl_spark.operators.sinklayout import layout_workload_advisor
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").bitwiseAND(F.lit(1023))
+        .cast("bigint")
+        .alias("x"),
+        F.col("l_orderkey").bitwiseAND(F.lit(1023))
+        .cast("bigint")
+        .alias("y"),
+    )
+    return layout_workload_advisor(
+        li, "x", "y", 64, _Q284_WORKLOAD, bits=10
+    )

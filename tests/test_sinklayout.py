@@ -319,3 +319,32 @@ def test_zorder_layout_prunes_both_dims_from_real_footers(spark, tmp_path):
     assert out[(0, "range_x")] == (16, 12, 256)
     assert out[(1, "range_x")][1] == 0
     assert out[(1, "range_x")][2] == 1024
+
+
+def test_layout_workload_advisor_regimes(spark):
+    """The 32x32 grid with an x-only workload must choose range_x; a
+    balanced two-dimension workload must choose zorder; hash must
+    never prune (wcost = weight-sum * n for every predicate)."""
+    from gpi_etl_spark.operators.sinklayout import layout_workload_advisor
+
+    grid = spark.createDataFrame(
+        [(i % 32, i // 32) for i in range(1024)], "x bigint, y bigint"
+    )
+    x_only = layout_workload_advisor(
+        grid, "x", "y", 16, [(0, "x", 0, 7, 1)], bits=5
+    )
+    got = {r.layout: (r.wcost, r.chosen) for r in x_only.collect()}
+    assert got["range_x"] == (256, True)
+    assert got["hash"] == (1024, False)
+    both = layout_workload_advisor(
+        grid, "x", "y", 16,
+        [(0, "x", 0, 7, 1), (1, "y", 0, 7, 1)], bits=5,
+    )
+    got2 = {r.layout: (r.wcost, r.chosen) for r in both.collect()}
+    # zorder: each pred keeps 4 of 16 8x8 tiles -> 256 + 256
+    assert got2["zorder"] == (512, True)
+    # single-axis: perfect on its own axis (256), nothing on the
+    # other (1024)
+    assert got2["range_x"] == (256 + 1024, False)
+    assert got2["range_y"] == (1024 + 256, False)
+    assert sum(1 for _, c in got2.values() if c) == 1

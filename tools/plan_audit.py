@@ -132,6 +132,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # corpus-scale work is the two layout writes and one
                 # read-back aggregate.
                 "q279_zorder_executed",
+                # q284: q271's bounded class at 4 layouts — the
+                # one-row six-scalar bounds broadcast onto the key
+                # stream, the |preds| x 4*n_files zone lattice (KB),
+                # and the one-row argmin broadcast back over the
+                # 4-row cost table (q261's pattern).
+                "q284_layout_workload",
                 # q280: the |preds| x |buckets| selectivity lattice —
                 # a literal table crossJoined onto the broadcast
                 # bucket AGGREGATE (≤ a few thousand rows at
