@@ -17656,3 +17656,151 @@ def q284(spark, sf_dir):
     return layout_workload_advisor(
         li, "x", "y", 64, _Q284_WORKLOAD, bits=10
     )
+
+
+def _q285_oracle_sql() -> str:
+    """q33's full MinHash-LSH replay and q172's exact prefix-filter
+    Jaccard replay share one tokenization CTE, full-outer-join on the
+    pair key, and fold to the audit counts + fs6 recall/precision —
+    the two dedup paths graded against each other in one gate."""
+    from gpi_etl_spark.functions import xhash
+
+    base = xhash.poly_hash_sql("shingle")
+    perm = xhash.affine_hash_sql("h", "i", 64)
+    bucket = xhash.poly_fold_longs_sql("list(mh ORDER BY i)")
+    rec = "CAST(truth_in_accepted AS DOUBLE) / CAST(n_truth AS DOUBLE)"
+    prec = (
+        "CAST(truth_in_accepted AS DOUBLE) / CAST(n_accepted AS DOUBLE)"
+    )
+    return f"""
+    WITH norm AS (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\\s+', ' ',
+                                             'g')) AS t
+                  FROM documents WHERE doc_id % 10 = 0),
+    tok AS (SELECT doc_id,
+                   unnest(list_distinct(string_split(t, ' '))) AS shingle
+            FROM norm),
+    tok2 AS MATERIALIZED (SELECT doc_id, shingle FROM tok
+                          WHERE len(shingle) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok2 GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM tok2 a JOIN tok2 b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 2 * n_common >= (sa.n + sb.n - n_common)),
+    bse AS MATERIALIZED (SELECT doc_id, {base} AS h FROM tok2),
+    prm AS (SELECT doc_id, unnest(generate_series(0, 63)) AS i, h
+            FROM bse),
+    sig AS MATERIALIZED (SELECT doc_id, i, min({perm}) AS mh
+                         FROM prm GROUP BY doc_id, i),
+    bnd AS MATERIALIZED (SELECT doc_id, i // 4 AS band,
+                                {bucket} AS bucket
+                         FROM sig GROUP BY doc_id, i // 4),
+    pr AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    cand AS MATERIALIZED (
+      SELECT p.id_a, p.id_b,
+             (sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 2 >= 64)
+               AS acc
+      FROM pr p JOIN sig sa ON sa.doc_id = p.id_a
+                JOIN sig sb ON sb.doc_id = p.id_b AND sb.i = sa.i
+      GROUP BY p.id_a, p.id_b),
+    uni AS (
+      SELECT coalesce(t.id_a, c.id_a) AS id_a,
+             coalesce(t.id_b, c.id_b) AS id_b,
+             CASE WHEN t.id_a IS NULL THEN 0 ELSE 1 END AS is_t,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS is_c,
+             CASE WHEN coalesce(c.acc, FALSE) THEN 1 ELSE 0 END AS is_a
+      FROM truth t FULL JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    agg AS (
+      SELECT CAST(sum(is_t) AS BIGINT) AS n_truth,
+             CAST(sum(is_c) AS BIGINT) AS n_candidates,
+             CAST(sum(is_a) AS BIGINT) AS n_accepted,
+             CAST(sum(is_t * is_c) AS BIGINT) AS truth_in_candidates,
+             CAST(sum(is_t * is_a) AS BIGINT) AS truth_in_accepted
+      FROM uni)
+    SELECT n_truth, n_candidates, n_accepted, truth_in_candidates,
+           truth_in_accepted,
+           CASE WHEN n_truth > 0
+                THEN {fs6_sql(rec)} ELSE CAST(-1 AS DOUBLE) END
+             AS recall_r,
+           CASE WHEN n_accepted > 0
+                THEN {fs6_sql(prec)} ELSE CAST(-1 AS DOUBLE) END
+             AS precision_r
+    FROM agg
+    """
+
+
+@query("q285_dedup_recall_audit", _q285_oracle_sql())
+def q285(spark, sf_dir):
+    """The dedup family's completeness critic — LSH measured against
+    its own ground truth in one gate: q172's prefix-filtered EXACT
+    Jaccard pairs (threshold 0.5) are the truth set, q33's banded
+    MinHash candidates (64 hashes, 16 bands, poly mode) the
+    production path, and a full outer join on the pair key folds to
+    the audit row: candidate recall (did any band catch the pair),
+    accepted recall (did the m/64 estimate keep it), and precision
+    of the accepted set. This is the number a 100 TB dedup run is
+    planned around — the (bands, rows) operating point's REAL
+    false-negative rate on THIS corpus, not the textbook S-curve —
+    and the full pipeline on both sides replays in DuckDB, so the
+    audit itself is hash-gated (fs6-pinned ratios, -1 sentinel on
+    empty denominators). Scale: both sides are the linear-shuffle
+    pair generators already deployed (rare-prefix join / band
+    equi-join); the audit adds one pair-key full outer join and a
+    one-row fold. Reference seat: none (no dedup of any kind)."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    truth = dedup.jaccard_pairs_prefix_filtered(
+        docs, n=1, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("is_t"))
+    cand = dedup.minhash_lsh_pairs(
+        docs, n=1, num_hashes=64, bands=16, threshold=None,
+        hash_mode="poly",
+    ).select(
+        "id_a",
+        "id_b",
+        F.lit(1).alias("is_c"),
+        (F.col("est_jaccard") * 2 >= 1.0).cast("int").alias("is_a"),
+    )
+    uni = truth.join(cand, ["id_a", "id_b"], "full").select(
+        F.coalesce(F.col("is_t"), F.lit(0)).alias("is_t"),
+        F.coalesce(F.col("is_c"), F.lit(0)).alias("is_c"),
+        F.coalesce(F.col("is_a"), F.lit(0)).alias("is_a"),
+    )
+    agg = uni.agg(
+        F.sum("is_t").cast("bigint").alias("n_truth"),
+        F.sum("is_c").cast("bigint").alias("n_candidates"),
+        F.sum("is_a").cast("bigint").alias("n_accepted"),
+        F.sum(F.col("is_t") * F.col("is_c"))
+        .cast("bigint")
+        .alias("truth_in_candidates"),
+        F.sum(F.col("is_t") * F.col("is_a"))
+        .cast("bigint")
+        .alias("truth_in_accepted"),
+    )
+    rec = F.col("truth_in_accepted").cast("double") / F.col(
+        "n_truth"
+    ).cast("double")
+    prec = F.col("truth_in_accepted").cast("double") / F.col(
+        "n_accepted"
+    ).cast("double")
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_accepted",
+        "truth_in_candidates",
+        "truth_in_accepted",
+        F.when(F.col("n_truth") > 0, fs6(rec))
+        .otherwise(F.lit(-1.0))
+        .alias("recall_r"),
+        F.when(F.col("n_accepted") > 0, fs6(prec))
+        .otherwise(F.lit(-1.0))
+        .alias("precision_r"),
+    )
