@@ -332,3 +332,159 @@ def priority_sample(
             F.greatest(F.col("w").cast("double"), F.col("_tau"))
         ).alias("est_w_r"),
     )
+
+
+def neyman_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    value_col: str,
+    k_total: int,
+    hash_mode: str = "poly",
+) -> DataFrame:
+    """Neyman-allocated stratified sampling — the survey-statistics
+    ALLOCATION DECISION on top of the coordinated samplers this
+    module already has: for a fixed total budget ``k_total``, the
+    variance-minimizing design samples stratum h in proportion to
+    ``N_h · S_h`` (big AND internally-variable strata earn more
+    budget than big-but-uniform ones). Every step is replayable:
+
+    * per-stratum moments ``(N, Σv, Σv²)`` are exact int64 from ONE
+      map-side-combined pass; the Neyman weight is
+      ``w_h = floor(sqrt(N·Σv² − (Σv)²))`` — the variance numerator
+      is exact int64 (envelope: it must stay < 2^53 so the sqrt's
+      double conversion is exact; value magnitudes like quantities
+      satisfy this at any corpus size, cents of large prices may
+      not — rescale first), and sqrt is a single correctly-rounded
+      IEEE op, so the floor is bit-identical in both engines;
+    * the integerization is the LARGEST-REMAINDER method in pure
+      int64: ``base_h = k·w_h div W``, leftovers go to the largest
+      ``(k·w_h mod W)`` with ties broken by stratum — a total,
+      replayable apportionment (the same math as parliamentary seat
+      allocation);
+    * within each stratum the ``alloc_h`` keys of smallest
+      :func:`key_priority` win (ties by key) — coordinated,
+      engine-stable, and mergeable across shards by re-ranking
+      unioned per-shard top-alloc sets.
+
+    Raises (lazily, inside the plan) if every stratum is constant
+    (ΣW = 0 — Neyman allocation is undefined; fall back to
+    proportional-to-N explicitly if that is what you want). Returns
+    one row per stratum: ``(stratum, n_rows, v_num, w, alloc,
+    n_sampled, key_checksum, value_sum_sampled)`` — the decision AND
+    the selected set's fingerprints under one gate. Scale: one
+    moment pass + one rank window per stratum; the allocation
+    lattice is |strata| rows."""
+    s = F.col(stratum_col)
+    stats = df.groupBy(s.alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col(value_col)).cast("bigint").alias("_sv"),
+        F.sum(F.col(value_col) * F.col(value_col))
+        .cast("bigint")
+        .alias("_svv"),
+    )
+    v_num = (
+        F.col("n_rows") * F.col("_svv") - F.col("_sv") * F.col("_sv")
+    )
+    wv = stats.select(
+        "stratum",
+        "n_rows",
+        v_num.alias("v_num"),
+        F.floor(F.sqrt(v_num.cast("double"))).cast("bigint").alias("w"),
+    )
+    tot = wv.agg(F.sum("w").cast("bigint").alias("_W"))
+    k = F.lit(int(k_total)).cast("bigint")
+    al = wv.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "v_num",
+        "w",
+        F.when(
+            F.col("_W") > 0, (k * F.col("w")).cast("bigint")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "neyman_stratified_sample: every stratum is "
+                    "constant (total Neyman weight 0) — the "
+                    "allocation is undefined; use a "
+                    "proportional-to-N design explicitly instead."
+                )
+            ).cast("bigint")
+        )
+        .alias("_kw"),
+        F.col("_W"),
+    )
+    al = al.select(
+        "stratum",
+        "n_rows",
+        "v_num",
+        "w",
+        F.expr("_kw DIV _W").cast("bigint").alias("_base"),
+        (F.col("_kw") - F.expr("_kw DIV _W") * F.col("_W"))
+        .cast("bigint")
+        .alias("_rem"),
+    )
+    lo = al.agg(
+        (k - F.sum("_base")).cast("bigint").alias("_L")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    )
+    alloc = (
+        al.withColumn("_r", rk)
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "stratum",
+            "n_rows",
+            "v_num",
+            "w",
+            (
+                F.col("_base")
+                + F.when(F.col("_r") <= F.col("_L"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )
+    pri = df.select(
+        s.alias("stratum"),
+        F.col(key_col).cast("bigint").alias("_key"),
+        F.col(value_col).cast("bigint").alias("_v"),
+    ).withColumn(
+        "_pri", key_priority(F.col("_key"), hash_mode)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("stratum").orderBy(
+            F.col("_pri").asc(), F.col("_key").asc()
+        )
+    )
+    sel = (
+        pri.withColumn("_rn", rn)
+        .join(alloc.select("stratum", "alloc"), "stratum")
+        .filter(F.col("_rn") <= F.col("alloc"))
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("_key").cast("bigint").alias("key_checksum"),
+            F.sum("_v").cast("bigint").alias("value_sum_sampled"),
+        )
+    )
+    return alloc.join(sel, "stratum", "left").select(
+        "stratum",
+        "n_rows",
+        "v_num",
+        "w",
+        "alloc",
+        F.coalesce(F.col("n_sampled"), F.lit(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        F.coalesce(F.col("key_checksum"), F.lit(0))
+        .cast("bigint")
+        .alias("key_checksum"),
+        F.coalesce(F.col("value_sum_sampled"), F.lit(0))
+        .cast("bigint")
+        .alias("value_sum_sampled"),
+    )

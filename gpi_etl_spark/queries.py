@@ -17804,3 +17804,96 @@ def q285(spark, sf_dir):
         .otherwise(F.lit(-1.0))
         .alias("precision_r"),
     )
+
+
+def _q286_oracle_sql(k_total: int = 1000) -> str:
+    """Full replay of the Neyman design: exact int64 per-stratum
+    moments, w = floor(sqrt(variance numerator)) (the double cast is
+    exact under the < 2^53 envelope and sqrt is one correctly-rounded
+    op), the largest-remainder apportionment in pure int64 (ties by
+    stratum), the key_priority chain, per-stratum rank cut, and the
+    selected set's checksums."""
+    from gpi_etl_spark.operators.sampling import key_priority_sql
+
+    pri = key_priority_sql("CAST(key AS VARCHAR)")
+    return f"""
+    WITH f AS MATERIALIZED (
+      SELECT l_returnflag AS s,
+             l_orderkey * 10 + l_linenumber AS key,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS v
+      FROM lineitem),
+    st AS (SELECT s, CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(v) AS BIGINT) AS sv,
+                  CAST(sum(v * v) AS BIGINT) AS svv
+           FROM f GROUP BY 1),
+    wv AS (SELECT s, n_rows, n_rows * svv - sv * sv AS v_num,
+                  CAST(floor(sqrt(CAST(n_rows * svv - sv * sv
+                                       AS DOUBLE))) AS BIGINT) AS w
+           FROM st),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wv),
+    al AS (SELECT s, n_rows, v_num, w,
+                  ({k_total} * w) // wsum AS base,
+                  {k_total} * w - (({k_total} * w) // wsum) * wsum
+                    AS rem
+           FROM wv, tot),
+    lo AS (SELECT {k_total} - CAST(sum(base) AS BIGINT) AS L FROM al),
+    rk AS (SELECT s, row_number() OVER (ORDER BY rem DESC, s ASC)
+                    AS r
+           FROM al),
+    alloc AS (SELECT al.s, al.n_rows, al.v_num, al.w,
+                     CAST(al.base + CASE WHEN rk.r <= lo.L
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS alloc
+              FROM al JOIN rk ON al.s = rk.s, lo),
+    pri AS MATERIALIZED (
+      SELECT s, key, v, {pri} AS pri FROM f),
+    rn AS (SELECT s, key, v,
+                  row_number() OVER (PARTITION BY s
+                                     ORDER BY pri ASC, key ASC) AS rn
+           FROM pri),
+    sel AS (SELECT rn.s,
+                   CAST(count(*) AS BIGINT) AS n_sampled,
+                   CAST(sum(rn.key) AS BIGINT) AS key_checksum,
+                   CAST(sum(rn.v) AS BIGINT) AS value_sum_sampled
+            FROM rn JOIN alloc ON rn.s = alloc.s
+            WHERE rn.rn <= alloc.alloc GROUP BY 1)
+    SELECT alloc.s AS stratum, alloc.n_rows, alloc.v_num, alloc.w,
+           alloc.alloc,
+           coalesce(sel.n_sampled, 0) AS n_sampled,
+           coalesce(sel.key_checksum, 0) AS key_checksum,
+           coalesce(sel.value_sum_sampled, 0) AS value_sum_sampled
+    FROM alloc LEFT JOIN sel ON alloc.s = sel.s
+    """
+
+
+@query("q286_neyman_allocation", _q286_oracle_sql(1000))
+def q286(spark, sf_dir):
+    """Neyman-allocated stratified sampling
+    (sampling.neyman_stratified_sample) — the survey-statistics
+    budget decision on top of the module's coordinated samplers:
+    1000 samples split across the l_returnflag strata in proportion
+    to N_h*S_h (floor(sqrt(exact int64 variance numerator)) — big
+    AND variable strata earn budget, big-but-uniform ones do not),
+    integerized by the largest-remainder method in pure int64 (ties
+    total-ordered by stratum), then filled per stratum by the
+    smallest key_priority keys (the q253 coordination class). The
+    decision (weights, apportionment) AND the selected set
+    (checksums) sit under one hash gate, replayed end-to-end in
+    DuckDB. Scale: one map-side-combined moment pass, a |strata|-row
+    allocation lattice, one rank window per stratum; per-shard
+    samples merge by re-ranking unioned top-alloc key sets.
+    Envelope: the variance numerator must stay < 2^53 for the sqrt
+    cast to be exact (quantity-scale values — rescale cents first).
+    Reference seat: none (pandas head-slicing only)."""
+    from gpi_etl_spark.operators.sampling import neyman_stratified_sample
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("s"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("key"),
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("v"),
+    )
+    return neyman_stratified_sample(
+        li, "s", "key", "v", 1000, hash_mode="poly"
+    ).withColumnRenamed("s", "stratum")

@@ -243,3 +243,51 @@ def test_priority_sample_rejects_nonpositive_weights(spark):
     )
     with pytest.raises(PySparkException, match="positive"):
         priority_sample(df, "k", "w", 4, ("g",)).collect()
+
+
+def test_neyman_allocation_properties(spark):
+    """The apportionment must hand out exactly k_total, give the
+    high-variance stratum more than an equal-size uniform one, and
+    raise on the all-constant degenerate design."""
+    import pytest
+
+    from gpi_etl_spark.operators.sampling import neyman_stratified_sample
+
+    rows = (
+        [("var", i, (i * 37) % 100) for i in range(2000)]
+        + [("flat", 10_000 + i, 50) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, "s string, key bigint, v bigint")
+    out = {
+        r.stratum: r
+        for r in neyman_stratified_sample(
+            df, "s", "key", "v", 100, hash_mode="poly"
+        ).collect()
+    }
+    assert out["var"].alloc + out["flat"].alloc == 100
+    # the flat stratum has zero variance -> w = 0 -> all budget to var
+    assert out["flat"].alloc == 0 and out["var"].alloc == 100
+    assert out["var"].n_sampled == 100
+    assert out["flat"].n_sampled == 0
+
+    # three strata, mixed variance: still sums to k and orders by w
+    rows3 = rows + [("mid", 20_000 + i, 45 + i % 10) for i in range(2000)]
+    df3 = spark.createDataFrame(rows3, "s string, key bigint, v bigint")
+    out3 = {
+        r.stratum: r
+        for r in neyman_stratified_sample(
+            df3, "s", "key", "v", 100, hash_mode="poly"
+        ).collect()
+    }
+    assert sum(r.alloc for r in out3.values()) == 100
+    assert out3["var"].alloc > out3["mid"].alloc > out3["flat"].alloc
+
+    flat_only = spark.createDataFrame(
+        [("a", 1, 5), ("b", 2, 7)], "s string, key bigint, v bigint"
+    )
+    # the raise surfaces as PySparkException or the raw Py4J error
+    # depending on which task aborts first — match the message only
+    with pytest.raises(Exception, match="constant"):
+        neyman_stratified_sample(
+            flat_only, "s", "key", "v", 10, hash_mode="poly"
+        ).collect()

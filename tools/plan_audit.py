@@ -138,6 +138,12 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # and the one-row argmin broadcast back over the
                 # 4-row cost table (q261's pattern).
                 "q284_layout_workload",
+                # q286: two one-row scalar broadcasts (the total
+                # Neyman weight and the leftover count) onto the
+                # |strata|-row allocation lattice — q241/q162's
+                # bounded class; corpus-scale work is one moment
+                # groupBy and a per-stratum rank window.
+                "q286_neyman_allocation",
                 # q280: the |preds| x |buckets| selectivity lattice —
                 # a literal table crossJoined onto the broadcast
                 # bucket AGGREGATE (≤ a few thousand rows at
@@ -232,6 +238,9 @@ EXPECTED_GLOBAL_WIN: set[str] = {
     # the corpus; the corpus-scale work is rq_build's map-side-combined
     # bucket aggregation). q194's aggregate-frame class.
     "q244_quantile_rollup",
+    # q286: the largest-remainder apportionment ranks the |strata|-row
+    # allocation lattice (3 rows) — q76's aggregate-result class.
+    "q286_neyman_allocation",
 }
 
 
