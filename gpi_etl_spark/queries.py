@@ -17897,3 +17897,212 @@ def q286(spark, sf_dir):
     return neyman_stratified_sample(
         li, "s", "key", "v", 1000, hash_mode="poly"
     ).withColumnRenamed("s", "stratum")
+
+
+_Q287_ORACLE = """
+    WITH e AS MATERIALIZED (
+      SELECT user_id, event_type, ts FROM events
+      WHERE user_id IS NOT NULL),
+    s1 AS MATERIALIZED (
+      SELECT user_id, min(ts) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY 1),
+    s2 AS MATERIALIZED (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+    c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_view,
+                 (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_click,
+                 (SELECT CAST(count(*) AS BIGINT) FROM s3)
+                   AS n_purchase)
+    SELECT n_view, n_click, n_purchase,
+           CASE WHEN n_view > 0
+                THEN floor((CAST(n_click AS DOUBLE)
+                            / CAST(n_view AS DOUBLE)) * 1000000.0
+                           + 0.5) / 1000000.0
+                ELSE CAST(-1 AS DOUBLE) END AS conv_click_r,
+           CASE WHEN n_click > 0
+                THEN floor((CAST(n_purchase AS DOUBLE)
+                            / CAST(n_click AS DOUBLE)) * 1000000.0
+                           + 0.5) / 1000000.0
+                ELSE CAST(-1 AS DOUBLE) END AS conv_purchase_r
+    FROM c
+    """
+
+
+@query("q287_funnel_conversion", _Q287_ORACLE)
+def q287(spark, sf_dir):
+    """Ordered funnel conversion (view -> click -> purchase) — the
+    product-analytics staple: step k counts only users whose step-k
+    event STRICTLY FOLLOWS their step-(k-1) anchor time, so
+    out-of-order activity does not convert. Three map-side-combined
+    min-aggregates chained by user-key equi-joins (each step's
+    survivor set only shrinks — the join side is the bounded funnel
+    frontier, never events x events); conversion ratios are
+    fs6-pinned with -1 sentinels on empty steps. No timestamp
+    reaches the output, so the gate is timezone/precision-proof.
+    At 100 TB each step is one shuffle on user_id over an
+    already-reduced frontier. Reference seat: none (no event
+    sequencing of any kind)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+        .crossJoin(
+            F.broadcast(
+                s2.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_click")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                s3.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_purchase")
+                )
+            )
+        )
+    )
+    conv1 = F.col("n_click").cast("double") / F.col("n_view").cast(
+        "double"
+    )
+    conv2 = F.col("n_purchase").cast("double") / F.col("n_click").cast(
+        "double"
+    )
+    return counts.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        F.when(F.col("n_view") > 0, fs6(conv1))
+        .otherwise(F.lit(-1.0))
+        .alias("conv_click_r"),
+        F.when(F.col("n_click") > 0, fs6(conv2))
+        .otherwise(F.lit(-1.0))
+        .alias("conv_purchase_r"),
+    )
+
+
+_Q288_ORACLE = """
+    WITH e AS MATERIALIZED (
+      SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+      FROM events WHERE user_id IS NOT NULL),
+    coh AS MATERIALIZED (
+      SELECT user_id, min(wk) AS cw FROM e GROUP BY 1),
+    act AS (SELECT DISTINCT user_id, wk FROM e),
+    j AS (SELECT coh.cw, act.wk - coh.cw AS off
+          FROM act JOIN coh USING (user_id)
+          WHERE act.wk > coh.cw AND act.wk <= coh.cw + 3),
+    ret AS (SELECT cw,
+                   CAST(sum(CASE WHEN off = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS w1_active,
+                   CAST(sum(CASE WHEN off = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS w2_active,
+                   CAST(sum(CASE WHEN off = 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS w3_active
+            FROM j GROUP BY 1),
+    base AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+             FROM coh GROUP BY 1)
+    SELECT base.cw AS cohort_week, base.n_users,
+           coalesce(ret.w1_active, 0) AS w1_active,
+           coalesce(ret.w2_active, 0) AS w2_active,
+           coalesce(ret.w3_active, 0) AS w3_active,
+           floor((CAST(coalesce(ret.w1_active, 0) AS DOUBLE)
+                  / CAST(base.n_users AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS r1_r,
+           floor((CAST(coalesce(ret.w2_active, 0) AS DOUBLE)
+                  / CAST(base.n_users AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS r2_r,
+           floor((CAST(coalesce(ret.w3_active, 0) AS DOUBLE)
+                  / CAST(base.n_users AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS r3_r
+    FROM base LEFT JOIN ret ON base.cw = ret.cw
+    """
+
+
+@query("q288_cohort_retention", _Q288_ORACLE)
+def q288(spark, sf_dir):
+    """Weekly cohort retention — the other product-analytics staple
+    next to q287's funnel: cohort = a user's first-activity epoch
+    week (exact integer micros div the week constant, so the bucket
+    boundary is engine-proof — no calendar/timezone semantics
+    anywhere near the gate), retention at offsets +1..+3 weeks =
+    users from the cohort active in that exact week. Two
+    map-side-combined aggregates (first week per user, distinct
+    (user, week) activity) and one user-key equi-join; per-cohort
+    rates fs6-pinned against the exact int64 counts (n_users > 0 by
+    construction — every cohort contains its founders). At 100 TB
+    this is two shuffles on user_id and a |cohorts|-row readout.
+    Reference seat: none (no cohort concept of any kind)."""
+    wk = F.expr("unix_micros(ts) div 604800000000")
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", wk.alias("wk"))
+    )
+    coh = ev.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    act = ev.distinct()
+    j = (
+        act.join(coh, "user_id")
+        .filter(
+            (F.col("wk") > F.col("cw"))
+            & (F.col("wk") <= F.col("cw") + 3)
+        )
+        .select("cw", (F.col("wk") - F.col("cw")).alias("off"))
+    )
+    ret = j.groupBy("cw").agg(
+        F.sum((F.col("off") == 1).cast("int"))
+        .cast("bigint")
+        .alias("w1_active"),
+        F.sum((F.col("off") == 2).cast("int"))
+        .cast("bigint")
+        .alias("w2_active"),
+        F.sum((F.col("off") == 3).cast("int"))
+        .cast("bigint")
+        .alias("w3_active"),
+    )
+    base = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    out = base.join(ret, "cw", "left")
+    cols = {}
+    for k in (1, 2, 3):
+        w = F.coalesce(F.col(f"w{k}_active"), F.lit(0)).cast("bigint")
+        cols[f"w{k}_active"] = w
+        cols[f"r{k}_r"] = fs6(
+            w.cast("double") / F.col("n_users").cast("double")
+        )
+    return out.select(
+        F.col("cw").alias("cohort_week"),
+        "n_users",
+        cols["w1_active"].alias("w1_active"),
+        cols["w2_active"].alias("w2_active"),
+        cols["w3_active"].alias("w3_active"),
+        cols["r1_r"].alias("r1_r"),
+        cols["r2_r"].alias("r2_r"),
+        cols["r3_r"].alias("r3_r"),
+    )

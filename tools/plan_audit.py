@@ -144,6 +144,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # bounded class; corpus-scale work is one moment
                 # groupBy and a per-stratum rank window.
                 "q286_neyman_allocation",
+                # q287: the readout crossJoins three one-row funnel
+                # step counts — q241/q162's scalar class; each step
+                # is a map-side-combined min-agg chained by user-key
+                # equi-joins.
+                "q287_funnel_conversion",
                 # q280: the |preds| x |buckets| selectivity lattice —
                 # a literal table crossJoined onto the broadcast
                 # bucket AGGREGATE (≤ a few thousand rows at
