@@ -15781,7 +15781,7 @@ def q266(spark, sf_dir):
     )
 
 
-def _q267_oracle_sql(width: int, depth: int) -> str:
+def _q267_lattice_ctes(width: int, depth: int) -> str:
     """Full greedy-sequence replay: exact CM counter tables for every
     base key stream, every one-join intermediate's remaining keys,
     and every two-join intermediate's forced key (the intermediate
@@ -15883,7 +15883,14 @@ def _q267_oracle_sql(width: int, depth: int) -> str:
              CAST({est('c3_ps', 'c_do')} AS BIGINT)),
     s3 AS (SELECT pair, est FROM s3all, w1, w2
            WHERE list_contains(inset, w1.wp)
-             AND list_contains(inset, w2.wp))
+             AND list_contains(inset, w2.wp))"""
+
+
+def _q267_oracle_sql(width: int, depth: int) -> str:
+    """q267's gated SQL: the shared greedy lattice
+    (:func:`_q267_lattice_ctes`) plus the (step, pair, est, chosen)
+    readout."""
+    return _q267_lattice_ctes(width, depth) + """
     SELECT CAST(1 AS INT) AS step, pair, est AS est_join_size,
            CAST(CASE WHEN pair = w1.wp THEN 1 ELSE 0 END AS INT)
              AS chosen
@@ -18105,4 +18112,112 @@ def q288(spark, sf_dir):
         cols["r1_r"].alias("r1_r"),
         cols["r2_r"].alias("r2_r"),
         cols["r3_r"].alias("r3_r"),
+    )
+
+
+def _q289_oracle_sql(width: int, depth: int) -> str:
+    """q267's shared greedy lattice plus the ACTUAL cardinalities of
+    the chosen prefix chain: the lattice already materializes every
+    one- and two-join intermediate (intermediate content depends
+    only on the joined SET), so the actuals are plain counts
+    selected by the winner sequence; the full three-join set is
+    order-independent. within_2x is pure integer arithmetic."""
+    return _q267_lattice_ctes(width, depth) + """,
+    int_ops AS MATERIALIZED (
+      SELECT int_op.* FROM int_op JOIN sdim ON int_op.ks = sdim.k),
+    a1 AS (SELECT CASE w1.wp
+                  WHEN 'orders_f' THEN (SELECT count(*) FROM int_o)
+                  WHEN 'part_small' THEN (SELECT count(*) FROM int_p)
+                  ELSE (SELECT count(*) FROM int_s) END AS act
+           FROM w1),
+    a2 AS (SELECT CASE
+             WHEN (w1.wp = 'orders_f' AND w2.wp = 'part_small')
+               OR (w1.wp = 'part_small' AND w2.wp = 'orders_f')
+               THEN (SELECT count(*) FROM int_op)
+             WHEN (w1.wp = 'orders_f' AND w2.wp = 'supplier_all')
+               OR (w1.wp = 'supplier_all' AND w2.wp = 'orders_f')
+               THEN (SELECT count(*) FROM int_os)
+             ELSE (SELECT count(*) FROM int_ps) END AS act
+           FROM w1, w2),
+    a3 AS (SELECT count(*) AS act FROM int_ops)
+    SELECT CAST(1 AS INT) AS step, w1.wp AS pair,
+           s1.est AS est_join_size,
+           CAST(a1.act AS BIGINT) AS actual_join_size,
+           (s1.est <= 2 * a1.act AND a1.act <= 2 * s1.est)
+             AS within_2x
+    FROM s1, w1, a1 WHERE s1.pair = w1.wp
+    UNION ALL
+    SELECT CAST(2 AS INT), w2.wp, s2.est, CAST(a2.act AS BIGINT),
+           (s2.est <= 2 * a2.act AND a2.act <= 2 * s2.est)
+    FROM s2, w2, a2 WHERE s2.pair = w2.wp
+    UNION ALL
+    SELECT CAST(3 AS INT), s3.pair, s3.est, CAST(a3.act AS BIGINT),
+           (s3.est <= 2 * a3.act AND a3.act <= 2 * s3.est)
+    FROM s3, a3
+    """
+
+
+@query("q289_plan_feedback", _q289_oracle_sql(1024, 4))
+def q289(spark, sf_dir):
+    """The planner family's RUNTIME FEEDBACK axis (AQE's re-plan
+    trigger made replayable): execute q267's chosen greedy order
+    step by step, record the ACTUAL cardinality after each join next
+    to the sketch estimate that chose it, and classify each step's
+    q-error with the literal 2x re-plan rule — pure integer
+    comparisons, so the trigger decision itself sits under the hash
+    gate. This is the number an adaptive optimizer acts on: a step
+    outside the band is where a runtime re-plan (or a statistics
+    refresh) pays. Driver state is the |steps|-row planner trace +
+    three scalar counts (q267's bounded class); the executed chain
+    is the same broadcast-dim equi-join prefix q276 runs. The
+    DuckDB replay reuses q267's pre-priced branch lattice — the
+    intermediates it already materializes ARE the actuals, selected
+    branch-free by the winner sequence. Reference seat: none (no
+    planner, no feedback of any kind)."""
+    from gpi_etl_spark.operators.skew import join_order_greedy
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 15)
+        .select("p_partkey")
+    )
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey")
+    cands = {
+        "orders_f": ("l_orderkey", orders, "o_orderkey"),
+        "part_small": ("l_partkey", part, "p_partkey"),
+        "supplier_all": ("l_suppkey", supplier, "s_suppkey"),
+    }
+    trace = join_order_greedy(
+        li,
+        [(n, fk, d, dk) for n, (fk, d, dk) in cands.items()],
+        width=1024,
+        depth=4,
+        hash_mode="poly",
+    ).collect()
+    chosen = sorted(
+        ((r.step, r.pair, int(r.est_join_size)) for r in trace
+         if r.chosen == 1),
+    )
+    cur = li
+    rows = []
+    for step, pair, est in chosen:
+        fk, dim, dk = cands[pair]
+        cur = cur.join(
+            F.broadcast(dim), cur[fk] == dim[dk], "inner"
+        ).drop(dk)
+        act = cur.count()
+        within = est <= 2 * act and act <= 2 * est
+        rows.append((int(step), pair, est, int(act), bool(within)))
+    return spark.createDataFrame(
+        rows,
+        "step int, pair string, est_join_size bigint, "
+        "actual_join_size bigint, within_2x boolean",
     )

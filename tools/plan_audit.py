@@ -164,6 +164,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # the corpus-scale work is three map-side-combined
                 # groupBys upstream.
                 "q268_t_closeness_audit",
+                # q289 needs no entry for the same reason as q267
+                # below: its OUTPUT plan is |steps| literal rows (the
+                # executed prefix chain's counts are scalar
+                # aggregates during construction, audited by their
+                # own equi-join shapes).
                 # q267 needs no entry: since the batched-estimate
                 # rework its OUTPUT plan is |decisions| literal rows
                 # (the eager planner holds its sketch statistics; the
