@@ -18221,3 +18221,84 @@ def q289(spark, sf_dir):
         "step int, pair string, est_join_size bigint, "
         "actual_join_size bigint, within_2x boolean",
     )
+
+
+def _q290_oracle_sql(k: int = 64) -> str:
+    """q277's full decision replay (byte model + KMV chains +
+    threshold CASE) with the EXECUTED three-way join's aggregate
+    riding every row — the strategy-blind flat join: physical
+    strategy may never change results, so the oracle joins with no
+    strategy concept at all."""
+    base = _q277_oracle_sql(k)
+    return f"""
+    WITH dec AS ({base}),
+    ex AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                  CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS revenue_cents
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+    SELECT dec.*, ex.n_rows, ex.revenue_cents FROM dec, ex
+    """
+
+
+@query("q290_strategy_capstone", _q290_oracle_sql(64))
+def q290(spark, sf_dir):
+    """q277's join-strategy decisions EXECUTED (the q276/q278
+    pattern closing the strategy axis): the advisor's choices are
+    collected as bounded planner state and each dim join runs under
+    the ADVISED physical strategy — broadcast() for the broadcast
+    pick, the SHUFFLE_HASH join hint for shuffled-hash, the MERGE
+    hint for sort-merge (Spark's hint mechanism is exactly the
+    production control surface for this decision). The readout
+    crossJoins the executed three-way join's exact aggregate onto
+    the decision table, and the oracle is STRATEGY-BLIND — a flat
+    DuckDB join with no strategy concept — so the hash gate enforces
+    the physical-strategy identity law (hints moved bytes, not one
+    row) AND replays every estimate and choice. At 100 TB this is
+    the planner's output contract: the strategy table drives hint
+    injection, and the acceptance test is result identity.
+    Reference seat: none (no physical planning of any kind)."""
+    from gpi_etl_spark.operators.skew import join_strategy_advisor
+
+    li = t(spark, sf_dir, "lineitem")
+    dims = {
+        "orders": ("l_orderkey", t(spark, sf_dir, "orders"),
+                   "o_orderkey"),
+        "part": ("l_partkey", t(spark, sf_dir, "part"), "p_partkey"),
+        "supplier": ("l_suppkey", t(spark, sf_dir, "supplier"),
+                     "s_suppkey"),
+    }
+    adv = join_strategy_advisor(
+        li,
+        [(n, fk, d, dk) for n, (fk, d, dk) in dims.items()],
+        broadcast_bytes=65536,
+        shuffle_partitions=8,
+        smaller_factor=3,
+        k=64,
+    )
+    decisions = {r.pair: r.strategy for r in adv.collect()}
+    joined = li
+    for name, (fk, dim, dk) in dims.items():
+        keyed = dim.select(dk)
+        strat = decisions[name]
+        if strat == "broadcast":
+            side = F.broadcast(keyed)
+        elif strat == "shuffled_hash":
+            side = keyed.hint("SHUFFLE_HASH")
+        else:
+            side = keyed.hint("MERGE")
+        joined = joined.join(
+            side, joined[fk] == side[dk], "inner"
+        ).drop(dk)
+    ex = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+    return adv.crossJoin(F.broadcast(ex))

@@ -115,6 +115,11 @@ EXPECTED_BNL = {"q22_geo_knn_top3", "q23_haversine_threshold", "q35_embedding_to
                 # kmv_build groupBy and the byte-sum aggregates, all
                 # map-side-combined single passes.
                 "q277_join_strategy",
+                # q290: inherits q277's scalar class and crossJoins
+                # the one-row executed-join aggregate onto the
+                # 3-row decision table; the executed fact stream
+                # rides three equi-joins under the advised hints.
+                "q290_strategy_capstone",
                 # q278: inherits q271's bounded lattice with MEASURED
                 # zones — the preds × (≤128 footer-derived zone rows)
                 # crossJoin plus the one-row match-count scalar onto
