@@ -256,6 +256,11 @@ EXPECTED_GLOBAL_WIN: set[str] = {
     # q286: the largest-remainder apportionment ranks the |strata|-row
     # allocation lattice (3 rows) — q76's aggregate-result class.
     "q286_neyman_allocation",
+    # q283: the rq_quantiles cumulative walk over the STREAMED bucket
+    # table — q244's exact class (bucket-geometry bounded, ≤ a few
+    # thousand rows at digits=3, never the corpus; the corpus-scale
+    # work is the per-batch map-side-combined bucket folds).
+    "q283_stream_rq_quantiles",
 }
 
 
