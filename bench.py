@@ -218,6 +218,9 @@ HEADLINE = [
     # q283 (streamed rq state) is excluded for q247/q248's reason:
     # landing rewrite + per-batch state swaps dominate; its compute
     # shape (q239-class bucket build) is benched.
+    # q291/q292 (TPC-H Q3/Q10 flight) stay unbenched under rule (e):
+    # the same broadcast-dim multi-join + sort-limit plan shape as
+    # the benched q02/q03 flight.
 ]
 
 

@@ -18302,3 +18302,126 @@ def q290(spark, sf_dir):
         .alias("revenue_cents"),
     )
     return adv.crossJoin(F.broadcast(ex))
+
+
+@query(
+    "q291_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {dsum_sql('(l.l_extendedprice * (1 - l.l_discount))', 6)}
+             AS revenue,
+           CAST(year(o.o_orderdate) * 10000
+                + month(o.o_orderdate) * 100
+                + day(o.o_orderdate) AS INT) AS order_ymd,
+           o.o_orderpriority
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q291(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): the classic two-sided
+    date-window multi-join — orders placed BEFORE the cut whose
+    lineitems ship AFTER it, restricted to one market segment,
+    top-10 open orders by discounted revenue. The segment-filtered
+    customer dim broadcasts into orders, the fact join is one
+    shuffle on orderkey, and the top-10 is a sort-limit (per-
+    partition top-10 + tiny merge, never a global sort of the
+    aggregate). Dates leave the gate as integer ymd (the
+    timestamp-free discipline); revenue under the dsum decimal
+    pinning; ties total-ordered by orderkey. Reference seat: the
+    reference has no multi-table analytics at all — this is the
+    engine-completeness flight (q01/q02/q03's class) extended to
+    the canonical benchmark shape."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    cut = F.lit("1998-06-01").cast("timestamp")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ymd = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    return (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            ymd.alias("order_ymd"),
+            "o_orderpriority",
+        )
+        .agg(dsum(rev, 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "order_ymd", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "q292_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum_sql('(l.l_extendedprice * (1 - l.l_discount))', 6)}
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q292(spark, sf_dir):
+    """TPC-H Q10 shape (returned items): which customers returned
+    the most value in a one-year window — the canonical churn-
+    signal join. The nation dim broadcasts into customer, the
+    customer side broadcasts into the date-pruned orders⋈lineitem
+    fact stream, revenue under the dsum decimal pinning, top-20 by
+    sort-limit with customer-key tie order. The date window reaches
+    the parquet scan as a pushed filter (predicate pushdown is the
+    point of the shape). Reference seat: none — engine-completeness
+    flight, q291's sibling."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cn = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), F.col("o_custkey") == cn.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(rev, 6).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue", "n_items")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
