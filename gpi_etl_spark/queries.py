@@ -18425,3 +18425,124 @@ def q292(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q293_large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 150)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(year(o.o_orderdate) * 10000
+                + month(o.o_orderdate) * 100
+                + day(o.o_orderdate) AS INT) AS order_ymd,
+           {dsum_sql('o.o_totalprice', 2)} AS totalprice,
+           CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty
+    FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4
+    ORDER BY totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q293(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): the GROUP-HAVING
+    SEMI-JOIN — first a map-side-combined per-order quantity rollup
+    keeps only orders over the volume threshold (integer cents-free
+    quantities, exact), then the fact re-joins against that bounded
+    key set and the customer dim broadcasts in. The HAVING set is
+    the classic two-pass shape every engine must get right: the
+    rollup shuffles once on orderkey, the re-join reuses the same
+    key, and the survivors are few — a broadcast candidate at any
+    scale. Timestamp-free gate columns, dsum pinning, total tie
+    order. Reference seat: none — classic-flight sibling of
+    q291/q292."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5))
+        .cast("bigint")
+        .alias("qty"),
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders")
+    ymd = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    return (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            ymd.alias("order_ymd"),
+        )
+        .agg(
+            dsum(F.col("o_totalprice"), 2).alias("totalprice"),
+            F.sum("qty").cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "q294_promo_revenue",
+    f"""
+    SELECT CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate)
+                AS INT) AS ship_ym,
+           {dsum_sql("CASE WHEN p.p_type LIKE 'PROMO%' THEN "
+                     "(l.l_extendedprice * (1 - l.l_discount)) "
+                     "ELSE 0 END", 6)} AS promo_revenue,
+           {dsum_sql('(l.l_extendedprice * (1 - l.l_discount))', 6)}
+             AS total_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY ship_ym
+    """,
+)
+def q294(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue): the conditional-fraction
+    join — what share of each ship-month's discounted revenue came
+    from promo parts. The part dim broadcasts into the fact stream
+    (one scan, no shuffle beyond the month rollup), the promo
+    condition rides as a conditional dsum in the SAME pass as the
+    total, and both sums stay decimal-pinned so the fraction is a
+    downstream division the consumer owns (emitting both sums
+    instead of the ratio keeps the gate integer-exact at any
+    magnitude). Month buckets leave as integer ym. Reference seat:
+    none — classic-flight sibling."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), rev
+    ).otherwise(F.lit(0.0))
+    ym = (
+        F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    ).cast("int")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(ym.alias("ship_ym"))
+        .agg(
+            dsum(promo, 6).alias("promo_revenue"),
+            dsum(rev, 6).alias("total_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("ship_ym")
+    )
