@@ -367,6 +367,11 @@ def neyman_stratified_sample(
       engine-stable, and mergeable across shards by re-ranking
       unioned per-shard top-alloc sets.
 
+    NULL ``value_col`` rows are counted in ``n_rows`` but skipped by
+    the moment sums (both engines agree), which silently deflates the
+    stratum's variance — feed a NULL-free value column (filter or
+    coalesce upstream, deliberately).
+
     Raises (lazily, inside the plan) if every stratum is constant
     (ΣW = 0 — Neyman allocation is undefined; fall back to
     proportional-to-N explicitly if that is what you want). Returns

@@ -625,7 +625,15 @@ def join_strategy_advisor(
     Returns one row per candidate: ``(pair string, dim_bytes bigint,
     fact_bytes bigint, reg_sum bigint, est_build_entries bigint,
     strategy string)``, fully lazy (no driver collect — the trace IS
-    the result)."""
+    the result).
+
+    Envelope: every dim must have at least one non-NULL build key —
+    an EMPTY dim leaves its KMV registers empty, so the readout
+    carries NULL estimates (Spark) while a SQL replay's grouped
+    register sum has no row at all and drops the pair; the
+    statistics layer always has rows for a table that exists, and a
+    planner facing a possibly-empty dim should special-case it (an
+    empty build side needs no join at all)."""
     from gpi_etl_spark.operators.sketches import kmv_build, kmv_estimate
 
     per_dim = None
