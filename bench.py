@@ -218,10 +218,10 @@ HEADLINE = [
     # q283 (streamed rq state) is excluded for q247/q248's reason:
     # landing rewrite + per-batch state swaps dominate; its compute
     # shape (q239-class bucket build) is benched.
-    # q291/q292/q293/q294 (TPC-H Q3/Q10/Q18/Q14 flight) stay
-    # unbenched under rule (e): the same broadcast-dim multi-join /
-    # two-pass rollup + sort-limit plan shapes as the benched
-    # q02/q03/q06 flight.
+    # q291/q292/q293/q294/q295/q296 (TPC-H Q3/Q10/Q18/Q14/Q6/Q13
+    # flight) stay unbenched under rule (e): the same broadcast-dim
+    # multi-join / two-pass rollup / pushed filter-agg plan shapes
+    # as the benched q01/q02/q03/q06 flight.
 ]
 
 

@@ -18546,3 +18546,88 @@ def q294(spark, sf_dir):
         )
         .orderBy("ship_ym")
     )
+
+
+@query(
+    "q295_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_delta_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q295(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): the pure
+    filter-aggregate — every predicate (date window, discount band,
+    quantity cap) must reach the parquet scan as a pushed filter,
+    and the whole query is one scan + one map-side-combined global
+    sum with zero shuffles of data rows. Per-row revenue delta is
+    floored to cents BEFORE the sum (each l_extendedprice*l_discount
+    is one correctly-rounded IEEE product, the floor is exact, the
+    int64 sum is exact), so the gate is integer. The simplest query
+    in the flight and the purest pushdown/codegen benchmark shape.
+    Reference seat: none — classic-flight sibling."""
+    li = t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    delta = F.floor(
+        F.col("l_extendedprice") * F.col("l_discount") * 100.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(delta).cast("bigint").alias("revenue_delta_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q296_customer_distribution",
+    """
+    WITH oc AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)
+               AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM oc GROUP BY 1
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+)
+def q296(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): the two-level
+    aggregate with the LEFT-JOIN ZERO CLASS — how many customers
+    placed k orders, INCLUDING k = 0 (the left join's null side is
+    the whole point; an inner join silently loses the
+    never-ordered customers, the classic Q13 bug). count(o_orderkey)
+    counts matches only (NULL-skipping), the second groupBy
+    distributes over the first's |customers| rows, and the output
+    is a dozen histogram rows with a total order. At 100 TB: one
+    custkey shuffle + one tiny distribution aggregate. Reference
+    seat: none — classic-flight sibling."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    oc = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return (
+        oc.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), F.col("n_orders").desc())
+    )
