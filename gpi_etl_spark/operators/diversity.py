@@ -16,10 +16,13 @@ textbook-public algorithm.
 (SURVEY §3.2): the scored candidate table is computed ONCE and pinned
 (eager localCheckpoint: k argmax scans re-read it without re-deriving
 lineage), and each of the k greedy steps is one distributed
-``limit(1)`` argmax whose expression embeds the ≤k already-selected
-vectors as broadcast literals — bounded model state (k × dim doubles)
-crosses the driver per step, never data. Total cost: k scans of the
-candidate table; plan size constant per step. Determinism: the argmax
+``limit(1)`` argmax whose expression embeds ONE vector — the latest
+pick — as broadcast literals; earlier picks' penalties live in the
+checkpointed running ``_pen`` column (max-cosine so far), so per-row
+work per step is one cosine, not one per selected vector. Bounded
+model state (dim doubles per step) crosses the driver, never data.
+Total cost: k scans of the candidate table; plan size constant per
+step. Determinism: the argmax
 orders by the 6-dp floor-scaled score (``floor(mmr·1e6+0.5)``) with an
 ascending-id tiebreak — scores within 1e-6 tie by construction, so a
 last-ulp cross-engine divergence cannot flip a pick (the repo's
@@ -65,6 +68,19 @@ def mmr_select(
     Step 1 is the pure-relevance argmax (the λ-weighted score of an
     empty selected set); steps 2..k subtract the max-similarity
     penalty against the selected vectors, embedded as literals.
+
+    The penalty is maintained INCREMENTALLY (round-12 optimization):
+    after pick j the running ``_pen`` column folds in the new pick's
+    cosine — ``greatest(_pen, cos(v, s_j))`` — and is materialized by
+    the step's eager localCheckpoint, so step j+1's argmax evaluates
+    ONE fresh cosine per row instead of re-evaluating all j selected
+    cosines. Total cosine work drops from k²/2·N to k·N column passes
+    and the per-step expression stays constant-size. Bit-identical to
+    the re-derive-from-scratch form: IEEE max is associative and
+    ``greatest`` skips NULLs the same way chained or flat, so
+    ``greatest(greatest(c₁,c₂),c₃) ≡ greatest(c₁,c₂,c₃)`` value for
+    value (pinned by test_diversity's trajectory checks and the q181
+    oracle's flat-max replay).
     """
     scored = vectors.select(
         F.col(id_col).alias("_id"),
@@ -74,16 +90,14 @@ def mmr_select(
     scored = scored.localCheckpoint(eager=True)
 
     picks: list[tuple] = []
-    sel_vecs: list[list[float]] = []
     sel_ids: list = []
+    has_pen = False
     for step in range(k):
-        if sel_vecs:
-            penalty = F.greatest(
-                *[_cos_to_literal(F.col("_v"), sv) for sv in sel_vecs]
-            ) if len(sel_vecs) > 1 else _cos_to_literal(
-                F.col("_v"), sel_vecs[0]
+        if has_pen:
+            score = (
+                F.lit(lam) * F.col("_rel")
+                - F.lit(1.0 - lam) * F.col("_pen")
             )
-            score = F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * penalty
         else:
             score = F.lit(lam) * F.col("_rel")
         cand = scored
@@ -110,5 +124,15 @@ def mmr_select(
         row = top[0]
         picks.append((step + 1, row["_id"], row["_rel"], row["_mmr"]))
         sel_ids.append(row["_id"])
-        sel_vecs.append([float(x) for x in row["_v"]])
+        if step < k - 1:
+            new_cos = _cos_to_literal(
+                F.col("_v"), [float(x) for x in row["_v"]]
+            )
+            pen = (
+                F.greatest(F.col("_pen"), new_cos) if has_pen else new_cos
+            )
+            scored = scored.select(
+                "_id", "_v", "_rel", pen.alias("_pen")
+            ).localCheckpoint(eager=True)
+            has_pen = True
     return picks

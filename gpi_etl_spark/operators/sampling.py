@@ -150,7 +150,10 @@ RENDEZVOUS_MAX_SHARDS = 64
 
 
 def rendezvous_shard(
-    key_col: str | Column, n_shards: int, hash_mode: str = "xxhash64"
+    key_col: str | Column,
+    n_shards: int,
+    hash_mode: str = "xxhash64",
+    base: Column | None = None,
 ) -> Column:
     """The rendezvous / highest-random-weight shard of a key
     (Thaler & Ravishankar '96; the placement rule behind consistent
@@ -175,7 +178,17 @@ def rendezvous_shard(
     q257 gate runs; the DuckDB twin :func:`rendezvous_shard_sql`
     replays only this mode). The two modes are DIFFERENT layouts —
     pick one per table and stamp it in the layout metadata, exactly
-    like the sketch fam tags."""
+    like the sketch fam tags.
+
+    ``base`` (round-12 optimization): a precomputed
+    ``key_priority(key_col, hash_mode)`` COLUMN to score from,
+    skipping the per-row hash fold — placing the same key under
+    several shard counts (the resize audit, q257) shares ONE fold
+    instead of paying the per-character poly fold per placement.
+    The caller owns mode coordination: the base must come from
+    key_priority under the SAME hash_mode, or the placements land in
+    a different (internally consistent, but uncoordinated) score
+    space."""
     if not 1 <= n_shards <= RENDEZVOUS_MAX_SHARDS:
         raise ValueError(
             f"n_shards must be in [1, {RENDEZVOUS_MAX_SHARDS}] "
@@ -187,7 +200,8 @@ def rendezvous_shard(
     # the shared priority derivation IS the per-key base (review
     # find: a verbatim copy here meant a future derivation change
     # could silently de-coordinate the two operators' hash spaces)
-    base = key_priority(key_col, hash_mode)
+    if base is None:
+        base = key_priority(key_col, hash_mode)
     scores = let_(
         base,
         lambda g: F.array(

@@ -349,7 +349,13 @@ def join_order_greedy(
     - Step s scans fact ⋈ dim₁ ⋈ … ⋈ dim_{s−1} exactly once — the
       passes a left-deep EXECUTION pays anyway (System R prices
       intermediates from propagated statistics; a sketch pass is the
-      replayable form of that propagation).
+      replayable form of that propagation). Each chosen intermediate
+      is persisted MEMORY_AND_DISK for the rest of the walk
+      (round-12 optimization: without the pin, step s's lazy plan
+      RE-EXECUTES joins 1..s−1 — quadratic in steps; with it each
+      join runs once, the MLlib iterate-on-cached pattern), and every
+      pin is released in the finally block before the decision frame
+      returns.
     - Counter tables are geometry-bounded sketch state
       (≤ |keys|·depth·width rows, KB); estimates and argmins are
       computed EAGERLY from them (the planner holds the statistics
@@ -367,6 +373,8 @@ def join_order_greedy(
     each step exactly one chosen = 1. Reference seat: none (the
     reference has no planner of any kind); textbook System R greedy
     with sketch cardinalities."""
+    from pyspark.storagelevel import StorageLevel
+
     from gpi_etl_spark.functions import xhash
     from gpi_etl_spark.operators.sketches import _bucket_cols
 
@@ -504,9 +512,12 @@ def join_order_greedy(
                 else left[fact_key].cast("string")
                 == dim[dim_key].cast("string")
             )
-            left = left.join(dim, cond, "inner").select(
-                *[left[c] for c in left.columns]
+            left = (
+                left.join(dim, cond, "inner")
+                .select(*[left[c] for c in left.columns])
+                .persist(StorageLevel.MEMORY_AND_DISK)
             )
+            persisted.append(left)
             remaining = [d for d in remaining if d[0] != choice]
             step += 1
     finally:

@@ -70,6 +70,32 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+#: intra-query persist registry (round-12 optimization): queries whose
+#: plan consumes one expensive subtree from SEVERAL places pin it here
+#: for the run — the _LIVE_KMEANS_CACHES policy lifted to the query
+#: layer. The NEXT _evict_query_caches() call (i.e. the next such
+#: query, including the same query's next invocation) releases the
+#: pins, so nothing survives across bench/oracle invocations: every
+#: run still computes from the parquet inputs and re-fills its own
+#: cache inside the timed region.
+_LIVE_QUERY_CACHES: list[DataFrame] = []
+
+
+def _evict_query_caches() -> None:
+    while _LIVE_QUERY_CACHES:
+        _LIVE_QUERY_CACHES.pop().unpersist()
+
+
+def _qcache(df: DataFrame) -> DataFrame:
+    """Persist an intra-query reused frame MEMORY_AND_DISK and pin it
+    until the next :func:`_evict_query_caches`."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_QUERY_CACHES.append(df)
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing the events ``ts`` column to
     a session-TZ TIMESTAMP regardless of how the generator wrote it:
@@ -13058,7 +13084,11 @@ def q238(spark, sf_dir):
         F.expr("unix_micros(ts) div 86400000000").alias("day"),
         F.col("user_id").cast("string").alias("uid"),
     )
-    dist = ev.distinct()
+    # the distinct triple stream feeds BOTH the register build and the
+    # exact baseline — pin it for the run (round-12 optimization;
+    # unpinned, the full dedup shuffle executed twice)
+    _evict_query_caches()
+    dist = _qcache(ev.distinct())
     sk = sketches.kmv_build(
         dist, "uid", group_cols=("event_type", "day"), k=64,
         hash_mode="poly",
@@ -14958,13 +14988,28 @@ def q257(spark, sf_dir):
     independent of the current N; placement is a pure per-row
     projection, no shuffle, full codegen. Reference seat: none (no
     placement logic of any kind)."""
-    from gpi_etl_spark.operators.sampling import rendezvous_shard
+    from gpi_etl_spark.operators.sampling import (
+        key_priority,
+        rendezvous_shard,
+    )
 
     od = t(spark, sf_dir, "orders").select("o_orderkey")
-    d = od.select(
+    # both placements score from ONE materialized priority fold
+    # (round-12 optimization: the per-character poly fold is the
+    # row's dominant cost and HOF subtrees don't share across output
+    # columns — computing it once halves the projection)
+    pri = od.select(
         "o_orderkey",
-        rendezvous_shard("o_orderkey", 8, hash_mode="poly").alias("s8"),
-        rendezvous_shard("o_orderkey", 9, hash_mode="poly").alias("s9"),
+        key_priority("o_orderkey", hash_mode="poly").alias("_g"),
+    )
+    d = pri.select(
+        "o_orderkey",
+        rendezvous_shard(
+            "o_orderkey", 8, hash_mode="poly", base=F.col("_g")
+        ).alias("s8"),
+        rendezvous_shard(
+            "o_orderkey", 9, hash_mode="poly", base=F.col("_g")
+        ).alias("s9"),
     )
     moved = (F.col("s9") != F.col("s8")).cast("int")
     bad = ((F.col("s9") != F.col("s8")) & (F.col("s9") != 8)).cast(
@@ -16935,10 +16980,18 @@ def q278(spark, sf_dir):
         zone_prune_report,
     )
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
-        .cast("bigint")
-        .alias("cents")
+    # the projected key column feeds four jobs (per layout: the bounds
+    # scalar + the routed write) — pin it for the writes (round-12
+    # optimization; unpinned, lineitem was scanned four times), then
+    # release before returning: the writes below are EAGER, and the
+    # returned report reads the written files, not li
+    _evict_query_caches()
+    li = _qcache(
+        t(spark, sf_dir, "lineitem").select(
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
     )
     landing = _landing(spark, "q278", sf_dir)
     paths = {
@@ -16947,6 +17000,7 @@ def q278(spark, sf_dir):
     }
     for layout, path in paths.items():
         write_zone_layout(li, "cents", 64, layout, path)
+    _evict_query_caches()
     zones = measure_zone_map(spark, paths["range"], "range").unionByName(
         measure_zone_map(spark, paths["hash"], "hash")
     )
@@ -17056,13 +17110,18 @@ def q279(spark, sf_dir):
         zorder_key,
     )
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").bitwiseAND(F.lit(1023))
-        .cast("bigint")
-        .alias("x"),
-        F.col("l_suppkey").bitwiseAND(F.lit(1023))
-        .cast("bigint")
-        .alias("y"),
+    # pin the projected dimensions for the four write-side jobs, the
+    # q278 rationale; released after the eager writes
+    _evict_query_caches()
+    li = _qcache(
+        t(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").bitwiseAND(F.lit(1023))
+            .cast("bigint")
+            .alias("x"),
+            F.col("l_suppkey").bitwiseAND(F.lit(1023))
+            .cast("bigint")
+            .alias("y"),
+        )
     )
     zc = li.select(
         zorder_key("x", "y", bits=10).alias("zk"), "x", "y"
@@ -17073,6 +17132,7 @@ def q279(spark, sf_dir):
     px = _os.path.join(landing, "range_x")
     write_zone_layout(zc, "zk", 64, "range", pz, carry_cols=("x", "y"))
     write_zone_layout(xc, "xk", 64, "range", px, carry_cols=("x", "y"))
+    _evict_query_caches()
     zones = measure_zone_map_cols(
         spark, pz, "zorder", ("x", "y")
     ).unionByName(measure_zone_map_cols(spark, px, "range_x", ("x", "y")))
@@ -17406,19 +17466,27 @@ def q282(spark, sf_dir):
 
     from gpi_etl_spark.functions import xhash
 
-    li = t(spark, sf_dir, "lineitem").select(
-        F.when(F.col("l_linenumber") == 1, F.lit(0))
-        .otherwise(F.col("l_orderkey") % 1000)
-        .cast("bigint")
-        .alias("k"),
-        F.floor(F.col("l_quantity") + F.lit(0.5))
-        .cast("bigint")
-        .alias("qty"),
+    # the projected fact is consumed four times (count, sketch build,
+    # candidate distinct, the salted join itself) and the candidate
+    # key table twice (probe + dim) — pin both for the run (round-12
+    # optimization; unpinned, each consumer re-ran the parquet scan +
+    # projection, and the distinct shuffle ran twice)
+    _evict_query_caches()
+    li = _qcache(
+        t(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_linenumber") == 1, F.lit(0))
+            .otherwise(F.col("l_orderkey") % 1000)
+            .cast("bigint")
+            .alias("k"),
+            F.floor(F.col("l_quantity") + F.lit(0.5))
+            .cast("bigint")
+            .alias("qty"),
+        )
     )
     n = li.count()
     items = li.select(F.col("k").cast("string").alias("item"))
     sk = cms_build(items, "item", width=512, depth=4, hash_mode="poly")
-    cand = li.select("k").distinct()
+    cand = _qcache(li.select("k").distinct())
     est = cms_estimate(
         sk,
         cand.select(F.col("k").cast("string").alias("item")),
