@@ -62,17 +62,25 @@ def poly_hash(col: Column | str, seed: int = SEED) -> Column:
     c = F.col(col) if isinstance(col, str) else col
 
     def fold(s: Column) -> Column:
+        # split('') materializes the per-codepoint array in ONE O(n)
+        # pass; the earlier sequence(1, length) + substr(i, 1) form
+        # re-seeked the UTF-8 string from the front for every index —
+        # O(n²) per value (round-12 optimization: 26% warm on 45-char
+        # keys at 600k rows, far more on long text; identical fold
+        # values — ascii() of a one-char string is the same code
+        # point substr produced, and split-by-empty-pattern segments
+        # per codepoint exactly like codepoint-indexed substr)
         codes = F.transform(
-            F.sequence(F.lit(1), F.length(s)),
-            lambda i: F.ascii(s.substr(i, F.lit(1))).cast("long"),
+            F.split(s, ""),
+            lambda ch: F.ascii(ch).cast("long"),
         )
         folded = F.aggregate(
             codes,
             F.lit(seed).cast("long"),
             lambda acc, x: (acc * B + x) % P,
         )
-        # sequence(1, 0) is DESCENDING in Spark, so the empty string
-        # must short-circuit before the transform sees [1, 0]
+        # split('', '') is [''] (one empty segment), whose ascii is 0,
+        # so the empty string must short-circuit to the bare seed
         return F.when(F.length(s) == 0, F.lit(seed).cast("long")).otherwise(
             folded
         )

@@ -46,16 +46,23 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _char_symbols(word: Column) -> Column:
-    """Word → its character symbols + the end-of-word marker."""
+    """Word → its character symbols + the end-of-word marker.
+
+    split('') yields the per-codepoint array in one O(n) pass (the
+    sequence + substr(i, 1) form re-seeked the string per index —
+    O(n²) per word; round-12 optimization, same values). The empty
+    word keeps its historical two-empty-symbol encoding (sequence(1,0)
+    is DESCENDING: [1, 0] → two '' substrings) so the operator's edge
+    behavior is unchanged even though no current caller feeds '' —
+    textstats.tokens filters empties."""
     from gpi_etl_spark.functions.hof import let_
 
     return let_(
         word,
         lambda w: F.concat(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: w.substr(i, F.lit(1)),
-            ),
+            F.when(
+                F.length(w) == 0, F.array(F.lit(""), F.lit(""))
+            ).otherwise(F.split(w, "")),
             F.array(F.lit(EOW)),
         ),
     )
@@ -169,11 +176,12 @@ def apply_bpe(
 
 
 def _char_symbols_val(word: Column, merges: list[tuple[str, str]]) -> Column:
+    # split('') per-codepoint array — see _char_symbols (same O(n)
+    # rewrite, same empty-word guard)
     syms = F.concat(
-        F.transform(
-            F.sequence(F.lit(1), F.length(word)),
-            lambda i: word.substr(i, F.lit(1)),
-        ),
+        F.when(
+            F.length(word) == 0, F.array(F.lit(""), F.lit(""))
+        ).otherwise(F.split(word, "")),
         F.array(F.lit(EOW)),
     )
     for a, b in merges:

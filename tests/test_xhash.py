@@ -10,7 +10,14 @@ import pytest
 
 from gpi_etl_spark.functions import xhash
 
-SAMPLES = ["", "a", "ab", "hello world", "</w>", "x" * 50, "éclair", "a b"]
+#: includes multi-byte (é), CJK, and an astral-plane emoji (surrogate
+#: pair in UTF-16) — pins that the split('')-based fold walks CODE
+#: POINTS exactly like the Python reference's ord() loop, round-12's
+#: O(n) rewrite of the substr(i, 1) form
+SAMPLES = [
+    "", "a", "ab", "hello world", "</w>", "x" * 50, "éclair", "a b",
+    "日本語テキスト", "rocket 🚀 pad", "🚀", "naïve—dash", "x" * 400,
+]
 
 
 def py_poly(s: str, seed: int = xhash.SEED) -> int:
