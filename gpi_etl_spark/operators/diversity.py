@@ -44,10 +44,9 @@ def _cos_to_literal(v: Column, vec: list[float]) -> Column:
     replay by the q35 hash gate. The literal side's norm is NOT
     pre-folded in Python for the same reason: both engines must run
     the same expression."""
-    from gpi_etl_spark.operators.similarity import cosine
+    from gpi_etl_spark.operators.similarity import _arr_lit, cosine
 
-    lit = F.array(*[F.lit(float(x)).cast("double") for x in vec])
-    return cosine(v, lit)
+    return cosine(v, _arr_lit(vec))
 
 
 def mmr_select(

@@ -441,7 +441,9 @@ def k_core(
         e2 = (
             e.join(keep, "src", "left_semi")
             .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+            # eager=False: n2 below materializes the checkpoint — one
+            # job launch per peel round instead of two (round-12)
+            .localCheckpoint(eager=False)
         )
         n2 = e2.count()
         if n2 == n_edges:  # confirming round: fixed point observed
@@ -501,7 +503,11 @@ def shortest_paths(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(d))
-            .localCheckpoint(eager=True)
+            # eager=False: the convergence count() right below is the
+            # materializing action, so the round pays ONE job launch
+            # instead of two (the logical plan is truncated either
+            # way; round-12 optimization, ~1 job × max_depth saved)
+            .localCheckpoint(eager=False)
         )
         if new.count() == 0:
             break

@@ -13,6 +13,8 @@ equi-join on bucket keys.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,6 +28,23 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _arr_lit(values, dtype="float64") -> Column:
+    """A vector constant as ONE array Literal node instead of a
+    ``CreateArray`` of N scalar Literal nodes. ``F.lit(ndarray)``
+    becomes a single typed Literal at ANALYSIS time; the N-scalar form
+    only collapses to the same Literal during optimizer constant
+    folding, so every analysis/optimizer walk before that pays a
+    dim-proportional tree. Same values, same result type
+    (float64 → array<double>, int32 → array<int>), but the Lloyd/PQ/ADC
+    loops build a NEW centroid expression every iteration and the
+    tree-size tax was paid per pass (round-12 measurement on the
+    k=8×dim=64 assignment job: min 1.10 → 0.71 s/iter, bit-identical
+    assignments)."""
+    import numpy as np
+
+    return F.lit(np.asarray(list(values), dtype=dtype))
 
 
 def l2_norm(a: Column) -> Column:
@@ -113,6 +132,33 @@ def train_ivf_centroids(
 #: at most one k-means input cache stays pinned per process (see
 #: distributed_kmeans; same policy as dedup._LIVE_SIG_CACHES)
 _LIVE_KMEANS_CACHES: list[DataFrame] = []
+_KMEANS_BASE_LOCK = threading.Lock()
+
+
+def _kmeans_base(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The double-cast (id, vec) projection every k-means-family
+    trainer iterates over, persisted MEMORY_AND_DISK. Semantically
+    identical requests REUSE the live pin (q212 runs the coarse Lloyd
+    AND the PQ trainer over the same corpus — before round 12 the
+    second trainer evicted the first's cache and re-read the parquet,
+    and the final assignment scan recomputed from source); a different
+    input evicts the pin first, so at most one base stays pinned.
+    Cross-QUERY reuse is impossible by construction: the registry
+    dispatcher (queries.query) evicts this cache on every query entry,
+    so each bench/oracle invocation still computes from parquet."""
+    from pyspark.storagelevel import StorageLevel
+
+    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = vectors.select(id_col, to_double.alias(vec_col))
+    with _KMEANS_BASE_LOCK:
+        for live in _LIVE_KMEANS_CACHES:
+            if base.sameSemantics(live):
+                return live
+        while _LIVE_KMEANS_CACHES:
+            _LIVE_KMEANS_CACHES.pop().unpersist()
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        _LIVE_KMEANS_CACHES.append(base)
+        return base
 
 
 def distributed_kmeans(
@@ -139,21 +185,16 @@ def distributed_kmeans(
 
     The input is persisted MEMORY_AND_DISK for the iteration loop
     (iters+1 passes otherwise re-scan the corpus each round — the MLlib
-    pattern caches before iterating); like the LSH signature cache, at
-    most one k-means input stays pinned per process.
+    pattern caches before iterating); semantically identical inputs
+    share one pin within a query run (:func:`_kmeans_base`), a
+    different input evicts it, and the registry dispatcher evicts on
+    every query entry.
 
     Returns (centroids ndarray, assigned DataFrame with ``cell``).
     """
     import numpy as np
 
-    from pyspark.storagelevel import StorageLevel
-
-    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = vectors.select(id_col, to_double.alias(vec_col))
-    while _LIVE_KMEANS_CACHES:
-        _LIVE_KMEANS_CACHES.pop().unpersist()
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_KMEANS_CACHES.append(base)
+    base = _kmeans_base(vectors, id_col, vec_col)
 
     init = (
         base.groupBy(vec_col)
@@ -203,7 +244,7 @@ def _nearest_cells(vec_col, centroids, n: int, vec: Column | None = None) -> Col
     scored = F.array(
         *[
             F.struct(
-                dot(v, F.array(*[F.lit(float(w)) for w in c])).alias("s"),
+                dot(v, _arr_lit(c)).alias("s"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)
@@ -299,7 +340,7 @@ def random_hyperplane_lsh(
             proj = F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(s) for s in signs[p]]),
+                    _arr_lit(signs[p]),
                     lambda v, s: v * s,
                 ),
                 F.lit(0.0),
@@ -552,7 +593,7 @@ def quantized_topk(
     codes = [
         int(max(-127, min(127, math.floor(v / s + 0.5)))) for v in q
     ]
-    p = F.array(*[F.lit(c) for c in codes])
+    p = _arr_lit(codes, dtype="int32")
     qz = quantize_embeddings(vectors, id_col, vec_col)
     w = Window.orderBy(F.col("qcos").desc(), F.col(id_col).asc())
     return (
@@ -591,12 +632,7 @@ def centroid_outliers(
     cents, assigned = distributed_kmeans(
         vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(w)) for w in c])
-            for c in cents
-        ]
-    )
+    cent_arr = F.array(*[_arr_lit(c) for c in cents])
     nv = let_(
         F.col(vec_col),
         lambda v: let_(
@@ -666,8 +702,6 @@ def pq_train(
     """
     import numpy as np
 
-    from pyspark.storagelevel import StorageLevel
-
     dim = vectors.select(F.size(vec_col).alias("d")).first()["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -676,12 +710,7 @@ def pq_train(
     def sl(s):
         return F.slice(F.col(vec_col), s * sub + 1, sub)
 
-    to_double = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = vectors.select(id_col, to_double.alias(vec_col))
-    while _LIVE_KMEANS_CACHES:
-        _LIVE_KMEANS_CACHES.pop().unpersist()
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_KMEANS_CACHES.append(base)
+    base = _kmeans_base(vectors, id_col, vec_col)
 
     # deterministic init, all subspaces in one job: k distinct
     # sub-vectors with the smallest ids per subspace, normalized
@@ -813,10 +842,7 @@ def ivfadc_topk(
         q = q.withColumn(
             f"_adc{s}",
             F.array(
-                *[
-                    dot(qsub, F.array(*[F.lit(float(x)) for x in c]))
-                    for c in codebooks[s]
-                ]
+                *[dot(qsub, _arr_lit(c)) for c in codebooks[s]]
             ),
         )
     cand = assigned.join(codes, id_col).join(q, "cell").dropDuplicates(

@@ -21,6 +21,7 @@ a rows-only check.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 from collections.abc import Callable
@@ -64,10 +65,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = (fn, oracle)
+        @functools.wraps(fn)
+        def dispatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _evict_operator_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = (dispatched, oracle)
         return fn
 
     return deco
+
+
+def _evict_operator_caches() -> None:
+    """Release operator-level persists on every registry-query entry so
+    no pin — and no cached base-table derivative — survives from one
+    query invocation to the next: each bench/oracle run computes from
+    the parquet inputs and re-fills its own caches inside the timed
+    region. (The within-query reuse in similarity._kmeans_base is safe
+    exactly because of this hook.)"""
+    from gpi_etl_spark.operators import similarity as _sim
+
+    while _sim._LIVE_KMEANS_CACHES:
+        _sim._LIVE_KMEANS_CACHES.pop().unpersist()
 
 
 #: intra-query persist registry (round-12 optimization): queries whose
@@ -11296,6 +11315,31 @@ SELECT query_id, vec_id, round(score, 6) AS score, rank
 FROM rr WHERE rank <= {refine_k}"""
 
 
+def _train_ivfadc(emb: DataFrame):
+    """The q212/q222 IVFADC training front half: the coarse Lloyd loop
+    (k=8, iters=4) and the PQ trainer (m=4, k=8, iters=3) are
+    INDEPENDENT iteration chains over the same corpus, so they run on
+    two driver threads and each loop's per-job tail back-fills the
+    other's idle executors (guide §2.6 overlap). Results are identical
+    to the sequential form — both trainings are deterministic
+    functions of the corpus alone, and similarity._kmeans_base hands
+    both threads the same persisted (id, double-vec) projection under
+    a lock. Returns (coarse, assigned, books, codes)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gpi_etl_spark.operators.similarity import (
+        distributed_kmeans,
+        pq_train,
+    )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_dk = pool.submit(distributed_kmeans, emb, 8, 4)
+        fut_pq = pool.submit(pq_train, emb, 4, 8, 3)
+        coarse, assigned = fut_dk.result()
+        books, codes = fut_pq.result()
+    return coarse, assigned, books, codes
+
+
 @query("q212_ivfadc_ann", _ivfadc_oracle_sql(8, 4, 4, 8, 3, 2, 5))
 def q212(spark, sf_dir):
     """IVFADC retrieval — the billion-scale FAISS architecture
@@ -11312,15 +11356,10 @@ def q212(spark, sf_dir):
     namespaced subspace Lloyd chains (the parameterized
     ``_kmeans_ctes``), the code assignment, the probe, and every ADC
     lookup — five k-means replays under one hash gate."""
-    from gpi_etl_spark.operators.similarity import (
-        distributed_kmeans,
-        ivfadc_topk,
-        pq_train,
-    )
+    from gpi_etl_spark.operators.similarity import ivfadc_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    coarse, assigned = distributed_kmeans(emb, k=8, iters=4)
-    books, codes = pq_train(emb, m=4, k=8, iters=3)
+    coarse, assigned, books, codes = _train_ivfadc(emb)
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
@@ -11898,15 +11937,10 @@ def q222(spark, sf_dir):
     corpus) recovers them. The oracle replays the entire q212 chain
     (five Lloyd CTE chains, codes, probe, every ADC lookup) PLUS the
     shortlist cut and the exact-cosine re-rank."""
-    from gpi_etl_spark.operators.similarity import (
-        distributed_kmeans,
-        ivfadc_refine_topk,
-        pq_train,
-    )
+    from gpi_etl_spark.operators.similarity import ivfadc_refine_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    coarse, assigned = distributed_kmeans(emb, k=8, iters=4)
-    books, codes = pq_train(emb, m=4, k=8, iters=3)
+    coarse, assigned, books, codes = _train_ivfadc(emb)
     to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), to_double.alias("query_vec")
