@@ -435,17 +435,18 @@ def connected_components(
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
+                # new lbl < old lbl ⟺ a neighbor improved it: carrying
+                # the flag in the update plan replaces the old
+                # convergence check (a full new⋈old self-join per
+                # round) with a filter over the already-checkpointed
+                # frame — one fewer join job per round, identical
+                # stopping condition (round-12 optimization)
+                (F.col("nlbl") < F.col("lbl")).alias("_chg"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.expr("n.lbl < o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             break
     else:
