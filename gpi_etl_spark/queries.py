@@ -17032,8 +17032,17 @@ def q278(spark, sf_dir):
         layout: _os.path.join(landing, layout)
         for layout in ("range", "hash")
     }
-    for layout, path in paths.items():
-        write_zone_layout(li, "cents", 64, layout, path)
+    # independent eager writes to distinct paths → two driver threads
+    # (guide §2.6 overlap; the q212 trainer pattern), identical files
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(write_zone_layout, li, "cents", 64, layout, path)
+            for layout, path in paths.items()
+        ]
+        for f in futs:
+            f.result()
     _evict_query_caches()
     zones = measure_zone_map(spark, paths["range"], "range").unionByName(
         measure_zone_map(spark, paths["hash"], "hash")
@@ -17164,8 +17173,22 @@ def q279(spark, sf_dir):
     landing = _landing(spark, "q279", sf_dir)
     pz = _os.path.join(landing, "zorder")
     px = _os.path.join(landing, "range_x")
-    write_zone_layout(zc, "zk", 64, "range", pz, carry_cols=("x", "y"))
-    write_zone_layout(xc, "xk", 64, "range", px, carry_cols=("x", "y"))
+    # the two layout writes are independent eager jobs over the same
+    # pinned projection → two driver threads (guide §2.6 overlap; the
+    # q212 trainer pattern); distinct output paths, identical files
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fz = pool.submit(
+            write_zone_layout, zc, "zk", 64, "range", pz,
+            carry_cols=("x", "y"),
+        )
+        fx = pool.submit(
+            write_zone_layout, xc, "xk", 64, "range", px,
+            carry_cols=("x", "y"),
+        )
+        fz.result()
+        fx.result()
     _evict_query_caches()
     zones = measure_zone_map_cols(
         spark, pz, "zorder", ("x", "y")
