@@ -379,7 +379,6 @@ def join_order_greedy(
     from gpi_etl_spark.operators.sketches import _bucket_cols
 
     spark = fact.sparkSession
-    pair_t = "array<struct<kn:string,v:string>>"
 
     def base_hash(c):
         return (
@@ -388,19 +387,38 @@ def join_order_greedy(
             else F.xxhash64(c)
         )
 
+    #: types whose cast-to-string is injective, so grouping NATIVE
+    #: values and casting only the distinct survivors is identical to
+    #: grouping the string cast of every row (round-12 optimization:
+    #: the fact pre-pass casts |distinct| values instead of
+    #: |rows|·|keys| — 168k instead of 1.8M at sf0.1 — and the
+    #: distinct shuffle carries fixed-width longs instead of strings)
+    _STR_INJECTIVE = {
+        "tinyint", "smallint", "int", "bigint", "string",
+        "date", "boolean",
+    }
+
     def tagged_counters(df: DataFrame, keys: "list[str]") -> DataFrame:
         """One scan → (kn, row, col, c): per key identical to
         cms_build over that key's non-null string stream."""
+        dtypes = dict(df.dtypes)
+        native = (
+            len({dtypes[k] for k in keys}) == 1
+            and dtypes[keys[0]] in _STR_INJECTIVE
+        )
+        vt = dtypes[keys[0]] if native else "string"
+        pt = f"array<struct<kn:string,v:{vt}>>"
         arrays = [
             F.when(
                 F.col(k).isNotNull(),
                 F.array(
                     F.struct(
                         F.lit(k).alias("kn"),
-                        F.col(k).cast("string").alias("v"),
+                        (F.col(k) if native else F.col(k).cast("string"))
+                        .alias("v"),
                     )
                 ),
-            ).otherwise(F.lit(None).cast(pair_t))
+            ).otherwise(F.lit(None).cast(pt))
             for k in keys
         ]
         pairs = df.select(
@@ -413,6 +431,13 @@ def join_order_greedy(
         vc = pairs.groupBy("kn", "v").agg(
             F.count(F.lit(1)).alias("_w")
         )
+        if native and vt != "string":
+            # cast the DISTINCT survivors only; the counter arithmetic
+            # below is byte-identical to the string-first form because
+            # cast-to-string is injective on these types
+            vc = vc.select(
+                "kn", F.col("v").cast("string").alias("v"), "_w"
+            )
         pos = F.posexplode(
             F.array(*_bucket_cols(base_hash(F.col("v")), depth, width,
                                   hash_mode))
