@@ -9310,11 +9310,30 @@ def q188(spark, sf_dir):
     ``poly`` hash family (functions/xhash.py) so DuckDB replays build,
     merge linearity and estimation bit-exactly; production keeps the
     ``xxhash64`` default."""
-    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+    from gpi_etl_spark.operators.sketches import (
+        cms_build_weighted,
+        cms_estimate,
+    )
 
     docs = t(spark, sf_dir, "documents")
-    items = docs.select(F.explode(textstats.tokens("text")).alias("term"))
-    sketch = cms_build(items, "term", width=512, depth=4, hash_mode="poly")
+    # ONE tokenize pass feeds sketch AND truth (round-12, the q221/
+    # q282 distinct-pre-pass rationale): the per-term frequency table
+    # is the weighted sketch input — counters bit-identical to
+    # hashing every token (CMS linearity, pinned by test) with the
+    # poly fold paid per VOCABULARY entry, not per token — and the
+    # probes' exact counts read from it instead of re-tokenizing the
+    # corpus. Pinned: the sketch and truth subtrees of the one
+    # returned plan would otherwise each re-run the explode.
+    _evict_query_caches()
+    freq = _qcache(
+        docs.select(F.explode(textstats.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sketch = cms_build_weighted(
+        freq.withColumn("_w", F.col("n")), "term", "_w",
+        width=512, depth=4, hash_mode="poly",
+    )
     probe_terms = ["spark", "data", "hash", "the", "zzz_never_seen"]
     probes = spark.createDataFrame(
         [(p,) for p in probe_terms], "term string"
@@ -9322,11 +9341,7 @@ def q188(spark, sf_dir):
     est = cms_estimate(
         sketch, probes, "term", width=512, depth=4, hash_mode="poly"
     )
-    truth = (
-        items.join(F.broadcast(probes), "term", "left_semi")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    truth = freq.join(F.broadcast(probes), "term", "left_semi")
     return est.join(truth, "term", "left").select(
         "term",
         "est",
@@ -17518,16 +17533,22 @@ def q282(spark, sf_dir):
     KB counter table, and the hot list is by construction tiny —
     the plan changes only where the data is pathological.
     Reference seat: none (no skew concept of any kind)."""
-    from gpi_etl_spark.operators.sketches import cms_build, cms_estimate
+    from gpi_etl_spark.operators.sketches import (
+        cms_build_weighted,
+        cms_estimate,
+    )
     from gpi_etl_spark.operators.skew import salted_join
 
     from gpi_etl_spark.functions import xhash
 
-    # the projected fact is consumed four times (count, sketch build,
-    # candidate distinct, the salted join itself) and the candidate
-    # key table twice (probe + dim) — pin both for the run (round-12
-    # optimization; unpinned, each consumer re-ran the parquet scan +
-    # projection, and the distinct shuffle ran twice)
+    # ONE fact pass feeds the whole detection (round-12, the
+    # q221/q267 distinct-pre-pass rationale — ~600 rows per key
+    # here): the per-key frequency table IS the candidate set, the
+    # corpus count (Σ_w — k is never null, so it equals count()),
+    # and the weighted sketch input whose counters are bit-identical
+    # to hashing every row (CMS linearity, pinned by test). The fact
+    # pin keeps the salted join from re-reading parquet; unpinned,
+    # detection alone re-ran the scan + poly fold over every row.
     _evict_query_caches()
     li = _qcache(
         t(spark, sf_dir, "lineitem").select(
@@ -17540,13 +17561,21 @@ def q282(spark, sf_dir):
             .alias("qty"),
         )
     )
-    n = li.count()
-    items = li.select(F.col("k").cast("string").alias("item"))
-    sk = cms_build(items, "item", width=512, depth=4, hash_mode="poly")
-    cand = _qcache(li.select("k").distinct())
+    freq = _qcache(
+        li.groupBy("k").agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+    )
+    n = freq.agg(F.sum("_w")).collect()[0][0] or 0
+    sk = cms_build_weighted(
+        freq.select(F.col("k").cast("string").alias("item"), "_w"),
+        "item",
+        "_w",
+        width=512,
+        depth=4,
+        hash_mode="poly",
+    )
     est = cms_estimate(
         sk,
-        cand.select(F.col("k").cast("string").alias("item")),
+        freq.select(F.col("k").cast("string").alias("item")),
         "item",
         width=512,
         depth=4,
@@ -17554,7 +17583,7 @@ def q282(spark, sf_dir):
     )
     hot_rows = est.filter(F.col("est") * 8 >= F.lit(int(n))).collect()
     hot = [int(r.item) for r in hot_rows]
-    dim = cand.select(
+    dim = freq.select(
         "k",
         F.pmod(
             xhash.poly_hash(F.col("k").cast("string")), F.lit(97)
