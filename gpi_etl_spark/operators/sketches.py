@@ -1725,6 +1725,22 @@ def ams_build(
     realistic group (< 9·10¹⁸ rows). The F₂ ESTIMATE accumulates
     Σx_i² in decimal(38,0) (see :func:`ams_f2`), so nothing overflows
     through n ≤ 10⁹ per group either."""
+    return _ams_components(items, item_col, group_cols, k, hash_mode)
+
+
+def _ams_components(
+    items: DataFrame,
+    item_col: str,
+    group_cols: tuple[str, ...],
+    k: int,
+    hash_mode: str,
+    weight: "str | None" = None,
+) -> DataFrame:
+    """The ONE copy of the AMS sign/aggregate pipeline (the
+    ``_cms_counters`` lesson: ams_build and ams_build_weighted must
+    share the derivation bit-for-bit or the linearity law
+    Σ_rows sign = Σ_values f·sign silently drifts). ``weight=None``
+    counts each row once; a column name sums weight × sign."""
     if hash_mode == "poly":
         base = xhash.poly_hash(F.col(item_col))
     elif hash_mode == "xxhash64":
@@ -1746,13 +1762,48 @@ def ams_build(
             ),
         ),
     )
-    long = items.select(
-        *group_cols, F.posexplode(signs_arr).alias("i", "_s")
-    )
+    cols = [*group_cols, F.posexplode(signs_arr).alias("i", "_s")]
+    if weight is None:
+        long = items.select(*cols)
+        contrib = F.col("_s").cast("bigint")
+    else:
+        long = items.select(
+            _null_weight_guard(weight, "ams_build_weighted").alias("_w"),
+            *cols,
+        )
+        contrib = F.col("_s").cast("bigint") * F.col("_w")
     return (
         long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
-        .agg(F.sum(F.col("_s").cast("bigint")).alias("x"))
+        .agg(F.sum(contrib).alias("x"))
         .withColumn("fam", F.lit(ams_fam(hash_mode, k)))
+    )
+
+
+def ams_build_weighted(
+    items: DataFrame,
+    item_col: str,
+    weight_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """AMS components over a WEIGHTED item stream — each row
+    contributes ``weight × sign_i(item)`` to x_i instead of one sign.
+    Because the sketch is linear in the frequency vector, building
+    from a per-value frequency table is BIT-IDENTICAL to building
+    from the repeated rows (Σ_rows sign = Σ_values f·sign, exact
+    int64 — pinned in tests/test_sketches.py), which is the q221/q282
+    distinct-pre-pass optimization: pay the poly fold and the ×k sign
+    explode per DISTINCT value, not per row, whenever the stream
+    repeats. Negative weights fold CDC retractions exactly as
+    ams_merge's addition does; NULL weights are REJECTED at execution
+    (the cms_build_weighted contract, same guard).
+
+    Envelope: |x_i| ≤ Σ|w| per group — int64-exact while Σ|w| stays
+    below 2⁶³ (any realistic frequency table; the F₂ estimate's
+    Σx_i² accumulates in decimal(38,0) as for ams_build)."""
+    return _ams_components(
+        items, item_col, group_cols, k, hash_mode, weight=weight_col
     )
 
 

@@ -14586,13 +14586,25 @@ def q252(spark, sf_dir):
             "event_type", F.col("user_id").cast("string").alias("uid")
         )
     )
-    sk = sketches.ams_build(
-        ev, "uid", group_cols=("event_type",), k=64, hash_mode="poly"
+    # ONE corpus pass (round-12, the q221/q282 distinct-pre-pass
+    # rationale — ~13 rows per (type, uid) here): the per-key
+    # frequency table the exact-F₂ readout ALREADY needs also feeds
+    # the sketch build, whose weighted components are bit-identical
+    # to the per-row build (AMS linearity, pinned by test) with the
+    # poly fold and ×k sign explode paid per DISTINCT key. Pinned:
+    # the sketch and exact subtrees of the one returned plan would
+    # otherwise each re-run the groupBy.
+    _evict_query_caches()
+    freq = _qcache(
+        ev.groupBy("event_type", "uid").agg(
+            F.count(F.lit(1)).alias("f")
+        )
+    )
+    sk = sketches.ams_build_weighted(
+        freq, "uid", "f", group_cols=("event_type",), k=64,
+        hash_mode="poly",
     )
     est = sketches.ams_f2(sk, ("event_type",))
-    freq = ev.groupBy("event_type", "uid").agg(
-        F.count(F.lit(1)).alias("f")
-    )
     exact = freq.groupBy("event_type").agg(
         F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
         F.sum("f").cast("bigint").alias("n_rows"),

@@ -1001,6 +1001,46 @@ def test_ams_retraction_fold_matches_rebuild(spark):
     assert as_map(maint) == as_map(rebuilt)
 
 
+def test_ams_weighted_equals_repeated_rows(spark):
+    """Linearity law behind the q252 distinct-pre-pass optimization:
+    components built from a (value, frequency) table are bit-identical
+    to components built from the repeated rows — both hash modes,
+    with and without group columns."""
+    from gpi_etl_spark.operators.sketches import (
+        ams_build,
+        ams_build_weighted,
+    )
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 3
+    rep = spark.createDataFrame(rows, "g string, item string")
+    wtd = spark.createDataFrame(
+        [("a", "x", 5), ("a", "y", 2), ("b", "x", 3)],
+        "g string, item string, w long",
+    )
+    for hm in ("poly", "xxhash64"):
+        a = sorted(map(tuple, ams_build(
+            rep, "item", group_cols=("g",), k=16, hash_mode=hm,
+        ).collect()))
+        b = sorted(map(tuple, ams_build_weighted(
+            wtd, "item", "w", group_cols=("g",), k=16, hash_mode=hm,
+        ).collect()))
+        assert a == b
+
+
+def test_ams_weighted_null_weight_raises(spark):
+    """NULL weights are malformed feed rows — the cms_build_weighted
+    contract, enforced by the shared guard."""
+    import pytest
+    from gpi_etl_spark.operators.sketches import ams_build_weighted
+
+    bad = spark.createDataFrame(
+        [("x", 2), ("y", None)], "item string, w long"
+    )
+    with pytest.raises(Exception, match="NULL weight"):
+        ams_build_weighted(bad, "item", "w", k=8,
+                           hash_mode="poly").collect()
+
+
 def test_ams_k_drift_raises_and_empty_sketch_is_null(spark):
     """Review finds, round 10: (a) same-family different-k sketches
     share low component indexes and used to ADD silently into a
