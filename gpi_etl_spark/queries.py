@@ -13458,7 +13458,10 @@ def q241(spark, sf_dir):
     overcount ≥ 0 riding the gate. Poly hash family → DuckDB replays
     both counter tables and the row-dot/min arithmetic bit-exactly;
     the whole row is int64, no float anywhere."""
-    from gpi_etl_spark.operators.sketches import cms_build, cms_join_size
+    from gpi_etl_spark.operators.sketches import (
+        cms_build_weighted,
+        cms_join_size,
+    )
 
     ev = t(spark, sf_dir, "events")
     # NULL user_ids excluded both engines (same class as q240 —
@@ -13470,11 +13473,21 @@ def q241(spark, sf_dir):
         (F.col("event_type") == "purchase")
         & F.col("user_id").isNotNull()
     ).select(F.col("user_id").cast("string").alias("uid"))
-    ka = cms_build(va, "uid", width=1024, depth=4, hash_mode="poly")
-    kb = cms_build(vb, "uid", width=1024, depth=4, hash_mode="poly")
+    # ONE pass per stream (round-12, the q252/q282 rationale): the
+    # exact-truth frequency tables also feed the weighted sketch
+    # builds (bit-identical counters — CMS linearity, pinned by
+    # test); unpinned, each stream paid its scan twice (sketch +
+    # truth).
+    _evict_query_caches()
+    fa = _qcache(va.groupBy("uid").agg(F.count(F.lit(1)).alias("na")))
+    fb = _qcache(vb.groupBy("uid").agg(F.count(F.lit(1)).alias("nb")))
+    ka = cms_build_weighted(
+        fa, "uid", "na", width=1024, depth=4, hash_mode="poly"
+    )
+    kb = cms_build_weighted(
+        fb, "uid", "nb", width=1024, depth=4, hash_mode="poly"
+    )
     est = cms_join_size(ka, kb)
-    fa = va.groupBy("uid").agg(F.count(F.lit(1)).alias("na"))
-    fb = vb.groupBy("uid").agg(F.count(F.lit(1)).alias("nb"))
     tru = (
         fa.join(fb, "uid")
         .agg(
@@ -15466,19 +15479,36 @@ def q261(spark, sf_dir):
     estimates AND the choice as identical integer comparisons in
     DuckDB. Never-undercount and exactness-collision-free ride q241;
     the decision's determinism rides here."""
-    from gpi_etl_spark.operators.sketches import cms_build
+    from gpi_etl_spark.operators.sketches import cms_build_weighted
     from gpi_etl_spark.operators.skew import join_order_first
 
     ev = t(spark, sf_dir, "events")
-
-    def stream(et):
-        return ev.filter(
-            (F.col("event_type") == et) & F.col("user_id").isNotNull()
-        ).select(F.col("user_id").cast("string").alias("uid"))
+    # ONE corpus pass feeds all three per-type frequency tables
+    # (round-12, the q252/q282 distinct-pre-pass rationale), and each
+    # KB-sized sketch builds weighted from the pin with bit-identical
+    # counters (CMS linearity, pinned by test). Unpinned, every
+    # sketch's corpus subtree re-ran once PER CANDIDATE PAIR it
+    # prices — six events passes for three streams.
+    _evict_query_caches()
+    freq = _qcache(
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy(
+            "event_type", F.col("user_id").cast("string").alias("uid")
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+    )
 
     def sk(et):
-        return cms_build(
-            stream(et), "uid", width=1024, depth=4, hash_mode="poly"
+        return cms_build_weighted(
+            freq.filter(F.col("event_type") == et).select("uid", "_w"),
+            "uid",
+            "_w",
+            width=1024,
+            depth=4,
+            hash_mode="poly",
         )
 
     ka, kc, kp = sk("view"), sk("click"), sk("purchase")
