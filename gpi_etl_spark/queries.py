@@ -11914,7 +11914,11 @@ def q221(spark, sf_dir):
     counterpart."""
     from gpi_etl_spark.operators import sketches
 
-    dist = (
+    # the distinct stream feeds BOTH the register build and the exact
+    # baseline — pin it for the run (round-12, the q238 policy;
+    # unpinned, the dedup shuffle executed twice)
+    _evict_query_caches()
+    dist = _qcache(
         t(spark, sf_dir, "events")
         .select(
             "event_type", F.col("user_id").cast("string").alias("uid")
@@ -13586,19 +13590,25 @@ def q242(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select(
         *gcols, F.col("o_custkey").cast("string").alias("cust")
     )
-    # the ×k register expansion amplifies input parallelism 1:1 — a
-    # single-file scan would run the whole explode on ONE task
-    # (measured 4.1 s → 2.0 s warm build after the repartition at
-    # sf0.1; the 150k slim rows shuffle in ~ms). A real lake's input
-    # is already many-partitioned; this pins the property locally.
+    # ONE pinned distinct-triple pre-pass feeds register build AND
+    # exact cube (round-12, the q221/q238 rationale: kmv min is
+    # idempotent and countDistinct ignores duplicate rows, so both
+    # consumers are bit-identical over the deduped stream) — one
+    # parquet scan instead of two, and the ×k explode runs over
+    # distinct triples. The distinct's shuffle ALSO spreads the
+    # slim single-file input across the cluster, which is what the
+    # explicit repartition was for (its r9 measurement: a
+    # single-task ×k explode ran 4.1 s vs 2.0 warm at sf0.1 — the
+    # expansion amplifies input parallelism 1:1).
+    _evict_query_caches()
+    d = _qcache(o.distinct())
     sk = sketches.kmv_build(
-        o.repartition(spark.sparkContext.defaultParallelism),
-        "cust", group_cols=gcols, k=64, hash_mode="poly",
+        d, "cust", group_cols=gcols, k=64, hash_mode="poly",
     )
     cube_sets = (gcols, (gcols[0],), (gcols[1],), ())
     est = sketches.kmv_rollup(sk, gcols, cube_sets)
     exact = (
-        o.cube(*gcols)
+        d.cube(*gcols)
         .agg(
             F.grouping_id().cast("bigint").alias("gid2"),
             F.countDistinct("cust").alias("exact_custs"),
