@@ -276,7 +276,7 @@ FAST_SKIP = {
 }
 
 #: committed two-lane detail artifact for the CURRENT round
-DETAIL_FILE = "BENCH_local_r12.json"
+DETAIL_FILE = "BENCH_local_r13.json"
 
 
 def main() -> None:

@@ -58,6 +58,33 @@ def _bucket_cols(base, depth: int, width: int, hash_mode: str) -> list:
     ]
 
 
+def _bucket_arr(base, depth: int, width: int, hash_mode: str):
+    """``F.array(*_bucket_cols(...))`` with the poly base hash bound
+    ONCE (round-13, guide §1.2 per-task work): the poly fold is a
+    higher-order-function tree, which Spark evaluates INTERPRETED
+    (CodegenFallback) — inlining it into each of the ``depth`` bucket
+    expressions paid the whole per-codepoint fold ``depth`` times per
+    item and put ``depth`` copies of the tree in the plan (analysis
+    cost rides every consumer). ``let_`` hands the folded value to the
+    ``depth`` cheap affine transforms — identical integer arithmetic,
+    one fold. The xxhash64 mode keeps the flat form: it is a codegen
+    intrinsic, and wrapping it in a higher-order binding would FORCE
+    the projection onto the interpreted path."""
+    from gpi_etl_spark.functions.hof import let_
+
+    if hash_mode == "poly":
+        return let_(
+            base,
+            lambda h: F.array(
+                *[
+                    xhash.affine_hash(h, i, depth) % width
+                    for i in range(depth)
+                ]
+            ),
+        )
+    return F.array(*_bucket_cols(base, depth, width, hash_mode))
+
+
 def _null_weight_guard(weight_col: str, what: str):
     """Lazy NULL guard INSIDE a summed weight expression (unprunable):
     a NULL CDC weight is a malformed feed row — sum() skipping it
@@ -128,7 +155,7 @@ def _cms_counters(
         else F.xxhash64(F.col(item_col))
     )
     pos = F.posexplode(
-        F.array(*_bucket_cols(base, depth, width, hash_mode))
+        _bucket_arr(base, depth, width, hash_mode)
     ).alias("row", "col")
     if weight is None:
         bucketed = items.select(pos)
@@ -344,7 +371,7 @@ def cms_estimate(
     pb = probes.select(
         item_col,
         F.posexplode(
-            F.array(*_bucket_cols(base, depth, width, hash_mode))
+            _bucket_arr(base, depth, width, hash_mode)
         ).alias("row", "col"),
     ).select(
         item_col,

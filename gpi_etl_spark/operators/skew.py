@@ -335,17 +335,21 @@ def join_order_greedy(
       intermediate in ONE pass: an explode to (key_name, value)
       pairs, a map-side-combined distinct-value count (the q221
       distinct-pre-pass rationale — the expensive replayable poly
-      fold then runs over |distinct values|, not |rows|·|keys|), and
-      a weighted counter build (cms_build_weighted's arithmetic:
-      counters from (value, frequency) are IDENTICAL to counters
-      from repeated rows — pinned by test against cms_build).
-    - ALL of a step's candidate estimates ride ONE plan: the tagged
-      fact-side counters join the pair-tagged dim counters on
-      (pair, row, col), per-(pair, row) dots, per-pair min — the
-      batched twin of cms_join_size (pinned equal per pair by test).
-      Geometry equality across sides holds BY CONSTRUCTION (one
-      build site); the derived-depth/empty-side rule is the same
-      (a pair with any row's dot missing estimates 0).
+      fold then runs over |distinct values|, not |rows|·|keys|).
+    - ALL of a step's candidate estimates ride ONE plan with ONE
+      shuffle (round-13; was three): because the CMS dot product is
+      linear in the counters, the per-(key, value) frequency rows
+      join the BROADCAST pair-tagged dim counters directly and
+      aggregate straight to the ≤|pairs|·depth per-(pair, row) dots
+      — the fact-side counter table is never materialized, and the
+      per-pair min/completeness fold runs on the driver over the
+      collected dots (bounded planner state). The bigint sum is the
+      identical integer arithmetic reassociated, so every estimate
+      is byte-identical to the counter-table form (pinned equal per
+      pair by test). Geometry equality across sides holds BY
+      CONSTRUCTION (one bucket-derivation site); the derived-depth/
+      empty-side rule is the same (a pair missing any of its `depth`
+      dot rows estimates 0).
     - Step s scans fact ⋈ dim₁ ⋈ … ⋈ dim_{s−1} exactly once — the
       passes a left-deep EXECUTION pays anyway (System R prices
       intermediates from propagated statistics; a sketch pass is the
@@ -376,7 +380,7 @@ def join_order_greedy(
     from pyspark.storagelevel import StorageLevel
 
     from gpi_etl_spark.functions import xhash
-    from gpi_etl_spark.operators.sketches import _bucket_cols
+    from gpi_etl_spark.operators.sketches import _bucket_arr
 
     spark = fact.sparkSession
 
@@ -398,52 +402,75 @@ def join_order_greedy(
         "date", "boolean",
     }
 
-    def tagged_counters(df: DataFrame, keys: "list[str]") -> DataFrame:
-        """One scan → (kn, row, col, c): per key identical to
-        cms_build over that key's non-null string stream."""
+    def key_freqs(df: DataFrame, keys: "list[str]") -> DataFrame:
+        """One scan → per-(key name, value) frequency table
+        ``(kn, v string, _w)`` — the distinct pre-pass shared by the
+        counter build and (round-13) the fused estimate path.
+
+        Round-13 reformulation (guide §1.2 per-task work): the NULL
+        drop moved AFTER the explode. The old form wrapped every key
+        in ``when(...)/filter(lambda)/flatten`` — the lambda makes the
+        whole per-row projection a higher-order function, which Spark
+        evaluates INTERPRETED (CodegenFallback); a plain
+        array-of-structs explode + ``v IS NOT NULL`` filter keeps the
+        hot per-row path in whole-stage codegen. Identical surviving
+        rows (a NULL key produced no pair before; it produces one and
+        is filtered now). Measured 2.61 s → 0.80 s on the sf0.1
+        lineitem 3-key pass, bit-identical frequency table. The
+        distinct survivors then spread over defaultParallelism
+        partitions: the poly fold below runs interpreted, and AQE's
+        (correct) size-based coalescing would otherwise land the
+        whole CPU-bound fold stage on one task — the q242/kmv_build
+        "repartition slim inputs" rationale, keyed so no pre-sort is
+        paid and scale-adaptive via the session's parallelism."""
         dtypes = dict(df.dtypes)
         native = (
             len({dtypes[k] for k in keys}) == 1
             and dtypes[keys[0]] in _STR_INJECTIVE
         )
-        vt = dtypes[keys[0]] if native else "string"
-        pt = f"array<struct<kn:string,v:{vt}>>"
-        arrays = [
-            F.when(
-                F.col(k).isNotNull(),
-                F.array(
-                    F.struct(
-                        F.lit(k).alias("kn"),
-                        (F.col(k) if native else F.col(k).cast("string"))
-                        .alias("v"),
-                    )
-                ),
-            ).otherwise(F.lit(None).cast(pt))
-            for k in keys
-        ]
         pairs = df.select(
             F.explode(
-                F.flatten(
-                    F.filter(F.array(*arrays), lambda a: a.isNotNull())
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("kn"),
+                            (
+                                F.col(k)
+                                if native
+                                else F.col(k).cast("string")
+                            ).alias("v"),
+                        )
+                        for k in keys
+                    ]
                 )
             ).alias("e")
-        ).select("e.kn", "e.v")
+        ).select("e.kn", "e.v").filter(F.col("v").isNotNull())
         vc = pairs.groupBy("kn", "v").agg(
             F.count(F.lit(1)).alias("_w")
         )
-        if native and vt != "string":
+        vc = vc.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "kn", "v"
+        )
+        if native and dtypes[keys[0]] != "string":
             # cast the DISTINCT survivors only; the counter arithmetic
             # below is byte-identical to the string-first form because
             # cast-to-string is injective on these types
             vc = vc.select(
                 "kn", F.col("v").cast("string").alias("v"), "_w"
             )
-        pos = F.posexplode(
-            F.array(*_bucket_cols(base_hash(F.col("v")), depth, width,
-                                  hash_mode))
+        return vc
+
+    def _pos(col):
+        return F.posexplode(
+            _bucket_arr(base_hash(col), depth, width, hash_mode)
         ).alias("row", "col")
+
+    def tagged_counters(df: DataFrame, keys: "list[str]") -> DataFrame:
+        """One scan → (kn, row, col, c): per key identical to
+        cms_build over that key's non-null string stream."""
         return (
-            vc.select("kn", "_w", pos)
+            key_freqs(df, keys)
+            .select("kn", "_w", _pos(F.col("v")))
             .groupBy(
                 "kn",
                 F.col("row").cast("int").alias("row"),
@@ -463,56 +490,82 @@ def join_order_greedy(
         dim_tagged = one if dim_tagged is None else dim_tagged.unionByName(one)
     dim_tagged = dim_tagged.persist()
 
-    persisted: "list[DataFrame]" = [dim_tagged]
+    # round-13: pin the projected fact — the step-1 frequency pass and
+    # the first chosen join both scan it; unpinned, each paid its own
+    # full input scan (the same rationale as the chosen-intermediate
+    # pins below, applied to step 0)
+    fact = fact.persist(StorageLevel.MEMORY_AND_DISK)
+
+    persisted: "list[DataFrame]" = [dim_tagged, fact]
     results: "list[tuple[int, str, int, int]]" = []
     left = fact
     remaining = list(dims)
     step = 1
     try:
         while remaining:
-            # NOT persisted: each step's tagged counters feed exactly
-            # one batched-estimate job — caching would only add a
-            # write (the dim counters, reused every step, DO persist)
-            tagged = tagged_counters(
-                left, [fk for _, fk, _, _ in remaining]
+            # ROUND-13 RESTRUCTURE (guide §2.4 remove shuffles / §5 no
+            # driver data work — the state here is bounded planner
+            # state, not data): the step estimate no longer
+            # materializes the intermediate's counter table at all.
+            # Because the dot product is LINEAR in the counters —
+            #   dot(pair,row) = Σ_col c(row,col)·cd(pair,row,col)
+            #                 = Σ_v _w(v)·cd(pair,row,col(v,row))
+            # — the per-(kn,v) frequency rows join the broadcast dim
+            # counter table directly and aggregate straight to the
+            # ≤|pairs|·depth per-(pair,row) dots: ONE shuffle per step
+            # (the distinct pre-pass) instead of three (counter build,
+            # dot, per-pair fold). Arithmetic is the identical bigint
+            # sum, reassociated — exact integer addition is
+            # order-free, so every estimate is byte-identical (pinned
+            # by tests/test_skew.py's greedy-vs-naive law test). The
+            # per-pair min/completeness fold runs on the driver over
+            # the collected ≤|pairs|·depth rows — the same bounded
+            # planner state the old plan collected per pair.
+            freqs = key_freqs(left, [fk for _, fk, _, _ in remaining])
+            kn_to_pairs: "dict[str, list[str]]" = {}
+            for name, fk, _, _ in remaining:
+                kn_to_pairs.setdefault(fk, []).append(name)
+            kns = sorted(kn_to_pairs)
+            pair_map = F.map_from_arrays(
+                F.array(*[F.lit(k) for k in kns]),
+                F.array(
+                    *[
+                        F.array(*[F.lit(n) for n in kn_to_pairs[k]])
+                        for k in kns
+                    ]
+                ),
             )
-            # batched estimates: one plan for every open candidate
-            pmap = spark.createDataFrame(
-                [(name, fk) for name, fk, _, _ in remaining],
-                "pair string, kn string",
-            )
-            dots = (
-                tagged.join(F.broadcast(pmap), "kn")
-                .join(dim_tagged, ["pair", "row", "col"])
+            dot_rows = (
+                freqs.select("kn", "_w", _pos(F.col("v")))
+                .select(
+                    F.explode(pair_map[F.col("kn")]).alias("pair"),
+                    F.col("row").cast("int").alias("row"),
+                    F.col("col").cast("int").alias("col"),
+                    "_w",
+                )
+                .join(F.broadcast(dim_tagged), ["pair", "row", "col"])
                 .groupBy("pair", "row")
                 .agg(
-                    F.sum(F.col("c") * F.col("_cd"))
+                    F.sum(F.col("_w") * F.col("_cd"))
                     .cast("bigint")
                     .alias("_dot")
                 )
-                .groupBy("pair")
-                .agg(
-                    F.count(F.lit(1)).alias("_nr"),
-                    F.min("_dot").alias("_mind"),
-                )
-            )
-            est_rows = (
-                pmap.join(dots, "pair", "left")
-                .select(
-                    "pair",
-                    F.when(
-                        F.col("_nr") == depth, F.col("_mind")
-                    )
-                    .otherwise(F.lit(0))
-                    .cast("bigint")
-                    .alias("est_join_size"),
-                )
                 .collect()
             )
-            # bounded planner state: |remaining| integer rows per step
-            ests = [
-                (r["pair"], int(r["est_join_size"])) for r in est_rows
-            ]
+            # bounded planner state: ≤ |remaining|·depth integer rows
+            # per step; a pair missing any of its `depth` rows had an
+            # empty counter row — its estimate is 0 (unchanged rule)
+            acc: "dict[str, tuple[int, int]]" = {}
+            for r in dot_rows:
+                nr, mind = acc.get(r["pair"], (0, None))
+                d_ = int(r["_dot"])
+                acc[r["pair"]] = (
+                    nr + 1, d_ if mind is None else min(mind, d_)
+                )
+            ests = []
+            for name, fk, _, _ in remaining:
+                nr, mind = acc.get(name, (0, None))
+                ests.append((name, int(mind) if nr == depth else 0))
             if len(remaining) == 1:
                 # forced last position: priced, chosen by definition
                 results.append((step, ests[0][0], ests[0][1], 1))

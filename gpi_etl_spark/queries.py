@@ -82,11 +82,40 @@ def _evict_operator_caches() -> None:
     query invocation to the next: each bench/oracle run computes from
     the parquet inputs and re-fills its own caches inside the timed
     region. (The within-query reuse in similarity._kmeans_base is safe
-    exactly because of this hook.)"""
-    from gpi_etl_spark.operators import similarity as _sim
+    exactly because of this hook.)
 
-    while _sim._LIVE_KMEANS_CACHES:
-        _sim._LIVE_KMEANS_CACHES.pop().unpersist()
+    Round-13 (VERDICT r12 "what's wrong" #3): drain EVERY live-cache
+    registry, not just the kmeans one — a MEMORY_AND_DISK pin left by
+    query A otherwise stays resident while unrelated queries B…Z run
+    in the same process (the bench does exactly this), squeezing
+    execution memory for whichever query follows a heavy pinner
+    (guide §5 cache hygiene). Each operator still evicts its own
+    stale pins at its own entry; this hook is the cross-query
+    backstop."""
+    from gpi_etl_spark.operators import (
+        dedup as _dd,
+        heavyhitters as _hh,
+        hierarchy as _hr,
+        linkgraph as _lg,
+        logreg as _lr,
+        similarity as _sim,
+    )
+    from gpi_etl_spark.plans import curation_dags as _cd
+
+    registries = (
+        _LIVE_QUERY_CACHES,
+        _sim._LIVE_KMEANS_CACHES,
+        _dd._LIVE_SHINGLE_CACHES,
+        _dd._LIVE_SIG_CACHES,
+        _hh._LIVE_HH_CACHES,
+        _hr._LIVE_HIER_CACHES,
+        _lg._LIVE_PR_CACHES,
+        _lr._LIVE_LOGREG_CACHES,
+        _cd._LIVE_DAG_CACHES,
+    )
+    for reg in registries:
+        while reg:
+            reg.pop().unpersist()
 
 
 #: intra-query persist registry (round-12 optimization): queries whose
