@@ -268,7 +268,12 @@ def cms_build_weighted(
     :func:`cms_apply` restores the canonical zeros-omitted form after
     folding. Shares its bucket pipeline with cms_build through
     ``_cms_counters`` — the linearity law depends on the two
-    derivations being the same code."""
+    derivations being the same code.
+
+    RESERVED NAMES (advice find): the pipeline aliases ``_w`` (the
+    guarded weight) and the posexplode outputs ``row``/``col``
+    internally — an ``item_col``/``weight_col`` named one of these
+    would be shadowed; rename such columns before building."""
     return _cms_counters(
         items, item_col, width, depth, hash_mode,
         weight=_null_weight_guard(weight_col, "cms_build_weighted"),
@@ -650,13 +655,26 @@ def kmv_build(
     stored registers once after upgrading (a sketch build is one
     pass; that is the point of the operator).
 
-    PARALLELISM — the build emits k register rows per input row
-    BEFORE the map-side-combined min, so input partitioning is
-    amplified 1:1 into the expansion: a few-partition input (one
-    small file, a collapsed coalesce) runs the whole ×k explode on
-    those few tasks. Repartition slim inputs first (q242: 4.1 s →
-    2.0 s warm at sf0.1 from `.repartition(defaultParallelism)` on a
-    single-file scan); well-partitioned lake inputs need nothing.
+    PARALLELISM — the build's per-row work is one base fold plus k
+    integer transforms feeding k min buffers; input partitioning
+    carries 1:1 into that work, so a few-partition input (one small
+    file, a collapsed coalesce) still concentrates the whole pass on
+    those few tasks — repartition slim inputs first (the q242
+    lesson); well-partitioned lake inputs need nothing.
+
+    SHAPE (round-13, guide §2.3/§2.4): the build aggregates k MIN
+    columns in ONE groupBy over the input rows and unpivots the
+    ≤|groups| result to the (i, m) register layout afterwards. The
+    previous form posexploded k register rows per input row BEFORE
+    the partial min — at 100 TB that materializes |rows|·k rows
+    through the Generate node even though map-side combine bounds the
+    wire; the min-columns form feeds the same k min buffers straight
+    from the projection (no Generate before the partial aggregate),
+    and the unpivot's explode runs over |groups| rows only. Register
+    tables are bit-identical (min is commutative/associative either
+    way; the law test pins build-equivalence), including the
+    only-NULL-items group (count guard keeps empty INPUT producing an
+    empty table, a group of NULL items still yields m = NULL rows).
 
     CARDINALITY CEILING — the single-base shape means two items
     colliding in the [0, P) base collide on ALL k registers (the
@@ -688,13 +706,30 @@ def kmv_build(
             ),
         ),
     )
-    long = items.select(
-        *group_cols, F.posexplode(regs_arr).alias("i", "_h")
+    # internal column names are double-underscored to stay out of any
+    # caller's group_cols namespace (the ams/cms reserved-name advice)
+    wide = items.select(*group_cols, regs_arr.alias("__kmv_r"))
+    ga = wide.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__kmv_n"),
+        *[
+            F.min(F.element_at("__kmv_r", i + 1)).alias(f"__kmv_m{i}")
+            for i in range(k)
+        ],
     )
     return (
-        long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
-        .agg(F.min("_h").alias("m"))
-        .withColumn("fam", F.lit(KMV_FAMILIES[hash_mode]))
+        ga.filter(F.col("__kmv_n") > 0)
+        .select(
+            *group_cols,
+            F.posexplode(
+                F.array(*[F.col(f"__kmv_m{i}") for i in range(k)])
+            ).alias("i", "m"),
+        )
+        .select(
+            *group_cols,
+            F.col("i").cast("int").alias("i"),
+            F.col("m"),
+            F.lit(KMV_FAMILIES[hash_mode]).alias("fam"),
+        )
     )
 
 
@@ -1828,7 +1863,13 @@ def ams_build_weighted(
 
     Envelope: |x_i| ≤ Σ|w| per group — int64-exact while Σ|w| stays
     below 2⁶³ (any realistic frequency table; the F₂ estimate's
-    Σx_i² accumulates in decimal(38,0) as for ams_build)."""
+    Σx_i² accumulates in decimal(38,0) as for ams_build).
+
+    RESERVED NAMES (advice find): the shared sign pipeline aliases
+    ``_w`` (the guarded weight) and the posexplode outputs
+    ``i``/``_s`` internally — ``group_cols`` containing one of these
+    would be shadowed or ambiguous; rename such columns before
+    building (ams_build shares the same reservation)."""
     return _ams_components(
         items, item_col, group_cols, k, hash_mode, weight=weight_col
     )

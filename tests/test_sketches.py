@@ -1308,3 +1308,74 @@ def test_rq_range_estimate_interpolation_envelope(spark):
     exact = df.filter((F.col("v") >= lo) & (F.col("v") <= hi)).count()
     # digits=3 buckets at this magnitude hold 1000 uniform values
     assert abs(est - exact) <= 2000
+
+
+def test_kmv_min_columns_build_equals_posexplode_reference(spark):
+    """Round-13 shape law: kmv_build's k-min-columns + unpivot form
+    must be register-for-register identical to the original
+    posexplode-per-row reference build — grouped and ungrouped, both
+    hash modes, with NULL items in the stream (a group of only-NULL
+    items keeps its k NULL registers) and an empty input (empty
+    table, not one row of NULLs)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.functions import xhash
+    from gpi_etl_spark.functions.hof import let_
+    from gpi_etl_spark.operators.sketches import (
+        KMV_FAMILIES,
+        KMV_P,
+        kmv_build,
+    )
+
+    def reference_build(items, item_col, group_cols, k, hash_mode):
+        if hash_mode == "poly":
+            base = xhash.poly_hash(F.col(item_col))
+        else:
+            base = F.pmod(F.xxhash64(F.col(item_col)), F.lit(KMV_P))
+        regs_arr = let_(
+            base,
+            lambda h: let_(
+                xhash.cubic_mix(h),
+                lambda g: F.array(
+                    *[xhash.affine_hash(g, i, k) for i in range(k)]
+                ),
+            ),
+        )
+        long = items.select(
+            *group_cols, F.posexplode(regs_arr).alias("i", "_h")
+        )
+        return (
+            long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
+            .agg(F.min("_h").alias("m"))
+            .withColumn("fam", F.lit(KMV_FAMILIES[hash_mode]))
+        )
+
+    def as_rows(df):
+        return sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    rows = (
+        [("g1", str(i)) for i in range(40)]
+        + [("g2", str(i)) for i in range(500, 520)]
+        + [("g3", None), ("g3", None)]  # only-NULL group
+        + [("g1", None)]  # NULL inside a real group
+    )
+    df = spark.createDataFrame(rows, "grp string, item string")
+    for hash_mode in ("poly", "xxhash64"):
+        got = kmv_build(
+            df, "item", group_cols=("grp",), k=16, hash_mode=hash_mode
+        )
+        want = reference_build(df, "item", ("grp",), 16, hash_mode)
+        assert as_rows(got) == as_rows(want), hash_mode
+        # ungrouped
+        gu = kmv_build(df, "item", k=16, hash_mode=hash_mode)
+        wu = reference_build(df, "item", (), 16, hash_mode)
+        assert as_rows(gu) == as_rows(wu), hash_mode
+    # empty input: empty register table in both shapes
+    empty = spark.createDataFrame([], "grp string, item string")
+    assert kmv_build(empty, "item", k=8, hash_mode="poly").count() == 0
+    assert (
+        kmv_build(empty, "item", group_cols=("grp",), k=8,
+                  hash_mode="poly").count() == 0
+    )
