@@ -283,3 +283,96 @@ def test_poisson_bootstrap_empty_replica_is_null(spark):
     assert all(
         r.boot_mean_r == 5.0 for r in rows if r.n_eff > 0
     )  # any nonzero multiplicity of one 500-cent row means 5.00
+
+
+def test_poisson_bootstrap_wide_agg_equals_posexplode_reference(spark):
+    """Round-13 shape law (the kmv_build law test's twin): the
+    wide-aggregate form — 2·replicas sum columns in one groupBy, then
+    an unpivot over groups — must be row-for-row identical to the
+    original posexplode-per-row reference, including NULL cents
+    (weight still counts toward n_eff, the product drops from the
+    sum), multi-group inputs, and an empty input (empty table)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.functions.hof import let_
+    from gpi_etl_spark.functions.rounding import fs6
+    from gpi_etl_spark.functions.xhash import (
+        affine_hash,
+        cubic_mix,
+        poly_hash,
+    )
+    from gpi_etl_spark.operators.evaluation import (
+        poisson_bootstrap_means,
+        poisson_thresholds,
+    )
+
+    def reference(df, group_cols, cents_col, id_col, replicas):
+        ts = poisson_thresholds()
+
+        def draw(ah):
+            w = F.when(ah < ts[0], F.lit(0))
+            for k in range(1, len(ts)):
+                w = w.when(ah < ts[k], F.lit(k))
+            return w.otherwise(F.lit(len(ts)))
+
+        weights = let_(
+            poly_hash(F.col(id_col).cast("string")),
+            lambda h: let_(
+                cubic_mix(h),
+                lambda g: F.array(
+                    *[
+                        draw(affine_hash(g, b, replicas))
+                        for b in range(replicas)
+                    ]
+                ),
+            ),
+        )
+        long = df.select(
+            *group_cols,
+            F.col(cents_col).cast("long").alias("_cents"),
+            F.posexplode(weights).alias("b", "_w"),
+        )
+        agg = long.groupBy(
+            *group_cols, F.col("b").cast("int").alias("b")
+        ).agg(
+            F.sum("_w").cast("bigint").alias("n_eff"),
+            F.sum(F.col("_w") * F.col("_cents")).alias("_wsum"),
+        )
+        return agg.select(
+            *group_cols,
+            "b",
+            "n_eff",
+            F.when(F.col("n_eff") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                fs6(
+                    F.col("_wsum").cast("double")
+                    / (F.lit(100.0) * F.col("n_eff").cast("double"))
+                )
+            )
+            .alias("boot_mean_r"),
+        )
+
+    rows = (
+        [("a", i, ((i * 13) % 100) * 10) for i in range(200)]
+        + [("b", 1000 + i, i * 7) for i in range(40)]
+        + [("a", 9999, None)]  # NULL cents: counts in n_eff only
+    )
+    df = spark.createDataFrame(rows, "g string, id long, cents long")
+    got = sorted(
+        tuple(r)
+        for r in poisson_bootstrap_means(
+            df, ("g",), "cents", "id", replicas=16
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in reference(df, ("g",), "cents", "id", 16).collect()
+    )
+    assert got == want and len(got) == 32
+    empty = spark.createDataFrame([], "g string, id long, cents long")
+    assert (
+        poisson_bootstrap_means(
+            empty, ("g",), "cents", "id", replicas=8
+        ).count()
+        == 0
+    )
