@@ -11095,11 +11095,20 @@ def q209(spark, sf_dir):
     accuracy on a corpus with genuinely class-conditional vocabulary
     and hand-checks the smoothed counts."""
     docs = t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        textstats.tokens("text").alias("toks"),
-        F.pmod(curation.mix_hash("doc_id"), F.lit(5)).alias("fold"),
+    # Round-13 (the q200/q193 rationale): the tokenized frame — the
+    # query's dominant per-row cost — is re-derived from parquet by
+    # every training action (vocab distinct count, doc count, stats
+    # collect) AND the final scoring plan; one _qcache pin pays the
+    # corpus tokenization once (warm 2.31 s → 1.53 s at sf0.1).
+    # Values unchanged: a persist materializes the same rows.
+    _evict_query_caches()
+    d = _qcache(
+        docs.select(
+            "doc_id",
+            "lang",
+            textstats.tokens("text").alias("toks"),
+            F.pmod(curation.mix_hash("doc_id"), F.lit(5)).alias("fold"),
+        )
     )
     train = d.filter(F.col("fold") != 0)
     test = d.filter(F.col("fold") == 0)
