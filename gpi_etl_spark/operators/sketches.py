@@ -1802,7 +1802,20 @@ def _ams_components(
     ``_cms_counters`` lesson: ams_build and ams_build_weighted must
     share the derivation bit-for-bit or the linearity law
     Σ_rows sign = Σ_values f·sign silently drifts). ``weight=None``
-    counts each row once; a column name sums weight × sign."""
+    counts each row once; a column name sums weight × sign.
+
+    SHAPE (round-13, the kmv_build rework's twin, guide §2.3/§2.4):
+    the k signed sums aggregate as k SUM columns in ONE groupBy read
+    straight off the materialized signs array, and the ≤|groups|
+    result unpivots to the (i, x) layout afterwards — the previous
+    form posexploded k sign rows per input row BEFORE the partial
+    aggregate, materializing |rows|·k rows through the Generate node
+    and hashing each into the (group, i) combine map. Components are
+    bit-identical (exact integer addition reassociated; a NULL item
+    yields k NULL contributions → NULL-skipping sums in both shapes;
+    the count guard keeps an empty ungrouped input producing an empty
+    table, matching the explode form's no-rows behaviour) — pinned by
+    the shape law test next to kmv's."""
     if hash_mode == "poly":
         base = xhash.poly_hash(F.col(item_col))
     elif hash_mode == "xxhash64":
@@ -1824,20 +1837,46 @@ def _ams_components(
             ),
         ),
     )
-    cols = [*group_cols, F.posexplode(signs_arr).alias("i", "_s")]
+    # internal names double-underscored to stay out of any caller's
+    # group_cols namespace (the kmv_build convention)
     if weight is None:
-        long = items.select(*cols)
-        contrib = F.col("_s").cast("bigint")
+        wide = items.select(*group_cols, signs_arr.alias("__ams_s"))
+
+        def contrib(i: int):
+            return F.element_at("__ams_s", i + 1).cast("bigint")
+
     else:
-        long = items.select(
-            _null_weight_guard(weight, "ams_build_weighted").alias("_w"),
-            *cols,
+        wide = items.select(
+            *group_cols,
+            _null_weight_guard(weight, "ams_build_weighted").alias(
+                "__ams_w"
+            ),
+            signs_arr.alias("__ams_s"),
         )
-        contrib = F.col("_s").cast("bigint") * F.col("_w")
+
+        def contrib(i: int):
+            return F.element_at("__ams_s", i + 1).cast("bigint") * F.col(
+                "__ams_w"
+            )
+
+    ga = wide.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__ams_n"),
+        *[F.sum(contrib(i)).alias(f"__ams_x{i}") for i in range(k)],
+    )
     return (
-        long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
-        .agg(F.sum(contrib).alias("x"))
-        .withColumn("fam", F.lit(ams_fam(hash_mode, k)))
+        ga.filter(F.col("__ams_n") > 0)
+        .select(
+            *group_cols,
+            F.posexplode(
+                F.array(*[F.col(f"__ams_x{i}") for i in range(k)])
+            ).alias("i", "x"),
+        )
+        .select(
+            *group_cols,
+            F.col("i").cast("int").alias("i"),
+            F.col("x"),
+            F.lit(ams_fam(hash_mode, k)).alias("fam"),
+        )
     )
 
 

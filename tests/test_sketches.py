@@ -1379,3 +1379,93 @@ def test_kmv_min_columns_build_equals_posexplode_reference(spark):
         kmv_build(empty, "item", group_cols=("grp",), k=8,
                   hash_mode="poly").count() == 0
     )
+
+
+def test_ams_wide_agg_equals_posexplode_reference(spark):
+    """Round-13 shape law (kmv's twin): _ams_components' k-sum-columns
+    + unpivot form must be component-for-component identical to the
+    original posexplode-per-row reference — grouped and ungrouped,
+    both hash modes, weighted and unweighted, with NULL items (k NULL
+    contributions → NULL-skipping sums) and an empty input (empty
+    table, not one row of global-aggregate NULLs)."""
+    from pyspark.sql import functions as F
+
+    from gpi_etl_spark.functions import xhash
+    from gpi_etl_spark.functions.hof import let_
+    from gpi_etl_spark.operators.sketches import (
+        KMV_P,
+        ams_build,
+        ams_build_weighted,
+        ams_fam,
+    )
+
+    def reference(items, item_col, group_cols, k, hash_mode, weight):
+        if hash_mode == "poly":
+            base = xhash.poly_hash(F.col(item_col))
+        else:
+            base = F.pmod(F.xxhash64(F.col(item_col)), F.lit(KMV_P))
+        signs_arr = let_(
+            base,
+            lambda h: let_(
+                xhash.cubic_mix(h),
+                lambda g: F.array(
+                    *[
+                        F.lit(1)
+                        - F.lit(2)
+                        * (xhash.affine_hash(g, i, k) % F.lit(2))
+                        for i in range(k)
+                    ]
+                ),
+            ),
+        )
+        cols = [*group_cols, F.posexplode(signs_arr).alias("i", "_s")]
+        if weight is None:
+            long = items.select(*cols)
+            contrib = F.col("_s").cast("bigint")
+        else:
+            long = items.select(F.col(weight).alias("_w"), *cols)
+            contrib = F.col("_s").cast("bigint") * F.col("_w")
+        return (
+            long.groupBy(*group_cols, F.col("i").cast("int").alias("i"))
+            .agg(F.sum(contrib).alias("x"))
+            .withColumn("fam", F.lit(ams_fam(hash_mode, k)))
+        )
+
+    def as_rows(df):
+        # NULL x sorts below any int (None-safe key)
+        key = lambda t: tuple(
+            (v is not None, v) for v in t
+        )  # noqa: E731
+        return sorted((tuple(r) for r in df.collect()), key=key)
+
+    rows = (
+        [("g1", str(i), i % 7 + 1) for i in range(60)]
+        + [("g2", str(i), 2) for i in range(500, 530)]
+        + [("g3", None, 1), ("g3", None, 3)]  # only-NULL group
+        + [("g1", None, 5)]  # NULL item inside a real group
+    )
+    df = spark.createDataFrame(rows, "grp string, item string, f long")
+    for hash_mode in ("poly", "xxhash64"):
+        got = ams_build(
+            df, "item", group_cols=("grp",), k=8, hash_mode=hash_mode
+        )
+        want = reference(df, "item", ("grp",), 8, hash_mode, None)
+        assert as_rows(got) == as_rows(want), hash_mode
+        gw = ams_build_weighted(
+            df, "item", "f", group_cols=("grp",), k=8,
+            hash_mode=hash_mode,
+        )
+        ww = reference(df, "item", ("grp",), 8, hash_mode, "f")
+        assert as_rows(gw) == as_rows(ww), hash_mode
+        # ungrouped
+        gu = ams_build(df, "item", k=8, hash_mode=hash_mode)
+        wu = reference(df, "item", (), 8, hash_mode, None)
+        assert as_rows(gu) == as_rows(wu), hash_mode
+    empty = spark.createDataFrame([], "grp string, item string, f long")
+    assert ams_build(empty, "item", k=4, hash_mode="poly").count() == 0
+    assert (
+        ams_build(
+            empty, "item", group_cols=("grp",), k=4, hash_mode="poly"
+        ).count()
+        == 0
+    )
