@@ -13,6 +13,18 @@ def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _force_unpersist_all(spark) -> None:
+    """Session-scoped fixture hygiene: earlier test modules leave
+    eager localCheckpoint RDDs behind (RDD-level persists that
+    ``catalog.clearCache()`` does NOT touch), so this test cannot
+    assume a clean baseline — drain everything via the JVM API before
+    asserting. Safe here: those RDDs belong to completed tests."""
+    sc = spark.sparkContext._jsc.sc()
+    it = sc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
+
+
 def test_dispatcher_evicts_all_live_caches_between_queries(spark):
     """Run pin-heavy registry queries back-to-back; at each next
     query's ENTRY the previous query's pins must already be gone.
@@ -21,9 +33,11 @@ def test_dispatcher_evicts_all_live_caches_between_queries(spark):
     four different registries, one shared eviction hook."""
     from gpi_etl_spark.queries import REGISTRY, _evict_operator_caches
 
-    # start clean (other tests in the session may have left pins)
+    # start clean (other tests in the session may have left pins —
+    # including localCheckpoint RDDs that clearCache cannot remove)
     _evict_operator_caches()
     spark.catalog.clearCache()
+    _force_unpersist_all(spark)
     assert _n_persistent_rdds(spark) == 0
 
     for name in (
